@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship corpus-stats query on sf0.001.
+``queries()`` maps each implemented operator from SURVEY.md §2 to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` holds the
+DuckDB-equivalent SQL for the driver's side-by-side check.
+
+Column names are aliased identically on both sides (the driver's
+compare sorts columns by name before hashing values).
 """
 
 from __future__ import annotations
@@ -13,26 +15,92 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parquet_extractor_spark.operators import (
+    analyze,
+    dedup,
+    extract,
+    quality,
+    relational,
+    similarity,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return analyze.corpus_stats(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # — corpus analysis (reference parity: api.py:491-579) —
+        "corpus_stats": analyze.corpus_stats,
+        "doc_token_counts": analyze.doc_token_counts,
+        "tokens_per_lang": analyze.tokens_per_lang,
+        "top_docs_by_tokens": analyze.top_docs_by_tokens,
+        # — extraction pipeline (reference parity: main.py:9-105) —
+        "extract_plan": extract.extract_plan,
+        "sampled_doc_ids": extract.sampled_doc_ids,
+        # — relational surface (SURVEY §2.3-2.7) —
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_unshipped_orders": relational.q3_top_unshipped_orders,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "top_brands_by_revenue": relational.top_brands_by_revenue,
+        "top_order_per_customer": relational.top_order_per_customer,
+        "customer_order_running_totals": relational.customer_order_running_totals,
+        "customers_without_orders": relational.customers_without_orders,
+        "order_priority_counts": relational.order_priority_counts,
+        "segment_stats_rollup": relational.segment_stats_rollup,
+        "events_hourly": relational.events_hourly,
+        "events_json_stats": relational.events_json_stats,
+        "part_type_distinct_brands": relational.part_type_distinct_brands,
+        # — deduplication (training-data pipeline) —
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        # — similarity search (embeddings) —
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "ann_sign_lsh": similarity.ann_sign_lsh,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # — text analysis —
+        "language_id": quality.language_id,
+        "quality_scores": quality.quality_scores,
+        "bpe_token_counts": quality.bpe_token_counts,
+        "doc_fingerprints": quality.doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "corpus_stats": analyze.CORPUS_STATS_SQL,
+        "doc_token_counts": analyze.DOC_TOKEN_COUNTS_SQL,
+        "tokens_per_lang": analyze.TOKENS_PER_LANG_SQL,
+        "top_docs_by_tokens": analyze.TOP_DOCS_BY_TOKENS_SQL,
+        "extract_plan": extract.EXTRACT_PLAN_SQL,
+        "sampled_doc_ids": extract.SAMPLED_DOC_IDS_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_unshipped_orders": relational.Q3_SQL,
+        "q5_region_revenue": relational.Q5_SQL,
+        "top_brands_by_revenue": relational.TOP_BRANDS_SQL,
+        "top_order_per_customer": relational.TOP_ORDER_PER_CUSTOMER_SQL,
+        "customer_order_running_totals": relational.RUNNING_TOTALS_SQL,
+        "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "order_priority_counts": relational.ORDER_PRIORITY_SQL,
+        "segment_stats_rollup": relational.SEGMENT_ROLLUP_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_json_stats": relational.EVENTS_JSON_SQL,
+        "part_type_distinct_brands": relational.PART_TYPE_DISTINCT_SQL,
+        "dedup_exact": dedup.EXACT_DEDUP_SQL,
+        "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
+        "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
+        "minhash_lsh_candidates": dedup.MINHASH_LSH_SQL,
+        "simhash_fingerprints": dedup.SIMHASH_SQL,
+        "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "ann_sign_lsh": similarity.ANN_SIGN_LSH_SQL,
+        "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
+        "language_id": quality.LANGUAGE_ID_SQL,
+        "quality_scores": quality.QUALITY_SCORES_SQL,
+        "bpe_token_counts": quality.BPE_TOKEN_COUNTS_SQL,
+        "doc_fingerprints": quality.DOC_FINGERPRINTS_SQL,
+    }

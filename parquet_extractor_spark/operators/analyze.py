@@ -1,0 +1,137 @@
+"""Corpus analysis — the reference's only true analytics query
+(analyze_wikir_dataset, api.py:491-579), rebuilt as one distributed
+hash-aggregate.
+
+The reference loops documents in Python, keeps EVERY per-doc token
+count in a list just to take min/max (api.py:515,533 — O(N) driver
+memory). Here the same answer is a single partial+final aggregation:
+constant memory per executor, one shuffle of 32 partial rows, scales
+to any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.functions.text import token_count, tokenize
+from parquet_extractor_spark.sources.tables import load_table
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts (api.py:532: tokenize_text + len).
+
+    Column-pruned scan: only doc_id + text are read from parquet.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    )
+
+
+DOC_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(
+            regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+            x -> x != '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: count/sum/avg/min/max token stats (api.py:548-564)
+    in ONE pass — partial aggregates map-side, 1-row result.
+    """
+    counts = doc_token_counts(spark, sf_dir)
+    return counts.agg(
+        F.count("*").alias("document_count"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("average_tokens_per_doc"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+CORPUS_STATS_SQL = r"""
+WITH counts AS (
+    SELECT CAST(len(list_filter(
+               regexp_split_to_array(
+                   regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT count(*)                        AS document_count,
+       CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+       round(avg(n_tokens), 4)   AS average_tokens_per_doc,
+       min(n_tokens)             AS min_tokens,
+       max(n_tokens)             AS max_tokens
+FROM counts
+"""
+
+
+def tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by extension of the corpus analyzer (SURVEY A7): the same
+    stats per language — partial+final hash-agg keyed on ``lang``
+    (low cardinality → no skew concern; AQE coalesces the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "lang", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count("*").alias("document_count"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("average_tokens_per_doc"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENS_PER_LANG_SQL = r"""
+WITH counts AS (
+    SELECT lang,
+           CAST(len(list_filter(
+               regexp_split_to_array(
+                   regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT lang,
+       count(*)                        AS document_count,
+       CAST(sum(n_tokens) AS BIGINT)   AS total_tokens,
+       round(avg(n_tokens), 4)   AS average_tokens_per_doc,
+       min(n_tokens)             AS min_tokens,
+       max(n_tokens)             AS max_tokens
+FROM counts
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def top_docs_by_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k longest documents (SURVEY L6) — Spark plans this as
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    counts = doc_token_counts(spark, sf_dir)
+    return counts.orderBy(F.desc("n_tokens"), F.asc("doc_id")).limit(k)
+
+
+TOP_DOCS_BY_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(
+            regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+            x -> x != '')) AS BIGINT) AS n_tokens
+FROM documents
+ORDER BY n_tokens DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + tokens array — shared input for dedup/quality ops."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.withColumn("tokens", tokenize("text"))

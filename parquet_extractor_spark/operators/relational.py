@@ -1,0 +1,459 @@
+"""Relational operator surface (SURVEY.md §2.3-2.7: J3/J4, A7-A9, W1,
+L5/L6, U2).
+
+The reference has no joins, group-bys, windows, or sorts — this module
+is the driver-mandated extension, expressed as declarative DataFrame
+plans so Catalyst owns the physical strategy:
+
+- Small dimensions (region/nation/supplier/part at any SF: they grow
+  sub-linearly) are explicitly ``broadcast()`` — no shuffle of the fact
+  table for those joins even at 100 TB.
+- Fact-fact joins (orders⋈lineitem, orders⋈customer) shuffle on the
+  join key; AQE handles skew and post-shuffle partition sizing.
+- Filters appear before joins in the plan text but Catalyst pushes them
+  into the parquet scan regardless (verify: ``PushedFilters`` in
+  ``.explain("formatted")``).
+- Top-k = ``orderBy().limit(k)`` → TakeOrderedAndProject (per-partition
+  heaps + single merge, never a global sort).
+
+Timestamps in oracle-compared outputs are emitted as epoch seconds
+(bigint) — engine-neutral, avoids tz-normalization hash mismatches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquet_extractor_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: scan-side filter
+    (pushed to parquet), one hash-agg keyed on (returnflag, linestatus).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = r"""
+SELECT l_returnflag,
+       l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)      AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4)      AS avg_disc,
+       count(*)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: customer(filtered segment) ⋈ orders ⋈ lineitem,
+    revenue per order, top 10. customer is small relative to the facts
+    → broadcast; orders⋈lineitem shuffles on orderkey (the natural
+    co-partition key — at scale both facts would be bucketed on it).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15")
+    )
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = r"""
+SELECT l_orderkey,
+       epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join. The dimension chain
+    region→nation→customer/supplier is broadcast end-to-end; only
+    orders⋈lineitem shuffles. Catalyst folds the two broadcast hash
+    joins into the same stage as the fact scan."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = r"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def top_brands_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part ⋈ lineitem keyed on partkey — part is broadcast so the
+    600k/600M-row fact never shuffles; agg on the low-cardinality
+    brand key."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+    )
+
+
+TOP_BRANDS_SQL = r"""
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand ASC
+"""
+
+
+def top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function surface (SURVEY W1): rank each customer's orders
+    by totalprice, keep the top one. Single shuffle on o_custkey; the
+    rank filter is evaluated streaming within each partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("top_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+TOP_ORDER_PER_CUSTOMER_SQL = r"""
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_totalprice
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+def customer_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame surface (W1): cumulative spend per customer over
+    order dates — ROWS UNBOUNDED PRECEDING frame, plus lag for the gap
+    to the previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("cum_spend"),
+            F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+RUNNING_TOTALS_SQL = r"""
+SELECT o_custkey,
+       o_orderkey,
+       epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+       lag(o_orderkey, 1) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (SURVEY J1/J2/U2): customers with no orders.
+    The distinct custkey set is aggregated before the join, so the
+    anti-join's build side is small → broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select("o_custkey").distinct(),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = r"""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join surface (J4): orders that have at least one late
+    lineitem (shipdate > orderdate + 90 days), counted by priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    return (
+        orders.join(
+            late.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_SQL = r"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderkey IN (
+    SELECT l_orderkey
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def segment_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (A9): rollup over (mktsegment, nation) —
+    per-nation, per-segment subtotals and the grand total in one pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+SEGMENT_ROLLUP_SQL = r"""
+SELECT c_mktsegment, n_name,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (c_mktsegment, n_name)
+ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events table (SURVEY F17 /
+    ST1's batch shape): tumbling 1-hour windows via date_trunc. This is
+    the exact aggregation the streaming module runs incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = r"""
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_epoch, event_type
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (F17): pull props.k out of the JSON
+    string column, aggregate per event_type. get_json_object is a
+    codegen'd expression — no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = r"""
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def part_type_distinct_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate surface (A8): exact distinct brand count per
+    part type. (approx_count_distinct is exposed too but not
+    oracle-compared — HLL sketches differ across engines.)"""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.count("*").alias("n_parts"),
+        )
+        .orderBy("p_type")
+    )
+
+
+PART_TYPE_DISTINCT_SQL = r"""
+SELECT p_type,
+       count(DISTINCT p_brand) AS n_brands,
+       count(*) AS n_parts
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+"""

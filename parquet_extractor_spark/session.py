@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local tests run on ``local[N]``; the same builder settings are what we
+would ship to a 1000-executor cluster — AQE on (runtime re-planning,
+skew-join splitting, post-shuffle coalescing), Arrow for every
+Python<->JVM hop, and shuffle partitioning left to AQE rather than a
+hard-coded count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "parquet-extractor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Parameters are overridable for tests; production leaves ``master``
+    to the cluster manager.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+
+    conf = {
+        # AQE: runtime re-plan — coalesce small post-shuffle partitions,
+        # split skewed ones, convert SMJ->BHJ when a side turns out small.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow for pandas_udf / mapInPandas / toPandas.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Baseline shuffle parallelism; AQE coalesces downward from here.
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        # Self-describing timestamps when writing parquet.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

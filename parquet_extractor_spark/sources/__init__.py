@@ -1,0 +1,1 @@
+from parquet_extractor_spark.sources.tables import TABLES, load_table, load_tables  # noqa: F401
