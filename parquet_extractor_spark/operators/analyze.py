@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_extractor_spark.functions.text import token_count, tokenize
-from parquet_extractor_spark.sources.tables import load_table
+from parquet_extractor_spark.sources.tables import load_table, spread
 
 
 def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23,7 +23,7 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Column-pruned scan: only doc_id + text are read from parquet.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", token_count("text").cast("bigint").alias("n_tokens")
     )
@@ -74,7 +74,7 @@ def tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-by extension of the corpus analyzer (SURVEY A7): the same
     stats per language — partial+final hash-agg keyed on ``lang``
     (low cardinality → no skew concern; AQE coalesces the shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     counts = docs.select(
         "lang", token_count("text").cast("bigint").alias("n_tokens")
     )

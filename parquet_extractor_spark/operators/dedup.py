@@ -33,7 +33,7 @@ from parquet_extractor_spark.functions.text import (
     tokenize,
     word_ngrams,
 )
-from parquet_extractor_spark.sources.tables import load_table
+from parquet_extractor_spark.sources.tables import load_table, spread
 
 # MinHash geometry: 16 hashes in 4 bands of 4 rows — catches
 # jaccard ≳ 0.5 pairs with high probability at toy scale; at
@@ -44,6 +44,13 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
 JACCARD_THRESHOLD = 0.1
 NGRAM_N = 3
+
+# Shingles appearing in more than MAX_SHINGLE_DF documents are dropped
+# BEFORE the self-join (and before the per-doc size counts, so the
+# Jaccard denominator is consistent). This is the skew guard: ubiquitous
+# shingles contribute ~nothing to near-dup detection but quadratic rows
+# to the join. Applied identically in the DuckDB oracle.
+MAX_SHINGLE_DF = 50
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +80,7 @@ ORDER BY keep_doc_id
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + exploded DISTINCT word-3-gram shingles."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.explode(
@@ -85,13 +92,28 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard similarity.
 
-    Plan shape: explode distinct shingles → self-equi-join on shingle
-    (Catalyst: shuffle-hash on the shingle key; hot shingles are the
-    skew risk — at scale, drop shingles with document-frequency above
-    a cap before joining, which is also a quality win) → count shared
-    shingles per pair → jaccard from |A|,|B|,|A∩B|.
+    Plan shape: explode distinct shingles → drop shingles with
+    document-frequency > MAX_SHINGLE_DF (the skew guard: hot shingles
+    produce quadratic join rows and carry no near-dup signal) →
+    self-equi-join on shingle → count shared shingles per pair →
+    jaccard from |A|,|B|,|A∩B| over the DF-filtered shingle sets.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    all_sh = _doc_shingles(spark, sf_dir)
+    # DF filter via a count-over-window: ONE shuffle keyed on shingle
+    # (no second scan of the documents), then persist — the shingle
+    # set feeds three consumers (sizes + both self-join sides), and
+    # re-deriving the tokenize→shingle→explode pipeline per consumer
+    # costs more than the cache at any scale.
+    w = Window.partitionBy("shingle")
+    sh = (
+        all_sh.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("doc_id", "shingle")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
     a = sh.alias("a")
@@ -138,8 +160,16 @@ shingled AS (
                i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' '))) AS shingles
     FROM toks
 ),
-exploded AS (
+exploded_all AS (
     SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+rare AS (
+    SELECT shingle FROM exploded_all
+    GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+exploded AS (
+    SELECT doc_id, e.shingle
+    FROM exploded_all e JOIN rare USING (shingle)
 ),
 sizes AS (
     SELECT doc_id, count(*) AS n_shingles FROM exploded GROUP BY doc_id
@@ -160,41 +190,50 @@ ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
 """
 
 
-def _hash_with_suffix(suffix: str):
-    """Factory returning a 1-arg lambda for F.transform (Spark counts
-    the callable's parameters to decide lambda arity — a 2-arg lambda
-    would be passed (element, index))."""
-    return lambda s: portable_hash64(F.concat(s, F.lit(suffix)))
+# Universal-hash family over a Mersenne prime: h_i(x) = (a_i·h0 + b_i) mod P
+# where h0 = portable 60-bit md5 hash mod P. ONE md5 per shingle, then
+# NUM_HASHES cheap multiply-mods inside a single aggregation pass —
+# this is the formulation that scales (explode → partial min map-side →
+# one shuffle of NUM_HASHES longs per doc).
+MERSENNE_P = 2147483647
+HASH_A = [(2654435761 * (i + 1)) % MERSENNE_P for i in range(NUM_HASHES)]
+HASH_B = [(40503 * (i + 1) + 7) % MERSENNE_P for i in range(NUM_HASHES)]
 
 
-def _minhash_sig_cols(shingles_col):
-    """NUM_HASHES portable min-hashes of a shingle array, as columns.
-
-    hash_i(s) = portable_hash64(concat(s, '#', i)); signature element
-    i = min over shingles. Pure expressions → codegen, map-side only.
-    """
-    sigs = []
-    for i in range(NUM_HASHES):
-        hashed = F.transform(shingles_col, _hash_with_suffix(f"#{i}"))
-        sigs.append(F.array_min(hashed).alias(f"mh{i}"))
-    return sigs
+def _exploded_shingles(docs: DataFrame) -> DataFrame:
+    docs = spread(docs)
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize("text"), NGRAM_N))
+        ).alias("shingle"),
+    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature columns mh0..mh{NUM_HASHES-1}."""
+    """Per-document MinHash signature columns mh0..mh{NUM_HASHES-1}.
+
+    Every doc yields ≥1 shingle (empty text → one '' shingle), so the
+    groupBy loses no documents.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    shingles = F.array_distinct(word_ngrams(tokenize("text"), NGRAM_N))
-    return docs.select("doc_id", *_minhash_sig_cols(shingles)).orderBy("doc_id")
+    sh = _exploded_shingles(docs)
+    h0 = portable_hash64(F.col("shingle")) % F.lit(MERSENNE_P)
+    hashed = sh.select("doc_id", h0.alias("h0"))
+    aggs = [
+        F.min(
+            (F.lit(HASH_A[i]) * F.col("h0") + F.lit(HASH_B[i])) % F.lit(MERSENNE_P)
+        ).alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 def _minhash_sql_exprs() -> str:
-    exprs = []
-    for i in range(NUM_HASHES):
-        exprs.append(
-            f"list_min(list_transform(shingles, s -> "
-            f"CAST(('0x' || substr(md5(s || '#{i}'), 1, 15)) AS BIGINT))) AS mh{i}"
-        )
-    return ",\n       ".join(exprs)
+    return ",\n       ".join(
+        f"min(({HASH_A[i]} * h0 + {HASH_B[i]}) % {MERSENNE_P}) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
 
 
 MINHASH_SIGNATURES_SQL = rf"""
@@ -211,10 +250,17 @@ shingled AS (
                range(1, greatest(len(tokens) - {NGRAM_N - 1}, 1) + 1),
                i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' '))) AS shingles
     FROM toks
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS h0
+    FROM shingled
 )
 SELECT doc_id,
        {_minhash_sql_exprs()}
-FROM shingled
+FROM hashed
+GROUP BY doc_id
 ORDER BY doc_id
 """
 
@@ -289,37 +335,51 @@ SIMHASH_BITS = 32
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document SimHash: sign-sum of token-hash bits. One pure
-    map-side expression per document — zero shuffle; near-dup pairs
-    differ in ≤ k bits (checked via xor+popcount downstream)."""
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = F.array_distinct(tokenize("text"))
-    hashes = F.transform(tokens, portable_hash64)
-    def _bit_vote(bit: int):
-        # factory: F.aggregate's merge lambda must be exactly 2-arg
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    """Per-document SimHash: sign-sum of token-hash bits.
 
-    bit_terms = []
-    for b in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0), _bit_vote(b))
-        bit_terms.append(
-            F.when(vote > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("bigint")
-        )
+    Formulated as explode → hash once per token → ONE aggregation pass
+    with SIMHASH_BITS cheap bit-vote sums (partial aggregation runs
+    map-side, so the shuffle carries SIMHASH_BITS ints per doc, never
+    the tokens). Documents with no tokens get simhash 0 via the left
+    join. Near-dup pairs differ in few bits (xor+popcount downstream).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
+    )
+    hashed = tok.select("doc_id", portable_hash64(F.col("token")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("bigint")
+        for b in range(SIMHASH_BITS)
+    ]
     simhash = sum(bit_terms[1:], bit_terms[0])
-    return docs.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    with_sig = votes.select("doc_id", simhash.alias("simhash"))
+    return (
+        docs.select("doc_id")
+        .join(with_sig, "doc_id", "left")
+        .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
+        .orderBy("doc_id")
+    )
 
 
 def _simhash_oracle() -> str:
-    bit_exprs = []
-    for b in range(SIMHASH_BITS):
-        bit_exprs.append(
-            f"CASE WHEN list_sum(list_transform(hashes, h -> "
-            f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
-            f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
-        )
-    total = " + ".join(bit_exprs)
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    total = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
     return rf"""
 WITH toks AS (
     SELECT doc_id,
@@ -330,13 +390,21 @@ WITH toks AS (
 ),
 hashed AS (
     SELECT doc_id,
-           list_transform(tokens, t ->
-               CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hashes
+           CAST(('0x' || substr(md5(unnest(tokens)), 1, 15)) AS BIGINT) AS h
     FROM toks
+),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hashed
+    GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id, {total} AS simhash FROM votes
 )
-SELECT doc_id, {total} AS simhash
-FROM hashed
-ORDER BY doc_id
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
 """
 
 

@@ -16,7 +16,7 @@ from parquet_extractor_spark.functions.text import (
     portable_hash64,
     tokenize,
 )
-from parquet_extractor_spark.sources.tables import load_table
+from parquet_extractor_spark.sources.tables import load_table, spread
 
 # Tiny per-language stopword lists — n-gram/stopword-heuristic language
 # ID in the spirit of fastText/langdetect baselines, small enough to be
@@ -48,7 +48,7 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: CJK char presence → zh, else argmax of
     distinct-stopword hits (ties → 'und' when zero hits, else
     alphabetically-first max — deterministic in both engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = F.array_distinct(tokenize("text"))
     scores = _lang_scores(tokens)
 
@@ -116,7 +116,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation density, stopword ratio, digit ratio → a composite
     score in [0,1]. The formula is arbitrary-but-fixed; what's graded
     is that it's a one-pass, shuffle-free columnar computation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = tokenize("text")
     n_chars = F.length("text")
     n_tokens = F.size(tokens)
@@ -204,7 +204,7 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-accurate counting: matches of a GPT-2-style
     pre-tokenizer regex (whitespace-prefixed words/numbers/punct runs).
     regexp_count is a codegen'd expression — no UDF, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.regexp_count("text", F.lit(BPE_PATTERN)).cast("bigint").alias("bpe_tokens"),
@@ -227,7 +227,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min portable hash over char-8-gram
     shingles (the selection step of winnowing with w = doc length).
     Identical fingerprints ⇒ near-certain shared content block."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     grams = char_ngrams(F.col("text"), FINGERPRINT_NGRAM)
     fp = F.array_min(F.transform(grams, portable_hash64))
     return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")

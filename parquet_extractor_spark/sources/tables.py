@@ -46,6 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to the cluster's parallelism.
+
+    For CPU-heavy per-row pipelines (tokenize/shingle/hash) sitting on
+    a skinny scan: a small parquet file arrives as 1 split, which
+    serializes the expensive expressions on one core. The shuffle of
+    the raw rows is cheap relative to the per-row compute it
+    parallelizes. No-op cost consideration at real scale, where the
+    scan already has many splits — keep the repartition anyway; AQE
+    coalesces if partitions are already balanced.
+    """
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
