@@ -48,9 +48,14 @@ def sanitize_filename(col: Column | str, cap: int = FILENAME_CAP) -> Column:
 
 
 def zero_pad(col: Column | str, width: int = 4) -> Column:
-    """Zero-padded id formatting (main.py:81, main.py:170)."""
+    """Zero-padded id formatting (main.py:81, main.py:170).
+
+    zfill semantics: values WIDER than ``width`` pass through intact —
+    unlike bare ``lpad``, which silently truncates them.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.lpad(c.cast("string"), width, "0")
+    s = c.cast("string")
+    return F.when(F.length(s) >= width, s).otherwise(F.lpad(s, width, "0"))
 
 
 def non_ascii_scrub(col: Column | str, replacement: str = "_") -> Column:

@@ -1,0 +1,220 @@
+"""Async job service (SURVEY §2.10 O1-O8) — the reference's Flask REST
+surface (api.py:22-191) rebuilt over Spark.
+
+Same REST shape: submit → uuid job id → background thread → poll
+status → list/download outputs. Differences by design:
+
+- the worker thread is a ``pyspark.InheritableThread`` tagged with
+  ``setJobGroup(job_id)`` so Spark stage progress is attributable and
+  a job is CANCELLABLE (``cancelJobGroup``) — the reference's threads
+  can't be stopped (api.py:97-98);
+- progress comes from real Spark execution, not manual log appends
+  only;
+- one documented port (the reference binds 4000 at api.py:982 while
+  its README/client say 5000 — SURVEY §3.2 gotcha; here: 5000).
+
+The in-memory ``jobs`` dict mirrors api.py:25, with the same caveats
+(process-local, non-durable) — acceptable for the driver-side control
+plane; the data plane is all Spark.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import traceback
+import uuid
+from typing import Any, Callable
+
+from pyspark import InheritableThread
+from pyspark.sql import SparkSession
+
+from parquet_extractor_spark.constants import MAX_DOCS, MAX_ERRORS
+
+DEFAULT_PORT = 5000
+
+jobs: dict[str, dict[str, Any]] = {}
+_jobs_lock = threading.Lock()
+
+
+def _register_job(job_type: str, params: dict[str, Any]) -> str:
+    job_id = str(uuid.uuid4())
+    with _jobs_lock:
+        jobs[job_id] = {
+            "id": job_id,
+            "status": "running",
+            "type": job_type,
+            "params": params,
+            "log": [],
+            "result": None,
+            "error": None,
+        }
+    return job_id
+
+
+def job_log(job_id: str, message: str) -> None:
+    """Append-only progress log (api.py:412, api.py:419), capped so a
+    chatty job can't grow without bound."""
+    with _jobs_lock:
+        log = jobs[job_id]["log"]
+        if len(log) < 1000:
+            log.append(message)
+
+
+def submit_job(
+    spark: SparkSession,
+    job_type: str,
+    fn: Callable[[str], dict[str, Any]],
+    params: dict[str, Any] | None = None,
+) -> str:
+    """Run ``fn(job_id)`` on an InheritableThread under a Spark job
+    group named by the job id. Per-job error capture mirrors
+    api.py:89-91."""
+    job_id = _register_job(job_type, params or {})
+
+    def _run() -> None:
+        sc = spark.sparkContext
+        sc.setJobGroup(job_id, f"{job_type} [{job_id}]", interruptOnCancel=True)
+        try:
+            result = fn(job_id)
+            with _jobs_lock:
+                jobs[job_id]["status"] = "completed"
+                jobs[job_id]["result"] = result
+        except Exception as exc:  # permissive job surface (O4)
+            with _jobs_lock:
+                jobs[job_id]["status"] = "failed"
+                jobs[job_id]["error"] = str(exc)
+                jobs[job_id]["log"].append(traceback.format_exc()[-2000:])
+        # no clearJobGroup: the property is thread-local and this
+        # worker thread ends here (PySpark 4 removed clearJobGroup).
+
+    InheritableThread(target=_run).start()
+    return job_id
+
+
+def cancel_job(spark: SparkSession, job_id: str) -> bool:
+    if job_id not in jobs:
+        return False
+    spark.sparkContext.cancelJobGroup(job_id)
+    with _jobs_lock:
+        if jobs[job_id]["status"] == "running":
+            jobs[job_id]["status"] = "cancelled"
+    return True
+
+
+def check_write_access(output_dir: str) -> None:
+    """Write-access preflight (api.py:886-897): fail fast before
+    launching executors at an unwritable sink."""
+    os.makedirs(output_dir, exist_ok=True)
+    probe = os.path.join(output_dir, "test_write.txt")
+    with open(probe, "w") as fh:
+        fh.write("ok")
+    os.remove(probe)
+
+
+def create_app(spark: SparkSession, output_root: str):
+    """Flask app factory. Routes mirror api.py's surface:
+
+    GET  /api/health                 — O6
+    GET  /api/jobs                   — O2 (list)
+    GET  /api/jobs/<id>              — O2 (status)
+    POST /api/jobs/<id>/cancel       — beyond reference (cancellable)
+    POST /api/analyze/corpus         — §3.3 flagship (corpus stats)
+    POST /api/extract/documents      — §3.1 extract pipeline
+    GET  /api/files                  — S11 listing
+    GET  /api/files/<name>           — S12 download
+    """
+    from flask import Flask, jsonify, request, send_from_directory
+
+    from parquet_extractor_spark.operators.analyze import corpus_stats
+    from parquet_extractor_spark.operators.extract import extract_files
+    from parquet_extractor_spark.sinks.markdown import write_files
+
+    app = Flask("parquet_extractor_spark")
+
+    @app.get("/api/health")
+    def health():
+        return jsonify({"status": "ok", "spark_version": spark.version})
+
+    @app.get("/api/jobs")
+    def list_jobs():
+        with _jobs_lock:
+            return jsonify(
+                [
+                    {k: v for k, v in j.items() if k != "log"}
+                    for j in jobs.values()
+                ]
+            )
+
+    @app.get("/api/jobs/<job_id>")
+    def job_status(job_id: str):
+        job = jobs.get(job_id)
+        if job is None:
+            return jsonify({"error": "job not found"}), 404
+        return jsonify(job)
+
+    @app.post("/api/jobs/<job_id>/cancel")
+    def job_cancel(job_id: str):
+        if not cancel_job(spark, job_id):
+            return jsonify({"error": "job not found"}), 404
+        return jsonify(jobs[job_id])
+
+    @app.post("/api/analyze/corpus")
+    def analyze_corpus():
+        params = request.get_json(silent=True) or {}
+        sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
+
+        def _work(job_id: str) -> dict[str, Any]:
+            job_log(job_id, f"analyzing corpus at {sf_dir}")
+            row = corpus_stats(spark, sf_dir).first()
+            job_log(job_id, "aggregation complete")
+            return row.asDict()
+
+        job_id = submit_job(spark, "analyze_corpus", _work, params)
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.post("/api/extract/documents")
+    def extract_documents():
+        params = request.get_json(silent=True) or {}
+        sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
+        n = min(int(params.get("num_docs", 100)), MAX_DOCS)
+        seed = int(params.get("seed", 42))
+        out_dir = os.path.join(output_root, params.get("subdir", "markdown"))
+
+        def _work(job_id: str) -> dict[str, Any]:
+            check_write_access(out_dir)
+            job_log(job_id, f"extracting {n} docs from {sf_dir} -> {out_dir}")
+            work = extract_files(spark, sf_dir, n=n, seed=seed)
+            result = write_files(work, out_dir)
+            job_log(job_id, f"wrote {result['written']} files")
+            return result
+
+        job_id = submit_job(spark, "extract_documents", _work, params)
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.get("/api/files")
+    def list_files():
+        subdir = request.args.get("subdir", "markdown")
+        target = os.path.join(output_root, subdir)
+        if not os.path.isdir(target):
+            return jsonify({"files": [], "count": 0})
+        names = sorted(os.listdir(target))
+        return jsonify(
+            {
+                "files": [
+                    {
+                        "name": n,
+                        "size": os.path.getsize(os.path.join(target, n)),
+                    }
+                    for n in names[:1000]
+                ],
+                "count": len(names),
+            }
+        )
+
+    @app.get("/api/files/<path:name>")
+    def download_file(name: str):
+        subdir = request.args.get("subdir", "markdown")
+        return send_from_directory(os.path.join(output_root, subdir), name)
+
+    return app

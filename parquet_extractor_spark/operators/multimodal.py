@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata (driver north star).
+
+The decode libraries (PIL/librosa/ffmpeg) are NOT in this container,
+so the decode kernels are stubs — either a clearly-marked
+NotImplementedError or a deterministic fake — but everything
+Spark-side is real and tested: the schema, the mapInPandas batch
+iteration, the Arrow column shapes, and the partitioning strategy.
+
+Design for 100 TB of media:
+- media rows are fat (MBs of binary) → keep
+  ``spark.sql.files.maxPartitionBytes`` at default and let the scan
+  split by bytes, never by row count;
+- feature extraction is per-row CPU → ``mapInPandas`` so one Python
+  worker streams Arrow batches without materializing a partition;
+- derived features are small → write them to a SEPARATE table keyed
+  by media_id rather than rewriting the fat binaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("data", BinaryType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("feature", ArrayType(FloatType()), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def decode_image(data: bytes) -> "np.ndarray":
+    """STUB: real impl would be PIL.Image.open(BytesIO(data)).
+    The imaging stack is not installed in this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/pillow, not available in this environment"
+    )
+
+
+def fake_feature(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic fake embedding from the raw bytes — stands in for
+    a real encoder so the distributed plumbing is testable end-to-end.
+    Stable across runs/workers (pure function of the bytes)."""
+    if data is None:
+        return [0.0] * dim
+    arr = np.frombuffer(data, dtype=np.uint8)
+    out = np.zeros(dim, dtype=np.float64)
+    for i in range(dim):
+        out[i] = float(arr[i::dim].sum() % 997) / 997.0
+    return [float(x) for x in out]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the media table. Binary
+    columns stream through Arrow in bounded batches
+    (spark.sql.execution.arrow.maxRecordsPerBatch), so a partition of
+    fat rows never materializes in one Python allocation."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["data"].map(
+                        lambda d: len(d) if d is not None else 0
+                    ),
+                    "feature": pdf["data"].map(fake_feature),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled
+    timestamp. The frame decode itself is stubbed (no ffmpeg), but the
+    row fan-out — the part that matters for partitioning — is a real
+    ``explode`` over the sampling grid, computed JVM-side."""
+    grid = F.sequence(
+        F.lit(0),
+        F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(grid).alias("frame_ts_ms"),
+            F.lit(None).cast(BinaryType()).alias("frame"),  # STUB: no ffmpeg
+        )
+    )
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fixture generator for tests: n media rows with
+    pseudo-random binary payloads."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = int(rng.integers(64, 512))
+        data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind == "image" else None,
+                48 if kind == "image" else None,
+                5000 if kind != "image" else None,
+                data,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

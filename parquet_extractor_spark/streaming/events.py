@@ -1,0 +1,142 @@
+"""Structured Streaming over the events table (SURVEY §2.9 ST1).
+
+The reference is strictly batch; this is the driver-mandated streaming
+extension. The same hourly aggregation as
+``operators.relational.events_hourly`` expressed incrementally:
+file-source stream → watermark → tumbling window → stateful agg.
+``run_events_hourly_stream`` uses the availableNow trigger so a test
+(or a backfill) drains the source exactly once and stops — the
+batch/stream results must be identical, which is the correctness
+contract Structured Streaming gives us for free.
+
+Scale notes: the stateful agg shuffles on (window, event_type) — the
+same key the batch plan uses; the watermark bounds state (late events
+beyond 2 hours are dropped), which is what makes this runnable forever
+on an unbounded source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Physical schema of events.parquet with ts as nanos-long (file streams
+# require an explicit schema; nanosAsLong applies as in the batch path).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with the nanos → micros
+    timestamp rebuild from the batch path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    relational.events_hourly (same keys, same measures)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            # NOTE: countDistinct isn't supported in streaming aggs;
+            # approx_count_distinct is the streaming-legal variant.
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def run_events_hourly_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "events_hourly_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the events source once (availableNow) into an in-memory
+    sink table; returns the result DataFrame. Complete output mode:
+    file sources never drop the final windows behind the watermark."""
+    stream = hourly_agg(read_events_stream(spark, sf_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)
+
+
+def run_sessionization_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    table_name: str = "events_sessions_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Session windows per user (stateful op beyond tumbling windows):
+    events within `gap` of each other merge into one session. Uses the
+    built-in session_window — no custom state management needed."""
+    events = read_events_stream(spark, sf_dir)
+    stream = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("session_start_epoch"),
+            F.unix_timestamp(F.col("win.end")).alias("session_end_epoch"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)

@@ -1,0 +1,105 @@
+"""Dedup + similarity operators against a synthetic fixture with KNOWN
+duplicates (the driver fixtures contain none), written as a
+documents.parquet/embeddings.parquet pair in a temp dir so the
+operators run through their normal (spark, sf_dir) entry points."""
+
+import math
+
+import pytest
+
+from parquet_extractor_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "into the deep green forest tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("dupfix")
+    docs = [
+        (0, BASE, "en", "src0", len(BASE)),
+        (1, BASE, "en", "src0", len(BASE)),  # exact dup of 0
+        (2, BASE + " extra trailing words here", "en", "src0", 0),  # near-dup
+        (3, "completely different text about spark query engines", "en", "src1", 0),
+        (4, "", "en", "src1", 0),  # empty doc edge case
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    emb = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),  # near-identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0], 1),
+        (3, [0.0, 0.0, 1.0, 0.0], 2),
+        (4, [-1.0, 0.0, 0.0, 0.0], 3),  # opposite bucket to 0
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_groups(spark, dup_dir):
+    rows = {r.keep_doc_id: r.n_copies for r in dedup.exact_dedup(spark, dup_dir).collect()}
+    assert rows[0] == 2  # docs 0 and 1 collapse, min id survives
+    assert rows[2] == 1 and rows[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, dup_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, dup_dir).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs
+    assert pairs[(0, 2)] > 0.7  # near-dup
+    assert (0, 3) not in pairs  # unrelated
+
+
+def test_minhash_identical_signatures_and_lsh(spark, dup_dir):
+    sigs = {r.doc_id: tuple(r)[1:] for r in dedup.minhash_signatures(spark, dup_dir).collect()}
+    assert sigs[0] == sigs[1]  # identical docs -> identical signatures
+    assert sigs[0] != sigs[3]
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(spark, dup_dir).collect()
+    }
+    assert (0, 1) in cands
+    assert (0, 3) not in cands
+
+
+def test_simhash_properties(spark, dup_dir):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(spark, dup_dir).collect()}
+    assert sh[0] == sh[1]  # identical docs
+    assert sh[4] == 0  # empty doc
+    # near-dup differs in few bits; unrelated differs in many
+    near = bin(sh[0] ^ sh[2]).count("1")
+    far = bin(sh[0] ^ sh[3]).count("1")
+    assert near < far
+
+
+def test_knn_bruteforce_neighbor_order(spark, dup_dir):
+    rows = similarity.knn_bruteforce(spark, dup_dir).collect()
+    top_for_0 = [r for r in rows if r.query_id == 0 and r.rank == 1][0]
+    assert top_for_0.neighbor_id == 1  # the near-identical vector
+    assert top_for_0.cosine_sim == pytest.approx(
+        0.999 / math.sqrt(0.999**2 + 0.01**2), abs=1e-6
+    )
+
+
+def test_ann_bucket_excludes_opposite_vector(spark, dup_dir):
+    rows = similarity.ann_sign_lsh(spark, dup_dir).collect()
+    neighbors_of_0 = {r.neighbor_id for r in rows if r.query_id == 0}
+    assert 4 not in neighbors_of_0  # negative first dim -> other bucket
+    assert 1 in neighbors_of_0
+
+
+def test_embedding_near_dup_pairs(spark, dup_dir):
+    pairs = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in similarity.embedding_near_dup_pairs(spark, dup_dir).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(a == 0 and b == 1 for (a, b) in pairs)  # only one true pair

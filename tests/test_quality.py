@@ -1,0 +1,79 @@
+import re
+
+import pytest
+
+from parquet_extractor_spark.operators import quality
+
+
+@pytest.fixture(scope="module")
+def lang_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("langfix")
+    docs = [
+        (0, "the cat and the dog that was in the house", "en", "s", 0),
+        (1, "der Hund und die Katze ist nicht mit dem Mann", "de", "s", 0),
+        (2, "el perro y la casa de los gatos una vez", "es", "s", 0),
+        (3, "le chien est dans la maison pour les chats", "fr", "s", 0),
+        (4, "这是一个中文文档的例子", "zh", "s", 0),
+        (5, "zzz qqq xxx", "en", "s", 0),  # no stopword hits -> und
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_language_id_on_known_sentences(spark, lang_dir):
+    rows = {r.doc_id: r.pred_lang for r in quality.language_id(spark, lang_dir).collect()}
+    assert rows[0] == "en"
+    assert rows[1] == "de"
+    assert rows[2] == "es"
+    assert rows[3] == "fr"
+    assert rows[4] == "zh"  # CJK detection
+    assert rows[5] == "und"
+
+
+def test_language_id_on_fixture_is_deterministic(spark, sf_small):
+    # NOTE: the driver fixture's text is language-agnostic synthetic
+    # vocabulary (the lang column is a label only), so accuracy against
+    # the label is not a meaningful check there — the known-sentences
+    # test above validates accuracy. Here: valid labels + determinism.
+    rows1 = {r.doc_id: r.pred_lang for r in quality.language_id(spark, sf_small).collect()}
+    rows2 = {r.doc_id: r.pred_lang for r in quality.language_id(spark, sf_small).collect()}
+    assert rows1 == rows2
+    assert set(rows1.values()) <= {"en", "de", "es", "fr", "zh", "und"}
+
+
+def test_bpe_token_counts_match_python_re(spark, lang_dir):
+    rows = {r.doc_id: r.bpe_tokens for r in quality.bpe_token_counts(spark, lang_dir).collect()}
+    texts = {
+        0: "the cat and the dog that was in the house",
+        5: "zzz qqq xxx",
+    }
+    for doc_id, text in texts.items():
+        expected = len(re.findall(quality.BPE_PATTERN, text))
+        assert rows[doc_id] == expected
+
+
+def test_quality_scores_ranges(spark, sf_small):
+    rows = quality.quality_scores(spark, sf_small).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert r.n_tokens >= 0
+
+
+def test_fingerprints_detect_shared_prefix(spark, tmp_path):
+    d = tmp_path / "fp"
+    shared = "identical long shared prefix that dominates the minimum hash "
+    docs = [
+        (0, shared + "tail one", "en", "s", 0),
+        (1, shared + "tail two", "en", "s", 0),
+        (2, "completely different material here", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    fps = {r.doc_id: r.fingerprint for r in quality.doc_fingerprints(spark, str(d)).collect()}
+    # min-hash over shared 8-gram shingles is very likely equal for 0/1
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]

@@ -1,0 +1,39 @@
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.operators.relational import events_hourly
+from parquet_extractor_spark.streaming.events import (
+    run_events_hourly_stream,
+    run_sessionization_stream,
+)
+
+
+def test_streaming_hourly_equals_batch(spark, sf_small, tmp_path):
+    """The streaming windowed agg must produce the batch answer once
+    the source is drained — Structured Streaming's core contract."""
+    stream_df = run_events_hourly_stream(
+        spark, sf_small, str(tmp_path / "ckpt")
+    )
+    batch = {
+        (r.hour_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in events_hourly(spark, sf_small).collect()
+    }
+    stream = {
+        (r.hour_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in stream_df.collect()
+    }
+    assert stream == batch
+
+
+def test_sessionization_stream(spark, sf_small, tmp_path):
+    df = run_sessionization_stream(
+        spark, sf_small, str(tmp_path / "ckpt2"), gap="30 minutes"
+    )
+    rows = df.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.session_end_epoch >= r.session_start_epoch
+        assert r.n_events >= 1
+    # session totals must conserve the event count
+    total = sum(r.n_events for r in rows)
+    n_events = spark.read.parquet(f"{sf_small}/events.parquet").count()
+    assert total == n_events
