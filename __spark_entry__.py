@@ -22,6 +22,7 @@ from parquet_extractor_spark.operators import (
     quality,
     relational,
     similarity,
+    timeseries,
 )
 
 
@@ -53,6 +54,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": relational.events_hourly,
         "events_json_stats": relational.events_json_stats,
         "part_type_distinct_brands": relational.part_type_distinct_brands,
+        # — time-series / advanced relational (SURVEY J4, A8-A9, ST1) —
+        "asof_view_before_purchase": timeseries.asof_view_before_purchase,
+        "events_sessionized": timeseries.events_sessionized,
+        "events_pivot_daily": timeseries.events_pivot_daily,
+        "brand_price_stats": timeseries.brand_price_stats,
+        "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
         # — deduplication (training-data pipeline) —
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -91,6 +98,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_json_stats": relational.EVENTS_JSON_SQL,
         "part_type_distinct_brands": relational.PART_TYPE_DISTINCT_SQL,
+        "asof_view_before_purchase": timeseries.ASOF_SQL,
+        "events_sessionized": timeseries.SESSIONIZED_SQL,
+        "events_pivot_daily": timeseries.EVENTS_PIVOT_SQL,
+        "brand_price_stats": timeseries.BRAND_PRICE_STATS_SQL,
+        "part_types_sold_both_periods": timeseries.PART_TYPES_BOTH_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,

@@ -34,6 +34,9 @@ HEADLINE = [
     "knn_bruteforce",
     "quality_scores",
     "extract_plan",
+    "asof_view_before_purchase",
+    "events_sessionized",
+    "brand_price_stats",
 ]
 
 

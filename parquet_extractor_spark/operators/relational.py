@@ -284,11 +284,14 @@ ORDER BY o_custkey, o_orderkey
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join surface (SURVEY J1/J2/U2): customers with no orders.
-    The distinct custkey set is aggregated before the join, so the
-    anti-join's build side is small → broadcast."""
+    """Anti-join surface (SURVEY J1/J2/U2): customers with no orders
+    in 1995 (every fixture customer has SOME order, so the unrestricted
+    variant is vacuous). The distinct custkey set is aggregated before
+    the join, so the anti-join's build side is small → broadcast."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01")
+    )
     return (
         cust.join(
             orders.select("o_custkey").distinct(),
@@ -303,7 +306,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_WITHOUT_ORDERS_SQL = r"""
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01')
 ORDER BY c_custkey
 """
 

@@ -1,0 +1,246 @@
+"""Time-series operators the reference lacks entirely (SURVEY §2.3 J4,
+§2.9): as-of join, sessionization, pivot, per-group distribution stats.
+
+All formulated as window/aggregate plans that shuffle once on their
+natural key (user_id / brand / day) — the partitioning a 100 TB events
+table would already be bucketed by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquet_extractor_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the most recent prior (or
+    simultaneous) 'view' event of the same user.
+
+    Spark has no ASOF JOIN operator; the scalable formulation is the
+    union-and-window trick: tag both streams, sort within user, carry
+    the last view timestamp forward with last(ignorenulls) — ONE
+    shuffle on user_id, no range-join explosion. (DuckDB's native
+    ASOF JOIN would also work oracle-side; the window form is used in
+    both engines so the plans are comparable.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_epoch"),
+            F.unix_timestamp("last_view_ts").alias("last_view_epoch"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_view_ts")
+            ).alias("gap_seconds"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = r"""
+WITH tagged AS (
+    SELECT event_id, user_id, ts, event_type,
+           CASE WHEN event_type = 'view' THEN ts END AS view_ts
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+),
+carried AS (
+    SELECT *,
+           last_value(view_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+    FROM tagged
+)
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_epoch,
+       CAST(floor(epoch(last_view_ts)) AS BIGINT) AS last_view_epoch,
+       CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(last_view_ts)) AS BIGINT) AS gap_seconds
+FROM carried
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: events within SESSION_GAP_MIN of each
+    other (per user) belong to one session. lag → gap flag → running
+    sum = session id; then one aggregate per session. Two window
+    passes + one agg, all on the user_id shuffle. The streaming twin
+    is streaming.events.run_sessionization_stream (session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(
+        F.lag("ts", 1).over(w)
+    )
+    sessioned = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+            F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZED_SQL = rf"""
+WITH gaps AS (
+    SELECT user_id, event_id, ts, value,
+           floor(epoch(ts)) - floor(epoch(lag(ts, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS gap
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END
+               AS new_session
+    FROM gaps
+),
+sessioned AS (
+    SELECT *,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM sessioned
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts, one column per event type. Explicit
+    value list → single-pass pivot aggregation (no extra distinct-scan
+    job, and stable output schema for the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day_epoch")
+    )
+
+
+EVENTS_PIVOT_SQL = r"""
+SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS "view"
+FROM events
+GROUP BY 1
+ORDER BY day_epoch
+"""
+
+
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats per brand: interpolated median/quartiles,
+    sample stddev, price-quantity correlation. Exact percentiles via
+    F.percentile (same interpolation as DuckDB quantile_cont)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+                "median_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias(
+                "p25_price"
+            ),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias(
+                "p75_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_PRICE_STATS_SQL = r"""
+SELECT p_brand,
+       count(*) AS n_items,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+       round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def part_types_sold_both_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (U2): part types with sales in BOTH 1995
+    and 2000 (intersect), ordered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+
+    def _types(year: int) -> DataFrame:
+        return (
+            joined.filter(F.year("l_shipdate") == year)
+            .select("p_type")
+            .distinct()
+        )
+
+    return _types(1995).intersect(_types(2000)).orderBy("p_type")
+
+
+PART_TYPES_BOTH_SQL = r"""
+SELECT DISTINCT p_type
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1995
+INTERSECT
+SELECT DISTINCT p_type
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 2000
+ORDER BY p_type
+"""

@@ -1,0 +1,80 @@
+"""Scale-contract tests: assert the PHYSICAL PLANS are the ones we'd
+want on a 1000-executor cluster — filters pushed into the parquet
+scan, scans column-pruned, small dimensions broadcast, aggregations
+partial (map-side combine). A correctness-green query with a bad plan
+fails here."""
+
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.operators import analyze, relational
+from parquet_extractor_spark.plans.explain import (
+    has_broadcast_hash_join,
+    has_partial_aggregation,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_q1_filter_reaches_parquet_scan(spark, sf_small):
+    df = relational.q1_pricing_summary(spark, sf_small)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # date filter pushed to the scan
+
+
+def test_q1_scan_is_column_pruned(spark, sf_small):
+    df = relational.q1_pricing_summary(spark, sf_small)
+    scans = read_schema_columns(df)
+    assert len(scans) == 1
+    # 7 needed columns out of 11 — quantity/price/discount/tax/flags/date
+    assert scans[0] == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    }
+
+
+def test_q1_has_partial_aggregation(spark, sf_small):
+    assert has_partial_aggregation(relational.q1_pricing_summary(spark, sf_small))
+
+
+def test_q5_broadcasts_dimensions(spark, sf_small):
+    df = relational.q5_region_revenue(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+
+
+def test_top_brands_broadcasts_part(spark, sf_small):
+    df = relational.top_brands_by_revenue(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+    # the fact scan reads only the 3 needed lineitem columns
+    li_scans = [
+        s for s in read_schema_columns(df) if "l_extendedprice" in s
+    ]
+    assert li_scans and li_scans[0] == {
+        "l_partkey",
+        "l_extendedprice",
+        "l_discount",
+    }
+
+
+def test_doc_token_counts_prunes_to_two_columns(spark, sf_small):
+    df = analyze.doc_token_counts(spark, sf_small)
+    scans = read_schema_columns(df)
+    assert scans[0] == {"doc_id", "text"}
+
+
+def test_corpus_stats_partial_agg(spark, sf_small):
+    assert has_partial_aggregation(analyze.corpus_stats(spark, sf_small))
+
+
+def test_filter_pushdown_composes_through_our_loaders(spark, sf_small):
+    from parquet_extractor_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_small, "orders").filter(
+        F.col("o_orderkey") == 42
+    )
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderkey" in pushed
