@@ -1,0 +1,81 @@
+"""Command-line interface — parity with the reference's main.py CLI
+(main.py:195-239): ``parquet`` and ``cisi`` subcommands plus the
+``analyze`` query surface, each building a lazy plan and running one
+Spark action.
+
+    python -m parquet_extractor_spark parquet FILE [-o DIR] [-n N] [--seed S]
+    python -m parquet_extractor_spark cisi FILE [-o DIR]
+    python -m parquet_extractor_spark analyze DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from parquet_extractor_spark.constants import DEFAULT_NUM_PAPERS, DEFAULT_SEED
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="parquet_extractor_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pq = sub.add_parser("parquet", help="extract papers parquet → markdown")
+    pq.add_argument("file")
+    pq.add_argument("-o", "--output_dir", default="papers_output")
+    # defaults mirror main.py:205 (1000 papers, seed 42)
+    pq.add_argument("-n", "--num_papers", type=int, default=DEFAULT_NUM_PAPERS)
+    pq.add_argument("--seed", type=int, default=DEFAULT_SEED)
+
+    ci = sub.add_parser("cisi", help="extract CISI.ALL → markdown")
+    ci.add_argument("file")
+    ci.add_argument("-o", "--output_dir", default="cisi_output")
+
+    an = sub.add_parser("analyze", help="corpus token statistics")
+    an.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from parquet_extractor_spark.session import get_spark
+
+    spark = get_spark(f"cli-{args.command}")
+
+    if args.command == "parquet":
+        from parquet_extractor_spark.operators.extract import extract_any_parquet
+        from parquet_extractor_spark.sinks.markdown import write_files
+
+        plan = extract_any_parquet(
+            spark, args.file, n=args.num_papers, seed=args.seed
+        )
+        result = write_files(plan, args.output_dir)
+        print(json.dumps({"output_dir": args.output_dir, **result}))
+        return 0 if result["failed"] == 0 else 1
+
+    if args.command == "cisi":
+        from parquet_extractor_spark.sinks.markdown import write_files
+        from parquet_extractor_spark.sources.cisi import (
+            cisi_to_markdown,
+            read_cisi,
+        )
+
+        plan = cisi_to_markdown(read_cisi(spark, args.file))
+        result = write_files(plan, args.output_dir)
+        print(json.dumps({"output_dir": args.output_dir, **result}))
+        return 0 if result["failed"] == 0 else 1
+
+    if args.command == "analyze":
+        from parquet_extractor_spark.operators.analyze import corpus_stats
+
+        row = corpus_stats(spark, args.sf_dir).first()
+        print(json.dumps(row.asDict()))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

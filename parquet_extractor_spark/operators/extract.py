@@ -186,3 +186,46 @@ FROM documents
 ORDER BY sample_key, doc_id
 LIMIT {SAMPLE_N}
 """
+
+
+def extract_any_parquet(
+    spark: SparkSession,
+    parquet_path: str,
+    n: int = SAMPLE_N,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """The reference CLI's true contract (main.py:9-105): extract from
+    an ARBITRARY parquet file whose schema is unknown until read.
+
+    Roles come from the resolver; because there is no guaranteed id
+    column, the deterministic sample key is the portable content hash
+    mixed with the seed (same exact-N / seed-stable semantics as the
+    fixture path). Returns (filename, body) rows for the markdown sink.
+    """
+    from parquet_extractor_spark.functions.text import portable_hash64
+
+    df = spark.read.parquet(parquet_path)
+    roles = resolve_roles(df)
+    content = F.col(roles.content)
+
+    key = (portable_hash64(content) + F.lit(seed)) % F.lit(MOD)
+    sampled = df.withColumn("_sk", key).orderBy("_sk", roles.content).limit(n)
+    w = Window.orderBy("_sk", roles.content)
+    numbered = sampled.withColumn("rn", F.row_number().over(w))
+
+    if roles.title:
+        title = F.coalesce(
+            F.nullif(F.col(roles.title).cast("string"), F.lit("")),
+            F.concat(F.lit("paper_"), F.col("rn").cast("string")),
+        )
+    else:
+        # fallback naming parity with main.py:77-83
+        title = F.concat(F.lit("paper_"), F.col("rn").cast("string"))
+
+    filename = F.concat(
+        zero_pad(F.col("rn")), F.lit("_"), sanitize_filename(title), F.lit(".md")
+    )
+    fm_lines = [frontmatter_entry(c, F.col(c)) for c in roles.metadata]
+    frontmatter = F.concat_ws("\n", F.lit("---"), *fm_lines, F.lit("---"))
+    body = F.concat(frontmatter, F.lit("\n\n# "), title, F.lit("\n\n"), content)
+    return numbered.select(filename.alias("filename"), body.alias("body"))

@@ -27,6 +27,16 @@ def get_spark(
     Parameters are overridable for tests; production leaves ``master``
     to the cluster manager.
     """
+    # Ensure executor-side Python workers can import this package by
+    # reference (module-level functions/classes pickle by name). Must
+    # happen before the JVM spawns the worker daemon.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     if master is None:

@@ -37,12 +37,16 @@ except ImportError:
 
 
 def pdf_ready_columns(title: Column, content: Column) -> tuple[Column, Column]:
-    """The reference's pre-render cleanup as expressions:
-    ASCII scrub (api.py:277), control-char scrub (api.py:802),
-    80-char title cap (api.py:271), 50k content cap (api.py:327)."""
+    """The reference's pre-render cleanup: HTML unescape (api.py:312,
+    pandas_udf — the one Python step), then ASCII scrub (api.py:277),
+    control-char scrub (api.py:802), 80-char title cap (api.py:271),
+    50k content cap (api.py:327) as pure expressions."""
+    from parquet_extractor_spark.functions.html import unescape_html
+
     clean_title = truncate(non_ascii_scrub(title), PDF_TITLE_CAP)
     clean_content = truncate(
-        control_char_scrub(non_ascii_scrub(content, " ")), PDF_CONTENT_CAP
+        control_char_scrub(non_ascii_scrub(unescape_html(content), " ")),
+        PDF_CONTENT_CAP,
     )
     return clean_title, clean_content
 

@@ -1,0 +1,121 @@
+"""Spark 4 Python DataSource for document corpora (SURVEY §2.1 S4).
+
+``docs_iter_to_df`` ingests small corpora on the driver; this is the
+scale path: a ``pyspark.sql.datasource.DataSource`` whose reader
+splits the corpus into N partitions, each executor pulling its own
+shard of the iterator. Registration:
+
+    spark.dataSource.register(DocsDataSource)
+    df = (spark.read.format("docs")
+          .option("provider", "pkg.module:factory_name")
+          .option("num_docs", "1000")
+          .option("num_partitions", "8")
+          .load())
+
+The provider option names a zero-arg factory (module:attr) returning a
+fresh document iterator — resolved ON THE EXECUTOR, so nothing
+unpicklable crosses the wire (the same pattern ir_datasets needs:
+``ir_datasets.load(...).docs_iter()`` handles aren't picklable).
+Each partition re-opens the iterator and islices its [start, end)
+range; for sources with random access (ir_datasets docs_iter supports
+slicing) the skip is O(1), otherwise it degrades to a skip-scan.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from parquet_extractor_spark.sources.ir_datasets_source import (
+    DOC_SCHEMA,
+    _doc_to_row,
+)
+
+
+def resolve_provider(spec: str):
+    """'pkg.module:attr' → the factory object."""
+    module_name, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(f"provider must be 'module:attr', got {spec!r}")
+    return getattr(importlib.import_module(module_name), attr)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class DocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.provider = options["provider"]
+        self.num_docs = int(options.get("num_docs", "1000"))
+        self.num_partitions = int(options.get("num_partitions", "8"))
+
+    def partitions(self):
+        # exactly min(num_partitions, num_docs) balanced ranges
+        n = min(self.num_partitions, self.num_docs) or 1
+        bounds = [self.num_docs * i // n for i in range(n + 1)]
+        return [
+            _RangePartition(bounds[i], bounds[i + 1]) for i in range(n)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        factory = resolve_provider(self.provider)
+        docs = factory()
+        # docs_iter-style sources support slicing (api.py:223 pattern);
+        # plain iterators fall back to an islice skip-scan.
+        try:
+            shard = docs[partition.start : partition.end]
+        except TypeError:
+            from itertools import islice
+
+            shard = islice(iter(docs), partition.start, partition.end)
+        for doc in shard:
+            yield _doc_to_row(doc)
+
+
+class DocsDataSource(DataSource):
+    """spark.read.format("docs") — executor-parallel corpus reads."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "docs"
+
+    def schema(self) -> StructType:
+        return DOC_SCHEMA
+
+    def reader(self, schema: StructType) -> DocsReader:
+        return DocsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# demo provider used by tests: a deterministic synthetic corpus
+
+
+class _FakeDoc:
+    __slots__ = ("doc_id", "title", "text")
+
+    def __init__(self, i: int):
+        self.doc_id = f"doc{i}"
+        self.title = f"Title {i}"
+        self.text = f"body text for document {i} " * 3
+
+
+def synthetic_corpus():
+    """Zero-arg provider: sliceable synthetic corpus of 10k docs."""
+
+    class _Corpus:
+        def __len__(self):
+            return 10_000
+
+        def __getitem__(self, s):
+            return [_FakeDoc(i) for i in range(*s.indices(10_000))]
+
+        def __iter__(self):
+            return (_FakeDoc(i) for i in range(10_000))
+
+    return _Corpus()
