@@ -54,12 +54,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": relational.events_hourly,
         "events_json_stats": relational.events_json_stats,
         "part_type_distinct_brands": relational.part_type_distinct_brands,
+        "events_cube": relational.events_cube,
+        # rows-only check: HLL sketches aren't cross-engine comparable
+        "events_approx_users": relational.events_approx_users,
         # — time-series / advanced relational (SURVEY J4, A8-A9, ST1) —
         "asof_view_before_purchase": timeseries.asof_view_before_purchase,
         "events_sessionized": timeseries.events_sessionized,
         "events_pivot_daily": timeseries.events_pivot_daily,
         "brand_price_stats": timeseries.brand_price_stats,
         "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
+        "orders_quarter_range_join": timeseries.orders_quarter_range_join,
         # — deduplication (training-data pipeline) —
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -69,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — similarity search (embeddings) —
         "knn_bruteforce": similarity.knn_bruteforce,
         "ann_sign_lsh": similarity.ann_sign_lsh,
+        "ann_ivf": similarity.ann_ivf,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # — text analysis —
         "language_id": quality.language_id,
@@ -98,11 +103,13 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_json_stats": relational.EVENTS_JSON_SQL,
         "part_type_distinct_brands": relational.PART_TYPE_DISTINCT_SQL,
+        "events_cube": relational.EVENTS_CUBE_SQL,
         "asof_view_before_purchase": timeseries.ASOF_SQL,
         "events_sessionized": timeseries.SESSIONIZED_SQL,
         "events_pivot_daily": timeseries.EVENTS_PIVOT_SQL,
         "brand_price_stats": timeseries.BRAND_PRICE_STATS_SQL,
         "part_types_sold_both_periods": timeseries.PART_TYPES_BOTH_SQL,
+        "orders_quarter_range_join": timeseries.ORDERS_QUARTER_RANGE_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
@@ -110,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": dedup.SIMHASH_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "ann_sign_lsh": similarity.ANN_SIGN_LSH_SQL,
+        "ann_ivf": similarity.ANN_IVF_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
         "language_id": quality.LANGUAGE_ID_SQL,
         "quality_scores": quality.QUALITY_SCORES_SQL,

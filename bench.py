@@ -32,11 +32,14 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash_fingerprints",
     "knn_bruteforce",
+    "ann_ivf",
     "quality_scores",
     "extract_plan",
     "asof_view_before_purchase",
     "events_sessionized",
     "brand_price_stats",
+    "orders_quarter_range_join",
+    "events_cube",
 ]
 
 

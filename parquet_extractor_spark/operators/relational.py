@@ -461,3 +461,74 @@ FROM part
 GROUP BY p_type
 ORDER BY p_type
 """
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets surface (SURVEY §2.5 A9, completing the
+    rollup in segment_stats_rollup): all 4 grouping combinations of
+    (event_type, day-of-week) in ONE pass — Catalyst expands the cube
+    into an Expand node feeding a single hash aggregation, so the scan
+    isn't repeated per grouping set.
+
+    Spark dayofweek() is 1=Sunday; DuckDB's is 0=Sunday — the -1 shift
+    aligns them. NULL grouping keys are coalesced to sentinel labels so
+    the subtotal rows hash identically across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        "value",
+    )
+    return (
+        base.cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("dow").cast("int").alias("g_dow"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n_events",
+            "total_value",
+            "g_type",
+            "g_dow",
+        )
+        .orderBy("g_type", "g_dow", "event_type", "dow")
+    )
+
+
+EVENTS_CUBE_SQL = r"""
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dayofweek(ts), -1) AS dow,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(dayofweek(ts)) AS INTEGER) AS g_dow
+FROM events
+GROUP BY CUBE (event_type, dayofweek(ts))
+ORDER BY g_type, g_dow, event_type, dow
+"""
+
+
+def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (SURVEY §2.5 A8 scale path): HLL++ distinct
+    users per event type. At 100 TB this replaces countDistinct's
+    per-key exact dedup shuffle with fixed-size sketches merged
+    map-side — memory O(1/rsd²) per key instead of O(distinct values).
+
+    No DuckDB oracle: HLL sketch estimates aren't bit-identical across
+    engines. The driver records a rows-only check; the accuracy bound
+    (within 5% of exact at rsd=0.02) is asserted in
+    tests/test_relational_oracle.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        )
+        .orderBy("event_type")
+    )

@@ -206,6 +206,153 @@ ORDER BY query_id, rank
 """
 
 
+# IVF geometry: NUM_CENTROIDS coarse cells, queries probe the NPROBE
+# nearest cells. Centroid "training" here is deterministic (the first
+# NUM_CENTROIDS vectors in id order) so the DuckDB oracle can replicate
+# the exact partitioning; production would swap in pyspark.ml KMeans
+# centroids — everything downstream is unchanged.
+NUM_CENTROIDS = 8
+NPROBE = 2
+
+
+def _centroid_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """Collect the NUM_CENTROIDS centroid vectors (a few KB) onto the
+    driver — they become plan-time literals, broadcast for free inside
+    the serialized expressions."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < NUM_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(x) for x in r.embedding] for r in rows]
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the scale path for similarity search.
+
+    Plan shape (and why it scales):
+
+    1. **Assignment is map-side only.** Each vector's nearest centroid
+       is an argmax over NUM_CENTROIDS codegen'd cosine expressions
+       against literal centroid arrays — zero shuffle, zero Python, so
+       the inverted index costs one scan no matter the table size.
+    2. **Probing bounds the join.** Each query fans out to its NPROBE
+       closest cells; candidates are only vectors in those cells, so
+       the scored pair count drops by ~NUM_CENTROIDS/NPROBE vs brute
+       force. The probe list is broadcast (n_queries × NPROBE rows).
+    3. The only shuffle is the final per-query top-k window over the
+       candidate set.
+
+    Ties everywhere break toward the lower centroid/neighbor id, which
+    the oracle mirrors with explicit ORDER BY ... rn predicates.
+    """
+    cents = _centroid_vectors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def cell_sim(c: list[float]) -> Column:
+        # round(9) so argmax compares identically to the oracle's
+        # rounded window ordering
+        return F.round(
+            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
+        )
+
+    sims = [cell_sim(c) for c in cents]
+    sim_arr = F.array(*sims)
+    # first max index = lowest centroid id on ties
+    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
+    assigned = emb.withColumn("cluster", cluster)
+
+    # per-query probe cells: sort (−sim, cid) structs ascending → top
+    # NPROBE by sim, ties toward lower cid
+    probe_structs = F.array(
+        *[
+            F.struct((-s).alias("neg_sim"), F.lit(i).alias("cid"))
+            for i, s in enumerate(sims)
+        ]
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.slice(F.array_sort(probe_structs), 1, NPROBE)).alias("p"),
+        )
+        .select("query_id", "q_emb", F.col("p.cid").alias("probe_cluster"))
+    )
+
+    pairs = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cluster") == F.col("probe_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+ANN_IVF_SQL = rf"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS c_emb
+    FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round({_cos_sql('e.embedding', 'c.c_emb')}, 9) AS sim
+    FROM embeddings e CROSS JOIN cent c
+),
+ranked_assign AS (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+),
+clusters AS (
+    SELECT vec_id, embedding, cid AS cluster FROM ranked_assign WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, cid AS probe_cluster
+    FROM ranked_assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+),
+pairs AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           round({_cos_sql('p.q_emb', 'c.embedding')}, 6) AS cosine_sim
+    FROM clusters c JOIN probes p
+      ON c.cluster = p.probe_cluster AND c.vec_id != p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (dedup tier 5):
     same-bucket pairs with cosine above threshold. Bucketed join keeps

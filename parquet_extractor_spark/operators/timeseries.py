@@ -244,3 +244,54 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE year(l_shipdate) = 2000
 ORDER BY p_type
 """
+
+
+def orders_quarter_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (SURVEY §2.3 J4): orders matched to the
+    calendar quarter whose [start, end) range contains o_orderdate,
+    then revenue per quarter.
+
+    Scale shape: the range dimension is tiny (27 quarters spanning the
+    fixture's 1995-2001 order dates) and explicitly broadcast, so the
+    non-equi condition executes as a BroadcastNestedLoopJoin — each
+    executor probes its order rows against the in-memory range list
+    with no shuffle of the fact table. The post-join groupBy shuffles
+    only (quarter, partial-agg) rows. With a large range dimension
+    you'd bucket both sides on a coarsened key first; for calendar
+    buckets date_trunc alone would do — the point here is exercising
+    the general range-predicate join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    quarters = spark.sql(
+        "SELECT explode(sequence(to_date('1995-01-01'), to_date('2001-07-01'),"
+        " interval 3 months)) AS q_start"
+    ).withColumn("q_end", F.add_months("q_start", 3))
+    return (
+        orders.join(
+            F.broadcast(quarters),
+            (F.col("o_orderdate") >= F.col("q_start"))
+            & (F.col("o_orderdate") < F.col("q_end")),
+        )
+        .groupBy(F.date_format("q_start", "yyyy-MM").alias("quarter"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+        .orderBy("quarter")
+    )
+
+
+ORDERS_QUARTER_RANGE_SQL = r"""
+WITH quarters AS (
+    SELECT unnest(generate_series(DATE '1995-01-01', DATE '2001-07-01',
+                                  INTERVAL 3 MONTH)) AS q_start
+)
+SELECT strftime(q_start, '%Y-%m') AS quarter,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_revenue
+FROM orders
+JOIN quarters
+  ON o_orderdate >= q_start AND o_orderdate < q_start + INTERVAL 3 MONTH
+GROUP BY quarter
+ORDER BY quarter
+"""

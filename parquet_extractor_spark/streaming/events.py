@@ -140,3 +140,71 @@ def run_sessionization_stream(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+
+
+def _user_totals_fn(key, pdf_iter, state):
+    """Per-user running totals with explicit GroupState — the escape
+    hatch for stateful logic session_window/agg can't express (here a
+    deliberately simple accumulator so the batch twin is an exact
+    groupBy for the test to compare against).
+
+    State is one (n_events, total_value) tuple per user — O(users)
+    cluster-wide, partitioned by the grouping key like any shuffle.
+    """
+    import pandas as pd
+
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    (user_id,) = key
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 4)],
+        }
+    )
+
+
+def run_user_totals_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "events_user_totals_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the events source through the custom stateful operator.
+
+    Batch equivalence contract: after the source is fully drained, the
+    latest row per user equals
+    ``events.groupBy(user_id).agg(count(*), round(sum(value),4))``.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+    stream = events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _user_totals_fn,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)

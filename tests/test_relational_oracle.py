@@ -5,6 +5,7 @@ queries at sf0.01)."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 
@@ -58,5 +59,28 @@ def test_every_query_has_oracle_or_is_flagged(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     missing = set(qs) - set(oracles)
-    # every declared query currently has a DuckDB oracle
-    assert missing == set()
+    # queries with no SQL-expressible oracle (driver records rows-only);
+    # each needs a dedicated accuracy/behavior test in this suite
+    flagged_rows_only = {"events_approx_users"}
+    assert missing == flagged_rows_only
+
+
+def test_events_approx_users_accuracy(spark, sf_small):
+    """approx_count_distinct at rsd=0.02 must land within 5% of exact."""
+    from parquet_extractor_spark.operators.relational import events_approx_users
+    from parquet_extractor_spark.sources.tables import load_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in events_approx_users(spark, sf_small).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n)

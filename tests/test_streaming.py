@@ -37,3 +37,26 @@ def test_sessionization_stream(spark, sf_small, tmp_path):
     total = sum(r.n_events for r in rows)
     n_events = spark.read.parquet(f"{sf_small}/events.parquet").count()
     assert total == n_events
+
+
+def test_stateful_user_totals_stream_equals_batch(spark, sf_small, tmp_path):
+    """applyInPandasWithState accumulator: after draining the source,
+    the latest per-user state equals the batch groupBy."""
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.events import run_user_totals_stream
+
+    stream_df = run_user_totals_stream(spark, sf_small, str(tmp_path / "ckpt3"))
+    stream = {
+        r.user_id: (r.n_events, r.total_value) for r in stream_df.collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in load_table(spark, sf_small, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert stream == batch
