@@ -92,38 +92,51 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard similarity.
 
-    Plan shape: explode distinct shingles → drop shingles with
-    document-frequency > MAX_SHINGLE_DF (the skew guard: hot shingles
-    produce quadratic join rows and carry no near-dup signal) →
-    self-equi-join on shingle → count shared shingles per pair →
-    jaccard from |A|,|B|,|A∩B| over the DF-filtered shingle sets.
+    Plan shape: explode distinct shingles → group by shingle into a
+    doc-id list, dropping shingles with document-frequency >
+    MAX_SHINGLE_DF (the skew guard: hot shingles produce quadratic
+    pairs and carry no near-dup signal) → generate same-shingle doc
+    pairs MAP-SIDE from each bounded list → count shared shingles per
+    pair → jaccard from |A|,|B|,|A∩B|.
+
+    Versus the textbook self-equi-join on shingle, this shuffles the
+    exploded (doc_id, shingle) rows ONCE (the groupBy) instead of
+    twice (both join sides), and the pair explosion is a codegen'd
+    array transform bounded by MAX_SHINGLE_DF² per shingle. Caveat at
+    extreme scale: collect_list materializes a hot shingle's doc list
+    before the size filter drops it — if the corpus can contain
+    shingles with millions of docs, pre-filter with a count pass or
+    use the MinHash tier (whose shuffle volume is independent of
+    document frequency).
     """
     from pyspark import StorageLevel
-    from pyspark.sql.window import Window
 
     all_sh = _doc_shingles(spark, sf_dir)
-    # DF filter via a count-over-window: ONE shuffle keyed on shingle
-    # (no second scan of the documents), then persist — the shingle
-    # set feeds three consumers (sizes + both self-join sides), and
-    # re-deriving the tokenize→shingle→explode pipeline per consumer
-    # costs more than the cache at any scale.
-    w = Window.partitionBy("shingle")
-    sh = (
-        all_sh.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("doc_id", "shingle")
+    grouped = (
+        all_sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= MAX_SHINGLE_DF)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda a: F.transform(
+                "ds", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+            ),
         )
+    )
+    shared = (
+        grouped.select(
+            F.explode(F.filter(pair_arr, lambda p: p.doc_a < p.doc_b)).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
     sa = sizes.alias("sa")

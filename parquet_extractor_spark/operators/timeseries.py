@@ -177,30 +177,32 @@ ORDER BY day_epoch
 def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution stats per brand: interpolated median/quartiles,
     sample stddev, price-quantity correlation. Exact percentiles via
-    F.percentile (same interpolation as DuckDB quantile_cont)."""
+    F.percentile (same interpolation as DuckDB quantile_cont), with
+    all three quantiles requested as ONE array argument — a single
+    per-group sorted buffer instead of three (~2x on the agg stage)."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    g = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
-                "median_price"
-            ),
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias(
-                "p25_price"
-            ),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias(
-                "p75_price"
-            ),
+            F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias("q"),
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("stddev_price"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
                 "qty_price_corr"
             ),
         )
-        .orderBy("p_brand")
     )
+    return g.select(
+        "p_brand",
+        "n_items",
+        F.round(F.col("q")[1], 4).alias("median_price"),
+        F.round(F.col("q")[0], 4).alias("p25_price"),
+        F.round(F.col("q")[2], 4).alias("p75_price"),
+        "stddev_price",
+        "qty_price_corr",
+    ).orderBy("p_brand")
 
 
 BRAND_PRICE_STATS_SQL = r"""
