@@ -22,6 +22,7 @@ from parquet_extractor_spark.operators import (
     quality,
     relational,
     similarity,
+    textprep,
     timeseries,
 )
 
@@ -75,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sign_lsh": similarity.ann_sign_lsh,
         "ann_ivf": similarity.ann_ivf,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        # — text preparation (training pipeline) —
+        "doc_chunks": textprep.doc_chunks,
+        "tfidf_top_terms": textprep.tfidf_top_terms,
+        "stratified_sample_by_lang": textprep.stratified_sample_by_lang,
         # — text analysis —
         "language_id": quality.language_id,
         "quality_scores": quality.quality_scores,
@@ -119,6 +124,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_sign_lsh": similarity.ANN_SIGN_LSH_SQL,
         "ann_ivf": similarity.ANN_IVF_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
+        "doc_chunks": textprep.DOC_CHUNKS_SQL,
+        "tfidf_top_terms": textprep.TFIDF_TOP_TERMS_SQL,
+        "stratified_sample_by_lang": textprep.STRATIFIED_SAMPLE_SQL,
         "language_id": quality.LANGUAGE_ID_SQL,
         "quality_scores": quality.QUALITY_SCORES_SQL,
         "bpe_token_counts": quality.BPE_TOKEN_COUNTS_SQL,

@@ -40,6 +40,8 @@ HEADLINE = [
     "brand_price_stats",
     "orders_quarter_range_join",
     "events_cube",
+    "doc_chunks",
+    "tfidf_top_terms",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Training-data text preparation operators.
+
+Beyond the reference's corpus analyzer (api.py:470-579), these are the
+standard ops a large-scale LLM training pipeline runs over a document
+table: windowed chunking (context-length packing), TF-IDF salient
+terms (quality/topic signals), and deterministic stratified sampling
+(mixture control). All pure DataFrame expressions, all
+oracle-checked in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquet_extractor_spark.functions.text import portable_hash64, tokenize
+from parquet_extractor_spark.sources.tables import load_table, spread
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+TFIDF_TOP_K = 3
+MIN_TERM_LEN = 4  # skip stopword-ish short tokens
+
+STRATIFIED_N = 20  # docs kept per lang
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap (context packing).
+
+    tokens → window starts 1, 1+stride, 1+2·stride, … → slice each
+    window back to text. Everything is a codegen'd array expression:
+    the chunk fan-out happens map-side with no shuffle at all, so the
+    operator scales linearly with corpus size. Short docs yield one
+    chunk. Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("toks") - F.lit(CHUNK_TOKENS - CHUNK_STRIDE), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice("toks", s, CHUNK_TOKENS), " ").alias("chunk_text"),
+            F.least(
+                F.size("toks") - s + F.lit(1), F.lit(CHUNK_TOKENS)
+            ).alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        toks.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("c.n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+DOC_CHUNKS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS toks
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, toks,
+           generate_series(1,
+               greatest(len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE}) AS ss
+    FROM toks
+)
+SELECT doc_id,
+       CAST(s_idx - 1 AS BIGINT) AS chunk_id,
+       CAST(least(len(toks) - ss[s_idx] + 1, {CHUNK_TOKENS}) AS BIGINT)
+           AS n_chunk_tokens,
+       array_to_string(toks[ss[s_idx]:ss[s_idx] + {CHUNK_TOKENS - 1}], ' ')
+           AS chunk_text
+FROM starts, unnest(range(1, len(ss) + 1)) AS u(s_idx)
+ORDER BY doc_id, chunk_id
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K salient terms per document by TF-IDF.
+
+    Inverted-index shape: explode tokens → tf per (doc, term) [one
+    shuffle, partial-agg'd map-side] → document frequency per term
+    derived FROM the tf table [second agg over far fewer rows, no
+    re-scan of the corpus] → idf join keyed on term → per-doc top-K
+    window. Term dictionary joins are where skew lives at 100 TB;
+    the MIN_TERM_LEN filter plays the role of a stopword list and
+    drops exactly the hottest keys before any shuffle.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokenize("text"), lambda t: F.length(t) >= MIN_TERM_LEN)
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> len(x) >= {MIN_TERM_LEN})) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df_ AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df_.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df_.df), 6) AS tfidf
+    FROM tf JOIN df_ USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly STRATIFIED_N docs per
+    language, chosen by a portable content-hash order (mixture control
+    for training sets — same rows on every engine and every run).
+
+    One shuffle (the per-lang window); at scale the window partitions
+    by a low-cardinality key, so AQE's skew handling matters more than
+    partition count — and the alternative (df.stat.sampleBy) gives
+    only approximate strata sizes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", portable_hash64(F.col("text")).alias("sk")
+    )
+    w = Window.partitionBy("lang").orderBy("sk", "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= STRATIFIED_N)
+        .select("lang", F.col("rn").alias("pick"), "doc_id")
+        .orderBy("lang", "pick")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = rf"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sk
+    FROM documents
+),
+ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS rn
+    FROM keyed
+)
+SELECT lang, rn AS pick, doc_id
+FROM ranked WHERE rn <= {STRATIFIED_N}
+ORDER BY lang, pick
+"""

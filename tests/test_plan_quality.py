@@ -78,3 +78,51 @@ def test_filter_pushdown_composes_through_our_loaders(spark, sf_small):
     )
     pushed = " ".join(pushed_filters(df))
     assert "o_orderkey" in pushed
+
+
+def test_range_join_broadcasts_range_dim(spark, sf_small):
+    """The quarter range dim must broadcast: a non-equi join against a
+    shuffled fact table would be a cross-product disaster at scale."""
+    from parquet_extractor_spark.operators import timeseries
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        timeseries.orders_quarter_range_join(spark, sf_small)
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_ivf_probe_join_is_broadcast(spark, sf_small):
+    """IVF candidate join: probes (n_queries x nprobe rows) broadcast
+    against the assigned vectors — no shuffle of the vector table."""
+    from parquet_extractor_spark.operators import similarity
+
+    df = similarity.ann_ivf(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+
+
+def test_ann_ivf_assignment_scan_pruned(spark, sf_small):
+    """The embeddings scan reads only vec_id + embedding."""
+    from parquet_extractor_spark.operators import similarity
+
+    df = similarity.ann_ivf(spark, sf_small)
+    for cols in read_schema_columns(df):
+        assert cols <= {"vec_id", "embedding"}
+
+
+def test_events_cube_single_scan_partial_agg(spark, sf_small):
+    """CUBE expands grouping sets in one pass: exactly one events scan,
+    map-side partial aggregation."""
+    from parquet_extractor_spark.operators import relational
+
+    df = relational.events_cube(spark, sf_small)
+    assert has_partial_aggregation(df)
+    scans = read_schema_columns(df)
+    assert len(scans) == 1
+
+
+def test_ngram_jaccard_partial_agg(spark, sf_small):
+    from parquet_extractor_spark.operators import dedup
+
+    assert has_partial_aggregation(dedup.ngram_jaccard_pairs(spark, sf_small))
