@@ -121,14 +121,26 @@ def create_app(spark: SparkSession, output_root: str):
     POST /api/jobs/<id>/cancel       — beyond reference (cancellable)
     POST /api/analyze/corpus         — §3.3 flagship (corpus stats)
     POST /api/extract/documents      — §3.1 extract pipeline
+    POST /api/extract/parquet        — S5 multipart upload → extract
+    POST /api/extract/pdf            — S9 documents → per-doc PDFs
     GET  /api/files                  — S11 listing
     GET  /api/files/<name>           — S12 download
     """
-    from flask import Flask, jsonify, request, send_from_directory
+    import shutil
+    import tempfile
 
+    from flask import Flask, jsonify, request, send_from_directory
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.functions.text import zero_pad
     from parquet_extractor_spark.operators.analyze import corpus_stats
-    from parquet_extractor_spark.operators.extract import extract_files
+    from parquet_extractor_spark.operators.extract import (
+        extract_any_parquet,
+        extract_files,
+    )
     from parquet_extractor_spark.sinks.markdown import write_files
+    from parquet_extractor_spark.sinks.pdf import write_pdfs
+    from parquet_extractor_spark.sources.tables import load_table
 
     app = Flask("parquet_extractor_spark")
 
@@ -190,6 +202,75 @@ def create_app(spark: SparkSession, output_root: str):
             return result
 
         job_id = submit_job(spark, "extract_documents", _work, params)
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.post("/api/extract/parquet")
+    def extract_parquet_upload():
+        """S5 (api.py:41-104): multipart upload spooled to a temp dir,
+        then the arbitrary-schema extract pipeline over it."""
+        if "file" not in request.files:
+            return jsonify({"error": "no file provided"}), 400
+        up = request.files["file"]
+        tmp = tempfile.mkdtemp(prefix="upload_")
+        path = os.path.join(tmp, up.filename or "upload.parquet")
+        up.save(path)
+        # default batch 1000 (main.py:205), capped like every job input
+        n = min(int(request.form.get("num_papers", 1000)), MAX_DOCS)
+        seed = int(request.form.get("seed", 42))
+        out_dir = os.path.join(
+            output_root, request.form.get("subdir", "parquet_md")
+        )
+
+        def _work(job_id: str) -> dict[str, Any]:
+            try:
+                check_write_access(out_dir)
+                job_log(job_id, f"extracting {n} rows from upload -> {out_dir}")
+                work = extract_any_parquet(spark, path, n=n, seed=seed)
+                result = write_files(work, out_dir)
+                job_log(job_id, f"wrote {result['written']} files")
+                return result
+            finally:
+                # temp-spool cleanup mirrors api.py:93-94
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        job_id = submit_job(
+            spark, "extract_parquet", _work, {"num_papers": n, "seed": seed}
+        )
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.post("/api/extract/pdf")
+    def extract_pdf():
+        """S9 (api.py:193-383): render per-document PDFs from the
+        documents table (the wikir→PDF flow, with the table as the
+        corpus source)."""
+        params = request.get_json(silent=True) or {}
+        sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
+        limit = min(int(params.get("limit", 100)), MAX_DOCS)
+        out_dir = os.path.join(output_root, params.get("subdir", "pdf"))
+
+        def _work(job_id: str) -> dict[str, Any]:
+            check_write_access(out_dir)
+            job_log(job_id, f"rendering {limit} PDFs from {sf_dir}")
+            docs = (
+                load_table(spark, sf_dir, "documents")
+                .orderBy("doc_id")
+                .limit(limit)
+            )
+            work = docs.select(
+                F.concat(zero_pad(F.col("doc_id")), F.lit(".pdf")).alias(
+                    "filename"
+                ),
+                F.concat(
+                    F.lit("Document "), F.col("doc_id").cast("string")
+                ).alias("title"),
+                "doc_id",
+                F.col("text").alias("content"),
+            )
+            result = write_pdfs(work, out_dir)
+            job_log(job_id, f"rendered {result['written']} PDFs")
+            return result
+
+        job_id = submit_job(spark, "extract_pdf", _work, params)
         return jsonify({"job_id": job_id, "status": "running"}), 202
 
     @app.get("/api/files")

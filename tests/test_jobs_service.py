@@ -73,3 +73,76 @@ def test_job_listing_excludes_log(client):
     listing = client.get("/api/jobs").get_json()
     assert len(listing) >= 1
     assert all("log" not in j for j in listing)
+
+
+def test_extract_parquet_upload_roundtrip(client, spark, tmp_path):
+    """S5: multipart upload → arbitrary-schema extract → markdown."""
+    import io
+
+    src = str(tmp_path / "up.parquet")
+    rows = [(i, f"Doc {i}", "uploaded body text " * 15) for i in range(30)]
+    spark.createDataFrame(
+        rows, "idx long, title string, body_text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    import glob
+
+    part = glob.glob(f"{src}/part-*.parquet")[0]
+    with open(part, "rb") as fh:
+        payload = fh.read()
+
+    resp = client.post(
+        "/api/extract/parquet",
+        data={
+            "file": (io.BytesIO(payload), "up.parquet"),
+            "num_papers": "8",
+            "subdir": "uptest",
+        },
+        content_type="multipart/form-data",
+    )
+    assert resp.status_code == 202
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    assert job["result"]["written"] == 8
+    listing = client.get("/api/files?subdir=uptest").get_json()
+    assert listing["count"] == 8
+
+
+def test_extract_parquet_upload_requires_file(client):
+    resp = client.post("/api/extract/parquet", data={})
+    assert resp.status_code == 400
+
+
+def test_extract_pdf_job(client):
+    resp = client.post(
+        "/api/extract/pdf", json={"limit": 5, "subdir": "pdftest"}
+    )
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    assert job["result"]["written"] == 5
+    assert job["result"]["failed"] == 0
+    listing = client.get("/api/files?subdir=pdftest").get_json()
+    assert listing["count"] == 5
+    assert all(f["name"].endswith(".pdf") for f in listing["files"])
+
+
+def test_polling_client_wait_logic(client, monkeypatch):
+    """JobClient.wait against the Flask test client (transport patched
+    — the poll/terminal-state logic is what's under test, O5)."""
+    import json as _json
+
+    from parquet_extractor_spark.jobs.client import JobClient
+
+    jc = JobClient("http://testserver")
+
+    def fake_get(path):
+        return client.get(path).get_json()
+
+    def fake_post(path, payload=None):
+        return client.post(path, json=payload or {}).get_json()
+
+    monkeypatch.setattr(jc, "_get", fake_get)
+    monkeypatch.setattr(jc, "_post", fake_post)
+
+    record = jc.run("/api/analyze/corpus", {})
+    assert record["status"] == "completed"
+    assert record["result"]["document_count"] == 500
