@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "dedup_components": dedup.dedup_components,
         # — similarity search (embeddings) —
         "knn_bruteforce": similarity.knn_bruteforce,
         "ann_sign_lsh": similarity.ann_sign_lsh,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,
         "minhash_lsh_candidates": dedup.MINHASH_LSH_SQL,
         "simhash_fingerprints": dedup.SIMHASH_SQL,
+        "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "ann_sign_lsh": similarity.ANN_SIGN_LSH_SQL,
         "ann_ivf": similarity.ANN_IVF_SQL,

@@ -422,3 +422,89 @@ ORDER BY d.doc_id
 
 
 SIMHASH_SQL = _simhash_oracle()
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph — the
+    final step of a dedup pipeline: transitive near-dup groups, each
+    labeled by its minimum doc_id (the canonical survivor).
+
+    This is the engine's iterative-algorithm pattern: min-label
+    propagation where EACH round is one distributed join+aggregate and
+    only the convergence check (a count) touches the driver. Rounds
+    needed = graph diameter (near-dup clusters are shallow; single
+    digits in practice). ``localCheckpoint`` truncates lineage each
+    round so plans don't grow with iteration count — the standard
+    guard for iterative DataFrame algorithms. State per round is one
+    (doc_id, label) row per document: O(docs), never O(pairs).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("component")
+    ).localCheckpoint()
+    while True:
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(neigh.alias("n"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("l.component"),
+                    F.coalesce(F.col("n.neigh_min"), F.col("l.component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "doc_id")
+            .filter(F.col("a.component") != F.col("b.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+def _dedup_components_oracle() -> str:
+    """DuckDB oracle: reachability via a recursive CTE; a node's
+    component is the minimum doc_id among everything reachable."""
+    pairs_sql = MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "").strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT * FROM ({pairs_sql}) t
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lbl
+    FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS component
+FROM reach
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
+DEDUP_COMPONENTS_SQL = _dedup_components_oracle()

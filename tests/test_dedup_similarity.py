@@ -103,3 +103,25 @@ def test_embedding_near_dup_pairs(spark, dup_dir):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert all(a == 0 and b == 1 for (a, b) in pairs)  # only one true pair
+
+
+def test_dedup_components_properties(spark, sf_small):
+    """Every candidate pair's endpoints share a component, and each
+    component is labeled by its minimum member id."""
+    from parquet_extractor_spark.operators.dedup import (
+        dedup_components,
+        minhash_lsh_candidates,
+    )
+
+    comp = {
+        r.doc_id: r.component
+        for r in dedup_components(spark, sf_small).collect()
+    }
+    pairs = minhash_lsh_candidates(spark, sf_small).collect()
+    for p in pairs:
+        assert comp[p.doc_a] == comp[p.doc_b]
+    members = {}
+    for doc, c in comp.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs)
