@@ -145,3 +145,60 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("orig_width", IntegerType(), True),
+        StructField("orig_height", IntegerType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("data", BinaryType(), True),
+    ]
+)
+
+
+def fake_resized_bytes(data: bytes | None, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode→resample→encode (no PIL in
+    this container): tiles the source bytes to exactly width×height
+    bytes. Pure function of the inputs, so executor retries and the
+    oracle of "output volume ≈ target dims" both hold."""
+    if not data:
+        return bytes(width * height)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return np.resize(arr, width * height).tobytes()
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize plumbing over mapInPandas.
+
+    The kernel is the stubbed fake above (real impl: PIL decode →
+    LANCZOS resample → re-encode), but the Spark-side contract is the
+    real one: filter to images BEFORE the Python boundary (pushed to
+    the scan), Arrow-batched binary streaming in, fixed-size binary
+    out, output volume proportional to row count × target dims — which
+    is what determines the downstream partition sizing when the
+    resized table is written.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orig_width": pdf["width"],
+                    "orig_height": pdf["height"],
+                    "width": width,
+                    "height": height,
+                    "data": pdf["data"].map(
+                        lambda d: fake_resized_bytes(d, width, height)
+                    ),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "width", "height", "data")
+        .mapInPandas(_resize, schema=RESIZED_SCHEMA)
+    )

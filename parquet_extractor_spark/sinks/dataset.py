@@ -1,0 +1,62 @@
+"""Bulk dataset sink: partitioned parquet for pipeline outputs.
+
+The per-row markdown/PDF sinks mirror the reference's file-per-document
+contract; this sink is the scale path a training pipeline actually
+ships — columnar, partitioned, size-controlled output that the next
+stage (or the next engine) scans efficiently.
+
+Why each knob exists at 100 TB:
+- ``partitionBy`` on a LOW-cardinality column (lang, source, date)
+  gives coarse partition pruning to every downstream reader. Never
+  partition by a high-cardinality key — millions of tiny directories
+  kill both the writer and the namenode/listing.
+- ``maxRecordsPerFile`` bounds file size without an extra shuffle —
+  the writer rolls files as it streams. Target 128 MB-1 GB parquet
+  files; thousands of kilobyte files make every future scan
+  metadata-bound.
+- ``sortWithinPartitions`` on a query key (doc_id) makes parquet
+  row-group min/max statistics selective, enabling row-group skipping
+  for point/range lookups — sorting within partitions costs no extra
+  exchange when it follows the write repartition.
+- an explicit ``repartition(n, partition_cols)`` before the write
+  aligns task outputs with directory partitions: each task writes to
+  one directory instead of every task writing to every directory
+  (the classic small-files explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_dataset(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    output_tasks: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a partitioned parquet dataset.
+
+    ``output_tasks`` controls writer parallelism per partition value;
+    default leaves the incoming partitioning intact (AQE-coalesced).
+    """
+    out = df
+    if partition_by and output_tasks:
+        out = out.repartition(output_tasks, *partition_by)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode).option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
+
+
+def read_dataset(spark, out_dir: str) -> DataFrame:
+    """Read a dataset written by write_dataset (partition columns are
+    recovered from directory names)."""
+    return spark.read.parquet(out_dir)

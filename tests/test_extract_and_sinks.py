@@ -101,3 +101,43 @@ def test_pdf_sink_writes_files(spark, tmp_path):
     assert data.startswith(b"%PDF")  # real or deterministic fake
     # determinism of the stub renderer
     assert render_pdf_bytes("t", "1", "c") == render_pdf_bytes("t", "1", "c")
+
+
+def test_dataset_sink_roundtrip_partitioned(spark, sf_small, tmp_path):
+    """write_dataset: partition pruning works on read-back, files are
+    rolled per maxRecordsPerFile, partition dirs are lang=..."""
+    import glob
+
+    from parquet_extractor_spark.sinks.dataset import (
+        read_dataset,
+        write_dataset,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "ds")
+    write_dataset(
+        docs,
+        out,
+        partition_by=["lang"],
+        sort_by=["doc_id"],
+        max_records_per_file=40,
+        output_tasks=2,
+    )
+    dirs = sorted(
+        p.split("=")[-1] for p in glob.glob(f"{out}/lang=*")
+    )
+    assert dirs == sorted(
+        r.lang for r in docs.select("lang").distinct().collect()
+    )
+    back = read_dataset(spark, out)
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter reads only that directory
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(back.filter(back.lang == dirs[0]))
+    assert "PartitionFilters" in plan
+    # file rolling: each lang dir has >1 file (100 docs per lang, 40/file)
+    for d in glob.glob(f"{out}/lang=*"):
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) >= 2

@@ -41,3 +41,22 @@ def test_frame_sampling_fanout(spark):
     # duration 5000ms, grid 0..4999 step 1000 -> 5 frames per video
     assert len(rows) == videos * 5
     assert {r.frame_ts_ms for r in rows} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_resize_images_plumbing(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=30)
+    out = resize_images(media, width=32, height=16).collect()
+    # only image rows survive, each with exactly width*height bytes
+    assert len(out) == 10
+    for r in out:
+        assert r.width == 32 and r.height == 16
+        assert len(r.data) == 32 * 16
+        assert r.orig_width == 64
+    # deterministic across runs
+    again = resize_images(media, width=32, height=16).collect()
+    assert [bytes(r.data) for r in out] == [bytes(r.data) for r in again]
