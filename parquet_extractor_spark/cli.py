@@ -34,6 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     an = sub.add_parser("analyze", help="corpus token statistics")
     an.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+
+    cu = sub.add_parser(
+        "curate", help="quality → dedup → chunk → partitioned parquet"
+    )
+    cu.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    cu.add_argument("-o", "--output_dir", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.3)
     return p
 
 
@@ -72,6 +79,19 @@ def main(argv: list[str] | None = None) -> int:
 
         row = corpus_stats(spark, args.sf_dir).first()
         print(json.dumps(row.asDict()))
+        return 0
+
+    if args.command == "curate":
+        from parquet_extractor_spark.pipelines import curate
+
+        result = curate(
+            spark,
+            args.sf_dir,
+            out_dir=args.output_dir,
+            min_quality=args.min_quality,
+        )
+        n = result.count()
+        print(json.dumps({"output_dir": args.output_dir, "chunks": n}))
         return 0
 
     return 2

@@ -1,0 +1,90 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+One lazy DataFrame chain from raw documents to a partitioned training
+set: quality gate → exact dedup → near-dup dedup (LSH components) →
+chunking → partitioned parquet. Each stage is an operator that is
+individually oracle-checked; this module only composes them, so the
+whole pipeline stays a single Catalyst plan per action with no
+driver-side data movement (the one exception: the components loop,
+which is iterative by nature and documented in operators/dedup.py).
+
+Stage order matters at scale and is deliberate:
+1. quality filter FIRST — it is a map-side predicate, so every
+   discarded document is dropped before any shuffle pays for it;
+2. exact dedup before near-dup — md5 groupBy is cheap and typically
+   removes the bulk of duplicates, shrinking the LSH input;
+3. near-dup components AFTER exact — pair generation cost scales with
+   surviving docs;
+4. chunking LAST — it multiplies row count, so it must run after all
+   the filters, never before.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.operators.dedup import (
+    dedup_components,
+    exact_dedup,
+)
+from parquet_extractor_spark.operators.quality import quality_scores
+from parquet_extractor_spark.operators.textprep import doc_chunks
+from parquet_extractor_spark.sinks.dataset import write_dataset
+from parquet_extractor_spark.sources.tables import load_table
+
+MIN_QUALITY = 0.3
+
+
+def curate(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    min_quality: float = MIN_QUALITY,
+) -> DataFrame:
+    """Run the full curation chain; returns the chunk-level training
+    set (doc_id, lang, chunk_id, n_chunk_tokens, chunk_text). When
+    ``out_dir`` is given, also writes it partitioned by lang.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate (map-side predicate semantics: quality_scores is
+    #    a pure column-expression pipeline over doc_id)
+    quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    keep_quality = quality.filter(
+        F.col("quality_score") >= min_quality
+    ).select("doc_id")
+
+    # 2. exact dedup survivors (min doc_id per distinct text)
+    exact_survivors = exact_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+
+    # 3. near-dup components: keep only each component's canonical doc
+    comp = dedup_components(spark, sf_dir)
+    near_survivors = comp.filter(F.col("doc_id") == F.col("component")).select(
+        "doc_id"
+    )
+
+    survivors = (
+        keep_quality.join(exact_survivors, "doc_id", "left_semi")
+        .join(near_survivors, "doc_id", "left_semi")
+    )
+
+    # 4. chunk the surviving documents; carry lang for partitioning
+    chunks = doc_chunks(spark, sf_dir).join(
+        survivors, "doc_id", "left_semi"
+    )
+    result = chunks.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "chunk_id", "n_chunk_tokens", "chunk_text")
+
+    if out_dir:
+        write_dataset(
+            result,
+            out_dir,
+            partition_by=["lang"],
+            sort_by=["doc_id", "chunk_id"],
+            output_tasks=4,
+        )
+    return result

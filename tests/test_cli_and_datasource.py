@@ -103,3 +103,12 @@ def test_docs_datasource_parallel_read(spark):
     assert len(rows) == 100
     assert {r.doc_id for r in rows} == {f"doc{i}" for i in range(100)}
     assert rows[0].text.startswith("body text")
+
+
+def test_cli_curate(spark, sf_small, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    rc = cli_main(["curate", sf_small, "-o", out])
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["chunks"] > 0
+    assert spark.read.parquet(out).count() == printed["chunks"]

@@ -1,0 +1,55 @@
+import glob
+
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.operators.dedup import dedup_components, exact_dedup
+from parquet_extractor_spark.operators.quality import quality_scores
+from parquet_extractor_spark.pipelines import curate
+from parquet_extractor_spark.sources.tables import load_table
+
+
+def test_curate_end_to_end(spark, sf_small, tmp_path):
+    out = str(tmp_path / "trainset")
+    result = curate(spark, sf_small, out_dir=out, min_quality=0.3)
+    rows = result.collect()
+    assert rows
+
+    # survivors respect every gate
+    survivor_ids = {r.doc_id for r in rows}
+    q = {
+        r.doc_id: r.quality_score
+        for r in quality_scores(spark, sf_small).collect()
+    }
+    assert all(q[d] >= 0.3 for d in survivor_ids)
+
+    exact_keep = {
+        r.keep_doc_id for r in exact_dedup(spark, sf_small).collect()
+    }
+    assert survivor_ids <= exact_keep
+
+    canonical = {
+        r.doc_id
+        for r in dedup_components(spark, sf_small).collect()
+        if r.doc_id == r.component
+    }
+    assert survivor_ids <= canonical
+
+    # chunk rows carry lang and are written partitioned by it
+    langs = {
+        r.lang
+        for r in load_table(spark, sf_small, "documents")
+        .select("lang")
+        .distinct()
+        .collect()
+    }
+    assert {r.lang for r in rows} <= langs
+    written = spark.read.parquet(out)
+    assert written.count() == len(rows)
+    assert glob.glob(f"{out}/lang=*")
+
+    # every chunk's doc survived; chunk ids dense from 0 per doc
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.chunk_id)
+    for doc, ids in per_doc.items():
+        assert sorted(ids) == list(range(len(ids)))
