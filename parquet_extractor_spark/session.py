@@ -58,6 +58,12 @@ def get_spark(
         # Self-describing timestamps when writing parquet.
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.session.timeZone": "UTC",
+        # Static conf — must be set before the session exists. Catalog
+        # tables (bucketed writes) land here; production points this at
+        # the real warehouse path.
+        "spark.sql.warehouse.dir": os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+        ),
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
     }
     if extra_conf:

@@ -60,3 +60,29 @@ def read_dataset(spark, out_dir: str) -> DataFrame:
     """Read a dataset written by write_dataset (partition columns are
     recovered from directory names)."""
     return spark.read.parquet(out_dir)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    n_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table bucketed (hash-partitioned on disk) by
+    ``bucket_by``.
+
+    This is the pay-once answer to repeated joins/aggregations on the
+    same key: the write performs the hash partitioning, and every
+    later equi-join or groupBy on the bucket key between two tables
+    bucketed the same way runs WITHOUT a shuffle (no Exchange in the
+    plan — asserted in tests). At 100 TB, bucketing the fact tables on
+    their join keys turns the nightly join pipeline's biggest exchange
+    into a metadata no-op. n_buckets should be sized so one bucket of
+    the largest table fits an executor core's working memory.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
