@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_price_stats": timeseries.brand_price_stats,
         "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
         "orders_quarter_range_join": timeseries.orders_quarter_range_join,
+        "customers_lost_since_1995": timeseries.customers_lost_since_1995,
+        "entity_union_directory": timeseries.entity_union_directory,
         # — deduplication (training-data pipeline) —
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -116,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "brand_price_stats": timeseries.BRAND_PRICE_STATS_SQL,
         "part_types_sold_both_periods": timeseries.PART_TYPES_BOTH_SQL,
         "orders_quarter_range_join": timeseries.ORDERS_QUARTER_RANGE_SQL,
+        "customers_lost_since_1995": timeseries.CUSTOMERS_LOST_SQL,
+        "entity_union_directory": timeseries.ENTITY_UNION_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,

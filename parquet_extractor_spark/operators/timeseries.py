@@ -297,3 +297,66 @@ JOIN quarters
 GROUP BY quarter
 ORDER BY quarter
 """
+
+
+def customers_lost_since_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op (SURVEY §2.7 U2, completing the intersect above):
+    customers who ordered in 1995 but placed no order in 2000.
+
+    Plan: two filtered distinct projections of the same orders scan →
+    exceptAll (Catalyst compiles EXCEPT to a left-anti join on the
+    distinct sets, shuffling only the key column)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _custkeys(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return _custkeys(1995).exceptAll(_custkeys(2000)).orderBy("o_custkey")
+
+
+CUSTOMERS_LOST_SQL = r"""
+SELECT DISTINCT o_custkey
+FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT DISTINCT o_custkey
+FROM orders WHERE year(o_orderdate) = 2000
+ORDER BY o_custkey
+"""
+
+
+def entity_union_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-with-dedup (SURVEY §2.7 U1 — the reference's multi-
+    category append, api.py:686-711, as a relational op): one
+    deduplicated directory of customer + supplier entities, counted
+    per kind. unionByName aligns schemas by column name; dedup is by
+    the entity key, exactly the `page.name not in titles` guard."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return (
+        customer.unionByName(supplier)
+        .dropDuplicates(["name", "kind"])
+        .groupBy("kind")
+        .agg(F.count("*").alias("n_entities"))
+        .orderBy("kind")
+    )
+
+
+ENTITY_UNION_SQL = r"""
+WITH u AS (
+    SELECT DISTINCT c_name AS name, 'customer' AS kind FROM customer
+    UNION
+    SELECT DISTINCT s_name AS name, 'supplier' AS kind FROM supplier
+)
+SELECT kind, count(*) AS n_entities
+FROM u
+GROUP BY kind
+ORDER BY kind
+"""
