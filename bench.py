@@ -57,14 +57,20 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        # noop sink: full computation of every output column without
-        # count()'s column pruning shortcutting the expressions.
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, SF_DIR)
+            # noop sink: full computation of every output column without
+            # count()'s column pruning shortcutting the expressions.
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # one broken query must not erase the round's metric
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
@@ -75,17 +81,16 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     an = sub.add_parser("analyze", help="corpus token statistics")
     an.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    # optional doc cap, mirroring api.py:539-541
+    an.add_argument("--limit", type=int, default=None)
 
     cu = sub.add_parser(
         "curate", help="quality → dedup → chunk → partitioned parquet"
@@ -77,7 +79,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "analyze":
         from parquet_extractor_spark.operators.analyze import corpus_stats
 
-        row = corpus_stats(spark, args.sf_dir).first()
+        row = corpus_stats(spark, args.sf_dir, limit=args.limit).first()
         print(json.dumps(row.asDict()))
         return 0
 

@@ -39,11 +39,18 @@ FROM documents
 """
 
 
-def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_stats(
+    spark: SparkSession, sf_dir: str, limit: int | None = None
+) -> DataFrame:
     """Flagship: count/sum/avg/min/max token stats (api.py:548-564)
     in ONE pass — partial aggregates map-side, 1-row result.
+
+    ``limit`` mirrors the reference's optional analyze cap
+    (api.py:539-541): stats over the first N documents only.
     """
     counts = doc_token_counts(spark, sf_dir)
+    if limit is not None:
+        counts = counts.limit(limit)
     return counts.agg(
         F.count("*").alias("document_count"),
         F.sum("n_tokens").alias("total_tokens"),

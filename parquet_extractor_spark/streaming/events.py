@@ -208,3 +208,47 @@ def run_user_totals_stream(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink: stream → curated parquet dataset
+
+
+def run_stream_to_dataset(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Production sink pattern: foreachBatch bridges the stream to the
+    batch writer, so every micro-batch lands in the same partitioned
+    parquet dataset (sinks.dataset.write_dataset) with exactly-once
+    semantics per batch id from the checkpoint.
+
+    Here: hourly per-type aggregates appended per micro-batch. With
+    availableNow the file source drains once; on a live stream the
+    same code upserts continuously. Returns the written dataset.
+    """
+    from parquet_extractor_spark.sinks.dataset import write_dataset
+
+    events = read_events_stream(spark, sf_dir)
+    hourly = hourly_agg(events)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_dataset(
+            batch_df.withColumn("batch_id", F.lit(batch_id)),
+            out_dir,
+            partition_by=["event_type"],
+            mode="append",
+        )
+
+    query = (
+        hourly.writeStream.foreachBatch(_sink)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "to_dataset"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.read.parquet(out_dir)

@@ -60,3 +60,26 @@ def test_stateful_user_totals_stream_equals_batch(spark, sf_small, tmp_path):
         .collect()
     }
     assert stream == batch
+
+
+def test_stream_to_dataset_foreachbatch(spark, sf_small, tmp_path):
+    """foreachBatch sink: the drained stream's dataset equals the
+    batch hourly aggregation, partitioned by event_type on disk."""
+    import glob
+
+    from parquet_extractor_spark.streaming.events import run_stream_to_dataset
+
+    out = str(tmp_path / "stream_ds")
+    written = run_stream_to_dataset(
+        spark, sf_small, str(tmp_path / "ckpt4"), out
+    )
+    batch = {
+        (r.hour_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in events_hourly(spark, sf_small).collect()
+    }
+    got = {
+        (r.hour_epoch, r.event_type): (r.n_events, r.total_value)
+        for r in written.collect()
+    }
+    assert got == batch
+    assert glob.glob(f"{out}/event_type=*")
