@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # legacy positional fallback (main.py:236-237): a bare FILE argument
+    # is treated as `parquet FILE`
+    known = {"parquet", "cisi", "analyze", "curate"}
+    if argv and argv[0] not in known and not argv[0].startswith("-"):
+        argv = ["parquet", *argv]
     args = build_parser().parse_args(argv)
 
     from parquet_extractor_spark.session import get_spark

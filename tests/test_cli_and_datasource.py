@@ -112,3 +112,32 @@ def test_cli_curate(spark, sf_small, tmp_path, capsys):
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["chunks"] > 0
     assert spark.read.parquet(out).count() == printed["chunks"]
+
+
+def test_cli_legacy_positional_fallback(spark, papers_parquet, tmp_path, capsys):
+    """A bare FILE argument means `parquet FILE` (main.py:236-237)."""
+    out = str(tmp_path / "legacy_out")
+    rc = cli_main([papers_parquet, "-o", out, "-n", "3"])
+    assert rc == 0
+    assert len(os.listdir(out)) == 3
+
+
+def test_read_jsonl_docs_permissive(spark, tmp_path):
+    from parquet_extractor_spark.sources.jsonl import read_jsonl_docs
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "beta", "lang": "de", "source": "s"}\n'
+        '{"doc_id": 3, "text": "gamma"'  # truncated line
+        "\n",
+    )
+    good, errors = read_jsonl_docs(spark, str(p))
+    assert {(r.doc_id, r.text) for r in good.collect()} == {
+        (1, "alpha"),
+        (2, "beta"),
+    }
+    bad = [r.raw_line for r in errors.collect()]
+    assert len(bad) == 2
+    assert "THIS IS NOT JSON" in bad[0] or "THIS IS NOT JSON" in bad[1]
