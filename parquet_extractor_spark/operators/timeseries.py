@@ -360,3 +360,60 @@ FROM u
 GROUP BY kind
 ORDER BY kind
 """
+
+
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive same-type events per user — the
+    batch ``applyInPandas`` surface (SURVEY §2.11): procedural
+    per-group logic running in Arrow-batched pandas, one group per
+    user, shuffled once on the grouping key.
+
+    (A gaps-and-islands window formulation exists — the DuckDB oracle
+    uses it — but per-group procedural state is exactly the shape that
+    outgrows window tricks, and this operator pins that path's
+    correctness against the declarative answer.)
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    def _streak(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        best = cur = 0
+        prev = None
+        for t in pdf["event_type"]:
+            cur = cur + 1 if t == prev else 1
+            best = max(best, cur)
+            prev = t
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "longest_streak": [best]}
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_streak, "user_id bigint, longest_streak bigint")
+        .orderBy("user_id")
+    )
+
+
+USER_LONGEST_STREAK_SQL = r"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn_t
+    FROM events
+),
+islands AS (
+    SELECT user_id, count(*) AS streak
+    FROM ordered
+    GROUP BY user_id, event_type, rn - rn_t
+)
+SELECT user_id, max(streak) AS longest_streak
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""
