@@ -88,3 +88,27 @@ def curate(
             output_tasks=4,
         )
     return result
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_digests: DataFrame,
+) -> DataFrame:
+    """Incremental curation: drop new documents whose content digest
+    already exists in the corpus (append-batch vs accumulated state).
+
+    ``seen_digests`` is a single-column (text_md5) table — in
+    production the running output of exact_dedup, stored bucketed on
+    text_md5 so this anti-join is shuffle-free on the corpus side
+    (see sinks.dataset.write_bucketed). Within the new batch itself,
+    first-copy-wins via min(doc_id), same as exact_dedup.
+    """
+    digested = new_docs.withColumn("text_md5", F.md5("text"))
+    w_first = (
+        digested.groupBy("text_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(digested, ["text_md5", "doc_id"])
+    )
+    return w_first.join(seen_digests, "text_md5", "left_anti").drop(
+        "text_md5"
+    )

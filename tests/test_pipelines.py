@@ -53,3 +53,22 @@ def test_curate_end_to_end(spark, sf_small, tmp_path):
         per_doc.setdefault(r.doc_id, []).append(r.chunk_id)
     for doc, ids in per_doc.items():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_incremental_dedup_drops_seen_and_batch_dups(spark):
+    from parquet_extractor_spark.pipelines import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [("old text",)], "text string"
+    ).select(F.md5("text").alias("text_md5"))
+    new = spark.createDataFrame(
+        [
+            (10, "old text"),       # already in corpus -> dropped
+            (11, "fresh one"),      # kept
+            (12, "fresh two"),      # kept (first copy)
+            (13, "fresh two"),      # duplicate within batch -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in incremental_dedup(new, seen).collect())
+    assert kept == [11, 12]
