@@ -197,3 +197,63 @@ SELECT lang, rn AS pick, doc_id
 FROM ranked WHERE rn <= {STRATIFIED_N}
 ORDER BY lang, pick
 """
+
+
+FUZZY_KEY_LIMIT = 300  # compact, non-vacuous result at every sf
+FUZZY_MAX_DIST = 1
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity resolution): customer-name pairs
+    within Levenshtein distance FUZZY_MAX_DIST.
+
+    The naive form is an O(n²) cross join with an edit-distance
+    filter; the scale form used here BLOCKS first — equi-join on a
+    cheap blocking key (the name minus its last two characters), so
+    candidate pairs exist only within a block and the shuffle is an
+    ordinary hash join on the key. Real pipelines use several blocking
+    passes (prefixes, phonetic codes, length buckets) union'd; one
+    suffices for the fixture's fixed-format names. levenshtein() is a
+    JVM builtin with an identical definition in DuckDB.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < FUZZY_KEY_LIMIT)
+        .select("c_name")
+    )
+    blocked = cust.withColumn(
+        "block", F.expr("substring(c_name, 1, length(c_name) - 2)")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_name") < F.col("b.c_name")),
+        )
+        .select(
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = rf"""
+WITH cust AS (
+    SELECT c_name,
+           substring(c_name, 1, length(c_name) - 2) AS block
+    FROM customer
+    WHERE c_custkey < {FUZZY_KEY_LIMIT}
+)
+SELECT a.c_name AS name_a,
+       b.c_name AS name_b,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM cust a JOIN cust b
+  ON a.block = b.block AND a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
