@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": timeseries.events_sessionized,
         "events_pivot_daily": timeseries.events_pivot_daily,
         "brand_price_stats": timeseries.brand_price_stats,
+        "brand_price_regression": timeseries.brand_price_regression,
         "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
         "orders_quarter_range_join": timeseries.orders_quarter_range_join,
         "customers_lost_since_1995": timeseries.customers_lost_since_1995,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": timeseries.SESSIONIZED_SQL,
         "events_pivot_daily": timeseries.EVENTS_PIVOT_SQL,
         "brand_price_stats": timeseries.BRAND_PRICE_STATS_SQL,
+        "brand_price_regression": timeseries.BRAND_PRICE_REGRESSION_SQL,
         "part_types_sold_both_periods": timeseries.PART_TYPES_BOTH_SQL,
         "orders_quarter_range_join": timeseries.ORDERS_QUARTER_RANGE_SQL,
         "customers_lost_since_1995": timeseries.CUSTOMERS_LOST_SQL,

@@ -417,3 +417,41 @@ FROM islands
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def brand_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (SURVEY A-extension): OLS slope /
+    intercept / r² of extendedprice on quantity per brand, via the
+    built-in regr_* aggregate family — single partial+final hash-agg
+    pass, same shuffle profile as any groupBy. Definitions are the
+    SQL-standard closed forms, identical in DuckDB.
+    """
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.regr_slope("l_extendedprice", "l_quantity"), 4
+            ).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_PRICE_REGRESSION_SQL = r"""
+SELECT p_brand,
+       count(*) AS n_items,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""

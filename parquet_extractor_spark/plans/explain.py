@@ -59,8 +59,14 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 
 def whole_stage_codegen_ids(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (more fused = fewer
-    interpreter boundaries)."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    interpreter boundaries). Matches both the tree form
+    ``WholeStageCodegen (N)`` and formatted-mode ``[codegen id : N]``.
+    Adaptive plans defer codegen to runtime — disable AQE on the
+    session to see spans statically (tools/audit_plans.py does)."""
+    plan = formatted_plan(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    ids |= set(re.findall(r"codegen id : (\d+)", plan))
+    return len(ids)
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:
