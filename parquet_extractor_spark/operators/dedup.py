@@ -357,14 +357,19 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Near-dup pairs differ in few bits (xor+popcount downstream).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # explode_outer keeps token-less documents as one NULL-token row,
+    # so the groupBy loses no doc_ids — ONE scan, no join-back (the
+    # earlier left-join formulation scanned documents twice).
     tok = spread(docs).select(
-        "doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token")
+        "doc_id",
+        F.explode_outer(F.array_distinct(tokenize("text"))).alias("token"),
     )
     hashed = tok.select("doc_id", portable_hash64(F.col("token")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                F.when(F.col("h").isNull(), 0)
+                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
                 .otherwise(-1)
             ).alias(f"v{b}")
             for b in range(SIMHASH_BITS)
@@ -375,13 +380,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(SIMHASH_BITS)
     ]
     simhash = sum(bit_terms[1:], bit_terms[0])
-    with_sig = votes.select("doc_id", simhash.alias("simhash"))
-    return (
-        docs.select("doc_id")
-        .join(with_sig, "doc_id", "left")
-        .select("doc_id", F.coalesce("simhash", F.lit(0)).alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return votes.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 def _simhash_oracle() -> str:
