@@ -455,3 +455,45 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each subsequent active day (the standard product-analytics rollup).
+
+    Two aggregations over one events scan: per-user first-seen day
+    (shuffle on user_id), distinct active (user, day) pairs (same
+    shuffle key — AQE reuses the exchange), then a user_id equi-join
+    and a (cohort, offset) count. All keys are the table's natural
+    partitioning; nothing is driver-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(cohorts, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort_day").alias("cohort_epoch"),
+            F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_epoch", "day_offset")
+    )
+
+
+USER_RETENTION_SQL = r"""
+WITH days AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+cohorts AS (
+    SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT CAST(floor(epoch(cohort_day)) AS BIGINT) AS cohort_epoch,
+       CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       count(DISTINCT d.user_id) AS n_active
+FROM days d JOIN cohorts USING (user_id)
+GROUP BY cohort_day, date_diff('day', cohort_day, day)
+ORDER BY cohort_epoch, day_offset
+"""
