@@ -252,3 +252,73 @@ def run_stream_to_dataset(
     )
     query.awaitTermination(timeout_s)
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join
+
+
+def run_view_purchase_join_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    window: str = "30 minutes",
+    table_name: str = "view_purchase_join_stream",
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's view events from the preceding `window`.
+
+    Both sides are watermarked; the interval condition
+    (view_ts ∈ [purchase_ts - window, purchase_ts]) lets Spark bound
+    the join state — view rows older than the watermark plus the
+    interval are evicted, so state size tracks the event rate, not
+    stream lifetime. This is THE canonical two-stream pattern the
+    batch as-of join (timeseries.asof_view_before_purchase)
+    approximates after the fact.
+    """
+    events = read_events_stream(spark, sf_dir)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"""
+            p_user_id = v_user_id AND
+            view_ts <= purchase_ts AND
+            view_ts >= purchase_ts - interval {window}
+            """
+        ),
+    ).select(
+        "purchase_event_id",
+        F.col("p_user_id").alias("user_id"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        "view_event_id",
+        F.unix_timestamp("view_ts").alias("view_epoch"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)

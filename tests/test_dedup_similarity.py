@@ -125,3 +125,35 @@ def test_dedup_components_properties(spark, sf_small):
         members.setdefault(c, []).append(doc)
     for c, docs in members.items():
         assert c == min(docs)
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_small):
+    """Recall@k of the approximate tiers against exact brute force —
+    the honest ANN quality metric. IVF probes NPROBE/NUM_CENTROIDS of
+    the space and must beat the coarser single-bucket sign-LSH."""
+    from parquet_extractor_spark.operators.similarity import (
+        ann_ivf,
+        ann_sign_lsh,
+        knn_bruteforce,
+    )
+
+    def neighbor_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = neighbor_sets(knn_bruteforce(spark, sf_small))
+
+    def recall(approx):
+        num = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+        den = sum(len(nbrs) for nbrs in exact.values())
+        return num / den
+
+    r_ivf = recall(neighbor_sets(ann_ivf(spark, sf_small)))
+    r_lsh = recall(neighbor_sets(ann_sign_lsh(spark, sf_small)))
+    # floors chosen from the fixture's measured values with slack;
+    # they exist to catch regressions, not to flatter the tiers
+    assert r_ivf >= 0.3, r_ivf
+    assert r_lsh >= 0.1, r_lsh
+    assert r_ivf >= r_lsh

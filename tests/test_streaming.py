@@ -83,3 +83,43 @@ def test_stream_to_dataset_foreachbatch(spark, sf_small, tmp_path):
     }
     assert got == batch
     assert glob.glob(f"{out}/event_type=*")
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_small, tmp_path):
+    """The drained stream-stream join must equal the equivalent batch
+    interval join (purchases x prior-30min views per user)."""
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.events import (
+        run_view_purchase_join_stream,
+    )
+
+    got = {
+        (r.purchase_event_id, r.view_event_id)
+        for r in run_view_purchase_join_stream(
+            spark, sf_small, str(tmp_path / "ckpt5")
+        ).collect()
+    }
+
+    ev = load_table(spark, sf_small, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    want = {
+        (r.purchase_event_id, r.view_event_id)
+        for r in purchases.join(
+            views,
+            F.expr(
+                "p_user_id = v_user_id AND view_ts <= purchase_ts "
+                "AND view_ts >= purchase_ts - interval 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
