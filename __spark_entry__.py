@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — similarity search (embeddings) —
         "knn_bruteforce": similarity.knn_bruteforce,
         "ann_sign_lsh": similarity.ann_sign_lsh,
+        "ann_sign_lsh_multiprobe": similarity.ann_sign_lsh_multiprobe,
         "ann_ivf": similarity.ann_ivf,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         # — text preparation (training pipeline) —
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": dedup.DEDUP_COMPONENTS_SQL,
         "knn_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
         "ann_sign_lsh": similarity.ANN_SIGN_LSH_SQL,
+        "ann_sign_lsh_multiprobe": similarity.ANN_SIGN_LSH_MULTIPROBE_SQL,
         "ann_ivf": similarity.ANN_IVF_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
         "doc_chunks": textprep.DOC_CHUNKS_SQL,

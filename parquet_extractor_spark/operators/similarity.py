@@ -399,3 +399,91 @@ SELECT vec_a, vec_b, cosine_sim
 FROM pairs WHERE cosine_sim >= {NEAR_DUP_THRESHOLD}
 ORDER BY cosine_sim DESC, vec_a ASC, vec_b ASC
 """
+
+
+def ann_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: each query searches its own bucket PLUS
+    every bucket at Hamming distance 1 (one sign bit flipped) —
+    SIGN_BITS+1 probes. This is the standard recall knob for LSH:
+    candidate volume grows linearly with probes while recall climbs
+    steeply, because near neighbors that straddle one quantization
+    boundary land exactly one bit away. Plan shape is unchanged from
+    the single-probe tier — the probe list is still a broadcast-sized
+    (queries × probes) table and the join still keys on bucket.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket(F.col("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    probe_arr = F.array(
+        F.col("q_bucket"),
+        *[F.col("q_bucket").bitwiseXOR(F.lit(2 ** i)) for i in range(SIGN_BITS)],
+    )
+    probes = queries.select(
+        "query_id", "q_emb", F.explode(probe_arr).alias("probe_bucket")
+    )
+    pairs = (
+        emb.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _multiprobe_oracle() -> str:
+    probe_selects = ["SELECT query_id, q_emb, q_bucket AS probe_bucket FROM q"]
+    for i in range(SIGN_BITS):
+        probe_selects.append(
+            f"SELECT query_id, q_emb, xor(q_bucket, {2 ** i}) FROM q"
+        )
+    probes = "\nUNION ALL\n".join(probe_selects)
+    return rf"""
+WITH emb AS (
+    SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+    FROM emb WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+{probes}
+),
+pairs AS (
+    SELECT p.query_id,
+           e.vec_id AS neighbor_id,
+           round({_cos_sql('p.q_emb', 'e.embedding')}, 6) AS cosine_sim
+    FROM emb e JOIN probes p
+      ON e.bucket = p.probe_bucket AND e.vec_id != p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+ANN_SIGN_LSH_MULTIPROBE_SQL = _multiprobe_oracle()

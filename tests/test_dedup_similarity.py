@@ -150,10 +150,18 @@ def test_ann_recall_vs_bruteforce(spark, sf_small):
         den = sum(len(nbrs) for nbrs in exact.values())
         return num / den
 
+    from parquet_extractor_spark.operators.similarity import (
+        ann_sign_lsh_multiprobe,
+    )
+
     r_ivf = recall(neighbor_sets(ann_ivf(spark, sf_small)))
     r_lsh = recall(neighbor_sets(ann_sign_lsh(spark, sf_small)))
-    # floors chosen from the fixture's measured values with slack;
-    # they exist to catch regressions, not to flatter the tiers
+    r_multi = recall(neighbor_sets(ann_sign_lsh_multiprobe(spark, sf_small)))
+    # floors chosen from the fixture's measured values (0.96 / 0.16 /
+    # 0.52) with slack; they exist to catch regressions, not to
+    # flatter the tiers
     assert r_ivf >= 0.3, r_ivf
     assert r_lsh >= 0.1, r_lsh
+    assert r_multi >= 0.3, r_multi
+    assert r_multi >= r_lsh  # probing more buckets can't hurt recall
     assert r_ivf >= r_lsh
