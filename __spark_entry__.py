@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": textprep.doc_chunks,
         "tfidf_top_terms": textprep.tfidf_top_terms,
         "stratified_sample_by_lang": textprep.stratified_sample_by_lang,
+        "weighted_sample_by_lang": textprep.weighted_sample_by_lang,
         "fuzzy_name_pairs": textprep.fuzzy_name_pairs,
         # — text analysis —
         "language_id": quality.language_id,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": textprep.DOC_CHUNKS_SQL,
         "tfidf_top_terms": textprep.TFIDF_TOP_TERMS_SQL,
         "stratified_sample_by_lang": textprep.STRATIFIED_SAMPLE_SQL,
+        "weighted_sample_by_lang": textprep.WEIGHTED_SAMPLE_SQL,
         "fuzzy_name_pairs": textprep.FUZZY_NAME_PAIRS_SQL,
         "language_id": quality.LANGUAGE_ID_SQL,
         "quality_scores": quality.QUALITY_SCORES_SQL,

@@ -6,10 +6,11 @@ path), each designed around its 100 TB shuffle profile:
 - **Exact** — hash-groupBy on a content digest. One shuffle keyed on
   the digest; survivors picked with min(doc_id). Digest (md5) is
   computed map-side so the shuffle carries 32-byte keys, not documents.
-- **N-gram Jaccard** — shingle → explode distinct shingles →
-  self-join on shingle → jaccard from shared counts. The classic
-  similarity-join; at 100 TB the shingle explode is the cost driver,
-  which is why the MinHash tier exists (bounded signature size).
+- **N-gram Jaccard** — explode distinct shingles → group per shingle
+  into a DF-capped doc list → generate candidate pairs map-side →
+  jaccard from shared counts. One shuffle of the exploded shingles;
+  at 100 TB the shingle explode is the cost driver, which is why the
+  MinHash tier exists (bounded signature size).
 - **MinHash + LSH** — fixed-size signatures (NUM_HASHES portable
   hashes), banded into NUM_BANDS buckets; only docs sharing a band
   bucket become candidate pairs. Shuffle volume is O(docs × bands),

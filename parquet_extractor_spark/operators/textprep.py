@@ -257,3 +257,53 @@ FROM cust a JOIN cust b
 WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
 """
+
+
+# per-lang keep probabilities for the weighted sampling demo —
+# a training-mixture spec (e.g. downsample dominant languages)
+LANG_WEIGHTS = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.3, "pt": 0.2}
+WEIGHT_SCALE = 10_000
+
+
+def weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (mixture) sampling: each document is
+    kept with its language's probability, decided by a portable
+    content-hash threshold instead of rand() — so the same rows
+    survive on every engine, every run, and every retry (executor
+    retries with rand() produce DIFFERENT samples; hash-threshold
+    sampling is the idempotent form a training pipeline needs).
+
+    Pure map-side predicate: no shuffle, composes with pushdown.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(int(w * WEIGHT_SCALE)))
+            for lang, w in sorted(LANG_WEIGHTS.items())
+        ],
+        F.lit(0),
+    )
+    bucket = F.pmod(portable_hash64(F.col("text")), F.lit(WEIGHT_SCALE))
+    return (
+        docs.filter(bucket < weight)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _weighted_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(w * WEIGHT_SCALE)}"
+        for lang, w in sorted(LANG_WEIGHTS.items())
+    )
+    return rf"""
+SELECT doc_id, lang
+FROM documents
+WHERE ((CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % {WEIGHT_SCALE})
+       + {WEIGHT_SCALE}) % {WEIGHT_SCALE}
+      < (CASE {cases} ELSE 0 END)
+ORDER BY doc_id
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sql()
