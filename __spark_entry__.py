@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_union_directory": timeseries.entity_union_directory,
         "user_longest_streak": timeseries.user_longest_streak,
         "user_retention_cohorts": timeseries.user_retention_cohorts,
+        "events_hourly_gapfilled": timeseries.events_hourly_gapfilled,
         # — deduplication (training-data pipeline) —
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_union_directory": timeseries.ENTITY_UNION_SQL,
         "user_longest_streak": timeseries.USER_LONGEST_STREAK_SQL,
         "user_retention_cohorts": timeseries.USER_RETENTION_SQL,
+        "events_hourly_gapfilled": timeseries.EVENTS_GAPFILL_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,

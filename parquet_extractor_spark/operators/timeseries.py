@@ -497,3 +497,75 @@ FROM days d JOIN cohorts USING (user_id)
 GROUP BY cohort_day, date_diff('day', cohort_day, day)
 ORDER BY cohort_epoch, day_offset
 """
+
+
+def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample: a DENSE (hour x event_type) grid
+    over the table's full time range, zero-filled where no events
+    occurred — the time-bucket/gap-fill operator a continuous
+    aggregate needs (downstream charting/ML cannot tolerate missing
+    buckets).
+
+    The grid is generated IN-PLAN: a 1-row min/max aggregate
+    cross-joined to an exploded hour sequence and the distinct type
+    set — no driver collect, so the same plan works when the bounds
+    come from a 100 TB scan. The grid side is tiny (hours x types) and
+    broadcast into the left join against the real per-hour counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("v"),
+    )
+    return (
+        F.broadcast(grid)
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            F.unix_timestamp("hour").alias("hour_epoch"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+EVENTS_GAPFILL_SQL = r"""
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS h0,
+           date_trunc('hour', max(ts)) AS h1
+    FROM events
+),
+grid AS (
+    SELECT g.hour, t.event_type
+    FROM bounds b,
+         unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g(hour),
+         (SELECT DISTINCT event_type FROM events) t
+),
+counts AS (
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 4) AS v
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(grid.hour)) AS BIGINT) AS hour_epoch,
+       grid.event_type AS event_type,
+       coalesce(n, 0) AS n_events,
+       coalesce(v, 0.0) AS total_value
+FROM grid LEFT JOIN counts
+  ON grid.hour = counts.hour AND grid.event_type = counts.event_type
+ORDER BY hour_epoch, grid.event_type
+"""
