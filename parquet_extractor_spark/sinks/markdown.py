@@ -51,13 +51,11 @@ def write_files(
         F.col(filename_col).alias("filename"), F.col(body_col).alias("body")
     )
 
-    skipped = 0
+    before = None
     if skip_existing:
         existing = existing_files_df(df, out_dir)
         before = work.count()
         work = work.join(F.broadcast(existing), "filename", "left_anti")
-        after = work.count()
-        skipped = before - after
 
     if partitions:
         work = work.repartition(partitions, "filename")
@@ -77,8 +75,12 @@ def write_files(
                 failed_acc.add(1)
 
     work.foreachPartition(_write_partition)
+    written, failed = written_acc.value, failed_acc.value
+    # skipped derived from the accumulators — saves a second count job
+    # over the anti-joined plan
+    skipped = before - written - failed if before is not None else 0
     return {
-        "written": written_acc.value,
+        "written": written,
         "skipped": skipped,
-        "failed": failed_acc.value,
+        "failed": failed,
     }
