@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_longest_streak": timeseries.user_longest_streak,
         "user_retention_cohorts": timeseries.user_retention_cohorts,
         "events_hourly_gapfilled": timeseries.events_hourly_gapfilled,
+        "session_funnel": timeseries.session_funnel,
         # — deduplication (training-data pipeline) —
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "user_longest_streak": timeseries.USER_LONGEST_STREAK_SQL,
         "user_retention_cohorts": timeseries.USER_RETENTION_SQL,
         "events_hourly_gapfilled": timeseries.EVENTS_GAPFILL_SQL,
+        "session_funnel": timeseries.SESSION_FUNNEL_SQL,
         "dedup_exact": dedup.EXACT_DEDUP_SQL,
         "dedup_ngram_jaccard": dedup.NGRAM_JACCARD_SQL,
         "minhash_signatures": dedup.MINHASH_SIGNATURES_SQL,

@@ -569,3 +569,83 @@ FROM grid LEFT JOIN counts
   ON grid.hour = counts.hour AND grid.event_type = counts.event_type
 ORDER BY hour_epoch, grid.event_type
 """
+
+
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (sequence matching): per user, did a view, a
+    later-or-equal click, and a later-or-equal purchase occur in that
+    order? Counted as users per funnel stage.
+
+    Sequence patterns over event logs reduce to per-key min/max
+    timestamps with ordering predicates — one shuffle on user_id, no
+    joins, no self-cross of the event stream. (General regex-style
+    CEP needs the stateful streaming path; the common fixed funnel is
+    exactly this aggregation.) Tie semantics: equal timestamps count
+    as progression, matching the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "first_view"
+            ),
+            *[
+                F.max(
+                    F.when(F.col("event_type") == t, F.col("ts"))
+                ).alias(f"last_{t}")
+                for t in ("click", "purchase")
+            ],
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("first_click"),
+        )
+    )
+    # stage predicates: view; view then click; view then click then purchase
+    s1 = F.col("first_view").isNotNull()
+    s2 = s1 & F.col("last_click").isNotNull() & (
+        F.col("last_click") >= F.col("first_view")
+    )
+    # the purchase must follow SOME click that follows the first view:
+    # use the first qualifying click (>= first_view) as the anchor
+    click_anchor = F.when(
+        F.col("first_click") >= F.col("first_view"), F.col("first_click")
+    ).otherwise(F.col("last_click"))
+    s3 = s2 & F.col("last_purchase").isNotNull() & (
+        F.col("last_purchase") >= click_anchor
+    )
+    return per_user.agg(
+        F.sum(s1.cast("bigint")).alias("reached_view"),
+        F.sum(s2.cast("bigint")).alias("reached_click"),
+        F.sum(s3.cast("bigint")).alias("reached_purchase"),
+    )
+
+
+SESSION_FUNNEL_SQL = r"""
+WITH per_user AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+           max(CASE WHEN event_type = 'click' THEN ts END) AS last_click,
+           max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY user_id
+),
+staged AS (
+    SELECT
+        (first_view IS NOT NULL) AS s1,
+        (first_view IS NOT NULL AND last_click IS NOT NULL
+         AND last_click >= first_view) AS s2,
+        (first_view IS NOT NULL AND last_click IS NOT NULL
+         AND last_click >= first_view AND last_purchase IS NOT NULL
+         AND last_purchase >= (CASE WHEN first_click >= first_view
+                               THEN first_click ELSE last_click END)) AS s3
+    FROM per_user
+)
+SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+FROM staged
+"""

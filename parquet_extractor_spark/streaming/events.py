@@ -322,3 +322,57 @@ def run_view_purchase_join_stream(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join
+
+
+EVENT_CATEGORIES = {
+    "view": "browse",
+    "click": "browse",
+    "signup": "conversion",
+    "purchase": "conversion",
+    "error": "ops",
+}
+
+
+def run_enriched_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "events_enriched_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Stream-static join: enrich the events stream with a static
+    dimension (event_type → category), then aggregate per category.
+
+    The static side needs no watermark and no state — Spark broadcasts
+    it into every micro-batch (re-read each batch for file-backed
+    dims, so slowly-changing dimensions refresh for free). This is the
+    third join flavor next to the stateful stream-stream interval join
+    and the batch joins.
+    """
+    events = read_events_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        list(EVENT_CATEGORIES.items()), "event_type string, category string"
+    )
+    enriched = (
+        events.join(F.broadcast(dim), "event_type")
+        .withWatermark("ts", "2 hours")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    query = (
+        enriched.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)

@@ -123,3 +123,33 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_small, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_small, tmp_path):
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.events import (
+        EVENT_CATEGORIES,
+        run_enriched_stream,
+    )
+
+    got = {
+        r.category: (r.n_events, r.total_value)
+        for r in run_enriched_stream(
+            spark, sf_small, str(tmp_path / "ckpt6")
+        ).collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    dim = spark.createDataFrame(
+        list(EVENT_CATEGORIES.items()), "event_type string, category string"
+    )
+    want = {
+        r.category: (r.n_events, r.total_value)
+        for r in ev.join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
