@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_unshipped_orders": relational.q3_top_unshipped_orders,
         "q5_region_revenue": relational.q5_region_revenue,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
         "top_brands_by_revenue": relational.top_brands_by_revenue,
         "top_order_per_customer": relational.top_order_per_customer,
         "customer_order_running_totals": relational.customer_order_running_totals,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_unshipped_orders": relational.Q3_SQL,
         "q5_region_revenue": relational.Q5_SQL,
+        "q6_forecast_revenue": relational.Q6_SQL,
         "top_brands_by_revenue": relational.TOP_BRANDS_SQL,
         "top_order_per_customer": relational.TOP_ORDER_PER_CUSTOMER_SQL,
         "customer_order_running_totals": relational.RUNNING_TOTALS_SQL,

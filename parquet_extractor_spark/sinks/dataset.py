@@ -86,3 +86,55 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table_name)
+
+
+def compact_dataset(
+    spark,
+    data_dir: str,
+    target_file_mb: int = 256,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~target_file_mb.
+
+    Long-running append pipelines (foreachBatch sinks, incremental
+    curation) accrete small files until every scan is metadata-bound;
+    periodic compaction is the standard maintenance job. The rewrite
+    goes to a sibling temp dir first and swaps in atomically-enough
+    for a single-writer maintenance window (a real lakehouse table
+    format does this transactionally — out of scope here).
+
+    Returns {"files_before", "files_after", "rows"}.
+    """
+    import glob
+    import os
+    import shutil
+
+    def _count_files(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+
+    df = spark.read.parquet(data_dir)
+    rows = df.count()
+    total_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    files_before = _count_files(data_dir)
+
+    tmp = data_dir.rstrip("/") + ".compact_tmp"
+    out = df.repartition(n_files, *partition_by) if partition_by else df.coalesce(n_files)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+
+    backup = data_dir.rstrip("/") + ".compact_old"
+    os.rename(data_dir, backup)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(backup)
+    return {
+        "files_before": files_before,
+        "files_after": _count_files(data_dir),
+        "rows": rows,
+    }

@@ -141,3 +141,17 @@ def test_dataset_sink_roundtrip_partitioned(spark, sf_small, tmp_path):
     for d in glob.glob(f"{out}/lang=*"):
         files = glob.glob(f"{d}/*.parquet")
         assert len(files) >= 2
+
+
+def test_compact_dataset_reduces_files(spark, sf_small, tmp_path):
+    from parquet_extractor_spark.sinks.dataset import compact_dataset
+    from parquet_extractor_spark.sources.tables import load_table
+
+    out = str(tmp_path / "fragmented")
+    docs = load_table(spark, sf_small, "documents")
+    docs.repartition(24).write.parquet(out)  # deliberately fragmented
+    result = compact_dataset(spark, out, target_file_mb=256)
+    assert result["files_before"] == 24
+    assert result["files_after"] <= 2
+    back = spark.read.parquet(out)
+    assert back.count() == result["rows"] == docs.count()
