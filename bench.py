@@ -24,6 +24,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_region_revenue",
+    "q6_forecast_revenue",
     "top_brands_by_revenue",
     "top_order_per_customer",
     "events_hourly",
