@@ -493,3 +493,86 @@ ORDER BY query_id, rank
 
 
 ANN_SIGN_LSH_MULTIPROBE_SQL = _multiprobe_oracle()
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, table_name: str = "ivf_index"
+) -> list[list[float]]:
+    """Persist the IVF inverted file as a catalog table bucketed on
+    the cluster id.
+
+    Build once, search many: the one-scan centroid assignment runs at
+    index-build time and the table is bucketed by cluster, so every
+    subsequent search's candidate lookup is a bucket-pruned read with
+    no shuffle and no re-assignment. This is the deployment shape of
+    ANN on Spark — index maintenance is a batch job, searches are
+    cheap. Returns the centroid vectors (the search-time "model").
+    """
+    from parquet_extractor_spark.sinks.dataset import write_bucketed
+
+    cents = _centroid_vectors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def cell_sim(c: list[float]) -> Column:
+        return F.round(
+            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
+        )
+
+    sims = [cell_sim(c) for c in cents]
+    sim_arr = F.array(*sims)
+    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
+    assigned = emb.withColumn("cluster", cluster)
+    write_bucketed(
+        assigned, table_name, ["cluster"], n_buckets=NUM_CENTROIDS
+    )
+    return cents
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    query_vectors: list[tuple[int, list[float]]],
+    centroids: list[list[float]],
+    table_name: str = "ivf_index",
+    top_k: int = TOP_K,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Search a persisted IVF index for arbitrary query vectors.
+
+    Queries are plan-time literals (the online-serving shape: a small
+    batch of vectors against a big static index); the probed clusters
+    prune to their buckets on read.
+    """
+    import math
+
+    rows = []
+    for qid, vec in query_vectors:
+        scored = []
+        for cid, c in enumerate(centroids):
+            dot = sum(float(a) * float(b) for a, b in zip(vec, c))
+            na = math.sqrt(sum(float(a) ** 2 for a in vec))
+            nb = math.sqrt(sum(float(b) ** 2 for b in c))
+            scored.append((round(dot / (na * nb), 9), -cid))
+        scored.sort(reverse=True)
+        for sim, neg_cid in scored[:nprobe]:
+            rows.append((qid, vec, -neg_cid))
+    probes = spark.createDataFrame(
+        rows, "query_id long, q_emb array<float>, probe_cluster int"
+    )
+    index = spark.table(table_name)
+    pairs = index.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("probe_cluster"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .orderBy("query_id", "rank")
+    )

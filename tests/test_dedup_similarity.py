@@ -6,6 +6,7 @@ operators run through their normal (spark, sf_dir) entry points."""
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from parquet_extractor_spark.operators import dedup, similarity
 
@@ -165,3 +166,34 @@ def test_ann_recall_vs_bruteforce(spark, sf_small):
     assert r_multi >= 0.3, r_multi
     assert r_multi >= r_lsh  # probing more buckets can't hurt recall
     assert r_ivf >= r_lsh
+
+
+def test_persisted_ivf_index_matches_inline_ivf(spark, sf_small):
+    """build-once/search-many IVF: searching the bucketed index with
+    the fixture's own query vectors reproduces ann_ivf exactly."""
+    from parquet_extractor_spark.operators.similarity import (
+        N_QUERIES,
+        ann_ivf,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    cents = build_ivf_index(spark, sf_small, table_name="ivf_index_test")
+    try:
+        queries = [
+            (r.vec_id, [float(x) for x in r.embedding])
+            for r in load_table(spark, sf_small, "embeddings")
+            .filter(F.col("vec_id") < N_QUERIES)
+            .collect()
+        ]
+        got = [
+            tuple(r)
+            for r in search_ivf_index(
+                spark, queries, cents, table_name="ivf_index_test"
+            ).collect()
+        ]
+        want = [tuple(r) for r in ann_ivf(spark, sf_small).collect()]
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_index_test")
