@@ -121,3 +121,55 @@ def test_non_ascii_tokenize_contract_is_pinned(spark):
         "sum",
     ]
     assert by_input["漢字 mixed ascii"] == ["mixed", "ascii"]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: the same parity properties over random corpora
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    # printable ASCII + whitespace/controls; the ASCII contract is
+    # pinned above, fuzzing explores within it
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=0, max_codepoint=127),
+        max_size=200,
+    )
+
+    @given(st.lists(ascii_text, min_size=1, max_size=25))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_tokenize_and_count_parity(spark, corpus):
+        df = spark.createDataFrame([(s,) for s in corpus], "s string")
+        rows = df.select(
+            tokenize("s").alias("toks"),
+            token_count("s").cast("int").alias("n"),
+        ).collect()
+        for s, r in zip(corpus, rows):
+            expected = ref_tokenize(s)
+            assert list(r.toks) == expected
+            assert r.n == len(expected)
+
+    @given(st.lists(ascii_text, min_size=1, max_size=25))
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_fuzz_sanitize_parity(spark, corpus):
+        df = spark.createDataFrame([(s,) for s in corpus], "s string")
+        got = [
+            r.out
+            for r in df.select(sanitize_filename("s").alias("out")).collect()
+        ]
+        assert got == [ref_sanitize(s) for s in corpus]
