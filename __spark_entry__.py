@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_view_before_purchase": timeseries.asof_view_before_purchase,
         "events_sessionized": timeseries.events_sessionized,
         "events_pivot_daily": timeseries.events_pivot_daily,
+        "events_pivot_roundtrip": timeseries.events_pivot_roundtrip,
         "brand_price_stats": timeseries.brand_price_stats,
         "brand_price_regression": timeseries.brand_price_regression,
         "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_view_before_purchase": timeseries.ASOF_SQL,
         "events_sessionized": timeseries.SESSIONIZED_SQL,
         "events_pivot_daily": timeseries.EVENTS_PIVOT_SQL,
+        "events_pivot_roundtrip": timeseries.EVENTS_PIVOT_ROUNDTRIP_SQL,
         "brand_price_stats": timeseries.BRAND_PRICE_STATS_SQL,
         "brand_price_regression": timeseries.BRAND_PRICE_REGRESSION_SQL,
         "part_types_sold_both_periods": timeseries.PART_TYPES_BOTH_SQL,

@@ -649,3 +649,30 @@ SELECT CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
        CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
 FROM staged
 """
+
+
+def events_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) surface: the daily wide pivot folded back to
+    long form. The oracle is the direct long-form aggregation, so this
+    query proves pivot→unpivot is lossless — zero-filled wide cells
+    are dropped on the way back (the long form never had them).
+    unpivot is an Expand node like cube: one pass, no shuffle beyond
+    the pivot's own aggregation."""
+    wide = events_pivot_daily(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "day_epoch", EVENT_TYPES, "event_type", "n_events"
+        )
+        .filter(F.col("n_events") > 0)
+        .orderBy("day_epoch", "event_type")
+    )
+
+
+EVENTS_PIVOT_ROUNDTRIP_SQL = r"""
+SELECT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY day_epoch, event_type
+"""
