@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionized": timeseries.events_sessionized,
         "events_pivot_daily": timeseries.events_pivot_daily,
         "events_pivot_roundtrip": timeseries.events_pivot_roundtrip,
+        "events_daily_moving_avg": timeseries.events_daily_moving_avg,
         "brand_price_stats": timeseries.brand_price_stats,
         "brand_price_regression": timeseries.brand_price_regression,
         "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": timeseries.SESSIONIZED_SQL,
         "events_pivot_daily": timeseries.EVENTS_PIVOT_SQL,
         "events_pivot_roundtrip": timeseries.EVENTS_PIVOT_ROUNDTRIP_SQL,
+        "events_daily_moving_avg": timeseries.EVENTS_MOVING_AVG_SQL,
         "brand_price_stats": timeseries.BRAND_PRICE_STATS_SQL,
         "brand_price_regression": timeseries.BRAND_PRICE_REGRESSION_SQL,
         "part_types_sold_both_periods": timeseries.PART_TYPES_BOTH_SQL,

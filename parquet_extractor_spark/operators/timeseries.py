@@ -676,3 +676,46 @@ FROM events
 GROUP BY 1, 2
 ORDER BY day_epoch, event_type
 """
+
+
+def events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame (rowsBetween): 7-day moving average and
+    sample stddev of daily event counts per type — the rolling-stats
+    shape behind anomaly detection. One shuffle on event_type for the
+    window; the frame is bounded (7 rows) so window state is O(1) per
+    row regardless of history length."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+    ).agg(F.count("*").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_epoch")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day_epoch",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("ma7"),
+        F.round(F.stddev_samp("n_events").over(w), 4).alias("sd7"),
+    ).orderBy("event_type", "day_epoch")
+
+
+EVENTS_MOVING_AVG_SQL = r"""
+WITH daily AS (
+    SELECT event_type,
+           epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT event_type, day_epoch, n_events,
+       round(avg(n_events) OVER w, 4) AS ma7,
+       round(stddev_samp(n_events) OVER w, 4) AS sd7
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day_epoch
+"""
