@@ -694,12 +694,21 @@ def events_daily_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day_epoch")
         .rowsBetween(-6, Window.currentRow)
     )
+    # RANGE frame over epoch seconds: unlike the ROWS frame, this
+    # stays a true 7-calendar-day window even when days are missing
+    # from the series
+    wr = (
+        Window.partitionBy("event_type")
+        .orderBy("day_epoch")
+        .rangeBetween(-6 * 86400, Window.currentRow)
+    )
     return daily.select(
         "event_type",
         "day_epoch",
         "n_events",
         F.round(F.avg("n_events").over(w), 4).alias("ma7"),
         F.round(F.stddev_samp("n_events").over(w), 4).alias("sd7"),
+        F.round(F.avg("n_events").over(wr), 4).alias("ma7_range"),
     ).orderBy("event_type", "day_epoch")
 
 
@@ -713,9 +722,12 @@ WITH daily AS (
 )
 SELECT event_type, day_epoch, n_events,
        round(avg(n_events) OVER w, 4) AS ma7,
-       round(stddev_samp(n_events) OVER w, 4) AS sd7
+       round(stddev_samp(n_events) OVER w, 4) AS sd7,
+       round(avg(n_events) OVER wr, 4) AS ma7_range
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wr AS (PARTITION BY event_type ORDER BY day_epoch
+             RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
 ORDER BY event_type, day_epoch
 """
