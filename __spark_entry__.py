@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_brands_by_revenue": relational.top_brands_by_revenue,
         "top_order_per_customer": relational.top_order_per_customer,
         "customer_order_running_totals": relational.customer_order_running_totals,
+        "customer_value_quartiles": relational.customer_value_quartiles,
         "customers_without_orders": relational.customers_without_orders,
         "order_priority_counts": relational.order_priority_counts,
         "segment_stats_rollup": relational.segment_stats_rollup,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "top_brands_by_revenue": relational.TOP_BRANDS_SQL,
         "top_order_per_customer": relational.TOP_ORDER_PER_CUSTOMER_SQL,
         "customer_order_running_totals": relational.RUNNING_TOTALS_SQL,
+        "customer_value_quartiles": relational.CUSTOMER_VALUE_QUARTILES_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "order_priority_counts": relational.ORDER_PRIORITY_SQL,
         "segment_stats_rollup": relational.SEGMENT_ROLLUP_SQL,

@@ -567,3 +567,57 @@ WHERE l_shipdate >= DATE '1995-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """
+
+
+def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution bucketing windows (ntile + percent_rank): customers
+    ranked by lifetime order value, split into quartiles, summarized
+    per quartile. Two window passes over one spend aggregation, both
+    on the same global ordering — Catalyst evaluates them in a single
+    Window operator. The global (unpartitioned) window is fine HERE
+    because the windowed input is one row per customer, already
+    reduced by the groupBy; never run an unpartitioned window over raw
+    fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "o_custkey",
+        "total_spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+    return (
+        ranked.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("total_spend"), 2).alias("quartile_spend"),
+            F.round(F.min("pct_rank"), 6).alias("min_pct_rank"),
+        )
+        .orderBy("quartile")
+    )
+
+
+CUSTOMER_VALUE_QUARTILES_SQL = r"""
+WITH spend AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+),
+ranked AS (
+    SELECT o_custkey, total_spend,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend DESC, o_custkey ASC)
+)
+SELECT quartile,
+       count(*) AS n_customers,
+       round(sum(total_spend), 2) AS quartile_spend,
+       round(min(pct_rank), 6) AS min_pct_rank
+FROM ranked
+GROUP BY quartile
+ORDER BY quartile
+"""
