@@ -621,3 +621,48 @@ FROM ranked
 GROUP BY quartile
 ORDER BY quartile
 """
+
+
+def customer_activity_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per-customer order counts in 1995 vs
+    2000, keeping customers active in EITHER year (nulls → 0 on the
+    missing side). Shuffles both pre-aggregated sides on the join key;
+    at scale both inputs are already reduced to one row per customer
+    before the join, so the exchange carries counts, not orders."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _per_year(year: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = _per_year(1995, "n_1995")
+    b = _per_year(2000, "n_2000")
+    return (
+        a.join(b, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_1995", F.lit(0)).alias("n_1995"),
+            F.coalesce("n_2000", F.lit(0)).alias("n_2000"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+CUSTOMER_ACTIVITY_FULL_SQL = r"""
+WITH a AS (
+    SELECT o_custkey, count(*) AS n_1995
+    FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+),
+b AS (
+    SELECT o_custkey, count(*) AS n_2000
+    FROM orders WHERE year(o_orderdate) = 2000 GROUP BY o_custkey
+)
+SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+       coalesce(n_1995, 0) AS n_1995,
+       coalesce(n_2000, 0) AS n_2000
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+ORDER BY o_custkey
+"""
