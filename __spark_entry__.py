@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_value_quartiles": relational.customer_value_quartiles,
         "customers_without_orders": relational.customers_without_orders,
         "customer_activity_full_join": relational.customer_activity_full_join,
+        "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
         "order_priority_counts": relational.order_priority_counts,
         "segment_stats_rollup": relational.segment_stats_rollup,
         "events_hourly": relational.events_hourly,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_value_quartiles": relational.CUSTOMER_VALUE_QUARTILES_SQL,
         "customers_without_orders": relational.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customer_activity_full_join": relational.CUSTOMER_ACTIVITY_FULL_SQL,
+        "brand_small_quantity_revenue": relational.BRAND_SMALL_QTY_SQL,
         "order_priority_counts": relational.ORDER_PRIORITY_SQL,
         "segment_stats_rollup": relational.SEGMENT_ROLLUP_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,

@@ -666,3 +666,52 @@ SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
 FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
 ORDER BY o_custkey
 """
+
+
+def brand_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape (TPC-H Q17): lineitems whose
+    quantity is below 20% of their part's average quantity, revenue per
+    brand. Decorrelated the Spark way: one hash-agg builds the per-part
+    threshold (one row per part — sub-linear vs lineitem), then joins
+    back to lineitem on l_partkey. Catalyst broadcasts the threshold
+    table (verified: BroadcastHashJoin BuildRight), so the probe-side
+    lineitem scan is never shuffled for the join; if thresholds outgrow
+    the broadcast limit at extreme part counts, AQE falls back to a
+    sort-merge join on the same l_partkey hash the aggregation already
+    produced. part is explicitly broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    thresholds = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_small_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_SMALL_QTY_SQL = r"""
+WITH thresholds AS (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT p_brand,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_small_lines
+FROM lineitem
+JOIN thresholds USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE l_quantity < qty_threshold
+GROUP BY p_brand
+ORDER BY p_brand
+"""
