@@ -27,6 +27,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "top_brands_by_revenue",
     "top_order_per_customer",
+    "brand_small_quantity_revenue",
     "events_hourly",
     "dedup_exact",
     "dedup_ngram_jaccard",
