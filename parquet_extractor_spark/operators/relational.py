@@ -715,3 +715,54 @@ WHERE l_quantity < qty_threshold
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+
+def orders_priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.5 A9, completing rollup+cube):
+    hand-picked sets ((priority, year), (year), ()) — the asymmetric
+    case neither rollup nor cube expresses. Same single-pass execution:
+    one Expand node feeding one partial+final hash-agg, so the orders
+    scan is not repeated per set. NULL grouping keys are coalesced to
+    sentinel labels so subtotal rows hash identically across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_totalprice",
+    )
+    return (
+        base.groupingSets(
+            [["o_orderpriority", "order_year"], ["order_year"], []],
+            "o_orderpriority",
+            "order_year",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("order_year").cast("int").alias("g_year"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("order_year", F.lit(-1)).alias("order_year"),
+            "n_orders",
+            "total_price",
+            "g_priority",
+            "g_year",
+        )
+        .orderBy("g_priority", "g_year", "o_orderpriority", "order_year")
+    )
+
+
+ORDERS_GROUPING_SETS_SQL = r"""
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(year(o_orderdate), -1) AS order_year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+                        (year(o_orderdate)), ())
+ORDER BY g_priority, g_year, o_orderpriority, order_year
+"""
