@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_counts": relational.order_priority_counts,
         "segment_stats_rollup": relational.segment_stats_rollup,
         "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
+        "region_nation_roster": relational.region_nation_roster,
         "events_hourly": relational.events_hourly,
         "events_json_stats": relational.events_json_stats,
         "part_type_distinct_brands": relational.part_type_distinct_brands,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": relational.ORDER_PRIORITY_SQL,
         "segment_stats_rollup": relational.SEGMENT_ROLLUP_SQL,
         "orders_priority_grouping_sets": relational.ORDERS_GROUPING_SETS_SQL,
+        "region_nation_roster": relational.REGION_NATION_ROSTER_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_json_stats": relational.EVENTS_JSON_SQL,
         "part_type_distinct_brands": relational.PART_TYPE_DISTINCT_SQL,

@@ -766,3 +766,39 @@ GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
                         (year(o_orderdate)), ())
 ORDER BY g_priority, g_year, o_orderpriority, order_year
 """
+
+
+def region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped string aggregation (listagg/string_agg): sorted
+    comma-joined nation roster per region. Spark's listagg has
+    nondeterministic intra-group order, so the deterministic
+    cross-engine form is sort_array(collect_list(...)) + array_join —
+    order-insensitive input, byte-identical output on both engines.
+    collect_list state is bounded by group cardinality (25 nations);
+    only safe for low-cardinality groups — unbounded groups should
+    aggregate counts instead (see events_cube)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+REGION_NATION_ROSTER_SQL = r"""
+SELECT r_name,
+       count(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
