@@ -24,6 +24,7 @@ from parquet_extractor_spark.operators import (
     similarity,
     textprep,
     timeseries,
+    tpch,
 )
 
 
@@ -62,6 +63,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": relational.events_json_stats,
         "part_type_distinct_brands": relational.part_type_distinct_brands,
         "events_cube": relational.events_cube,
+        # — extended TPC-H suite (decorrelation shapes; see operators/tpch.py) —
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q8_market_share": tpch.q8_market_share,
+        "q9_product_type_profit": tpch.q9_product_type_profit,
+        "q10_returned_items": tpch.q10_returned_items,
+        "q12_late_lines_by_status": tpch.q12_late_lines_by_status,
+        "q13_order_count_distribution": tpch.q13_order_count_distribution,
+        "q14_promo_revenue": tpch.q14_promo_revenue,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q18_large_volume_customers": tpch.q18_large_volume_customers,
+        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
+        "q22_prospect_customers": tpch.q22_prospect_customers,
         # rows-only check: HLL sketches aren't cross-engine comparable
         "events_approx_users": relational.events_approx_users,
         # — time-series / advanced relational (SURVEY J4, A8-A9, ST1) —
@@ -134,6 +148,18 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": relational.EVENTS_JSON_SQL,
         "part_type_distinct_brands": relational.PART_TYPE_DISTINCT_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
+        "q7_volume_shipping": tpch.Q7_SQL,
+        "q8_market_share": tpch.Q8_SQL,
+        "q9_product_type_profit": tpch.Q9_SQL,
+        "q10_returned_items": tpch.Q10_SQL,
+        "q12_late_lines_by_status": tpch.Q12_SQL,
+        "q13_order_count_distribution": tpch.Q13_SQL,
+        "q14_promo_revenue": tpch.Q14_SQL,
+        "q15_top_supplier": tpch.Q15_SQL,
+        "q18_large_volume_customers": tpch.Q18_SQL,
+        "q19_disjunctive_revenue": tpch.Q19_SQL,
+        "q21_waiting_suppliers": tpch.Q21_SQL,
+        "q22_prospect_customers": tpch.Q22_SQL,
         "asof_view_before_purchase": timeseries.ASOF_SQL,
         "events_sessionized": timeseries.SESSIONIZED_SQL,
         "events_pivot_daily": timeseries.EVENTS_PIVOT_SQL,

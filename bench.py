@@ -28,6 +28,9 @@ HEADLINE = [
     "top_brands_by_revenue",
     "top_order_per_customer",
     "brand_small_quantity_revenue",
+    "q8_market_share",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
     "events_hourly",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -126,3 +126,67 @@ def test_ngram_jaccard_partial_agg(spark, sf_small):
     from parquet_extractor_spark.operators import dedup
 
     assert has_partial_aggregation(dedup.ngram_jaccard_pairs(spark, sf_small))
+
+
+def test_q8_broadcasts_dimensions_and_prunes_fact(spark, sf_small):
+    """7-way Q8 join: every dimension rides a broadcast hash join; the
+    lineitem scan reads only the 5 join/measure columns."""
+    from parquet_extractor_spark.operators import tpch
+
+    df = tpch.q8_market_share(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+    li_scans = [s for s in read_schema_columns(df) if "l_extendedprice" in s]
+    assert li_scans and li_scans[0] == {
+        "l_partkey",
+        "l_orderkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+    }
+
+
+def test_q10_filters_reach_both_fact_scans(spark, sf_small):
+    """Q10: the returnflag filter pushes into the lineitem scan and the
+    quarter filter into the orders scan — at 100 TB both scans read
+    only matching row groups."""
+    from parquet_extractor_spark.operators import tpch
+
+    pushed = " ".join(pushed_filters(tpch.q10_returned_items(spark, sf_small)))
+    assert "l_returnflag" in pushed
+    assert "o_orderdate" in pushed
+
+
+def test_q15_scalar_max_is_broadcast(spark, sf_small):
+    """Q15's decorrelated max-revenue scalar must join as a broadcast
+    (1 row), never shuffling the revenue view."""
+    from parquet_extractor_spark.operators import tpch
+
+    df = tpch.q15_top_supplier(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+    assert has_partial_aggregation(df)
+
+
+def test_q18_having_agg_is_partial(spark, sf_small):
+    """Q18's qualifying-order aggregation must have a map-side partial
+    pass; customer joins via broadcast."""
+    from parquet_extractor_spark.operators import tpch
+
+    df = tpch.q18_large_volume_customers(spark, sf_small)
+    assert has_partial_aggregation(df)
+    assert has_broadcast_hash_join(df)
+
+
+def test_q19_disjunctive_scan_pruned(spark, sf_small):
+    """Q19: the OR'd predicate can't fully push down, but column
+    pruning must still hold — the lineitem scan reads exactly the 4
+    needed columns."""
+    from parquet_extractor_spark.operators import tpch
+
+    df = tpch.q19_disjunctive_revenue(spark, sf_small)
+    li_scans = [s for s in read_schema_columns(df) if "l_quantity" in s]
+    assert li_scans and li_scans[0] == {
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }

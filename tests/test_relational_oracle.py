@@ -18,6 +18,10 @@ SPOT = [
     "dedup_exact",
     "minhash_signatures",
     "language_id",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q21_waiting_suppliers",
+    "q22_prospect_customers",
 ]
 
 
