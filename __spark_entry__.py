@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from parquet_extractor_spark.operators import (
     analyze,
+    contamination,
     dedup,
     extract,
     quality,
@@ -118,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": quality.quality_scores,
         "bpe_token_counts": quality.bpe_token_counts,
         "doc_fingerprints": quality.doc_fingerprints,
+        "repetition_scores": quality.repetition_scores,
+        "pii_redaction": quality.pii_redaction,
+        "ngram_decontamination": contamination.ngram_decontamination,
     }
 
 
@@ -195,4 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": quality.QUALITY_SCORES_SQL,
         "bpe_token_counts": quality.BPE_TOKEN_COUNTS_SQL,
         "doc_fingerprints": quality.DOC_FINGERPRINTS_SQL,
+        "repetition_scores": quality.REPETITION_SCORES_SQL,
+        "pii_redaction": quality.PII_REDACTION_SQL,
+        "ngram_decontamination": contamination.NGRAM_DECONTAMINATION_SQL,
     }

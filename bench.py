@@ -39,6 +39,7 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_ivf",
     "quality_scores",
+    "ngram_decontamination",
     "extract_plan",
     "asof_view_before_purchase",
     "events_sessionized",

@@ -15,6 +15,7 @@ from parquet_extractor_spark.functions.text import (
     char_ngrams,
     portable_hash64,
     tokenize,
+    word_ngrams,
 )
 from parquet_extractor_spark.sources.tables import load_table, spread
 
@@ -242,4 +243,149 @@ SELECT doc_id,
            g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS fingerprint
 FROM documents
 ORDER BY doc_id
+"""
+
+
+# PII-style redaction patterns (email / phone / blocklisted term).
+# Char-class-only constructs — identical semantics under Java regex
+# (Spark) and RE2 (DuckDB). The fixture corpus contains no digits, so
+# the blocklist term keeps the query non-vacuous while the email/phone
+# arms are exercised by unit tests on constructed rows.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+BLOCKLIST_PATTERN = r"\bcustomer\b"
+REDACTION_PATTERN = f"({EMAIL_PATTERN})|({PHONE_PATTERN})|({BLOCKLIST_PATTERN})"
+REDACTION_TOKEN = "[REDACTED]"
+
+
+def redact_text(col: Column | str, pattern: str = REDACTION_PATTERN) -> Column:
+    """Redaction as a pure codegen'd expression — the scrubbing analog
+    of the reference's sanitizers (api.py:277, api.py:324): replace
+    every match with a fixed token. Map-side only; scales linearly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, pattern, REDACTION_TOKEN)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document redaction audit: match count, redacted length, and
+    a portable hash of the redacted text (so the oracle check verifies
+    the actual redacted CONTENT, not just the counts)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    redacted = redact_text("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(REDACTION_PATTERN))
+        .cast("bigint")
+        .alias("n_hits"),
+        F.length(redacted).cast("bigint").alias("n_chars_after"),
+        portable_hash64(redacted).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+_REDACT_SQL_PATTERN = REDACTION_PATTERN.replace("'", "''")
+PII_REDACTION_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_REDACT_SQL_PATTERN}')) AS BIGINT) AS n_hits,
+       CAST(length(regexp_replace(text, '{_REDACT_SQL_PATTERN}', '{REDACTION_TOKEN.replace("'", "''")}', 'g')) AS BIGINT) AS n_chars_after,
+       CAST(('0x' || substr(md5(regexp_replace(text, '{_REDACT_SQL_PATTERN}', '{REDACTION_TOKEN.replace("'", "''")}', 'g')), 1, 15)) AS BIGINT) AS redacted_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: distinct-token
+    ratio, most-frequent-token fraction, most-frequent-bigram fraction.
+    High top-fraction ⇒ templated/spammy text.
+
+    Shape chosen for scale: explode → partial-agg per (doc, gram) →
+    per-doc agg. The shuffles carry one row per DISTINCT (doc, gram) —
+    bounded by per-doc vocabulary, not document length — and both
+    aggregations are map-side partial. The unigram and bigram passes
+    join on doc_id at the end (both sides already one row per doc)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize("text").alias("tokens"))
+
+    uni = toks.select("doc_id", F.explode("tokens").alias("g"))
+    ustat = (
+        uni.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+
+    big = toks.select(
+        "doc_id", F.explode(word_ngrams(F.col("tokens"), 2)).alias("g")
+    )
+    bstat = (
+        big.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_big_cnt"))
+    )
+
+    return (
+        ustat.join(bstat, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias(
+                "top_token_frac"
+            ),
+            F.round(F.col("top_big_cnt") / F.col("n_bigrams"), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SCORES_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM documents
+),
+uni AS (
+    SELECT doc_id, unnest(tokens) AS g FROM toks
+),
+ucnt AS (
+    SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2
+),
+ustat AS (
+    SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+           max(c) AS top_cnt
+    FROM ucnt GROUP BY 1
+),
+bpos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, greatest(len(tokens) - 1, 1))) AS i
+    FROM toks
+),
+big AS (
+    SELECT doc_id, array_to_string(tokens[i:i+1], ' ') AS g FROM bpos
+),
+bcnt AS (
+    SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2
+),
+bstat AS (
+    SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_big_cnt
+    FROM bcnt GROUP BY 1
+)
+SELECT ustat.doc_id AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_distinct / n_tokens, 4) AS distinct_ratio,
+       round(top_cnt / n_tokens, 4) AS top_token_frac,
+       round(top_big_cnt / n_bigrams, 4) AS top_bigram_frac
+FROM ustat JOIN bstat ON ustat.doc_id = bstat.doc_id
+ORDER BY ustat.doc_id
 """

@@ -1,0 +1,70 @@
+"""Unit tests for the curation extras: PII redaction patterns (on
+constructed rows — the fixture corpus has no emails/phones),
+repetition metrics, and benchmark decontamination."""
+
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.operators import contamination, quality
+
+
+def test_redact_email_and_phone(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at bob.smith+spam@example.co.uk today", 1),
+            ("call +1 (555) 123-4567 now", 1),
+            ("the customer record", 1),
+            ("nothing sensitive here", 0),
+        ],
+        ["text", "expect_hits"],
+    )
+    out = df.select(
+        "expect_hits",
+        F.regexp_count("text", F.lit(quality.REDACTION_PATTERN)).alias("n"),
+        quality.redact_text("text").alias("red"),
+    ).collect()
+    for r in out:
+        assert (r.n > 0) == (r.expect_hits == 1)
+        if r.expect_hits:
+            assert quality.REDACTION_TOKEN in r.red
+    # redacted text must not retain the sensitive spans
+    reds = [r.red for r in out]
+    assert not any("example.co.uk" in s for s in reds)
+    assert not any("123-4567" in s for s in reds)
+
+
+def test_repetition_scores_on_known_text(spark, tmp_path, sf_small):
+    rows = quality.repetition_scores(spark, sf_small).collect()
+    assert rows, "fixture docs must produce repetition rows"
+    for r in rows:
+        assert 0 < r.distinct_ratio <= 1.0
+        assert 0 < r.top_token_frac <= 1.0
+        assert 0 < r.top_bigram_frac <= 1.0
+        # a doc's most frequent bigram COUNT can't beat its most
+        # frequent token COUNT (the fractions can cross because the
+        # bigram denominator is n_tokens - 1)
+        top_tok_cnt = r.top_token_frac * r.n_tokens
+        top_big_cnt = r.top_bigram_frac * (r.n_tokens - 1)
+        assert top_big_cnt <= top_tok_cnt + 0.51
+
+
+def test_decontamination_flags_planted_overlap(spark, sf_small):
+    """Every flagged doc's contamination fraction is in (0, 1]; the
+    benchmark slice itself is never flagged."""
+    out = contamination.ngram_decontamination(spark, sf_small).collect()
+    for r in out:
+        assert r.doc_id % contamination.BENCH_MOD != 0
+        assert 0 < r.contamination_frac <= 1.0
+        assert 0 < r.n_shared <= r.n_grams
+
+
+def test_decontamination_bench_set_is_broadcast(spark, sf_small):
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(contamination.ngram_decontamination(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_aggs_are_partial(spark, sf_small):
+    from parquet_extractor_spark.plans.explain import has_partial_aggregation
+
+    assert has_partial_aggregation(quality.repetition_scores(spark, sf_small))
