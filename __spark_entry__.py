@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": analyze.doc_token_counts,
         "tokens_per_lang": analyze.tokens_per_lang,
         "top_docs_by_tokens": analyze.top_docs_by_tokens,
+        "source_token_kl": analyze.source_token_kl,
+        "doc_length_histogram": analyze.doc_length_histogram,
         # — extraction pipeline (reference parity: main.py:9-105) —
         "extract_plan": extract.extract_plan,
         "sampled_doc_ids": extract.sampled_doc_ids,
@@ -108,6 +110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sign_lsh_multiprobe": similarity.ann_sign_lsh_multiprobe,
         "ann_ivf": similarity.ann_ivf,
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "label_centroids": similarity.label_centroids,
+        "embedding_norm_stats": similarity.embedding_norm_stats,
         # — text preparation (training pipeline) —
         "doc_chunks": textprep.doc_chunks,
         "tfidf_top_terms": textprep.tfidf_top_terms,
@@ -131,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": analyze.DOC_TOKEN_COUNTS_SQL,
         "tokens_per_lang": analyze.TOKENS_PER_LANG_SQL,
         "top_docs_by_tokens": analyze.TOP_DOCS_BY_TOKENS_SQL,
+        "source_token_kl": analyze.SOURCE_TOKEN_KL_SQL,
+        "doc_length_histogram": analyze.DOC_LENGTH_HISTOGRAM_SQL,
         "extract_plan": extract.EXTRACT_PLAN_SQL,
         "sampled_doc_ids": extract.SAMPLED_DOC_IDS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
@@ -190,6 +196,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_sign_lsh_multiprobe": similarity.ANN_SIGN_LSH_MULTIPROBE_SQL,
         "ann_ivf": similarity.ANN_IVF_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
+        "label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "embedding_norm_stats": similarity.EMBEDDING_NORM_STATS_SQL,
         "doc_chunks": textprep.DOC_CHUNKS_SQL,
         "tfidf_top_terms": textprep.TFIDF_TOP_TERMS_SQL,
         "stratified_sample_by_lang": textprep.STRATIFIED_SAMPLE_SQL,

@@ -142,3 +142,103 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + tokens array — shared input for dedup/quality ops."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.withColumn("tokens", tokenize("text"))
+
+
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix drift: KL divergence of each source's token
+    distribution against the corpus-wide distribution — the standard
+    check that one slice of a crawl hasn't drifted from the blend.
+
+    Shape for scale: explode → partial-agg per (source, token); the
+    corpus-wide token counts re-aggregate FROM the per-source counts
+    (no second scan), and the per-token corpus table joins back on the
+    token key. On the fixture vocabulary this join broadcasts; at a
+    100 TB vocabulary it degrades gracefully to a shuffle join on the
+    same token hash both aggregations already produced. Every source
+    token appears in the corpus by construction, so q > 0 and the KL
+    term is always finite."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "source", F.explode(tokenize("text")).alias("tok")
+    )
+    per_src = tok.groupBy("source", "tok").agg(F.count("*").alias("c_s"))
+    src_totals = per_src.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    corpus = per_src.groupBy("tok").agg(F.sum("c_s").alias("c_all"))
+    corpus_total = corpus.agg(F.sum("c_all").alias("n_all"))
+    return (
+        per_src.join(corpus, "tok")
+        .join(F.broadcast(src_totals), "source")
+        .join(F.broadcast(corpus_total))
+        .select(
+            "source",
+            (
+                (F.col("c_s") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_s") / F.col("n_s"))
+                    / (F.col("c_all") / F.col("n_all"))
+                )
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("kl_divergence"))
+        .orderBy("source")
+    )
+
+
+SOURCE_TOKEN_KL_SQL = r"""
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS tok
+    FROM documents
+),
+per_src AS (
+    SELECT source, tok, count(*) AS c_s FROM tok GROUP BY 1, 2
+),
+src_totals AS (
+    SELECT source, sum(c_s) AS n_s FROM per_src GROUP BY 1
+),
+corpus AS (
+    SELECT tok, sum(c_s) AS c_all FROM per_src GROUP BY 1
+),
+corpus_total AS (
+    SELECT sum(c_all) AS n_all FROM corpus
+)
+SELECT source,
+       round(sum((c_s / n_s) * ln((c_s / n_s) / (c_all / n_all))), 6)
+           AS kl_divergence
+FROM per_src
+JOIN corpus USING (tok)
+JOIN src_totals USING (source)
+CROSS JOIN corpus_total
+GROUP BY source
+ORDER BY source
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-distribution histogram per language: 50-char bins over
+    n_chars. width_bucket-style binning as a pure expression; one
+    partial+final agg on (lang, bin)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    bin_col = (F.floor(F.col("n_chars") / 50) * 50).cast("bigint")
+    return (
+        docs.groupBy("lang", bin_col.alias("char_bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "char_bin")
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = r"""
+SELECT lang,
+       CAST(floor(n_chars / 50) * 50 AS BIGINT) AS char_bin,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, char_bin
+"""

@@ -576,3 +576,100 @@ def search_ivf_index(
         .filter(F.col("rank") <= top_k)
         .orderBy("query_id", "rank")
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the building
+    block of IVF training, k-means steps, and class prototypes.
+
+    Distributed shape: posexplode to (label, dim, value) rows so the
+    mean is a partial+final hash-agg per (label, dim) — dimension-wise
+    parallel, no per-group vector materialization until the final
+    re-assembly (sort_array over 64 (dim, avg) structs per label).
+    The shuffle carries one row per (label, dim): bounded by
+    n_labels × dim, independent of vector count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda s: F.round(s["m"], 6),
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_CENTROIDS_SQL = r"""
+WITH exploded AS (
+    SELECT label,
+           unnest(generate_series(0, len(embedding) - 1)) AS dim,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM embeddings
+),
+per_dim AS (
+    SELECT label, dim, avg(v) AS m, count(*) AS n
+    FROM exploded GROUP BY 1, 2
+)
+SELECT label,
+       max(n) AS n_vecs,
+       list(round(m, 6) ORDER BY dim) AS centroid
+FROM per_dim
+GROUP BY label
+ORDER BY label
+"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene + int8 quantization plumbing: per-vector L2
+    norm, max-abs scale, and a checksum of the symmetric-int8
+    quantized vector (floor(v·127/maxabs + 0.5) — floor is used
+    instead of round() so both engines share one deterministic
+    half-up rule). Pure codegen'd array expressions, zero shuffle —
+    the quantized form is what a 100 TB ANN index would persist (4×
+    smaller than float32, SIMD-friendly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(vec, F.abs))
+    quant = F.transform(
+        vec, lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(_norm(vec), 6).alias("l2_norm"),
+        F.round(maxabs, 6).alias("max_abs"),
+        F.aggregate(quant, F.lit(0).cast("bigint"), lambda a, v: a + v)
+        .alias("quant_checksum"),
+    ).orderBy("vec_id")
+
+
+EMBEDDING_NORM_STATS_SQL = r"""
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, vec,
+           list_max(list_transform(vec, x -> abs(x))) AS maxabs
+    FROM v
+)
+SELECT vec_id,
+       round(sqrt(list_aggregate(list_transform(vec, x -> x * x), 'sum')), 6)
+           AS l2_norm,
+       round(maxabs, 6) AS max_abs,
+       CAST(list_aggregate(list_transform(
+            vec, x -> floor(x * 127.0 / maxabs + 0.5)), 'sum') AS BIGINT)
+           AS quant_checksum
+FROM m
+ORDER BY vec_id
+"""
