@@ -43,6 +43,15 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("sf_dir", help="fixture dir containing documents.parquet")
     cu.add_argument("-o", "--output_dir", required=True)
     cu.add_argument("--min-quality", type=float, default=0.3)
+
+    sq = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the registered tables"
+    )
+    sq.add_argument("query", help="ANSI SQL; tables: region nation customer "
+                    "supplier part orders lineitem events documents embeddings")
+    sq.add_argument("sf_dir", help="fixture dir containing the parquet tables")
+    sq.add_argument("--limit", type=int, default=100,
+                    help="max rows printed (plan-level LIMIT, default 100)")
     return p
 
 
@@ -50,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy positional fallback (main.py:236-237): a bare FILE argument
     # is treated as `parquet FILE`
-    known = {"parquet", "cisi", "analyze", "curate"}
+    known = {"parquet", "cisi", "analyze", "curate", "sql"}
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
     args = build_parser().parse_args(argv)
@@ -87,6 +96,17 @@ def main(argv: list[str] | None = None) -> int:
 
         row = corpus_stats(spark, args.sf_dir, limit=args.limit).first()
         print(json.dumps(row.asDict()))
+        return 0
+
+    if args.command == "sql":
+        from parquet_extractor_spark.sources.tables import register_views
+
+        register_views(spark, args.sf_dir)
+        # the limit lands in the plan (TakeOrderedAndProject /
+        # CollectLimit), not in a driver-side slice of a full collect
+        rows = spark.sql(args.query).limit(args.limit).collect()
+        for row in rows:
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     if args.command == "curate":

@@ -141,3 +141,36 @@ def test_read_jsonl_docs_permissive(spark, tmp_path):
     bad = [r.raw_line for r in errors.collect()]
     assert len(bad) == 2
     assert "THIS IS NOT JSON" in bad[0] or "THIS IS NOT JSON" in bad[1]
+
+
+def test_cli_sql(spark, sf_small, capsys):
+    rc = cli_main(
+        [
+            "sql",
+            "SELECT r_name, count(*) AS n FROM region "
+            "JOIN nation ON r_regionkey = n_regionkey "
+            "GROUP BY r_name ORDER BY r_name",
+            sf_small,
+        ]
+    )
+    assert rc == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(lines) == 5
+    assert sum(row["n"] for row in lines) == 25
+
+
+def test_cli_sql_limit_is_plan_level(spark, sf_small, capsys):
+    rc = cli_main(
+        ["sql", "SELECT o_orderkey FROM orders ORDER BY o_orderkey",
+         sf_small, "--limit", "3"]
+    )
+    assert rc == 0
+    lines = [
+        line for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(lines) == 3
