@@ -35,76 +35,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order matters: the driver's correctness gate checks the
+    FIRST 50 entries. Round 2 front-loads the 30 queries that had no
+    CORRECTNESS_r01 row (the LLM-pipeline suite + late time-series),
+    the re-fixed q12, and the new exact-distinct twin; long-green
+    relational queries (all hash-matched in r01) rotate to the tail.
+    """
     return {
-        # — corpus analysis (reference parity: api.py:491-579) —
-        "corpus_stats": analyze.corpus_stats,
-        "doc_token_counts": analyze.doc_token_counts,
-        "tokens_per_lang": analyze.tokens_per_lang,
-        "top_docs_by_tokens": analyze.top_docs_by_tokens,
-        "source_token_kl": analyze.source_token_kl,
-        "doc_length_histogram": analyze.doc_length_histogram,
-        # — extraction pipeline (reference parity: main.py:9-105) —
-        "extract_plan": extract.extract_plan,
-        "sampled_doc_ids": extract.sampled_doc_ids,
-        # — relational surface (SURVEY §2.3-2.7) —
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_top_unshipped_orders": relational.q3_top_unshipped_orders,
-        "q5_region_revenue": relational.q5_region_revenue,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "top_brands_by_revenue": relational.top_brands_by_revenue,
-        "top_order_per_customer": relational.top_order_per_customer,
-        "customer_order_running_totals": relational.customer_order_running_totals,
-        "customer_value_quartiles": relational.customer_value_quartiles,
-        "customers_without_orders": relational.customers_without_orders,
-        "customer_activity_full_join": relational.customer_activity_full_join,
-        "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
-        "order_priority_counts": relational.order_priority_counts,
-        "segment_stats_rollup": relational.segment_stats_rollup,
-        "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
-        "region_nation_roster": relational.region_nation_roster,
-        "events_hourly": relational.events_hourly,
-        "events_json_stats": relational.events_json_stats,
-        "part_type_distinct_brands": relational.part_type_distinct_brands,
-        "events_cube": relational.events_cube,
-        # — extended TPC-H suite (decorrelation shapes; see operators/tpch.py) —
-        "q7_volume_shipping": tpch.q7_volume_shipping,
-        "q8_market_share": tpch.q8_market_share,
-        "q9_product_type_profit": tpch.q9_product_type_profit,
-        "q10_returned_items": tpch.q10_returned_items,
-        "q12_late_lines_by_status": tpch.q12_late_lines_by_status,
-        "q13_order_count_distribution": tpch.q13_order_count_distribution,
-        "q14_promo_revenue": tpch.q14_promo_revenue,
-        "q15_top_supplier": tpch.q15_top_supplier,
-        "q18_large_volume_customers": tpch.q18_large_volume_customers,
-        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
-        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
-        "q22_prospect_customers": tpch.q22_prospect_customers,
-        # rows-only check: HLL sketches aren't cross-engine comparable
-        "events_approx_users": relational.events_approx_users,
-        # — time-series / advanced relational (SURVEY J4, A8-A9, ST1) —
-        "asof_view_before_purchase": timeseries.asof_view_before_purchase,
-        "events_sessionized": timeseries.events_sessionized,
-        "events_pivot_daily": timeseries.events_pivot_daily,
-        "events_pivot_roundtrip": timeseries.events_pivot_roundtrip,
-        "events_daily_moving_avg": timeseries.events_daily_moving_avg,
-        "brand_price_stats": timeseries.brand_price_stats,
-        "brand_price_regression": timeseries.brand_price_regression,
-        "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
-        "orders_quarter_range_join": timeseries.orders_quarter_range_join,
-        "customers_lost_since_1995": timeseries.customers_lost_since_1995,
-        "entity_union_directory": timeseries.entity_union_directory,
-        "user_longest_streak": timeseries.user_longest_streak,
-        "user_retention_cohorts": timeseries.user_retention_cohorts,
-        "events_hourly_gapfilled": timeseries.events_hourly_gapfilled,
-        "session_funnel": timeseries.session_funnel,
-        # — deduplication (training-data pipeline) —
+        # ——— driver window (first 50) ———
+        # — deduplication (training-data pipeline; unchecked in r01) —
         "dedup_exact": dedup.exact_dedup,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "dedup_components": dedup.dedup_components,
-        # — similarity search (embeddings) —
+        # — similarity search (embeddings; unchecked in r01) —
         "knn_bruteforce": similarity.knn_bruteforce,
         "ann_sign_lsh": similarity.ann_sign_lsh,
         "ann_sign_lsh_multiprobe": similarity.ann_sign_lsh_multiprobe,
@@ -112,13 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
         "label_centroids": similarity.label_centroids,
         "embedding_norm_stats": similarity.embedding_norm_stats,
-        # — text preparation (training pipeline) —
+        # — text preparation (unchecked in r01) —
         "doc_chunks": textprep.doc_chunks,
         "tfidf_top_terms": textprep.tfidf_top_terms,
         "stratified_sample_by_lang": textprep.stratified_sample_by_lang,
         "weighted_sample_by_lang": textprep.weighted_sample_by_lang,
         "fuzzy_name_pairs": textprep.fuzzy_name_pairs,
-        # — text analysis —
+        # — text analysis (unchecked in r01) —
         "language_id": quality.language_id,
         "quality_scores": quality.quality_scores,
         "bpe_token_counts": quality.bpe_token_counts,
@@ -126,6 +72,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": quality.repetition_scores,
         "pii_redaction": quality.pii_redaction,
         "ngram_decontamination": contamination.ngram_decontamination,
+        # — late time-series (unchecked in r01) —
+        "entity_union_directory": timeseries.entity_union_directory,
+        "user_longest_streak": timeseries.user_longest_streak,
+        "user_retention_cohorts": timeseries.user_retention_cohorts,
+        "events_hourly_gapfilled": timeseries.events_hourly_gapfilled,
+        "session_funnel": timeseries.session_funnel,
+        # — r01 fixes needing a fresh driver row —
+        "q12_late_lines_by_status": tpch.q12_late_lines_by_status,
+        "events_distinct_users": relational.events_distinct_users,
+        # — r01-green continuity sample (flagship coverage) —
+        "corpus_stats": analyze.corpus_stats,
+        "doc_token_counts": analyze.doc_token_counts,
+        "source_token_kl": analyze.source_token_kl,
+        "doc_length_histogram": analyze.doc_length_histogram,
+        "extract_plan": extract.extract_plan,
+        "sampled_doc_ids": extract.sampled_doc_ids,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "q9_product_type_profit": tpch.q9_product_type_profit,
+        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
+        "customer_activity_full_join": relational.customer_activity_full_join,
+        "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
+        "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
+        "events_cube": relational.events_cube,
+        "asof_view_before_purchase": timeseries.asof_view_before_purchase,
+        "events_sessionized": timeseries.events_sessionized,
+        "brand_price_regression": timeseries.brand_price_regression,
+        "top_order_per_customer": relational.top_order_per_customer,
+        # ——— tail (all hash-matched in CORRECTNESS_r01; locally
+        #     re-verified each round via tools/check_oracle.py) ———
+        "tokens_per_lang": analyze.tokens_per_lang,
+        "top_docs_by_tokens": analyze.top_docs_by_tokens,
+        "q3_top_unshipped_orders": relational.q3_top_unshipped_orders,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "top_brands_by_revenue": relational.top_brands_by_revenue,
+        "customer_order_running_totals": relational.customer_order_running_totals,
+        "customer_value_quartiles": relational.customer_value_quartiles,
+        "customers_without_orders": relational.customers_without_orders,
+        "order_priority_counts": relational.order_priority_counts,
+        "segment_stats_rollup": relational.segment_stats_rollup,
+        "region_nation_roster": relational.region_nation_roster,
+        "events_hourly": relational.events_hourly,
+        "events_json_stats": relational.events_json_stats,
+        "part_type_distinct_brands": relational.part_type_distinct_brands,
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q8_market_share": tpch.q8_market_share,
+        "q10_returned_items": tpch.q10_returned_items,
+        "q13_order_count_distribution": tpch.q13_order_count_distribution,
+        "q14_promo_revenue": tpch.q14_promo_revenue,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q18_large_volume_customers": tpch.q18_large_volume_customers,
+        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        "q22_prospect_customers": tpch.q22_prospect_customers,
+        "events_pivot_daily": timeseries.events_pivot_daily,
+        "events_pivot_roundtrip": timeseries.events_pivot_roundtrip,
+        "events_daily_moving_avg": timeseries.events_daily_moving_avg,
+        "brand_price_stats": timeseries.brand_price_stats,
+        "part_types_sold_both_periods": timeseries.part_types_sold_both_periods,
+        "orders_quarter_range_join": timeseries.orders_quarter_range_join,
+        "customers_lost_since_1995": timeseries.customers_lost_since_1995,
+        # rows-only check: HLL sketches aren't cross-engine comparable;
+        # accuracy vs exact is pinned in tests/test_relational_oracle.py
+        "events_approx_users": relational.events_approx_users,
     }
 
 
@@ -157,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_json_stats": relational.EVENTS_JSON_SQL,
         "part_type_distinct_brands": relational.PART_TYPE_DISTINCT_SQL,
+        "events_distinct_users": relational.EVENTS_DISTINCT_USERS_SQL,
         "events_cube": relational.EVENTS_CUBE_SQL,
         "q7_volume_shipping": tpch.Q7_SQL,
         "q8_market_share": tpch.Q8_SQL,

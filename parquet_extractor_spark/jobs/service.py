@@ -75,15 +75,21 @@ def submit_job(
     def _run() -> None:
         sc = spark.sparkContext
         sc.setJobGroup(job_id, f"{job_type} [{job_id}]", interruptOnCancel=True)
+        # Terminal-state rule: a cancelled job stays cancelled. The
+        # interrupted worker unwinds through the except arm (or, if fn
+        # happened to finish first, the try arm) AFTER cancel_job set
+        # status='cancelled' — only transition while still 'running'.
         try:
             result = fn(job_id)
             with _jobs_lock:
-                jobs[job_id]["status"] = "completed"
-                jobs[job_id]["result"] = result
+                if jobs[job_id]["status"] == "running":
+                    jobs[job_id]["status"] = "completed"
+                    jobs[job_id]["result"] = result
         except Exception as exc:  # permissive job surface (O4)
             with _jobs_lock:
-                jobs[job_id]["status"] = "failed"
-                jobs[job_id]["error"] = str(exc)
+                if jobs[job_id]["status"] == "running":
+                    jobs[job_id]["status"] = "failed"
+                    jobs[job_id]["error"] = str(exc)
                 jobs[job_id]["log"].append(traceback.format_exc()[-2000:])
         # no clearJobGroup: the property is thread-local and this
         # worker thread ends here (PySpark 4 removed clearJobGroup).
@@ -93,13 +99,28 @@ def submit_job(
 
 
 def cancel_job(spark: SparkSession, job_id: str) -> bool:
-    if job_id not in jobs:
-        return False
-    spark.sparkContext.cancelJobGroup(job_id)
     with _jobs_lock:
+        if job_id not in jobs:
+            return False
         if jobs[job_id]["status"] == "running":
             jobs[job_id]["status"] = "cancelled"
+    spark.sparkContext.cancelJobGroup(job_id)
     return True
+
+
+def resolve_subdir(output_root: str, subdir: str) -> str:
+    """Resolve a client-supplied subdir strictly inside output_root.
+
+    ``os.path.join(root, '../..')`` or an absolute subdir would escape
+    the output root entirely (arbitrary listing/download, and writes
+    via check_write_access's makedirs). Normalize with realpath and
+    require the result to stay under the root.
+    """
+    root = os.path.realpath(output_root)
+    target = os.path.realpath(os.path.join(root, subdir))
+    if os.path.commonpath([root, target]) != root:
+        raise ValueError(f"subdir escapes output root: {subdir!r}")
+    return target
 
 
 def check_write_access(output_dir: str) -> None:
@@ -125,6 +146,10 @@ def create_app(spark: SparkSession, output_root: str):
     POST /api/extract/pdf            — S9 documents → per-doc PDFs
     GET  /api/files                  — S11 listing
     GET  /api/files/<name>           — S12 download
+    DELETE /api/files                — S13 cleanup (cleanup_wikir.py:22-61)
+
+    Every client-supplied ``subdir`` goes through :func:`resolve_subdir`
+    (400 on escape attempts) before touching the filesystem.
     """
     import shutil
     import tempfile
@@ -143,6 +168,12 @@ def create_app(spark: SparkSession, output_root: str):
     from parquet_extractor_spark.sources.tables import load_table
 
     app = Flask("parquet_extractor_spark")
+
+    def _subdir_or_400(raw: str):
+        try:
+            return resolve_subdir(output_root, raw), None
+        except ValueError as exc:
+            return None, (jsonify({"error": str(exc)}), 400)
 
     @app.get("/api/health")
     def health():
@@ -191,7 +222,9 @@ def create_app(spark: SparkSession, output_root: str):
         sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
         n = min(int(params.get("num_docs", 100)), MAX_DOCS)
         seed = int(params.get("seed", 42))
-        out_dir = os.path.join(output_root, params.get("subdir", "markdown"))
+        out_dir, err = _subdir_or_400(params.get("subdir", "markdown"))
+        if err:
+            return err
 
         def _work(job_id: str) -> dict[str, Any]:
             check_write_access(out_dir)
@@ -217,9 +250,10 @@ def create_app(spark: SparkSession, output_root: str):
         # default batch 1000 (main.py:205), capped like every job input
         n = min(int(request.form.get("num_papers", 1000)), MAX_DOCS)
         seed = int(request.form.get("seed", 42))
-        out_dir = os.path.join(
-            output_root, request.form.get("subdir", "parquet_md")
-        )
+        out_dir, err = _subdir_or_400(request.form.get("subdir", "parquet_md"))
+        if err:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return err
 
         def _work(job_id: str) -> dict[str, Any]:
             try:
@@ -246,7 +280,9 @@ def create_app(spark: SparkSession, output_root: str):
         params = request.get_json(silent=True) or {}
         sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
         limit = min(int(params.get("limit", 100)), MAX_DOCS)
-        out_dir = os.path.join(output_root, params.get("subdir", "pdf"))
+        out_dir, err = _subdir_or_400(params.get("subdir", "pdf"))
+        if err:
+            return err
 
         def _work(job_id: str) -> dict[str, Any]:
             check_write_access(out_dir)
@@ -275,8 +311,9 @@ def create_app(spark: SparkSession, output_root: str):
 
     @app.get("/api/files")
     def list_files():
-        subdir = request.args.get("subdir", "markdown")
-        target = os.path.join(output_root, subdir)
+        target, err = _subdir_or_400(request.args.get("subdir", "markdown"))
+        if err:
+            return err
         if not os.path.isdir(target):
             return jsonify({"files": [], "count": 0})
         names = sorted(os.listdir(target))
@@ -295,7 +332,32 @@ def create_app(spark: SparkSession, output_root: str):
 
     @app.get("/api/files/<path:name>")
     def download_file(name: str):
-        subdir = request.args.get("subdir", "markdown")
-        return send_from_directory(os.path.join(output_root, subdir), name)
+        target, err = _subdir_or_400(request.args.get("subdir", "markdown"))
+        if err:
+            return err
+        return send_from_directory(target, name)
+
+    @app.delete("/api/files")
+    def cleanup_files():
+        """S13 cleanup (reference cleanup_wikir.py:22-61): delete a
+        subdir's files with size accounting. Driver-side os walk — the
+        output root is a driver-local staging area; at cluster scale
+        outputs live in object storage and cleanup is a lifecycle rule.
+        """
+        target, err = _subdir_or_400(request.args.get("subdir", "markdown"))
+        if err:
+            return err
+        if os.path.realpath(target) == os.path.realpath(output_root):
+            return jsonify({"error": "refusing to delete output root"}), 400
+        deleted, bytes_freed = 0, 0
+        if os.path.isdir(target):
+            for root, _dirs, names in os.walk(target, topdown=False):
+                for n in names:
+                    p = os.path.join(root, n)
+                    bytes_freed += os.path.getsize(p)
+                    os.remove(p)
+                    deleted += 1
+            shutil.rmtree(target, ignore_errors=True)
+        return jsonify({"deleted": deleted, "bytes_freed": bytes_freed})
 
     return app

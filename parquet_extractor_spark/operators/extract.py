@@ -32,12 +32,79 @@ from parquet_extractor_spark.sources.tables import load_table
 KNUTH = 2654435761  # Knuth multiplicative hash constant
 MOD = 4294967296  # 2^32
 SAMPLE_N = 100
+ROWNUM_BUCKETS_SHIFT = 27  # 2^32 / 2^27 = 32 order-preserving buckets
 
 
 def sample_key(id_col: Column, seed: int = DEFAULT_SEED) -> Column:
     """Deterministic pseudo-random ordering key: multiplicative hash
-    of (id + seed). Plain int arithmetic → identical in every engine."""
-    return ((id_col + F.lit(seed)) * F.lit(KNUTH)) % F.lit(MOD)
+    of (id + seed). Plain int arithmetic → identical in every engine.
+
+    Overflow-safe form: reduce mod 2^32 FIRST, then multiply in two
+    16-bit halves so every intermediate stays < 2^49. The naive
+    ``(id + seed) * KNUTH`` overflows int64 for ids above ~3.5e9,
+    where non-ANSI Spark silently wraps but DuckDB promotes to
+    HUGEINT — breaking the any-engine reproducibility contract exactly
+    at large-corpus scale. For ids below that the value is unchanged.
+    """
+    a = F.pmod(id_col.cast("bigint") + F.lit(seed), F.lit(MOD))
+    hi = F.pmod(F.shiftright(a, 16) * F.lit(KNUTH), F.lit(65536))
+    lo = a.bitwiseAND(F.lit(65535)) * F.lit(KNUTH)
+    return F.pmod(hi * F.lit(65536) + lo, F.lit(MOD))
+
+
+# the same arithmetic as a SQL fragment (DuckDB oracle); {id} is the
+# id expression
+SAMPLE_KEY_SQL = (
+    "((((({id}) + {seed}) % {mod}) >> 16) * {knuth} % 65536) * 65536"
+    " + (((({id}) + {seed}) % {mod}) & 65535) * {knuth}"
+)
+
+
+def sample_key_sql(id_expr: str, seed: int = DEFAULT_SEED) -> str:
+    inner = SAMPLE_KEY_SQL.format(id=id_expr, seed=seed, mod=MOD, knuth=KNUTH)
+    return f"(({inner}) % {MOD})"
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out: str = "rn"
+) -> DataFrame:
+    """Scale-safe global row numbering in the total order of
+    ``order_cols`` (first of which must be ``_sk``).
+
+    ``Window.orderBy`` with no partitionBy collapses to a single
+    partition — fine for a 100-row sample, a driver-side chokepoint at
+    n=10M. Instead: bucket by the HIGH bits of ``_sk`` (order-
+    preserving ranges, so global order = bucket order + in-bucket
+    order), number within buckets in parallel, then add per-bucket
+    offsets carried as one broadcast map column (≤32 entries) — no
+    single-partition window anywhere, no driver collect.
+    """
+    bucket = F.shiftright(
+        F.col("_sk").cast("bigint"), ROWNUM_BUCKETS_SHIFT
+    )
+    b = df.withColumn("_bucket", bucket)
+    w = Window.partitionBy("_bucket").orderBy(*order_cols)
+    numbered = b.withColumn("_rn_local", F.row_number().over(w))
+    counts_map = (
+        b.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("_bucket", "_n")))
+            ).alias("_cmap")
+        )
+    )
+    offset = F.aggregate(
+        F.map_entries(F.col("_cmap")),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc
+        + F.when(e["key"] < F.col("_bucket"), e["value"]).otherwise(0),
+    )
+    return (
+        numbered.join(F.broadcast(counts_map), how="cross")
+        .withColumn(out, (offset + F.col("_rn_local")).cast("int"))
+        .drop("_bucket", "_rn_local", "_cmap")
+    )
 
 
 def deterministic_sample(
@@ -77,8 +144,7 @@ def extract_plan(
     roles = resolve_roles(docs)
 
     sampled = deterministic_sample(docs, "doc_id", n, seed)
-    w = Window.orderBy("_sk", "doc_id")
-    numbered = sampled.withColumn("rn", F.row_number().over(w))
+    numbered = global_row_number(sampled, ["_sk", "doc_id"])
 
     title = F.concat(F.lit("document_"), F.col("doc_id").cast("string"))
     filename = F.concat(
@@ -115,8 +181,7 @@ def extract_files(
     docs = load_table(spark, sf_dir, "documents")
     roles = resolve_roles(docs)
     sampled = deterministic_sample(docs, "doc_id", n, seed)
-    w = Window.orderBy("_sk", "doc_id")
-    numbered = sampled.withColumn("rn", F.row_number().over(w))
+    numbered = global_row_number(sampled, ["_sk", "doc_id"])
     title = F.concat(F.lit("document_"), F.col("doc_id").cast("string"))
     filename = F.concat(
         zero_pad(F.col("rn")), F.lit("_"), sanitize_filename(title), F.lit(".md")
@@ -132,7 +197,7 @@ def extract_files(
 EXTRACT_PLAN_SQL = rf"""
 WITH sampled AS (
     SELECT *,
-           ((doc_id + {DEFAULT_SEED}) * {KNUTH}) % {MOD} AS _sk
+           {sample_key_sql("doc_id")} AS _sk
     FROM documents
     ORDER BY _sk, doc_id
     LIMIT {SAMPLE_N}
@@ -181,7 +246,7 @@ def sampled_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SAMPLED_DOC_IDS_SQL = rf"""
-SELECT doc_id, ((doc_id + {DEFAULT_SEED}) * {KNUTH}) % {MOD} AS sample_key
+SELECT doc_id, {sample_key_sql("doc_id")} AS sample_key
 FROM documents
 ORDER BY sample_key, doc_id
 LIMIT {SAMPLE_N}
@@ -210,8 +275,7 @@ def extract_any_parquet(
 
     key = (portable_hash64(content) + F.lit(seed)) % F.lit(MOD)
     sampled = df.withColumn("_sk", key).orderBy("_sk", roles.content).limit(n)
-    w = Window.orderBy("_sk", roles.content)
-    numbered = sampled.withColumn("rn", F.row_number().over(w))
+    numbered = global_row_number(sampled, ["_sk", roles.content])
 
     if roles.title:
         title = F.coalesce(

@@ -534,6 +534,31 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (SURVEY §2.5 A8 exact path)
+    — the oracle-able twin of :func:`events_approx_users`. Spark
+    plans count(DISTINCT) as a two-stage expand+partial-agg (no
+    driver-side dedup); at 100 TB the shuffle carries one row per
+    (event_type, user_id) after map-side dedup, which is the best an
+    exact answer can do. The sketch variant above is the scale path
+    when 2% error is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_DISTINCT_USERS_SQL = r"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: revenue change from discount adjustments — a pure
     filter + global aggregate. The showcase pushdown query: all three

@@ -67,7 +67,17 @@ def write_files(
     def _write_partition(rows):
         for row in rows:
             try:
-                path = os.path.join(out_dir, row["filename"])
+                name = row["filename"]
+                # this sink is also fed by uploaded-parquet extract
+                # jobs: a filename carrying a separator or absolute
+                # path must not escape out_dir
+                if (
+                    not name
+                    or os.path.basename(name) != name
+                    or name in (os.curdir, os.pardir)
+                ):
+                    raise ValueError(f"unsafe filename: {name!r}")
+                path = os.path.join(out_dir, name)
                 with open(path, "w", encoding="utf-8") as fh:
                     fh.write(row["body"] if row["body"] is not None else "")
                 written_acc.add(1)
@@ -77,8 +87,9 @@ def write_files(
     work.foreachPartition(_write_partition)
     written, failed = written_acc.value, failed_acc.value
     # skipped derived from the accumulators — saves a second count job
-    # over the anti-joined plan
-    skipped = before - written - failed if before is not None else 0
+    # over the anti-joined plan. Accumulator totals are at-least-once
+    # under task retries/speculation, so clamp the derived value.
+    skipped = max(0, before - written - failed) if before is not None else 0
     return {
         "written": written,
         "skipped": skipped,

@@ -4,10 +4,9 @@ The sanitization/truncation/chunking stages are pure Column
 expressions (they're what the reference spends its lines on); only the
 final render is Python, run per-partition on executors.
 
-fpdf is not installed in this container, so the render step falls back
-to a deterministic fake PDF byte stream with the same interface —
-clearly marked; the Spark-side plumbing (schema, partitioning, batch
-shape) is real and tested.
+The render itself is the pure-Python PDF 1.4 writer in
+``sinks/pdfwriter.py`` — real, viewer-openable PDFs with no external
+dependency (the reference uses fpdf, absent in this container).
 """
 
 from __future__ import annotations
@@ -27,13 +26,7 @@ from parquet_extractor_spark.functions.text import (
     non_ascii_scrub,
     truncate,
 )
-
-try:  # pragma: no cover - not installed here
-    from fpdf import FPDF  # type: ignore
-
-    HAVE_FPDF = True
-except ImportError:
-    HAVE_FPDF = False
+from parquet_extractor_spark.sinks.pdfwriter import render_pdf
 
 
 def pdf_ready_columns(title: Column, content: Column) -> tuple[Column, Column]:
@@ -57,27 +50,10 @@ def _chunks(text: str, size: int = PDF_CHUNK_SIZE) -> list[str]:
 
 
 def render_pdf_bytes(title: str, doc_id: str, content: str) -> bytes:
-    """Render one document to PDF bytes. Real fpdf when available;
-    otherwise a deterministic fake with the same layout inputs, so
-    tests exercise identical plumbing."""
-    if HAVE_FPDF:  # pragma: no cover
-        pdf = FPDF()
-        pdf.add_page()
-        pdf.set_font("Arial", "B", 14)
-        pdf.multi_cell(0, 10, title)
-        pdf.set_font("Arial", "", 10)
-        pdf.multi_cell(0, 8, f"Document ID: {doc_id}")
-        pdf.set_font("Arial", "", 11)
-        for chunk in _chunks(content):
-            pdf.multi_cell(0, 6, chunk)
-        return bytes(pdf.output(dest="S"), "latin-1")
-    # STUB: fpdf unavailable — deterministic fake preserving the exact
-    # chunked layout the real renderer would receive.
-    parts = [f"%PDF-FAKE-1.4\n%title:{title}\n%doc_id:{doc_id}\n"]
-    for i, chunk in enumerate(_chunks(content)):
-        parts.append(f"%chunk{i}:{len(chunk)}\n{chunk}\n")
-    parts.append("%%EOF\n")
-    return "".join(parts).encode("utf-8", errors="replace")
+    """Render one document to real PDF bytes: bold title, Document ID
+    line, then the 1000-char chunks in the reference's render order
+    (api.py:774-796) — via the dependency-free PDF 1.4 writer."""
+    return render_pdf(title, doc_id, _chunks(content))
 
 
 def write_pdfs(

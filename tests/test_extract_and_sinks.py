@@ -98,9 +98,43 @@ def test_pdf_sink_writes_files(spark, tmp_path):
     res = write_pdfs(df, out)
     assert res["written"] == 2
     data = open(os.path.join(out, "a.pdf"), "rb").read()
-    assert data.startswith(b"%PDF")  # real or deterministic fake
-    # determinism of the stub renderer
+    assert data.startswith(b"%PDF-1.4")
+    # byte-determinism (executors must render identically on retry)
     assert render_pdf_bytes("t", "1", "c") == render_pdf_bytes("t", "1", "c")
+
+
+def test_pdf_structure_parses(spark):
+    """The PDF 1.4 output is structurally valid: every xref offset
+    points at its 'N 0 obj' header, the trailer references the
+    catalog, page count matches /Count, and the file ends in %%EOF
+    (reference smoke shape test_wikir_extraction.py:28-34)."""
+    import re
+
+    data = render_pdf_bytes("My Title", "42", "hello world\n" * 400)
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+
+    xref_at = int(data.rstrip().rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    assert data[xref_at : xref_at + 4] == b"xref"
+    header = data[xref_at:].split(b"\n", 2)
+    n_objs = int(header[1].split()[1])
+    entries = data[xref_at:].split(b"\n")[2 : 2 + n_objs]
+    assert entries[0].startswith(b"0000000000 65535 f")
+    for i, entry in enumerate(entries[1:], start=1):
+        off = int(entry.split()[0])
+        assert data[off:].startswith(f"{i} 0 obj".encode())
+
+    assert b"/Type /Catalog" in data and b"/Root 1 0 R" in data
+    kids = re.search(rb"/Kids \[([^\]]*)\]", data).group(1)
+    count = int(re.search(rb"/Count (\d+)", data).group(1))
+    assert count == kids.count(b"0 R") and count >= 2  # long doc paginates
+    # every content stream declares its exact length
+    for m in re.finditer(rb"<< /Length (\d+) >>\nstream\n", data):
+        ln = int(m.group(1))
+        assert data[m.end() + ln : m.end() + ln + 10] == b"\nendstream"
+    # escaping: specials in text stay inside balanced string literals
+    esc = render_pdf_bytes("a(b)c\\d", "7", "x(y)z")
+    assert rb"(a\(b\)c\\d)" in esc
 
 
 def test_dataset_sink_roundtrip_partitioned(spark, sf_small, tmp_path):
@@ -155,3 +189,50 @@ def test_compact_dataset_reduces_files(spark, sf_small, tmp_path):
     assert result["files_after"] <= 2
     back = spark.read.parquet(out)
     assert back.count() == result["rows"] == docs.count()
+
+
+def test_markdown_sink_rejects_path_escaping_filenames(spark, tmp_path):
+    """ADVICE r01: a filename carrying separators or an absolute path
+    (possible via uploaded-parquet extract jobs) must fail that row,
+    not write outside out_dir."""
+    out = tmp_path / "out"
+    df = spark.createDataFrame(
+        [
+            ("ok.md", "fine"),
+            ("../escape.md", "bad"),
+            ("/tmp/abs.md", "bad"),
+            ("a/b.md", "bad"),
+        ],
+        "filename string, body string",
+    )
+    result = write_files(df, str(out), skip_existing=False)
+    assert result["written"] == 1
+    assert result["failed"] == 3
+    assert sorted(os.listdir(out)) == ["ok.md"]
+    assert not (tmp_path / "escape.md").exists()
+
+
+def test_sample_key_large_ids_match_duckdb(spark, duck):
+    """ADVICE r01: the naive (id+seed)*KNUTH overflows int64 above
+    id~3.5e9 (Spark wraps, DuckDB promotes to HUGEINT). The split-
+    multiply form must agree cross-engine at large-corpus id scale."""
+    from parquet_extractor_spark.operators.extract import sample_key, sample_key_sql
+
+    ids = [0, 1, 12345, 3_500_000_000, 2**40, 2**62 - 1]
+    sdf = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.doc_id: r.sk
+        for r in sdf.select(
+            "doc_id", sample_key(F.col("doc_id")).alias("sk")
+        ).collect()
+    }
+    expr = sample_key_sql("doc_id")
+    want = dict(
+        duck.execute(
+            "SELECT doc_id, "
+            + expr
+            + " FROM (SELECT unnest(?::BIGINT[]) AS doc_id)",
+            [ids],
+        ).fetchall()
+    )
+    assert got == want

@@ -146,3 +146,50 @@ def test_polling_client_wait_logic(client, monkeypatch):
     record = jc.run("/api/analyze/corpus", {})
     assert record["status"] == "completed"
     assert record["result"]["document_count"] == 500
+
+
+def test_subdir_traversal_rejected(client, tmp_path):
+    """ADVICE r01: '../..' or absolute subdirs must not escape the
+    output root on any route that takes one."""
+    for url in (
+        "/api/files?subdir=../..",
+        "/api/files?subdir=/etc",
+        "/api/files/x?subdir=../..",
+    ):
+        assert client.get(url).status_code == 400
+    assert (
+        client.post(
+            "/api/extract/documents", json={"num_docs": 1, "subdir": "../pwn"}
+        ).status_code
+        == 400
+    )
+    assert (
+        client.post(
+            "/api/extract/pdf", json={"limit": 1, "subdir": "/tmp/pwn"}
+        ).status_code
+        == 400
+    )
+    assert client.delete("/api/files?subdir=../..").status_code == 400
+    # nothing escaped next to the root
+    assert not (tmp_path.parent / "pwn").exists()
+
+
+def test_cleanup_endpoint_roundtrip(client):
+    """S13 parity (cleanup_wikir.py:22-61): create -> list -> delete
+    with size accounting -> empty listing."""
+    resp = client.post(
+        "/api/extract/documents", json={"num_docs": 5, "subdir": "cleanme"}
+    )
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    listing = client.get("/api/files?subdir=cleanme").get_json()
+    assert listing["count"] == 5
+    total = sum(f["size"] for f in listing["files"])
+
+    out = client.delete("/api/files?subdir=cleanme").get_json()
+    assert out["deleted"] == 5
+    assert out["bytes_freed"] == total
+
+    assert client.get("/api/files?subdir=cleanme").get_json()["count"] == 0
+    # deleting the root itself is refused
+    assert client.delete("/api/files?subdir=.").status_code == 400

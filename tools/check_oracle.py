@@ -22,6 +22,42 @@ TABLES = (
 ).split()
 
 
+def type_tag(name: str) -> str:
+    """Coarse cross-engine type tag. The driver's value hash is
+    type-tagged, so a Spark BIGINT vs DuckDB HUGEINT mismatch fails
+    there even when values agree (r01 q12). Map both engines' type
+    names into one tag space: int-family collapses to 'int', but
+    HUGEINT/DECIMAL deliberately do NOT — that divergence is exactly
+    what the driver punishes."""
+    t = name.strip().lower()
+    if t.startswith(("array<", "list")) or t.endswith("[]"):
+        inner = t
+        for pre, suf in (("array<", ">"), ("list(", ")")):
+            if inner.startswith(pre) and inner.endswith(suf):
+                inner = inner[len(pre):-len(suf)]
+        if inner.endswith("[]"):
+            inner = inner[:-2]
+        return f"list<{type_tag(inner)}>"
+    if t.startswith("decimal") or t == "hugeint":
+        return "decimal"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "ubigint",
+             "uinteger", "usmallint", "utinyint"):
+        return "int"
+    if t in ("float", "double", "real"):
+        return "float"
+    if t in ("string", "varchar", "text"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t == "date":
+        return "date"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t in ("binary", "blob"):
+        return "bin"
+    return t
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -64,6 +100,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -74,16 +111,25 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         ok = True
+        stags = {c: type_tag(t) for c, t in zip(scols, stypes)}
+        dtags = {c: type_tag(t) for c, t in zip(dcols, dtypes)}
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            ok = False
+        elif stags != dtags:
+            diffs = {
+                c: (stags[c], dtags[c]) for c in stags if stags[c] != dtags[c]
+            }
+            print(f"FAIL {name}: type-tag mismatch {diffs}")
             ok = False
         elif len(srows) != len(drows):
             print(f"FAIL {name}: rowcount {len(srows)} != {len(drows)}")
