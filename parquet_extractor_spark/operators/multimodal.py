@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata (driver north star).
 
-The decode libraries (PIL/librosa/ffmpeg) are NOT in this container,
-so the decode kernels are stubs — either a clearly-marked
-NotImplementedError or a deterministic fake — but everything
-Spark-side is real and tested: the schema, the mapInPandas batch
-iteration, the Arrow column shapes, and the partitioning strategy.
+Image decode is REAL for PNG via the dependency-free codec in
+``functions/png.py`` (zlib is stdlib) — features and resize run on
+actual pixels in CI. Other formats (JPEG/audio/video frames) would
+need PIL/librosa/ffmpeg, absent from this container, and raise a
+clearly-marked NotImplementedError; their Spark-side plumbing — the
+schema, the mapInPandas batch iteration, the Arrow column shapes, and
+the partitioning strategy — is real and tested either way.
 
 Design for 100 TB of media:
 - media rows are fat (MBs of binary) → keep
@@ -61,11 +63,27 @@ FEATURE_DIM = 16
 
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """STUB: real impl would be PIL.Image.open(BytesIO(data)).
-    The imaging stack is not installed in this container."""
+    """Decode an image binary to an (H,W,C) uint8 array. PNG decodes
+    for real (functions/png.py); other formats need an imaging
+    library this container doesn't ship."""
+    from parquet_extractor_spark.functions.png import PNG_MAGIC, decode_png
+
+    if data and data[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return decode_png(data)
     raise NotImplementedError(
-        "image decode requires PIL/pillow, not available in this environment"
+        "only PNG decode is implemented; JPEG/WebP/... require "
+        "PIL/pillow, not available in this environment"
     )
+
+
+def pixel_feature(arr: "np.ndarray", dim: int = FEATURE_DIM) -> list[float]:
+    """Real pixel-space feature: a dim-bin normalized intensity
+    histogram over the channel-mean image — the shape a tiny visual
+    encoder would produce, computed from actual decoded pixels."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+    total = max(1, int(hist.sum()))
+    return [float(v) / total for v in hist]
 
 
 def fake_feature(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
@@ -87,6 +105,15 @@ def extract_features(media: DataFrame) -> DataFrame:
     (spark.sql.execution.arrow.maxRecordsPerBatch), so a partition of
     fat rows never materializes in one Python allocation."""
 
+    from parquet_extractor_spark.functions.png import PNG_MAGIC
+
+    def _one_feature(d: bytes | None) -> list[float]:
+        # real pixel features for decodable images; byte-hash features
+        # as the declared stand-in for formats with no decoder here
+        if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
+            return pixel_feature(decode_image(d))
+        return fake_feature(d)
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -96,7 +123,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["data"].map(
                         lambda d: len(d) if d is not None else 0
                     ),
-                    "feature": pdf["data"].map(fake_feature),
+                    "feature": pdf["data"].map(_one_feature),
                 }
             )
 
@@ -124,15 +151,23 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fixture generator for tests: n media rows with
-    pseudo-random binary payloads."""
+    """Deterministic fixture generator for tests: n media rows.
+    Image rows carry REAL 64×48 PNGs (random pixels, round-trippable
+    through the codec); audio/video rows carry opaque pseudo-random
+    payloads."""
+    from parquet_extractor_spark.functions.png import encode_png
+
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(64, 512))
-        data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        if kind == "image":
+            pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+            data = encode_png(pixels)
+        else:
+            size = int(rng.integers(64, 512))
+            data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
         rows.append(
             (
                 i,
@@ -171,16 +206,26 @@ def fake_resized_bytes(data: bytes | None, width: int, height: int) -> bytes:
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image-resize plumbing over mapInPandas.
-
-    The kernel is the stubbed fake above (real impl: PIL decode →
-    LANCZOS resample → re-encode), but the Spark-side contract is the
-    real one: filter to images BEFORE the Python boundary (pushed to
-    the scan), Arrow-batched binary streaming in, fixed-size binary
-    out, output volume proportional to row count × target dims — which
-    is what determines the downstream partition sizing when the
-    resized table is written.
+    """Image-resize over mapInPandas: PNG rows decode → nearest-
+    neighbor resample → re-encode, all on real pixels (functions/
+    png.py); non-decodable formats fall back to the declared byte-
+    tiling fake. The Spark-side contract either way: filter to images
+    BEFORE the Python boundary (pushed to the scan), Arrow-batched
+    binary streaming in, bounded binary out, output volume
+    proportional to row count × target dims — which is what
+    determines the downstream partition sizing when the resized table
+    is written.
     """
+    from parquet_extractor_spark.functions.png import (
+        PNG_MAGIC,
+        encode_png,
+        resize_nearest,
+    )
+
+    def _one(d: bytes | None) -> bytes:
+        if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
+            return encode_png(resize_nearest(decode_image(d), width, height))
+        return fake_resized_bytes(d, width, height)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -191,9 +236,7 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     "orig_height": pdf["height"],
                     "width": width,
                     "height": height,
-                    "data": pdf["data"].map(
-                        lambda d: fake_resized_bytes(d, width, height)
-                    ),
+                    "data": pdf["data"].map(_one),
                 }
             )
 

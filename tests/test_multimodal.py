@@ -1,18 +1,66 @@
+import numpy as np
 import pytest
 
+from parquet_extractor_spark.functions.png import (
+    PNG_MAGIC,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
 from parquet_extractor_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_image,
     extract_features,
     fake_feature,
+    pixel_feature,
     sample_frames,
     synthetic_media,
 )
 
 
-def test_decode_is_clearly_stubbed():
+def test_png_roundtrip_all_filters_and_channels():
+    rng = np.random.default_rng(7)
+    for channels in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(5, 4, channels), dtype=np.uint8)
+        for ftype in range(5):  # None/Sub/Up/Average/Paeth
+            data = encode_png(arr, filter_type=ftype)
+            assert data.startswith(PNG_MAGIC)
+            out = decode_png(data)
+            assert out.shape == arr.shape
+            assert np.array_equal(out, arr)
+
+
+def test_png_rejects_garbage_and_bad_crc():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    corrupted = bytearray(good)
+    corrupted[40] ^= 0xFF  # flip a byte inside a chunk payload
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupted))
+
+
+def test_decode_image_real_png_and_stubbed_other_formats():
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(decode_image(encode_png(arr)), arr)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_feature_extraction_on_real_4x4_png(spark):
+    """VERDICT r01 item 7: mapInPandas features from a REAL decoded
+    4x4 PNG — the histogram must reflect the actual pixel values."""
+    arr = np.full((4, 4, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", 4, 4, None, bytearray(encode_png(arr)))],
+        schema=synthetic_media(spark, n=1).schema,
+    )
+    [row] = extract_features(df).collect()
+    # all 16 pixels have intensity 200 -> bin 12 of 16 holds everything
+    expected = [0.0] * FEATURE_DIM
+    expected[200 * FEATURE_DIM // 256] = 1.0
+    assert row.feature == expected
+    assert pixel_feature(arr) == expected
 
 
 def test_feature_extraction_plumbing(spark):
@@ -22,6 +70,11 @@ def test_feature_extraction_plumbing(spark):
     for r in feats:
         assert len(r.feature) == FEATURE_DIM
         assert r.n_bytes > 0
+    # image rows went through the real pixel path: histogram sums to 1
+    img_ids = {r.media_id for r in media.filter("kind = 'image'").collect()}
+    for r in feats:
+        if r.media_id in img_ids:
+            assert abs(sum(r.feature) - 1.0) < 1e-6  # float32 column
     # deterministic across executions (pure function of bytes)
     again = {r.media_id: r.feature for r in extract_features(media).collect()}
     for r in feats:
@@ -43,20 +96,26 @@ def test_frame_sampling_fanout(spark):
     assert {r.frame_ts_ms for r in rows} == {0, 1000, 2000, 3000, 4000}
 
 
-def test_resize_images_plumbing(spark):
-    from parquet_extractor_spark.operators.multimodal import (
-        resize_images,
-        synthetic_media,
-    )
+def test_resize_images_real_pixels(spark):
+    from parquet_extractor_spark.operators.multimodal import resize_images
 
     media = synthetic_media(spark, n=30)
     out = resize_images(media, width=32, height=16).collect()
-    # only image rows survive, each with exactly width*height bytes
+    # only image rows survive; each output is a real PNG at target dims
     assert len(out) == 10
+    originals = {
+        r.media_id: decode_png(bytes(r.data))
+        for r in media.filter("kind = 'image'").collect()
+    }
     for r in out:
         assert r.width == 32 and r.height == 16
-        assert len(r.data) == 32 * 16
         assert r.orig_width == 64
+        resized = decode_png(bytes(r.data))
+        assert resized.shape == (16, 32, 3)
+        # nearest-neighbor agrees with resampling the original directly
+        assert np.array_equal(
+            resized, resize_nearest(originals[r.media_id], 32, 16)
+        )
     # deterministic across runs
     again = resize_images(media, width=32, height=16).collect()
     assert [bytes(r.data) for r in out] == [bytes(r.data) for r in again]
