@@ -26,6 +26,7 @@ from parquet_extractor_spark.operators import (
     textprep,
     timeseries,
     tpch,
+    training,
 )
 
 
@@ -81,6 +82,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — r01 fixes needing a fresh driver row —
         "q12_late_lines_by_status": tpch.q12_late_lines_by_status,
         "events_distinct_users": relational.events_distinct_users,
+        # — new in r02: training-data assembly (operators/training.py) —
+        "pack_sequences": training.pack_sequences,
+        "train_val_test_split": training.train_val_test_split,
+        "source_mixing_weights": training.source_mixing_weights,
+        "dedup_canonical": training.dedup_canonical,
         # — r01-green continuity sample (flagship coverage) —
         "corpus_stats": analyze.corpus_stats,
         "doc_token_counts": analyze.doc_token_counts,
@@ -91,17 +97,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q5_region_revenue": relational.q5_region_revenue,
         "q9_product_type_profit": tpch.q9_product_type_profit,
-        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
-        "customer_activity_full_join": relational.customer_activity_full_join,
         "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
         "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
         "events_cube": relational.events_cube,
         "asof_view_before_purchase": timeseries.asof_view_before_purchase,
         "events_sessionized": timeseries.events_sessionized,
-        "brand_price_regression": timeseries.brand_price_regression,
-        "top_order_per_customer": relational.top_order_per_customer,
         # ——— tail (all hash-matched in CORRECTNESS_r01; locally
         #     re-verified each round via tools/check_oracle.py) ———
+        "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
+        "customer_activity_full_join": relational.customer_activity_full_join,
+        "brand_price_regression": timeseries.brand_price_regression,
+        "top_order_per_customer": relational.top_order_per_customer,
         "tokens_per_lang": analyze.tokens_per_lang,
         "top_docs_by_tokens": analyze.top_docs_by_tokens,
         "q3_top_unshipped_orders": relational.q3_top_unshipped_orders,
@@ -220,4 +226,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": quality.REPETITION_SCORES_SQL,
         "pii_redaction": quality.PII_REDACTION_SQL,
         "ngram_decontamination": contamination.NGRAM_DECONTAMINATION_SQL,
+        "pack_sequences": training.PACK_SEQUENCES_SQL,
+        "train_val_test_split": training.TRAIN_VAL_TEST_SPLIT_SQL,
+        "source_mixing_weights": training.SOURCE_MIXING_WEIGHTS_SQL,
+        "dedup_canonical": training.DEDUP_CANONICAL_SQL,
     }

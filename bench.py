@@ -1,6 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+the MEDIAN — bench noise on this host is ±50% across runs (r01
+verdict), so single samples aren't comparable round-to-round.
+
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
@@ -9,12 +13,14 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 # Headline set: one per operator family, weighted toward the
 # shuffle-heavy plans where engine quality shows.
@@ -67,20 +73,31 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            # noop sink: full computation of every output column without
-            # count()'s column pruning shortcutting the expressions.
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # one broken query must not erase the round's metric
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            try:
+                df = fn(spark, SF_DIR)
+                # noop sink: full computation of every output column
+                # without count()'s column pruning shortcutting the
+                # expressions.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not erase the round's metric
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+                samples = []
+                break
+            samples.append(time.time() - t0)
+        if not samples:
             continue
-        dt = time.time() - t0
+        dt = statistics.median(samples)
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        print(
+            f"# {name}: median {dt:.2f}s of "
+            f"{[round(s, 2) for s in samples]}",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

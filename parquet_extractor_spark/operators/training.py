@@ -1,0 +1,280 @@
+"""Training-data assembly operators: the steps between a curated
+corpus and a training run (driver north star — beyond the reference's
+own surface, which stops at per-document extraction, main.py:9-105).
+
+Four operators, each a pure DataFrame plan with a DuckDB oracle:
+
+- :func:`pack_sequences` — greedy-offset sequence packing: assign
+  docs to fixed token-budget bins per source stream (the "pack to
+  context length" step of LLM data prep).
+- :func:`train_val_test_split` — deterministic hash-based split with
+  per-split accounting; reproducible in any engine via the portable
+  md5 hash, so resharding the corpus never moves a doc across splits.
+- :func:`source_mixing_weights` — per-source natural token shares →
+  sampling rates toward a target mixture (the Pile/ROOTS-style
+  mixture table).
+- :func:`dedup_canonical` — keep/drop verdict per doc from the
+  connected-components labels (the materialized end of the dedup
+  pipeline: exact → MinHash LSH → components → canonical survivor).
+
+Scale notes are per-operator; the common theme is that every shuffle
+key here is (source | split | component), never raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquet_extractor_spark.functions.text import portable_hash64, tokenize
+from parquet_extractor_spark.operators.dedup import dedup_components
+from parquet_extractor_spark.sources.tables import load_table, spread
+
+SEQ_BUDGET = 256  # tokens per packed sequence (context-window budget)
+SPLIT_SALT = "split-v1"  # version the split; changing it reshuffles
+TRAIN_PCT, VAL_PCT = 80, 10  # remainder is test
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to a packed-sequence bin of SEQ_BUDGET tokens,
+    greedily in doc_id order within each source stream.
+
+    bin = floor(start_offset / budget) where start_offset is the
+    running token total BEFORE the doc — the standard streaming
+    concatenate-then-chunk packing (docs may straddle a boundary;
+    ``crosses_boundary`` flags those).
+
+    Scale: the window partitions by SOURCE, so no global total order
+    exists anywhere in the plan — each source stream packs
+    independently, which is how a 100 TB corpus is packed in practice
+    (per input shard). Skew bound = tokens in the largest source; for
+    a corpus with one giant source, sub-bucket doc_id ranges the same
+    way extract.global_row_number buckets its sample key.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    running = toks.withColumn(
+        "start_offset",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    return (
+        running.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("start_offset") / SEQ_BUDGET)
+            .cast("bigint")
+            .alias("seq_id"),
+            (
+                (F.col("start_offset") / SEQ_BUDGET).cast("bigint")
+                != ((F.col("start_offset") + F.col("n_tokens") - 1) / SEQ_BUDGET).cast("bigint")
+            ).alias("crosses_boundary"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+running AS (
+    SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS start_offset
+    FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(start_offset / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(floor(start_offset / {SEQ_BUDGET}) AS BIGINT)
+         != CAST(floor((start_offset + n_tokens - 1) / {SEQ_BUDGET}) AS BIGINT)
+           AS crosses_boundary
+FROM running
+ORDER BY doc_id
+"""
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {TRAIN_PCT}/{VAL_PCT}/rest split by portable hash
+    of (salt, doc_id): per-split doc and token accounting.
+
+    The assignment is a pure map-side expression of the doc_id — no
+    randomness, no state — so it is stable under any repartitioning,
+    re-ingestion order, or engine, which is the property that keeps
+    eval sets honest across pipeline versions. The only shuffle is
+    the 3-group final aggregation.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pct = portable_hash64(
+        F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = rf"""
+WITH assigned AS (
+    SELECT CASE
+             WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {TRAIN_PCT} THEN 'train'
+             WHEN CAST(('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture table toward a UNIFORM target over sources: natural
+    token share per source, target share, and the per-source sampling
+    rate (target/natural, scaled so the largest rate is 1.0 — i.e.
+    downsample everything else rather than upsample).
+
+    One partial+final aggregation over (source); the share/rate
+    arithmetic runs on the handful of aggregated rows via a broadcast
+    of the single-row totals."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_source = (
+        docs.select(
+            "source", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("source_tokens"))
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    shared = per_source.join(F.broadcast(totals), how="cross")
+    rated = shared.select(
+        "source",
+        "source_tokens",
+        F.round(F.col("source_tokens") / F.col("all_tokens"), 6).alias(
+            "natural_share"
+        ),
+        F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+        (
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("source_tokens") / F.col("all_tokens"))
+        ).alias("_raw_rate"),
+    )
+    max_rate = rated.agg(F.max("_raw_rate").alias("max_rate"))
+    return (
+        rated.join(F.broadcast(max_rate), how="cross")
+        .select(
+            "source",
+            "source_tokens",
+            "natural_share",
+            "target_share",
+            F.round(F.col("_raw_rate") / F.col("max_rate"), 6).alias(
+                "sampling_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIXING_WEIGHTS_SQL = r"""
+WITH per_source AS (
+    SELECT source,
+           CAST(sum(CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT)) AS BIGINT) AS source_tokens
+    FROM documents
+    GROUP BY source
+),
+shared AS (
+    SELECT source, source_tokens,
+           source_tokens / (SELECT sum(source_tokens) FROM per_source) AS nat,
+           1.0 / (SELECT count(*) FROM per_source) AS tgt
+    FROM per_source
+)
+SELECT source, source_tokens,
+       round(nat, 6) AS natural_share,
+       round(tgt, 6) AS target_share,
+       round((tgt / nat) / (SELECT max(tgt / nat) FROM shared), 6)
+           AS sampling_rate
+FROM shared
+ORDER BY source
+"""
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized dedup verdict: each doc's component label (from
+    min-label propagation over the MinHash-LSH graph, dedup.py) plus
+    whether the doc IS the canonical survivor (the component's min
+    doc_id). ``keep`` is just ``doc_id == component`` — min-label
+    propagation already labels every component by its minimum, so no
+    second aggregation is needed; the operator adds zero shuffles on
+    top of the components computation.
+
+    Cites reference intent: the reference dedups per-title at write
+    time (api.py:248-254 skip-existing); this is the corpus-scale
+    generalization.
+    """
+    labels = dedup_components(spark, sf_dir)
+    return (
+        labels.select(
+            "doc_id",
+            "component",
+            (F.col("doc_id") == F.col("component")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_canonical_oracle() -> str:
+    from parquet_extractor_spark.operators.dedup import DEDUP_COMPONENTS_SQL
+
+    inner = DEDUP_COMPONENTS_SQL.strip().rstrip()
+    return f"""
+WITH labels AS (
+{inner}
+)
+SELECT doc_id, component, doc_id = component AS keep
+FROM labels
+ORDER BY doc_id
+"""
+
+
+DEDUP_CANONICAL_SQL = _dedup_canonical_oracle()

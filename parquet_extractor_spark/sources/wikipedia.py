@@ -117,6 +117,41 @@ def fetch_pages(
     return pages.filter(F.col("exists"))  # P8 existence filter
 
 
+def live_list_members() -> Callable[[str], list[tuple[str, int]]]:
+    """Real category lister over mwclient (reference api.py:661-714).
+    Import-gated: raises ImportError where mwclient isn't installed —
+    tests importorskip on it, CI stays offline, and the same callable
+    shape as the test fakes plugs into :func:`category_titles`."""
+    import mwclient  # noqa: F401 — hard dep of this adapter only
+
+    site = mwclient.Site("en.wikipedia.org")
+
+    def _list(category: str) -> list[tuple[str, int]]:
+        cat = site.categories[category.removeprefix("Category:")]
+        return [(m.name, m.namespace) for m in cat.members()]
+
+    return _list
+
+
+def live_fetch_page() -> Callable[[str], tuple[bool, str, str]]:
+    """Real page fetcher over wikipediaapi (reference api.py:732-749).
+    Import-gated like :func:`live_list_members`; returned callable is
+    shipped to executors by fetch_pages' mapInPandas."""
+    import wikipediaapi  # noqa: F401
+
+    wiki = wikipediaapi.Wikipedia(
+        user_agent="parquet-extractor-spark/0.1", language="en"
+    )
+
+    def _fetch(title: str) -> tuple[bool, str, str]:
+        page = wiki.page(title)
+        if not page.exists():
+            return False, None, None
+        return True, page.text, page.summary
+
+    return _fetch
+
+
 def crawl_category(
     spark: SparkSession,
     categories: list[str],

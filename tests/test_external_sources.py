@@ -81,3 +81,53 @@ def test_fetch_error_tolerance(spark):
 
     pages = fetch_pages(titles, _raises, delay_s=0)
     assert pages.count() == 0  # error -> exists=False -> filtered (O4)
+
+
+def test_live_ir_datasets_smoke(spark):
+    """Integration smoke (r01 verdict item 10): when ir_datasets IS
+    installed, drive load_wikir against a real corpus shape once so
+    the injectable seam is proven beyond fakes. Skipped in offline CI
+    (the lib is absent from this container)."""
+    import pytest
+
+    ird = pytest.importorskip("ir_datasets")
+    from parquet_extractor_spark.sources.ir_datasets_source import load_wikir
+
+    try:
+        df = load_wikir(spark, "wikir/en1k/validation", limit=3)
+        rows = df.collect()
+    except Exception as exc:  # network/dataset download unavailable
+        pytest.skip(f"ir_datasets present but corpus unavailable: {exc}")
+    assert 0 < len(rows) <= 3
+    assert {"doc_id", "text"} <= set(df.columns)
+    assert all(r.doc_id for r in rows)
+
+
+def test_live_wikipedia_smoke(spark):
+    """When mwclient/wikipediaapi are installed, run one real category
+    listing + page fetch through the same mapInPandas path the fakes
+    exercise. Skipped offline."""
+    import pytest
+
+    pytest.importorskip("mwclient")
+    pytest.importorskip("wikipediaapi")
+    from parquet_extractor_spark.sources.wikipedia import (
+        live_fetch_page,
+        live_list_members,
+    )
+
+    try:
+        titles = category_titles(
+            spark, ["Physics"], live_list_members(), limit=2
+        )
+        sample = [r.title for r in titles.collect()]
+        assert sample
+        pages = fetch_pages(
+            spark.createDataFrame([(t,) for t in sample], "title string"),
+            live_fetch_page(),
+        )
+        got = pages.collect()
+    except Exception as exc:
+        pytest.skip(f"wikipedia libs present but network unavailable: {exc}")
+    assert 0 < len(got) <= len(sample)
+    assert all((r.text or "") != "" for r in got)

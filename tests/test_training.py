@@ -1,0 +1,81 @@
+"""Training-data assembly operators (operators/training.py)."""
+
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.operators.training import (
+    SEQ_BUDGET,
+    TRAIN_PCT,
+    VAL_PCT,
+    dedup_canonical,
+    pack_sequences,
+    source_mixing_weights,
+    train_val_test_split,
+)
+
+
+def test_pack_sequences_invariants(spark, sf_small):
+    rows = pack_sequences(spark, sf_small).collect()
+    assert len(rows) == 500
+    by_source: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_source.setdefault(r.source, []).append(r)
+    for docs in by_source.values():
+        offset = 0
+        for r in docs:
+            # seq_id is the bin of the running start offset
+            assert r.seq_id == offset // SEQ_BUDGET
+            end_bin = (offset + r.n_tokens - 1) // SEQ_BUDGET
+            assert r.crosses_boundary == (r.seq_id != end_bin)
+            offset += r.n_tokens
+        # bins are dense: every id up to the last appears
+        seen = {r.seq_id for r in docs}
+        assert seen == set(range(max(seen) + 1))
+
+
+def test_train_val_test_split_is_deterministic_and_complete(spark, sf_small):
+    a = {r.split: r for r in train_val_test_split(spark, sf_small).collect()}
+    b = {r.split: r for r in train_val_test_split(spark, sf_small).collect()}
+    assert set(a) == {"train", "val", "test"}
+    assert sum(r.n_docs for r in a.values()) == 500
+    for k in a:
+        assert (a[k].n_docs, a[k].total_tokens) == (b[k].n_docs, b[k].total_tokens)
+    # hash split tracks the target proportions within sampling noise
+    assert abs(a["train"].n_docs / 500 - TRAIN_PCT / 100) < 0.08
+    assert abs(a["val"].n_docs / 500 - VAL_PCT / 100) < 0.06
+
+
+def test_source_mixing_weights_normalized(spark, sf_small):
+    rows = source_mixing_weights(spark, sf_small).collect()
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-3
+    assert max(r.sampling_rate for r in rows) == 1.0
+    assert all(0 < r.sampling_rate <= 1.0 for r in rows)
+    # the most over-represented source is the one fully sampled
+    biggest = max(rows, key=lambda r: r.source_tokens)
+    assert biggest.sampling_rate < 1.0 or len(rows) == 1
+
+
+def test_dedup_canonical_keeps_component_minima(spark, sf_small):
+    rows = dedup_canonical(spark, sf_small).collect()
+    assert len(rows) == 500
+    comp_min: dict[int, int] = {}
+    for r in rows:
+        comp_min[r.component] = min(
+            comp_min.get(r.component, r.doc_id), r.doc_id
+        )
+    for r in rows:
+        assert r.keep == (r.doc_id == comp_min[r.component] == r.component)
+    kept = sum(r.keep for r in rows)
+    assert kept == len(comp_min)
+    assert kept < 500  # the fixture contains near-dup clusters
+
+
+def test_pack_sequences_plan_has_no_global_window(spark, sf_small):
+    """The packing window must partition by source — a global-order
+    window would single-thread the whole corpus at scale."""
+    plan = pack_sequences(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in m.group(1)
