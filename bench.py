@@ -64,9 +64,17 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # Warm the JVM + parquet footers with one tiny action so per-query
-    # numbers measure the plans, not session bring-up.
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm the JVM, codegen, and EVERY table's parquet footers so
+    # per-query numbers measure the plans, not session bring-up —
+    # otherwise whichever queries run first absorb the one-time costs
+    # (count() on parquet is metadata-only, so this stays cheap).
+    from parquet_extractor_spark.sources.tables import load_table
+
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        load_table(spark, SF_DIR, t).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -376,3 +376,43 @@ def run_enriched_stream(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each
+    (user_id, event_type, ts) within the watermark horizon — the
+    streaming arm of the dedup tier (operators/dedup.py is the batch
+    arm).
+
+    ``dropDuplicatesWithinWatermark`` holds one state row per key and
+    EVICTS it once the watermark passes — bounded state on an
+    unbounded stream, which plain dropDuplicates (state grows forever)
+    cannot give. At 100 TB/day this is the ingest-time guard that
+    stops at-least-once upstream delivery from double-counting events
+    before they ever reach the corpus.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "events_dedup_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the events source once through the streaming dedup into a
+    memory sink; append mode (dedup emits rows, not aggregates)."""
+    stream = dedup_stream(read_events_stream(spark, sf_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table_name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)
