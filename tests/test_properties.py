@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+These run executor-side inside foreachPartition/mapInPandas, where a
+crash kills a task, so they get adversarial inputs rather than just
+the fixtures: the PNG codec, the PDF writer, and the portable
+sample-key arithmetic (checked against DuckDB as the second engine —
+the pure-Python big-int evaluation is the ground truth both engines
+must hit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_extractor_spark.functions.png import (
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+from parquet_extractor_spark.operators.extract import (
+    KNUTH,
+    MOD,
+    sample_key_sql,
+)
+from parquet_extractor_spark.sinks.pdfwriter import render_pdf
+
+
+@st.composite
+def png_arrays(draw):
+    h = draw(st.integers(1, 8))
+    w = draw(st.integers(1, 8))
+    c = draw(st.sampled_from([1, 2, 3, 4]))
+    data = draw(
+        st.binary(min_size=h * w * c, max_size=h * w * c)
+    )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+
+
+@settings(max_examples=60, deadline=None)
+@given(arr=png_arrays(), ftype=st.integers(0, 4))
+def test_png_roundtrip_property(arr, ftype):
+    assert np.array_equal(decode_png(encode_png(arr, ftype)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arr=png_arrays(),
+    width=st.integers(1, 12),
+    height=st.integers(1, 12),
+)
+def test_resize_nearest_property(arr, width, height):
+    out = resize_nearest(arr, width, height)
+    assert out.shape == (height, width, arr.shape[2])
+    # every output pixel exists somewhere in the source
+    flat_src = {tuple(px) for row in arr for px in row}
+    assert all(tuple(px) in flat_src for row in out for px in row)
+
+
+# latin-1-encodable text including the PDF string specials
+_pdf_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+    max_size=300,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(title=_pdf_text, doc_id=_pdf_text, content=_pdf_text)
+def test_pdf_structure_property(title, doc_id, content):
+    data = render_pdf(title, doc_id, [content])
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    xref_at = int(
+        data.rstrip().rsplit(b"startxref", 1)[1].split(b"%%EOF")[0]
+    )
+    assert data[xref_at : xref_at + 4] == b"xref"
+    n_objs = int(data[xref_at:].split(b"\n", 2)[1].split()[1])
+    entries = data[xref_at:].split(b"\n")[2 : 2 + n_objs]
+    for i, entry in enumerate(entries[1:], start=1):
+        off = int(entry.split()[0])
+        assert data[off:].startswith(f"{i} 0 obj".encode())
+    # every stream's declared length is exact (escaping never desyncs)
+    import re
+
+    for m in re.finditer(rb"<< /Length (\d+) >>\nstream\n", data):
+        ln = int(m.group(1))
+        assert data[m.end() + ln : m.end() + ln + 10] == b"\nendstream"
+
+
+def _sample_key_ref(doc_id: int, seed: int = 42) -> int:
+    """Ground truth in Python arbitrary-precision ints."""
+    return ((doc_id + seed) * KNUTH) % MOD
+
+
+@settings(max_examples=80, deadline=None)
+@given(doc_id=st.integers(0, 2**62 - 1))
+def test_sample_key_sql_matches_bigint_math(doc_id):
+    """The overflow-safe split-multiply SQL must equal the naive
+    formula evaluated in arbitrary precision, for ANY id DuckDB can
+    hold — this is the contract Spark's test pins at its end."""
+    import duckdb
+
+    expr = sample_key_sql("doc_id")
+    (got,) = duckdb.execute(
+        f"SELECT {expr} FROM (SELECT CAST(? AS BIGINT) AS doc_id)",
+        [doc_id],
+    ).fetchone()
+    assert got == _sample_key_ref(doc_id)
