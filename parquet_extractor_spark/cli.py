@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("sf_dir", help="fixture dir containing documents.parquet")
     cu.add_argument("-o", "--output_dir", required=True)
     cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument(
+        "--training-set",
+        action="store_true",
+        help="extend the chain with train/val/test split + sequence "
+        "packing; output partitioned by (split, lang)",
+    )
 
     sq = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the registered tables"
@@ -110,9 +116,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "curate":
-        from parquet_extractor_spark.pipelines import curate
+        from parquet_extractor_spark.pipelines import (
+            curate,
+            curate_to_training_set,
+        )
 
-        result = curate(
+        fn = curate_to_training_set if args.training_set else curate
+        result = fn(
             spark,
             args.sf_dir,
             out_dir=args.output_dir,

@@ -90,6 +90,72 @@ def curate(
     return result
 
 
+def curate_to_training_set(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    min_quality: float = MIN_QUALITY,
+) -> DataFrame:
+    """The curation chain extended to a TRAINING-READY set: curate →
+    deterministic train/val/test assignment → packed-sequence ids,
+    written partitioned by (split, lang).
+
+    The split is assigned per DOCUMENT (portable hash, operators/
+    training.py semantics), so all of a doc's chunks land in one
+    split — chunk-level splitting leaks near-identical text across
+    the eval boundary. Packing runs within (split, lang) streams in
+    chunk order; at 100 TB each stream packs independently, so no
+    global order exists anywhere in the plan.
+    """
+    from parquet_extractor_spark.functions.text import portable_hash64
+    from parquet_extractor_spark.operators.training import (
+        SEQ_BUDGET,
+        SPLIT_SALT,
+        TRAIN_PCT,
+        VAL_PCT,
+    )
+    from pyspark.sql.window import Window
+
+    chunks = curate(spark, sf_dir, out_dir=None, min_quality=min_quality)
+
+    pct = portable_hash64(
+        F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = chunks.withColumn("split", split)
+
+    w = Window.partitionBy("split", "lang").orderBy("doc_id", "chunk_id")
+    packed = assigned.withColumn(
+        "seq_id",
+        (
+            F.coalesce(
+                F.sum("n_chunk_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("bigint"),
+            )
+            / SEQ_BUDGET
+        ).cast("bigint"),
+    )
+    result = packed.select(
+        "split", "lang", "seq_id", "doc_id", "chunk_id",
+        "n_chunk_tokens", "chunk_text",
+    )
+    if out_dir:
+        write_dataset(
+            result,
+            out_dir,
+            partition_by=["split", "lang"],
+            sort_by=["seq_id", "doc_id", "chunk_id"],
+            output_tasks=4,
+        )
+    return result
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     seen_digests: DataFrame,

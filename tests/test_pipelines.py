@@ -72,3 +72,37 @@ def test_incremental_dedup_drops_seen_and_batch_dups(spark):
     )
     kept = sorted(r.doc_id for r in incremental_dedup(new, seen).collect())
     assert kept == [11, 12]
+
+
+def test_curate_to_training_set(spark, sf_small, tmp_path):
+    from parquet_extractor_spark.operators.training import SEQ_BUDGET
+    from parquet_extractor_spark.pipelines import (
+        curate,
+        curate_to_training_set,
+    )
+
+    out = str(tmp_path / "train_set")
+    rows = curate_to_training_set(spark, sf_small, out_dir=out).collect()
+    assert len(rows) == curate(spark, sf_small).count()
+
+    # doc-level split: every chunk of a doc carries the same split
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_doc.values())
+    assert {r.split for r in rows} == {"train", "val", "test"}
+
+    # packing invariant per (split, lang): seq_id is the bin of the
+    # running token offset in (doc_id, chunk_id) order
+    streams = {}
+    for r in sorted(rows, key=lambda r: (r.split, r.lang, r.doc_id, r.chunk_id)):
+        off = streams.get((r.split, r.lang), 0)
+        assert r.seq_id == off // SEQ_BUDGET
+        streams[(r.split, r.lang)] = off + r.n_chunk_tokens
+
+    # written dataset is partitioned by split and lang and reads back
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
+    assert {r.split for r in back.select("split").distinct().collect()} == {
+        "train", "val", "test",
+    }
