@@ -87,9 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": training.train_val_test_split,
         "source_mixing_weights": training.source_mixing_weights,
         "dedup_canonical": training.dedup_canonical,
+        "kmeans_refine": similarity.kmeans_refine,
         # — r01-green continuity sample (flagship coverage) —
         "corpus_stats": analyze.corpus_stats,
-        "doc_token_counts": analyze.doc_token_counts,
         "source_token_kl": analyze.source_token_kl,
         "doc_length_histogram": analyze.doc_length_histogram,
         "extract_plan": extract.extract_plan,
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_activity_full_join": relational.customer_activity_full_join,
         "brand_price_regression": timeseries.brand_price_regression,
         "top_order_per_customer": relational.top_order_per_customer,
+        "doc_token_counts": analyze.doc_token_counts,
         "tokens_per_lang": analyze.tokens_per_lang,
         "top_docs_by_tokens": analyze.top_docs_by_tokens,
         "q3_top_unshipped_orders": relational.q3_top_unshipped_orders,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": similarity.ANN_IVF_SQL,
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "kmeans_refine": similarity.KMEANS_REFINE_SQL,
         "embedding_norm_stats": similarity.EMBEDDING_NORM_STATS_SQL,
         "doc_chunks": textprep.DOC_CHUNKS_SQL,
         "tfidf_top_terms": textprep.TFIDF_TOP_TERMS_SQL,

@@ -673,3 +673,139 @@ SELECT vec_id,
 FROM m
 ORDER BY vec_id
 """
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Σ (a_i-b_i)² as a left-to-right double fold (codegen'd)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means over the embeddings
+    (k = NUM_CENTROIDS, seeded with the same first-k vectors ann_ivf
+    uses): assign → recompute means → reassign → per-cluster size and
+    mean squared distance. This is the quality path for the IVF
+    coarse quantizer — refined cells give tighter candidate lists at
+    the same NPROBE.
+
+    Distributed shape per iteration: assignment is a MAP-SIDE argmin
+    over k codegen'd squared-distance expressions against plan-time
+    literal centroids (zero shuffle — the same trick as ann_ivf);
+    the mean recompute is one posexplode + partial+final avg keyed by
+    (cluster, dim) — shuffle rows = k × dim, independent of corpus
+    size; the refined centroids (k × dim doubles, a few KB) come back
+    to the driver to become the next iteration's literals. That
+    per-iteration driver hop is the standard k-means sync point — at
+    100 TB it is k·dim·8 bytes, not data.
+
+    Cross-engine determinism: distances round(9) before argmin (ties
+    break toward the lower cluster id), recomputed centroid
+    coordinates round(6), output mean-squared-distance round(4) —
+    each rounding absorbs partial-sum reorder jitter at that stage.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def argmin_cluster(cents: list[tuple[int, list[float]]]) -> tuple[Column, Column]:
+        dists = [
+            F.round(
+                _sqdist(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
+            )
+            for _cid, c in cents
+        ]
+        arr = F.array(*dists)
+        pos = F.array_position(arr, F.array_min(arr)).cast("int")
+        cid_arr = F.array(*[F.lit(cid) for cid, _c in cents])
+        return (
+            F.element_at(cid_arr, pos).cast("bigint"),
+            F.element_at(arr, pos),
+        )
+
+    cents0 = list(enumerate(_centroid_vectors(spark, sf_dir)))
+    c1, _d1 = argmin_cluster(cents0)
+    a1 = emb.withColumn("cluster", c1)
+
+    refined_rows = (
+        a1.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .collect()
+    )
+    by_cluster: dict[int, dict[int, float]] = {}
+    for r in refined_rows:
+        by_cluster.setdefault(int(r.cluster), {})[int(r.dim)] = float(r.cv)
+    cents1 = [
+        (cid, [dims[d] for d in sorted(dims)])
+        for cid, dims in sorted(by_cluster.items())
+    ]
+
+    c2, d2 = argmin_cluster(cents1)
+    return (
+        emb.select(c2.alias("cluster"), d2.alias("d"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("d"), 4).alias("avg_sqdist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+KMEANS_REFINE_SQL = rf"""
+WITH cent0 AS (
+    SELECT vec_id AS cid, embedding AS c
+    FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+),
+d1 AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round({_sqdist_sql('e.embedding', 'c.c')}, 9) AS d
+    FROM embeddings e CROSS JOIN cent0 c
+),
+a1 AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+cent1 AS (
+    SELECT cid, dim, round(avg(CAST(embedding[dim] AS DOUBLE)), 6) AS cv
+    FROM a1 CROSS JOIN range(1, 65) t(dim)
+    GROUP BY cid, dim
+),
+cent1v AS (
+    SELECT cid, list(cv ORDER BY dim) AS c FROM cent1 GROUP BY cid
+),
+d2 AS (
+    SELECT e.vec_id, c.cid,
+           round({_sqdist_sql('e.embedding', 'c.c')}, 9) AS d
+    FROM embeddings e CROSS JOIN cent1v c
+),
+a2 AS (
+    SELECT vec_id, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+        FROM d2
+    ) WHERE rn = 1
+)
+SELECT cid AS cluster, count(*) AS n_vectors, round(avg(d), 4) AS avg_sqdist
+FROM a2
+GROUP BY cid
+ORDER BY cluster
+"""

@@ -197,3 +197,43 @@ def test_persisted_ivf_index_matches_inline_ivf(spark, sf_small):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_index_test")
+
+
+def test_kmeans_refine_improves_inertia(spark, sf_small):
+    """One Lloyd mean-update must not increase total inertia
+    (monotonic convergence), clusters cover all vectors, and ids stay
+    within the seeded k."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.similarity import (
+        NUM_CENTROIDS,
+        _centroid_vectors,
+        _sqdist,
+        kmeans_refine,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    out = kmeans_refine(spark, sf_small).collect()
+    n_total = load_table(spark, sf_small, "embeddings").count()
+    assert sum(r.n_vectors for r in out) == n_total
+    assert all(0 <= r.cluster < NUM_CENTROIDS for r in out)
+
+    # inertia of the INITIAL assignment (no mean update)
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = _centroid_vectors(spark, sf_small)
+    d0 = F.array_min(
+        F.array(
+            *[
+                F.round(
+                    _sqdist(
+                        F.col("embedding"), F.array(*[F.lit(v) for v in c])
+                    ),
+                    9,
+                )
+                for c in cents
+            ]
+        )
+    )
+    initial_inertia = emb.select(F.sum(d0).alias("s")).first().s
+    refined_inertia = sum(r.avg_sqdist * r.n_vectors for r in out)
+    assert refined_inertia <= initial_inertia + 1e-6
