@@ -22,6 +22,7 @@ from parquet_extractor_spark.operators import (
     extract,
     quality,
     relational,
+    selection,
     similarity,
     textprep,
     timeseries,
@@ -88,6 +89,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixing_weights": training.source_mixing_weights,
         "dedup_canonical": training.dedup_canonical,
         "kmeans_refine": similarity.kmeans_refine,
+        # — new in r02: data selection (operators/selection.py) —
+        "dsir_importance_weights": selection.dsir_importance_weights,
+        "bm25_doc_scores": selection.bm25_doc_scores,
+        "duplicate_spans": selection.duplicate_spans,
         # — r01-green continuity sample (flagship coverage) —
         "corpus_stats": analyze.corpus_stats,
         "source_token_kl": analyze.source_token_kl,
@@ -99,11 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_type_profit": tpch.q9_product_type_profit,
         "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
         "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
+        # ——— tail (all hash-matched in CORRECTNESS_r01; locally
+        #     re-verified each round via tools/check_oracle.py) ———
         "events_cube": relational.events_cube,
         "asof_view_before_purchase": timeseries.asof_view_before_purchase,
         "events_sessionized": timeseries.events_sessionized,
-        # ——— tail (all hash-matched in CORRECTNESS_r01; locally
-        #     re-verified each round via tools/check_oracle.py) ———
         "q21_waiting_suppliers": tpch.q21_waiting_suppliers,
         "customer_activity_full_join": relational.customer_activity_full_join,
         "brand_price_regression": timeseries.brand_price_regression,
@@ -147,6 +152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_importance_weights": selection.DSIR_IMPORTANCE_WEIGHTS_SQL,
+        "bm25_doc_scores": selection.BM25_DOC_SCORES_SQL,
+        "duplicate_spans": selection.DUPLICATE_SPANS_SQL,
         "corpus_stats": analyze.CORPUS_STATS_SQL,
         "doc_token_counts": analyze.DOC_TOKEN_COUNTS_SQL,
         "tokens_per_lang": analyze.TOKENS_PER_LANG_SQL,

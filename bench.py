@@ -54,6 +54,9 @@ HEADLINE = [
     "events_cube",
     "doc_chunks",
     "tfidf_top_terms",
+    "dsir_importance_weights",
+    "bm25_doc_scores",
+    "duplicate_spans",
 ]
 
 

@@ -1,0 +1,334 @@
+"""Data-selection operators for training-corpus curation.
+
+Three published-recipe operators a large-scale LLM data pipeline runs
+beyond dedup/quality filtering (reference scope: the corpus analyzer at
+api.py:470-579 — the reference has no selection stage at all; these are
+the north-star extensions):
+
+- **DSIR importance weights** (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): hashed-n-gram importance
+  log-weights of a raw corpus against a target domain.
+- **BM25 retrieval** (Robertson/Sparck Jones): classic lexical top-k
+  scoring of documents against a query term set — the standard
+  "find me more like this" selection primitive.
+- **Duplicate span detection** (Lee et al. 2022, "Deduplicating
+  Training Data Makes Language Models Better", approximated): repeated
+  token windows across documents, the shingle-pileup approximation of
+  suffix-array substring dedup.
+
+Scale notes (100 TB):
+
+- All three are explode → hash-aggregate shapes: one scan of
+  (doc_id, text[, lang]), shuffles bounded by token/shingle counts,
+  partial aggregation map-side, tiny distribution tables broadcast.
+- Float discipline: every cross-engine score is fixed to integer
+  micro-units (``CAST(round(x * 1e6) AS BIGINT)``) *before* the final
+  per-doc sum, so the aggregation is exact integer arithmetic in both
+  engines and immune to summation-order last-ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquet_extractor_spark.functions.text import (
+    portable_hash64,
+    tokenize,
+    word_ngrams,
+)
+from parquet_extractor_spark.sources.tables import load_table, spread
+
+# ── DSIR ────────────────────────────────────────────────────────────
+DSIR_BUCKETS = 64  # hashed-feature buckets (paper uses 10k; fixture-sized)
+DSIR_TARGET_LANG = "en"  # target domain: English docs
+
+# ── BM25 ────────────────────────────────────────────────────────────
+BM25_TERMS = ("join", "merge", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+# ── duplicate spans ─────────────────────────────────────────────────
+SPAN_TOKENS = 8  # Lee et al. use 50-token windows; fixture docs are ~40 tokens
+SPAN_TOP = 200
+SPAN_SAMPLE_DOCS = 5
+
+_TOKENS_SQL = (
+    r"list_filter(regexp_split_to_array("
+    r"regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'), x -> x != '')"
+)
+_PHASH_SQL = "CAST('0x' || substr(md5({0}), 1, 15) AS BIGINT)"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram DSIR importance log-weights vs the English slice.
+
+    ``log w(d) = Σ_tok  log p_target(bucket(tok)) − log p_raw(bucket(tok))``
+    with Laplace-smoothed bucket distributions. Docs whose token mix
+    looks like the target domain score high; resampling by these
+    weights is the DSIR selection recipe.
+
+    Plan shape: ONE tokenize+explode pass feeds both the distribution
+    build and the scoring (Catalyst reuses the exchange); the bucket
+    distribution is DSIR_BUCKETS rows — broadcast. Per-bucket log
+    ratios are snapped to integer micro-units before the per-doc sum,
+    so the score aggregation is exact BIGINT math in any engine.
+    Output: (doc_id, lang, n_tokens, log_weight_micro) sorted by doc_id.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize("text")).alias("tok")
+    ).withColumn("bucket", F.pmod(portable_hash64(F.col("tok")), F.lit(DSIR_BUCKETS)))
+
+    # bucket distribution over raw corpus and target slice (64 rows)
+    dist = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
+        ).alias("tgt_cnt"),
+    )
+    totals = dist.agg(
+        F.sum("raw_cnt").alias("raw_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    lr = (
+        dist.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("tgt_cnt") + 1) / (F.col("tgt_total") + DSIR_BUCKETS))
+                    - F.log(
+                        (F.col("raw_cnt") + 1) / (F.col("raw_total") + DSIR_BUCKETS)
+                    )
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+
+    per_doc_bucket = toks.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_doc_bucket.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).cast("bigint").alias(
+                "log_weight_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           {_PHASH_SQL.format('t.tok')} % {DSIR_BUCKETS} AS bucket
+    FROM documents, unnest({_TOKENS_SQL}) AS t(tok)
+),
+dist AS (
+    SELECT bucket,
+           count(*) AS raw_cnt,
+           sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS tgt_cnt
+    FROM toks GROUP BY bucket
+),
+totals AS (
+    SELECT sum(raw_cnt) AS raw_total, sum(tgt_cnt) AS tgt_total FROM dist
+),
+lr AS (
+    SELECT bucket,
+           CAST(round((ln((tgt_cnt + 1) / CAST(tgt_total + {DSIR_BUCKETS} AS DOUBLE))
+                      - ln((raw_cnt + 1) / CAST(raw_total + {DSIR_BUCKETS} AS DOUBLE)))
+                      * 1000000.0) AS BIGINT) AS lr_micro
+    FROM dist CROSS JOIN totals
+),
+per_doc AS (
+    SELECT doc_id, lang, bucket, count(*) AS cnt
+    FROM toks GROUP BY doc_id, lang, bucket
+)
+SELECT p.doc_id, p.lang,
+       CAST(sum(p.cnt) AS BIGINT) AS n_tokens,
+       CAST(sum(p.cnt * lr.lr_micro) AS BIGINT) AS log_weight_micro
+FROM per_doc p JOIN lr USING (bucket)
+GROUP BY p.doc_id, p.lang
+ORDER BY p.doc_id
+"""
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k document retrieval for a fixed query term set.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with ``idf = ln(1 + (N − df + ½)/(df + ½))``.
+
+    Plan shape: the doc-length pass and the term-frequency pass share
+    one scan; corpus stats (N, avgdl — 1 row) and per-term df
+    (|terms| rows) are broadcast, the fact side never reshuffles
+    beyond the per-doc tf aggregation. Per-term partial scores snap to
+    micro-units before the doc-level sum (exact cross-engine BIGINT).
+    Output: top BM25_TOP_K of (doc_id, score_micro, rank).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score_micro",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("term_score_micro").cast("bigint").alias("score_micro")
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort); the rank window then runs over only
+    # BM25_TOP_K rows, so the unpartitioned WindowExec is bounded.
+    top = per_doc.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint")).orderBy("rank")
+    )
+
+
+_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_DOC_SCORES_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, t.tok
+    FROM documents, unnest({_TOKENS_SQL}) AS t(tok)
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM toks
+    WHERE tok IN ({_TERMS_IN}) GROUP BY doc_id, tok
+),
+df_t AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(round(ln(1.0 + (stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+                * (tf.tf * ({BM25_K1} + 1))
+                / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+                * 1000000.0) AS BIGINT) AS term_score_micro
+    FROM tf JOIN df_t USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+per_doc AS (
+    SELECT doc_id, CAST(sum(term_score_micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)
+               AS rank
+    FROM per_doc
+)
+SELECT doc_id, score_micro, rank FROM ranked
+WHERE rank <= {BM25_TOP_K} ORDER BY rank
+"""
+
+
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated token windows across documents (substring-dedup signal).
+
+    Lee et al. dedup exact repeated 50-token substrings via a suffix
+    array — a sequential, memory-bound structure. The distributed
+    approximation: shingle every doc into SPAN_TOKENS-token windows
+    (stride 1), hash each window, and pile up hashes seen in more than
+    one document. Span text is carried as ``min(span)`` (identical for
+    all members modulo hash collision).
+
+    Plan shape: one scan, map-side shingle fan-out (array expression,
+    no UDF), ONE shuffle keyed by span hash with partial aggregation.
+    Shuffle volume ≈ tokens × 1 hash — linear in corpus size, never
+    pairwise. Top SPAN_TOP by (n_docs, n_occurrences) keeps output
+    bounded at any scale.
+    Output: (span_hash, n_docs, n_occurrences, sample_doc_ids, span_text).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    spans = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(tokenize("text"), SPAN_TOKENS)).alias("span"),
+    ).withColumn("span_hash", portable_hash64(F.col("span")))
+    agg = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.slice(
+                F.array_sort(F.collect_set("doc_id")), 1, SPAN_SAMPLE_DOCS
+            ).alias("sample_doc_ids"),
+            F.min("span").alias("span_text"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return (
+        agg.orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_hash")
+        )
+        .limit(SPAN_TOP)
+    )
+
+
+DUPLICATE_SPANS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           list_aggregate(ts[i:i + {SPAN_TOKENS} - 1], 'string_agg', ' ') AS span
+    FROM toks, unnest(range(1, greatest(len(ts) - {SPAN_TOKENS - 1}, 1) + 1))
+         AS u(i)
+),
+hashed AS (
+    SELECT doc_id, span, {_PHASH_SQL.format('span')} AS span_hash FROM spans
+),
+agg AS (
+    SELECT span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           list_sort(list_distinct(list(doc_id)))[1:{SPAN_SAMPLE_DOCS}]
+               AS sample_doc_ids,
+           min(span) AS span_text
+    FROM hashed GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) > 1
+)
+SELECT * FROM agg
+ORDER BY n_docs DESC, n_occurrences DESC, span_hash ASC
+LIMIT {SPAN_TOP}
+"""

@@ -1,0 +1,105 @@
+"""Data-selection operators (operators/selection.py): DSIR importance
+weights, BM25 retrieval, duplicate-span detection. Correctness vs the
+DuckDB oracle is covered by tools/check_oracle.py; these tests pin the
+semantic invariants and the plan shapes."""
+
+import math
+
+from parquet_extractor_spark.operators.selection import (
+    BM25_TOP_K,
+    DSIR_TARGET_LANG,
+    SPAN_SAMPLE_DOCS,
+    SPAN_TOKENS,
+    SPAN_TOP,
+    bm25_doc_scores,
+    dsir_importance_weights,
+    duplicate_spans,
+)
+from parquet_extractor_spark.plans.explain import (
+    has_broadcast_hash_join,
+    has_partial_aggregation,
+    read_schema_columns,
+)
+
+
+def test_dsir_weights_favor_target_lang(spark, sf_small):
+    rows = dsir_importance_weights(spark, sf_small).collect()
+    assert len(rows) == 500  # one row per doc
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.log_weight_micro)
+    means = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    # English docs must score above every non-target language on
+    # average — that is the entire point of importance weighting.
+    for lang, mean in means.items():
+        if lang != DSIR_TARGET_LANG:
+            assert means[DSIR_TARGET_LANG] > mean, (lang, means)
+
+
+def test_dsir_weights_deterministic(spark, sf_small):
+    a = sorted(
+        (r.doc_id, r.log_weight_micro)
+        for r in dsir_importance_weights(spark, sf_small).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.log_weight_micro)
+        for r in dsir_importance_weights(spark, sf_small).collect()
+    )
+    assert a == b
+
+
+def test_dsir_distribution_join_is_broadcast(spark, sf_small):
+    df = dsir_importance_weights(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+    assert has_partial_aggregation(df)
+    assert set().union(*read_schema_columns(df)) <= {"doc_id", "lang", "text"}
+
+
+def test_bm25_scores_rank_and_bounds(spark, sf_small):
+    rows = bm25_doc_scores(spark, sf_small).collect()
+    assert len(rows) == BM25_TOP_K
+    assert [r.rank for r in rows] == list(range(1, BM25_TOP_K + 1))
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # BM25 term score is bounded by idf·(k1+1); with 3 terms and
+    # ln(1 + N) idf ceiling the total has a hard analytic cap.
+    cap = 3 * math.log(1 + 500) * 2.2 * 1_000_000
+    assert all(s < cap for s in scores)
+
+
+def test_bm25_stats_join_is_broadcast(spark, sf_small):
+    df = bm25_doc_scores(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+    assert has_partial_aggregation(df)
+
+
+def test_duplicate_spans_members_really_share_the_span(spark, sf_small):
+    from parquet_extractor_spark.functions.text import tokenize, word_ngrams
+    from parquet_extractor_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    out = duplicate_spans(spark, sf_small).collect()
+    assert 0 < len(out) <= SPAN_TOP
+    docs = dict(
+        load_table(spark, sf_small, "documents")
+        .select(
+            "doc_id", word_ngrams(tokenize("text"), SPAN_TOKENS).alias("spans")
+        )
+        .rdd.map(lambda r: (r.doc_id, set(r.spans)))
+        .collect()
+    )
+    for r in out[:20]:
+        assert r.n_docs > 1
+        assert r.n_occurrences >= r.n_docs
+        assert 0 < len(r.sample_doc_ids) <= SPAN_SAMPLE_DOCS
+        assert list(r.sample_doc_ids) == sorted(r.sample_doc_ids)
+        for d in r.sample_doc_ids:
+            assert r.span_text in docs[d], (r.span_hash, d)
+
+
+def test_duplicate_spans_partial_agg(spark, sf_small):
+    df = duplicate_spans(spark, sf_small)
+    assert has_partial_aggregation(df)
+    assert set().union(*read_schema_columns(df)) <= {"doc_id", "text"}
