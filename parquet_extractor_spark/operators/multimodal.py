@@ -3,7 +3,9 @@ columns with typed metadata (driver north star).
 
 Image decode is REAL for PNG via the dependency-free codec in
 ``functions/png.py`` (zlib is stdlib) — features and resize run on
-actual pixels in CI. Other formats (JPEG/audio/video frames) would
+actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
+``functions/wav.py`` (stdlib ``wave``) — energy-envelope features run
+on actual samples. Remaining formats (JPEG/MP3/video frames) would
 need PIL/librosa/ffmpeg, absent from this container, and raise a
 clearly-marked NotImplementedError; their Spark-side plumbing — the
 schema, the mapInPandas batch iteration, the Arrow column shapes, and
@@ -106,12 +108,20 @@ def extract_features(media: DataFrame) -> DataFrame:
     fat rows never materializes in one Python allocation."""
 
     from parquet_extractor_spark.functions.png import PNG_MAGIC
+    from parquet_extractor_spark.functions.wav import (
+        audio_feature,
+        decode_wav,
+        is_wav,
+    )
 
     def _one_feature(d: bytes | None) -> list[float]:
-        # real pixel features for decodable images; byte-hash features
-        # as the declared stand-in for formats with no decoder here
+        # real pixel/sample features for decodable formats; byte-hash
+        # features as the declared stand-in for formats with no decoder
         if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
             return pixel_feature(decode_image(d))
+        if is_wav(d):
+            samples, _sr = decode_wav(d)
+            return audio_feature(samples, FEATURE_DIM)
         return fake_feature(d)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -153,9 +163,10 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fixture generator for tests: n media rows.
     Image rows carry REAL 64×48 PNGs (random pixels, round-trippable
-    through the codec); audio/video rows carry opaque pseudo-random
-    payloads."""
+    through the codec); audio rows carry REAL 0.25 s 8 kHz PCM-16 WAVs
+    (sine + noise); video rows carry opaque pseudo-random payloads."""
     from parquet_extractor_spark.functions.png import encode_png
+    from parquet_extractor_spark.functions.wav import encode_wav
 
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
@@ -165,6 +176,13 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         if kind == "image":
             pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
             data = encode_png(pixels)
+        elif kind == "audio":
+            sr, dur = 8000, 0.25
+            t = np.arange(int(sr * dur)) / sr
+            freq = 200.0 + 50.0 * (i % 7)
+            sig = 8000.0 * np.sin(2 * np.pi * freq * t)
+            sig += rng.normal(0.0, 500.0, size=t.size)
+            data = encode_wav(sig.astype(np.int16), sr)
         else:
             size = int(rng.integers(64, 512))
             data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
@@ -175,7 +193,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
                 64 if kind == "image" else None,
                 48 if kind == "image" else None,
-                5000 if kind != "image" else None,
+                {"image": None, "audio": 250, "video": 5000}[kind],
                 data,
             )
         )
