@@ -50,6 +50,18 @@ def build_parser() -> argparse.ArgumentParser:
         "packing; output partitioned by (split, lang)",
     )
 
+    se = sub.add_parser(
+        "select", help="data-selection scores over the documents table"
+    )
+    se.add_argument(
+        "method", choices=["dsir", "bm25", "spans"],
+        help="dsir: importance weights vs the English slice; "
+        "bm25: lexical top-k; spans: repeated token windows",
+    )
+    se.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    se.add_argument("--limit", type=int, default=20,
+                    help="max rows printed (default 20)")
+
     sq = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the registered tables"
     )
@@ -65,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy positional fallback (main.py:236-237): a bare FILE argument
     # is treated as `parquet FILE`
-    known = {"parquet", "cisi", "analyze", "curate", "sql"}
+    known = {"parquet", "cisi", "analyze", "curate", "sql", "select"}
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
     args = build_parser().parse_args(argv)
@@ -102,6 +114,18 @@ def main(argv: list[str] | None = None) -> int:
 
         row = corpus_stats(spark, args.sf_dir, limit=args.limit).first()
         print(json.dumps(row.asDict()))
+        return 0
+
+    if args.command == "select":
+        from parquet_extractor_spark.operators import selection
+
+        fn = {
+            "dsir": selection.dsir_importance_weights,
+            "bm25": selection.bm25_doc_scores,
+            "spans": selection.duplicate_spans,
+        }[args.method]
+        for row in fn(spark, args.sf_dir).limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     if args.command == "sql":

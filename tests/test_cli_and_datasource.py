@@ -174,3 +174,26 @@ def test_cli_sql_limit_is_plan_level(spark, sf_small, capsys):
         if line.startswith("{")
     ]
     assert len(lines) == 3
+
+
+def test_cli_select_bm25_and_spans(spark, sf_small, capsys):
+    rc = cli_main(["select", "bm25", sf_small, "--limit", "5"])
+    assert rc == 0
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(rows) == 5
+    assert rows[0]["rank"] == 1
+    assert rows[0]["score_micro"] >= rows[-1]["score_micro"]
+
+    rc = cli_main(["select", "spans", sf_small, "--limit", "3"])
+    assert rc == 0
+    spans = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert len(spans) == 3
+    assert all(s["n_docs"] > 1 for s in spans)
