@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": selection.dsir_importance_weights,
         "bm25_doc_scores": selection.bm25_doc_scores,
         "duplicate_spans": selection.duplicate_spans,
+        "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         # — r01-green continuity sample (flagship coverage) —
         "corpus_stats": analyze.corpus_stats,
         "source_token_kl": analyze.source_token_kl,
@@ -103,9 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": relational.q5_region_revenue,
         "q9_product_type_profit": tpch.q9_product_type_profit,
         "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
-        "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
         # ——— tail (all hash-matched in CORRECTNESS_r01; locally
         #     re-verified each round via tools/check_oracle.py) ———
+        "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
         "events_cube": relational.events_cube,
         "asof_view_before_purchase": timeseries.asof_view_before_purchase,
         "events_sessionized": timeseries.events_sessionized,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance_weights": selection.DSIR_IMPORTANCE_WEIGHTS_SQL,
         "bm25_doc_scores": selection.BM25_DOC_SCORES_SQL,
         "duplicate_spans": selection.DUPLICATE_SPANS_SQL,
+        "lm_bigram_surprisal": selection.LM_BIGRAM_SURPRISAL_SQL,
         "corpus_stats": analyze.CORPUS_STATS_SQL,
         "doc_token_counts": analyze.DOC_TOKEN_COUNTS_SQL,
         "tokens_per_lang": analyze.TOKENS_PER_LANG_SQL,

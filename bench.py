@@ -57,6 +57,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "bm25_doc_scores",
     "duplicate_spans",
+    "lm_bigram_surprisal",
 ]
 
 

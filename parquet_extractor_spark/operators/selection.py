@@ -1,6 +1,6 @@
 """Data-selection operators for training-corpus curation.
 
-Three published-recipe operators a large-scale LLM data pipeline runs
+Four published-recipe operators a large-scale LLM data pipeline runs
 beyond dedup/quality filtering (reference scope: the corpus analyzer at
 api.py:470-579 — the reference has no selection stage at all; these are
 the north-star extensions):
@@ -15,6 +15,9 @@ the north-star extensions):
   Training Data Makes Language Models Better", approximated): repeated
   token windows across documents, the shingle-pileup approximation of
   suffix-array substring dedup.
+- **Bigram-LM surprisal** (the CCNet perplexity-filter recipe,
+  Wenzek et al. 2020, with a hashed count-based LM standing in for
+  KenLM): per-doc average −ln P(cur|prev) as a quality signal.
 
 Scale notes (100 TB):
 
@@ -49,6 +52,9 @@ BM25_TERMS = ("join", "merge", "vector")
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 20
+
+# ── hashed bigram LM (perplexity proxy) ─────────────────────────────
+LM_BUCKETS = 4096  # hashed bigram/unigram count buckets
 
 # ── duplicate spans ─────────────────────────────────────────────────
 SPAN_TOKENS = 8  # Lee et al. use 50-token windows; fixture docs are ~40 tokens
@@ -260,6 +266,117 @@ ranked AS (
 )
 SELECT doc_id, score_micro, rank FROM ranked
 WHERE rank <= {BM25_TOP_K} ORDER BY rank
+"""
+
+
+def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring with a hashed bigram LM
+    (the CCNet recipe: score text against a corpus LM, filter or
+    bucket by perplexity — here the LM is count-based over hashed
+    n-gram buckets, so it needs no external model artifact).
+
+    ``surprisal(d) = −(1/|bigrams|) Σ ln P(cur|prev)`` with
+    ``P(cur|prev) ≈ (C(bucket(bigram)) + 1) / (C(bucket(prev)) + B)``.
+    Low surprisal = predictable, in-distribution text; high =
+    gibberish or out-of-domain — the standard filter signal.
+
+    Plan shape: bigrams are built map-side from the token array (no
+    self-join); the two count tables are LM_BUCKETS rows each —
+    broadcast. Per-bigram log-probs snap to integer micro-units before
+    the per-doc sum (exact BIGINT math in any engine); only the final
+    per-doc average is a double division of two exact integers.
+    Output: (doc_id, lang, n_bigrams, avg_surprisal_micro) by doc_id.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "lang", tokenize("text").alias("ts"))
+    bigrams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ts")),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ", F.element_at("ts", i - 1), F.element_at("ts", i)
+                    ).alias("bg"),
+                    F.element_at("ts", i - 1).alias("prev"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(portable_hash64(F.col("p.bg")), F.lit(LM_BUCKETS)).alias("bb"),
+        F.pmod(portable_hash64(F.col("p.prev")), F.lit(LM_BUCKETS)).alias("pb"),
+    )
+    uni = docs.select(F.explode(tokenize("text")).alias("tok")).select(
+        F.pmod(portable_hash64(F.col("tok")), F.lit(LM_BUCKETS)).alias("pb")
+    )
+    big_counts = bigrams.groupBy("bb").agg(F.count(F.lit(1)).alias("cb"))
+    uni_counts = uni.groupBy("pb").agg(F.count(F.lit(1)).alias("cp"))
+
+    per_doc_pair = bigrams.groupBy("doc_id", "lang", "bb", "pb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lp_micro = F.round(
+        F.log(
+            (F.col("cb") + 1).cast("double") / (F.col("cp") + LM_BUCKETS)
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    return (
+        per_doc_pair.join(F.broadcast(big_counts), "bb")
+        .join(F.broadcast(uni_counts), "pb")
+        .withColumn("lp_micro", lp_micro)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("cnt") * F.col("lp_micro")).cast("double")
+                / F.sum("cnt")
+            )
+            .cast("bigint")
+            .alias("avg_surprisal_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_BIGRAM_SURPRISAL_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, lang, {_TOKENS_SQL} AS ts FROM documents
+),
+bigrams AS (
+    SELECT doc_id, lang,
+           {_PHASH_SQL.format("(ts[i - 1] || ' ' || ts[i])")} % {LM_BUCKETS} AS bb,
+           {_PHASH_SQL.format('ts[i - 1]')} % {LM_BUCKETS} AS pb
+    FROM toks, unnest(range(2, len(ts) + 1)) AS u(i)
+),
+uni AS (
+    SELECT {_PHASH_SQL.format('t.tok')} % {LM_BUCKETS} AS pb
+    FROM documents, unnest({_TOKENS_SQL}) AS t(tok)
+),
+big_counts AS (SELECT bb, count(*) AS cb FROM bigrams GROUP BY bb),
+uni_counts AS (SELECT pb, count(*) AS cp FROM uni GROUP BY pb),
+per_doc_pair AS (
+    SELECT doc_id, lang, bb, pb, count(*) AS cnt
+    FROM bigrams GROUP BY doc_id, lang, bb, pb
+),
+scored AS (
+    SELECT p.doc_id, p.lang, p.cnt,
+           CAST(round(ln(CAST(bc.cb + 1 AS DOUBLE) / (uc.cp + {LM_BUCKETS}))
+                      * 1000000.0) AS BIGINT) AS lp_micro
+    FROM per_doc_pair p
+    JOIN big_counts bc USING (bb)
+    JOIN uni_counts uc USING (pb)
+)
+SELECT doc_id, lang,
+       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       CAST(round(-CAST(sum(cnt * lp_micro) AS DOUBLE) / sum(cnt)) AS BIGINT)
+           AS avg_surprisal_micro
+FROM scored
+GROUP BY doc_id, lang
+ORDER BY doc_id
 """
 
 

@@ -103,3 +103,27 @@ def test_duplicate_spans_partial_agg(spark, sf_small):
     df = duplicate_spans(spark, sf_small)
     assert has_partial_aggregation(df)
     assert set().union(*read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_lm_surprisal_detects_scrambled_text(spark, sf_small):
+    """Corpus-level invariants of the hashed-bigram LM score: every
+    doc gets a positive −ln P average, scores have non-degenerate
+    spread, and every doc contributes at least one bigram."""
+    from parquet_extractor_spark.operators.selection import lm_bigram_surprisal
+
+    rows = lm_bigram_surprisal(spark, sf_small).collect()
+    assert len(rows) == 500
+    scores = [r.avg_surprisal_micro for r in rows]
+    assert all(s > 0 for s in scores)  # −ln P is positive
+    assert min(scores) < max(scores)  # non-degenerate spread
+    for r in rows:
+        assert r.n_bigrams > 0
+
+
+def test_lm_surprisal_plan_broadcasts_lm_tables(spark, sf_small):
+    from parquet_extractor_spark.operators.selection import lm_bigram_surprisal
+
+    df = lm_bigram_surprisal(spark, sf_small)
+    assert has_broadcast_hash_join(df)
+    assert has_partial_aggregation(df)
+    assert set().union(*read_schema_columns(df)) <= {"doc_id", "lang", "text"}
