@@ -27,34 +27,48 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
-# Physical schema of events.parquet with ts as nanos-long (file streams
-# require an explicit schema; nanosAsLong applies as in the batch path).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Physical schema of events.parquet (file streams require an explicit
+# schema). ts arrives either as TIMESTAMP (micros fixtures) or as a
+# nanos-long (TIMESTAMP(NANOS) fixtures read under nanosAsLong) — the
+# stream probes the footer via the batch reader and adapts, exactly as
+# load_table does, so a fixture-type change never skews the windows.
+def _events_stream_schema(ts_is_nanos_long: bool) -> StructType:
+    ts_field = (
+        StructField("ts", LongType())
+        if ts_is_nanos_long
+        else StructField("ts", TimestampType())
+    )
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            ts_field,
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over events.parquet with the nanos → micros
-    timestamp rebuild from the batch path."""
+    """File-source stream over events.parquet, ts normalized to a
+    micros timestamp regardless of the fixture's physical type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    nanos_long = dict(probe.dtypes).get("ts") == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(nanos_long))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    if nanos_long:
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return raw
 
 
 def hourly_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -166,10 +166,14 @@ def test_streaming_dedup_equals_batch(spark, sf_small, tmp_path):
     from parquet_extractor_spark.sources.tables import load_table
     from parquet_extractor_spark.streaming.events import run_dedup_stream
 
-    # doubled copy of events in the ORIGINAL layout (ts as nanos long)
+    # doubled copy of events re-laid-out with ts as nanos long (the
+    # round-1 fixture layout, exercising the stream's probe branch).
+    # load_table may yield TIMESTAMP or TIMESTAMP_NTZ depending on the
+    # fixture; cast to session-tz (UTC) timestamp before unix_micros.
     ev = load_table(spark, sf_small, "events")
     doubled = ev.union(ev).withColumn(
-        "ts", (F.unix_micros("ts") * 1000).cast("long")
+        "ts",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000).cast("long"),
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     src = tmp_path / "doubled"
     src.mkdir()
