@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from parquet_extractor_spark.operators import (
     analyze,
     contamination,
+    corpus_index,
     dedup,
     extract,
     quality,
@@ -94,18 +95,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doc_scores": selection.bm25_doc_scores,
         "duplicate_spans": selection.duplicate_spans,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
+        # — new in r02: corpus index / shuffle-shard / x-source dedup —
+        "inverted_index": corpus_index.inverted_index,
+        "pmi_top_pairs": corpus_index.pmi_top_pairs,
+        "zipf_token_stats": corpus_index.zipf_token_stats,
+        "shard_assignments": training.shard_assignments,
+        "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
         # — r01-green continuity sample (flagship coverage) —
         "corpus_stats": analyze.corpus_stats,
-        "source_token_kl": analyze.source_token_kl,
-        "doc_length_histogram": analyze.doc_length_histogram,
         "extract_plan": extract.extract_plan,
-        "sampled_doc_ids": extract.sampled_doc_ids,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q5_region_revenue": relational.q5_region_revenue,
-        "q9_product_type_profit": tpch.q9_product_type_profit,
-        "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
         # ——— tail (all hash-matched in CORRECTNESS_r01; locally
         #     re-verified each round via tools/check_oracle.py) ———
+        "source_token_kl": analyze.source_token_kl,
+        "doc_length_histogram": analyze.doc_length_histogram,
+        "sampled_doc_ids": extract.sampled_doc_ids,
+        "q9_product_type_profit": tpch.q9_product_type_profit,
+        "brand_small_quantity_revenue": relational.brand_small_quantity_revenue,
         "orders_priority_grouping_sets": relational.orders_priority_grouping_sets,
         "events_cube": relational.events_cube,
         "asof_view_before_purchase": timeseries.asof_view_before_purchase,
@@ -238,6 +245,11 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": quality.REPETITION_SCORES_SQL,
         "pii_redaction": quality.PII_REDACTION_SQL,
         "ngram_decontamination": contamination.NGRAM_DECONTAMINATION_SQL,
+        "inverted_index": corpus_index.INVERTED_INDEX_SQL,
+        "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
+        "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,
+        "shard_assignments": training.SHARD_ASSIGNMENTS_SQL,
+        "cross_source_dedup_candidates": dedup.CROSS_SOURCE_DEDUP_SQL,
         "pack_sequences": training.PACK_SEQUENCES_SQL,
         "train_val_test_split": training.TRAIN_VAL_TEST_SPLIT_SQL,
         "source_mixing_weights": training.SOURCE_MIXING_WEIGHTS_SQL,

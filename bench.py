@@ -58,6 +58,11 @@ HEADLINE = [
     "bm25_doc_scores",
     "duplicate_spans",
     "lm_bigram_surprisal",
+    "inverted_index",
+    "pmi_top_pairs",
+    "zipf_token_stats",
+    "shard_assignments",
+    "cross_source_dedup_candidates",
 ]
 
 

@@ -1,0 +1,314 @@
+"""Corpus-level index/statistics operators over the documents table.
+
+The reference's analyzer stops at per-document token counts
+(api.py:470-579); these are the corpus-wide structures an LLM data
+pipeline builds next: an inverted index (term -> postings, the basis
+of BM25 retrieval and lexical decontamination), PMI co-occurrence
+pairs (collocation mining / phrase detection), and Zipf fit
+statistics (corpus health check: a natural-language corpus has a
+log-log token rank/frequency slope near -1; a scraped-boilerplate or
+template-heavy corpus does not).
+
+All three are pure DataFrame expression pipelines — no UDFs — with
+DuckDB oracle SQL mirroring the exact arithmetic.
+
+Scale notes (100 TB):
+- inverted_index shuffles (term, doc_id) partials once; per-term
+  state is bounded by POSTING_K via a pre-window, so the Zipf head
+  ("the" appearing in every document) never materializes a full
+  posting list on one executor.
+- pmi_top_pairs generates pairs MAP-SIDE from per-doc capped distinct
+  token arrays (≤ PMI_CAP·(PMI_CAP-1)/2 pairs per doc), so the
+  shuffle carries bounded pair counts, never a cross join.
+- zipf_token_stats aggregates the full vocabulary to (term, freq)
+  partials, then fits on the top ZIPF_RANKS rows — driver-side state
+  is one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from parquet_extractor_spark.functions.text import tokenize
+from parquet_extractor_spark.sources.tables import load_table, spread
+
+MIN_TERM_LEN = 4  # stopword-ish guard, same role as textprep's
+POSTING_K = 5  # doc ids kept per term in the index sample
+INDEX_TOP = 100  # terms returned, by total term frequency
+PMI_CAP = 12  # distinct tokens per doc entering pair generation
+PMI_MIN_COOC = 2  # min co-occurring docs for a pair to score
+PMI_TOP = 50
+ZIPF_RANKS = 100  # head ranks used for the log-log fit
+
+
+def _terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokenize("text"), lambda t: F.length(t) >= MIN_TERM_LEN)
+        ).alias("term"),
+    )
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary + bounded posting-list sample.
+
+    explode -> tf per (term, doc) [one shuffle, map-side partials] ->
+    per-term stats; postings are the POSTING_K smallest doc_ids taken
+    via a row_number window BEFORE collect_list, so the collected
+    array is ≤ POSTING_K elements regardless of document frequency.
+    Output: (term, n_docs, total_tf, top_postings).
+    """
+    tf = (
+        _terms(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("n_docs"), F.sum("tf").alias("total_tf")
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        tf.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= POSTING_K)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("top_postings")
+        )
+    )
+    return (
+        stats.join(postings, "term")
+        .select("term", "n_docs", "total_tf", "top_postings")
+        .orderBy(F.desc("total_tf"), "term")
+        .limit(INDEX_TOP)
+    )
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> len(x) >= {MIN_TERM_LEN}) AS toks
+    FROM documents
+),
+terms AS (
+    SELECT doc_id, unnest(toks) AS term FROM toks
+),
+tf AS (
+    SELECT term, doc_id, count(*) AS tf FROM terms GROUP BY 1, 2
+)
+SELECT term,
+       count(*) AS n_docs,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string(
+           list_transform(list_sort(list(doc_id ORDER BY doc_id))[1:{POSTING_K}],
+                          x -> CAST(x AS VARCHAR)), ',') AS top_postings
+FROM tf
+GROUP BY term
+ORDER BY total_tf DESC, term
+LIMIT {INDEX_TOP}
+"""
+
+
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information.
+
+    Per doc: distinct long tokens, sorted, capped to PMI_CAP; all
+    i<j pairs generated map-side from the capped array (a codegen'd
+    nested transform — the cap makes the fan-out a constant, which is
+    what keeps this linear at crawl scale). One shuffle counts pair
+    document-frequency; marginal token document-frequencies come from
+    the same capped arrays so numerator and denominators live in one
+    probability space. pmi = ln(n_ab·N / (n_a·n_b)) over documents.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    n_total = load_table(spark, sf_dir, "documents").count()
+    capped = docs.select(
+        "doc_id",
+        F.slice(
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        tokenize("text"),
+                        lambda t: F.length(t) >= MIN_TERM_LEN,
+                    )
+                )
+            ),
+            1,
+            PMI_CAP,
+        ).alias("toks"),
+    )
+    n = F.size("toks")
+    pair_arr = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + F.lit(1), n),
+                    lambda j: F.struct(
+                        F.element_at(F.col("toks"), i).alias("t1"),
+                        F.element_at(F.col("toks"), j).alias("t2"),
+                    ),
+                ),
+            )
+        ),
+    )
+    pairs = (
+        capped.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_COOC)
+    )
+    marg = (
+        capped.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_t"))
+    )
+    return (
+        pairs.join(F.broadcast(marg.withColumnRenamed("t", "t1")), "t1")
+        .withColumnRenamed("n_t", "n_a")
+        .join(F.broadcast(marg.withColumnRenamed("t", "t2")), "t2")
+        .withColumnRenamed("n_t", "n_b")
+        .select(
+            "t1",
+            "t2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.lit(float(n_total))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "t1", "t2")
+        .limit(PMI_TOP)
+    )
+
+
+PMI_TOP_PAIRS_SQL = rf"""
+WITH capped AS (
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> len(x) >= {MIN_TERM_LEN})))[1:{PMI_CAP}] AS toks
+    FROM documents
+),
+pair_lists AS (
+    SELECT flatten(list_transform(range(1, len(toks)),
+               i -> list_transform(range(i + 1, len(toks) + 1),
+                                   j -> [toks[i], toks[j]]))) AS ps
+    FROM capped
+),
+pairs AS (
+    SELECT p[1] AS t1, p[2] AS t2, count(*) AS n_ab
+    FROM (SELECT unnest(ps) AS p FROM pair_lists)
+    GROUP BY 1, 2
+    HAVING count(*) >= {PMI_MIN_COOC}
+),
+marg AS (
+    SELECT t, count(*) AS n_t
+    FROM (SELECT unnest(toks) AS t FROM capped)
+    GROUP BY 1
+),
+total AS (SELECT count(*) AS n FROM documents)
+SELECT t1, t2, n_ab,
+       round(ln(n_ab * (SELECT CAST(n AS DOUBLE) FROM total)
+                / (a.n_t * b.n_t)), 6) AS pmi
+FROM pairs
+JOIN marg a ON a.t = t1
+JOIN marg b ON b.t = t2
+ORDER BY pmi DESC, t1, t2
+LIMIT {PMI_TOP}
+"""
+
+
+def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf fit: regress ln(freq) on ln(rank) over the top
+    ZIPF_RANKS tokens (all lengths — the Zipf head IS the stopwords).
+
+    slope = cov(ln r, ln f) / var(ln r), computed with the population
+    covariance aggregates both engines implement identically over the
+    same 100 rows (ties broken by term so both engines pick the same
+    head). One row out: vocabulary size, token count, slope,
+    intercept.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    vocab = freq.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("freq").alias("total_tokens"),
+    )
+    # Distributed top-k first (TakeOrderedAndProject), THEN rank: the
+    # unpartitioned row_number window only ever sees ZIPF_RANKS rows,
+    # so the single-partition WindowExec is bounded by a constant, not
+    # by vocabulary size.
+    w = Window.orderBy(F.desc("freq"), "term")
+    head = (
+        freq.orderBy(F.desc("freq"), "term")
+        .limit(ZIPF_RANKS)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("lx"),
+            F.log(F.col("freq").cast("double")).alias("ly"),
+        )
+    )
+    fit = head.agg(
+        F.round(
+            (F.covar_pop("lx", "ly") / F.var_pop("lx")), 6
+        ).alias("zipf_slope"),
+        F.round(
+            F.avg("ly") - (F.covar_pop("lx", "ly") / F.var_pop("lx")) * F.avg("lx"),
+            6,
+        ).alias("zipf_intercept"),
+    )
+    return vocab.crossJoin(fit).select(
+        "n_terms", "total_tokens", "zipf_slope", "zipf_intercept"
+    )
+
+
+ZIPF_TOKEN_STATS_SQL = rf"""
+WITH terms AS (
+    SELECT unnest(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS term
+    FROM documents
+),
+freq AS (
+    SELECT term, count(*) AS freq FROM terms GROUP BY 1
+),
+vocab AS (
+    SELECT count(*) AS n_terms, CAST(sum(freq) AS BIGINT) AS total_tokens
+    FROM freq
+),
+head AS (
+    SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term) AS DOUBLE)) AS lx,
+           ln(CAST(freq AS DOUBLE)) AS ly
+    FROM freq
+    QUALIFY row_number() OVER (ORDER BY freq DESC, term) <= {ZIPF_RANKS}
+),
+fit AS (
+    SELECT round(covar_pop(lx, ly) / var_pop(lx), 6) AS zipf_slope,
+           round(avg(ly) - (covar_pop(lx, ly) / var_pop(lx)) * avg(lx), 6)
+               AS zipf_intercept
+    FROM head
+)
+SELECT n_terms, total_tokens, zipf_slope, zipf_intercept
+FROM vocab, fit
+"""

@@ -290,11 +290,9 @@ ORDER BY doc_id
 """
 
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding over the MinHash signatures: docs agreeing on ALL
-    rows of any band become candidate pairs. The join key is the band
-    digest — shuffle volume O(docs × NUM_BANDS), never O(pairs)."""
-    sig = minhash_signatures(spark, sf_dir)
+def _band_buckets(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, band, bucket[, *carry]) from a signature frame: one
+    md5 digest per band, exploded map-side."""
     bands = []
     for b in range(NUM_BANDS):
         cols = [
@@ -307,10 +305,21 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(F.concat_ws("|", *cols)).alias("bucket"),
             )
         )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return sig.select(
+        "doc_id", *carry, F.explode(F.array(*bands)).alias("bb")
+    ).select(
+        "doc_id",
+        *carry,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
 
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the MinHash signatures: docs agreeing on ALL
+    rows of any band become candidate pairs. The join key is the band
+    digest — shuffle volume O(docs × NUM_BANDS), never O(pairs)."""
+    buckets = _band_buckets(minhash_signatures(spark, sf_dir))
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -322,6 +331,48 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def cross_source_dedup_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental-ingest dedup: near-duplicate candidate pairs whose
+    two documents come from DIFFERENT sources — the "dedup the new
+    crawl against the existing corpus" step of a rolling training-data
+    pipeline (the corpus-scale cousin of the reference's skip-existing
+    sink, api.py:248-254).
+
+    Same banded-LSH shuffle geometry as minhash_lsh_candidates —
+    joining the new batch against an indexed corpus stays
+    O(docs × bands), never a cross-corpus product. The source label
+    rides the signature frame through a doc_id-keyed join (both sides
+    already hash-partitioned on doc_id from the signature groupBy, so
+    AQE plans no extra exchange); the cross-source filter sits in the
+    bucket self-join condition, pruning same-source pairs before the
+    distinct.
+    """
+    srcs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sig = minhash_signatures(spark, sf_dir).join(srcs, "doc_id")
+    buckets = _band_buckets(sig, carry=("source",))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
         )
         .distinct()
         .orderBy("doc_a", "doc_b")
@@ -355,6 +406,37 @@ ORDER BY doc_a, doc_b
 
 
 MINHASH_LSH_SQL = _minhash_lsh_oracle()
+
+
+def _cross_source_oracle() -> str:
+    sig_cte = MINHASH_SIGNATURES_SQL.replace("ORDER BY doc_id", "").strip()
+    band_selects = []
+    for b in range(NUM_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT sig.doc_id, src.source, {b} AS band, md5({cols}) AS bucket "
+            "FROM sig JOIN src ON sig.doc_id = src.doc_id"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sig AS ({sig_cte}),
+src AS (SELECT doc_id, source FROM documents),
+buckets AS (
+{bands_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.source AS source_a, b.source AS source_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket
+ AND a.doc_id < b.doc_id AND a.source != b.source
+ORDER BY doc_a, doc_b
+"""
+
+
+CROSS_SOURCE_DEDUP_SQL = _cross_source_oracle()
 
 SIMHASH_BITS = 32
 

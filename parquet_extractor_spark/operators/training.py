@@ -278,3 +278,91 @@ ORDER BY doc_id
 
 
 DEDUP_CANONICAL_SQL = _dedup_canonical_oracle()
+
+
+N_SHARDS = 8  # fixture-scale; a 100 TB run uses O(10k) shards
+SHARD_SALT = "shard-v1"
+
+
+def shard_column(seed: str = SHARD_SALT, n_shards: int = N_SHARDS) -> F.Column:
+    """Portable shard assignment for global training-data shuffling:
+    ``pmod(md5-hash(salt || doc_id), n_shards)``.
+
+    The salted hash IS the shuffle — documents land in a
+    pseudo-random but deterministic shard independent of their input
+    order or partitioning, which is how a 100 TB corpus gets globally
+    shuffled without a ``orderBy(rand())`` total sort. Bumping the
+    salt reshuffles every epoch reproducibly.
+    """
+    h = portable_hash64(
+        F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+    )
+    return F.pmod(h, F.lit(n_shards))
+
+
+def shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard accounting of the global-shuffle assignment: doc and
+    token totals plus order-independent checksums (sum and bit_xor of
+    doc_id) proving the partition is exactly a disjoint cover.
+
+    Map-side expression + one n_shards-group aggregation; nothing
+    here depends on corpus size except the partial-agg width.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            shard_column().alias("shard"),
+            "doc_id",
+            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("doc_id_sum"),
+            F.bit_xor("doc_id").alias("doc_id_xor"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_ASSIGNMENTS_SQL = rf"""
+WITH assigned AS (
+    SELECT CAST(('0x' || substr(md5('{SHARD_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % {N_SHARDS} AS shard,
+           doc_id,
+           CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum,
+       bit_xor(doc_id) AS doc_id_xor
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def write_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+    seed: str = SHARD_SALT,
+) -> None:
+    """Materialize the globally-shuffled corpus as one directory per
+    shard (the training-loader layout). ``repartition`` on the shard
+    column co-locates each shard's rows before the partitioned write,
+    so every shard directory is written by exactly one task instead
+    of every task appending a sliver to every shard (the small-files
+    failure mode at 10k shards × 10k tasks).
+    """
+    (
+        docs.withColumn("shard", shard_column(seed, n_shards))
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

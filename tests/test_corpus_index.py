@@ -1,0 +1,101 @@
+"""Semantics + plan-shape tests for corpus_index, shard assignment,
+and cross-source dedup (oracle hash parity is covered by
+tools/check_oracle.py / the driver gate — these pin the properties
+the hash can't see: bounds, disjointness, plan shape)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.operators import corpus_index, dedup, training
+from parquet_extractor_spark.plans.explain import (
+    has_partial_aggregation,
+    read_schema_columns,
+)
+from parquet_extractor_spark.sources.tables import load_table
+
+
+def test_inverted_index_postings_bounded(spark, sf_small):
+    rows = corpus_index.inverted_index(spark, sf_small).collect()
+    assert rows, "index must not be empty"
+    for r in rows:
+        ids = r.top_postings.split(",")
+        assert 1 <= len(ids) <= corpus_index.POSTING_K
+        # postings are the SMALLEST doc ids, ascending
+        assert ids == sorted(ids, key=int)
+        assert r.n_docs >= len(ids)
+        assert r.total_tf >= r.n_docs
+
+
+def test_inverted_index_plan(spark, sf_small):
+    df = corpus_index.inverted_index(spark, sf_small)
+    assert has_partial_aggregation(df)
+    scans = read_schema_columns(df)
+    assert all(s <= {"doc_id", "text"} for s in scans)
+
+
+def test_pmi_pairs_ordered_and_capped(spark, sf_small):
+    rows = corpus_index.pmi_top_pairs(spark, sf_small).collect()
+    assert 0 < len(rows) <= corpus_index.PMI_TOP
+    for r in rows:
+        assert r.t1 < r.t2  # canonical orientation
+        assert r.n_ab >= corpus_index.PMI_MIN_COOC
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_zipf_slope_is_negative_and_finite(spark, sf_small):
+    row = corpus_index.zipf_token_stats(spark, sf_small).collect()[0]
+    assert row.n_terms > 0 and row.total_tokens >= row.n_terms
+    assert math.isfinite(row.zipf_slope) and row.zipf_slope < 0
+    assert math.isfinite(row.zipf_intercept)
+
+
+def test_shard_assignments_disjoint_cover(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    total = docs.count()
+    rows = training.shard_assignments(spark, sf_small).collect()
+    assert sorted(r.shard for r in rows) == list(range(training.N_SHARDS))
+    assert sum(r.n_docs for r in rows) == total
+    # order-independent checksum equals the whole-corpus checksum
+    whole = docs.agg(
+        F.sum("doc_id").alias("s"), F.bit_xor("doc_id").alias("x")
+    ).collect()[0]
+    assert sum(r.doc_id_sum for r in rows) == whole.s
+    acc = 0
+    for r in rows:
+        acc ^= r.doc_id_xor
+    assert acc == whole.x
+
+
+def test_write_shards_roundtrip(spark, sf_small, tmp_path):
+    docs = load_table(spark, sf_small, "documents")
+    out = str(tmp_path / "shards")
+    training.write_shards(docs, out, n_shards=4, seed="t")
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() == 4
+    # deterministic: same salt → same assignment on re-read
+    expect = docs.withColumn(
+        "shard", training.shard_column("t", 4)
+    ).select("doc_id", "shard")
+    assert (
+        back.select("doc_id", "shard")
+        .exceptAll(expect)
+        .count()
+        == 0
+    )
+
+
+def test_cross_source_pairs_really_cross(spark, sf_small):
+    rows = dedup.cross_source_dedup_candidates(spark, sf_small).collect()
+    assert rows, "fixture plants cross-source near-dups"
+    for r in rows:
+        assert r.source_a != r.source_b
+        assert r.doc_a < r.doc_b
+    # subset of the unrestricted candidate set
+    all_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_candidates(spark, sf_small).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} <= all_pairs
