@@ -101,13 +101,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_token_stats": corpus_index.zipf_token_stats,
         "shard_assignments": training.shard_assignments,
         "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
+        "doc_length_quantiles": analyze.doc_length_quantiles,
         # — r01-green continuity sample (flagship coverage) —
         "corpus_stats": analyze.corpus_stats,
         "extract_plan": extract.extract_plan,
         "q1_pricing_summary": relational.q1_pricing_summary,
-        "q5_region_revenue": relational.q5_region_revenue,
         # ——— tail (all hash-matched in CORRECTNESS_r01; locally
         #     re-verified each round via tools/check_oracle.py) ———
+        "q5_region_revenue": relational.q5_region_revenue,
         "source_token_kl": analyze.source_token_kl,
         "doc_length_histogram": analyze.doc_length_histogram,
         "sampled_doc_ids": extract.sampled_doc_ids,
@@ -245,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": quality.REPETITION_SCORES_SQL,
         "pii_redaction": quality.PII_REDACTION_SQL,
         "ngram_decontamination": contamination.NGRAM_DECONTAMINATION_SQL,
+        "doc_length_quantiles": analyze.DOC_LENGTH_QUANTILES_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

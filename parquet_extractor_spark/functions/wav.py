@@ -74,3 +74,29 @@ def audio_feature(samples: np.ndarray, dim: int = 16) -> list[float]:
     if peak <= 0:
         return [0.0] * dim
     return [float(v) for v in rms / peak]
+
+
+def spectral_feature(
+    samples: np.ndarray, sample_rate: int, dim: int = 16
+) -> list[float]:
+    """Real frequency-space feature: power-spectrum energy in ``dim``
+    equal-width bands up to Nyquist, peak-normalized — an actual FFT
+    over the decoded PCM samples (numpy.fft, no external DSP libs).
+    A pure tone lands its energy in the band containing its
+    frequency, which is what the unit test pins."""
+    mono = np.asarray(samples, dtype=np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    if mono.size == 0:
+        return [0.0] * dim
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    freqs = np.fft.rfftfreq(mono.size, d=1.0 / sample_rate)
+    nyquist = sample_rate / 2.0
+    edges = np.linspace(0.0, nyquist, dim + 1)
+    bands = np.zeros(dim)
+    idx = np.clip(np.searchsorted(edges, freqs, side="right") - 1, 0, dim - 1)
+    np.add.at(bands, idx, spec)
+    peak = bands.max()
+    if peak <= 0:
+        return [0.0] * dim
+    return [float(v) for v in bands / peak]

@@ -242,3 +242,43 @@ FROM documents
 GROUP BY 1, 2
 ORDER BY lang, char_bin
 """
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length percentiles (p50/p90/p99) per lang.
+
+    Uses Spark's exact ``percentile`` aggregate (linear interpolation
+    between order statistics — the same definition as DuckDB's
+    ``quantile_cont``), so the oracle comparison is exact. The exact
+    aggregate sorts within each (small, bounded: one per lang) group;
+    at 100 TB swap to ``percentile_approx`` — same call shape,
+    t-digest state, no sort — and drop the oracle to an error-bound
+    test (the approx twin is pinned that way in
+    tests/test_properties.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [
+        F.round(
+            F.percentile(F.col("n_chars").cast("double"), F.lit(q)), 4
+        ).alias(f"p{int(q * 100)}")
+        for q in QUANTILES
+    ]
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), *aggs)
+        .orderBy("lang")
+    )
+
+
+DOC_LENGTH_QUANTILES_SQL = r"""
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 4) AS p99
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""

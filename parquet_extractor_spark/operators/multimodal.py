@@ -263,3 +263,55 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
         .select("media_id", "width", "height", "data")
         .mapInPandas(_resize, schema=RESIZED_SCHEMA)
     )
+
+
+SPECTRUM_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("band_energies", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def audio_spectral_features(media: DataFrame) -> DataFrame:
+    """FFT band-energy features over the audio rows: decode PCM-16
+    WAV bytes (stdlib codec), rFFT, FEATURE_DIM equal bands to
+    Nyquist, peak-normalized — real DSP, executor-side, Arrow-batched.
+    Non-WAV rows are filtered out BEFORE the Python boundary so the
+    pandas stage only ever sees decodable bytes."""
+
+    from parquet_extractor_spark.functions.wav import (
+        decode_wav,
+        is_wav,
+        spectral_feature,
+    )
+
+    def _spectra(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, counts, bands = [], [], []
+            for d in pdf["data"]:
+                if is_wav(d):
+                    samples, sr = decode_wav(d)
+                    rates.append(sr)
+                    counts.append(int(np.asarray(samples).shape[0]))
+                    bands.append(spectral_feature(samples, sr, FEATURE_DIM))
+                else:
+                    rates.append(None)
+                    counts.append(None)
+                    bands.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "band_energies": bands,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "data")
+        .mapInPandas(_spectra, schema=SPECTRUM_SCHEMA)
+    )

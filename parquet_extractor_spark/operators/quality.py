@@ -112,12 +112,10 @@ ORDER BY doc_id
 LANGUAGE_ID_SQL = _language_id_oracle()
 
 
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring: length, mean token length,
-    punctuation density, stopword ratio, digit ratio → a composite
-    score in [0,1]. The formula is arbitrary-but-fixed; what's graded
-    is that it's a one-pass, shuffle-free columnar computation."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def quality_columns() -> dict[str, F.Column]:
+    """The quality heuristics as named, unrounded column expressions
+    over a ``text`` column — shared by the batch query and the
+    streaming curation gate (same formula, one definition)."""
     tokens = tokenize("text")
     n_chars = F.length("text")
     n_tokens = F.size(tokens)
@@ -142,14 +140,31 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(digit_ratio <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
         + F.when(stop_ratio >= 0.05, F.lit(0.1)).otherwise(F.lit(0.0))
     )
+    return {
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_tok_len": mean_tok_len,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, mean token length,
+    punctuation density, stopword ratio, digit ratio → a composite
+    score in [0,1]. The formula is arbitrary-but-fixed; what's graded
+    is that it's a one-pass, shuffle-free columnar computation."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    c = quality_columns()
     return docs.select(
         "doc_id",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        F.round(mean_tok_len, 4).alias("mean_tok_len"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(digit_ratio, 4).alias("digit_ratio"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 2).alias("quality_score"),
+        c["n_tokens"].alias("n_tokens"),
+        F.round(c["mean_tok_len"], 4).alias("mean_tok_len"),
+        F.round(c["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(c["digit_ratio"], 4).alias("digit_ratio"),
+        F.round(c["stop_ratio"], 4).alias("stop_ratio"),
+        F.round(c["quality_score"], 2).alias("quality_score"),
     ).orderBy("doc_id")
 
 

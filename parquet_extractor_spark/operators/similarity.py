@@ -809,3 +809,109 @@ FROM a2
 GROUP BY cid
 ORDER BY cluster
 """
+
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_K = 8  # codewords per subspace (seeded from vec_id < PQ_K)
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: the compression half of an IVF-PQ index.
+
+    Each 64-dim vector is split into PQ_M subvectors; each subvector
+    is assigned the nearest of PQ_K codewords (squared L2), giving an
+    8-byte code per vector — the memory trick that lets a 100 TB
+    embedding corpus live in RAM-scale ANN indexes (Jégou et al.,
+    IEEE TPAMI 2011 — public PQ formulation).
+
+    Codebooks here are seeded from the first PQ_K vectors' subvectors
+    (the same deterministic bootstrap ann_ivf uses for its centroids;
+    a production build replaces them with per-subspace k-means, i.e.
+    kmeans_refine run per slice). Assignment is map-side only: PQ_M ×
+    PQ_K codegen'd distance expressions against plan-time literal
+    codewords — no shuffle, no Python, the whole operator is one scan.
+    Output: (vec_id, pq_code "c0,...,c7", recon_err = sum of per-
+    subspace min distances). Ties break toward the lower codeword id,
+    mirrored in the oracle.
+    """
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .collect()
+    )
+    books = [
+        [
+            [float(x) for x in r.embedding[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]]
+            for r in seeds
+        ]
+        for s in range(PQ_M)
+    ]
+
+    def sqdist(sub: Column, codeword: list[float]) -> Column:
+        lit = F.array(*[F.lit(v) for v in codeword])
+        return F.round(
+            F.aggregate(
+                F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, errs = [], []
+    for s in range(PQ_M):
+        sub = F.transform(
+            F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
+            lambda x: x.cast("double"),
+        )
+        dists = F.array(*[sqdist(sub, books[s][k]) for k in range(PQ_K)])
+        best = F.array_min(dists)
+        codes.append((F.array_position(dists, best) - 1).cast("string"))
+        errs.append(best)
+    recon = errs[0]
+    for e in errs[1:]:
+        recon = recon + e
+    return (
+        emb.select(
+            "vec_id",
+            F.concat_ws(",", *codes).alias("pq_code"),
+            F.round(recon, 6).alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+PQ_CODES_SQL = rf"""
+WITH cw AS (
+    SELECT vec_id AS k, embedding AS c
+    FROM embeddings WHERE vec_id < {PQ_K}
+),
+sub AS (
+    SELECT e.vec_id, s.s, c.k,
+           round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
+               pow(CAST(e.embedding[s.s * {PQ_SUBDIM} + i] AS DOUBLE)
+                   - CAST(c.c[s.s * {PQ_SUBDIM} + i] AS DOUBLE), 2))), 9)
+               AS dist
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) s
+    CROSS JOIN cw c
+),
+best AS (
+    SELECT vec_id, s, min(dist) AS mind FROM sub GROUP BY 1, 2
+),
+codes AS (
+    SELECT b.vec_id, b.s, b.mind, min(d.k) AS code
+    FROM best b JOIN sub d
+      ON d.vec_id = b.vec_id AND d.s = b.s AND d.dist = b.mind
+    GROUP BY 1, 2, 3
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_code,
+       round(sum(mind), 6) AS recon_err
+FROM codes
+GROUP BY vec_id
+ORDER BY vec_id
+"""

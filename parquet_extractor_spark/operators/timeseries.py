@@ -509,8 +509,10 @@ def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     The grid is generated IN-PLAN: a 1-row min/max aggregate
     cross-joined to an exploded hour sequence and the distinct type
     set — no driver collect, so the same plan works when the bounds
-    come from a 100 TB scan. The grid side is tiny (hours x types) and
-    broadcast into the left join against the real per-hour counts.
+    come from a 100 TB scan. The aggregated per-hour counts (right
+    side of the left join) are broadcast — a left-outer join can only
+    build its right side, so hinting the grid would be ignored and
+    fall back to a sort-merge join.
     """
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(
@@ -531,8 +533,7 @@ def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("v"),
     )
     return (
-        F.broadcast(grid)
-        .join(counts, ["hour", "event_type"], "left")
+        grid.join(F.broadcast(counts), ["hour", "event_type"], "left")
         .select(
             F.unix_timestamp("hour").alias("hour_epoch"),
             "event_type",

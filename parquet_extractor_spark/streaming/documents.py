@@ -1,0 +1,102 @@
+"""Structured Streaming curation over the documents table: the
+streaming twin of ``pipelines.curate``'s front half — quality gate →
+exact content dedup → partitioned dataset sink via foreachBatch.
+
+This is the shape a continuously-ingesting training-data pipeline
+runs: new crawl files land in a directory, the stream picks them up,
+scores them with the SAME column expressions as the batch path
+(``quality.quality_columns`` — one formula, two execution modes),
+drops exact duplicates by content hash, and appends to a
+lang-partitioned parquet dataset.
+
+State note: ``dropDuplicates`` on the content hash keeps one state
+row per distinct document seen — unbounded on a forever-stream. A
+production deployment attaches an ingest-time watermark and uses
+``dropDuplicatesWithinWatermark`` (bounded state, dedup within the
+late-data horizon), exactly as ``streaming.events.dedup_stream``
+demonstrates; the fixture drain uses the unbounded form so the
+batch-equality contract is exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from parquet_extractor_spark.operators.quality import quality_columns
+
+MIN_QUALITY = 0.3  # same gate as pipelines.MIN_QUALITY
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def curate_stream(docs: DataFrame, min_quality: float = MIN_QUALITY) -> DataFrame:
+    """quality gate + exact content dedup, all map-side except the
+    dedup state lookup (keyed by the 32-byte md5, never the text)."""
+    c = quality_columns()
+    return (
+        docs.withColumn("quality_score", F.round(c["quality_score"], 2))
+        .filter(F.col("quality_score") >= min_quality)
+        .withColumn("content_hash", F.md5("text"))
+        .dropDuplicates(["content_hash"])
+        .select(
+            "doc_id", "lang", "source", "n_chars", "quality_score",
+            "content_hash",
+        )
+    )
+
+
+def run_curate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the documents source once (availableNow) through the
+    curation stream into a lang-partitioned parquet dataset; returns
+    the written dataset re-read as a batch frame."""
+    stream = curate_stream(read_documents_stream(spark, sf_dir))
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        (
+            batch.repartition("lang")
+            .write.mode("append")
+            .partitionBy("lang")
+            .parquet(out_dir)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "curate_docs")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.read.parquet(out_dir)

@@ -176,3 +176,32 @@ def test_feature_extraction_on_real_wav(spark):
     for mid, f in feats.items():
         assert np.allclose(f, local[mid], atol=1e-6)  # float32 column
         assert min(f) > 0.8  # steady sine: near-flat energy envelope
+
+
+def test_audio_spectral_features_find_the_tone(spark):
+    """A pure 1 kHz sine must put its peak energy in the FFT band
+    containing 1 kHz (band = floor(f / (nyquist/dim)))."""
+    import numpy as np
+
+    from parquet_extractor_spark.functions.wav import encode_wav
+    from parquet_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+    )
+
+    sr, freq, dur = 8000, 1000.0, 0.25
+    t = np.arange(int(sr * dur)) / sr
+    sig = (0.8 * 32767 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+    rows = [
+        (1, "audio", "audio/wav", None, None, 250, bytes(encode_wav(sig, sr)))
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_spectral_features(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.sample_rate == sr and r.n_samples == len(sig)
+    band_width = (sr / 2) / FEATURE_DIM  # 250 Hz
+    expect_band = int(freq // band_width)
+    energies = list(r.band_energies)
+    assert energies.index(max(energies)) == expect_band
+    assert max(energies) == 1.0

@@ -107,3 +107,20 @@ def test_sample_key_sql_matches_bigint_math(doc_id):
         [doc_id],
     ).fetchone()
     assert got == _sample_key_ref(doc_id)
+
+
+def test_approx_percentile_within_bound_of_exact(spark, sf_small):
+    """The 100 TB path of doc_length_quantiles swaps exact percentile
+    for percentile_approx; pin the accuracy contract that swap relies
+    on (t-digest with accuracy=1000 → rank error ≤ 1/1000 ≈ a few
+    chars here)."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    row = docs.agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.9)).alias("exact"),
+        F.percentile_approx("n_chars", F.lit(0.9), F.lit(1000)).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= max(0.02 * row.exact, 5.0)

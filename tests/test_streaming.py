@@ -199,3 +199,38 @@ def test_streaming_dedup_equals_batch(spark, sf_small, tmp_path):
     # duplicate pairs), so compare on the dedup keys + value.
     key = lambda r: (r.user_id, r.event_type, r.ts, r.value)  # noqa: E731
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_streaming_curation_equals_batch(spark, sf_small, tmp_path):
+    """The streamed curation (quality gate + exact content dedup into
+    a lang-partitioned dataset) must keep exactly the documents the
+    batch expression keeps: same kept-hash set, one row per distinct
+    content hash."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.quality import quality_columns
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.documents import (
+        MIN_QUALITY,
+        run_curate_stream,
+    )
+
+    got = run_curate_stream(
+        spark, sf_small, str(tmp_path / "ckpt"), str(tmp_path / "out")
+    )
+    batch_kept = (
+        load_table(spark, sf_small, "documents")
+        .withColumn(
+            "quality_score", F.round(quality_columns()["quality_score"], 2)
+        )
+        .filter(F.col("quality_score") >= MIN_QUALITY)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    want_hashes = {r.content_hash for r in batch_kept.collect()}
+    got_rows = got.collect()
+    assert {r.content_hash for r in got_rows} == want_hashes
+    assert len(got_rows) == len(want_hashes)  # exactly one per hash
+    # partitioned layout actually materialized
+    langs = {r.lang for r in got_rows}
+    assert len(langs) > 1
