@@ -175,10 +175,14 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").alias("n_t"))
     )
+    # marg is keyed by the (capped) vocabulary — O(|vocab|) rows. No
+    # forced broadcast: at web scale the vocabulary outgrows broadcast
+    # limits, and an explicit hint would pin the doomed plan. AQE
+    # broadcasts it at fixture scale and shuffle-joins beyond.
     return (
-        pairs.join(F.broadcast(marg.withColumnRenamed("t", "t1")), "t1")
+        pairs.join(marg.withColumnRenamed("t", "t1"), "t1")
         .withColumnRenamed("n_t", "n_a")
-        .join(F.broadcast(marg.withColumnRenamed("t", "t2")), "t2")
+        .join(marg.withColumnRenamed("t", "t2"), "t2")
         .withColumnRenamed("n_t", "n_b")
         .select(
             "t1",

@@ -151,11 +151,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
+    # sizes has one row per document — NEVER broadcast it (a forced
+    # O(n_docs) broadcast is a driver/executor OOM at crawl scale).
+    # Left unhinted, AQE picks BHJ at fixture scale and falls back to
+    # a shuffle join on doc_id — cheap next to pair-gen — when the
+    # table outgrows autoBroadcastJoinThreshold.
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        shared.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",

@@ -101,12 +101,13 @@ def fake_feature(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in out]
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction over the media table. Binary
-    columns stream through Arrow in bounded batches
-    (spark.sql.execution.arrow.maxRecordsPerBatch), so a partition of
-    fat rows never materializes in one Python allocation."""
-
+def feature_for_bytes(d: bytes | None) -> list[float]:
+    """Modality dispatch for one media binary: real pixel/sample
+    features for decodable formats (PNG histogram, WAV energy
+    envelope); byte-hash features as the declared stand-in for formats
+    with no decoder. Pure function of the bytes — shared by the Spark
+    mapInPandas stage and the oracle generator
+    (tools/gen_multimodal_oracle.py)."""
     from parquet_extractor_spark.functions.png import PNG_MAGIC
     from parquet_extractor_spark.functions.wav import (
         audio_feature,
@@ -114,15 +115,21 @@ def extract_features(media: DataFrame) -> DataFrame:
         is_wav,
     )
 
-    def _one_feature(d: bytes | None) -> list[float]:
-        # real pixel/sample features for decodable formats; byte-hash
-        # features as the declared stand-in for formats with no decoder
-        if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
-            return pixel_feature(decode_image(d))
-        if is_wav(d):
-            samples, _sr = decode_wav(d)
-            return audio_feature(samples, FEATURE_DIM)
-        return fake_feature(d)
+    if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return pixel_feature(decode_image(d))
+    if is_wav(d):
+        samples, _sr = decode_wav(d)
+        return audio_feature(samples, FEATURE_DIM)
+    return fake_feature(d)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over the media table. Binary
+    columns stream through Arrow in bounded batches
+    (spark.sql.execution.arrow.maxRecordsPerBatch), so a partition of
+    fat rows never materializes in one Python allocation."""
+
+    _one_feature = feature_for_bytes
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,11 +167,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fixture generator for tests: n media rows.
-    Image rows carry REAL 64×48 PNGs (random pixels, round-trippable
-    through the codec); audio rows carry REAL 0.25 s 8 kHz PCM-16 WAVs
-    (sine + noise); video rows carry opaque pseudo-random payloads."""
+def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
+    """Deterministic fixture rows (pure Python — shared by the Spark
+    fixture below and the oracle generator). Image rows carry REAL
+    64×48 PNGs (random pixels, round-trippable through the codec);
+    audio rows carry REAL 0.25 s 8 kHz PCM-16 WAVs (sine + noise);
+    video rows carry opaque pseudo-random payloads."""
     from parquet_extractor_spark.functions.png import encode_png
     from parquet_extractor_spark.functions.wav import encode_wav
 
@@ -197,7 +205,44 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 data,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Spark DataFrame over the deterministic fixture rows."""
+    return spark.createDataFrame(synthetic_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def media_feature_checksums(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable multimodal query: run the REAL decode+feature
+    pipeline (PNG pixel histograms, WAV energy envelopes — see
+    extract_features) over the deterministic media fixture and reduce
+    each float32 feature vector to scalar micro-int checksums, using
+    the same floor(x*1e6 + 0.5) half-up rule the embedding queries
+    use. The oracle (MEDIA_FEATURE_CHECKSUMS_SQL, generated by
+    tools/gen_multimodal_oracle.py from the same pure-Python fixture +
+    feature functions, committed) pins the expected value of every
+    row, so a driver hash-match proves the whole Arrow/mapInPandas
+    decode path — schema, batch iteration, codec — reproduces the
+    reference pixel/sample math bit-for-bit.
+
+    ``sf_dir`` is unused: media is fixture-generated (the driver's
+    parquet fixtures carry no binary media column), which is exactly
+    what makes a literal oracle sound.
+    """
+    del sf_dir
+    feats = extract_features(synthetic_media(spark))
+    vec = F.transform("feature", lambda x: x.cast("double"))
+    micro = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        micro(
+            F.aggregate(vec, F.lit(0.0), lambda a, v: a + v)
+        ).alias("feature_sum_micro"),
+        micro(F.element_at(vec, 1)).alias("f0_micro"),
+    ).orderBy("media_id")
 
 
 RESIZED_SCHEMA = StructType(

@@ -519,19 +519,43 @@ def events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key exact dedup shuffle with fixed-size sketches merged
     map-side — memory O(1/rsd²) per key instead of O(distinct values).
 
-    No DuckDB oracle: HLL sketch estimates aren't bit-identical across
-    engines. The driver records a rows-only check; the accuracy bound
-    (within 5% of exact at rsd=0.02) is asserted in
+    HLL sketch estimates aren't bit-identical across engines, so the
+    raw estimate can't be oracle-hashed. Instead each engine computes
+    its OWN sketch estimate alongside the exact count and emits the
+    deterministic accuracy verdict ``approx_within_5pct`` — both
+    engines' sketches sit well inside 5% at rsd=0.02, so the boolean
+    (and the exact count) hash-match while the sketch path stays
+    genuinely exercised. The tighter 2% empirical bound is asserted in
     tests/test_relational_oracle.py.
     """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("_approx") - F.col("n_users"))
+                <= 0.05 * F.col("n_users")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+EVENTS_APPROX_USERS_SQL = r"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+           <= 0.05 * count(DISTINCT user_id) AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -407,8 +407,16 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-            F.slice(
-                F.array_sort(F.collect_set("doc_id")), 1, SPAN_SAMPLE_DOCS
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_set("doc_id")),
+                        1,
+                        SPAN_SAMPLE_DOCS,
+                    ),
+                    lambda d: d.cast("string"),
+                ),
             ).alias("sample_doc_ids"),
             F.min("span").alias("span_text"),
         )
@@ -439,7 +447,9 @@ agg AS (
     SELECT span_hash,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_occurrences,
-           list_sort(list_distinct(list(doc_id)))[1:{SPAN_SAMPLE_DOCS}]
+           list_aggregate(list_transform(
+               list_sort(list_distinct(list(doc_id)))[1:{SPAN_SAMPLE_DOCS}],
+               x -> CAST(x AS VARCHAR)), 'string_agg', ',')
                AS sample_doc_ids,
            min(span) AS span_text
     FROM hashed GROUP BY span_hash

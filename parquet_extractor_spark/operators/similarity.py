@@ -596,14 +596,24 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.col("v").cast("double")).alias("m"),
         F.count("*").alias("n"),
     )
+    # The centroid is serialized as a comma-joined string of micro-int
+    # components (floor(m*1e6 + 0.5): the same deterministic half-up
+    # rule embedding_norm_stats uses) — scalar output keeps the result
+    # sortable/hashable by any downstream consumer, and the value is
+    # engine-independent (no float-to-string formatting divergence).
     return (
         per_dim.groupBy("label")
         .agg(
             F.max("n").alias("n_vecs"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "m"))),
-                lambda s: F.round(s["m"], 6),
-            ).alias("centroid"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: F.floor(s["m"] * F.lit(1e6) + F.lit(0.5))
+                    .cast("bigint")
+                    .cast("string"),
+                ),
+            ).alias("centroid_micro"),
         )
         .orderBy("label")
     )
@@ -622,7 +632,8 @@ per_dim AS (
 )
 SELECT label,
        max(n) AS n_vecs,
-       list(round(m, 6) ORDER BY dim) AS centroid
+       string_agg(CAST(CAST(floor(m * 1000000 + 0.5) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY dim) AS centroid_micro
 FROM per_dim
 GROUP BY label
 ORDER BY label
@@ -825,22 +836,27 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus live in RAM-scale ANN indexes (Jégou et al.,
     IEEE TPAMI 2011 — public PQ formulation).
 
-    Codebooks here are seeded from the first PQ_K vectors' subvectors
-    (the same deterministic bootstrap ann_ivf uses for its centroids;
-    a production build replaces them with per-subspace k-means, i.e.
-    kmeans_refine run per slice). Assignment is map-side only: PQ_M ×
-    PQ_K codegen'd distance expressions against plan-time literal
-    codewords — no shuffle, no Python, the whole operator is one scan.
-    Output: (vec_id, pq_code "c0,...,c7", recon_err = sum of per-
-    subspace min distances). Ties break toward the lower codeword id,
-    mirrored in the oracle.
+    Codebooks here are seeded from the first PQ_K vectors' (by vec_id)
+    subvectors — the same deterministic bootstrap ann_ivf uses for its
+    centroids; a production build replaces them with per-subspace
+    k-means, i.e. kmeans_refine run per slice. Assignment is map-side
+    only: PQ_M × PQ_K codegen'd distance expressions against plan-time
+    literal codewords — no shuffle, no Python, the whole operator is
+    one scan. Output: (vec_id, pq_code "c0,...,c7" where each c is the
+    SEED ROW's vec_id, recon_err = sum of per-subspace min distances).
+    Ties break toward the lower codeword vec_id, mirrored in the
+    oracle.
     """
     seeds = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
         .orderBy("vec_id")
+        .limit(PQ_K)
         .collect()
     )
+    if not seeds:
+        raise ValueError("pq_codes: embeddings table is empty, no codebook")
+    seed_ids = [str(int(r.vec_id)) for r in seeds]
     books = [
         [
             [float(x) for x in r.embedding[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]]
@@ -867,9 +883,16 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
             lambda x: x.cast("double"),
         )
-        dists = F.array(*[sqdist(sub, books[s][k]) for k in range(PQ_K)])
+        dists = F.array(*[sqdist(sub, books[s][k]) for k in range(len(seeds))])
         best = F.array_min(dists)
-        codes.append((F.array_position(dists, best) - 1).cast("string"))
+        # array_position is 1-based and returns the FIRST match, i.e.
+        # the lowest seed index = lowest seed vec_id (seeds are sorted)
+        codes.append(
+            F.element_at(
+                F.array(*[F.lit(sid) for sid in seed_ids]),
+                F.array_position(dists, best).cast("int"),
+            )
+        )
         errs.append(best)
     recon = errs[0]
     for e in errs[1:]:
@@ -887,7 +910,8 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_CODES_SQL = rf"""
 WITH cw AS (
     SELECT vec_id AS k, embedding AS c
-    FROM embeddings WHERE vec_id < {PQ_K}
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {PQ_K})
 ),
 sub AS (
     SELECT e.vec_id, s.s, c.k,

@@ -74,3 +74,13 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     (HashAggregate appears both before and after the exchange)."""
     plan = formatted_plan(df)
     return len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def forced_broadcast_count(df: DataFrame) -> int:
+    """Number of user-forced broadcast hints surviving in the
+    optimized logical plan. A hint pins the plan: AQE cannot fall back
+    to a shuffle join when the hinted table outgrows memory, so tests
+    use this to forbid hints on tables whose cardinality scales with
+    the data (doc_id- or vocabulary-keyed)."""
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    return opt.count("strategy=broadcast")

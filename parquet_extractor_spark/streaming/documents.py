@@ -79,15 +79,23 @@ def run_curate_stream(
 ) -> DataFrame:
     """Drain the documents source once (availableNow) through the
     curation stream into a lang-partitioned parquet dataset; returns
-    the written dataset re-read as a batch frame."""
+    the written dataset re-read as a batch frame.
+
+    The sink is idempotent under batch replay: foreachBatch is
+    at-least-once, so each epoch writes to its own ``epoch=N``
+    directory with mode("overwrite") — a replayed epoch replaces its
+    own output instead of appending duplicate rows, preserving the
+    'one row per content_hash' contract end-to-end. (``epoch`` shows
+    up as a partition column on re-read; callers that don't want it
+    drop it.)"""
     stream = curate_stream(read_documents_stream(spark, sf_dir))
 
-    def _sink(batch: DataFrame, _epoch: int) -> None:
+    def _sink(batch: DataFrame, epoch: int) -> None:
         (
             batch.repartition("lang")
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("lang")
-            .parquet(out_dir)
+            .parquet(os.path.join(out_dir, f"epoch={epoch}"))
         )
 
     query = (
@@ -98,5 +106,10 @@ def run_curate_stream(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_s)
-    return spark.read.parquet(out_dir)
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"curate stream did not drain within {timeout_s}s; "
+            "partial output discarded"
+        )
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

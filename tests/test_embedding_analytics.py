@@ -10,7 +10,10 @@ def test_label_centroids_shape_and_counts(spark, sf_small):
     assert len(rows) == 10
     assert sum(r.n_vecs for r in rows) == 500
     for r in rows:
-        assert len(r.centroid) == 64
+        comps = [int(c) for c in r.centroid_micro.split(",")]
+        assert len(comps) == 64
+        # means of unit-scale embeddings: micro-ints stay within ±2e6
+        assert all(abs(c) < 2_000_000 for c in comps)
 
 
 def test_label_centroids_partial_agg(spark, sf_small):
@@ -45,3 +48,38 @@ def test_doc_length_histogram_totals(spark, sf_small):
     for r in rows:
         assert r.char_bin % 50 == 0
         assert r.char_bin <= r.avg_chars < r.char_bin + 50
+
+
+def test_pq_codes_shape_and_seed_reconstruction(spark, sf_small):
+    """Every vector gets a PQ_M-component code drawn from the seed
+    vec_ids; the seed vectors reconstruct themselves exactly (their
+    own subvector is a codeword, so per-subspace min distance is 0)."""
+    from parquet_extractor_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_codes,
+    )
+
+    rows = pq_codes(spark, sf_small).collect()
+    assert len(rows) == 500
+    seed_ids = {str(i) for i in range(PQ_K)}  # sf fixtures: vec_id 0..499
+    for r in rows:
+        comps = r.pq_code.split(",")
+        assert len(comps) == PQ_M
+        assert set(comps) <= seed_ids
+        assert r.recon_err >= 0
+    by_id = {r.vec_id: r for r in rows}
+    for sid in range(PQ_K):
+        assert by_id[sid].recon_err == 0.0
+
+
+def test_pq_codes_plan_is_scan_only(spark, sf_small):
+    """PQ assignment must be map-side: no shuffle except the output
+    sort — codewords are plan-time literals."""
+    from parquet_extractor_spark.operators.similarity import pq_codes
+
+    plan = pq_codes(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    # one Exchange is allowed (the orderBy range partitioning); a join
+    # or aggregate exchange would mean the codebook wasn't inlined
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1

@@ -190,3 +190,18 @@ def test_q19_disjunctive_scan_pruned(spark, sf_small):
         "l_extendedprice",
         "l_discount",
     }
+
+
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_small):
+    """Guard against reintroducing the r02 scale-killers: the
+    per-document sizes table (ngram_jaccard) and the vocabulary
+    marginal table (pmi) must NOT carry a broadcast hint — their
+    cardinality scales with the corpus, and a hint would pin the
+    doomed plan even when AQE knows better. (ngram_jaccard's hot-
+    shingle hint is bounded and sits behind the persist boundary, so
+    it does not appear here.)"""
+    from parquet_extractor_spark.operators import corpus_index, dedup
+    from parquet_extractor_spark.plans.explain import forced_broadcast_count
+
+    assert forced_broadcast_count(dedup.ngram_jaccard_pairs(spark, sf_small)) == 0
+    assert forced_broadcast_count(corpus_index.pmi_top_pairs(spark, sf_small)) == 0

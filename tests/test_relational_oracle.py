@@ -63,21 +63,21 @@ def test_every_query_has_oracle_or_is_flagged(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     missing = set(qs) - set(oracles)
-    # queries with no SQL-expressible oracle (driver records rows-only);
-    # each needs a dedicated accuracy/behavior test in this suite
-    flagged_rows_only = {"events_approx_users"}
-    assert missing == flagged_rows_only
+    # every declared query now has a SQL oracle (events_approx_users
+    # emits a deterministic accuracy-band verdict instead of the raw
+    # engine-specific HLL estimate)
+    assert missing == set()
 
 
 def test_events_approx_users_accuracy(spark, sf_small):
-    """approx_count_distinct at rsd=0.02 must land within 5% of exact."""
+    """approx_count_distinct at rsd=0.02 must land within 2% of exact
+    (the query's own output asserts the looser 5% band; this pins the
+    tighter empirical bound the docstring claims)."""
     from parquet_extractor_spark.operators.relational import events_approx_users
     from parquet_extractor_spark.sources.tables import load_table
 
-    approx = {
-        r.event_type: r.approx_users
-        for r in events_approx_users(spark, sf_small).collect()
-    }
+    rows = events_approx_users(spark, sf_small).collect()
+    assert rows and all(r.approx_within_5pct for r in rows)
     exact = {
         r.event_type: r.n
         for r in load_table(spark, sf_small, "events")
@@ -85,6 +85,14 @@ def test_events_approx_users_accuracy(spark, sf_small):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k, n in exact.items():
-        assert abs(approx[k] - n) <= max(1, 0.05 * n)
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.n_users == exact[r.event_type]
+        approx = (
+            load_table(spark, sf_small, "events")
+            .filter(F.col("event_type") == r.event_type)
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+            .collect()[0]
+            .a
+        )
+        assert abs(approx - r.n_users) <= max(1, 0.02 * r.n_users)

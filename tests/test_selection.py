@@ -93,9 +93,10 @@ def test_duplicate_spans_members_really_share_the_span(spark, sf_small):
     for r in out[:20]:
         assert r.n_docs > 1
         assert r.n_occurrences >= r.n_docs
-        assert 0 < len(r.sample_doc_ids) <= SPAN_SAMPLE_DOCS
-        assert list(r.sample_doc_ids) == sorted(r.sample_doc_ids)
-        for d in r.sample_doc_ids:
+        sample_ids = [int(x) for x in r.sample_doc_ids.split(",")]
+        assert 0 < len(sample_ids) <= SPAN_SAMPLE_DOCS
+        assert sample_ids == sorted(sample_ids)
+        for d in sample_ids:
             assert r.span_text in docs[d], (r.span_hash, d)
 
 
