@@ -1,0 +1,649 @@
+"""Dependency-free baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+Closes the last declared multimodal stub: image rows in JPEG format
+now decode to real pixels with no PIL/libjpeg, the same way
+``functions/png.py`` handles PNG with no libpng. Pure numpy + stdlib.
+
+Scope (mirrors what a training-data pipeline actually meets):
+- decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr,
+  arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart
+  markers, multiple DQT/DHT segments. Progressive (SOF2) and
+  arithmetic coding raise NotImplementedError — a declared boundary,
+  not a silent wrong answer.
+- encode: baseline sequential, quality-scaled Annex K quantization
+  tables, Annex K Huffman tables, 4:4:4 or 4:2:0.
+
+Everything here is public-spec material: marker structure and Huffman
+coding from ITU-T T.81, JFIF from ECMA TR/98, quality scaling as
+popularized by the IJG's libjpeg.
+
+Performance note: this is the executor-side decode path behind
+``mapInPandas`` in operators/multimodal.py. It is a per-row Python
+cost by design (media decode cannot be a Catalyst expression); the
+Spark-side contract — Arrow-batched binary in, bounded features out,
+decode parallelism = partition count — is what scales, and is
+independent of the per-image constant factor here.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int32,
+)
+
+# Annex K base quantization tables (luminance, chrominance)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K Huffman tables: (bits[1..16], values)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Orthonormal 8-point DCT basis: DCT = C @ block @ C.T
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _a = np.sqrt(1.0 / 8.0) if _k == 0 else np.sqrt(2.0 / 8.0)
+        _C[_k, _n] = _a * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def is_jpeg(data: bytes | None) -> bool:
+    return bool(data) and data[:2] == JPEG_MAGIC
+
+
+# ---------------------------------------------------------------- huffman
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical JPEG assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the decoder."""
+    enc = _canonical_codes(bits, values)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: unstuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: truncated entropy stream")
+        b = d[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = d[self.pos] if self.pos < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 1  # stuffed data byte 0xFF
+            else:
+                # A real marker terminates the segment. Don't consume
+                # it (sync_restart/caller will); feed 1-bits so any
+                # trailing partial-MCU padding reads decode as padding.
+                self.pos -= 1
+                self.marker = nxt
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def sync_restart(self) -> None:
+        """Align to byte boundary and consume an RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        if p + 1 >= len(d):
+            raise ValueError("jpeg: missing restart marker")
+        self.pos = p + 2
+        self.marker = None
+
+
+def _extend(v: int, size: int) -> int:
+    return v - ((1 << size) - 1) if v < (1 << (size - 1)) else v
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    f = arr.astype(np.float64)
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _pad_to_block(plane: np.ndarray, block: int = 8) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % block
+    pw = (-w) % block
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(
+    writer: _BitWriter,
+    coefs: np.ndarray,
+    dc_prev: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = coefs.reshape(64)[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - dc_prev
+    size = _category(diff)
+    code, ln = dc_codes[size]
+    writer.write(code, ln)
+    if size:
+        amp = diff if diff > 0 else diff + (1 << size) - 1
+        writer.write(amp, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        size = _category(v)
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        amp = v if v > 0 else v + (1 << size) - 1
+        writer.write(amp, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """DCT + quantize every 8x8 block: (H/8, W/8, 8, 8) int array."""
+    p = _pad_to_block(plane) - 128.0
+    h, w = p.shape
+    blocks = p.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ka,ijab,lb->ijkl", _C, blocks, _C)
+    return np.round(coefs / q).astype(np.int64)
+
+
+def _marker(tag: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, tag, len(payload) + 2) + payload
+
+
+def _dht_payload(cls: int, ident: int, bits: list[int], vals: list[int]) -> bytes:
+    return bytes([(cls << 4) | ident]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF JPEG.
+
+    subsample=False writes 4:4:4; True writes 4:2:0 (2x2-averaged
+    chroma) — the common web layout, and the decoder's upsampling
+    path exercised in tests. restart_interval > 0 emits a DRI segment
+    and RSTn markers every N MCUs (the decoder resync path).
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_jpeg expects (H, W, 3) RGB")
+    h, w = pixels.shape[:2]
+    qy = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+    y, cb, cr = _rgb_to_ycbcr(pixels)
+    if subsample:
+        # pad to even dims then 2x2 mean-pool the chroma planes
+        cbp = _pad_to_block(cb, 2)
+        crp = _pad_to_block(cr, 2)
+        cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+        hy, vy = 2, 2
+    else:
+        hy, vy = 1, 1
+
+    yb = _plane_blocks(y, qy)
+    cbb = _plane_blocks(cb, qc)
+    crb = _plane_blocks(cr, qc)
+
+    dc_y = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_y = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+    # pad block grids so the luma grid is a multiple of the MCU size
+    def _pad_grid(blocks: np.ndarray, mh: int, mv: int) -> np.ndarray:
+        gh, gw = blocks.shape[:2]
+        ph = (-gh) % mv
+        pw = (-gw) % mh
+        if ph or pw:
+            blocks = np.pad(
+                blocks, ((0, ph), (0, pw), (0, 0), (0, 0)), mode="edge"
+            )
+        return blocks
+
+    yb = _pad_grid(yb, hy, vy)
+    mcus_x = yb.shape[1] // hy
+    mcus_y = yb.shape[0] // vy
+
+    # chroma grids carry one block per MCU (sampling factors 1,1)
+    def _fit(blocks: np.ndarray) -> np.ndarray:
+        gh, gw = blocks.shape[:2]
+        if gh < mcus_y or gw < mcus_x:
+            blocks = np.pad(
+                blocks,
+                ((0, mcus_y - gh), (0, mcus_x - gw), (0, 0), (0, 0)),
+                mode="edge",
+            )
+        return blocks
+
+    cbb = _fit(cbb)
+    crb = _fit(crb)
+
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                prev = [0, 0, 0]
+            mcu_count += 1
+            for by in range(vy):
+                for bx in range(hy):
+                    prev[0] = _encode_block(
+                        writer, yb[my * vy + by, mx * hy + bx], prev[0], dc_y, ac_y
+                    )
+            prev[1] = _encode_block(writer, cbb[my, mx], prev[1], dc_c, ac_c)
+            prev[2] = _encode_block(writer, crb[my, mx], prev[2], dc_c, ac_c)
+    writer.flush()
+
+    out = bytearray()
+    out += JPEG_MAGIC  # SOI
+    out += _marker(
+        0xE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _marker(0xDB, bytes([0]) + bytes(int(v) for v in qy.reshape(64)[ZIGZAG]))
+    out += _marker(0xDB, bytes([1]) + bytes(int(v) for v in qc.reshape(64)[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hy << 4) | vy, 0])  # Y
+    sof += bytes([2, 0x11, 1])  # Cb
+    sof += bytes([3, 0x11, 1])  # Cr
+    out += _marker(0xC0, sof)
+    out += _marker(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _marker(0xC4, _dht_payload(1, 0, AC_LUMA_BITS, AC_LUMA_VALS))
+    out += _marker(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    out += _marker(0xC4, _dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
+    if restart_interval:
+        out += _marker(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += _marker(0xDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to an (H, W, 3) uint8 RGB
+    array (grayscale returns replicated channels). Raises
+    NotImplementedError for progressive/arithmetic streams."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, comps) with comps = [(cid, hh, vv, tq)]
+    restart_interval = 0
+
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        tag = data[pos + 1]
+        pos += 2
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            continue
+        if tag == 0xD9:  # EOI
+            break
+        if pos + 2 > len(data):
+            raise ValueError("jpeg: truncated marker")
+        seglen = struct.unpack(">H", data[pos:pos + 2])[0]
+        seg = data[pos + 2:pos + seglen]
+        if tag == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    vals = np.frombuffer(
+                        seg[p:p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                table = np.zeros(64, dtype=np.int64)
+                table[ZIGZAG] = vals
+                quant[tq] = table.reshape(8, 8)
+        elif tag == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, ident = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                p += 17 + n
+                (huff_ac if cls else huff_dc)[ident] = _decode_table(bits, vals)
+        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 baseline
+            _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: only baseline sequential supported (SOF marker 0x{tag:02x})"
+            )
+        elif tag == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif tag == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            return _decode_scan(
+                data,
+                pos + seglen,
+                frame,
+                scan,
+                quant,
+                huff_dc,
+                huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise ValueError("jpeg: no scan data found")
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list[tuple[int, int, int]],
+    quant: dict[int, np.ndarray],
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    by_id = {c[0]: c for c in comps}
+    order = [by_id[cs] for cs, _, _ in scan]
+    tables = {cs: (td, ta) for cs, td, ta in scan}
+
+    planes = {
+        cid: np.zeros((mcus_y * vv * 8, mcus_x * hh * 8)) for cid, hh, vv, _ in comps
+    }
+    reader = _BitReader(data, pos)
+    prev = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.sync_restart()
+                prev = {cid: 0 for cid in prev}
+            for cid, hh, vv, tq in order:
+                td, ta = tables[cid]
+                for by in range(vv):
+                    for bx in range(hh):
+                        block = _decode_block(
+                            reader, huff_dc[td], huff_ac[ta], prev, cid
+                        )
+                        pix = _C.T @ (block * quant[tq]) @ _C + 128.0
+                        y0 = (my * vv + by) * 8
+                        x0 = (mx * hh + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_count += 1
+
+    # upsample each component to full frame resolution (nearest)
+    out_planes = []
+    for cid, hh, vv, _ in comps:
+        p = planes[cid]
+        if hh != hmax or vv != vmax:
+            p = np.repeat(np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1)
+        out_planes.append(p[:fh, :fw])
+
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(
+    reader: _BitReader,
+    dc_table: dict,
+    ac_table: dict,
+    prev: dict,
+    cid: int,
+) -> np.ndarray:
+    zz = np.zeros(64, dtype=np.int64)
+    size = reader.decode_symbol(dc_table)
+    diff = _extend(reader.receive(size), size) if size else 0
+    prev[cid] += diff
+    zz[0] = prev[cid]
+    i = 1
+    while i < 64:
+        sym = reader.decode_symbol(ac_table)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i >= 64:
+            raise ValueError("jpeg: AC coefficient index out of range")
+        zz[i] = _extend(reader.receive(size), size)
+        i += 1
+    block = np.zeros(64, dtype=np.int64)
+    block[ZIGZAG] = zz
+    return block.reshape(8, 8).astype(np.float64)

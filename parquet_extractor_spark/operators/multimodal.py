@@ -2,14 +2,16 @@
 columns with typed metadata (driver north star).
 
 Image decode is REAL for PNG via the dependency-free codec in
-``functions/png.py`` (zlib is stdlib) — features and resize run on
-actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
+``functions/png.py`` (zlib is stdlib) and for baseline JPEG via
+``functions/jpeg.py`` (pure numpy Huffman+DCT) — features and resize
+run on actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
 ``functions/wav.py`` (stdlib ``wave``) — energy-envelope features run
-on actual samples. Remaining formats (JPEG/MP3/video frames) would
-need PIL/librosa/ffmpeg, absent from this container, and raise a
-clearly-marked NotImplementedError; their Spark-side plumbing — the
-schema, the mapInPandas batch iteration, the Arrow column shapes, and
-the partitioning strategy — is real and tested either way.
+on actual samples. Remaining formats (progressive JPEG, WebP, MP3,
+video frames) would need PIL/librosa/ffmpeg, absent from this
+container, and raise a clearly-marked NotImplementedError; their
+Spark-side plumbing — the schema, the mapInPandas batch iteration,
+the Arrow column shapes, and the partitioning strategy — is real and
+tested either way.
 
 Design for 100 TB of media:
 - media rows are fat (MBs of binary) → keep
@@ -66,15 +68,19 @@ FEATURE_DIM = 16
 
 def decode_image(data: bytes) -> "np.ndarray":
     """Decode an image binary to an (H,W,C) uint8 array. PNG decodes
-    for real (functions/png.py); other formats need an imaging
-    library this container doesn't ship."""
+    for real (functions/png.py), as does baseline JPEG
+    (functions/jpeg.py); other formats need an imaging library this
+    container doesn't ship."""
+    from parquet_extractor_spark.functions.jpeg import decode_jpeg, is_jpeg
     from parquet_extractor_spark.functions.png import PNG_MAGIC, decode_png
 
     if data and data[: len(PNG_MAGIC)] == PNG_MAGIC:
         return decode_png(data)
+    if is_jpeg(data):
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "only PNG decode is implemented; JPEG/WebP/... require "
-        "PIL/pillow, not available in this environment"
+        "only PNG and baseline JPEG decode are implemented; WebP/TIFF/"
+        "... require PIL/pillow, not available in this environment"
     )
 
 
@@ -103,11 +109,12 @@ def fake_feature(data: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
 
 def feature_for_bytes(d: bytes | None) -> list[float]:
     """Modality dispatch for one media binary: real pixel/sample
-    features for decodable formats (PNG histogram, WAV energy
-    envelope); byte-hash features as the declared stand-in for formats
-    with no decoder. Pure function of the bytes — shared by the Spark
-    mapInPandas stage and the oracle generator
+    features for decodable formats (PNG/JPEG pixel histogram, WAV
+    energy envelope); byte-hash features as the declared stand-in for
+    formats with no decoder. Pure function of the bytes — shared by
+    the Spark mapInPandas stage and the oracle generator
     (tools/gen_multimodal_oracle.py)."""
+    from parquet_extractor_spark.functions.jpeg import is_jpeg
     from parquet_extractor_spark.functions.png import PNG_MAGIC
     from parquet_extractor_spark.functions.wav import (
         audio_feature,
@@ -115,7 +122,7 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
         is_wav,
     )
 
-    if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
+    if d is not None and (d[: len(PNG_MAGIC)] == PNG_MAGIC or is_jpeg(d)):
         return pixel_feature(decode_image(d))
     if is_wav(d):
         samples, _sr = decode_wav(d)
@@ -170,9 +177,11 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic fixture rows (pure Python — shared by the Spark
     fixture below and the oracle generator). Image rows carry REAL
-    64×48 PNGs (random pixels, round-trippable through the codec);
-    audio rows carry REAL 0.25 s 8 kHz PCM-16 WAVs (sine + noise);
-    video rows carry opaque pseudo-random payloads."""
+    64×48 images — alternating PNG and baseline JPEG (4:2:0), both
+    round-trippable through the in-repo codecs; audio rows carry REAL
+    0.25 s 8 kHz PCM-16 WAVs (sine + noise); video rows carry opaque
+    pseudo-random payloads."""
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
     from parquet_extractor_spark.functions.png import encode_png
     from parquet_extractor_spark.functions.wav import encode_wav
 
@@ -183,7 +192,12 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
         kind = kinds[i % 3]
         if kind == "image":
             pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            data = encode_png(pixels)
+            # even image rows PNG, odd image rows JPEG — same pixel
+            # draw, two real codecs through one decode pipeline
+            if (i // 3) % 2 == 0:
+                data = encode_png(pixels)
+            else:
+                data = encode_jpeg(pixels, quality=90, subsample=True)
         elif kind == "audio":
             sr, dur = 8000, 0.25
             t = np.arange(int(sr * dur)) / sr
@@ -194,11 +208,15 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
         else:
             size = int(rng.integers(64, 512))
             data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        if kind == "image":
+            mime = "image/png" if (i // 3) % 2 == 0 else "image/jpeg"
+        else:
+            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                mime,
                 64 if kind == "image" else None,
                 48 if kind == "image" else None,
                 {"image": None, "audio": 250, "video": 5000}[kind],
@@ -215,7 +233,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def media_feature_checksums(spark, sf_dir: str) -> DataFrame:
     """Oracle-pairable multimodal query: run the REAL decode+feature
-    pipeline (PNG pixel histograms, WAV energy envelopes — see
+    pipeline (PNG/JPEG pixel histograms, WAV energy envelopes — see
     extract_features) over the deterministic media fixture and reduce
     each float32 feature vector to scalar micro-int checksums, using
     the same floor(x*1e6 + 0.5) half-up rule the embedding queries
@@ -269,16 +287,17 @@ def fake_resized_bytes(data: bytes | None, width: int, height: int) -> bytes:
 
 
 def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image-resize over mapInPandas: PNG rows decode → nearest-
-    neighbor resample → re-encode, all on real pixels (functions/
-    png.py); non-decodable formats fall back to the declared byte-
-    tiling fake. The Spark-side contract either way: filter to images
-    BEFORE the Python boundary (pushed to the scan), Arrow-batched
-    binary streaming in, bounded binary out, output volume
-    proportional to row count × target dims — which is what
-    determines the downstream partition sizing when the resized table
-    is written.
+    """Image-resize over mapInPandas: PNG/JPEG rows decode → nearest-
+    neighbor resample → re-encode in their own format, all on real
+    pixels (functions/png.py, functions/jpeg.py); non-decodable
+    formats fall back to the declared byte-tiling fake. The
+    Spark-side contract either way: filter to images BEFORE the
+    Python boundary (pushed to the scan), Arrow-batched binary
+    streaming in, bounded binary out, output volume proportional to
+    row count × target dims — which is what determines the downstream
+    partition sizing when the resized table is written.
     """
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg, is_jpeg
     from parquet_extractor_spark.functions.png import (
         PNG_MAGIC,
         encode_png,
@@ -288,6 +307,12 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     def _one(d: bytes | None) -> bytes:
         if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
             return encode_png(resize_nearest(decode_image(d), width, height))
+        if is_jpeg(d):
+            return encode_jpeg(
+                resize_nearest(decode_image(d), width, height),
+                quality=90,
+                subsample=True,
+            )
         return fake_resized_bytes(d, width, height)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

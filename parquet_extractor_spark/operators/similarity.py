@@ -359,6 +359,111 @@ ORDER BY query_id, rank
 """
 
 
+# SemDeDup cosine threshold (Abbas et al. 2023, arXiv:2303.09540 —
+# public formulation: cluster embeddings, drop all but one member of
+# each within-cluster near-duplicate group). 0.35 matches the fixture
+# geometry documented at NEAR_DUP_THRESHOLD.
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic dedup via embedding clustering — the
+    embedding-space sibling of the MinHash/Jaccard lexical tiers.
+
+    Shape: (1) map-side cluster assignment against literal centroids
+    (identical to ann_ivf — zero shuffle); (2) within-cluster pair
+    scoring via a self-join keyed on cluster (pairs only ever form
+    inside a cell, never across the corpus); (3) a vector is dropped
+    when a LOWER-id member of its cluster sits within
+    SEMDEDUP_THRESHOLD cosine — the deterministic keep-the-exemplar
+    rule (the paper keeps one random member; lowest-id is the
+    reproducible choice an oracle can mirror).
+
+    Scale: the cluster self-join is quadratic in CELL size, not corpus
+    size — exactly SemDeDup's published cost model, controlled by
+    choosing k so cells stay ~|corpus|/k. Skewed cells would use the
+    same MAX_SHINGLE_DF-style cap the lexical tier applies.
+    Output: (vec_id, cluster, keep) for every vector.
+    """
+    cents = _centroid_vectors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def cell_sim(c: list[float]) -> Column:
+        return F.round(
+            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
+        )
+
+    sims = [cell_sim(c) for c in cents]
+    sim_arr = F.array(*sims)
+    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
+    assigned = emb.select("vec_id", "embedding").withColumn("cluster", cluster)
+
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster").alias("a_cl"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster").alias("b_cl"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dropped = (
+        a.join(b, (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")))
+        .filter(
+            F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
+            >= F.lit(SEMDEDUP_THRESHOLD)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("is_dup").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_KEEP_SQL = rf"""
+WITH cent AS (
+    SELECT vec_id AS cid, embedding AS c_emb
+    FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round({_cos_sql('e.embedding', 'c.c_emb')}, 9) AS sim
+    FROM embeddings e CROSS JOIN cent c
+),
+ranked_assign AS (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+),
+clusters AS (
+    SELECT vec_id, embedding, cid AS cluster FROM ranked_assign WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM clusters a JOIN clusters b
+      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6)
+          >= {SEMDEDUP_THRESHOLD}
+)
+SELECT c.vec_id,
+       CAST(c.cluster AS INTEGER) AS cluster,
+       d.vec_id IS NULL AS keep
+FROM clusters c LEFT JOIN dropped d USING (vec_id)
+ORDER BY c.vec_id
+"""
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection (dedup tier 5):
     same-bucket pairs with cosine above threshold. Bucketed join keeps

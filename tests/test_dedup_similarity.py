@@ -237,3 +237,48 @@ def test_kmeans_refine_improves_inertia(spark, sf_small):
     initial_inertia = emb.select(F.sum(d0).alias("s")).first().s
     refined_inertia = sum(r.avg_sqdist * r.n_vectors for r in out)
     assert refined_inertia <= initial_inertia + 1e-6
+
+
+def test_semdedup_keep_flags_are_exactly_right(spark, sf_small):
+    """Recompute SemDeDup's rule locally: a vector is dropped iff a
+    LOWER-id member of its cluster sits within the cosine threshold."""
+    import numpy as np
+
+    from parquet_extractor_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semdedup_keep,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = semdedup_keep(spark, sf_small).collect()
+    assert len(rows) == 500
+    dropped = {r.vec_id for r in rows if not r.keep}
+    assert dropped  # threshold chosen to make the fixture non-trivial
+    cluster_of = {r.vec_id: r.cluster for r in rows}
+
+    embs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for r in rows:
+        lower_neighbors = [
+            v
+            for v in embs
+            if v < r.vec_id
+            and cluster_of[v] == r.cluster
+            and round(cos(embs[v], embs[r.vec_id]), 6) >= SEMDEDUP_THRESHOLD
+        ]
+        assert (not r.keep) == bool(lower_neighbors), r.vec_id
+
+
+def test_semdedup_no_forced_broadcast(spark, sf_small):
+    """Cluster assignment is plan-time literals; the self-join keys on
+    cluster — nothing in the plan may pin a corpus-sized broadcast."""
+    from parquet_extractor_spark.operators.similarity import semdedup_keep
+    from parquet_extractor_spark.plans.explain import forced_broadcast_count
+
+    assert forced_broadcast_count(semdedup_keep(spark, sf_small)) == 0

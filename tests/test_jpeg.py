@@ -1,0 +1,91 @@
+"""Baseline JPEG codec tests (functions/jpeg.py): round-trip fidelity
+across layouts and quality, restart markers, marker-structure
+validity, and the declared progressive boundary."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from parquet_extractor_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
+
+def _gradient(h: int = 48, w: int = 64) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(1, w - 1),
+            yy * 255 // max(1, h - 1),
+            (xx + yy) * 255 // max(1, w + h - 2),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_roundtrip_gradient_444_and_420():
+    img = _gradient()
+    for sub in (False, True):
+        data = encode_jpeg(img, quality=90, subsample=sub)
+        assert is_jpeg(data)
+        assert data.endswith(b"\xff\xd9")
+        dec = decode_jpeg(data)
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        # smooth content at q90: tight reconstruction
+        assert err.max() <= 8
+        assert err.mean() < 2.0
+
+
+def test_flat_color_reconstructs_exactly():
+    img = np.full((17, 23, 3), 200, dtype=np.uint8)  # odd dims
+    dec = decode_jpeg(encode_jpeg(img, quality=75))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - 200).max() <= 1
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient(40, 56)
+    for sub in (False, True):
+        data = encode_jpeg(img, quality=90, subsample=sub, restart_interval=2)
+        assert b"\xff\xdd" in data  # DRI present
+        dec = decode_jpeg(data)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_quality_trades_size_for_error():
+    rng = np.random.default_rng(3)
+    base = _gradient().astype(int)
+    img = np.clip(base + rng.integers(-20, 21, size=base.shape), 0, 255).astype(
+        np.uint8
+    )
+    hi = encode_jpeg(img, quality=95)
+    lo = encode_jpeg(img, quality=30)
+    assert len(lo) < len(hi)
+    err_hi = np.abs(decode_jpeg(hi).astype(int) - img.astype(int)).mean()
+    err_lo = np.abs(decode_jpeg(lo).astype(int) - img.astype(int)).mean()
+    assert err_hi < err_lo
+
+
+def test_deterministic_bytes():
+    img = _gradient(24, 24)
+    assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+
+
+def test_progressive_declared_not_implemented():
+    # minimal stream: SOI + SOF2 header
+    data = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(data)
+
+
+def test_garbage_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"definitely not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xda truncated")
+    assert not is_jpeg(None)
+    assert not is_jpeg(b"")

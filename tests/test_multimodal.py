@@ -40,10 +40,21 @@ def test_png_rejects_garbage_and_bad_crc():
         decode_png(bytes(corrupted))
 
 
-def test_decode_image_real_png_and_stubbed_other_formats():
+def test_decode_image_real_png_jpeg_and_stubbed_other_formats():
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
+
     arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     assert np.array_equal(decode_image(encode_png(arr)), arr)
+    # JPEG decodes for real now (lossy: flat block reconstructs close)
+    flat = np.full((8, 8, 3), 120, dtype=np.uint8)
+    dec = decode_image(encode_jpeg(flat, quality=90))
+    assert dec.shape == flat.shape
+    assert np.abs(dec.astype(int) - 120).max() <= 2
+    # formats with no in-repo codec stay declared stubs
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # garbage wearing a JPEG magic is a parse error, not a stub
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
@@ -99,23 +110,38 @@ def test_frame_sampling_fanout(spark):
 def test_resize_images_real_pixels(spark):
     from parquet_extractor_spark.operators.multimodal import resize_images
 
+    from parquet_extractor_spark.functions.jpeg import is_jpeg
+
     media = synthetic_media(spark, n=30)
     out = resize_images(media, width=32, height=16).collect()
-    # only image rows survive; each output is a real PNG at target dims
+    # only image rows survive; each output is a real image at target
+    # dims, re-encoded in the source row's own format
     assert len(out) == 10
     originals = {
-        r.media_id: decode_png(bytes(r.data))
+        r.media_id: (bytes(r.data), decode_image(bytes(r.data)))
         for r in media.filter("kind = 'image'").collect()
     }
+    jpeg_rows = 0
     for r in out:
         assert r.width == 32 and r.height == 16
         assert r.orig_width == 64
-        resized = decode_png(bytes(r.data))
-        assert resized.shape == (16, 32, 3)
-        # nearest-neighbor agrees with resampling the original directly
-        assert np.array_equal(
-            resized, resize_nearest(originals[r.media_id], 32, 16)
-        )
+        src_bytes, src_pixels = originals[r.media_id]
+        want = resize_nearest(src_pixels, 32, 16)
+        if is_jpeg(src_bytes):
+            jpeg_rows += 1
+            assert is_jpeg(bytes(r.data))
+            resized = decode_image(bytes(r.data))
+            assert resized.shape == (16, 32, 3)
+            # JPEG re-encode is lossy; require the pixels to track the
+            # nearest-resampled original in aggregate
+            err = np.abs(resized.astype(int) - want.astype(int)).mean()
+            assert err < 48, err  # random-noise pixels: worst case
+        else:
+            resized = decode_png(bytes(r.data))
+            assert resized.shape == (16, 32, 3)
+            # lossless path: nearest-neighbor agrees exactly
+            assert np.array_equal(resized, want)
+    assert jpeg_rows == 5  # image rows alternate PNG / JPEG
     # deterministic across runs
     again = resize_images(media, width=32, height=16).collect()
     assert [bytes(r.data) for r in out] == [bytes(r.data) for r in again]
