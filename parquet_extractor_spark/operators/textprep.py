@@ -307,3 +307,75 @@ ORDER BY doc_id
 
 
 WEIGHTED_SAMPLE_SQL = _weighted_sql()
+
+
+BPE_MERGE_TOP = 40
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training, distributed: count
+    adjacent character pairs over the corpus and rank merge candidates
+    (Sennrich et al. 2016's algorithm; the quality.bpe_token_counts
+    query APPLIES a BPE-ish segmentation — this is the step that would
+    LEARN it).
+
+    The classic trainer trick makes this sublinear in corpus size:
+    aggregate to DISTINCT words first (one shuffle, partial-agg'd —
+    vocabulary-sized output), then fan adjacent pairs out per distinct
+    word map-side (codegen'd substring transform, no UDF) weighted by
+    word frequency, and aggregate pair counts (second shuffle, also
+    vocabulary-bounded). At 100 TB the corpus scan dominates and both
+    shuffles stay ~|vocab|; no state ever scales with document count.
+    Output: top BPE_MERGE_TOP of (left_sym, right_sym, pair_count).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.struct(
+                F.col("w").substr(i, F.lit(1)).alias("left_sym"),
+                F.col("w").substr(i + 1, F.lit(1)).alias("right_sym"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left_sym:string,right_sym:string>>"))
+    return (
+        words.select(F.explode(pair_arr).alias("p"), "freq")
+        .groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_MERGE_TOP)
+    )
+
+
+BPE_MERGE_CANDIDATES_SQL = rf"""
+WITH words AS (
+    SELECT t AS w, count(*) AS freq
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(
+            regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+            x -> x != '')) AS t
+        FROM documents
+    )
+    GROUP BY 1
+),
+pairs AS (
+    SELECT substr(w, i, 1) AS left_sym,
+           substr(w, i + 1, 1) AS right_sym,
+           freq
+    FROM words, unnest(range(1, len(w))) AS u(i)
+)
+SELECT left_sym, right_sym, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT {BPE_MERGE_TOP}
+"""

@@ -138,3 +138,42 @@ def compact_dataset(
         "files_after": _count_files(data_dir),
         "rows": rows,
     }
+
+
+def write_jsonl(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 100_000,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a JSON-Lines dataset — the interchange format
+    LLM training loaders actually consume (one JSON object per line).
+
+    Spark's native json writer IS jsonl (one object per line per
+    file); everything stays JVM-side, distributed, and splittable.
+    Trade-offs vs parquet, stated so callers choose deliberately:
+    ~3-5x the bytes (no columnar encoding), no column pruning or
+    row-group skipping for downstream Spark readers — use it at the
+    pipeline BOUNDARY (export to a trainer), not between stages.
+    gzip keeps the 3-5x in check and remains line-splittable per file
+    because files are bounded by max_records_per_file.
+    """
+    writer = df.write.mode(mode).option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(out_dir)
+
+
+def read_jsonl_dataset(spark, out_dir: str, schema=None) -> DataFrame:
+    """Read a dataset written by write_jsonl (schema recommended:
+    inference re-scans the data)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(out_dir)

@@ -236,3 +236,39 @@ def test_sample_key_large_ids_match_duckdb(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_jsonl_sink_roundtrip_and_line_format(spark, sf_small, tmp_path):
+    """write_jsonl: one JSON object per line, gzip'd, partition dirs,
+    lossless round-trip with an explicit schema."""
+    import glob
+    import gzip
+    import json
+
+    from parquet_extractor_spark.sinks.dataset import (
+        read_jsonl_dataset,
+        write_jsonl,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl(docs, out, partition_by=["lang"], max_records_per_file=40)
+
+    files = glob.glob(f"{out}/lang=*/*.json.gz")
+    assert files  # partitioned, compressed
+    with gzip.open(files[0], "rt") as f:
+        first = f.readline()
+    obj = json.loads(first)  # every line parses standalone
+    assert {"doc_id", "text", "source"} <= set(obj)
+    assert "lang" not in obj  # partition column lives in the path
+
+    back = read_jsonl_dataset(
+        spark, out, schema="doc_id BIGINT, text STRING, source STRING, lang STRING"
+    )
+    assert back.count() == docs.count()
+    want = {(r.doc_id, r.text, r.lang, r.source) for r in docs.collect()}
+    got = {(r.doc_id, r.text, r.lang, r.source) for r in back.collect()}
+    assert got == want

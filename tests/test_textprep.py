@@ -67,3 +67,44 @@ def test_stratified_sample_exact_n_per_lang(spark, sf_small):
     }
     first = {(r.lang, r.pick): r.doc_id for r in rows}
     assert first == again
+
+
+def test_bpe_merge_candidates_counts_are_exact(spark, sf_small):
+    """Recompute the pair counts in pure Python from the same
+    tokenizer output — the distributed distinct-word trick must not
+    change the answer."""
+    from collections import Counter
+
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.textprep import (
+        BPE_MERGE_TOP,
+        bpe_merge_candidates,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = bpe_merge_candidates(spark, sf_small).collect()
+    assert 0 < len(rows) <= BPE_MERGE_TOP
+
+    toks = (
+        load_table(spark, sf_small, "documents")
+        .select(tokenize("text").alias("ts"))
+        .collect()
+    )
+    want = Counter()
+    for r in toks:
+        for w in r.ts:
+            for i in range(len(w) - 1):
+                want[(w[i], w[i + 1])] += 1
+    got = {(r.left_sym, r.right_sym): r.pair_count for r in rows}
+    for pair, n in got.items():
+        assert want[pair] == n, pair
+    # the returned rows are the true top by count (ties by pair)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == dict(ranked[: len(got)])
+
+
+def test_bpe_merge_candidates_partial_agg(spark, sf_small):
+    from parquet_extractor_spark.operators.textprep import bpe_merge_candidates
+    from parquet_extractor_spark.plans.explain import has_partial_aggregation
+
+    assert has_partial_aggregation(bpe_merge_candidates(spark, sf_small))
