@@ -63,6 +63,12 @@ HEADLINE = [
     "zipf_token_stats",
     "shard_assignments",
     "cross_source_dedup_candidates",
+    # r03 additions: semantic dedup, PQ compression, BPE trainer step,
+    # and the real-codec multimodal decode pipeline
+    "semdedup_keep",
+    "pq_codes",
+    "bpe_merge_candidates",
+    "media_feature_checksums",
 ]
 
 

@@ -221,13 +221,15 @@ NUM_CENTROIDS = 8
 NPROBE = 2
 
 
-def _centroid_vectors(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    """Collect the NUM_CENTROIDS centroid vectors (a few KB) onto the
-    driver — they become plan-time literals, broadcast for free inside
-    the serialized expressions."""
+def _centroid_vectors(
+    spark: SparkSession, sf_dir: str, k: int = NUM_CENTROIDS
+) -> list[list[float]]:
+    """Collect the k centroid vectors (a few KB) onto the driver —
+    they become plan-time literals, broadcast for free inside the
+    serialized expressions."""
     rows = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < NUM_CENTROIDS)
+        .filter(F.col("vec_id") < k)
         .orderBy("vec_id")
         .collect()
     )
@@ -364,6 +366,10 @@ ORDER BY query_id, rank
 # each within-cluster near-duplicate group). 0.35 matches the fixture
 # geometry documented at NEAR_DUP_THRESHOLD.
 SEMDEDUP_THRESHOLD = 0.35
+# SemDeDup sizes k so cells stay small (paper: k ~ n/100); a finer
+# grid than IVF's 8 coarse cells keeps the quadratic within-cell pair
+# cost bounded — 32 cells cut pair volume 4x vs sharing NUM_CENTROIDS.
+SEMDEDUP_CENTROIDS = 32
 
 
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,39 +387,67 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the cluster self-join is quadratic in CELL size, not corpus
     size — exactly SemDeDup's published cost model, controlled by
-    choosing k so cells stay ~|corpus|/k. Skewed cells would use the
-    same MAX_SHINGLE_DF-style cap the lexical tier applies.
+    choosing k so cells stay ~|corpus|/k (SEMDEDUP_CENTROIDS here).
+    Skewed cells would use the same MAX_SHINGLE_DF-style cap the
+    lexical tier applies.
     Output: (vec_id, cluster, keep) for every vector.
     """
-    cents = _centroid_vectors(spark, sf_dir)
+    cents = _centroid_vectors(spark, sf_dir, SEMDEDUP_CENTROIDS)
     emb = load_table(spark, sf_dir, "embeddings")
 
-    def cell_sim(c: list[float]) -> Column:
-        return F.round(
-            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
-        )
+    # Two fold-elimination tricks, both bit-identical to cosine()'s
+    # formula (same IEEE doubles, same operation order):
+    # - each CENTROID's norm is a plan-time Python constant (python
+    #   float arithmetic == JVM double arithmetic, left-to-right);
+    # - each ROW's norm is computed once as a column and reused by all
+    #   SEMDEDUP_CENTROIDS assignment cosines AND the pair stage,
+    #   which then pays one dot fold per pair instead of three.
+    def py_norm(c: list[float]) -> float:
+        acc = 0.0
+        for v in c:
+            acc += v * v
+        return acc ** 0.5
 
+    def cell_sim(c: list[float]) -> Column:
+        dot = _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
+        return F.round(dot / (F.col("nrm") * F.lit(py_norm(c))), 9)
+
+    from pyspark import StorageLevel
+
+    base = emb.select("vec_id", "embedding").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     sims = [cell_sim(c) for c in cents]
     sim_arr = F.array(*sims)
     cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
-    assigned = emb.select("vec_id", "embedding").withColumn("cluster", cluster)
+    # persist: the assignment (SEMDEDUP_CENTROIDS dot folds per row)
+    # feeds BOTH self-join sides and the final keep projection —
+    # caching evaluates it once instead of three times, the same
+    # shared-subplan persist ngram_jaccard_pairs uses.
+    assigned = base.withColumn("cluster", cluster).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     a = assigned.select(
         F.col("vec_id").alias("a_id"),
         F.col("cluster").alias("a_cl"),
         F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = assigned.select(
         F.col("vec_id").alias("b_id"),
         F.col("cluster").alias("b_cl"),
         F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pair_sim = F.round(
+        _dot(F.col("a_emb"), F.col("b_emb"))
+        / (F.col("a_nrm") * F.col("b_nrm")),
+        6,
     )
     dropped = (
         a.join(b, (F.col("a_cl") == F.col("b_cl")) & (F.col("a_id") < F.col("b_id")))
-        .filter(
-            F.round(cosine(F.col("a_emb"), F.col("b_emb")), 6)
-            >= F.lit(SEMDEDUP_THRESHOLD)
-        )
+        .filter(pair_sim >= F.lit(SEMDEDUP_THRESHOLD))
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(True))
@@ -433,7 +467,7 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_KEEP_SQL = rf"""
 WITH cent AS (
     SELECT vec_id AS cid, embedding AS c_emb
-    FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+    FROM embeddings WHERE vec_id < {SEMDEDUP_CENTROIDS}
 ),
 scored AS (
     SELECT e.vec_id, e.embedding, c.cid,
