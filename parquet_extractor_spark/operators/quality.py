@@ -404,3 +404,101 @@ SELECT ustat.doc_id AS doc_id,
 FROM ustat JOIN bstat ON ustat.doc_id = bstat.doc_id
 ORDER BY ustat.doc_id
 """
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, arXiv:2112.11446
+# Table A1 — public heuristics). GOPHER_MIN_WORDS is the paper's 50;
+# fixture docs run 10-99 tokens, so the rule splits the corpus rather
+# than passing or failing vacuously.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: the published heuristic gate
+    most open-web curation pipelines start from. Four rules over the
+    token stream — word count bounds, mean word length bounds,
+    fraction of words containing an alphabetic character, and a
+    minimum stopword count — plus the conjunction ``gopher_keep``.
+
+    Pure map-side column expressions (one scan, zero shuffle, no UDF);
+    the measures are emitted alongside the booleans so downstream
+    threshold tuning can re-cut without recomputing.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokenize("text")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
+    )
+    mean_len = total_len.cast("double") / n
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    words_ok = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    mean_len_ok = (mean_len >= GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_LEN
+    )
+    alpha_ok = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    stop_ok = stop_hits >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        words_ok.alias("words_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & mean_len_ok & alpha_ok & stop_ok).alias("gopher_keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOPLIST_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+GOPHER_QUALITY_FLAGS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS ts
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(ts) AS n_words,
+           CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+               / len(ts) AS mean_len,
+           CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                AS DOUBLE) / len(ts) AS alpha_frac,
+           len(list_filter(ts, t -> t IN ({_GOPHER_STOPLIST_SQL})))
+               AS stop_hits
+    FROM toks
+),
+flags AS (
+    SELECT doc_id, n_words, mean_len, alpha_frac, stop_hits,
+           n_words >= {GOPHER_MIN_WORDS}
+               AND n_words <= {GOPHER_MAX_WORDS} AS words_ok,
+           mean_len >= {GOPHER_MIN_MEAN_LEN}
+               AND mean_len <= {GOPHER_MAX_MEAN_LEN} AS mean_len_ok,
+           alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS alpha_ok,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS stop_ok
+    FROM m
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(mean_len, 4) AS mean_word_len,
+       round(alpha_frac, 4) AS alpha_frac,
+       CAST(stop_hits AS BIGINT) AS stopword_hits,
+       words_ok, mean_len_ok, alpha_ok, stop_ok,
+       words_ok AND mean_len_ok AND alpha_ok AND stop_ok AS gopher_keep
+FROM flags
+ORDER BY doc_id
+"""

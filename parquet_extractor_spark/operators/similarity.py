@@ -1016,28 +1016,38 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, errs = [], []
+    # Stage the per-subspace distance arrays as named columns so each
+    # (PQ_K fold expressions) is evaluated ONCE per row — the min,
+    # argmin, and error projections below reference the column instead
+    # of re-deriving the folds (Catalyst doesn't CSE across them).
+    dist_cols = []
     for s in range(PQ_M):
         sub = F.transform(
             F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
             lambda x: x.cast("double"),
         )
-        dists = F.array(*[sqdist(sub, books[s][k]) for k in range(len(seeds))])
+        dist_cols.append(
+            F.array(*[sqdist(sub, books[s][k]) for k in range(len(seeds))])
+            .alias(f"d{s}")
+        )
+    staged = emb.select("vec_id", *dist_cols)
+
+    seed_arr = F.array(*[F.lit(sid) for sid in seed_ids])
+    codes, errs = [], []
+    for s in range(PQ_M):
+        dists = F.col(f"d{s}")
         best = F.array_min(dists)
         # array_position is 1-based and returns the FIRST match, i.e.
         # the lowest seed index = lowest seed vec_id (seeds are sorted)
         codes.append(
-            F.element_at(
-                F.array(*[F.lit(sid) for sid in seed_ids]),
-                F.array_position(dists, best).cast("int"),
-            )
+            F.element_at(seed_arr, F.array_position(dists, best).cast("int"))
         )
         errs.append(best)
     recon = errs[0]
     for e in errs[1:]:
         recon = recon + e
     return (
-        emb.select(
+        staged.select(
             "vec_id",
             F.concat_ws(",", *codes).alias("pq_code"),
             F.round(recon, 6).alias("recon_err"),

@@ -77,3 +77,64 @@ def test_fingerprints_detect_shared_prefix(spark, tmp_path):
     # min-hash over shared 8-gram shingles is very likely equal for 0/1
     assert fps[0] == fps[1]
     assert fps[0] != fps[2]
+
+
+def test_gopher_flags_recomputed_locally(spark, sf_small):
+    """Recompute every rule in pure Python on the tokenizer output —
+    the flags and the conjunction must agree exactly, and each rule
+    must split the corpus (non-vacuous thresholds)."""
+    import re
+
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.quality import (
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        gopher_quality_flags,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in gopher_quality_flags(spark, sf_small).collect()}
+    toks = {
+        r.doc_id: list(r.ts)
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", tokenize("text").alias("ts"))
+        .collect()
+    }
+    assert set(rows) == set(toks)
+    for doc_id, ts in toks.items():
+        r = rows[doc_id]
+        assert r.n_words == len(ts)
+        mean_len = sum(len(t) for t in ts) / len(ts)
+        # Spark/DuckDB round HALF_UP; Python round() is banker's
+        import math
+
+        half_up = math.floor(mean_len * 1e4 + 0.5) / 1e4
+        assert abs(r.mean_word_len - half_up) < 1e-9
+        assert r.words_ok == (len(ts) >= GOPHER_MIN_WORDS)
+        assert r.mean_len_ok == (GOPHER_MIN_MEAN_LEN <= mean_len <= 10.0)
+        alpha = sum(1 for t in ts if re.search("[a-z]", t)) / len(ts)
+        assert r.alpha_ok == (alpha >= GOPHER_MIN_ALPHA_FRAC)
+        stop = sum(1 for t in ts if t in GOPHER_STOPWORDS)
+        assert r.stopword_hits == stop
+        assert r.stop_ok == (stop >= GOPHER_MIN_STOP_HITS)
+        assert r.gopher_keep == (
+            r.words_ok and r.mean_len_ok and r.alpha_ok and r.stop_ok
+        )
+    keeps = [r.gopher_keep for r in rows.values()]
+    assert any(keeps) and not all(keeps)
+    # word-count rule specifically must split (fixture docs 10-99 toks)
+    wc = [r.words_ok for r in rows.values()]
+    assert any(wc) and not all(wc)
+
+
+def test_gopher_flags_plan_is_map_side(spark, sf_small):
+    from parquet_extractor_spark.operators.quality import gopher_quality_flags
+    from parquet_extractor_spark.plans.explain import read_schema_columns
+
+    df = gopher_quality_flags(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert read_schema_columns(df)[0] == {"doc_id", "text"}
