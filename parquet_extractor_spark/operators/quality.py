@@ -502,3 +502,75 @@ SELECT doc_id,
 FROM flags
 ORDER BY doc_id
 """
+
+
+# Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS fingerprint
+# selection rule): over the rolling k-gram hash stream, keep the min
+# of every w-hash window. Guarantees any shared substring of length
+# >= k + w - 1 contributes a common fingerprint, while storing ~2/(w+1)
+# of the hashes.
+WINNOW_WINDOW = 4
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection — the robust-fingerprint
+    upgrade of doc_fingerprints (which is the degenerate w = doc
+    length case). Map-side only: gram hashes land in a column of one
+    projection, window minima slice that column in the next (two
+    Projects on purpose — the hash array is expensive and
+    multi-referenced, so Catalyst keeps the boundary instead of
+    inlining one md5 per gram per window).
+
+    Output per doc: n_grams, n_selected (distinct window minima — the
+    fingerprint set size), fingerprint_checksum (sum of the selected
+    hashes mod 1e9+7: overflow-safe in both engines).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    hashes = F.transform(
+        char_ngrams(F.col("text"), FINGERPRINT_NGRAM), portable_hash64
+    )
+    staged = docs.select("doc_id", hashes.alias("hs"))
+    n = F.size("hs")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(WINNOW_WINDOW - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice("hs", i, WINNOW_WINDOW)),
+    )
+    selected = F.array_distinct(wins)
+    checksum = F.aggregate(
+        selected,
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + F.pmod(v, F.lit(1_000_000_007)),
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        F.size(selected).cast("bigint").alias("n_selected"),
+        checksum.alias("fingerprint_checksum"),
+    ).orderBy("doc_id")
+
+
+WINNOWING_FINGERPRINTS_SQL = rf"""
+WITH h AS (
+    SELECT doc_id,
+           list_transform(
+               list_transform(
+                   range(1, greatest(length(text) - {FINGERPRINT_NGRAM - 1}, 1) + 1),
+                   i -> substr(text, i, {FINGERPRINT_NGRAM})),
+               g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS hs
+    FROM documents
+),
+wins AS (
+    SELECT doc_id, hs,
+           list_distinct(list_transform(
+               range(1, greatest(len(hs) - {WINNOW_WINDOW - 1}, 1) + 1),
+               i -> list_min(hs[i:i + {WINNOW_WINDOW - 1}]))) AS sel
+    FROM h
+)
+SELECT doc_id,
+       CAST(len(hs) AS BIGINT) AS n_grams,
+       CAST(len(sel) AS BIGINT) AS n_selected,
+       CAST(list_sum(list_transform(sel, x -> x % 1000000007)) AS BIGINT)
+           AS fingerprint_checksum
+FROM wins
+ORDER BY doc_id
+"""

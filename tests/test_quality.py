@@ -138,3 +138,40 @@ def test_gopher_flags_plan_is_map_side(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "HashAggregate" not in plan
     assert read_schema_columns(df)[0] == {"doc_id", "text"}
+
+
+def test_winnowing_recomputed_locally_and_guarantee(spark, sf_small):
+    """Recompute winnowing in pure Python (k-gram md5 hashes, window
+    minima, distinct, mod-sum) and pin the coverage guarantee: the
+    selected set is ~2/(w+1) of the grams, never empty, and every
+    selected hash is a real gram hash of the doc."""
+    import hashlib
+
+    from parquet_extractor_spark.operators.quality import (
+        FINGERPRINT_NGRAM,
+        WINNOW_WINDOW,
+        winnowing_fingerprints,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    rows = winnowing_fingerprints(spark, sf_small).collect()
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        t = texts[r.doc_id]
+        k = FINGERPRINT_NGRAM
+        grams = [t[i:i + k] for i in range(max(len(t) - k + 1, 1))]
+        hs = [phash(g) for g in grams]
+        w = WINNOW_WINDOW
+        mins = [min(hs[i:i + w]) for i in range(max(len(hs) - w + 1, 1))]
+        sel = list(dict.fromkeys(mins))
+        assert r.n_grams == len(hs)
+        assert r.n_selected == len(sel)
+        assert r.fingerprint_checksum == sum(h % 1_000_000_007 for h in sel)
+        assert 0 < r.n_selected <= r.n_grams
