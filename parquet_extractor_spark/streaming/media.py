@@ -1,0 +1,71 @@
+"""Structured Streaming over binary media columns: the streaming twin
+of ``operators.multimodal.extract_features``.
+
+This is the continuously-ingesting shape of a multimodal curation
+pipeline: media files land as parquet in a directory, the stream picks
+up new files, decodes them executor-side (real PNG/JPEG/WAV codecs via
+the same ``feature_for_bytes`` the batch path uses — one decode
+definition, two execution modes), and appends scalar features to a
+feature table. The fat binaries never sit in state: feature extraction
+is stateless row-at-a-time work, so the stream's memory profile is one
+Arrow batch per task regardless of history.
+
+Sink idempotency matches streaming/documents.py: each epoch writes to
+its own ``epoch=N`` directory with overwrite, so an at-least-once
+foreachBatch replay replaces its own output instead of duplicating.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_extractor_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+)
+
+
+def read_media_stream(spark: SparkSession, media_dir: str) -> DataFrame:
+    """File-source stream over a directory of media parquet files.
+    Schema is the fixed MEDIA_SCHEMA (file streams require one); no
+    data need exist at definition time."""
+    return spark.readStream.schema(MEDIA_SCHEMA).parquet(media_dir)
+
+
+def run_media_features_stream(
+    spark: SparkSession,
+    media_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the media source once (availableNow) through feature
+    extraction into a kind-partitioned feature table; returns the
+    written table re-read as a batch frame (epoch appears as a
+    partition column — drop it if unwanted)."""
+    feats = extract_features(read_media_stream(spark, media_dir))
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        (
+            batch.repartition("kind")
+            .write.mode("overwrite")
+            .partitionBy("kind")
+            .parquet(os.path.join(out_dir, f"epoch={epoch}"))
+        )
+
+    query = (
+        feats.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "media_feats")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"media feature stream did not drain within {timeout_s}s"
+        )
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

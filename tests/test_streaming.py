@@ -234,3 +234,33 @@ def test_streaming_curation_equals_batch(spark, sf_small, tmp_path):
     # partitioned layout actually materialized
     langs = {r.lang for r in got_rows}
     assert len(langs) > 1
+
+
+def test_streaming_media_features_equal_batch(spark, tmp_path):
+    """Streamed feature extraction over a media landing dir must
+    produce exactly the batch features (same decode functions, two
+    execution modes) — including real PNG/JPEG/WAV rows."""
+    from parquet_extractor_spark.operators.multimodal import (
+        extract_features,
+        synthetic_media,
+    )
+    from parquet_extractor_spark.streaming.media import (
+        run_media_features_stream,
+    )
+
+    media = synthetic_media(spark, n=24)
+    landing = str(tmp_path / "media_landing")
+    media.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    got = run_media_features_stream(
+        spark, landing, str(tmp_path / "ckpt"), str(tmp_path / "feats")
+    )
+    want = extract_features(media)
+
+    def key(rows):
+        return {
+            (r.media_id, r.kind, r.n_bytes, tuple(r.feature)) for r in rows
+        }
+
+    assert key(got.collect()) == key(want.collect())
+    assert got.count() == 24
