@@ -226,13 +226,18 @@ def _centroid_vectors(
 ) -> list[list[float]]:
     """Collect the k centroid vectors (a few KB) onto the driver —
     they become plan-time literals, broadcast for free inside the
-    serialized expressions."""
+    serialized expressions. Seeds are the FIRST k rows by vec_id
+    (robust to non-contiguous / non-zero-based id spaces; the oracles
+    mirror with ORDER BY vec_id LIMIT k)."""
     rows = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
         .orderBy("vec_id")
+        .limit(k)
         .collect()
     )
+    if not rows:
+        raise ValueError("embeddings table is empty, no centroid seeds")
     return [[float(x) for x in r.embedding] for r in rows]
 
 
@@ -323,7 +328,8 @@ def _cos_sql(a: str, b: str) -> str:
 ANN_IVF_SQL = rf"""
 WITH cent AS (
     SELECT vec_id AS cid, embedding AS c_emb
-    FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {NUM_CENTROIDS})
 ),
 scored AS (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -466,8 +472,12 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_KEEP_SQL = rf"""
 WITH cent AS (
-    SELECT vec_id AS cid, embedding AS c_emb
-    FROM embeddings WHERE vec_id < {SEMDEDUP_CENTROIDS}
+    -- cid = seed RANK (not vec_id): matches the Spark side's
+    -- array-index cluster labels even if vec_ids are sparse
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding AS c_emb
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {SEMDEDUP_CENTROIDS})
 ),
 scored AS (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -919,8 +929,12 @@ def _sqdist_sql(a: str, b: str) -> str:
 
 KMEANS_REFINE_SQL = rf"""
 WITH cent0 AS (
-    SELECT vec_id AS cid, embedding AS c
-    FROM embeddings WHERE vec_id < {NUM_CENTROIDS}
+    -- cid = seed RANK (not vec_id): matches the Spark side's
+    -- enumerate() cluster labels even if vec_ids are sparse
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding AS c
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {NUM_CENTROIDS})
 ),
 d1 AS (
     SELECT e.vec_id, e.embedding, c.cid,
