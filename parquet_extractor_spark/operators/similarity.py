@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 from parquet_extractor_spark.sources.tables import load_table
 
 TOP_K = 5
-N_QUERIES = 5  # vec_id < 5 are the query vectors
+N_QUERIES = 5  # the first 5 vectors by vec_id are the query set
 SIGN_BITS = 4
 # max same-bucket cosine in the fixture is ~0.51; 0.35 yields a
 # meaningful (non-empty) near-dup set for the oracle comparison
@@ -67,10 +67,24 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _query_rows(emb: DataFrame) -> DataFrame:
+    """The query set: first N_QUERIES rows by vec_id. ORDER BY/LIMIT
+    rather than a `vec_id < N` filter so a sparse or non-zero-based id
+    space still yields a non-empty query set (oracles mirror with
+    `vec_id IN (SELECT vec_id ... ORDER BY vec_id LIMIT N)`)."""
+    return emb.orderBy("vec_id").limit(N_QUERIES)
+
+
+# DuckDB twin of _query_rows, usable as `vec_id IN {_QUERY_IDS_SQL}`.
+_QUERY_IDS_SQL = (
+    f"(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {N_QUERIES})"
+)
+
+
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for the first N_QUERIES vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = _query_rows(emb).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     pairs = (
@@ -100,7 +114,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_BRUTEFORCE_SQL = rf"""
 WITH q AS (
     SELECT vec_id AS query_id, embedding AS q_emb
-    FROM embeddings WHERE vec_id < {N_QUERIES}
+    FROM embeddings WHERE vec_id IN {_QUERY_IDS_SQL}
 ),
 pairs AS (
     SELECT q.query_id,
@@ -145,7 +159,7 @@ def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = _query_rows(emb).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
@@ -187,7 +201,7 @@ WITH emb AS (
 ),
 q AS (
     SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
-    FROM emb WHERE vec_id < {N_QUERIES}
+    FROM emb WHERE vec_id IN {_QUERY_IDS_SQL}
 ),
 pairs AS (
     SELECT q.query_id,
@@ -285,7 +299,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     probes = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
+        _query_rows(emb)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -347,7 +361,7 @@ clusters AS (
 ),
 probes AS (
     SELECT vec_id AS query_id, embedding AS q_emb, cid AS probe_cluster
-    FROM ranked_assign WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}
+    FROM ranked_assign WHERE vec_id IN {_QUERY_IDS_SQL} AND rn <= {NPROBE}
 ),
 pairs AS (
     SELECT p.query_id, c.vec_id AS neighbor_id,
@@ -569,7 +583,7 @@ def ann_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _sign_bucket(F.col("embedding"))
     )
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = _query_rows(emb).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
@@ -617,7 +631,7 @@ WITH emb AS (
 ),
 q AS (
     SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
-    FROM emb WHERE vec_id < {N_QUERIES}
+    FROM emb WHERE vec_id IN {_QUERY_IDS_SQL}
 ),
 probes AS (
 {probes}
