@@ -487,6 +487,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         tag = data[pos + 1]
         pos += 2
+        if tag == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos -= 1
+            continue
         if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
             continue
         if tag == 0xD9:  # EOI
@@ -537,6 +540,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # non-interleaved scans lay blocks out in raster order,
+                # not MCU order — decoding them with the interleaved
+                # walk below would return silently scrambled pixels
+                raise NotImplementedError(
+                    "jpeg: only single interleaved scans supported "
+                    f"(scan has {ns} of {len(frame[2])} components)"
+                )
             scan = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]

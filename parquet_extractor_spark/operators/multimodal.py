@@ -123,7 +123,13 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
     )
 
     if d is not None and (d[: len(PNG_MAGIC)] == PNG_MAGIC or is_jpeg(d)):
-        return pixel_feature(decode_image(d))
+        try:
+            return pixel_feature(decode_image(d))
+        except (NotImplementedError, ValueError):
+            # progressive JPEG, corrupt stream, etc: fall through to
+            # the byte-hash stand-in rather than failing the whole
+            # mapInPandas task on one undecodable row
+            return fake_feature(d)
     if is_wav(d):
         samples, _sr = decode_wav(d)
         return audio_feature(samples, FEATURE_DIM)
@@ -305,14 +311,19 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     )
 
     def _one(d: bytes | None) -> bytes:
-        if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
-            return encode_png(resize_nearest(decode_image(d), width, height))
-        if is_jpeg(d):
-            return encode_jpeg(
-                resize_nearest(decode_image(d), width, height),
-                quality=90,
-                subsample=True,
-            )
+        try:
+            if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
+                return encode_png(
+                    resize_nearest(decode_image(d), width, height)
+                )
+            if is_jpeg(d):
+                return encode_jpeg(
+                    resize_nearest(decode_image(d), width, height),
+                    quality=90,
+                    subsample=True,
+                )
+        except (NotImplementedError, ValueError):
+            pass  # undecodable row (progressive/corrupt): declared fake
         return fake_resized_bytes(d, width, height)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -71,7 +71,9 @@ def _query_rows(emb: DataFrame) -> DataFrame:
     """The query set: first N_QUERIES rows by vec_id. ORDER BY/LIMIT
     rather than a `vec_id < N` filter so a sparse or non-zero-based id
     space still yields a non-empty query set (oracles mirror with
-    `vec_id IN (SELECT vec_id ... ORDER BY vec_id LIMIT N)`)."""
+    `vec_id IN (SELECT vec_id ... ORDER BY vec_id LIMIT N)`).
+    Assumes vec_id is unique (the table's key) — under duplicated ids
+    the LIMIT here and the IN-subquery there pick different row sets."""
     return emb.orderBy("vec_id").limit(N_QUERIES)
 
 

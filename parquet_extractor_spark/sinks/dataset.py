@@ -157,8 +157,9 @@ def write_jsonl(
     ~3-5x the bytes (no columnar encoding), no column pruning or
     row-group skipping for downstream Spark readers — use it at the
     pipeline BOUNDARY (export to a trainer), not between stages.
-    gzip keeps the 3-5x in check and remains line-splittable per file
-    because files are bounded by max_records_per_file.
+    gzip keeps the 3-5x in check but is NOT splittable: downstream
+    parallelism is one reader task per file, so max_records_per_file
+    is the lever that bounds per-task work — size it deliberately.
     """
     writer = df.write.mode(mode).option(
         "maxRecordsPerFile", max_records_per_file

@@ -57,16 +57,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet, ts normalized to a
     micros timestamp regardless of the fixture's physical type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.errors import AnalysisException
+
     try:
         probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         nanos_long = dict(probe.dtypes).get("ts") == "bigint"
-    except Exception:
+    except AnalysisException:
         # A landing dir with no data yet is a normal condition for a
-        # file-source stream — defining the stream must not require
-        # rows to exist. Default to the nanos-long layout (what the
-        # current fixtures write); first files of the other layout
-        # re-probe fine once data lands because callers re-create the
-        # stream per run.
+        # file-source stream (PATH_NOT_FOUND) — defining the stream
+        # must not require rows to exist. Default to the nanos-long
+        # layout (what the current fixtures write); callers re-create
+        # the stream per run, so the probe self-corrects once data
+        # lands. Other probe failures (corrupt footer, permissions)
+        # propagate — silently guessing a layout would surface later
+        # as wrong timestamps with no trace of the root cause.
         nanos_long = True
     raw = (
         spark.readStream.schema(_events_stream_schema(nanos_long))

@@ -89,3 +89,51 @@ def test_garbage_rejected():
         decode_jpeg(b"\xff\xd8\xff\xda truncated")
     assert not is_jpeg(None)
     assert not is_jpeg(b"")
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 allows any number of 0xFF fill bytes before a marker."""
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img, quality=85))
+    # inject fill bytes before the DQT marker (first marker after APP0)
+    i = data.index(b"\xff\xdb")
+    padded = bytes(data[:i]) + b"\xff\xff\xff" + bytes(data[i:])
+    dec = decode_jpeg(padded)
+    assert dec.shape == img.shape
+
+
+def test_non_interleaved_scan_declared_not_implemented():
+    """A scan with fewer components than the frame must raise, never
+    silently scramble blocks."""
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img, quality=85))
+    i = data.index(b"\xff\xda")
+    # rewrite the SOS header to claim a single-component scan
+    # original payload: len(2) ns=3 (1,0x00) (2,0x11) (3,0x11) 0 63 0
+    new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    end = i + 2 + struct.unpack(">H", bytes(data[i + 2:i + 4]))[0]
+    hacked = bytes(data[:i]) + new_sos + bytes(data[end:])
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(hacked)
+
+
+def test_undecodable_jpeg_rows_fall_back_to_fake_feature(spark):
+    """A progressive/corrupt JPEG row must not fail the mapInPandas
+    job — it gets the declared byte-hash stand-in feature."""
+    from parquet_extractor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        fake_feature,
+    )
+
+    # SOI + SOF2 (progressive) header: passes is_jpeg, decode raises
+    progressive = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+    )
+    media = spark.createDataFrame(
+        [(7, "image", "image/jpeg", 8, 8, None, progressive)], MEDIA_SCHEMA
+    )
+    [row] = extract_features(media).collect()
+    assert row.feature == [
+        __import__("numpy").float32(v) for v in fake_feature(progressive)
+    ]
