@@ -96,9 +96,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode distinct shingles → pre-aggregate shingle
     document frequency (map-side partial count, so this first shuffle
     carries (shingle, count) partials, not the exploded rows) →
-    broadcast the HOT set (df > MAX_SHINGLE_DF — the skew guard: hot
-    shingles produce quadratic pairs and carry no near-dup signal)
-    and anti-join it out BEFORE collecting doc lists → group the
+    anti-join out the HOT set (df > MAX_SHINGLE_DF — the skew guard:
+    hot shingles produce quadratic pairs and carry no near-dup signal)
+    BEFORE collecting doc lists → group the
     surviving rows by shingle into bounded doc-id lists → generate
     same-shingle doc pairs MAP-SIDE → count shared shingles per pair
     → jaccard from |A|,|B|,|A∩B|.
@@ -109,11 +109,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array transform bounded by MAX_SHINGLE_DF² per shingle. The
     pre-count means no executor ever materializes a ubiquitous
     shingle's full doc list (r01 verdict item 6): per-group state is
-    bounded by MAX_SHINGLE_DF by construction. At a corpus where even
-    the hot SET outgrows a broadcast (Zipf head of a 100 TB crawl),
-    drop the broadcast hint and AQE plans a shuffle anti-join — or
-    use the MinHash tier, whose shuffle volume is independent of
-    document frequency.
+    bounded by MAX_SHINGLE_DF by construction. The hot-set anti-join
+    carries no broadcast hint: AQE broadcasts it while it fits and
+    plans a shuffle anti-join when the Zipf head of a 100 TB crawl
+    outgrows memory — or use the MinHash tier, whose shuffle volume
+    is independent of document frequency.
     """
     from pyspark import StorageLevel
 
@@ -124,8 +124,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
+    # hot set = Zipf head above the DF cap: small at fixture scale but
+    # it GROWS with vocabulary, so no forced hint — AQE broadcasts the
+    # anti-join side while it fits and shuffle-joins beyond (same
+    # policy as the sizes/marginal tables; see SCALE.md).
     grouped = (
-        all_sh.join(F.broadcast(hot), "shingle", "left_anti")
+        all_sh.join(hot, "shingle", "left_anti")
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .persist(StorageLevel.MEMORY_AND_DISK)
