@@ -54,13 +54,34 @@ def build_parser() -> argparse.ArgumentParser:
         "select", help="data-selection scores over the documents table"
     )
     se.add_argument(
-        "method", choices=["dsir", "bm25", "spans"],
+        "method", choices=["dsir", "bm25", "spans", "gopher", "winnow"],
         help="dsir: importance weights vs the English slice; "
-        "bm25: lexical top-k; spans: repeated token windows",
+        "bm25: lexical top-k; spans: repeated token windows; "
+        "gopher: rule-based quality flags; winnow: MOSS fingerprints",
     )
     se.add_argument("sf_dir", help="fixture dir containing documents.parquet")
     se.add_argument("--limit", type=int, default=20,
                     help="max rows printed (default 20)")
+
+    dd = sub.add_parser(
+        "dedup", help="duplicate detection over documents/embeddings"
+    )
+    dd.add_argument(
+        "method", choices=["exact", "lsh", "semantic"],
+        help="exact: content-hash groups; lsh: MinHash band candidate "
+        "pairs; semantic: SemDeDup keep/drop verdicts over embeddings",
+    )
+    dd.add_argument("sf_dir", help="fixture dir containing the parquet tables")
+    dd.add_argument("--limit", type=int, default=20,
+                    help="max rows printed (default 20)")
+
+    ex = sub.add_parser(
+        "export", help="export the documents table as JSONL (trainer boundary)"
+    )
+    ex.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    ex.add_argument("-o", "--output_dir", required=True)
+    ex.add_argument("--partition-by", default="lang",
+                    help="partition column (default lang; '' for none)")
 
     sq = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the registered tables"
@@ -77,7 +98,10 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # legacy positional fallback (main.py:236-237): a bare FILE argument
     # is treated as `parquet FILE`
-    known = {"parquet", "cisi", "analyze", "curate", "sql", "select"}
+    known = {
+        "parquet", "cisi", "analyze", "curate", "sql", "select",
+        "dedup", "export",
+    }
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
     args = build_parser().parse_args(argv)
@@ -119,13 +143,42 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "select":
         from parquet_extractor_spark.operators import selection
 
+        from parquet_extractor_spark.operators import quality
+
         fn = {
             "dsir": selection.dsir_importance_weights,
             "bm25": selection.bm25_doc_scores,
             "spans": selection.duplicate_spans,
+            "gopher": quality.gopher_quality_flags,
+            "winnow": quality.winnowing_fingerprints,
         }[args.method]
         for row in fn(spark, args.sf_dir).limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.command == "dedup":
+        from parquet_extractor_spark.operators import dedup, similarity
+
+        fn = {
+            "exact": dedup.exact_dedup,
+            "lsh": dedup.minhash_lsh_candidates,
+            "semantic": similarity.semdedup_keep,
+        }[args.method]
+        for row in fn(spark, args.sf_dir).limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.command == "export":
+        from parquet_extractor_spark.sinks.dataset import write_jsonl
+        from parquet_extractor_spark.sources.tables import load_table
+
+        docs = load_table(spark, args.sf_dir, "documents")
+        part = [args.partition_by] if args.partition_by else None
+        write_jsonl(docs, args.output_dir, partition_by=part)
+        print(json.dumps({
+            "output_dir": args.output_dir,
+            "rows": docs.count(),
+        }))
         return 0
 
     if args.command == "sql":

@@ -197,3 +197,38 @@ def test_cli_select_bm25_and_spans(spark, sf_small, capsys):
     ]
     assert len(spans) == 3
     assert all(s["n_docs"] > 1 for s in spans)
+
+
+def test_cli_dedup_and_quality_methods(spark, sf_small, capsys):
+    import json
+
+    from parquet_extractor_spark.cli import main as cli_main
+
+    for args, key in (
+        (["dedup", "exact", sf_small, "--limit", "3"], "keep_doc_id"),
+        (["dedup", "semantic", sf_small, "--limit", "3"], "keep"),
+        (["select", "gopher", sf_small, "--limit", "3"], "gopher_keep"),
+        (["select", "winnow", sf_small, "--limit", "3"], "n_selected"),
+    ):
+        rc = cli_main(args)
+        assert rc == 0
+        lines = [
+            json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert 0 < len(lines) <= 3
+        assert key in lines[0]
+
+
+def test_cli_export_jsonl(spark, sf_small, tmp_path, capsys):
+    import glob
+    import json
+
+    from parquet_extractor_spark.cli import main as cli_main
+
+    out = str(tmp_path / "export")
+    rc = cli_main(["export", sf_small, "-o", out])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows"] == 500
+    assert glob.glob(f"{out}/lang=*/*.json.gz")
