@@ -42,3 +42,8 @@ FETCH_DELAY_S = 1.0
 
 # Error side-channel cap: collect at most this many errors (api.py:372,563)
 MAX_ERRORS = 20
+
+# Row cap for the generic /api/query/<name> endpoint: async jobs
+# return a bounded preview, never an unbounded collect into the
+# job-status table.
+MAX_QUERY_ROWS = 1000

@@ -29,7 +29,11 @@ from typing import Any, Callable
 from pyspark import InheritableThread
 from pyspark.sql import SparkSession
 
-from parquet_extractor_spark.constants import MAX_DOCS, MAX_ERRORS
+from parquet_extractor_spark.constants import (
+    MAX_DOCS,
+    MAX_ERRORS,
+    MAX_QUERY_ROWS,
+)
 
 DEFAULT_PORT = 5000
 
@@ -140,6 +144,9 @@ def create_app(spark: SparkSession, output_root: str):
     GET  /api/jobs                   — O2 (list)
     GET  /api/jobs/<id>              — O2 (status)
     POST /api/jobs/<id>/cancel       — beyond reference (cancellable)
+    GET  /api/queries                — beyond reference: registry listing
+    POST /api/query/<name>           — beyond reference: run ANY
+                                       registered analytics query async
     POST /api/analyze/corpus         — §3.3 flagship (corpus stats)
     POST /api/extract/documents      — §3.1 extract pipeline
     POST /api/extract/parquet        — S5 multipart upload → extract
@@ -201,6 +208,48 @@ def create_app(spark: SparkSession, output_root: str):
         if not cancel_job(spark, job_id):
             return jsonify({"error": "job not found"}), 404
         return jsonify(jobs[job_id])
+
+    @app.get("/api/queries")
+    def list_queries():
+        try:
+            import __spark_entry__ as entrymod
+        except ImportError:
+            return jsonify({"error": "query registry unavailable"}), 503
+        return jsonify(sorted(entrymod.queries()))
+
+    @app.post("/api/query/<name>")
+    def run_named_query(name: str):
+        """Run any registered analytics query as an async job —
+        the REST face of the whole queries() registry (dedup, ANN,
+        quality, TPC-H, ...), not just the reference's endpoints."""
+        try:
+            import __spark_entry__ as entrymod
+        except ImportError:
+            return jsonify({"error": "query registry unavailable"}), 503
+        registry = entrymod.queries()
+        if name not in registry:
+            return jsonify({"error": f"unknown query '{name}'"}), 404
+        params = request.get_json(silent=True) or {}
+        sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
+        limit = max(1, min(int(params.get("limit", 20)), MAX_QUERY_ROWS))
+
+        def _work(job_id: str) -> dict[str, Any]:
+            job_log(job_id, f"running {name} at {sf_dir} (limit {limit})")
+            df = registry[name](spark, sf_dir)
+            rows = [
+                {
+                    k: v
+                    if isinstance(v, (int, float, bool, str, type(None)))
+                    else str(v)
+                    for k, v in r.asDict().items()
+                }
+                for r in df.limit(limit).collect()
+            ]
+            job_log(job_id, f"returning {len(rows)} rows")
+            return {"query": name, "n_rows": len(rows), "rows": rows}
+
+        job_id = submit_job(spark, f"query:{name}", _work, params)
+        return jsonify({"job_id": job_id, "status": "running"}), 202
 
     @app.post("/api/analyze/corpus")
     def analyze_corpus():

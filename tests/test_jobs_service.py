@@ -193,3 +193,22 @@ def test_cleanup_endpoint_roundtrip(client):
     assert client.get("/api/files?subdir=cleanme").get_json()["count"] == 0
     # deleting the root itself is refused
     assert client.delete("/api/files?subdir=.").status_code == 400
+
+
+def test_generic_query_endpoint(client):
+    names = client.get("/api/queries").get_json()
+    assert "corpus_stats" in names and "semdedup_keep" in names
+
+    resp = client.post("/api/query/corpus_stats", json={"limit": 5})
+    assert resp.status_code == 202
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    assert job["result"]["n_rows"] == 1
+    assert job["result"]["rows"][0]["document_count"] == 500
+
+    resp = client.post("/api/query/dedup_exact", json={"limit": 3})
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    assert job["result"]["n_rows"] == 3
+
+    assert client.post("/api/query/nope", json={}).status_code == 404
