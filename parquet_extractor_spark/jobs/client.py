@@ -70,3 +70,21 @@ class JobClient:
 
     def list_files(self, subdir: str = "markdown") -> dict[str, Any]:
         return self._get(f"/api/files?subdir={urllib.parse.quote(subdir)}")
+
+    def run_query(
+        self,
+        name: str,
+        sf_dir: str | None = None,
+        limit: int = 20,
+        timeout_s: float = 600.0,
+    ) -> dict[str, Any]:
+        """Run a registered analytics query (POST /api/query/<name>)
+        and wait for its terminal job record."""
+        params: dict[str, Any] = {"limit": limit}
+        if sf_dir is not None:
+            params["sf_dir"] = sf_dir
+        return self.wait(self.submit(f"/api/query/{name}", params), timeout_s)
+
+    def queries(self) -> list[str]:
+        """List the registered analytics queries (GET /api/queries)."""
+        return list(self._get("/api/queries"))

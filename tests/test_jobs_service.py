@@ -212,3 +212,21 @@ def test_generic_query_endpoint(client):
     assert job["result"]["n_rows"] == 3
 
     assert client.post("/api/query/nope", json={}).status_code == 404
+
+
+def test_client_run_query_helper(client, monkeypatch):
+    from parquet_extractor_spark.jobs.client import JobClient
+
+    jc = JobClient("http://testserver")
+    monkeypatch.setattr(jc, "_get", lambda p: client.get(p).get_json())
+    monkeypatch.setattr(
+        jc, "_post", lambda p, payload=None: client.post(p, json=payload or {}).get_json()
+    )
+    monkeypatch.setattr(
+        "parquet_extractor_spark.jobs.client.POLL_INTERVAL_S", 0.1
+    )
+
+    assert "gopher_quality_flags" in jc.queries()
+    record = jc.run_query("events_distinct_users", limit=5)
+    assert record["status"] == "completed"
+    assert record["result"]["n_rows"] == 5
