@@ -124,3 +124,44 @@ def test_approx_percentile_within_bound_of_exact(spark, sf_small):
         F.percentile_approx("n_chars", F.lit(0.9), F.lit(1000)).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) <= max(0.02 * row.exact, 5.0)
+
+
+@st.composite
+def jpeg_arrays(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    data = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arr=jpeg_arrays(),
+    quality=st.sampled_from([30, 60, 90]),
+    subsample=st.booleans(),
+    restart=st.sampled_from([0, 2]),
+)
+def test_jpeg_roundtrip_property(arr, quality, subsample, restart):
+    """Structural invariants over arbitrary dims/content/layouts: the
+    stream parses back to the source shape with no exception, encoding
+    is deterministic, and a flat image reconstructs near-exactly (the
+    lossy-codec analogue of exact round-trip)."""
+    from parquet_extractor_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        is_jpeg,
+    )
+
+    data = encode_jpeg(
+        arr, quality=quality, subsample=subsample, restart_interval=restart
+    )
+    assert is_jpeg(data) and data.endswith(b"\xff\xd9")
+    assert data == encode_jpeg(
+        arr, quality=quality, subsample=subsample, restart_interval=restart
+    )
+    dec = decode_jpeg(data)
+    assert dec.shape == arr.shape and dec.dtype == np.uint8
+
+    flat = np.full_like(arr, int(arr.mean()))
+    dec_flat = decode_jpeg(encode_jpeg(flat, quality=quality, subsample=subsample))
+    assert np.abs(dec_flat.astype(int) - flat.astype(int)).max() <= 2
