@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parquet_extractor_spark.functions.text import token_count, tokenize
 from parquet_extractor_spark.sources.tables import load_table, spread
@@ -281,4 +282,78 @@ SELECT lang, count(*) AS n_docs,
 FROM documents
 GROUP BY lang
 ORDER BY lang
+"""
+
+
+def label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain profile joining the embedding space to the text
+    corpus (FIXTURES.md: embeddings.vec_id joins documents.doc_id) —
+    per embedding label: how many documents, average token count, and
+    the dominant language (ties toward the alphabetically-first lang,
+    deterministic in both engines).
+
+    Plan: the embeddings side carries only (vec_id, label), so the
+    join is a broadcast of a 2-column projection at fixture scale and
+    a shuffle join on id at 100 TB (no hint — AQE decides); token
+    counting is map-side; both aggs are partial+final.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = docs.join(emb, "doc_id").select(
+        "doc_id", "label", "lang", token_count("text").alias("n_tokens")
+    )
+    per_lang = joined.groupBy("label", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs_lang")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("n_docs_lang"), F.asc("lang")
+    )
+    top_lang = (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("lang").alias("top_lang"))
+    )
+    stats = joined.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
+    return (
+        stats.join(top_lang, "label")
+        .select("label", "n_docs", "avg_tokens", "top_lang")
+        .orderBy("label")
+    )
+
+
+LABEL_TEXT_PROFILE_SQL = r"""
+WITH joined AS (
+    SELECT d.doc_id, e.label, d.lang,
+           len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(d.text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS n_tokens
+    FROM documents d
+    JOIN embeddings e ON e.vec_id = d.doc_id
+),
+per_lang AS (
+    SELECT label, lang, count(*) AS n_docs_lang
+    FROM joined GROUP BY 1, 2
+),
+top_lang AS (
+    SELECT label, lang AS top_lang FROM (
+        SELECT label, lang,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY n_docs_lang DESC, lang ASC) AS rn
+        FROM per_lang
+    ) WHERE rn = 1
+),
+stats AS (
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM joined GROUP BY label
+)
+SELECT s.label, s.n_docs, s.avg_tokens, t.top_lang
+FROM stats s JOIN top_lang t USING (label)
+ORDER BY s.label
 """

@@ -83,3 +83,36 @@ def test_pq_codes_plan_is_scan_only(spark, sf_small):
     # or aggregate exchange would mean the codebook wasn't inlined
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_label_text_profile_cross_table_join(spark, sf_small):
+    """The embeddings->documents id relationship declared in
+    FIXTURES.md: every label row aggregates real joined documents,
+    counts add up to the join cardinality, and the dominant language
+    is recomputed locally."""
+    from collections import Counter
+
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = analyze.label_text_profile(spark, sf_small).collect()
+    assert len(rows) == 10
+
+    docs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    emb = [
+        (r.vec_id, r.label)
+        for r in load_table(spark, sf_small, "embeddings").collect()
+        if r.vec_id in docs
+    ]
+    assert sum(r.n_docs for r in rows) == len(emb)
+    langs_by_label = {}
+    for vid, label in emb:
+        langs_by_label.setdefault(label, Counter())[docs[vid]] += 1
+    for r in rows:
+        want = sorted(
+            langs_by_label[r.label].items(), key=lambda kv: (-kv[1], kv[0])
+        )[0][0]
+        assert r.top_lang == want
+        assert r.avg_tokens > 0
