@@ -96,3 +96,21 @@ def test_events_approx_users_accuracy(spark, sf_small):
             .a
         )
         assert abs(approx - r.n_users) <= max(1, 0.02 * r.n_users)
+
+
+def test_driver_window_composition():
+    """Regression guard on the dict ORDER of queries(): the driver
+    only checks the first 50 entries, so the r03-priority queries
+    (canonicalizer fixes + first-time declarations) must sit inside
+    the window and the registry must stay oracle-complete."""
+    qs = list(entrymod.queries())
+    window = set(qs[:50])
+    must_be_in_window = {
+        "label_centroids",
+        "duplicate_spans",
+        "events_approx_users",
+        "pq_codes",
+        "media_feature_checksums",
+    }
+    assert must_be_in_window <= window
+    assert len(qs) == len(set(qs)) == len(entrymod.oracle_sql())
