@@ -205,3 +205,30 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_small):
 
     assert forced_broadcast_count(dedup.ngram_jaccard_pairs(spark, sf_small)) == 0
     assert forced_broadcast_count(corpus_index.pmi_top_pairs(spark, sf_small)) == 0
+
+
+def test_winnowing_plan_is_map_side(spark, sf_small):
+    """Fingerprint selection must stay a scan + projections: no join,
+    no aggregate exchange (the only exchange is the output sort)."""
+    from parquet_extractor_spark.operators.quality import winnowing_fingerprints
+
+    plan = (
+        winnowing_fingerprints(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_label_text_profile_partial_agg_no_forced_broadcast(spark, sf_small):
+    from parquet_extractor_spark.operators.analyze import label_text_profile
+    from parquet_extractor_spark.plans.explain import (
+        forced_broadcast_count,
+        has_partial_aggregation,
+    )
+
+    df = label_text_profile(spark, sf_small)
+    assert has_partial_aggregation(df)
+    # the embeddings projection scales with the corpus: no pinned hint
+    assert forced_broadcast_count(df) == 0
