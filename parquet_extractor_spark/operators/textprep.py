@@ -379,3 +379,75 @@ GROUP BY 1, 2
 ORDER BY pair_count DESC, left_sym, right_sym
 LIMIT {BPE_MERGE_TOP}
 """
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at CHUNK granularity — the sequence-level pass a
+    training pipeline runs after document-level dedup (boilerplate
+    headers/footers repeat across otherwise-distinct documents and
+    survive doc-level hashing).
+
+    Composition: doc_chunks' map-side window fan-out feeds a
+    content-hash groupBy — same one-shuffle profile as
+    dedup.exact_dedup, just over chunk rows (tokens/stride × docs).
+    Output: one row per duplicated chunk text (n_copies > 1), with the
+    surviving (doc_id, chunk_id) = the lexicographically first owner.
+    """
+    chunks = doc_chunks(spark, sf_dir)
+    return (
+        chunks.select(
+            "doc_id", "chunk_id", F.md5("chunk_text").alias("chunk_md5")
+        )
+        .groupBy("chunk_md5")
+        .agg(
+            F.min(F.struct("doc_id", "chunk_id")).alias("keep"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "chunk_md5",
+            F.col("keep.doc_id").alias("keep_doc_id"),
+            F.col("keep.chunk_id").alias("keep_chunk_id"),
+            "n_copies",
+        )
+        .orderBy("chunk_md5")
+    )
+
+
+CHUNK_DEDUP_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS toks
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, toks,
+           generate_series(1,
+               greatest(len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}, 1),
+               {CHUNK_STRIDE}) AS ss
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(s_idx - 1 AS BIGINT) AS chunk_id,
+           md5(array_to_string(
+               toks[ss[s_idx]:ss[s_idx] + {CHUNK_TOKENS - 1}], ' '))
+               AS chunk_md5
+    FROM starts, unnest(range(1, len(ss) + 1)) AS u(s_idx)
+),
+grouped AS (
+    SELECT chunk_md5,
+           min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS keep,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM chunks GROUP BY chunk_md5
+    HAVING count(*) > 1
+)
+SELECT chunk_md5,
+       keep.doc_id AS keep_doc_id,
+       keep.chunk_id AS keep_chunk_id,
+       n_copies
+FROM grouped
+ORDER BY chunk_md5
+"""

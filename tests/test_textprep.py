@@ -108,3 +108,46 @@ def test_bpe_merge_candidates_partial_agg(spark, sf_small):
     from parquet_extractor_spark.plans.explain import has_partial_aggregation
 
     assert has_partial_aggregation(bpe_merge_candidates(spark, sf_small))
+
+
+def test_chunk_dedup_finds_cross_doc_boilerplate(spark, tmp_path):
+    """Two documents sharing an identical chunk-sized block must
+    collide at chunk granularity even though their full texts differ
+    (the case document-level exact dedup misses)."""
+    from parquet_extractor_spark.operators.textprep import (
+        CHUNK_TOKENS,
+        chunk_dedup,
+    )
+
+    d = tmp_path / "chunkfix"
+    block = " ".join(f"tok{i}" for i in range(CHUNK_TOKENS))
+    docs = [
+        (0, block + " unique tail zero", "en", "s", 0),
+        (1, block + " other ending one", "en", "s", 0),
+        (2, "entirely different text body here", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = chunk_dedup(spark, str(d)).collect()
+    assert len(rows) == 1  # the shared leading chunk
+    r = rows[0]
+    assert r.n_copies == 2
+    assert (r.keep_doc_id, r.keep_chunk_id) == (0, 0)
+
+
+def test_chunk_dedup_partial_agg(spark, sf_small):
+    """min(struct) plans as SortAggregate (struct keys aren't
+    hash-aggregable); the partial+final shape is what matters: two
+    aggregate operators around the exchange."""
+    import re
+
+    from parquet_extractor_spark.operators.textprep import chunk_dedup
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(chunk_dedup(spark, sf_small))
+    n_aggs = len(
+        re.findall(r"(HashAggregate|SortAggregate|ObjectHashAggregate)", plan)
+    )
+    assert n_aggs >= 2
