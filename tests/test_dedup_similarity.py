@@ -282,3 +282,45 @@ def test_semdedup_no_forced_broadcast(spark, sf_small):
     from parquet_extractor_spark.plans.explain import forced_broadcast_count
 
     assert forced_broadcast_count(semdedup_keep(spark, sf_small)) == 0
+
+
+def test_embedding_ops_survive_sparse_nonzero_ids(spark, sf_small, tmp_path):
+    """The r03 hardening contract: centroid seeds and the ANN query
+    set are picked by RANK, so a fixture whose vec_ids are sparse and
+    nowhere near 0 still produces real (non-empty) results from every
+    embedding operator instead of empty sets or errors."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.similarity import (
+        TOP_K,
+        ann_ivf,
+        knn_bruteforce,
+        pq_codes,
+        semdedup_keep,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    d = tmp_path / "sparse"
+    (
+        load_table(spark, sf_small, "embeddings")
+        .withColumn("vec_id", (F.col("vec_id") * 17 + 1_000_003).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(d / "embeddings.parquet"))
+    )
+    sparse = str(d)
+
+    knn = knn_bruteforce(spark, sparse).collect()
+    assert len(knn) == 5 * TOP_K
+    assert {r.query_id for r in knn} == {1_000_003 + 17 * i for i in range(5)}
+
+    ivf = ann_ivf(spark, sparse).collect()
+    assert ivf and {r.query_id for r in ivf} <= {r.query_id for r in knn}
+
+    sd = semdedup_keep(spark, sparse).collect()
+    assert len(sd) == 500 and any(not r.keep for r in sd)
+
+    pq = pq_codes(spark, sparse).collect()
+    assert len(pq) == 500
+    seed_ids = {str(1_000_003 + 17 * i) for i in range(8)}
+    assert all(set(r.pq_code.split(",")) <= seed_ids for r in pq)
