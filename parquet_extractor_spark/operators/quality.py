@@ -574,3 +574,83 @@ SELECT doc_id,
 FROM wins
 ORDER BY doc_id
 """
+
+
+def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation dashboard: document counts and Gopher-gate
+    pass rates by corpus origin — the roll-up a pipeline operator
+    watches to catch a source going bad upstream. One scan, the gate
+    expressions fused map-side into a single partial+final aggregate
+    (no reuse of gopher_quality_flags' per-doc output needed)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokenize("text")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
+    )
+    mean_len = total_len.cast("double") / n
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    keep = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return (
+        docs.select("source", keep.cast("int").alias("keep"), n.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 4).alias("keep_rate"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUALITY_SUMMARY_SQL = rf"""
+WITH toks AS (
+    SELECT source,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS ts
+    FROM documents
+),
+m AS (
+    SELECT source,
+           len(ts) AS n_words,
+           CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+               / len(ts) AS mean_len,
+           CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                AS DOUBLE) / len(ts) AS alpha_frac,
+           len(list_filter(ts, t -> t IN ({_GOPHER_STOPLIST_SQL})))
+               AS stop_hits
+    FROM toks
+),
+flagged AS (
+    SELECT source,
+           n_words,
+           CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS}
+                 AND mean_len >= {GOPHER_MIN_MEAN_LEN}
+                 AND mean_len <= {GOPHER_MAX_MEAN_LEN}
+                 AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                 AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+                THEN 1 ELSE 0 END AS keep
+    FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS keep_rate,
+       round(avg(n_words), 4) AS avg_tokens
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""

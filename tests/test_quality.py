@@ -175,3 +175,32 @@ def test_winnowing_recomputed_locally_and_guarantee(spark, sf_small):
         assert r.n_selected == len(sel)
         assert r.fingerprint_checksum == sum(h % 1_000_000_007 for h in sel)
         assert 0 < r.n_selected <= r.n_grams
+
+
+def test_source_quality_summary_consistent_with_flags(spark, sf_small):
+    """The roll-up must agree exactly with the per-doc gopher flags."""
+    from collections import Counter
+
+    from parquet_extractor_spark.operators.quality import (
+        gopher_quality_flags,
+        source_quality_summary,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    src_of = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    keep_by_src, docs_by_src = Counter(), Counter()
+    for r in gopher_quality_flags(spark, sf_small).collect():
+        docs_by_src[src_of[r.doc_id]] += 1
+        if r.gopher_keep:
+            keep_by_src[src_of[r.doc_id]] += 1
+
+    rows = source_quality_summary(spark, sf_small).collect()
+    assert {r.source for r in rows} == set(docs_by_src)
+    for r in rows:
+        assert r.n_docs == docs_by_src[r.source]
+        assert r.n_keep == keep_by_src[r.source]
+        assert 0.0 <= r.keep_rate <= 1.0
+        assert r.avg_tokens > 0
