@@ -370,3 +370,43 @@ def test_ann_ivf_pq_recall_floor_and_shape(spark, sf_small):
     )
     den = sum(len(exact[q]) for q in qids)
     assert num / den >= 0.1
+
+
+def test_refined_codebook_beats_bootstrap_recall(spark, sf_small):
+    """One distributed Lloyd refinement of the PQ codebook must not
+    lose recall vs the bootstrap seeds, and measurably gains on the
+    fixture (0.2 -> 0.28 measured; pinned as >=)."""
+    import numpy as np
+
+    from parquet_extractor_spark.operators.similarity import (
+        TOP_K,
+        ann_ivf_pq,
+        ann_ivf_pq_refined,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    embs = {
+        r.vec_id: np.array([float(x) for x in r.embedding])
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    qids = sorted(embs)[:5]
+    exact = {}
+    for q in qids:
+        d = sorted(
+            (float(np.sum((embs[q] - embs[v]) ** 2)), v)
+            for v in embs
+            if v != q
+        )
+        exact[q] = {v for _, v in d[:TOP_K]}
+
+    def recall(fn):
+        got = {}
+        for r in fn(spark, sf_small).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        num = sum(len(got.get(q, set()) & exact[q]) for q in qids)
+        return num / sum(len(exact[q]) for q in qids)
+
+    r_boot = recall(ann_ivf_pq)
+    r_ref = recall(ann_ivf_pq_refined)
+    assert r_ref >= r_boot
+    assert r_ref >= 0.25
