@@ -24,8 +24,17 @@ measured on the fixture and pinned as regression floors in tests):
 - **IVF** (0.96) — inverted file over coarse centroid cells with
   map-side assignment and nprobe probing; see ann_ivf.
 
+- **IVF-PQ** (0.2 bootstrap / 0.28 Lloyd-refined, vs exact L2) — the
+  memory tier: candidates ranked by asymmetric distance over 8-byte
+  PQ codes without reading full vectors (ann_ivf_pq,
+  ann_ivf_pq_refined, pq_codes, refined_pq_books). Recall here is
+  codebook-limited by the deterministic PQ_K=8 books the oracle can
+  replicate; production trains PQ_K=256 per-subspace k-means through
+  the same expressions.
+
 All arithmetic is cast to double BEFORE summation in both engines so
-the oracle compares bit-identical left-to-right folds.
+the oracle compares bit-identical left-to-right folds (or exact
+integer micro-units where a sum's order is engine-dependent).
 """
 
 from __future__ import annotations
