@@ -1129,6 +1129,22 @@ ORDER BY vec_id
 """
 
 
+def _head_vectors(spark: SparkSession, sf_dir: str, k: int) -> list:
+    """One driver collect serving centroids, PQ seeds, AND the query
+    set: the first k rows by vec_id (all three are prefixes of the
+    same ordering, so one job covers them)."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("embeddings table is empty")
+    return rows
+
+
 def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search: the standard billion-scale ANN recipe (Jégou et
     al. 2011) assembled from this module's two halves — IVF cells
@@ -1167,16 +1183,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is where published IVF-PQ recall comes from; every
     expression here is unchanged by that swap.
     """
-    cents = _centroid_vectors(spark, sf_dir)
-    seeds = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .collect()
+    head = _head_vectors(
+        spark, sf_dir, max(NUM_CENTROIDS, PQ_K, N_QUERIES)
     )
-    if not seeds:
-        raise ValueError("ann_ivf_pq: embeddings table is empty")
+    cents = [[float(x) for x in r.embedding] for r in head[:NUM_CENTROIDS]]
+    seeds = head[:PQ_K]
     books = [
         [
             [float(x) for x in r.embedding[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]]
@@ -1184,13 +1195,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for s in range(PQ_M)
     ]
-    queries = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(N_QUERIES)
-        .collect()
-    )
+    queries = head[:N_QUERIES]
 
     def py_fold_dot(a: list[float], b: list[float]) -> float:
         acc = 0.0
@@ -1512,15 +1517,10 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer argmins, ADC is still exact micro-int table lookups.
     Output: (query_id, neighbor_id, adc_dist_micro, rank).
     """
-    cents = _centroid_vectors(spark, sf_dir)
+    head = _head_vectors(spark, sf_dir, max(NUM_CENTROIDS, N_QUERIES))
+    cents = [[float(x) for x in r.embedding] for r in head[:NUM_CENTROIDS]]
     books = refined_pq_books(spark, sf_dir)
-    queries = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(N_QUERIES)
-        .collect()
-    )
+    queries = head[:N_QUERIES]
 
     def py_fold_dot(a: list[float], b: list[float]) -> float:
         acc = 0.0
