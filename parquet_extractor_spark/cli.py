@@ -172,12 +172,16 @@ def main(argv: list[str] | None = None) -> int:
         from parquet_extractor_spark.sinks.dataset import write_jsonl
         from parquet_extractor_spark.sources.tables import load_table
 
-        docs = load_table(spark, args.sf_dir, "documents")
+        docs = load_table(spark, args.sf_dir, "documents").persist()
         part = [args.partition_by] if args.partition_by else None
-        write_jsonl(docs, args.output_dir, partition_by=part)
+        try:
+            write_jsonl(docs, args.output_dir, partition_by=part)
+            n = docs.count()  # served from the cache, not a re-scan
+        finally:
+            docs.unpersist()
         print(json.dumps({
             "output_dir": args.output_dir,
-            "rows": docs.count(),
+            "rows": n,
         }))
         return 0
 

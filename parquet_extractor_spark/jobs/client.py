@@ -51,10 +51,14 @@ class JobClient:
         self,
         job_id: str,
         timeout_s: float = 600.0,
-        poll_interval_s: float = POLL_INTERVAL_S,
+        poll_interval_s: float | None = None,
     ) -> dict[str, Any]:
         """Poll until the job reaches a terminal state (the reference's
-        2-second loop, api_client.py:174-182) or the timeout lapses."""
+        2-second loop, api_client.py:174-182) or the timeout lapses.
+        The interval default resolves at CALL time so tests (and
+        callers) can adjust the module constant."""
+        if poll_interval_s is None:
+            poll_interval_s = POLL_INTERVAL_S  # module global: call-time lookup
         deadline = time.time() + timeout_s
         while True:
             job = self.status(job_id)

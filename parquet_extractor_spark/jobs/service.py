@@ -231,7 +231,10 @@ def create_app(spark: SparkSession, output_root: str):
             return jsonify({"error": f"unknown query '{name}'"}), 404
         params = request.get_json(silent=True) or {}
         sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
-        limit = max(1, min(int(params.get("limit", 20)), MAX_QUERY_ROWS))
+        try:
+            limit = max(1, min(int(params.get("limit", 20)), MAX_QUERY_ROWS))
+        except (TypeError, ValueError):
+            return jsonify({"error": "limit must be an integer"}), 400
 
         def _work(job_id: str) -> dict[str, Any]:
             job_log(job_id, f"running {name} at {sf_dir} (limit {limit})")

@@ -419,18 +419,11 @@ GOPHER_MIN_STOP_HITS = 2
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher rule-based quality filter: the published heuristic gate
-    most open-web curation pipelines start from. Four rules over the
-    token stream — word count bounds, mean word length bounds,
-    fraction of words containing an alphabetic character, and a
-    minimum stopword count — plus the conjunction ``gopher_keep``.
-
-    Pure map-side column expressions (one scan, zero shuffle, no UDF);
-    the measures are emitted alongside the booleans so downstream
-    threshold tuning can re-cut without recomputing.
-    """
-    docs = spread(load_table(spark, sf_dir, "documents"))
+def _gopher_gate_columns() -> dict:
+    """The Gopher rule measures and booleans as named column
+    expressions over a ``text`` column — ONE definition shared by the
+    per-document flags query and the per-source roll-up (same pattern
+    as quality_columns)."""
     toks = tokenize("text")
     n = F.size(toks)
     total_len = F.aggregate(
@@ -447,17 +440,43 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alpha_ok = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
     stop_ok = stop_hits >= GOPHER_MIN_STOP_HITS
+    return {
+        "n_words": n,
+        "mean_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "words_ok": words_ok,
+        "mean_len_ok": mean_len_ok,
+        "alpha_ok": alpha_ok,
+        "stop_ok": stop_ok,
+        "keep": words_ok & mean_len_ok & alpha_ok & stop_ok,
+    }
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter: the published heuristic gate
+    most open-web curation pipelines start from. Four rules over the
+    token stream — word count bounds, mean word length bounds,
+    fraction of words containing an alphabetic character, and a
+    minimum stopword count — plus the conjunction ``gopher_keep``.
+
+    Pure map-side column expressions (one scan, zero shuffle, no UDF);
+    the measures are emitted alongside the booleans so downstream
+    threshold tuning can re-cut without recomputing.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = _gopher_gate_columns()
     return docs.select(
         "doc_id",
-        n.cast("bigint").alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha_frac, 4).alias("alpha_frac"),
-        stop_hits.cast("bigint").alias("stopword_hits"),
-        words_ok.alias("words_ok"),
-        mean_len_ok.alias("mean_len_ok"),
-        alpha_ok.alias("alpha_ok"),
-        stop_ok.alias("stop_ok"),
-        (words_ok & mean_len_ok & alpha_ok & stop_ok).alias("gopher_keep"),
+        g["n_words"].cast("bigint").alias("n_words"),
+        F.round(g["mean_len"], 4).alias("mean_word_len"),
+        F.round(g["alpha_frac"], 4).alias("alpha_frac"),
+        g["stop_hits"].cast("bigint").alias("stopword_hits"),
+        g["words_ok"].alias("words_ok"),
+        g["mean_len_ok"].alias("mean_len_ok"),
+        g["alpha_ok"].alias("alpha_ok"),
+        g["stop_ok"].alias("stop_ok"),
+        g["keep"].alias("gopher_keep"),
     ).orderBy("doc_id")
 
 
@@ -583,26 +602,13 @@ def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions fused map-side into a single partial+final aggregate
     (no reuse of gopher_quality_flags' per-doc output needed)."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = tokenize("text")
-    n = F.size(toks)
-    total_len = F.aggregate(
-        F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
-    )
-    mean_len = total_len.cast("double") / n
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
-    )
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
-    keep = (
-        (n >= GOPHER_MIN_WORDS)
-        & (n <= GOPHER_MAX_WORDS)
-        & (mean_len >= GOPHER_MIN_MEAN_LEN)
-        & (mean_len <= GOPHER_MAX_MEAN_LEN)
-        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
-        & (stop_hits >= GOPHER_MIN_STOP_HITS)
-    )
+    g = _gopher_gate_columns()
     return (
-        docs.select("source", keep.cast("int").alias("keep"), n.alias("n_toks"))
+        docs.select(
+            "source",
+            g["keep"].cast("int").alias("keep"),
+            g["n_words"].alias("n_toks"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -1145,274 +1145,13 @@ def _head_vectors(spark: SparkSession, sf_dir: str, k: int) -> list:
     return rows
 
 
-def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search: the standard billion-scale ANN recipe (Jégou et
-    al. 2011) assembled from this module's two halves — IVF cells
-    restrict the candidate set, PQ codes + an asymmetric distance
-    computation (ADC) rank candidates WITHOUT touching their full
-    vectors.
-
-    Execution shape, and why it is the RAM-scale path at 100 TB:
-
-    1. Everything query-side is driver-computed plan-time literals —
-       probe cells (NPROBE nearest centroids per query) and the ADC
-       lookup tables (per query x subspace: squared distance from the
-       query subvector to each of the PQ_K codewords). All bounded:
-       N_QUERIES x PQ_M x PQ_K doubles.
-    2. Candidate-side work is map-side: each vector's cell assignment
-       and per-subspace code indices are codegen'd argmins (identical
-       expressions to ann_ivf / pq_codes). A probed-cell join keyed on
-       cluster bounds the pairs, and the ADC distance is PQ_M literal
-       table lookups summed — the candidate's 64 floats are never read
-       in the scoring expression, which is exactly why a production
-       index stores ONLY the 8-byte codes.
-    3. The only shuffle is the per-query top-k window.
-
-    Python float arithmetic == JVM double arithmetic (left-to-right),
-    so the driver-computed tables hash-match the oracle's in-SQL
-    computation; per-subspace distances are micro-ints (floor(d*1e6 +
-    0.5)) so the 8-term sum is exact and order-independent in both
-    engines. Output: (query_id, neighbor_id, adc_dist_micro, rank).
-
-    Quality note (measured, pinned in tests): with the deterministic
-    PQ_K=8 bootstrap codebook, recall@5 vs exact L2 is 0.2 on the
-    fixture — ~20x random, but far below ann_ivf's 0.96, because 8
-    arbitrary seed codewords per subspace quantize coarsely. That gap
-    is codebook TRAINING, not plan shape: production swaps in
-    per-subspace k-means (kmeans_refine per slice) with PQ_K=256,
-    which is where published IVF-PQ recall comes from; every
-    expression here is unchanged by that swap.
-    """
-    head = _head_vectors(
-        spark, sf_dir, max(NUM_CENTROIDS, PQ_K, N_QUERIES)
-    )
-    cents = [[float(x) for x in r.embedding] for r in head[:NUM_CENTROIDS]]
-    seeds = head[:PQ_K]
-    books = [
-        [
-            [float(x) for x in r.embedding[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]]
-            for r in seeds
-        ]
-        for s in range(PQ_M)
-    ]
-    queries = head[:N_QUERIES]
-
-    def py_fold_dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    def py_norm(a: list[float]) -> float:
-        acc = 0.0
-        for x in a:
-            acc += x * x
-        return acc ** 0.5
-
-    def py_sqdist(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += (x - y) * (x - y)
-        return round(acc, 9)
-
-    # per-query probe cells (same rounding/tie rules as ann_ivf)
-    probe_rows = []  # (query_id, probe_cluster)
-    adc_tables = {}  # query_id -> [subspace][k] sqdist
-    for r in queries:
-        q = [float(x) for x in r.embedding]
-        sims = [
-            round(py_fold_dot(q, c) / (py_norm(q) * py_norm(c)), 9)
-            for c in cents
-        ]
-        order = sorted(range(len(cents)), key=lambda i: (-sims[i], i))
-        for cid in order[:NPROBE]:
-            probe_rows.append((int(r.vec_id), cid))
-        import math as _math
-
-        adc_tables[int(r.vec_id)] = [
-            [
-                int(_math.floor(
-                    py_sqdist(q[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM], books[s][k])
-                    * 1e6 + 0.5
-                ))
-                for k in range(len(seeds))
-            ]
-            for s in range(PQ_M)
-        ]
-
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    def cell_sim(c: list[float]) -> Column:
-        return F.round(
-            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
-        )
-
-    sims = [cell_sim(c) for c in cents]
-    sim_arr = F.array(*sims)
-    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
-
-    def sqdist(sub: Column, codeword: list[float]) -> Column:
-        lit = F.array(*[F.lit(v) for v in codeword])
-        return F.round(
-            F.aggregate(
-                F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        )
-
-    code_cols = []
-    for s in range(PQ_M):
-        sub = F.transform(
-            F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
-            lambda x: x.cast("double"),
-        )
-        dists = F.array(*[sqdist(sub, books[s][k]) for k in range(len(seeds))])
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"c{s}")
-        )
-    assigned = emb.select(
-        "vec_id", cluster.alias("cluster"), *code_cols
-    )
-
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, probe_cluster int"
-    )
-
-    # ADC: per subspace, dispatch on query_id to that query's literal
-    # table and look up the candidate's code (bounded when-chain over
-    # N_QUERIES literal arrays)
-    def adc_term(s: int) -> Column:
-        expr = None
-        for qid, table in adc_tables.items():
-            arr = F.array(*[F.lit(v) for v in table[s]])
-            branch = F.element_at(arr, F.col(f"c{s}") + 1)
-            expr = (
-                F.when(F.col("query_id") == qid, branch)
-                if expr is None
-                else expr.when(F.col("query_id") == qid, branch)
-            )
-        return expr
-
-    adc = adc_term(0)
-    for s in range(1, PQ_M):
-        adc = adc + adc_term(s)
-
-    pairs = (
-        assigned.join(
-            F.broadcast(probes),
-            (F.col("cluster") == F.col("probe_cluster"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.cast("bigint").alias("adc_dist_micro"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist_micro"), F.asc("neighbor_id")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
-    )
-
-
-ANN_IVF_PQ_SQL = rf"""
-WITH cent AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-           embedding AS c_emb
-    FROM (SELECT vec_id, embedding FROM embeddings
-          ORDER BY vec_id LIMIT {NUM_CENTROIDS})
-),
-cw AS (
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS c
-    FROM (SELECT vec_id, embedding FROM embeddings
-          ORDER BY vec_id LIMIT {PQ_K})
-),
-scored AS (
-    SELECT e.vec_id, e.embedding, c.cid,
-           round({_cos_sql('e.embedding', 'c.c_emb')}, 9) AS sim
-    FROM embeddings e CROSS JOIN cent c
-),
-ranked_assign AS (
-    SELECT vec_id, embedding, cid,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY sim DESC, cid ASC) AS rn
-    FROM scored
-),
-clusters AS (
-    SELECT vec_id, embedding, cid AS cluster FROM ranked_assign WHERE rn = 1
-),
-probes AS (
-    SELECT vec_id AS query_id, embedding AS q_emb, cid AS probe_cluster
-    FROM ranked_assign
-    WHERE vec_id IN {_QUERY_IDS_SQL} AND rn <= {NPROBE}
-),
-subdist AS (
-    SELECT e.vec_id, s.s, c.k,
-           round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
-               pow(CAST(e.embedding[s.s * {PQ_SUBDIM} + i] AS DOUBLE)
-                   - CAST(c.c[s.s * {PQ_SUBDIM} + i] AS DOUBLE), 2))), 9)
-               AS dist
-    FROM embeddings e
-    CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) s
-    CROSS JOIN cw c
-),
-best AS (
-    SELECT vec_id, s, min(dist) AS mind FROM subdist GROUP BY 1, 2
-),
-codes AS (
-    SELECT b.vec_id, b.s, min(d.k) AS code
-    FROM best b JOIN subdist d
-      ON d.vec_id = b.vec_id AND d.s = b.s AND d.dist = b.mind
-    GROUP BY 1, 2
-),
-adc AS (
-    SELECT p.query_id, v.vec_id AS neighbor_id,
-           CAST(sum(CAST(floor(
-               round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
-                   pow(CAST(p.q_emb[co.s * {PQ_SUBDIM} + i] AS DOUBLE)
-                       - CAST(cw.c[co.s * {PQ_SUBDIM} + i] AS DOUBLE), 2))), 9)
-               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS adc_dist_micro
-    FROM clusters v
-    JOIN probes p ON v.cluster = p.probe_cluster AND v.vec_id != p.query_id
-    JOIN codes co ON co.vec_id = v.vec_id
-    JOIN cw ON cw.k = co.code
-    GROUP BY 1, 2
-),
-ranked AS (
-    SELECT query_id, neighbor_id, adc_dist_micro,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY adc_dist_micro ASC, neighbor_id ASC) AS rank
-    FROM adc
-)
-SELECT query_id, neighbor_id, adc_dist_micro, rank
-FROM ranked WHERE rank <= {TOP_K}
-ORDER BY query_id, rank
-"""
-
-
-def _pq_seed_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    """Bootstrap codebooks: the first PQ_K vectors' subvectors."""
-    seeds = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(PQ_K)
-        .collect()
-    )
-    if not seeds:
-        raise ValueError("embeddings table is empty, no PQ seeds")
+def _books_from_rows(rows: list) -> list[list[list[float]]]:
+    """Subspace codebooks from seed rows: books[s][k] = seed k's
+    subvector for subspace s."""
     return [
         [
             [float(x) for x in r.embedding[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]]
-            for r in seeds
+            for r in rows[:PQ_K]
         ]
         for s in range(PQ_M)
     ]
@@ -1446,16 +1185,28 @@ def _py_sqdist_micro(a: list[float], b: list[float]) -> int:
     return total
 
 
-def refined_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+def refined_pq_books(
+    spark: SparkSession,
+    sf_dir: str,
+    seed_books: list[list[list[float]]] | None = None,
+) -> list[list[list[float]]]:
     """One distributed Lloyd step per subspace: assign every vector's
     subvectors to the nearest bootstrap codeword (map-side integer
     argmin), recompute each codeword as the mean of its assigned
     subvectors (partial+final agg; the collect is the constant-size
     PQ_M x PQ_K x PQ_SUBDIM grid of micro-quantized means), falling
-    back to the micro-quantized seed for any empty cell. Micro
-    quantization (floor(mean*1e6+0.5)/1e6) makes the trained codebook
-    bit-identical between engines despite float-sum ordering."""
-    books = _pq_seed_books(spark, sf_dir)
+    back to the micro-quantized seed for any empty cell.
+
+    Micro quantization (floor(mean*1e6+0.5)/1e6) pins the trained
+    codebook to 1e-6 resolution in both engines; the residual caveat
+    is the float mean itself — partial-agg combine order vs DuckDB's
+    sum order can differ in the last ulp, so a mean landing within a
+    ulp of a .5-micro boundary could floor differently. That is a
+    measure-zero coincidence band (~1e-9 per component) accepted the
+    same way label_centroids accepts rounded averages."""
+    books = seed_books or _books_from_rows(
+        _head_vectors(spark, sf_dir, PQ_K)
+    )
     emb = load_table(spark, sf_dir, "embeddings")
 
     parts = []
@@ -1476,8 +1227,8 @@ def refined_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]
             )
         )
     u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
+    for pt in parts[1:]:
+        u = u.unionByName(pt)
     rows = (
         u.groupBy("s", "code", "dim")
         .agg(
@@ -1507,20 +1258,35 @@ def refined_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]
     return refined
 
 
-def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ search over a TRAINED codebook — ann_ivf_pq with one
-    distributed Lloyd refinement of the bootstrap codewords
-    (refined_pq_books), closing the documented codebook-training gap:
-    recall vs exact L2 improves over the untrained variant (pinned in
-    tests) with zero change to the search plan — the refined books are
-    still plan-time literals, candidate codes are still map-side
-    integer argmins, ADC is still exact micro-int table lookups.
-    Output: (query_id, neighbor_id, adc_dist_micro, rank).
+def _ivf_pq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    queries: list,
+) -> DataFrame:
+    """Shared IVF-PQ search body (used by ann_ivf_pq and
+    ann_ivf_pq_refined — one implementation, two codebooks).
+
+    1. Query-side work is driver-computed plan-time literals — probe
+       cells (NPROBE nearest centroids per query) and ADC lookup
+       tables (per query x subspace: integer micro squared distance
+       from the query subvector to each codeword). All bounded:
+       N_QUERIES x PQ_M x PQ_K longs.
+    2. Candidate-side work is map-side: cell assignment and
+       per-subspace code indices are codegen'd argmins over the same
+       integer micro distances. A probed-cell join keyed on cluster
+       bounds the pairs, and the ADC distance is PQ_M BIGINT table
+       lookups summed — the candidate's full vector is never read in
+       the scoring expression, which is why a production index stores
+       ONLY the 8-byte codes.
+    3. The only shuffle is the per-query top-k window.
+
+    All distances are exact integer micro-units (round(term,9) then
+    floor to 1e-6 before summation), so sums are order-independent
+    and overflow-safe (BIGINT end-to-end) in Spark, Python, and
+    DuckDB alike.
     """
-    head = _head_vectors(spark, sf_dir, max(NUM_CENTROIDS, N_QUERIES))
-    cents = [[float(x) for x in r.embedding] for r in head[:NUM_CENTROIDS]]
-    books = refined_pq_books(spark, sf_dir)
-    queries = head[:N_QUERIES]
 
     def py_fold_dot(a: list[float], b: list[float]) -> float:
         acc = 0.0
@@ -1586,10 +1352,13 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_rows, "query_id long, probe_cluster int"
     )
 
+    # ADC: per subspace, dispatch on query_id to that query's literal
+    # BIGINT table and look up the candidate's code (bounded
+    # when-chain over N_QUERIES literal arrays)
     def adc_term(s: int) -> Column:
         expr = None
         for qid, table in adc_tables.items():
-            arr = F.array(*[F.lit(v) for v in table[s]])
+            arr = F.array(*[F.lit(v).cast("bigint") for v in table[s]])
             branch = F.element_at(arr, F.col(f"c{s}") + 1)
             expr = (
                 F.when(F.col("query_id") == qid, branch)
@@ -1622,6 +1391,127 @@ def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over the deterministic bootstrap codebook: the
+    standard billion-scale ANN recipe (Jegou et al. 2011) assembled
+    from this module's two halves — IVF cells restrict the candidate
+    set, PQ codes + an asymmetric distance computation (ADC) rank
+    candidates without touching their full vectors. See
+    _ivf_pq_search for the execution shape.
+    Output: (query_id, neighbor_id, adc_dist_micro, rank).
+
+    Quality note (measured, pinned in tests): with the PQ_K=8
+    bootstrap codebook, recall@5 vs exact L2 is 0.2 on the fixture —
+    ~20x random but far below ann_ivf's 0.96, because 8 arbitrary
+    seed codewords per subspace quantize coarsely. That gap is
+    codebook TRAINING, not plan shape — see ann_ivf_pq_refined.
+    """
+    head = _head_vectors(
+        spark, sf_dir, max(NUM_CENTROIDS, PQ_K, N_QUERIES)
+    )
+    cents = [[float(x) for x in r.embedding] for r in head[:NUM_CENTROIDS]]
+    books = _books_from_rows(head)
+    return _ivf_pq_search(spark, sf_dir, cents, books, head[:N_QUERIES])
+
+
+def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search over a TRAINED codebook — the same search as
+    ann_ivf_pq with one distributed Lloyd refinement of the bootstrap
+    codewords (refined_pq_books), closing the documented
+    codebook-training gap: recall@5 vs exact L2 improves 0.2 -> 0.28
+    on the fixture (pinned in tests) with zero change to the search
+    plan — the refined books are still plan-time literals.
+    Output: (query_id, neighbor_id, adc_dist_micro, rank).
+    """
+    head = _head_vectors(
+        spark, sf_dir, max(NUM_CENTROIDS, PQ_K, N_QUERIES)
+    )
+    cents = [[float(x) for x in r.embedding] for r in head[:NUM_CENTROIDS]]
+    books = refined_pq_books(
+        spark, sf_dir, seed_books=_books_from_rows(head)
+    )
+    return _ivf_pq_search(spark, sf_dir, cents, books, head[:N_QUERIES])
+
+
+
+ANN_IVF_PQ_SQL = rf"""
+WITH cent AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           embedding AS c_emb
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {NUM_CENTROIDS})
+),
+cw AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS c
+    FROM (SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {PQ_K})
+),
+scored AS (
+    SELECT e.vec_id, e.embedding, c.cid,
+           round({_cos_sql('e.embedding', 'c.c_emb')}, 9) AS sim
+    FROM embeddings e CROSS JOIN cent c
+),
+ranked_assign AS (
+    SELECT vec_id, embedding, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+),
+clusters AS (
+    SELECT vec_id, cid AS cluster FROM ranked_assign WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, cid AS probe_cluster
+    FROM ranked_assign
+    WHERE vec_id IN {_QUERY_IDS_SQL} AND rn <= {NPROBE}
+),
+subdist AS (
+    SELECT e.vec_id, s.s, c.k,
+           CAST(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
+               CAST(floor(round(pow(
+                   CAST(e.embedding[s.s * {PQ_SUBDIM} + i] AS DOUBLE)
+                   - CAST(c.c[s.s * {PQ_SUBDIM} + i] AS DOUBLE), 2), 9)
+                   * 1000000 + 0.5) AS BIGINT))) AS BIGINT) AS dist
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS s) s
+    CROSS JOIN cw c
+),
+best AS (
+    SELECT vec_id, s, min(dist) AS mind FROM subdist GROUP BY 1, 2
+),
+codes AS (
+    SELECT b.vec_id, b.s, min(d.k) AS code
+    FROM best b JOIN subdist d
+      ON d.vec_id = b.vec_id AND d.s = b.s AND d.dist = b.mind
+    GROUP BY 1, 2
+),
+adc AS (
+    SELECT p.query_id, v.vec_id AS neighbor_id,
+           CAST(sum(CAST(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
+               CAST(floor(round(pow(
+                   CAST(p.q_emb[co.s * {PQ_SUBDIM} + i] AS DOUBLE)
+                   - CAST(cw.c[co.s * {PQ_SUBDIM} + i] AS DOUBLE), 2), 9)
+                   * 1000000 + 0.5) AS BIGINT))) AS BIGINT)) AS BIGINT)
+               AS adc_dist_micro
+    FROM clusters v
+    JOIN probes p ON v.cluster = p.probe_cluster AND v.vec_id != p.query_id
+    JOIN codes co ON co.vec_id = v.vec_id
+    JOIN cw ON cw.k = co.code
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_dist_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist_micro ASC, neighbor_id ASC)
+               AS rank
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist_micro, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
 
 
 ANN_IVF_PQ_REFINED_SQL = rf"""
