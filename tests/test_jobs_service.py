@@ -230,3 +230,9 @@ def test_client_run_query_helper(client, monkeypatch):
     record = jc.run_query("events_distinct_users", limit=5)
     assert record["status"] == "completed"
     assert record["result"]["n_rows"] == 5
+
+
+def test_query_endpoint_rejects_bad_limit(client):
+    resp = client.post("/api/query/corpus_stats", json={"limit": "abc"})
+    assert resp.status_code == 400
+    assert "limit" in resp.get_json()["error"]
