@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("-o", "--output_dir", required=True)
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument(
+        "--semantic",
+        action="store_true",
+        help="append the SemDeDup embedding-space dedup stage after "
+        "the lexical tiers",
+    )
+    cu.add_argument(
         "--training-set",
         action="store_true",
         help="extend the chain with train/val/test split + sequence "
@@ -203,11 +209,15 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         fn = curate_to_training_set if args.training_set else curate
+        kwargs = {}
+        if not args.training_set:
+            kwargs["semantic"] = args.semantic
         result = fn(
             spark,
             args.sf_dir,
             out_dir=args.output_dir,
             min_quality=args.min_quality,
+            **kwargs,
         )
         n = result.count()
         print(json.dumps({"output_dir": args.output_dir, "chunks": n}))

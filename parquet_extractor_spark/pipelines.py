@@ -41,10 +41,17 @@ def curate(
     sf_dir: str,
     out_dir: str | None = None,
     min_quality: float = MIN_QUALITY,
+    semantic: bool = False,
 ) -> DataFrame:
     """Run the full curation chain; returns the chunk-level training
     set (doc_id, lang, chunk_id, n_chunk_tokens, chunk_text). When
     ``out_dir`` is given, also writes it partitioned by lang.
+    ``semantic=True`` appends the SemDeDup stage (embedding-space
+    exemplar selection, joined on the embeddings.vec_id ==
+    documents.doc_id relationship) after the lexical dedup tiers —
+    the order the tiers run in production: lexical first (cheap,
+    removes the bulk), semantic last (per-cell pair cost over the
+    survivors' embedding space).
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -70,6 +77,19 @@ def curate(
         keep_quality.join(exact_survivors, "doc_id", "left_semi")
         .join(near_survivors, "doc_id", "left_semi")
     )
+
+    # 3b. optional semantic stage: drop non-exemplar members of
+    #     embedding-space near-dup groups (docs without an embedding
+    #     row pass through — SemDeDup only rules on what it can see)
+    if semantic:
+        from parquet_extractor_spark.operators.similarity import semdedup_keep
+
+        sem_dropped = (
+            semdedup_keep(spark, sf_dir)
+            .filter(~F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        survivors = survivors.join(sem_dropped, "doc_id", "left_anti")
 
     # 4. chunk the surviving documents; carry lang for partitioning
     chunks = doc_chunks(spark, sf_dir).join(

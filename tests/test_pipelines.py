@@ -106,3 +106,30 @@ def test_curate_to_training_set(spark, sf_small, tmp_path):
     assert {r.split for r in back.select("split").distinct().collect()} == {
         "train", "val", "test",
     }
+
+
+def test_curate_semantic_stage_drops_semdedup_victims(spark, sf_small, tmp_path):
+    """semantic=True must remove exactly the docs SemDeDup marks as
+    non-exemplars (of those that survive the lexical stages) and
+    nothing else."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.similarity import semdedup_keep
+    from parquet_extractor_spark.pipelines import curate
+
+    base_docs = {
+        r.doc_id for r in curate(spark, sf_small).select("doc_id").distinct().collect()
+    }
+    sem_docs = {
+        r.doc_id
+        for r in curate(spark, sf_small, semantic=True)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    dropped = {
+        r.vec_id
+        for r in semdedup_keep(spark, sf_small).filter(~F.col("keep")).collect()
+    }
+    assert sem_docs == base_docs - dropped
+    assert sem_docs < base_docs  # the stage actually removed something
