@@ -82,12 +82,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="max rows printed (default 20)")
 
     ex = sub.add_parser(
-        "export", help="export the documents table as JSONL (trainer boundary)"
+        "export", help="export a table as JSONL (trainer boundary)"
     )
-    ex.add_argument("sf_dir", help="fixture dir containing documents.parquet")
+    ex.add_argument("sf_dir", help="fixture dir containing the parquet tables")
     ex.add_argument("-o", "--output_dir", required=True)
+    ex.add_argument("--table", default="documents",
+                    help="table to export (default documents)")
     ex.add_argument("--partition-by", default="lang",
-                    help="partition column (default lang; '' for none)")
+                    help="partition column (default lang; '' for none — "
+                    "required for tables without a lang column)")
 
     sq = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the registered tables"
@@ -178,7 +181,14 @@ def main(argv: list[str] | None = None) -> int:
         from parquet_extractor_spark.sinks.dataset import write_jsonl
         from parquet_extractor_spark.sources.tables import load_table
 
-        docs = load_table(spark, args.sf_dir, "documents").persist()
+        docs = load_table(spark, args.sf_dir, args.table).persist()
+        if args.partition_by and args.partition_by not in docs.columns:
+            print(json.dumps({
+                "error": f"table {args.table!r} has no column "
+                         f"{args.partition_by!r}; pass --partition-by ''"
+            }))
+            docs.unpersist()
+            return 1
         part = [args.partition_by] if args.partition_by else None
         try:
             write_jsonl(docs, args.output_dir, partition_by=part)

@@ -232,3 +232,27 @@ def test_cli_export_jsonl(spark, sf_small, tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["rows"] == 500
     assert glob.glob(f"{out}/lang=*/*.json.gz")
+
+
+def test_cli_export_any_table(spark, sf_small, tmp_path, capsys):
+    import glob
+    import json
+
+    from parquet_extractor_spark.cli import main as cli_main
+
+    out = str(tmp_path / "ev")
+    rc = cli_main(
+        ["export", sf_small, "-o", out, "--table", "events",
+         "--partition-by", "event_type"]
+    )
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows"] > 0
+    assert glob.glob(f"{out}/event_type=*/*.json.gz")
+
+    # partition column missing -> clean error, exit 1
+    rc = cli_main(
+        ["export", sf_small, "-o", str(tmp_path / "bad"), "--table", "region"]
+    )
+    assert rc == 1
+    assert "no column" in capsys.readouterr().out

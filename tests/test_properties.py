@@ -165,3 +165,27 @@ def test_jpeg_roundtrip_property(arr, quality, subsample, restart):
     flat = np.full_like(arr, int(arr.mean()))
     dec_flat = decode_jpeg(encode_jpeg(flat, quality=quality, subsample=subsample))
     assert np.abs(dec_flat.astype(int) - flat.astype(int)).max() <= 2
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    stereo=st.booleans(),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_property(n, stereo, sr, data):
+    """PCM-16 WAV encode/decode is exact for arbitrary sample content,
+    lengths, channel counts, and rates."""
+    from parquet_extractor_spark.functions.wav import decode_wav, encode_wav
+
+    raw = data.draw(
+        st.binary(min_size=n * 2 * (2 if stereo else 1),
+                  max_size=n * 2 * (2 if stereo else 1))
+    )
+    samples = np.frombuffer(raw, dtype=np.int16)
+    if stereo:
+        samples = samples.reshape(n, 2)
+    out, got_sr = decode_wav(encode_wav(samples, sr))
+    assert got_sr == sr
+    assert np.array_equal(out, samples)
