@@ -181,7 +181,12 @@ def main(argv: list[str] | None = None) -> int:
         from parquet_extractor_spark.sinks.dataset import write_jsonl
         from parquet_extractor_spark.sources.tables import load_table
 
-        docs = load_table(spark, args.sf_dir, args.table).persist()
+        try:
+            docs = load_table(spark, args.sf_dir, args.table)
+        except (KeyError, ValueError) as exc:
+            print(json.dumps({"error": f"unknown table {args.table!r}: {exc}"}))
+            return 1
+        docs = docs.persist()
         if args.partition_by and args.partition_by not in docs.columns:
             print(json.dumps({
                 "error": f"table {args.table!r} has no column "
@@ -219,15 +224,12 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         fn = curate_to_training_set if args.training_set else curate
-        kwargs = {}
-        if not args.training_set:
-            kwargs["semantic"] = args.semantic
         result = fn(
             spark,
             args.sf_dir,
             out_dir=args.output_dir,
             min_quality=args.min_quality,
-            **kwargs,
+            semantic=args.semantic,
         )
         n = result.count()
         print(json.dumps({"output_dir": args.output_dir, "chunks": n}))

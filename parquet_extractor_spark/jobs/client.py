@@ -87,7 +87,10 @@ class JobClient:
         params: dict[str, Any] = {"limit": limit}
         if sf_dir is not None:
             params["sf_dir"] = sf_dir
-        return self.wait(self.submit(f"/api/query/{name}", params), timeout_s)
+        quoted = urllib.parse.quote(name, safe="")
+        return self.wait(
+            self.submit(f"/api/query/{quoted}", params), timeout_s
+        )
 
     def queries(self) -> list[str]:
         """List the registered analytics queries (GET /api/queries)."""

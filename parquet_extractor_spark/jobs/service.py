@@ -231,10 +231,19 @@ def create_app(spark: SparkSession, output_root: str):
             return jsonify({"error": f"unknown query '{name}'"}), 404
         params = request.get_json(silent=True) or {}
         sf_dir = params.get("sf_dir", "/root/testdata/sf0.001")
-        try:
-            limit = max(1, min(int(params.get("limit", 20)), MAX_QUERY_ROWS))
-        except (TypeError, ValueError):
-            return jsonify({"error": "limit must be an integer"}), 400
+        raw = params.get("limit", 20)
+        # strict: a JSON integer (bool is an int subclass — reject) or
+        # a digit string; fractional/negative/zero limits are errors,
+        # not silent truncations
+        if isinstance(raw, bool) or not (
+            isinstance(raw, int)
+            or (isinstance(raw, str) and raw.isdigit())
+        ):
+            return jsonify({"error": "limit must be a positive integer"}), 400
+        limit = int(raw)
+        if limit < 1:
+            return jsonify({"error": "limit must be a positive integer"}), 400
+        limit = min(limit, MAX_QUERY_ROWS)
 
         def _work(job_id: str) -> dict[str, Any]:
             job_log(job_id, f"running {name} at {sf_dir} (limit {limit})")

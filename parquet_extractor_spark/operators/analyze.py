@@ -304,8 +304,14 @@ def label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = docs.join(emb, "doc_id").select(
         "doc_id", "label", "lang", token_count("text").alias("n_tokens")
     )
+    # ONE aggregation of the join feeds both outputs: the (label,
+    # lang) rollup carries counts AND token sums, so the label-level
+    # stats derive from it (sum-of-sums / sum-of-counts == avg over
+    # the joined rows, same long operands, same double division)
+    # instead of re-scanning and re-joining both tables.
     per_lang = joined.groupBy("label", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs_lang")
+        F.count(F.lit(1)).alias("n_docs_lang"),
+        F.sum("n_tokens").alias("tok_sum"),
     )
     w = Window.partitionBy("label").orderBy(
         F.desc("n_docs_lang"), F.asc("lang")
@@ -315,9 +321,11 @@ def label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("label", F.col("lang").alias("top_lang"))
     )
-    stats = joined.groupBy("label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    stats = per_lang.groupBy("label").agg(
+        F.sum("n_docs_lang").cast("bigint").alias("n_docs"),
+        F.round(F.sum("tok_sum") / F.sum("n_docs_lang"), 4).alias(
+            "avg_tokens"
+        ),
     )
     return (
         stats.join(top_lang, "label")

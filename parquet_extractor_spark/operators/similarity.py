@@ -423,8 +423,27 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical tier applies.
     Output: (vec_id, cluster, keep) for every vector.
     """
-    cents = _centroid_vectors(spark, sf_dir, SEMDEDUP_CENTROIDS)
-    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_verdicts(
+        spark, load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """SemDeDup over an ARBITRARY (vec_id, embedding) frame — the
+    DataFrame-in form pipelines compose over subsets (e.g. the lexical
+    survivors in pipelines.curate), with centroids seeded from the
+    INPUT frame's first SEMDEDUP_CENTROIDS rows so the rule is
+    self-contained on whatever population it is given. semdedup_keep
+    is this applied to the whole embeddings table."""
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(SEMDEDUP_CENTROIDS)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("semdedup: input frame is empty, no centroids")
+    cents = [[float(x) for x in r.embedding] for r in seed_rows]
 
     # Two fold-elimination tricks, both bit-identical to cosine()'s
     # formula (same IEEE doubles, same operation order):
@@ -1209,7 +1228,12 @@ def refined_pq_books(
     )
     emb = load_table(spark, sf_dir, "embeddings")
 
-    parts = []
+    # ONE scan: stage each subspace's (code, subvector) as columns
+    # (the argmin is expensive and multi-referenced, so Catalyst keeps
+    # the projection boundary), then fan out (s, code, dim, v) entries
+    # from the columns and aggregate. The previous union-of-subspaces
+    # form scanned the table PQ_M times.
+    staged_cols = []
     for s in range(PQ_M):
         sub = F.transform(
             F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
@@ -1219,18 +1243,26 @@ def refined_pq_books(
             *[_sqdist_micro(sub, books[s][k]) for k in range(len(books[s]))]
         )
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        parts.append(
-            emb.select(
+        staged_cols.append(code.alias(f"code{s}"))
+        staged_cols.append(sub.alias(f"sub{s}"))
+    staged = emb.select(*staged_cols)
+
+    def _entries(s: int) -> Column:
+        def one(i: Column) -> Column:
+            return F.struct(
                 F.lit(s).alias("s"),
-                code.alias("code"),
-                F.posexplode(sub).alias("dim", "v"),
+                F.col(f"code{s}").alias("code"),
+                i.alias("dim"),
+                F.element_at(F.col(f"sub{s}"), i + 1).alias("v"),
             )
-        )
-    u = parts[0]
-    for pt in parts[1:]:
-        u = u.unionByName(pt)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(PQ_SUBDIM - 1)), one)
+
+    all_entries = F.flatten(F.array(*[_entries(s) for s in range(PQ_M)]))
     rows = (
-        u.groupBy("s", "code", "dim")
+        staged.select(F.explode(all_entries).alias("e"))
+        .select("e.s", "e.code", "e.dim", "e.v")
+        .groupBy("s", "code", "dim")
         .agg(
             F.floor(F.avg("v") * F.lit(1e6) + F.lit(0.5))
             .cast("bigint")

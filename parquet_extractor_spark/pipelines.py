@@ -78,14 +78,27 @@ def curate(
         .join(near_survivors, "doc_id", "left_semi")
     )
 
-    # 3b. optional semantic stage: drop non-exemplar members of
-    #     embedding-space near-dup groups (docs without an embedding
-    #     row pass through — SemDeDup only rules on what it can see)
+    # 3b. optional semantic stage: SemDeDup over the SURVIVORS'
+    #     embeddings (not the full table — an exemplar that already
+    #     failed an earlier gate must not drag its group down with
+    #     it). Docs without an embedding row pass through — SemDeDup
+    #     only rules on what it can see.
     if semantic:
-        from parquet_extractor_spark.operators.similarity import semdedup_keep
+        from parquet_extractor_spark.operators.similarity import (
+            semdedup_verdicts,
+        )
 
+        surv_emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .select(F.col("vec_id"), "embedding")
+            .join(
+                survivors.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+        )
         sem_dropped = (
-            semdedup_keep(spark, sf_dir)
+            semdedup_verdicts(spark, surv_emb)
             .filter(~F.col("keep"))
             .select(F.col("vec_id").alias("doc_id"))
         )
@@ -115,6 +128,7 @@ def curate_to_training_set(
     sf_dir: str,
     out_dir: str | None = None,
     min_quality: float = MIN_QUALITY,
+    semantic: bool = False,
 ) -> DataFrame:
     """The curation chain extended to a TRAINING-READY set: curate →
     deterministic train/val/test assignment → packed-sequence ids,
@@ -136,7 +150,10 @@ def curate_to_training_set(
     )
     from pyspark.sql.window import Window
 
-    chunks = curate(spark, sf_dir, out_dir=None, min_quality=min_quality)
+    chunks = curate(
+        spark, sf_dir, out_dir=None, min_quality=min_quality,
+        semantic=semantic,
+    )
 
     pct = portable_hash64(
         F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))

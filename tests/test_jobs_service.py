@@ -233,6 +233,7 @@ def test_client_run_query_helper(client, monkeypatch):
 
 
 def test_query_endpoint_rejects_bad_limit(client):
-    resp = client.post("/api/query/corpus_stats", json={"limit": "abc"})
-    assert resp.status_code == 400
-    assert "limit" in resp.get_json()["error"]
+    for bad in ("abc", 7.9, True, -5, 0):
+        resp = client.post("/api/query/corpus_stats", json={"limit": bad})
+        assert resp.status_code == 400, bad
+        assert "limit" in resp.get_json()["error"]

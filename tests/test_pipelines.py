@@ -108,14 +108,16 @@ def test_curate_to_training_set(spark, sf_small, tmp_path):
     }
 
 
-def test_curate_semantic_stage_drops_semdedup_victims(spark, sf_small, tmp_path):
+def test_curate_semantic_stage_drops_survivor_near_dups(spark, sf_small, tmp_path):
     """semantic=True must remove exactly the docs SemDeDup marks as
-    non-exemplars (of those that survive the lexical stages) and
-    nothing else."""
+    non-exemplars when run over the LEXICAL SURVIVORS (not the full
+    table — an exemplar that already failed an earlier gate must not
+    drag its group down with it)."""
     from pyspark.sql import functions as F
 
-    from parquet_extractor_spark.operators.similarity import semdedup_keep
+    from parquet_extractor_spark.operators.similarity import semdedup_verdicts
     from parquet_extractor_spark.pipelines import curate
+    from parquet_extractor_spark.sources.tables import load_table
 
     base_docs = {
         r.doc_id for r in curate(spark, sf_small).select("doc_id").distinct().collect()
@@ -127,9 +129,26 @@ def test_curate_semantic_stage_drops_semdedup_victims(spark, sf_small, tmp_path)
         .distinct()
         .collect()
     }
+    surv_emb = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id").isin(*base_docs)
+    )
     dropped = {
         r.vec_id
-        for r in semdedup_keep(spark, sf_small).filter(~F.col("keep")).collect()
+        for r in semdedup_verdicts(spark, surv_emb)
+        .filter(~F.col("keep"))
+        .collect()
     }
     assert sem_docs == base_docs - dropped
     assert sem_docs < base_docs  # the stage actually removed something
+
+
+def test_training_set_honors_semantic_flag(spark, sf_small):
+    """--training-set --semantic must actually run the semantic stage
+    (regression: the flag used to be silently dropped)."""
+    from parquet_extractor_spark.pipelines import curate_to_training_set
+
+    plain = curate_to_training_set(spark, sf_small).select("doc_id").distinct()
+    sem = curate_to_training_set(spark, sf_small, semantic=True).select(
+        "doc_id"
+    ).distinct()
+    assert sem.count() < plain.count()
