@@ -313,22 +313,25 @@ def label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_lang"),
         F.sum("n_tokens").alias("tok_sum"),
     )
-    w = Window.partitionBy("label").orderBy(
-        F.desc("n_docs_lang"), F.asc("lang")
-    )
-    top_lang = (
-        per_lang.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("label", F.col("lang").alias("top_lang"))
-    )
-    stats = per_lang.groupBy("label").agg(
-        F.sum("n_docs_lang").cast("bigint").alias("n_docs"),
-        F.round(F.sum("tok_sum") / F.sum("n_docs_lang"), 4).alias(
-            "avg_tokens"
-        ),
-    )
+    # single second-level aggregation: the dominant lang is
+    # min_by(lang, (-count, lang)) — same most-docs-then-alphabetical
+    # rule the oracle's window expresses — so per_lang is consumed
+    # once and the whole query is one scan of each table
     return (
-        stats.join(top_lang, "label")
+        per_lang.groupBy("label")
+        .agg(
+            F.sum("n_docs_lang").cast("bigint").alias("n_docs"),
+            F.round(F.sum("tok_sum") / F.sum("n_docs_lang"), 4).alias(
+                "avg_tokens"
+            ),
+            F.min_by(
+                "lang",
+                F.struct(
+                    (-F.col("n_docs_lang")).alias("neg_n"),
+                    F.col("lang").alias("lang"),
+                ),
+            ).alias("top_lang"),
+        )
         .select("label", "n_docs", "avg_tokens", "top_lang")
         .orderBy("label")
     )
