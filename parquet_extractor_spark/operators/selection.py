@@ -60,6 +60,9 @@ LM_BUCKETS = 4096  # hashed bigram/unigram count buckets
 SPAN_TOKENS = 8  # Lee et al. use 50-token windows; fixture docs are ~40 tokens
 SPAN_TOP = 200
 SPAN_SAMPLE_DOCS = 5
+# Occurrence key doc_id·BASE + pos: positions fit under BASE (docs are
+# context-length bounded), doc_ids under 2^63 / BASE ≈ 9.2e9.
+SPAN_KEY_BASE = 1_000_000_000
 
 _TOKENS_SQL = (
     r"list_filter(regexp_split_to_array("
@@ -458,4 +461,121 @@ agg AS (
 SELECT * FROM agg
 ORDER BY n_docs DESC, n_occurrences DESC, span_hash ASC
 LIMIT {SPAN_TOP}
+"""
+
+
+def span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove duplicated spans from documents (the write side of
+    ``duplicate_spans``; Lee et al. 2022 ExactSubstr-dedup semantics).
+
+    For every SPAN_TOKENS-token window whose hash occurs in more than
+    one document, keep only the canonical occurrence — the one with the
+    smallest (doc_id, position) — and delete the tokens of every other
+    occurrence, then reassemble each document from its surviving
+    tokens. Overlapping duplicated windows merge naturally because
+    removal is position-wise.
+
+    Plan shape: one scan, map-side shingle fan-out, shuffle(span_hash)
+    with partial agg to find duplicated hashes + canonical keys, a
+    second shuffle(span_hash) joining occurrences to those hashes
+    (duplicated hashes only — the join input is pre-filtered), then
+    shuffle(doc_id) to assemble per-doc removal sets. All volumes are
+    linear in token count; nothing is pairwise. The per-token
+    ``array_contains`` membership test against the doc's removal set is
+    O(|removed|) per token — quadratic only within a single document,
+    which is context-length bounded, never corpus bounded.
+    Output: (doc_id, n_tokens, n_removed, scrubbed_text) by doc_id.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize("text").alias("ts"))
+    occ = (
+        toks.select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("ts"), SPAN_TOKENS)).alias("p0", "span"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            portable_hash64(F.col("span")).alias("span_hash"),
+        )
+        .withColumn("okey", F.col("doc_id") * F.lit(SPAN_KEY_BASE) + F.col("pos"))
+    )
+    dup = (
+        occ.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("okey").alias("canon_key"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("span_hash", "canon_key")
+    )
+    rm_sets = (
+        occ.join(dup, "span_hash")
+        .filter(F.col("okey") != F.col("canon_key"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_TOKENS - 1))
+            ).alias("rp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("rp").alias("rm"))
+    )
+    return (
+        toks.join(rm_sets, "doc_id", "left")
+        .withColumn(
+            "kept",
+            F.when(F.col("rm").isNull(), F.col("ts")).otherwise(
+                F.expr("filter(ts, (x, i) -> NOT array_contains(rm, CAST(i + 1 AS BIGINT)))")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("n_tokens"),
+            (F.size("ts") - F.size("kept")).cast("bigint").alias("n_removed"),
+            F.array_join("kept", " ").alias("scrubbed_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_SCRUBBED_DOCS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, {_TOKENS_SQL} AS ts FROM documents
+),
+occ AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           {_PHASH_SQL.format(
+               f"list_aggregate(ts[i:i + {SPAN_TOKENS} - 1], 'string_agg', ' ')"
+           )} AS span_hash
+    FROM toks, unnest(range(1, greatest(len(ts) - {SPAN_TOKENS - 1}, 1) + 1))
+         AS u(i)
+),
+dup AS (
+    SELECT span_hash,
+           min(doc_id * {SPAN_KEY_BASE} + pos) AS canon_key
+    FROM occ GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) > 1
+),
+rm_sets AS (
+    SELECT doc_id, list(DISTINCT pos + off) AS rm
+    FROM occ o
+    JOIN dup d USING (span_hash),
+         unnest(range(0, {SPAN_TOKENS})) AS v(off)
+    WHERE o.doc_id * {SPAN_KEY_BASE} + o.pos != d.canon_key
+    GROUP BY doc_id
+),
+rebuilt AS (
+    SELECT t.doc_id, t.ts,
+           CASE WHEN r.rm IS NULL THEN t.ts
+                ELSE list_filter(t.ts, (x, i) -> NOT list_contains(r.rm, i))
+           END AS kept
+    FROM toks t LEFT JOIN rm_sets r USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(ts) - len(kept) AS BIGINT) AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS scrubbed_text
+FROM rebuilt
+ORDER BY doc_id
 """

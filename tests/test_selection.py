@@ -14,6 +14,7 @@ from parquet_extractor_spark.operators.selection import (
     bm25_doc_scores,
     dsir_importance_weights,
     duplicate_spans,
+    span_scrubbed_docs,
 )
 from parquet_extractor_spark.plans.explain import (
     has_broadcast_hash_join,
@@ -102,6 +103,49 @@ def test_duplicate_spans_members_really_share_the_span(spark, sf_small):
 
 def test_duplicate_spans_partial_agg(spark, sf_small):
     df = duplicate_spans(spark, sf_small)
+    assert has_partial_aggregation(df)
+    assert set().union(*read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_span_scrub_accounting_and_untouched_docs(spark, sf_small):
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = span_scrubbed_docs(spark, sf_small).collect()
+    assert len(rows) == 500  # every doc survives as a row
+    originals = dict(
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", F.array_join(tokenize("text"), " ").alias("t"))
+        .rdd.map(lambda r: (r.doc_id, r.t))
+        .collect()
+    )
+    total_removed = 0
+    for r in rows:
+        assert 0 <= r.n_removed <= r.n_tokens
+        kept = [t for t in r.scrubbed_text.split(" ") if t]
+        assert len(kept) == r.n_tokens - r.n_removed, r.doc_id
+        if r.n_removed == 0:
+            assert r.scrubbed_text == originals[r.doc_id]
+        total_removed += r.n_removed
+    # the fixture corpus has duplicated spans (duplicate_spans is
+    # non-empty), so the scrub must actually delete tokens — and must
+    # not delete everything
+    assert 0 < total_removed < sum(r.n_tokens for r in rows)
+
+
+def test_span_scrub_is_deterministic_and_pruned(spark, sf_small):
+    a = sorted(
+        (r.doc_id, r.n_removed, r.scrubbed_text)
+        for r in span_scrubbed_docs(spark, sf_small).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_removed, r.scrubbed_text)
+        for r in span_scrubbed_docs(spark, sf_small).collect()
+    )
+    assert a == b
+    df = span_scrubbed_docs(spark, sf_small)
     assert has_partial_aggregation(df)
     assert set().union(*read_schema_columns(df)) <= {"doc_id", "text"}
 
