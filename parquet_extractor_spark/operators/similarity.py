@@ -76,6 +76,47 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# ── SQL-text twins of _dot/_norm/cosine for PLAN-TIME LITERAL vectors ─
+# Building a literal centroid/codebook expression out of Column ops
+# costs hundreds of py4j round-trips (one per F.lit) — ~1ms each, so a
+# 32-centroid × 64-dim assignment spent seconds in Python before Spark
+# ever saw the plan. These emit the SAME expression trees as one SQL
+# string parsed in a single F.expr call. repr() round-trips IEEE
+# doubles and string→double cast is correctly rounded, so the literal
+# values are bit-identical to F.lit's.
+
+
+def _dlit_sql(v: float) -> str:
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
+def _vec_lit_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(_dlit_sql(v) for v in vec) + ")"
+
+
+def _dot_sql_expr(a: str, b: str) -> str:
+    """Same fold as _dot: zip_with product, left-to-right sum."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql_expr(a: str) -> str:
+    """Same fold as _norm."""
+    return (
+        f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+
+
+def _cos_lit_sql_expr(a: str, vec: list[float]) -> str:
+    """cosine(col, literal vector) with cosine()'s exact tree."""
+    b = _vec_lit_sql(vec)
+    return f"({_dot_sql_expr(a, b)} / ({_norm_sql_expr(a)} * {_norm_sql_expr(b)}))"
+
+
 def _query_rows(emb: DataFrame) -> DataFrame:
     """The query set: first N_QUERIES rows by vec_id. ORDER BY/LIMIT
     rather than a `vec_id < N` filter so a sparse or non-zero-based id
@@ -290,10 +331,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cell_sim(c: list[float]) -> Column:
         # round(9) so argmax compares identically to the oracle's
-        # rounded window ordering
-        return F.round(
-            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
-        )
+        # rounded window ordering; one F.expr per centroid keeps the
+        # 64-dim literal out of py4j chatter
+        return F.expr(f"round({_cos_lit_sql_expr('embedding', c)}, 9)")
 
     sims = [cell_sim(c) for c in cents]
     sim_arr = F.array(*sims)
@@ -459,8 +499,8 @@ def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
         return acc ** 0.5
 
     def cell_sim(c: list[float]) -> Column:
-        dot = _dot(F.col("embedding"), F.array(*[F.lit(v) for v in c]))
-        return F.round(dot / (F.col("nrm") * F.lit(py_norm(c))), 9)
+        dot = _dot_sql_expr("embedding", _vec_lit_sql(c))
+        return F.expr(f"round({dot} / (nrm * {_dlit_sql(py_norm(c))}), 9)")
 
     from pyspark import StorageLevel
 
@@ -707,9 +747,7 @@ def build_ivf_index(
     emb = load_table(spark, sf_dir, "embeddings")
 
     def cell_sim(c: list[float]) -> Column:
-        return F.round(
-            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
-        )
+        return F.expr(f"round({_cos_lit_sql_expr('embedding', c)}, 9)")
 
     sims = [cell_sim(c) for c in cents]
     sim_arr = F.array(*sims)
@@ -879,17 +917,15 @@ ORDER BY vec_id
 """
 
 
-def _sqdist(a: Column, b: Column) -> Column:
-    """Σ (a_i-b_i)² as a left-to-right double fold (codegen'd)."""
-    return F.aggregate(
-        F.zip_with(
-            a,
-            b,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _sqdist_lit_sql_expr(a: str, vec: list[float]) -> str:
+    """Σ (a_i-b_i)² against a literal vector — SQL-text twin of the
+    zip_with/aggregate double fold (same tree, one F.expr call)."""
+    b = _vec_lit_sql(vec)
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        f"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -920,9 +956,7 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def argmin_cluster(cents: list[tuple[int, list[float]]]) -> tuple[Column, Column]:
         dists = [
-            F.round(
-                _sqdist(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
-            )
+            F.expr(f"round({_sqdist_lit_sql_expr('embedding', c)}, 9)")
             for _cid, c in cents
         ]
         arr = F.array(*dists)
@@ -1062,15 +1096,11 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_M)
     ]
 
-    def sqdist(sub: Column, codeword: list[float]) -> Column:
-        lit = F.array(*[F.lit(v) for v in codeword])
-        return F.round(
-            F.aggregate(
-                F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
+    def sqdist_sql(sub: str, codeword: list[float]) -> str:
+        return (
+            f"round(aggregate(zip_with({sub}, {_vec_lit_sql(codeword)}, "
+            f"(x, y) -> (x - y) * (x - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 9)"
         )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1078,16 +1108,18 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (PQ_K fold expressions) is evaluated ONCE per row — the min,
     # argmin, and error projections below reference the column instead
     # of re-deriving the folds (Catalyst doesn't CSE across them).
+    # Built as one SQL string per subspace: the PQ_M × PQ_K × PQ_SUBDIM
+    # codebook literals would otherwise cost ~1500 py4j round-trips.
     dist_cols = []
     for s in range(PQ_M):
-        sub = F.transform(
-            F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
-            lambda x: x.cast("double"),
+        sub = (
+            f"transform(slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}), "
+            f"x -> CAST(x AS DOUBLE))"
         )
-        dist_cols.append(
-            F.array(*[sqdist(sub, books[s][k]) for k in range(len(seeds))])
-            .alias(f"d{s}")
+        dists = ",".join(
+            sqdist_sql(sub, books[s][k]) for k in range(len(seeds))
         )
+        dist_cols.append(F.expr(f"array({dists})").alias(f"d{s}"))
     staged = emb.select("vec_id", *dist_cols)
 
     seed_arr = F.array(*[F.lit(sid) for sid in seed_ids])
@@ -1176,21 +1208,26 @@ def _books_from_rows(rows: list) -> list[list[list[float]]]:
     ]
 
 
-def _sqdist_micro(sub: Column, codeword: list[float]) -> Column:
+def _sqdist_micro_sql(sub: str, codeword: list[float]) -> str:
     """Integer micro-unit squared distance: each term rounded to 9
     then floored to micro-ints BEFORE summation, so the total is exact
-    and order-independent in Spark, Python, and DuckDB."""
-    lit = F.array(*[F.lit(v) for v in codeword])
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            lit,
-            lambda x, y: F.floor(
-                F.round((x - y) * (x - y), 9) * F.lit(1e6) + F.lit(0.5)
-            ).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    and order-independent in Spark, Python, and DuckDB. SQL text so
+    the PQ_K × PQ_SUBDIM codeword literals cost one F.expr, not
+    hundreds of py4j round-trips."""
+    b = _vec_lit_sql(codeword)
+    return (
+        f"aggregate(zip_with({sub}, {b}, "
+        f"(x, y) -> CAST(floor(round((x - y) * (x - y), 9) "
+        f"* {_dlit_sql(1e6)} + {_dlit_sql(0.5)}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_sub_sql(s: int) -> str:
+    """Subspace s of an embedding as array<double> (SQL text)."""
+    return (
+        f"transform(slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}), "
+        f"x -> CAST(x AS DOUBLE))"
     )
 
 
@@ -1235,16 +1272,18 @@ def refined_pq_books(
     # form scanned the table PQ_M times.
     staged_cols = []
     for s in range(PQ_M):
-        sub = F.transform(
-            F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
-            lambda x: x.cast("double"),
-        )
-        dists = F.array(
-            *[_sqdist_micro(sub, books[s][k]) for k in range(len(books[s]))]
+        sub_sql = _pq_sub_sql(s)
+        dists = F.expr(
+            "array("
+            + ",".join(
+                _sqdist_micro_sql(sub_sql, books[s][k])
+                for k in range(len(books[s]))
+            )
+            + ")"
         )
         code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         staged_cols.append(code.alias(f"code{s}"))
-        staged_cols.append(sub.alias(f"sub{s}"))
+        staged_cols.append(F.expr(sub_sql).alias(f"sub{s}"))
     staged = emb.select(*staged_cols)
 
     def _entries(s: int) -> Column:
@@ -1356,9 +1395,7 @@ def _ivf_pq_search(
     emb = load_table(spark, sf_dir, "embeddings")
 
     def cell_sim(c: list[float]) -> Column:
-        return F.round(
-            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in c])), 9
-        )
+        return F.expr(f"round({_cos_lit_sql_expr('embedding', c)}, 9)")
 
     sims = [cell_sim(c) for c in cents]
     sim_arr = F.array(*sims)
@@ -1366,12 +1403,14 @@ def _ivf_pq_search(
 
     code_cols = []
     for s in range(PQ_M):
-        sub = F.transform(
-            F.slice(F.col("embedding"), s * PQ_SUBDIM + 1, PQ_SUBDIM),
-            lambda x: x.cast("double"),
-        )
-        dists = F.array(
-            *[_sqdist_micro(sub, books[s][k]) for k in range(len(books[s]))]
+        sub_sql = _pq_sub_sql(s)
+        dists = F.expr(
+            "array("
+            + ",".join(
+                _sqdist_micro_sql(sub_sql, books[s][k])
+                for k in range(len(books[s]))
+            )
+            + ")"
         )
         code_cols.append(
             (F.array_position(dists, F.array_min(dists)) - 1)
@@ -1388,16 +1427,13 @@ def _ivf_pq_search(
     # BIGINT table and look up the candidate's code (bounded
     # when-chain over N_QUERIES literal arrays)
     def adc_term(s: int) -> Column:
-        expr = None
-        for qid, table in adc_tables.items():
-            arr = F.array(*[F.lit(v).cast("bigint") for v in table[s]])
-            branch = F.element_at(arr, F.col(f"c{s}") + 1)
-            expr = (
-                F.when(F.col("query_id") == qid, branch)
-                if expr is None
-                else expr.when(F.col("query_id") == qid, branch)
-            )
-        return expr
+        whens = " ".join(
+            f"WHEN query_id = {qid} THEN element_at(array("
+            + ",".join(f"CAST({v} AS BIGINT)" for v in table[s])
+            + f"), c{s} + 1)"
+            for qid, table in adc_tables.items()
+        )
+        return F.expr(f"CASE {whens} END")
 
     adc = adc_term(0)
     for s in range(1, PQ_M):

@@ -208,7 +208,7 @@ def test_kmeans_refine_improves_inertia(spark, sf_small):
     from parquet_extractor_spark.operators.similarity import (
         NUM_CENTROIDS,
         _centroid_vectors,
-        _sqdist,
+        _sqdist_lit_sql_expr,
         kmeans_refine,
     )
     from parquet_extractor_spark.sources.tables import load_table
@@ -224,12 +224,7 @@ def test_kmeans_refine_improves_inertia(spark, sf_small):
     d0 = F.array_min(
         F.array(
             *[
-                F.round(
-                    _sqdist(
-                        F.col("embedding"), F.array(*[F.lit(v) for v in c])
-                    ),
-                    9,
-                )
+                F.expr(f"round({_sqdist_lit_sql_expr('embedding', c)}, 9)")
                 for c in cents
             ]
         )
