@@ -54,7 +54,9 @@ NEAR_DUP_THRESHOLD = 0.35
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i as a left-to-right fold over doubles (codegen'd)."""
+    """Σ a_i·b_i as a left-to-right fold over doubles — a single
+    vectorized JVM expression (higher-order functions evaluate inside
+    the codegen'd stage, no Python round-trip)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
