@@ -11,11 +11,17 @@ aliasing (Q7, Q8), and disjunctive predicate pushdown (Q19).
 
 Adaptations to the driver fixtures (documented, not hidden): the
 fixture schema has no ``partsupp`` table and no
-``l_receiptdate``/``l_commitdate``/``l_shipmode``/``c_phone`` columns,
-so Q2/Q11/Q16/Q20 are out of scope, Q9 computes revenue-profit without
-supply cost, Q12 groups by ``l_linestatus`` instead of ship mode,
-Q21's "waiting" predicate uses ``l_shipdate > o_orderdate + 90 days``,
-and Q22 segments by ``c_mktsegment`` instead of phone prefix.
+``l_receiptdate``/``l_commitdate``/``l_shipmode``/``c_phone`` columns.
+Q2/Q11/Q16/Q20 derive the part-supplier relation from lineitem history
+(min observed sell price stands in for ps_supplycost, shipped volume
+for ps_availqty, negative supplier balance for the complaints filter),
+Q4's "late" EXISTS uses the same ``l_shipdate > o_orderdate + 60
+days`` rule as Q12, Q9 computes revenue-profit without supply cost,
+Q12 groups by ``l_linestatus`` instead of ship mode, Q21's "waiting"
+predicate uses ``l_shipdate > o_orderdate + 90 days``, and Q22
+segments by ``c_mktsegment`` instead of phone prefix. With these
+adaptations every one of the 22 TPC-H query shapes is covered (Q1, Q3,
+Q5, Q6, Q17's small-quantity shape live in ``relational.py``).
 
 Scale stance (100 TB): every correlated subquery is decorrelated into
 a pre-aggregation joined back on its correlation key — the aggregated
@@ -658,4 +664,299 @@ WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
         AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+
+
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted — no l_commitdate/l_receiptdate in the
+    fixture, so "late" is l_shipdate > o_orderdate + 60 days, the same
+    lateness rule Q12/Q21 use): count Q3-1995 orders per priority that
+    had at least one late line. The EXISTS decorrelates to a LEFT SEMI
+    join — the orders side arrives pre-filtered by the pushed date
+    range, lineitem is pruned to two columns, and the semi join
+    shuffles on orderkey without ever materializing matches."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = r"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate <  TIMESTAMP '1995-10-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted — the fixture has no partsupp table, so the
+    part-supplier relation is DERIVED from lineitem history and
+    ps_supplycost becomes the minimum observed sell price, an exact
+    double that needs no cross-engine float arithmetic): for STANDARD
+    parts of size 10-20, find each part's cheapest historical supplier
+    and report it with its nation, ordered by supplier balance.
+
+    The correlated MIN subquery decorrelates into a row_number window
+    over the derived partsupp aggregate (partition by part, order by
+    price then suppkey for deterministic ties) — the same
+    pre-aggregate-then-join-back shape as Q15, never a per-part probe.
+    Dimensions (part, supplier, nation) all broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD")
+        & F.col("p_size").between(10, 20)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_price")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("supply_price"), F.asc("l_suppkey")
+    )
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("supply_price", 2).alias("supply_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = r"""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_price
+    FROM lineitem GROUP BY 1, 2
+),
+best AS (
+    SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                 ORDER BY supply_price, l_suppkey) AS rn
+    FROM ps
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+       round(supply_price, 2) AS supply_price
+FROM best
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE rn = 1 AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# Q11 importance threshold, in basis points of total national value:
+# a part qualifies when its value exceeds 0.1% of the nation's total.
+Q11_THRESHOLD_BP = 10
+
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted — partsupp value becomes per-part revenue
+    through NATION_1's suppliers): parts whose revenue share of the
+    national total exceeds Q11_THRESHOLD_BP basis points. Money snaps
+    to integer cents per ROW before any sum, so both the per-part
+    totals and the global-threshold comparison are exact integer
+    arithmetic in any engine (value_cents × 10000 > total_cents × bp —
+    no float division anywhere).
+
+    The scalar subquery (global total) decorrelates to a 1-row
+    aggregate cross-joined under an explicit broadcast; the per-part
+    agg is partial+final on the one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    cents = F.floor(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+    ).cast("bigint")
+    national = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(F.col("l_partkey").alias("p_partkey"), cents.alias("cents"))
+    )
+    per_part = national.groupBy("p_partkey").agg(
+        F.sum("cents").alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * 10000
+            > F.col("total_cents") * Q11_THRESHOLD_BP
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+Q11_SQL = rf"""
+WITH national AS (
+    SELECT l_partkey AS p_partkey,
+           CAST(floor(round(l_extendedprice * (1 - l_discount) * 100, 0))
+                AS BIGINT) AS cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+),
+per_part AS (
+    SELECT p_partkey, sum(cents) AS value_cents FROM national GROUP BY 1
+)
+SELECT p_partkey, round(value_cents / 100.0, 2) AS value
+FROM per_part
+WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM per_part)
+                            * {Q11_THRESHOLD_BP}
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted — partsupp derived from lineitem DISTINCT
+    pairs; the "complaints" exclusion becomes suppliers with negative
+    balance): how many distinct suppliers can provide each
+    (brand, type, size) combination, excluding Brand#1, PROMO parts,
+    and the excluded suppliers. NOT IN decorrelates to a LEFT ANTI
+    join against the (tiny, broadcast) excluded-supplier list; the
+    distinct pair projection collapses lineitem once on ONE shuffle
+    before any dimension join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = r"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1'
+  AND p_type != 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted — availqty has no fixture counterpart, so
+    "excess stock" becomes shipped volume: a supplier qualifies for a
+    part when its 1995 shipped quantity exceeds half the AVERAGE
+    per-supplier volume for that part): NATION_1 suppliers that
+    over-shipped at least one gear part. Quantities are integral
+    doubles snapped to BIGINT units, so the threshold
+    qty × 2 × n_suppliers > part_total is exact integer math — the
+    avg never exists as a float.
+
+    Both nested INs decorrelate: part filter broadcast into the fact
+    scan, the per-(part,supplier) agg joins back to its own per-part
+    re-aggregation (pre-aggregate-then-join-back again), and the
+    final supplier membership is a LEFT SEMI join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1"
+    )
+    qty = F.floor(F.round(F.col("l_quantity"), 0)).cast("bigint")
+    pair_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_partkey", "l_suppkey", qty.alias("q"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("q").alias("supp_qty"))
+    )
+    per_part = pair_qty.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    qualifying = (
+        pair_qty.join(per_part, "l_partkey")
+        .filter(
+            F.col("supp_qty") * 2 * F.col("n_suppliers") > F.col("part_qty")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = r"""
+WITH pair_qty AS (
+    SELECT l_partkey, l_suppkey,
+           sum(CAST(floor(round(l_quantity, 0)) AS BIGINT)) AS supp_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+    GROUP BY 1, 2
+),
+per_part AS (
+    SELECT l_partkey, sum(supp_qty) AS part_qty,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM pair_qty GROUP BY 1
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+      SELECT p.l_suppkey
+      FROM pair_qty p JOIN per_part t USING (l_partkey)
+      WHERE p.supp_qty * 2 * t.n_suppliers > t.part_qty)
+ORDER BY s_name
 """

@@ -232,3 +232,27 @@ def test_label_text_profile_partial_agg_no_forced_broadcast(spark, sf_small):
     assert has_partial_aggregation(df)
     # the embeddings projection scales with the corpus: no pinned hint
     assert forced_broadcast_count(df) == 0
+
+
+def test_tpch_completions_plan_shape(spark, sf_small):
+    """The derived-partsupp TPC-H adaptations (Q2/Q4/Q11/Q16/Q20) must
+    keep the decorrelated shapes: dimensions broadcast, aggregations
+    partial, and the date filters pushed into the lineitem scan."""
+    from parquet_extractor_spark.operators import tpch
+
+    for fn in (
+        tpch.q2_min_price_supplier,
+        tpch.q11_important_part_values,
+        tpch.q16_supplier_part_counts,
+    ):
+        df = fn(spark, sf_small)
+        assert has_broadcast_hash_join(df), fn.__name__
+        assert has_partial_aggregation(df), fn.__name__
+
+    q4 = tpch.q4_order_priority_checking(spark, sf_small)
+    assert "o_orderdate" in " ".join(pushed_filters(q4))
+    assert has_partial_aggregation(q4)
+
+    q20 = tpch.q20_excess_shippers(spark, sf_small)
+    assert "l_shipdate" in " ".join(pushed_filters(q20))
+    assert has_partial_aggregation(q20)

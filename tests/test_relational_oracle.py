@@ -22,6 +22,11 @@ SPOT = [
     "q15_top_supplier",
     "q21_waiting_suppliers",
     "q22_prospect_customers",
+    "q2_min_price_supplier",
+    "q4_order_priority_checking",
+    "q11_important_part_values",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
 ]
 
 
