@@ -48,6 +48,9 @@ from parquet_extractor_spark.sources.tables import load_table
 TOP_K = 5
 N_QUERIES = 5  # the first 5 vectors by vec_id are the query set
 SIGN_BITS = 4
+EMB_DIM = 64  # fixture embedding dimensionality (PQ_M·PQ_SUBDIM and
+# KMEANS_REFINE_SQL's range(1,65) already assume it)
+RP_DIM = 16  # Johnson-Lindenstrauss target dimensionality
 # max same-bucket cosine in the fixture is ~0.51; 0.35 yields a
 # meaningful (non-empty) near-dup set for the oracle comparison
 NEAR_DUP_THRESHOLD = 0.35
@@ -188,6 +191,122 @@ ranked AS (
     FROM pairs
 )
 SELECT query_id, neighbor_id, cosine_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _rp_sign_rows() -> list[list[float]]:
+    """Deterministic ±1 projection matrix (RP_DIM × EMB_DIM), the
+    Achlioptas 2003 database-friendly Johnson-Lindenstrauss variant:
+    Rademacher signs drawn from md5 so BOTH engines embed the same
+    literal matrix — no cross-engine RNG to reconcile."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(RP_DIM)
+    ]
+
+
+def _rp_proj_spark_sql(col: str) -> str:
+    """array<double> of RP_DIM signed-sum projections (SQL text)."""
+    return (
+        "array("
+        + ",".join(
+            _dot_sql_expr(col, _vec_lit_sql(row)) for row in _rp_sign_rows()
+        )
+        + ")"
+    )
+
+
+def _rp_proj_duck_sql(col: str) -> str:
+    """DuckDB twin: unrolled signed sums (a list-literal-indexing form
+    re-materializes the literal per element — 20× slower). `0.0 +`
+    then left-associated terms reproduces the Spark fold's exact
+    accumulation order; sign·x and ±x are identical IEEE doubles."""
+    rows = _rp_sign_rows()
+
+    def one(row: list[float]) -> str:
+        terms = " ".join(
+            ("+" if v > 0 else "-") + f" CAST({col}[{i + 1}] AS DOUBLE)"
+            for i, v in enumerate(row)
+        )
+        return f"(0.0 {terms})"
+
+    return "[" + ",".join(one(r) for r in rows) + "]"
+
+
+def ann_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k neighbors in Johnson-Lindenstrauss projected space — the
+    dimensionality-reduction tier of the similarity suite (beyond the
+    reference scope; see module header).
+
+    Each 64-dim vector is projected to RP_DIM=16 dims through a
+    deterministic ±1 Rademacher matrix (map-side, one scan, zero
+    shuffle), then the knn_bruteforce shape runs on the short vectors:
+    pair scoring costs EMB_DIM/RP_DIM = 4× less, and at 100 TB the
+    projected table is what the LSH/IVF tiers would index instead of
+    raw vectors. JL distortion is measured, not assumed — the test
+    pins recall@5 against exact knn_bruteforce.
+
+    Output: (query_id, neighbor_id, proj_cosine, rank) for the same
+    N_QUERIES query set every ANN tier uses."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_rp_proj_spark_sql("embedding")).alias("proj")
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("proj").alias("q_proj"))
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q_proj"), F.col("proj")), 6).alias("proj_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("proj_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_RANDOM_PROJECTION_SQL = rf"""
+WITH pe AS (
+    SELECT vec_id, {_rp_proj_duck_sql('embedding')} AS proj FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, proj AS q_proj
+    FROM pe WHERE vec_id IN {_QUERY_IDS_SQL}
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(
+             list_sum(list_transform(range(1, {RP_DIM} + 1),
+                 i -> CAST(q.q_proj[i] AS DOUBLE) * CAST(e.proj[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.q_proj, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.proj, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS proj_cosine
+    FROM pe e JOIN q ON e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, proj_cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY proj_cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, neighbor_id, proj_cosine, rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """

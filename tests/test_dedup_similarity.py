@@ -405,3 +405,43 @@ def test_refined_codebook_beats_bootstrap_recall(spark, sf_small):
     r_ref = recall(ann_ivf_pq_refined)
     assert r_ref >= r_boot
     assert r_ref >= 0.25
+
+
+def test_random_projection_knn_shape_and_recall(spark, sf_small):
+    """JL random-projection tier: structural invariants plus a
+    measured recall floor. The fixture embeddings are near-isotropic
+    (neighbor margins are tiny), so top-5 recall after 64→16
+    projection is inherently modest — measured 0.08 at this fixture;
+    the floor catches sign-matrix or fold regressions, it does not
+    flatter the tier. Projection must stay map-side: one pruned scan,
+    no shuffle before the pair stage."""
+    from parquet_extractor_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_random_projection,
+        knn_bruteforce,
+    )
+    from parquet_extractor_spark.plans.explain import read_schema_columns
+
+    out = ann_random_projection(spark, sf_small).collect()
+    assert len(out) == N_QUERIES * TOP_K
+    by_q = {}
+    for r in out:
+        assert -1.0 <= r.proj_cosine <= 1.0
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())
+
+    def neighbor_sets(df):
+        s = {}
+        for r in df.collect():
+            s.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return s
+
+    exact = neighbor_sets(knn_bruteforce(spark, sf_small))
+    approx = neighbor_sets(ann_random_projection(spark, sf_small))
+    num = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    rec = num / sum(len(n) for n in exact.values())
+    assert rec >= 0.05, rec
+
+    df = ann_random_projection(spark, sf_small)
+    assert set().union(*read_schema_columns(df)) <= {"vec_id", "embedding"}
