@@ -66,6 +66,16 @@ def get_spark(
         ),
         "spark.ui.enabled": os.environ.get("SPARK_GRAFT_UI", "false"),
     }
+    if master.startswith("local"):
+        # In local mode every task shares the driver JVM, whose heap
+        # defaults to 1g — 32 concurrent tasks OOM on any moderate
+        # aggregate long before the host's RAM matters. Size the heap
+        # like an executor fleet (must be set before the JVM spawns;
+        # no-op on an already-running session). On a real cluster the
+        # cluster manager sets executor memory instead.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
