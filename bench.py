@@ -69,6 +69,13 @@ HEADLINE = [
     "pq_codes",
     "bpe_merge_candidates",
     "media_feature_checksums",
+    # r03 late additions: span removal (3-shuffle rebuild), the JL
+    # projection tier, and the derived-partsupp TPC-H completions
+    "span_scrubbed_docs",
+    "ann_random_projection",
+    "q2_min_price_supplier",
+    "q4_order_priority_checking",
+    "q16_supplier_part_counts",
 ]
 
 

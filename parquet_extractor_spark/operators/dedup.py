@@ -12,8 +12,10 @@ path), each designed around its 100 TB shuffle profile:
   at 100 TB the shingle explode is the cost driver, which is why the
   MinHash tier exists (bounded signature size).
 - **MinHash + LSH** — fixed-size signatures (NUM_HASHES portable
-  hashes), banded into NUM_BANDS buckets; only docs sharing a band
-  bucket become candidate pairs. Shuffle volume is O(docs × bands),
+  hashes) computed entirely MAP-SIDE as array min-folds (r03: zero
+  shuffle — and therefore directly reusable on a streaming frame),
+  banded into NUM_BANDS buckets; only docs sharing a band bucket
+  become candidate pairs. Shuffle volume is O(docs × bands),
   independent of document length.
 - **SimHash** — one 32-bit fingerprint per doc from token hashes;
   near-dups differ in few bits. Fingerprinting is a single map-side
@@ -234,33 +236,50 @@ HASH_A = [(2654435761 * (i + 1)) % MERSENNE_P for i in range(NUM_HASHES)]
 HASH_B = [(40503 * (i + 1) + 7) % MERSENNE_P for i in range(NUM_HASHES)]
 
 
-def _exploded_shingles(docs: DataFrame) -> DataFrame:
-    docs = spread(docs)
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngrams(tokenize("text"), NGRAM_N))
-        ).alias("shingle"),
-    )
+def signature_frame(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Map-side MinHash signatures over an arbitrary documents frame:
+    shingle → hash → NUM_HASHES affine min-folds, all array
+    expressions inside two stacked projections — ZERO shuffle. (The
+    r02 form exploded shingles and paid a full groupBy exchange; the
+    per-doc shingle array is context-length bounded, so the array form
+    is strictly better at any corpus size, and — being stateless — it
+    is also directly usable on a STREAMING frame.)
 
-
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document MinHash signature columns mh0..mh{NUM_HASHES-1}.
-
-    Every doc yields ≥1 shingle (empty text → one '' shingle), so the
-    groupBy loses no documents.
+    The shingle-hash array is staged as its own projection so the md5
+    per shingle is computed once, not once per hash function
+    (CollapseProject keeps non-cheap expressions from being inlined
+    into multiple consumers). Every doc yields ≥1 shingle (empty text
+    → one '' shingle), so no documents are lost.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _exploded_shingles(docs)
-    h0 = portable_hash64(F.col("shingle")) % F.lit(MERSENNE_P)
-    hashed = sh.select("doc_id", h0.alias("h0"))
-    aggs = [
-        F.min(
-            (F.lit(HASH_A[i]) * F.col("h0") + F.lit(HASH_B[i])) % F.lit(MERSENNE_P)
+    docs = spread(docs)
+    shingles = F.array_distinct(word_ngrams(tokenize("text"), NGRAM_N))
+    hs = F.transform(
+        shingles, lambda s: portable_hash64(s) % F.lit(MERSENNE_P)
+    )
+    staged = docs.select("doc_id", *carry, hs.alias("hs"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                _affine_mod(HASH_A[i], HASH_B[i]),
+            )
         ).alias(f"mh{i}")
         for i in range(NUM_HASHES)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return staged.select("doc_id", *carry, *cols)
+
+
+def _affine_mod(a: int, b: int):
+    """(a·h + b) mod P as a unary lambda — a factory, because Spark's
+    HOF arity inference forbids default-arg captures on the lambda."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature columns mh0..mh{NUM_HASHES-1}."""
+    return signature_frame(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 def _minhash_sql_exprs() -> str:
@@ -328,7 +347,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the MinHash signatures: docs agreeing on ALL
     rows of any band become candidate pairs. The join key is the band
     digest — shuffle volume O(docs × NUM_BANDS), never O(pairs)."""
-    buckets = _band_buckets(minhash_signatures(spark, sf_dir))
+    buckets = _band_buckets(
+        signature_frame(load_table(spark, sf_dir, "documents"))
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -358,14 +379,14 @@ def cross_source_dedup_candidates(
     Same banded-LSH shuffle geometry as minhash_lsh_candidates —
     joining the new batch against an indexed corpus stays
     O(docs × bands), never a cross-corpus product. The source label
-    rides the signature frame through a doc_id-keyed join (both sides
-    already hash-partitioned on doc_id from the signature groupBy, so
-    AQE plans no extra exchange); the cross-source filter sits in the
-    bucket self-join condition, pruning same-source pairs before the
-    distinct.
+    rides the (map-side) signature projection directly — since r03's
+    zero-shuffle signature_frame there is no signature/source join at
+    all; the cross-source filter sits in the bucket self-join
+    condition, pruning same-source pairs before the distinct.
     """
-    srcs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sig = minhash_signatures(spark, sf_dir).join(srcs, "doc_id")
+    sig = signature_frame(
+        load_table(spark, sf_dir, "documents"), carry=("source",)
+    )
     buckets = _band_buckets(sig, carry=("source",))
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -57,6 +57,11 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     scan already has many splits — keep the repartition anyway; AQE
     coalesces if partitions are already balanced.
     """
+    if df.isStreaming:
+        # .rdd is illegal on a streaming frame, and micro-batch
+        # parallelism is the source's concern — pass through so batch
+        # operator bodies (signature_frame etc.) compose onto streams.
+        return df
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df

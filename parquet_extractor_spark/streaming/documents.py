@@ -113,3 +113,88 @@ def run_curate_stream(
             "partial output discarded"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def near_dup_candidate_stream(
+    stream_docs: DataFrame, corpus_docs: DataFrame
+) -> DataFrame:
+    """Incremental NEAR-dup detection: LSH band buckets of the incoming
+    document stream joined against a static LSH index of the existing
+    corpus — the streaming twin of
+    ``dedup.cross_source_dedup_candidates`` ("dedup the new crawl
+    against what we already have").
+
+    Entirely stateless: ``dedup.signature_frame`` is map-side array
+    expressions (no aggregation), banding is an explode, and the
+    stream-STATIC equi-join keeps no watermark state — each micro-batch
+    probes the corpus index and moves on. At scale the static side is
+    the bucketed signature table an ingest pipeline maintains; Spark
+    broadcasts or shuffle-joins it by size as usual. Pairs are
+    normalized (least, greatest) so a candidate reads identically
+    whichever side streamed in.
+    """
+    from parquet_extractor_spark.operators.dedup import (
+        _band_buckets,
+        signature_frame,
+    )
+
+    s = _band_buckets(signature_frame(stream_docs)).alias("s")
+    c = _band_buckets(signature_frame(corpus_docs)).alias("c")
+    return (
+        s.join(
+            c,
+            (F.col("s.band") == F.col("c.band"))
+            & (F.col("s.bucket") == F.col("c.bucket"))
+            & (F.col("s.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.least("s.doc_id", "c.doc_id").alias("doc_a"),
+            F.greatest("s.doc_id", "c.doc_id").alias("doc_b"),
+        )
+    )
+
+
+def run_near_dup_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the documents source once through the near-dup candidate
+    stream (probing a static index of the same corpus) and return the
+    DISTINCT candidate pairs as a batch frame. Per-epoch overwrite
+    keeps the sink idempotent under foreachBatch replay, mirroring
+    run_curate_stream."""
+    from parquet_extractor_spark.sources.tables import load_table
+
+    stream = near_dup_candidate_stream(
+        read_documents_stream(spark, sf_dir),
+        load_table(spark, sf_dir, "documents"),
+    )
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        batch.distinct().write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "near_dup")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"near-dup stream did not drain within {timeout_s}s; "
+            "partial output discarded"
+        )
+    return (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("epoch")
+        .distinct()
+    )

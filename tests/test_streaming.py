@@ -264,3 +264,27 @@ def test_streaming_media_features_equal_batch(spark, tmp_path):
 
     assert key(got.collect()) == key(want.collect())
     assert got.count() == 24
+
+
+def test_near_dup_stream_equals_batch_lsh(spark, sf_small, tmp_path):
+    """Streaming LSH near-dup (stream probes a static index of the
+    same corpus) must reproduce the batch banded-LSH candidate set
+    exactly — same signatures, same buckets, different execution
+    mode."""
+    from parquet_extractor_spark.operators.dedup import minhash_lsh_candidates
+    from parquet_extractor_spark.streaming.documents import run_near_dup_stream
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in run_near_dup_stream(
+            spark,
+            sf_small,
+            str(tmp_path / "ckpt_nd"),
+            str(tmp_path / "nd_out"),
+        ).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(spark, sf_small).collect()
+    }
+    assert got == want and got
