@@ -256,3 +256,17 @@ def test_tpch_completions_plan_shape(spark, sf_small):
     q20 = tpch.q20_excess_shippers(spark, sf_small)
     assert "l_shipdate" in " ".join(pushed_filters(q20))
     assert has_partial_aggregation(q20)
+
+
+def test_minhash_signatures_have_no_aggregation(spark, sf_small):
+    """r03 regression guard: signature_frame is pure projection — the
+    explode+groupBy form would show a HashAggregate (and its exchange)
+    here. The only acceptable exchanges are spread()'s round-robin
+    parallelism repartition and the public API's display sort."""
+    from parquet_extractor_spark.operators.dedup import signature_frame
+    from parquet_extractor_spark.sources.tables import load_table
+
+    df = signature_frame(load_table(spark, sf_small, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan
