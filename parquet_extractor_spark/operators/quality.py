@@ -660,3 +660,103 @@ FROM flagged
 GROUP BY source
 ORDER BY source
 """
+
+
+# ── model-based quality filter (classifier stage) ───────────────────
+# FineWeb-Edu / DCLM-style curation runs a small trained classifier
+# over every document. The Spark machinery here is the deliverable —
+# hashed bag-of-words featurization, a literal weight vector riding
+# the plan, exact integer scoring, a keep flag, all map-side — while
+# the weights are a deterministic md5-derived stand-in both engines
+# replicate; a production run drops trained weights into the same
+# literal without touching the plan.
+CLS_BUCKETS = 256
+CLS_BIAS_MICRO = -25_000  # micro-units; negative bias = reject-by-default
+
+
+def _cls_weights_micro() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"clsw:{b}".encode()).hexdigest()[:8], 16) % 1_000_001
+        - 500_000
+        for b in range(CLS_BUCKETS)
+    ]
+
+
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-classifier document scores over hashed unigram features.
+
+    ``logit = bias + (Σ_tok w[bucket(tok)]) / n_tokens`` with integer
+    micro-unit weights: the per-doc weight sum is exact BIGINT
+    arithmetic folded map-side over the token array (zero shuffle —
+    one scan, one projection, like every operator in this module); the
+    single division is exact-input double math floored identically in
+    both engines. Output: (doc_id, lang, n_tokens, logit_micro, keep)
+    with keep = logit_micro > 0.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w_sql = "array(" + ",".join(f"{v}L" for v in _cls_weights_micro()) + ")"
+    term = (
+        f"element_at({w_sql}, CAST(pmod(CAST(conv(substring(md5(t), 1, 15), "
+        f"16, 10) AS BIGINT), {CLS_BUCKETS}) AS INT) + 1)"
+    )
+    s_sql = (
+        f"aggregate(transform(toks, t -> {term}), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc + v)"
+    )
+    logit_sql = (
+        f"CAST(floor({CLS_BIAS_MICRO} + CASE WHEN size(toks) = 0 "
+        f"THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE CAST({s_sql} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) "
+        f"AS BIGINT)"
+    )
+    return (
+        docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.expr(logit_sql).alias("logit_micro"),
+        )
+        .withColumn("keep", F.col("logit_micro") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    w_lit = "[" + ",".join(str(v) for v in _cls_weights_micro()) + "]"
+    term = (
+        f"({w_lit})[(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) "
+        f"% {CLS_BUCKETS}) + 1]"
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS toks
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform(toks, t -> {term})), 0)
+                AS BIGINT) AS s
+    FROM toks
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor({CLS_BIAS_MICRO} + CASE WHEN n_tokens = 0
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(s AS DOUBLE) / n_tokens END) AS BIGINT)
+           AS logit_micro,
+       CAST(floor({CLS_BIAS_MICRO} + CASE WHEN n_tokens = 0
+                  THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(s AS DOUBLE) / n_tokens END) AS BIGINT) > 0
+           AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+QUALITY_CLASSIFIER_SQL = _quality_classifier_oracle()

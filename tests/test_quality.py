@@ -204,3 +204,60 @@ def test_source_quality_summary_consistent_with_flags(spark, sf_small):
         assert r.n_keep == keep_by_src[r.source]
         assert 0.0 <= r.keep_rate <= 1.0
         assert r.avg_tokens > 0
+
+
+def test_quality_classifier_scores_properties(spark, sf_small):
+    """Classifier stage invariants: one row per doc, the logit is the
+    exact integer formula (recomputed in Python for a sample), the
+    keep flag splits the corpus non-degenerately, and the plan is
+    map-side (no aggregation, no keyed shuffle — the module
+    contract)."""
+    import hashlib
+
+    from parquet_extractor_spark.operators.quality import (
+        CLS_BIAS_MICRO,
+        CLS_BUCKETS,
+        _cls_weights_micro,
+        quality_classifier_scores,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = quality_classifier_scores(spark, sf_small).collect()
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert len(rows) == n_docs
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < n_docs  # pseudo-weights must not be degenerate
+
+    w = _cls_weights_micro()
+    texts = dict(
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .rdd.map(lambda r: (r.doc_id, r.text))
+        .collect()
+    )
+    import math
+    import re
+
+    for r in rows[:25]:
+        toks = [
+            t
+            for t in re.sub(r"[^\w\s]", " ", texts[r.doc_id].lower()).split()
+            if t
+        ]
+        assert r.n_tokens == len(toks)
+        s = sum(
+            w[int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % CLS_BUCKETS]
+            for t in toks
+        )
+        want = math.floor(
+            CLS_BIAS_MICRO + (s / len(toks) if toks else 0.0)
+        )
+        assert r.logit_micro == want, r.doc_id
+        assert r.keep == (want > 0)
+
+    plan = (
+        quality_classifier_scores(spark, sf_small)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan
