@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
         "the lexical tiers",
     )
     cu.add_argument(
+        "--classifier",
+        action="store_true",
+        help="insert the model-based quality gate "
+        "(quality_classifier_scores keep flag) alongside the "
+        "heuristic gate",
+    )
+    cu.add_argument(
         "--training-set",
         action="store_true",
         help="extend the chain with train/val/test split + sequence "
@@ -230,6 +237,7 @@ def main(argv: list[str] | None = None) -> int:
             out_dir=args.output_dir,
             min_quality=args.min_quality,
             semantic=args.semantic,
+            classifier=args.classifier,
         )
         n = result.count()
         print(json.dumps({"output_dir": args.output_dir, "chunks": n}))

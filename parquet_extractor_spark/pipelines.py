@@ -42,6 +42,7 @@ def curate(
     out_dir: str | None = None,
     min_quality: float = MIN_QUALITY,
     semantic: bool = False,
+    classifier: bool = False,
 ) -> DataFrame:
     """Run the full curation chain; returns the chunk-level training
     set (doc_id, lang, chunk_id, n_chunk_tokens, chunk_text). When
@@ -51,7 +52,10 @@ def curate(
     documents.doc_id relationship) after the lexical dedup tiers —
     the order the tiers run in production: lexical first (cheap,
     removes the bulk), semantic last (per-cell pair cost over the
-    survivors' embedding space).
+    survivors' embedding space). ``classifier=True`` inserts the
+    model-based filter (quality_classifier_scores keep flag) alongside
+    the heuristic gate — the FineWeb-Edu ordering, where the cheap
+    rule gate feeds the classifier stage.
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -61,6 +65,19 @@ def curate(
     keep_quality = quality.filter(
         F.col("quality_score") >= min_quality
     ).select("doc_id")
+
+    # 1b. optional model-based gate (map-side like the heuristic one)
+    if classifier:
+        from parquet_extractor_spark.operators.quality import (
+            quality_classifier_scores,
+        )
+
+        keep_cls = (
+            quality_classifier_scores(spark, sf_dir)
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        keep_quality = keep_quality.join(keep_cls, "doc_id", "left_semi")
 
     # 2. exact dedup survivors (min doc_id per distinct text)
     exact_survivors = exact_dedup(spark, sf_dir).select(
@@ -129,6 +146,7 @@ def curate_to_training_set(
     out_dir: str | None = None,
     min_quality: float = MIN_QUALITY,
     semantic: bool = False,
+    classifier: bool = False,
 ) -> DataFrame:
     """The curation chain extended to a TRAINING-READY set: curate →
     deterministic train/val/test assignment → packed-sequence ids,
@@ -152,7 +170,7 @@ def curate_to_training_set(
 
     chunks = curate(
         spark, sf_dir, out_dir=None, min_quality=min_quality,
-        semantic=semantic,
+        semantic=semantic, classifier=classifier,
     )
 
     pct = portable_hash64(

@@ -152,3 +152,25 @@ def test_training_set_honors_semantic_flag(spark, sf_small):
         "doc_id"
     ).distinct()
     assert sem.count() < plain.count()
+
+
+def test_curate_classifier_stage_gates_exactly_on_keep_flag(spark, sf_small):
+    """classifier=True must keep exactly the docs the standalone
+    quality_classifier_scores flags keep=True (intersected with the
+    other gates) — the stage composes, it doesn't re-score."""
+    from parquet_extractor_spark.operators.quality import (
+        quality_classifier_scores,
+    )
+    from parquet_extractor_spark.pipelines import curate
+
+    base = {r.doc_id for r in curate(spark, sf_small).collect()}
+    gated = {
+        r.doc_id for r in curate(spark, sf_small, classifier=True).collect()
+    }
+    kept_flags = {
+        r.doc_id
+        for r in quality_classifier_scores(spark, sf_small).collect()
+        if r.keep
+    }
+    assert gated == base & kept_flags
+    assert gated < base  # the stage must actually drop something here
