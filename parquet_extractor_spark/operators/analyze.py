@@ -285,6 +285,56 @@ ORDER BY lang
 """
 
 
+def doc_length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKETCH path for quantiles (the scale twin of
+    doc_length_quantiles) with a driver-checkable output: each engine
+    runs its own approximate-quantile sketch (Spark: Greenwald-Khanna
+    via ``approx_percentile``; DuckDB: t-digest via
+    ``approx_quantile``) alongside the exact interpolated percentile
+    and emits the deterministic band verdict — sketch estimates are
+    not bit-identical across engines, booleans about their accuracy
+    are. Same contract shape as events_approx_users (SURVEY A8).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.round(
+            F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)), 4
+        ).alias("p50"),
+        F.round(
+            F.percentile(F.col("n_chars").cast("double"), F.lit(0.9)), 4
+        ).alias("p90"),
+        F.expr("approx_percentile(n_chars, 0.5, 1000)").alias("_a50"),
+        F.expr("approx_percentile(n_chars, 0.9, 1000)").alias("_a90"),
+    )
+    return g.select(
+        "lang",
+        "p50",
+        "p90",
+        (
+            (F.abs(F.col("_a50") - F.col("p50")) <= 0.05 * F.col("p50"))
+            & (F.abs(F.col("_a90") - F.col("p90")) <= 0.05 * F.col("p90"))
+        ).alias("sketch_within_5pct"),
+    ).orderBy("lang")
+
+
+DOC_LENGTH_QUANTILE_SKETCH_SQL = r"""
+SELECT lang,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90,
+       abs(approx_quantile(CAST(n_chars AS DOUBLE), 0.5)
+           - quantile_cont(CAST(n_chars AS DOUBLE), 0.5))
+           <= 0.05 * quantile_cont(CAST(n_chars AS DOUBLE), 0.5)
+       AND
+       abs(approx_quantile(CAST(n_chars AS DOUBLE), 0.9)
+           - quantile_cont(CAST(n_chars AS DOUBLE), 0.9))
+           <= 0.05 * quantile_cont(CAST(n_chars AS DOUBLE), 0.9)
+           AS sketch_within_5pct
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def label_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-domain profile joining the embedding space to the text
     corpus (FIXTURES.md: embeddings.vec_id joins documents.doc_id) —
