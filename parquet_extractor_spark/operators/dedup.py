@@ -27,7 +27,7 @@ is reproducible in DuckDB for the oracle check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_extractor_spark.functions.text import (
@@ -343,6 +343,19 @@ def _band_buckets(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     )
 
 
+def band_join(a: DataFrame, b: DataFrame, extra: Column) -> DataFrame:
+    """Join two band-bucket frames on (band, bucket) plus a caller
+    condition, aliased ``a``/``b`` — THE candidate-pair geometry every
+    LSH tier (batch self-join, cross-source, streaming probe) shares;
+    changing the banding key means changing it here once."""
+    return a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & extra,
+    )
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding over the MinHash signatures: docs agreeing on ALL
     rows of any band become candidate pairs. The join key is the band
@@ -350,15 +363,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _band_buckets(
         signature_frame(load_table(spark, sf_dir, "documents"))
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        band_join(buckets, buckets, F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
@@ -388,14 +394,11 @@ def cross_source_dedup_candidates(
         load_table(spark, sf_dir, "documents"), carry=("source",)
     )
     buckets = _band_buckets(sig, carry=("source",))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        band_join(
+            buckets,
+            buckets,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.source") != F.col("b.source")),
         )
         .select(

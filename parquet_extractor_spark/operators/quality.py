@@ -725,13 +725,18 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_classifier_oracle() -> str:
+    # weights live in a 1-row CTE cross-joined in, NOT as an inline
+    # list literal indexed per element — DuckDB re-materializes inline
+    # literals per access (the ~20x slowdown _rp_proj_duck_sql
+    # documents); a column reference is built once.
     w_lit = "[" + ",".join(str(v) for v in _cls_weights_micro()) + "]"
     term = (
-        f"({w_lit})[(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) "
+        f"w.wv[(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) "
         f"% {CLS_BUCKETS}) + 1]"
     )
     return rf"""
-WITH toks AS (
+WITH w AS (SELECT {w_lit} AS wv),
+toks AS (
     SELECT doc_id, lang,
            list_filter(regexp_split_to_array(
                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
@@ -743,7 +748,7 @@ scored AS (
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(coalesce(list_sum(list_transform(toks, t -> {term})), 0)
                 AS BIGINT) AS s
-    FROM toks
+    FROM toks, w
 )
 SELECT doc_id, lang, n_tokens,
        CAST(floor({CLS_BIAS_MICRO} + CASE WHEN n_tokens = 0

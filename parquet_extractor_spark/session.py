@@ -16,6 +16,16 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _local_heap_default() -> str:
+    """min(16g, half of physical RAM), floored at 1g."""
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):
+        return "4g"
+    gb = max(1, min(16, int(phys / (2 * 1024**3))))
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "parquet-extractor-spark",
     master: str | None = None,
@@ -70,11 +80,14 @@ def get_spark(
         # In local mode every task shares the driver JVM, whose heap
         # defaults to 1g — 32 concurrent tasks OOM on any moderate
         # aggregate long before the host's RAM matters. Size the heap
-        # like an executor fleet (must be set before the JVM spawns;
-        # no-op on an already-running session). On a real cluster the
-        # cluster manager sets executor memory instead.
+        # like an executor fleet, clamped to half the host's physical
+        # RAM so small CI hosts get a contained JVM OOM instead of the
+        # OS killer (must be set before the JVM spawns; no-op on an
+        # already-running session). On a real cluster the manager sets
+        # executor memory instead.
         conf.setdefault(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _local_heap_default()),
         )
     if extra_conf:
         conf.update(extra_conf)

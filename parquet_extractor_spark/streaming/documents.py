@@ -87,7 +87,11 @@ def run_curate_stream(
     own output instead of appending duplicate rows, preserving the
     'one row per content_hash' contract end-to-end. (``epoch`` shows
     up as a partition column on re-read; callers that don't want it
-    drop it.)"""
+    drop it.) Epoch overwrite only protects WITHIN a run — a fresh
+    run (new checkpoint) restarts epoch numbering, so any stale epoch
+    dirs from a previous run are cleared up front rather than silently
+    unioned into the result."""
+    _clear_epoch_dirs(out_dir)
     stream = curate_stream(read_documents_stream(spark, sf_dir))
 
     def _sink(batch: DataFrame, epoch: int) -> None:
@@ -115,6 +119,19 @@ def run_curate_stream(
     return spark.read.option("basePath", out_dir).parquet(out_dir)
 
 
+def _clear_epoch_dirs(out_dir: str) -> None:
+    """Remove epoch=N partitions left by a PREVIOUS run. foreachBatch
+    epoch numbering restarts with each new checkpoint, so a rerun's
+    mode('overwrite') only replaces epochs it happens to reuse —
+    leftovers would read back as live rows."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("epoch="):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+
 def near_dup_candidate_stream(
     stream_docs: DataFrame, corpus_docs: DataFrame
 ) -> DataFrame:
@@ -135,22 +152,17 @@ def near_dup_candidate_stream(
     """
     from parquet_extractor_spark.operators.dedup import (
         _band_buckets,
+        band_join,
         signature_frame,
     )
 
-    s = _band_buckets(signature_frame(stream_docs)).alias("s")
-    c = _band_buckets(signature_frame(corpus_docs)).alias("c")
-    return (
-        s.join(
-            c,
-            (F.col("s.band") == F.col("c.band"))
-            & (F.col("s.bucket") == F.col("c.bucket"))
-            & (F.col("s.doc_id") != F.col("c.doc_id")),
-        )
-        .select(
-            F.least("s.doc_id", "c.doc_id").alias("doc_a"),
-            F.greatest("s.doc_id", "c.doc_id").alias("doc_b"),
-        )
+    return band_join(
+        _band_buckets(signature_frame(stream_docs)),
+        _band_buckets(signature_frame(corpus_docs)),
+        F.col("a.doc_id") != F.col("b.doc_id"),
+    ).select(
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
     )
 
 
@@ -165,9 +177,12 @@ def run_near_dup_stream(
     stream (probing a static index of the same corpus) and return the
     DISTINCT candidate pairs as a batch frame. Per-epoch overwrite
     keeps the sink idempotent under foreachBatch replay, mirroring
-    run_curate_stream."""
+    run_curate_stream; stale epochs from earlier runs are cleared
+    first — leftover candidate pairs are indistinguishable from live
+    ones on re-read."""
     from parquet_extractor_spark.sources.tables import load_table
 
+    _clear_epoch_dirs(out_dir)
     stream = near_dup_candidate_stream(
         read_documents_stream(spark, sf_dir),
         load_table(spark, sf_dir, "documents"),

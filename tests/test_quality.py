@@ -239,9 +239,12 @@ def test_quality_classifier_scores_properties(spark, sf_small):
     import re
 
     for r in rows[:25]:
+        # re.ASCII: Java/RE2 \w is ASCII-only; Python's is Unicode
         toks = [
             t
-            for t in re.sub(r"[^\w\s]", " ", texts[r.doc_id].lower()).split()
+            for t in re.sub(
+                r"[^\w\s]", " ", texts[r.doc_id].lower(), flags=re.ASCII
+            ).split()
             if t
         ]
         assert r.n_tokens == len(toks)
