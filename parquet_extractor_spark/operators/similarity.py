@@ -992,6 +992,89 @@ ORDER BY label
 """
 
 
+OUTLIER_TOP_K = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label distance outliers: the embedding-space anomaly filter
+    (mislabeled / poisoned / off-distribution vectors surface as the
+    members farthest from their label's centroid — the screening step
+    a curation pipeline runs before trusting labels or clusters).
+
+    Shape: the label centroids are a k×d aggregate collected as
+    plan-time literals (the kmeans_refine precedent — constant-size
+    driver traffic), each vector's squared distance to ITS label's
+    centroid is a map-side CASE dispatch in exact integer micro-units
+    (per-dim terms rounded then floored BEFORE the sum, so the total
+    is order-independent), and the only shuffle is the per-label
+    top-k window. Centroid components round to 1e-6 before the
+    distance — the same measure-zero avg-boundary caveat
+    kmeans_refine documents.
+    Output: (label, vec_id, dist_micro, rank), OUTLIER_TOP_K per label.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(int(r.label), {})[int(r.dim)] = float(r.cv)
+    cents = [
+        (lab, [dims[d] for d in sorted(dims)])
+        for lab, dims in sorted(by_label.items())
+    ]
+    sub = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    whens = " ".join(
+        f"WHEN label = {lab} THEN {_sqdist_micro_sql(sub, vec)}"
+        for lab, vec in cents
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("dist_micro"), F.asc("vec_id")
+    )
+    return (
+        emb.select(
+            "label", "vec_id", F.expr(f"CASE {whens} END").alias("dist_micro")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= OUTLIER_TOP_K)
+        .orderBy("label", "rank")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = rf"""
+WITH cent AS (
+    SELECT label, dim,
+           round(avg(CAST(embedding[dim] AS DOUBLE)), 6) AS cv
+    FROM embeddings CROSS JOIN range(1, 65) t(dim)
+    GROUP BY label, dim
+),
+cvec AS (
+    SELECT label, list(cv ORDER BY dim) AS c FROM cent GROUP BY label
+),
+d AS (
+    SELECT e.label, e.vec_id,
+           CAST(list_sum(list_transform(range(1, 65), i ->
+               CAST(floor(round(
+                   (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                   * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]), 9)
+                   * 1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS dist_micro
+    FROM embeddings e JOIN cvec c USING (label)
+),
+ranked AS (
+    SELECT label, vec_id, dist_micro,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY dist_micro DESC, vec_id ASC) AS rank
+    FROM d
+)
+SELECT label, vec_id, dist_micro, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {OUTLIER_TOP_K}
+ORDER BY label, rank
+"""
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector hygiene + int8 quantization plumbing: per-vector L2
     norm, max-abs scale, and a checksum of the symmetric-int8

@@ -116,3 +116,56 @@ def test_label_text_profile_cross_table_join(spark, sf_small):
         )[0][0]
         assert r.top_lang == want
         assert r.avg_tokens > 0
+
+
+def test_embedding_outliers_are_the_farthest_members(spark, sf_small):
+    """Per-label top-K distance outliers: K rows per label, ranks
+    dense, distances non-increasing, and the flagged set matches a
+    local numpy recompute against 1e-6-rounded centroids."""
+    import numpy as np
+
+    from parquet_extractor_spark.operators.similarity import (
+        OUTLIER_TOP_K,
+        embedding_outliers,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = embedding_outliers(spark, sf_small).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+
+    data = load_table(spark, sf_small, "embeddings").collect()
+    vecs = {}
+    for e in data:
+        vecs.setdefault(e.label, []).append(
+            (e.vec_id, np.array(e.embedding, dtype=np.float64))
+        )
+
+    for label, flagged in by_label.items():
+        assert [r.rank for r in flagged] == list(
+            range(1, min(OUTLIER_TOP_K, len(vecs[label])) + 1)
+        )
+        dists = [r.dist_micro for r in flagged]
+        assert dists == sorted(dists, reverse=True)
+
+        members = vecs[label]
+        cent = np.round(
+            np.mean(np.stack([v for _, v in members]), axis=0), 6
+        )
+        local = {
+            vid: int(
+                sum(
+                    int(np.floor(round(float(t), 9) * 1e6 + 0.5))
+                    for t in (v - cent) ** 2
+                )
+            )
+            for vid, v in members
+        }
+        want = [
+            vid
+            for vid, _d in sorted(
+                local.items(), key=lambda kv: (-kv[1], kv[0])
+            )[: len(flagged)]
+        ]
+        assert [r.vec_id for r in flagged] == want, label
