@@ -464,6 +464,74 @@ LIMIT {SPAN_TOP}
 """
 
 
+CURRICULUM_QUANTILES = (0.25, 0.5, 0.75)  # 4 difficulty phases
+
+
+def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: documents bucketed into
+    four difficulty phases by their bigram-LM surprisal (easy → hard,
+    the order a curriculum schedule feeds them to training).
+
+    The scale-safe shape: a global ``ntile`` would total-sort the
+    corpus through one partition; instead the three quartile cutoffs
+    are ONE broadcast 1-row aggregate and the phase is a map-side
+    comparison — the same decorrelation the TPC-H scalar subqueries
+    use. Scores are the exact integer micro-units of
+    lm_bigram_surprisal, so bucket boundaries are engine-independent
+    (cutoffs are exact interpolations of integers).
+    Output: (doc_id, lang, avg_surprisal_micro, phase 1..4).
+    """
+    scores = lm_bigram_surprisal(spark, sf_dir).select(
+        "doc_id", "lang", "avg_surprisal_micro"
+    )
+    cuts = scores.agg(
+        *[
+            F.percentile(F.col("avg_surprisal_micro").cast("double"), F.lit(q)).alias(
+                f"c{int(q * 100)}"
+            )
+            for q in CURRICULUM_QUANTILES
+        ]
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("avg_surprisal_micro") > F.col("c25")).cast("int")
+        + (F.col("avg_surprisal_micro") > F.col("c50")).cast("int")
+        + (F.col("avg_surprisal_micro") > F.col("c75")).cast("int")
+    )
+    return (
+        scores.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_surprisal_micro",
+            phase.cast("bigint").alias("phase"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curriculum_oracle() -> str:
+    base = LM_BIGRAM_SURPRISAL_SQL.replace("ORDER BY doc_id", "").strip()
+    return f"""
+WITH scored AS ({base}),
+cuts AS (
+    SELECT quantile_cont(CAST(avg_surprisal_micro AS DOUBLE), 0.25) AS c25,
+           quantile_cont(CAST(avg_surprisal_micro AS DOUBLE), 0.5) AS c50,
+           quantile_cont(CAST(avg_surprisal_micro AS DOUBLE), 0.75) AS c75
+    FROM scored
+)
+SELECT doc_id, lang, avg_surprisal_micro,
+       CAST(1 + CAST(avg_surprisal_micro > c25 AS INT)
+              + CAST(avg_surprisal_micro > c50 AS INT)
+              + CAST(avg_surprisal_micro > c75 AS INT) AS BIGINT) AS phase
+FROM scored, cuts
+ORDER BY doc_id
+"""
+
+
+CURRICULUM_PHASES_SQL = _curriculum_oracle()
+
+
 def span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remove duplicated spans from documents (the write side of
     ``duplicate_spans``; Lee et al. 2022 ExactSubstr-dedup semantics).

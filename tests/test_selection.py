@@ -172,3 +172,25 @@ def test_lm_surprisal_plan_broadcasts_lm_tables(spark, sf_small):
     assert has_broadcast_hash_join(df)
     assert has_partial_aggregation(df)
     assert set().union(*read_schema_columns(df)) <= {"doc_id", "lang", "text"}
+
+
+def test_curriculum_phases_partition_by_difficulty(spark, sf_small):
+    """Phases must be monotone in surprisal (no hard doc in an easier
+    phase than an easy doc), cover every scored document, and split
+    the corpus into four non-degenerate buckets."""
+    from parquet_extractor_spark.operators.selection import (
+        curriculum_phases,
+        lm_bigram_surprisal,
+    )
+
+    rows = curriculum_phases(spark, sf_small).collect()
+    assert len(rows) == lm_bigram_surprisal(spark, sf_small).count()
+    by_phase = {}
+    for r in rows:
+        by_phase.setdefault(r.phase, []).append(r.avg_surprisal_micro)
+    assert set(by_phase) == {1, 2, 3, 4}
+    for p in (1, 2, 3):
+        assert max(by_phase[p]) <= min(by_phase[p + 1])
+    n = len(rows)
+    for p, scores in by_phase.items():
+        assert len(scores) > 0.1 * n, (p, len(scores))
