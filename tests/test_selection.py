@@ -194,3 +194,77 @@ def test_curriculum_phases_partition_by_difficulty(spark, sf_small):
     n = len(rows)
     for p, scores in by_phase.items():
         assert len(scores) > 0.1 * n, (p, len(scores))
+
+
+def test_span_scrub_exact_semantics_on_crafted_corpus(spark, tmp_path):
+    """Adversarial fixture + full local reimplementation: cross-doc
+    dup spans (removed, canonical survives), a whole-doc duplicate,
+    overlapping occurrences, a within-doc-only repeat (kept — the
+    rule is cross-document), and a short doc whose all-tokens span
+    matches nothing."""
+    from parquet_extractor_spark.operators.selection import (
+        SPAN_KEY_BASE,
+        SPAN_TOKENS,
+        span_scrubbed_docs,
+    )
+
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = [
+        (0, f"a1 a2 {span} a3 a4"),                      # canonical holder
+        (1, f"b1 b2 b3 {span} b4"),                      # later occurrence
+        (2, f"a1 a2 {span} a3 a4"),                      # exact copy of doc 0
+        (3, f"{span} x1 {span}"),                        # two occurrences
+        (4, "r1 r2 r3 r1 r2 r3 q1 q2 q3 q4 q5 q6"),      # within-doc only
+        (5, "s1 s2 s3"),                                 # short doc
+    ]
+    d = tmp_path / "scrubfix"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+
+    # local reimplementation
+    occ = []
+    for doc_id, text in docs:
+        toks = text.split()
+        n = len(toks)
+        starts = range(1, max(n - SPAN_TOKENS + 1, 1) + 1)
+        for p in starts:
+            occ.append(
+                (doc_id, p, " ".join(toks[p - 1 : p - 1 + SPAN_TOKENS]))
+            )
+    by_span = {}
+    for doc_id, p, s in occ:
+        by_span.setdefault(s, []).append((doc_id, p))
+    rm = {}
+    for s, occs in by_span.items():
+        if len({d_ for d_, _ in occs}) < 2:
+            continue
+        canon = min(d_ * SPAN_KEY_BASE + p for d_, p in occs)
+        for d_, p in occs:
+            if d_ * SPAN_KEY_BASE + p != canon:
+                rm.setdefault(d_, set()).update(
+                    range(p, p + SPAN_TOKENS)
+                )
+    want = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        kept = [
+            t
+            for i, t in enumerate(toks, start=1)
+            if i not in rm.get(doc_id, set())
+        ]
+        want[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.scrubbed_text)
+        for r in span_scrubbed_docs(spark, str(d)).collect()
+    }
+    assert got == want
+    # spot semantics: canonical doc 0 untouched, copies scrubbed,
+    # within-doc repeat and the short doc untouched
+    assert got[0][1] == 0
+    assert got[1][1] >= SPAN_TOKENS and got[2][1] > 0
+    assert got[4][1] == 0 and got[5][1] == 0
