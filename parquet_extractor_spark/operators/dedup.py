@@ -634,3 +634,138 @@ ORDER BY doc_id
 
 
 DEDUP_COMPONENTS_SQL = _dedup_components_oracle()
+
+
+# PageRank over the candidate graph: damping in percent and rank mass
+# in integer micro-units, so every iteration is exact integer math —
+# commutative sums, floor divisions — and bit-identical in any engine
+# (a float PageRank's Σ r/deg depends on summation order).
+PAGERANK_DAMP_PCT = 85
+PAGERANK_ITERS = 2
+PAGERANK_MASS = 1_000_000
+
+
+def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH near-dup candidate graph — the
+    "which document anchors this duplicate neighborhood" signal: high
+    rank = shared spans with many other highly-connected docs (a
+    boilerplate/template hub), the doc a curator inspects first.
+
+    The iterative-join pattern beyond dedup_components' min-label
+    propagation: PAGERANK_ITERS unrolled rounds of
+    ``r' = teleport + damp · Σ_in (r div deg)`` where each round is
+    one shuffle-join (edges ⋈ ranks on src) plus one aggregation
+    (sum per dst) — state O(nodes), traffic O(edges), the textbook
+    distributed PageRank shape. Integer fixed-point keeps it
+    oracle-exact; mass lost to floor-division is the documented
+    price of determinism, not a bug.
+    Output: (doc_id, rank_micro, degree) for every graph node,
+    ordered by rank desc then doc_id.
+    """
+    pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    n = deg.count()
+    if n == 0:
+        raise ValueError("pagerank: candidate graph is empty")
+    init = PAGERANK_MASS // n
+    teleport = (PAGERANK_MASS * (100 - PAGERANK_DAMP_PCT) // 100) // n
+
+    ranks = deg.select("node", "degree", F.lit(init).alias("rank_micro"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("rank_micro DIV degree").alias("c"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            deg.join(contrib, "node", "left")
+            .select(
+                "node",
+                "degree",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"(CAST({PAGERANK_DAMP_PCT} AS BIGINT) "
+                        f"* coalesce(in_sum, CAST(0 AS BIGINT))) DIV 100"
+                    )
+                ).alias("rank_micro"),
+            )
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"),
+            F.col("rank_micro").cast("bigint").alias("rank_micro"),
+            F.col("degree").cast("bigint").alias("degree"),
+        )
+        .orderBy(F.desc("rank_micro"), "doc_id")
+    )
+
+
+def _pagerank_oracle() -> str:
+    pairs_sql = MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "").strip()
+    return f"""
+WITH pairs AS (
+    SELECT * FROM ({pairs_sql}) t
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM edges GROUP BY src
+),
+consts AS (
+    SELECT (SELECT count(*) FROM deg) AS n
+),
+r0 AS (
+    SELECT node, degree,
+           CAST({PAGERANK_MASS} // (SELECT n FROM consts) AS BIGINT)
+               AS rank_micro
+    FROM deg
+),
+r1 AS (
+    SELECT d.node, d.degree,
+           ({PAGERANK_MASS} * {100 - PAGERANK_DAMP_PCT} // 100)
+               // (SELECT n FROM consts)
+           + ({PAGERANK_DAMP_PCT} * coalesce(s.in_sum, 0)) // 100
+               AS rank_micro
+    FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_micro // r.degree) AS in_sum
+        FROM edges e JOIN r0 r ON e.src = r.node
+        GROUP BY e.dst
+    ) s ON s.node = d.node
+),
+r2 AS (
+    SELECT d.node, d.degree,
+           ({PAGERANK_MASS} * {100 - PAGERANK_DAMP_PCT} // 100)
+               // (SELECT n FROM consts)
+           + ({PAGERANK_DAMP_PCT} * coalesce(s.in_sum, 0)) // 100
+               AS rank_micro
+    FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank_micro // r.degree) AS in_sum
+        FROM edges e JOIN r1 r ON e.src = r.node
+        GROUP BY e.dst
+    ) s ON s.node = d.node
+)
+SELECT node AS doc_id,
+       CAST(rank_micro AS BIGINT) AS rank_micro,
+       degree
+FROM r2
+ORDER BY rank_micro DESC, doc_id
+"""
+
+
+DEDUP_GRAPH_PAGERANK_SQL = _pagerank_oracle()

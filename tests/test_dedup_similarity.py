@@ -445,3 +445,32 @@ def test_random_projection_knn_shape_and_recall(spark, sf_small):
 
     df = ann_random_projection(spark, sf_small)
     assert set().union(*read_schema_columns(df)) <= {"vec_id", "embedding"}
+
+
+def test_pagerank_mass_and_graph_consistency(spark, sf_small):
+    """Integer PageRank invariants: node set = candidate-graph nodes,
+    every rank at least the teleport floor, total mass bounded by the
+    initial mass (floor divisions only lose mass, never create it),
+    and centrality is non-degenerate. (Degree alone does NOT bound
+    rank — a high-degree node also splits its outflow — so no
+    hub-vs-median assertion.)"""
+    from parquet_extractor_spark.operators.dedup import (
+        PAGERANK_MASS,
+        dedup_graph_pagerank,
+        minhash_lsh_candidates,
+    )
+
+    rows = dedup_graph_pagerank(spark, sf_small).collect()
+    pairs = minhash_lsh_candidates(spark, sf_small).collect()
+    graph_nodes = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    assert {r.doc_id for r in rows} == graph_nodes
+
+    n = len(rows)
+    teleport = (PAGERANK_MASS * 15 // 100) // n
+    ranks = [r.rank_micro for r in rows]
+    assert all(rk >= teleport for rk in ranks)
+    assert sum(ranks) <= PAGERANK_MASS
+    assert sum(ranks) > PAGERANK_MASS // 2  # floors lose a little, not half
+
+    assert ranks == sorted(ranks, reverse=True)  # output ordering
+    assert min(ranks) < max(ranks)  # non-degenerate centrality
