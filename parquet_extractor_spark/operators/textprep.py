@@ -451,3 +451,51 @@ SELECT chunk_md5,
 FROM grouped
 ORDER BY chunk_md5
 """
+
+
+def nfc_normalized_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization audit: per document, the md5 of
+    the NFC-normalized text plus whether normalization changed
+    anything — the pre-dedup canonicalization step for multilingual
+    corpora (composed vs decomposed accents hash differently and
+    silently defeat exact dedup).
+
+    The normalize kernel is an Arrow pandas_udf
+    (functions/unicode_norm.py) — map-side, zero shuffle; everything
+    else is codegen'd. The oracle runs DuckDB's nfc_normalize, the
+    same Unicode algorithm, so hashes match byte-for-byte. On a
+    pure-ASCII fixture ``changed`` is all-false by construction; the
+    non-ASCII path is pinned in tests with a synthetic decomposed
+    corpus.
+    Output: (doc_id, n_chars_in, n_chars_nfc, changed, nfc_md5).
+    """
+    from parquet_extractor_spark.functions.unicode_norm import nfc_normalize
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.length("text").cast("bigint").alias("n_chars_in"),
+            nfc_normalize(F.col("text")).alias("_nfc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_in",
+            F.length("_nfc").cast("bigint").alias("n_chars_nfc"),
+            (F.col("_nfc") != F.col("text")).alias("changed"),
+            F.md5("_nfc").alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+NFC_NORMALIZED_HASHES_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_in,
+       CAST(length(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+       nfc_normalize(text) != text AS changed,
+       md5(nfc_normalize(text)) AS nfc_md5
+FROM documents
+ORDER BY doc_id
+"""

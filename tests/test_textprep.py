@@ -151,3 +151,41 @@ def test_chunk_dedup_partial_agg(spark, sf_small):
         re.findall(r"(HashAggregate|SortAggregate|ObjectHashAggregate)", plan)
     )
     assert n_aggs >= 2
+
+
+def test_nfc_normalization_on_decomposed_corpus(spark, tmp_path):
+    """Non-ASCII path (the fixture is pure ASCII): decomposed accents
+    (e + U+0301) must normalize to the composed form, hash-match a
+    local unicodedata recompute, and flag changed=True; composed and
+    ASCII docs pass through unchanged."""
+    import hashlib
+    import unicodedata
+
+    from parquet_extractor_spark.operators.textprep import (
+        nfc_normalized_hashes,
+    )
+
+    docs = [
+        (0, "café au lait"),     # decomposed é -> changes
+        (1, "café au lait"),      # already composed -> unchanged
+        (2, "plain ascii text"),       # unchanged
+        (3, "å ring ö"),   # å and ö decomposed -> changes
+    ]
+    d = tmp_path / "nfcfix"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in nfc_normalized_hashes(spark, str(d)).collect()}
+    for i, t in docs:
+        norm = unicodedata.normalize("NFC", t)
+        assert got[i].nfc_md5 == hashlib.md5(norm.encode()).hexdigest(), i
+        assert got[i].changed == (norm != t), i
+        assert got[i].n_chars_nfc == len(norm), i
+    assert got[0].changed and got[3].changed
+    assert not got[1].changed and not got[2].changed
+    # the canonicalization point: decomposed and composed é now share
+    # one hash
+    assert got[0].nfc_md5 == got[1].nfc_md5
