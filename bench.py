@@ -76,6 +76,13 @@ HEADLINE = [
     "q2_min_price_supplier",
     "q4_order_priority_checking",
     "q16_supplier_part_counts",
+    # r03 final additions: classifier gate, difficulty bucketing,
+    # candidate-graph centrality, NFC canonicalization, outlier screen
+    "quality_classifier_scores",
+    "curriculum_phases",
+    "dedup_graph_pagerank",
+    "nfc_normalized_hashes",
+    "embedding_outliers",
 ]
 
 

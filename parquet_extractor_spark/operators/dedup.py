@@ -663,14 +663,25 @@ def dedup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered by rank desc then doc_id.
     """
     pairs = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # localCheckpoint (eager): the LSH candidate pipeline is the
+    # expensive part, and the unrolled plan below references edges 2x
+    # and deg 3x (plus the n count right here) — without
+    # materialization each reference would re-run the banding
+    # self-join. Same iterative-join guard dedup_components uses.
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
-    )
+    ).localCheckpoint()
     n = deg.count()
     if n == 0:
         raise ValueError("pagerank: candidate graph is empty")

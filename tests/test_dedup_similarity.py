@@ -455,6 +455,7 @@ def test_pagerank_mass_and_graph_consistency(spark, sf_small):
     rank — a high-degree node also splits its outflow — so no
     hub-vs-median assertion.)"""
     from parquet_extractor_spark.operators.dedup import (
+        PAGERANK_DAMP_PCT,
         PAGERANK_MASS,
         dedup_graph_pagerank,
         minhash_lsh_candidates,
@@ -466,7 +467,7 @@ def test_pagerank_mass_and_graph_consistency(spark, sf_small):
     assert {r.doc_id for r in rows} == graph_nodes
 
     n = len(rows)
-    teleport = (PAGERANK_MASS * 15 // 100) // n
+    teleport = (PAGERANK_MASS * (100 - PAGERANK_DAMP_PCT) // 100) // n
     ranks = [r.rank_micro for r in rows]
     assert all(rk >= teleport for rk in ranks)
     assert sum(ranks) <= PAGERANK_MASS
