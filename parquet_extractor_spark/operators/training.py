@@ -366,3 +366,82 @@ def write_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+MIX_TOKEN_BUDGET = 12_000  # fixture-scale global budget; production = 1e11+
+MIX_SALT = "mix-v1"  # versioned: changing it redraws the sample
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a fixed-token-budget training mixture: every source
+    gets an equal share of MIX_TOKEN_BUDGET (the uniform target
+    source_mixing_weights rates toward) and fills it greedily in
+    deterministic salted-hash order — "give me an N-token mix at these
+    weights" is the final materialization step of a data recipe.
+
+    Scale shape: token counts are map-side; the per-source allocation
+    is ONE broadcast 1-row aggregate (budget DIV n_sources — integer,
+    engine-exact); the cumulative fill is a window partitioned by
+    source (low-cardinality keys lean on AQE skew splitting like the
+    existing lang windows); the prefix filter bounds output by the
+    BUDGET, not the corpus. The doc that would cross its source's
+    allocation is excluded (strict prefix), so kept tokens ≤ budget
+    always holds.
+    Output: (doc_id, source, n_tokens, cum_tokens) by (source, cum).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    skey = portable_hash64(
+        F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        skey.alias("skey"),
+    )
+    alloc = toks.agg(
+        F.expr(
+            f"CAST({MIX_TOKEN_BUDGET} AS BIGINT) "
+            f"DIV count(DISTINCT source)"
+        ).alias("alloc")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .crossJoin(F.broadcast(alloc))
+        .filter(F.col("cum_tokens") <= F.col("alloc"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = rf"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST('0x' || substr(md5('{MIX_SALT}' || CAST(doc_id AS VARCHAR)),
+                1, 15) AS BIGINT) AS skey
+    FROM documents
+),
+a AS (
+    SELECT CAST({MIX_TOKEN_BUDGET} // count(DISTINCT source) AS BIGINT)
+        AS alloc
+    FROM t
+),
+cum AS (
+    SELECT doc_id, source, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY source ORDER BY skey, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM t
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum, a
+WHERE cum_tokens <= alloc
+ORDER BY source, cum_tokens
+"""

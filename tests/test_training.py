@@ -79,3 +79,62 @@ def test_pack_sequences_plan_has_no_global_window(spark, sf_small):
 
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "source" in m.group(1)
+
+
+def test_token_budget_sample_respects_allocations(spark, sf_small):
+    """Per-source token totals must never exceed the equal-share
+    allocation, fills must be greedy prefixes in salted-hash order
+    (adding the next doc would overflow), and every source appears."""
+    from parquet_extractor_spark.functions.text import (
+        portable_hash64,
+        tokenize,
+    )
+    from parquet_extractor_spark.operators.training import (
+        MIX_SALT,
+        MIX_TOKEN_BUDGET,
+        token_budget_sample,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    rows = token_budget_sample(spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    n_sources = docs.select("source").distinct().count()
+    alloc = MIX_TOKEN_BUDGET // n_sources
+
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) == n_sources
+
+    ordered = {
+        r.doc_id: (r.skey, r.n)
+        for r in docs.select(
+            "doc_id",
+            portable_hash64(
+                F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))
+            ).alias("skey"),
+            F.size(tokenize("text")).cast("bigint").alias("n"),
+        ).collect()
+    }
+    all_by_source = {}
+    for r in docs.select("doc_id", "source").collect():
+        all_by_source.setdefault(r.source, []).append(r.doc_id)
+
+    for source, kept in by_source.items():
+        total = sum(r.n_tokens for r in kept)
+        assert total <= alloc, source
+        assert kept[-1].cum_tokens == total  # cum is the running total
+        # greedy prefix: the kept set is exactly the longest hash-order
+        # prefix that fits
+        order = sorted(
+            all_by_source[source], key=lambda d: (ordered[d][0], d)
+        )
+        want, acc = [], 0
+        for d in order:
+            if acc + ordered[d][1] > alloc:
+                break
+            acc += ordered[d][1]
+            want.append(d)
+        assert [r.doc_id for r in kept] == want, source
