@@ -684,6 +684,30 @@ def _cls_weights_micro() -> list[int]:
     ]
 
 
+def _cls_logit_sql() -> str:
+    """The logit expression (Spark SQL text) over a staged ``toks``
+    array column — shared by the batch operator and the streaming
+    curation gate (it is stateless, so it composes onto streams)."""
+    w_sql = "array(" + ",".join(f"{v}L" for v in _cls_weights_micro()) + ")"
+    term = (
+        f"element_at({w_sql}, CAST(pmod(CAST(conv(substring(md5(t), 1, 15), "
+        f"16, 10) AS BIGINT), {CLS_BUCKETS}) AS INT) + 1)"
+    )
+    s_sql = (
+        f"aggregate(transform(toks, t -> {term}), CAST(0 AS BIGINT), "
+        f"(acc, v) -> acc + v)"
+    )
+    return (
+        f"CAST(floor({CLS_BIAS_MICRO} + CASE WHEN size(toks) = 0 "
+        f"THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE CAST({s_sql} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) "
+        f"AS BIGINT)"
+    )
+
+
+CLS_LOGIT_SQL = _cls_logit_sql()
+
+
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-classifier document scores over hashed unigram features.
 
@@ -696,21 +720,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     with keep = logit_micro > 0.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    w_sql = "array(" + ",".join(f"{v}L" for v in _cls_weights_micro()) + ")"
-    term = (
-        f"element_at({w_sql}, CAST(pmod(CAST(conv(substring(md5(t), 1, 15), "
-        f"16, 10) AS BIGINT), {CLS_BUCKETS}) AS INT) + 1)"
-    )
-    s_sql = (
-        f"aggregate(transform(toks, t -> {term}), CAST(0 AS BIGINT), "
-        f"(acc, v) -> acc + v)"
-    )
-    logit_sql = (
-        f"CAST(floor({CLS_BIAS_MICRO} + CASE WHEN size(toks) = 0 "
-        f"THEN CAST(0.0 AS DOUBLE) "
-        f"ELSE CAST({s_sql} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) "
-        f"AS BIGINT)"
-    )
+    logit_sql = CLS_LOGIT_SQL
     return (
         docs.select("doc_id", "lang", tokenize("text").alias("toks"))
         .select(

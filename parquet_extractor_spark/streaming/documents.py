@@ -54,14 +54,32 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curate_stream(docs: DataFrame, min_quality: float = MIN_QUALITY) -> DataFrame:
-    """quality gate + exact content dedup, all map-side except the
-    dedup state lookup (keyed by the 32-byte md5, never the text)."""
+def curate_stream(
+    docs: DataFrame,
+    min_quality: float = MIN_QUALITY,
+    classifier: bool = False,
+) -> DataFrame:
+    """quality gate (+ optional model-based classifier gate) + exact
+    content dedup, all map-side except the dedup state lookup (keyed
+    by the 32-byte md5, never the text). ``classifier=True`` mirrors
+    pipelines.curate's stage: the classifier logit is a stateless
+    column expression (hashed bag-of-words × literal weights), so it
+    composes onto a stream unchanged."""
     c = quality_columns()
+    out = docs.withColumn(
+        "quality_score", F.round(c["quality_score"], 2)
+    ).filter(F.col("quality_score") >= min_quality)
+    if classifier:
+        from parquet_extractor_spark.functions.text import tokenize
+        from parquet_extractor_spark.operators.quality import CLS_LOGIT_SQL
+
+        out = (
+            out.withColumn("toks", tokenize("text"))
+            .filter(F.expr(CLS_LOGIT_SQL) > 0)
+            .drop("toks")
+        )
     return (
-        docs.withColumn("quality_score", F.round(c["quality_score"], 2))
-        .filter(F.col("quality_score") >= min_quality)
-        .withColumn("content_hash", F.md5("text"))
+        out.withColumn("content_hash", F.md5("text"))
         .dropDuplicates(["content_hash"])
         .select(
             "doc_id", "lang", "source", "n_chars", "quality_score",
@@ -76,6 +94,7 @@ def run_curate_stream(
     checkpoint_dir: str,
     out_dir: str,
     timeout_s: int = 120,
+    classifier: bool = False,
 ) -> DataFrame:
     """Drain the documents source once (availableNow) through the
     curation stream into a lang-partitioned parquet dataset; returns
@@ -92,7 +111,9 @@ def run_curate_stream(
     dirs from a previous run are cleared up front rather than silently
     unioned into the result."""
     _clear_epoch_dirs(out_dir)
-    stream = curate_stream(read_documents_stream(spark, sf_dir))
+    stream = curate_stream(
+        read_documents_stream(spark, sf_dir), classifier=classifier
+    )
 
     def _sink(batch: DataFrame, epoch: int) -> None:
         (

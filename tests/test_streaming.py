@@ -288,3 +288,37 @@ def test_near_dup_stream_equals_batch_lsh(spark, sf_small, tmp_path):
         for r in minhash_lsh_candidates(spark, sf_small).collect()
     }
     assert got == want and got
+
+
+def test_curate_stream_classifier_gate_equals_batch_flags(spark, sf_small, tmp_path):
+    """classifier=True on the stream must keep exactly the docs whose
+    batch keep flag is True among the heuristic-gate survivors — the
+    stateless logit expression gives one formula, two execution
+    modes."""
+    from parquet_extractor_spark.operators.quality import (
+        quality_classifier_scores,
+    )
+    from parquet_extractor_spark.streaming.documents import run_curate_stream
+
+    plain = run_curate_stream(
+        spark,
+        sf_small,
+        str(tmp_path / "ckpt_cp"),
+        str(tmp_path / "out_cp"),
+    )
+    gated = run_curate_stream(
+        spark,
+        sf_small,
+        str(tmp_path / "ckpt_cg"),
+        str(tmp_path / "out_cg"),
+        classifier=True,
+    )
+    plain_ids = {r.doc_id for r in plain.collect()}
+    gated_ids = {r.doc_id for r in gated.collect()}
+    keep = {
+        r.doc_id
+        for r in quality_classifier_scores(spark, sf_small).collect()
+        if r.keep
+    }
+    assert gated_ids == plain_ids & keep
+    assert gated_ids < plain_ids  # the gate drops something real
