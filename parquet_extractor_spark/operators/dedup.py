@@ -780,3 +780,84 @@ ORDER BY rank_micro DESC, doc_id
 
 
 DEDUP_GRAPH_PAGERANK_SQL = _pagerank_oracle()
+
+
+def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the LSH tier: precision/recall of the banded
+    candidate pairs against exact n-gram Jaccard ground truth (pairs
+    at or above JACCARD_THRESHOLD) — the measurement a pipeline runs
+    before trusting approximate dedup with deletions at scale.
+
+    Both pair sets are the engine's own operators; the comparison is
+    three 1-row aggregates (exact count, candidate count, inner-join
+    hit count) combined through broadcast cross joins — no new shuffle
+    geometry, output is ONE row of integer micro-unit ratios (floor of
+    a correctly-rounded double division: engine-exact).
+
+    At 100 TB ground truth over the full corpus is unaffordable —
+    production samples a stratum and runs this query on the sample;
+    the plan is identical, only the input frame shrinks.
+    Output: (n_exact_pairs, n_candidate_pairs, n_hits,
+    precision_micro, recall_micro).
+    """
+    exact = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    nh = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        ne.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_exact_pairs",
+            "n_candidate_pairs",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_candidate_pairs = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(floor(n_hits * 1000000.0 / n_candidate_pairs) "
+                "AS BIGINT) END"
+            ).alias("precision_micro"),
+            F.expr(
+                "CASE WHEN n_exact_pairs = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(floor(n_hits * 1000000.0 / n_exact_pairs) "
+                "AS BIGINT) END"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+def _lsh_quality_oracle() -> str:
+    exact_sql = NGRAM_JACCARD_SQL.replace(
+        "ORDER BY jaccard DESC, doc_a ASC, doc_b ASC", ""
+    ).strip()
+    cand_sql = MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "").strip()
+    return f"""
+WITH exact_pairs AS (
+    SELECT doc_a, doc_b FROM ({exact_sql}) e
+),
+cand_pairs AS (
+    SELECT doc_a, doc_b FROM ({cand_sql}) c
+),
+counts AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact_pairs)
+               AS n_exact_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_pairs)
+               AS n_candidate_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact_pairs e
+            WHERE EXISTS (SELECT 1 FROM cand_pairs c
+                          WHERE c.doc_a = e.doc_a AND c.doc_b = e.doc_b))
+               AS n_hits
+)
+SELECT n_exact_pairs, n_candidate_pairs, n_hits,
+       CASE WHEN n_candidate_pairs = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(n_hits * 1000000.0 / n_candidate_pairs)
+                      AS BIGINT) END AS precision_micro,
+       CASE WHEN n_exact_pairs = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(n_hits * 1000000.0 / n_exact_pairs)
+                      AS BIGINT) END AS recall_micro
+FROM counts
+"""
+
+
+LSH_QUALITY_EVAL_SQL = _lsh_quality_oracle()

@@ -475,3 +475,19 @@ def test_pagerank_mass_and_graph_consistency(spark, sf_small):
 
     assert ranks == sorted(ranks, reverse=True)  # output ordering
     assert min(ranks) < max(ranks)  # non-degenerate centrality
+
+
+def test_lsh_quality_eval_counts_are_consistent(spark, sf_small):
+    """Metric identities: hits bound both sets, micro ratios are the
+    floor of the exact quotients, and the LSH tier on this fixture
+    catches a meaningful share of true pairs without being vacuous."""
+    from parquet_extractor_spark.operators.dedup import lsh_quality_eval
+
+    r = lsh_quality_eval(spark, sf_small).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert 0 < r.n_hits <= min(r.n_exact_pairs, r.n_candidate_pairs)
+    assert r.precision_micro == (r.n_hits * 1_000_000) // r.n_candidate_pairs
+    assert r.recall_micro == (r.n_hits * 1_000_000) // r.n_exact_pairs
+    assert 0 < r.precision_micro <= 1_000_000
+    assert 0 < r.recall_micro <= 1_000_000
