@@ -788,6 +788,15 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     at or above JACCARD_THRESHOLD) — the measurement a pipeline runs
     before trusting approximate dedup with deletions at scale.
 
+    "Ground truth" carries ngram_jaccard_pairs' own documented
+    approximation: shingles with DF > MAX_SHINGLE_DF are dropped
+    before Jaccard, so pairs similar ONLY through ubiquitous
+    boilerplate shingles are absent from the truth set and recall is
+    measured relative to the filtered universe — an upper bound on
+    unfiltered recall, not an exact figure. (LSH hashes all shingles,
+    so the two tiers' shingle universes differ exactly on that Zipf
+    head.)
+
     Both pair sets are the engine's own operators; the comparison is
     three 1-row aggregates (exact count, candidate count, inner-join
     hit count) combined through broadcast cross joins — no new shuffle

@@ -684,28 +684,40 @@ def _cls_weights_micro() -> list[int]:
     ]
 
 
-def _cls_logit_sql() -> str:
-    """The logit expression (Spark SQL text) over a staged ``toks``
-    array column — shared by the batch operator and the streaming
-    curation gate (it is stateless, so it composes onto streams)."""
+def _cls_logit_sql(var: str = "toks") -> str:
+    """The logit expression (Spark SQL text) over a token array named
+    ``var`` — shared by the batch operator and the streaming curation
+    gate (it is stateless, so it composes onto streams)."""
     w_sql = "array(" + ",".join(f"{v}L" for v in _cls_weights_micro()) + ")"
     term = (
         f"element_at({w_sql}, CAST(pmod(CAST(conv(substring(md5(t), 1, 15), "
         f"16, 10) AS BIGINT), {CLS_BUCKETS}) AS INT) + 1)"
     )
     s_sql = (
-        f"aggregate(transform(toks, t -> {term}), CAST(0 AS BIGINT), "
+        f"aggregate(transform({var}, t -> {term}), CAST(0 AS BIGINT), "
         f"(acc, v) -> acc + v)"
     )
     return (
-        f"CAST(floor({CLS_BIAS_MICRO} + CASE WHEN size(toks) = 0 "
+        f"CAST(floor({CLS_BIAS_MICRO} + CASE WHEN size({var}) = 0 "
         f"THEN CAST(0.0 AS DOUBLE) "
-        f"ELSE CAST({s_sql} AS DOUBLE) / CAST(size(toks) AS DOUBLE) END) "
+        f"ELSE CAST({s_sql} AS DOUBLE) / CAST(size({var}) AS DOUBLE) END) "
         f"AS BIGINT)"
     )
 
 
 CLS_LOGIT_SQL = _cls_logit_sql()
+
+# Bind-once form for use inside a FILTER: predicate pushdown inlines a
+# staged column alias into the pushed condition at every reference
+# site, so a filter on CLS_LOGIT_SQL would re-tokenize the text 3×
+# per row (size twice + the aggregate). Routing the token array
+# through a one-element transform binds it to the lambda variable,
+# which is evaluated ONCE no matter how many times the body uses it —
+# the only reference to `toks` is the array() argument, so pushdown
+# can only inline tokenize once.
+CLS_LOGIT_BOUND_SQL = (
+    f"element_at(transform(array(toks), ta -> {_cls_logit_sql('ta')}), 1)"
+)
 
 
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,11 +71,13 @@ def curate_stream(
     ).filter(F.col("quality_score") >= min_quality)
     if classifier:
         from parquet_extractor_spark.functions.text import tokenize
-        from parquet_extractor_spark.operators.quality import CLS_LOGIT_SQL
+        from parquet_extractor_spark.operators.quality import (
+            CLS_LOGIT_BOUND_SQL,
+        )
 
         out = (
             out.withColumn("toks", tokenize("text"))
-            .filter(F.expr(CLS_LOGIT_SQL) > 0)
+            .filter(F.expr(CLS_LOGIT_BOUND_SQL) > 0)
             .drop("toks")
         )
     return (
