@@ -26,7 +26,12 @@ from __future__ import annotations
 import importlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 from parquet_extractor_spark.sources.ir_datasets_source import (
@@ -78,8 +83,63 @@ class DocsReader(DataSourceReader):
             yield _doc_to_row(doc)
 
 
+class DocsStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over the same provider contract: each
+    trigger serves the next ``batch_docs`` documents as one epoch,
+    split into executor-parallel range partitions exactly like the
+    batch reader — the full ``DataSourceStreamReader`` (not the
+    driver-only Simple variant), so read() runs on executors.
+
+    Offsets are plain dicts ``{"pos": N}``: monotone, replayable —
+    ``partitions(start, end)`` is a pure function of the two offsets,
+    so a micro-batch replay after failure re-reads exactly its range
+    (the provider is required to be deterministic, which every
+    docs_iter-style source is). A bounded corpus simply stops
+    advancing at num_docs; an unbounded crawl source would keep
+    growing its latest offset."""
+
+    def __init__(self, options: dict):
+        self.provider = options["provider"]
+        self.num_docs = int(options.get("num_docs", "1000"))
+        self.batch_docs = int(options.get("batch_docs", "100"))
+        self.num_partitions = int(options.get("num_partitions", "4"))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        # one batch_docs step per trigger, clamped at the corpus end
+        self._pos = min(self._pos + self.batch_docs, self.num_docs)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["pos"]), int(end["pos"])
+        n = max(min(self.num_partitions, hi - lo), 1)
+        bounds = [lo + (hi - lo) * i // n for i in range(n + 1)]
+        return [
+            _RangePartition(bounds[i], bounds[i + 1]) for i in range(n)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        factory = resolve_provider(self.provider)
+        docs = factory()
+        try:
+            shard = docs[partition.start : partition.end]
+        except TypeError:
+            from itertools import islice
+
+            shard = islice(iter(docs), partition.start, partition.end)
+        for doc in shard:
+            yield _doc_to_row(doc)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the provider is re-opened per read
+
+
 class DocsDataSource(DataSource):
-    """spark.read.format("docs") — executor-parallel corpus reads."""
+    """spark.read.format("docs") — executor-parallel corpus reads,
+    batch and micro-batch streaming."""
 
     @classmethod
     def name(cls) -> str:
@@ -90,6 +150,9 @@ class DocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DocsReader:
         return DocsReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DocsStreamReader:
+        return DocsStreamReader(self.options)
 
 
 # ---------------------------------------------------------------------------

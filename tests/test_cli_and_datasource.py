@@ -256,3 +256,55 @@ def test_cli_export_any_table(spark, sf_small, tmp_path, capsys):
     )
     assert rc == 1
     assert "no column" in capsys.readouterr().out
+
+
+def test_docs_datasource_stream_reads_all_docs_in_batches(spark, tmp_path):
+    """The streaming face of the custom DataSource: micro-batches of
+    batch_docs documents per trigger, executor-parallel partitions,
+    every doc delivered exactly once across epochs."""
+    import os
+    import time
+
+    from parquet_extractor_spark.sources.docs_datasource import (
+        DocsDataSource,
+    )
+
+    spark.dataSource.register(DocsDataSource)
+    num_docs, batch_docs = 500, 200
+    out: dict[int, set] = {}
+
+    def _sink(batch, epoch):
+        out[epoch] = {r.doc_id for r in batch.collect()}
+
+    q = (
+        spark.readStream.format("docs")
+        .option(
+            "provider",
+            "parquet_extractor_spark.sources.docs_datasource:synthetic_corpus",
+        )
+        .option("num_docs", str(num_docs))
+        .option("batch_docs", str(batch_docs))
+        .option("num_partitions", "4")
+        .load()
+        .writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ckpt_ds")
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if sum(len(v) for v in out.values()) >= num_docs:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    all_ids = [d for ids in out.values() for d in ids]
+    assert len(all_ids) == num_docs  # exactly once across epochs
+    assert set(all_ids) == {f"doc{i}" for i in range(num_docs)}
+    # batching actually happened: ceil(500/200) = 3 non-empty epochs
+    assert sum(1 for v in out.values() if v) == 3
+    assert max(len(v) for v in out.values()) <= batch_docs
