@@ -870,3 +870,84 @@ FROM counts
 
 
 LSH_QUALITY_EVAL_SQL = _lsh_quality_oracle()
+
+
+def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headline number every dedup pipeline reports: corpus size
+    (docs and tokens) before dedup, after exact dedup, and after
+    near-dup canonicalization — "we removed X% of tokens".
+
+    Assembled from the engine's own tiers: exact survivors (min doc
+    per content hash), then intersected with each LSH component's
+    canonical member. Three stage aggregates (each partial+final over
+    a per-doc token count) unioned into a 3-row report; stage keys are
+    lexicographic so the output order is the pipeline order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
+    )
+    exact_keep = exact_dedup(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    canonical = dedup_components(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("component")
+    ).select("doc_id")
+
+    def stage(name: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+
+    raw = stage("1_raw", per_doc)
+    exact = stage(
+        "2_exact_dedup", per_doc.join(exact_keep, "doc_id", "left_semi")
+    )
+    near = stage(
+        "3_near_dedup",
+        per_doc.join(exact_keep, "doc_id", "left_semi").join(
+            canonical, "doc_id", "left_semi"
+        ),
+    )
+    return raw.unionByName(exact).unionByName(near).orderBy("stage")
+
+
+def _reduction_report_oracle() -> str:
+    comp_sql = DEDUP_COMPONENTS_SQL.replace("ORDER BY doc_id", "").strip()
+    return rf"""
+WITH per_doc AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+exact_keep AS (
+    SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+canonical AS (
+    SELECT doc_id FROM ({comp_sql}) c WHERE doc_id = component
+)
+SELECT '1_raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM per_doc
+UNION ALL
+SELECT '2_exact_dedup',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_tokens) AS BIGINT)
+FROM per_doc WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+UNION ALL
+SELECT '3_near_dedup',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_tokens) AS BIGINT)
+FROM per_doc
+WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+  AND doc_id IN (SELECT doc_id FROM canonical)
+ORDER BY stage
+"""
+
+
+DEDUP_REDUCTION_REPORT_SQL = _reduction_report_oracle()

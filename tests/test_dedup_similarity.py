@@ -491,3 +491,33 @@ def test_lsh_quality_eval_counts_are_consistent(spark, sf_small):
     assert r.recall_micro == (r.n_hits * 1_000_000) // r.n_exact_pairs
     assert 0 < r.precision_micro <= 1_000_000
     assert 0 < r.recall_micro <= 1_000_000
+
+
+def test_reduction_report_monotone_and_consistent(spark, sf_small):
+    """Stage sizes must shrink monotonically, raw totals must match
+    the corpus, and the exact stage must equal exact_dedup's survivor
+    count."""
+    from parquet_extractor_spark.operators.dedup import (
+        dedup_reduction_report,
+        exact_dedup,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = {r.stage: r for r in dedup_reduction_report(spark, sf_small).collect()}
+    assert set(rows) == {"1_raw", "2_exact_dedup", "3_near_dedup"}
+    assert rows["1_raw"].n_docs == load_table(
+        spark, sf_small, "documents"
+    ).count()
+    assert (
+        rows["1_raw"].n_docs
+        >= rows["2_exact_dedup"].n_docs
+        >= rows["3_near_dedup"].n_docs
+        > 0
+    )
+    assert (
+        rows["1_raw"].n_tokens
+        >= rows["2_exact_dedup"].n_tokens
+        >= rows["3_near_dedup"].n_tokens
+        > 0
+    )
+    assert rows["2_exact_dedup"].n_docs == exact_dedup(spark, sf_small).count()
