@@ -1278,9 +1278,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     only: PQ_M × PQ_K codegen'd distance expressions against plan-time
     literal codewords — no shuffle, no Python, the whole operator is
     one scan. Output: (vec_id, pq_code "c0,...,c7" where each c is the
-    SEED ROW's vec_id, recon_err = sum of per-subspace min distances).
-    Ties break toward the lower codeword vec_id, mirrored in the
-    oracle.
+    SEED ROW's vec_id, recon_err_micro = sum of per-subspace min
+    distances in integer micro-units — each distance is snapped to
+    micro-ints BEFORE the 8-way sum, because a double sum's rounding
+    depends on addition order and DuckDB's GROUP BY aggregation order
+    differs from Spark's left-to-right chain; the sf0.001 sweep caught
+    exactly that one-ulp round(6) boundary flip). Ties break toward
+    the lower codeword vec_id, mirrored in the oracle.
     """
     seeds = (
         load_table(spark, sf_dir, "embeddings")
@@ -1336,7 +1340,9 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.append(
             F.element_at(seed_arr, F.array_position(dists, best).cast("int"))
         )
-        errs.append(best)
+        errs.append(
+            F.floor(best * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+        )
     recon = errs[0]
     for e in errs[1:]:
         recon = recon + e
@@ -1344,7 +1350,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged.select(
             "vec_id",
             F.concat_ws(",", *codes).alias("pq_code"),
-            F.round(recon, 6).alias("recon_err"),
+            recon.cast("bigint").alias("recon_err_micro"),
         )
         .orderBy("vec_id")
     )
@@ -1377,7 +1383,8 @@ codes AS (
 )
 SELECT vec_id,
        string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS pq_code,
-       round(sum(mind), 6) AS recon_err
+       CAST(sum(CAST(floor(mind * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS recon_err_micro
 FROM codes
 GROUP BY vec_id
 ORDER BY vec_id

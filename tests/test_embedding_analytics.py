@@ -67,10 +67,10 @@ def test_pq_codes_shape_and_seed_reconstruction(spark, sf_small):
         comps = r.pq_code.split(",")
         assert len(comps) == PQ_M
         assert set(comps) <= seed_ids
-        assert r.recon_err >= 0
+        assert r.recon_err_micro >= 0
     by_id = {r.vec_id: r for r in rows}
     for sid in range(PQ_K):
-        assert by_id[sid].recon_err == 0.0
+        assert by_id[sid].recon_err_micro == 0
 
 
 def test_pq_codes_plan_is_scan_only(spark, sf_small):

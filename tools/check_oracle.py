@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -15,7 +16,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
