@@ -170,28 +170,45 @@ ORDER BY p.doc_id
 """
 
 
+def _isin_terms_lambda(terms: tuple[str, ...]):
+    """Unary lambda factory (Spark HOF arity inference forbids
+    default-arg captures on the lambda itself)."""
+    return lambda t: t.isin(*terms)
+
+
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k document retrieval for a fixed query term set.
 
     ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
     with ``idf = ln(1 + (N − df + ½)/(df + ½))``.
 
-    Plan shape: the doc-length pass and the term-frequency pass share
-    one scan; corpus stats (N, avgdl — 1 row) and per-term df
-    (|terms| rows) are broadcast, the fact side never reshuffles
-    beyond the per-doc tf aggregation. Per-term partial scores snap to
-    micro-units before the doc-level sum (exact cross-engine BIGINT).
-    Output: top BM25_TOP_K of (doc_id, score_micro, rank).
+    Plan shape (r03): doc length is the SIZE of the token array —
+    map-side, no explode, no shuffle (empty docs filtered out to match
+    the exploded form the oracle uses); the term-frequency explode
+    filters the token array to the query terms BEFORE generating rows,
+    so the only exploded rows are actual term hits — the tf shuffle
+    carries hits, not the corpus. Corpus stats (N, avgdl — 1 row) and
+    per-term df (|terms| rows) are broadcast. Per-term partial scores
+    snap to micro-units before the doc-level sum (exact cross-engine
+    BIGINT). Output: top BM25_TOP_K of (doc_id, score_micro, rank).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("tok"))
 
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("dl")
+    ).filter(F.col("dl") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        toks.filter(F.col("tok").isin(*BM25_TERMS))
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    tokenize("text"), _isin_terms_lambda(BM25_TERMS)
+                )
+            ).alias("tok"),
+        )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
