@@ -170,12 +170,6 @@ ORDER BY p.doc_id
 """
 
 
-def _isin_terms_lambda(terms: tuple[str, ...]):
-    """Unary lambda factory (Spark HOF arity inference forbids
-    default-arg captures on the lambda itself)."""
-    return lambda t: t.isin(*terms)
-
-
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k document retrieval for a fixed query term set.
 
@@ -204,9 +198,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.filter(
-                    tokenize("text"), _isin_terms_lambda(BM25_TERMS)
-                )
+                F.filter(tokenize("text"), lambda t: t.isin(*BM25_TERMS))
             ).alias("tok"),
         )
         .groupBy("doc_id", "tok")

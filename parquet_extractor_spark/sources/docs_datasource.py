@@ -54,6 +54,22 @@ class _RangePartition(InputPartition):
         self.end = end
 
 
+def _read_range(provider_spec: str, partition: _RangePartition) -> Iterator[tuple]:
+    """Open the provider and yield rows for one [start, end) range —
+    shared by the batch and streaming readers. docs_iter-style sources
+    support slicing (api.py:223 pattern); plain iterators fall back to
+    an islice skip-scan."""
+    docs = resolve_provider(provider_spec)()
+    try:
+        shard = docs[partition.start : partition.end]
+    except TypeError:
+        from itertools import islice
+
+        shard = islice(iter(docs), partition.start, partition.end)
+    for doc in shard:
+        yield _doc_to_row(doc)
+
+
 class DocsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.provider = options["provider"]
@@ -69,18 +85,7 @@ class DocsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        factory = resolve_provider(self.provider)
-        docs = factory()
-        # docs_iter-style sources support slicing (api.py:223 pattern);
-        # plain iterators fall back to an islice skip-scan.
-        try:
-            shard = docs[partition.start : partition.end]
-        except TypeError:
-            from itertools import islice
-
-            shard = islice(iter(docs), partition.start, partition.end)
-        for doc in shard:
-            yield _doc_to_row(doc)
+        return _read_range(self.provider, partition)
 
 
 class DocsStreamReader(DataSourceStreamReader):
@@ -115,6 +120,15 @@ class DocsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = int(start["pos"]), int(end["pos"])
+        # Restart safety: a fresh reader's _pos begins at 0, but a
+        # query restarted from checkpoint hands us the COMMITTED start
+        # — adopt the larger position so latestOffset resumes from it
+        # instead of regressing and re-delivering documents. The one
+        # inverted batch the engine may already have planned (end
+        # computed before we saw the checkpointed start) reads nothing.
+        self._pos = max(self._pos, lo, hi)
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
         n = max(min(self.num_partitions, hi - lo), 1)
         bounds = [lo + (hi - lo) * i // n for i in range(n + 1)]
         return [
@@ -122,16 +136,7 @@ class DocsStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        factory = resolve_provider(self.provider)
-        docs = factory()
-        try:
-            shard = docs[partition.start : partition.end]
-        except TypeError:
-            from itertools import islice
-
-            shard = islice(iter(docs), partition.start, partition.end)
-        for doc in shard:
-            yield _doc_to_row(doc)
+        return _read_range(self.provider, partition)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the provider is re-opened per read

@@ -296,7 +296,8 @@ def test_docs_datasource_stream_reads_all_docs_in_batches(spark, tmp_path):
     try:
         deadline = time.time() + 90
         while time.time() < deadline:
-            if sum(len(v) for v in out.values()) >= num_docs:
+            # snapshot: the foreachBatch callback thread mutates `out`
+            if sum(len(v) for v in list(out.values())) >= num_docs:
                 break
             time.sleep(0.5)
     finally:
@@ -308,3 +309,39 @@ def test_docs_datasource_stream_reads_all_docs_in_batches(spark, tmp_path):
     # batching actually happened: ceil(500/200) = 3 non-empty epochs
     assert sum(1 for v in out.values() if v) == 3
     assert max(len(v) for v in out.values()) <= batch_docs
+
+
+def test_docs_stream_reader_restart_does_not_regress_offsets():
+    """Restart safety without Spark: a fresh reader (in-memory _pos=0)
+    handed a checkpointed start must adopt it — the inverted batch the
+    engine may have planned reads nothing, and subsequent offsets
+    advance from the committed position instead of re-delivering."""
+    from parquet_extractor_spark.sources.docs_datasource import (
+        DocsStreamReader,
+    )
+
+    opts = {
+        "provider": (
+            "parquet_extractor_spark.sources.docs_datasource:"
+            "synthetic_corpus"
+        ),
+        "num_docs": "1000",
+        "batch_docs": "200",
+        "num_partitions": "4",
+    }
+    # simulated restart: checkpoint committed {pos: 600}; the fresh
+    # reader's first latestOffset (engine calls it before partitions)
+    # regresses to 200 — the planned (600, 200) batch must be empty
+    r = DocsStreamReader(dict(opts))
+    stale_end = r.latestOffset()
+    assert stale_end == {"pos": 200}
+    parts = r.partitions({"pos": 600}, stale_end)
+    assert [(p.start, p.end) for p in parts] == [(600, 600)]
+    # after adopting the committed position, the next batch resumes
+    # forward from 600, never re-reading 0-599
+    nxt = r.latestOffset()
+    assert nxt == {"pos": 800}
+    parts = r.partitions({"pos": 600}, nxt)
+    assert parts[0].start == 600 and parts[-1].end == 800
+    ids = [row[0] for p in parts for row in r.read(p)]
+    assert ids == [f"doc{i}" for i in range(600, 800)]
