@@ -732,3 +732,98 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day_epoch
              RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
 ORDER BY event_type, day_epoch
 """
+
+
+# Volume anomaly ranking: the days whose event count deviates most
+# from the trailing window's mean. Deviation is an integer micro-unit
+# ratio (floor(|n·trail_n − trail_sum|·1e6 / trail_sum) — every input
+# exact, the one division correctly rounded then floored) so the
+# ranking is engine-exact; a FIXED threshold would be scale-dependent
+# (Poisson noise shrinks as volume grows — ±50% flags nothing at
+# sf0.1), top-K is meaningful at any scale.
+ANOMALY_TRAIL_DAYS = 7
+ANOMALY_MIN_TRAIL = 3
+ANOMALY_TOP_K = 10
+
+
+def event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-anomalous daily event volumes per event type — the
+    monitoring primitive an ingest pipeline alarms on (a crawler stall
+    shows as a drop, a bot flood as a spike).
+
+    One shuffle to the per-(type, day) counts (partial+final), one
+    window partitioned by event_type (natural key) with a bounded
+    ROWS trailing frame — state per partition is ANOMALY_TRAIL_DAYS
+    counts, horizon-bounded — then a TakeOrdered top-K over the
+    deviation score (day rows are horizon-bounded, never corpus-
+    bounded). Days with fewer than ANOMALY_MIN_TRAIL trailing
+    observations are not judged (cold start).
+    Output: top ANOMALY_TOP_K of (event_type, day_epoch, n_events,
+    trail_sum, trail_n, dev_micro, direction).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_epoch")
+        .rowsBetween(-ANOMALY_TRAIL_DAYS, -1)
+    )
+    t = daily.withColumn(
+        "trail_sum", F.sum("n_events").over(w)
+    ).withColumn("trail_n", F.count(F.lit(1)).over(w))
+    diff = F.col("n_events") * F.col("trail_n") - F.col("trail_sum")
+    dev = F.floor(
+        F.abs(diff) * F.lit(1_000_000.0) / F.col("trail_sum")
+    ).cast("bigint")
+    return (
+        t.filter(F.col("trail_n") >= ANOMALY_MIN_TRAIL)
+        .select(
+            "event_type",
+            "day_epoch",
+            "n_events",
+            F.col("trail_sum").cast("bigint").alias("trail_sum"),
+            F.col("trail_n").cast("bigint").alias("trail_n"),
+            dev.alias("dev_micro"),
+            F.when(diff > 0, F.lit("spike")).otherwise(F.lit("drop")).alias(
+                "direction"
+            ),
+        )
+        .orderBy(
+            F.desc("dev_micro"), F.asc("event_type"), F.asc("day_epoch")
+        )
+        .limit(ANOMALY_TOP_K)
+    )
+
+
+EVENT_VOLUME_ANOMALIES_SQL = rf"""
+WITH daily AS (
+    SELECT event_type,
+           epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+trailed AS (
+    SELECT *,
+           CAST(sum(n_events) OVER (PARTITION BY event_type
+               ORDER BY day_epoch
+               ROWS BETWEEN {ANOMALY_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS trail_sum,
+           CAST(count(*) OVER (PARTITION BY event_type
+               ORDER BY day_epoch
+               ROWS BETWEEN {ANOMALY_TRAIL_DAYS} PRECEDING AND 1 PRECEDING)
+               AS BIGINT) AS trail_n
+    FROM daily
+)
+SELECT event_type, day_epoch, n_events, trail_sum, trail_n,
+       CAST(floor(abs(n_events * trail_n - trail_sum) * 1000000.0
+                  / trail_sum) AS BIGINT) AS dev_micro,
+       CASE WHEN n_events * trail_n - trail_sum > 0
+            THEN 'spike' ELSE 'drop' END AS direction
+FROM trailed
+WHERE trail_n >= {ANOMALY_MIN_TRAIL}
+ORDER BY dev_micro DESC, event_type ASC, day_epoch ASC
+LIMIT {ANOMALY_TOP_K}
+"""

@@ -119,3 +119,57 @@ def test_driver_window_composition():
     }
     assert must_be_in_window <= window
     assert len(qs) == len(set(qs)) == len(entrymod.oracle_sql())
+
+
+def test_event_volume_anomalies_recomputed_locally(spark, sf_small):
+    """Top-K deviation ranking recomputed in Python over the daily
+    counts: same flagged days, same integer deviation scores, spike/
+    drop direction consistent with the sign."""
+    from collections import defaultdict
+
+    import math
+
+    from parquet_extractor_spark.operators.timeseries import (
+        ANOMALY_MIN_TRAIL,
+        ANOMALY_TOP_K,
+        ANOMALY_TRAIL_DAYS,
+        event_volume_anomalies,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    got = event_volume_anomalies(spark, sf_small).collect()
+    assert len(got) == ANOMALY_TOP_K
+
+    daily_rows = (
+        load_table(spark, sf_small, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .count()
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily_rows:
+        series[r.event_type].append((r.d, r["count"]))
+    scored = []
+    for et, pts in series.items():
+        pts.sort()
+        for i, (d, n) in enumerate(pts):
+            trail = pts[max(0, i - ANOMALY_TRAIL_DAYS) : i]
+            if len(trail) < ANOMALY_MIN_TRAIL:
+                continue
+            ts_, tn = sum(x for _, x in trail), len(trail)
+            dev = int(math.floor(abs(n * tn - ts_) * 1e6 / ts_))
+            scored.append(
+                (dev, et, d, n, ts_, tn, "spike" if n * tn > ts_ else "drop")
+            )
+    want = sorted(scored, key=lambda x: (-x[0], x[1], x[2]))[:ANOMALY_TOP_K]
+    got_t = [
+        (r.dev_micro, r.event_type, r.day_epoch, r.n_events, r.trail_sum,
+         r.trail_n, r.direction)
+        for r in got
+    ]
+    assert got_t == want
