@@ -218,6 +218,114 @@ ORDER BY source
 """
 
 
+LOG_ODDS_PRIOR = 1000.0  # Dirichlet prior pseudo-token mass (a0)
+LOG_ODDS_TOP = 5  # distinguishing terms kept per source
+
+
+def source_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinguishing terms per source by log-odds ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008) — the
+    standard "what vocabulary makes this slice different" audit,
+    more robust than raw tf-idf because the prior shrinks rare-term
+    noise toward the corpus distribution.
+
+    For term w in source s vs the rest r, with prior a_w scaled from
+    corpus frequency (a_w = a0·c_w/N):
+        delta  = ln((y_sw+a_w)/(n_s+a0-y_sw-a_w))
+               - ln((y_rw+a_w)/(n_r+a0-y_rw-a_w))
+        var    = 1/(y_sw+a_w) + 1/(y_rw+a_w)
+        z      = delta / sqrt(var)
+
+    Shape for scale: identical to source_token_kl — one explode +
+    partial agg per (source, term); corpus marginals re-aggregate from
+    the per-source counts; the join back is vocabulary-keyed (AQE
+    broadcasts at fixture scale, shuffle-joins beyond). The z-score is
+    pointwise arithmetic on exact integer counts (no accumulation
+    ordering), so both engines produce bit-identical doubles. Top-K
+    per source via a window over source partitions.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(tokenize("text")).alias("term"))
+    per_src = tok.groupBy("source", "term").agg(F.count("*").alias("y_sw"))
+    src_totals = per_src.groupBy("source").agg(F.sum("y_sw").alias("n_s"))
+    corpus = per_src.groupBy("term").agg(F.sum("y_sw").alias("c_w"))
+    corpus_total = corpus.agg(F.sum("c_w").alias("n_all"))
+    a0 = F.lit(LOG_ODDS_PRIOR)
+    joined = (
+        per_src.join(corpus, "term")
+        .join(F.broadcast(src_totals), "source")
+        .join(F.broadcast(corpus_total))
+    )
+    a_w = a0 * F.col("c_w") / F.col("n_all")
+    y_sw = F.col("y_sw").cast("double")
+    y_rw = (F.col("c_w") - F.col("y_sw")).cast("double")
+    n_s = F.col("n_s").cast("double")
+    n_r = (F.col("n_all") - F.col("n_s")).cast("double")
+    delta = F.log((y_sw + a_w) / (n_s + a0 - y_sw - a_w)) - F.log(
+        (y_rw + a_w) / (n_r + a0 - y_rw - a_w)
+    )
+    var = 1.0 / (y_sw + a_w) + 1.0 / (y_rw + a_w)
+    scored = joined.select(
+        "source",
+        "term",
+        F.col("y_sw").alias("n_in_source"),
+        F.round(delta / F.sqrt(var), 6).alias("z_score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z_score"), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= LOG_ODDS_TOP)
+        .drop("_rn")
+        .orderBy("source", F.desc("z_score"), "term")
+    )
+
+
+SOURCE_LOG_ODDS_TERMS_SQL = rf"""
+WITH tok AS (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS term
+    FROM documents
+),
+per_src AS (
+    SELECT source, term, count(*) AS y_sw FROM tok GROUP BY 1, 2
+),
+src_totals AS (
+    SELECT source, sum(y_sw) AS n_s FROM per_src GROUP BY 1
+),
+corpus AS (
+    SELECT term, sum(y_sw) AS c_w FROM per_src GROUP BY 1
+),
+corpus_total AS (
+    SELECT sum(c_w) AS n_all FROM corpus
+),
+scored AS (
+    SELECT source, term, y_sw AS n_in_source,
+           round(
+             (ln((y_sw + {LOG_ODDS_PRIOR} * c_w / n_all)
+                 / (n_s + {LOG_ODDS_PRIOR} - y_sw
+                    - {LOG_ODDS_PRIOR} * c_w / n_all))
+              - ln((c_w - y_sw + {LOG_ODDS_PRIOR} * c_w / n_all)
+                   / (n_all - n_s + {LOG_ODDS_PRIOR} - (c_w - y_sw)
+                      - {LOG_ODDS_PRIOR} * c_w / n_all)))
+             / sqrt(1.0 / (y_sw + {LOG_ODDS_PRIOR} * c_w / n_all)
+                    + 1.0 / (c_w - y_sw
+                             + {LOG_ODDS_PRIOR} * c_w / n_all)),
+             6) AS z_score
+    FROM per_src
+    JOIN corpus USING (term)
+    JOIN src_totals USING (source)
+    CROSS JOIN corpus_total
+)
+SELECT source, term, n_in_source, z_score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY z_score DESC, term) <= {LOG_ODDS_TOP}
+ORDER BY source, z_score DESC, term
+"""
+
+
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-distribution histogram per language: 50-char bins over
     n_chars. width_bucket-style binning as a pure expression; one

@@ -41,6 +41,8 @@ PMI_CAP = 12  # distinct tokens per doc entering pair generation
 PMI_MIN_COOC = 2  # min co-occurring docs for a pair to score
 PMI_TOP = 50
 ZIPF_RANKS = 100  # head ranks used for the log-log fit
+PHRASE = ("table", "value")  # default 2-term phrase query
+PHRASE_TOP = 25  # docs returned per phrase search
 
 
 def _terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,6 +287,86 @@ def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.crossJoin(fit).select(
         "n_terms", "total_tokens", "zipf_slope", "zipf_intercept"
     )
+
+
+def phrase_search(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: tuple[str, ...] = PHRASE,
+) -> DataFrame:
+    """Exact phrase search through a positional inverted index.
+
+    The retrieval path a lexical engine runs at scale: posexplode the
+    token stream into positional postings, FILTER the postings down to
+    the phrase's own terms BEFORE anything shuffles (so the join
+    volume is the term frequency of the query words, not the corpus),
+    then chain equi-joins on (doc_id, position+offset) — adjacency as
+    a hash-join key, never a positional scan of non-matching
+    documents. Output: top PHRASE_TOP docs by occurrence count with
+    the first match position (1-based).
+
+    Scale (100 TB): postings for a selective phrase are a vanishing
+    fraction of the corpus; each adjacency join is an equi-join on
+    (doc_id, pos) with both sides pre-filtered, and AQE broadcasts
+    the smaller term's postings when it fits. A stopword-only phrase
+    degrades to the terms' full posting lists — the same bound BM25
+    accepts; the per-term df cap used by dedup would bolt on
+    unchanged if needed.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokenize("text")).alias("pos", "term"),
+    ).filter(F.col("term").isin(*phrase))
+    # postings of the first word anchor the match; each later word
+    # joins on (doc_id, anchor_pos + offset)
+    matched = pos.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for off, word in enumerate(phrase[1:], start=1):
+        nxt = pos.filter(F.col("term") == word).select(
+            "doc_id", (F.col("pos") - off).alias("p0")
+        )
+        matched = matched.join(nxt, ["doc_id", "p0"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            (F.min("p0") + 1).alias("first_pos"),  # 1-based
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(PHRASE_TOP)
+    )
+
+
+_PHRASE_COND = " AND ".join(
+    f"toks[i + {off}] = '{w}'" for off, w in enumerate(PHRASE)
+)
+
+PHRASE_SEARCH_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS toks
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           list_filter(range(1, len(toks) - {len(PHRASE) - 2}),
+                       i -> {_PHRASE_COND}) AS starts
+    FROM toks
+)
+SELECT doc_id,
+       len(starts) AS n_hits,
+       list_min(starts) AS first_pos
+FROM hits
+WHERE len(starts) > 0
+ORDER BY n_hits DESC, doc_id
+LIMIT {PHRASE_TOP}
+"""
 
 
 ZIPF_TOKEN_STATS_SQL = rf"""

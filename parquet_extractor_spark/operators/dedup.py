@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parquet_extractor_spark.functions.text import (
     char_ngrams,
@@ -116,9 +117,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans a shuffle anti-join when the Zipf head of a 100 TB crawl
     outgrows memory — or use the MinHash tier, whose shuffle volume
     is independent of document frequency.
-    """
-    from pyspark import StorageLevel
 
+    Jaccard denominators need each doc's surviving-shingle count:
+    rather than aggregating a per-doc sizes table and joining it back
+    onto the (large) pair table twice — the r02 plan, whose unhinted
+    joins were also its slowest stages — the count rides ALONG: a
+    window count over doc_id attaches n_shingles to every surviving
+    row before the shingle groupBy, so each generated pair is born
+    with both denominators and the pair table never re-shuffles.
+    Per-doc window state is one counter; the extra shuffle it costs
+    (by doc_id) replaces two joins keyed by the same column.
+    """
     all_sh = _doc_shingles(spark, sf_dir)
     hot = (
         all_sh.groupBy("shingle")
@@ -129,50 +138,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot set = Zipf head above the DF cap: small at fixture scale but
     # it GROWS with vocabulary, so no forced hint — AQE broadcasts the
     # anti-join side while it fits and shuffle-joins beyond (same
-    # policy as the sizes/marginal tables; see SCALE.md).
-    grouped = (
-        all_sh.join(hot, "shingle", "left_anti")
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # policy as the marginal tables; see SCALE.md).
+    wd = Window.partitionBy("doc_id")
+    sized = all_sh.join(hot, "shingle", "left_anti").withColumn(
+        "n", F.count(F.lit(1)).over(wd)
     )
-    sizes = (
-        grouped.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"))
+    grouped_pairs = sized.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
     )
-
     pair_arr = F.flatten(
         F.transform(
             "ds",
             lambda a: F.transform(
-                "ds", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                "ds",
+                lambda b: F.struct(
+                    a.doc_id.alias("doc_a"),
+                    b.doc_id.alias("doc_b"),
+                    a.n.alias("na"),
+                    b.n.alias("nb"),
+                ),
             ),
         )
     )
     shared = (
-        grouped.select(
+        grouped_pairs.select(
             F.explode(F.filter(pair_arr, lambda p: p.doc_a < p.doc_b)).alias("p")
         )
-        .groupBy("p.doc_a", "p.doc_b")
+        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
         .agg(F.count("*").alias("n_shared"))
     )
-    # sizes has one row per document — NEVER broadcast it (a forced
-    # O(n_docs) broadcast is a driver/executor OOM at crawl scale).
-    # Left unhinted, AQE picks BHJ at fixture scale and falls back to
-    # a shuffle join on doc_id — cheap next to pair-gen — when the
-    # table outgrows autoBroadcastJoinThreshold.
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
+        shared.select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("n_shared")
-                / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_shared")),
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
                 6,
             ).alias("jaccard"),
         )

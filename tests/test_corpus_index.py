@@ -99,3 +99,79 @@ def test_cross_source_pairs_really_cross(spark, sf_small):
         for r in dedup.minhash_lsh_candidates(spark, sf_small).collect()
     }
     assert {(r.doc_a, r.doc_b) for r in rows} <= all_pairs
+
+
+def test_phrase_search_hits_are_real(spark, sf_small):
+    """Every returned doc must contain the phrase adjacently, with
+    the exact occurrence count and first position (1-based),
+    recomputed in Python from the raw text."""
+    import re
+
+    rows = corpus_index.phrase_search(spark, sf_small).collect()
+    assert rows, "fixture vocabulary makes the default phrase common"
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    for r in rows:
+        toks = [
+            t
+            for t in re.sub(r"[^\w\s]", " ", texts[r.doc_id].lower()).split()
+            if t
+        ]
+        starts = [
+            i + 1
+            for i in range(len(toks) - len(corpus_index.PHRASE) + 1)
+            if tuple(toks[i : i + len(corpus_index.PHRASE)])
+            == corpus_index.PHRASE
+        ]
+        assert r.n_hits == len(starts)
+        assert r.first_pos == starts[0]
+    hits = [r.n_hits for r in rows]
+    assert hits == sorted(hits, reverse=True)
+    assert len(rows) <= corpus_index.PHRASE_TOP
+
+
+def test_phrase_search_postings_filtered_before_join(spark, sf_small):
+    """The scan feeding the adjacency joins must only read doc_id +
+    text, and the plan must filter postings to the phrase terms (an
+    isin filter) rather than joining full posting lists."""
+    df = corpus_index.phrase_search(spark, sf_small)
+    scans = read_schema_columns(df)
+    assert all(s <= {"doc_id", "text"} for s in scans)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "term#" in plan and " IN " in plan
+
+
+def test_source_log_odds_terms_shape(spark, sf_small):
+    from parquet_extractor_spark.operators import analyze
+
+    rows = analyze.source_log_odds_terms(spark, sf_small).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.n_in_source >= 1
+    for src, rs in by_src.items():
+        assert len(rs) <= analyze.LOG_ODDS_TOP
+        zs = [r.z_score for r in rs]
+        assert zs == sorted(zs, reverse=True)
+    # a source's own top term should be over-represented vs the corpus
+    docs = load_table(spark, sf_small, "documents").collect()
+    import re
+
+    def toks(t):
+        return [x for x in re.sub(r"[^\w\s]", " ", t.lower()).split() if x]
+
+    corpus_counts, src_counts, corpus_n, src_n = {}, {}, 0, {}
+    for d in docs:
+        for t in toks(d.text):
+            corpus_counts[t] = corpus_counts.get(t, 0) + 1
+            corpus_n += 1
+            src_counts[(d.source, t)] = src_counts.get((d.source, t), 0) + 1
+            src_n[d.source] = src_n.get(d.source, 0) + 1
+    for src, rs in by_src.items():
+        top = rs[0]
+        p_src = src_counts[(src, top.term)] / src_n[src]
+        p_all = corpus_counts[top.term] / corpus_n
+        assert p_src > p_all

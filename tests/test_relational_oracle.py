@@ -27,6 +27,8 @@ SPOT = [
     "q11_important_part_values",
     "q16_supplier_part_counts",
     "q20_excess_shippers",
+    "phrase_search",
+    "source_log_odds_terms",
 ]
 
 
