@@ -2,9 +2,11 @@
 columns with typed metadata (driver north star).
 
 Image decode is REAL for PNG via the dependency-free codec in
-``functions/png.py`` (zlib is stdlib) and for baseline JPEG via
-``functions/jpeg.py`` (pure numpy Huffman+DCT) — features and resize
-run on actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
+``functions/png.py`` (zlib is stdlib), for baseline JPEG via
+``functions/jpeg.py`` (pure numpy Huffman+DCT), for GIF via
+``functions/gif.py`` (real LZW with table growth/reset), and for
+24-bit BMP via ``functions/bmp.py`` — features and resize run on
+actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
 ``functions/wav.py`` (stdlib ``wave``) — energy-envelope features run
 on actual samples. Remaining formats (progressive JPEG, WebP, MP3,
 video frames) would need PIL/librosa/ffmpeg, absent from this
@@ -68,9 +70,12 @@ FEATURE_DIM = 16
 
 def decode_image(data: bytes) -> "np.ndarray":
     """Decode an image binary to an (H,W,C) uint8 array. PNG decodes
-    for real (functions/png.py), as does baseline JPEG
-    (functions/jpeg.py); other formats need an imaging library this
-    container doesn't ship."""
+    for real (functions/png.py), as do baseline JPEG
+    (functions/jpeg.py), GIF (functions/gif.py — real LZW), and
+    24-bit BMP (functions/bmp.py); other formats need an imaging
+    library this container doesn't ship."""
+    from parquet_extractor_spark.functions.bmp import decode_bmp, is_bmp
+    from parquet_extractor_spark.functions.gif import decode_gif, is_gif
     from parquet_extractor_spark.functions.jpeg import decode_jpeg, is_jpeg
     from parquet_extractor_spark.functions.png import PNG_MAGIC, decode_png
 
@@ -78,9 +83,14 @@ def decode_image(data: bytes) -> "np.ndarray":
         return decode_png(data)
     if is_jpeg(data):
         return decode_jpeg(data)
+    if is_gif(data):
+        return decode_gif(data)
+    if is_bmp(data):
+        return decode_bmp(data)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode are implemented; WebP/TIFF/"
-        "... require PIL/pillow, not available in this environment"
+        "only PNG, baseline JPEG, GIF, and 24-bit BMP decode are "
+        "implemented; WebP/TIFF/... require PIL/pillow, not available "
+        "in this environment"
     )
 
 
@@ -114,6 +124,8 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
     formats with no decoder. Pure function of the bytes — shared by
     the Spark mapInPandas stage and the oracle generator
     (tools/gen_multimodal_oracle.py)."""
+    from parquet_extractor_spark.functions.bmp import is_bmp
+    from parquet_extractor_spark.functions.gif import is_gif
     from parquet_extractor_spark.functions.jpeg import is_jpeg
     from parquet_extractor_spark.functions.png import PNG_MAGIC
     from parquet_extractor_spark.functions.wav import (
@@ -122,7 +134,12 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
         is_wav,
     )
 
-    if d is not None and (d[: len(PNG_MAGIC)] == PNG_MAGIC or is_jpeg(d)):
+    if d is not None and (
+        d[: len(PNG_MAGIC)] == PNG_MAGIC
+        or is_jpeg(d)
+        or is_gif(d)
+        or is_bmp(d)
+    ):
         try:
             return pixel_feature(decode_image(d))
         except (NotImplementedError, ValueError):
@@ -183,27 +200,42 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic fixture rows (pure Python — shared by the Spark
     fixture below and the oracle generator). Image rows carry REAL
-    64×48 images — alternating PNG and baseline JPEG (4:2:0), both
-    round-trippable through the in-repo codecs; audio rows carry REAL
-    0.25 s 8 kHz PCM-16 WAVs (sine + noise); video rows carry opaque
-    pseudo-random payloads."""
+    64×48 images cycling through all four in-repo codecs — PNG,
+    baseline JPEG (4:2:0), GIF (real LZW; pixels drawn from a
+    64-color palette, since GIF is palette-indexed by definition),
+    and 24-bit BMP; audio rows carry REAL 0.25 s 8 kHz PCM-16 WAVs
+    (sine + noise); video rows carry opaque pseudo-random payloads."""
+    from parquet_extractor_spark.functions.bmp import encode_bmp
+    from parquet_extractor_spark.functions.gif import encode_gif
     from parquet_extractor_spark.functions.jpeg import encode_jpeg
     from parquet_extractor_spark.functions.png import encode_png
     from parquet_extractor_spark.functions.wav import encode_wav
 
+    image_mimes = ("image/png", "image/jpeg", "image/gif", "image/bmp")
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            # even image rows PNG, odd image rows JPEG — same pixel
-            # draw, two real codecs through one decode pipeline
-            if (i // 3) % 2 == 0:
-                data = encode_png(pixels)
+            fmt = (i // 3) % 4
+            if fmt == 2:  # GIF: honest palette-indexed pixel draw
+                palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+                pixels = palette[
+                    rng.integers(0, 64, size=(48, 64), dtype=np.int64)
+                ]
             else:
+                pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+            # image rows cycle PNG / JPEG / GIF / BMP — four real
+            # codecs through one decode pipeline
+            if fmt == 0:
+                data = encode_png(pixels)
+            elif fmt == 1:
                 data = encode_jpeg(pixels, quality=90, subsample=True)
+            elif fmt == 2:
+                data = encode_gif(pixels)
+            else:
+                data = encode_bmp(pixels)
         elif kind == "audio":
             sr, dur = 8000, 0.25
             t = np.arange(int(sr * dur)) / sr
@@ -215,7 +247,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
             size = int(rng.integers(64, 512))
             data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
         if kind == "image":
-            mime = "image/png" if (i // 3) % 2 == 0 else "image/jpeg"
+            mime = image_mimes[(i // 3) % 4]
         else:
             mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(
@@ -303,6 +335,8 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
     row count × target dims — which is what determines the downstream
     partition sizing when the resized table is written.
     """
+    from parquet_extractor_spark.functions.bmp import encode_bmp, is_bmp
+    from parquet_extractor_spark.functions.gif import encode_gif, is_gif
     from parquet_extractor_spark.functions.jpeg import encode_jpeg, is_jpeg
     from parquet_extractor_spark.functions.png import (
         PNG_MAGIC,
@@ -321,6 +355,16 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
                     resize_nearest(decode_image(d), width, height),
                     quality=90,
                     subsample=True,
+                )
+            if is_gif(d):
+                # nearest-neighbor only replicates pixels, so the
+                # resized frame stays inside the source palette
+                return encode_gif(
+                    resize_nearest(decode_image(d), width, height)
+                )
+            if is_bmp(d):
+                return encode_bmp(
+                    resize_nearest(decode_image(d), width, height)
                 )
         except (NotImplementedError, ValueError):
             pass  # undecodable row (progressive/corrupt): declared fake

@@ -121,27 +121,40 @@ def test_resize_images_real_pixels(spark):
         r.media_id: (bytes(r.data), decode_image(bytes(r.data)))
         for r in media.filter("kind = 'image'").collect()
     }
-    jpeg_rows = 0
+    from parquet_extractor_spark.functions.bmp import is_bmp
+    from parquet_extractor_spark.functions.gif import is_gif
+    from parquet_extractor_spark.functions.png import PNG_MAGIC
+
+    fmt_counts = {"png": 0, "jpeg": 0, "gif": 0, "bmp": 0}
     for r in out:
         assert r.width == 32 and r.height == 16
         assert r.orig_width == 64
         src_bytes, src_pixels = originals[r.media_id]
         want = resize_nearest(src_pixels, 32, 16)
+        resized = decode_image(bytes(r.data))
+        assert resized.shape == (16, 32, 3)
         if is_jpeg(src_bytes):
-            jpeg_rows += 1
+            fmt_counts["jpeg"] += 1
             assert is_jpeg(bytes(r.data))
-            resized = decode_image(bytes(r.data))
-            assert resized.shape == (16, 32, 3)
             # JPEG re-encode is lossy; require the pixels to track the
             # nearest-resampled original in aggregate
             err = np.abs(resized.astype(int) - want.astype(int)).mean()
             assert err < 48, err  # random-noise pixels: worst case
         else:
-            resized = decode_png(bytes(r.data))
-            assert resized.shape == (16, 32, 3)
-            # lossless path: nearest-neighbor agrees exactly
+            # PNG / GIF / BMP are lossless: re-encoded in the source
+            # row's own format, nearest-neighbor agrees exactly
+            if src_bytes.startswith(PNG_MAGIC):
+                fmt_counts["png"] += 1
+                assert bytes(r.data).startswith(PNG_MAGIC)
+            elif is_gif(src_bytes):
+                fmt_counts["gif"] += 1
+                assert is_gif(bytes(r.data))
+            else:
+                fmt_counts["bmp"] += 1
+                assert is_bmp(bytes(r.data))
             assert np.array_equal(resized, want)
-    assert jpeg_rows == 5  # image rows alternate PNG / JPEG
+    # 10 image rows, format cycle PNG/JPEG/GIF/BMP over i//3 = 0..9
+    assert fmt_counts == {"png": 3, "jpeg": 3, "gif": 2, "bmp": 2}
     # deterministic across runs
     again = resize_images(media, width=32, height=16).collect()
     assert [bytes(r.data) for r in out] == [bytes(r.data) for r in again]
@@ -231,3 +244,111 @@ def test_audio_spectral_features_find_the_tone(spark):
     energies = list(r.band_energies)
     assert energies.index(max(energies)) == expect_band
     assert max(energies) == 1.0
+
+
+def test_gif_roundtrip_and_lzw_reset():
+    from parquet_extractor_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+        is_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    for ncol in (2, 17, 256):
+        pal = np.unique(
+            rng.integers(0, 256, (ncol, 3), dtype=np.uint8), axis=0
+        )
+        arr = pal[rng.integers(0, len(pal), (48, 64))]
+        data = encode_gif(arr)
+        assert is_gif(data)
+        assert np.array_equal(decode_gif(data), arr)
+    # large frame drives the LZW dictionary past 4096 codes, forcing
+    # the clear-code reset path in BOTH encoder and decoder
+    pal = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8), axis=0)
+    big = pal[rng.integers(0, len(pal), (200, 300))]
+    assert np.array_equal(decode_gif(encode_gif(big)), big)
+    with pytest.raises(ValueError):  # >256 colors must refuse, not quantize
+        encode_gif(rng.integers(0, 256, (30, 30, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced stream: permute an encoded frame's
+    rows into pass order, set the interlace flag, and require the
+    decoder to undo it."""
+    import struct
+
+    from parquet_extractor_spark.functions.gif import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = np.unique(rng.integers(0, 256, (16, 3), dtype=np.uint8), axis=0)
+    arr = pal[rng.integers(0, len(pal), (16, 8))]
+    plain = encode_gif(arr)
+    # recompute the palette indices the encoder used
+    palette, indices = np.unique(
+        arr.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    h = arr.shape[0]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    interlaced_rows = indices.reshape(h, -1)[order]
+    depth = max(1, int(len(palette) - 1).bit_length())
+    mcs = max(2, depth)
+    compressed = _lzw_encode(
+        interlaced_rows.reshape(-1).astype(np.uint8), mcs
+    )
+    # splice: header + LSD + GCT from the plain encoding, then an
+    # image descriptor with the interlace bit set
+    gct_len = 3 * (1 << depth)
+    head = plain[: 13 + gct_len]
+    out = bytearray(head)
+    out += b"\x2C" + struct.pack(
+        "<HHHHB", 0, 0, arr.shape[1], arr.shape[0], 0x40
+    )
+    out.append(mcs)
+    for i in range(0, len(compressed), 255):
+        block = compressed[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    assert np.array_equal(decode_gif(bytes(out)), arr)
+
+
+def test_bmp_roundtrip_padding_and_guards():
+    from parquet_extractor_spark.functions.bmp import (
+        decode_bmp,
+        encode_bmp,
+        is_bmp,
+    )
+
+    rng = np.random.default_rng(13)
+    for w, h in ((1, 1), (3, 2), (5, 7), (64, 48)):  # odd widths pad
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_bmp(arr)
+        assert is_bmp(data)
+        assert np.array_equal(decode_bmp(data), arr)
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX not a bmp")
+    with pytest.raises(ValueError):  # truncated pixel array
+        decode_bmp(encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))[:-8])
+
+
+def test_decode_image_dispatches_gif_and_bmp():
+    from parquet_extractor_spark.functions.bmp import encode_bmp
+    from parquet_extractor_spark.functions.gif import encode_gif
+
+    rng = np.random.default_rng(17)
+    pal = np.unique(rng.integers(0, 256, (8, 3), dtype=np.uint8), axis=0)
+    gif_arr = pal[rng.integers(0, len(pal), (6, 9))]
+    assert np.array_equal(decode_image(encode_gif(gif_arr)), gif_arr)
+    bmp_arr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(bmp_arr)), bmp_arr)
