@@ -83,6 +83,11 @@ HEADLINE = [
     "dedup_graph_pagerank",
     "nfc_normalized_hashes",
     "embedding_outliers",
+    # r03 last batch: positional phrase retrieval, per-source
+    # distinguishing vocabulary, exact KS length drift
+    "phrase_search",
+    "source_log_odds_terms",
+    "source_length_ks",
 ]
 
 

@@ -218,6 +218,118 @@ ORDER BY source
 """
 
 
+def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen: exact two-sample Kolmogorov-Smirnov
+    statistic between each source's document-length (n_chars)
+    distribution and the corpus blend — the complement of
+    source_token_kl (which drifts on vocabulary; this drifts on
+    shape). A source whose KS spikes between crawls changed its
+    length profile: truncation bug, boilerplate injection, new
+    document type.
+
+    Exact, no sampling: ECDFs are evaluated on the full corpus length
+    support. The max runs over |cum_s·n_all − cum_all·n_s| in BIGINT
+    (one division at the end), so both engines agree to the last bit.
+
+    Shape for scale: lengths pre-aggregate to (source, x) counts —
+    the largest shuffle carries |sources|×|distinct lengths| partial
+    rows, NOT documents. The evaluation grid is that same bounded
+    support crossed with the (tiny) source list; per-source running
+    sums are windows partitioned by source, and the corpus cumulative
+    re-aggregates from the per-source cumulatives via a window over x
+    (state: one partial per source) — no unpartitioned window
+    anywhere, no second scan of the documents table.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cs = (
+        docs.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count("*").alias("c"))
+    )
+    support = cs.select("x").distinct()
+    sources = cs.select("source").distinct()
+    grid = support.crossJoin(F.broadcast(sources))
+    filled = grid.join(cs, ["source", "x"], "left").select(
+        "source", "x", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = filled.select(
+        "source",
+        "x",
+        F.sum("c").over(w_run).alias("cum_s"),
+        F.sum("c").over(w_src).alias("n_s"),
+    )
+    w_x = Window.partitionBy("x")
+    both = cum.select(
+        "source",
+        "x",
+        "cum_s",
+        "n_s",
+        F.sum("cum_s").over(w_x).alias("cum_all"),
+    )
+    total = filled.agg(F.sum("c").alias("n_all"))
+    return (
+        both.join(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_s") * F.col("n_all")
+                        - F.col("cum_all") * F.col("n_s")
+                    )
+                )
+                / (F.max("n_s") * F.max("n_all")),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_LENGTH_KS_SQL = r"""
+WITH cs AS (
+    SELECT source, n_chars AS x, count(*) AS c
+    FROM documents GROUP BY 1, 2
+),
+grid AS (
+    SELECT s.source, p.x
+    FROM (SELECT DISTINCT x FROM cs) p
+    CROSS JOIN (SELECT DISTINCT source FROM cs) s
+),
+filled AS (
+    SELECT g.source, g.x, coalesce(cs.c, 0) AS c
+    FROM grid g LEFT JOIN cs ON cs.source = g.source AND cs.x = g.x
+),
+cum AS (
+    SELECT source, x,
+           sum(c) OVER (PARTITION BY source ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_s,
+           sum(c) OVER (PARTITION BY source) AS n_s
+    FROM filled
+),
+both_cdf AS (
+    SELECT source, x, cum_s, n_s,
+           sum(cum_s) OVER (PARTITION BY x) AS cum_all
+    FROM cum
+),
+total AS (SELECT sum(c) AS n_all FROM filled)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_docs,
+       round(CAST(max(abs(cum_s * n_all - cum_all * n_s)) AS DOUBLE)
+             / (max(n_s) * max(n_all)), 6) AS ks_stat
+FROM both_cdf CROSS JOIN total
+GROUP BY source
+ORDER BY source
+"""
+
+
 LOG_ODDS_PRIOR = 1000.0  # Dirichlet prior pseudo-token mass (a0)
 LOG_ODDS_TOP = 5  # distinguishing terms kept per source
 

@@ -169,3 +169,31 @@ def test_embedding_outliers_are_the_farthest_members(spark, sf_small):
             )[: len(flagged)]
         ]
         assert [r.vec_id for r in flagged] == want, label
+
+
+def test_source_length_ks_matches_pure_python(spark, sf_small):
+    """Exact KS recomputed naively from the raw rows."""
+    from parquet_extractor_spark.operators.analyze import source_length_ks
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = source_length_ks(spark, sf_small).collect()
+    assert rows
+    docs = load_table(spark, sf_small, "documents").collect()
+    all_lens = sorted(d.n_chars for d in docs)
+    n_all = len(all_lens)
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d.n_chars)
+    assert {r.source for r in rows} == set(by_src)
+    for r in rows:
+        lens = sorted(by_src[r.source])
+        n_s = len(lens)
+        assert r.n_docs == n_s
+        support = sorted(set(all_lens))
+        ks = 0.0
+        for x in support:
+            f_s = sum(1 for v in lens if v <= x) / n_s
+            f_a = sum(1 for v in all_lens if v <= x) / n_all
+            ks = max(ks, abs(f_s - f_a))
+        assert abs(r.ks_stat - ks) < 1e-6
+        assert 0.0 <= r.ks_stat <= 1.0
