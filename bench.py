@@ -88,6 +88,7 @@ HEADLINE = [
     "phrase_search",
     "source_log_odds_terms",
     "source_length_ks",
+    "hybrid_search_rrf",
 ]
 
 

@@ -656,3 +656,126 @@ SELECT doc_id,
 FROM rebuilt
 ORDER BY doc_id
 """
+
+
+HYBRID_QUERY_VEC = 0  # query embedding: vec_id 0 (present at every sf)
+HYBRID_RRF_K = 60  # Cormack et al. 2009 reciprocal-rank-fusion constant
+HYBRID_TOP_K = 20
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal rank fusion (Cormack, Clarke &
+    Buettcher 2009) of the BM25 lexical ranking and a cosine vector
+    ranking — the standard first-stage retriever of a RAG / data-
+    curation stack, where neither signal alone is trusted.
+
+    ``rrf(d) = Σ_lists 1/(K + rank_list(d))`` over the lists that
+    contain d (K=60). The lexical list is bm25_doc_scores' top-K for
+    the fixed query terms; the vector list is the exact cosine top-K
+    around the HYBRID_QUERY_VEC embedding (ids are shared between
+    documents and embeddings per FIXTURES.md). Both ranks ride along
+    (0 = absent from that list).
+
+    Scale: the two branch top-Ks are TakeOrderedAndProject /
+    bounded-window plans (see bm25_doc_scores, knn_bruteforce); the
+    fusion join touches ≤ 2·K rows — driver-trivial at any corpus
+    size. rrf is a sum of two exactly-representable doubles, so
+    round(6) is engine-stable.
+    """
+    from parquet_extractor_spark.operators.similarity import cosine
+
+    lex = bm25_doc_scores(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("rank").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sims = (
+        emb.filter(F.col("vec_id") != HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    vec_top = sims.orderBy(F.desc("cos"), F.asc("id")).limit(HYBRID_TOP_K)
+    wv = Window.orderBy(F.desc("cos"), F.asc("id"))
+    vec = vec_top.select(
+        "id", F.row_number().over(wv).cast("bigint").alias("vec_rank")
+    )
+    fused = (
+        lex.join(vec, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.when(
+                    F.col("lex_rank") > 0,
+                    1.0 / (F.lit(float(HYBRID_RRF_K)) + F.col("lex_rank")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("vec_rank") > 0,
+                    1.0 / (F.lit(float(HYBRID_RRF_K)) + F.col("vec_rank")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(
+        HYBRID_TOP_K
+    )
+
+
+HYBRID_SEARCH_RRF_SQL = rf"""
+WITH lex AS (
+    SELECT doc_id AS id, rank AS lex_rank FROM ({BM25_DOC_SCORES_SQL})
+),
+q AS (
+    SELECT embedding AS q_emb FROM embeddings
+    WHERE vec_id = {HYBRID_QUERY_VEC}
+),
+sims AS (
+    SELECT e.vec_id AS id,
+           round(
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.q_emb,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cos
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != {HYBRID_QUERY_VEC}
+),
+vec AS (
+    SELECT id,
+           CAST(row_number() OVER (ORDER BY cos DESC, id ASC) AS BIGINT)
+               AS vec_rank
+    FROM sims
+    ORDER BY cos DESC, id ASC
+    LIMIT {HYBRID_TOP_K}
+),
+fused AS (
+    SELECT coalesce(lex.id, vec.id) AS id,
+           coalesce(lex.lex_rank, 0) AS lex_rank,
+           coalesce(vec.vec_rank, 0) AS vec_rank
+    FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+)
+SELECT id, lex_rank, vec_rank,
+       round(
+         (CASE WHEN lex_rank > 0
+               THEN 1.0 / ({HYBRID_RRF_K}.0 + lex_rank) ELSE 0.0 END)
+       + (CASE WHEN vec_rank > 0
+               THEN 1.0 / ({HYBRID_RRF_K}.0 + vec_rank) ELSE 0.0 END),
+       6) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, id ASC
+LIMIT {HYBRID_TOP_K}
+"""

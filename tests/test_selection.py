@@ -268,3 +268,36 @@ def test_span_scrub_exact_semantics_on_crafted_corpus(spark, tmp_path):
     assert got[0][1] == 0
     assert got[1][1] >= SPAN_TOKENS and got[2][1] > 0
     assert got[4][1] == 0 and got[5][1] == 0
+
+
+def test_hybrid_search_rrf_fuses_both_lists(spark, sf_small):
+    from parquet_extractor_spark.operators.selection import (
+        HYBRID_RRF_K,
+        HYBRID_TOP_K,
+        bm25_doc_scores,
+        hybrid_search_rrf,
+    )
+
+    rows = hybrid_search_rrf(spark, sf_small).collect()
+    assert 0 < len(rows) <= HYBRID_TOP_K
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    lex = {r.doc_id: r["rank"] for r in bm25_doc_scores(spark, sf_small).collect()}
+    for r in rows:
+        assert r.lex_rank >= 0 and r.vec_rank >= 0
+        assert r.lex_rank > 0 or r.vec_rank > 0  # in at least one list
+        if r.lex_rank:
+            assert lex[r.id] == r.lex_rank
+        want = (1.0 / (HYBRID_RRF_K + r.lex_rank) if r.lex_rank else 0.0) + (
+            1.0 / (HYBRID_RRF_K + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.rrf_score - want) < 1e-6
+    # a doc in BOTH lists must outrank one with only a deep single-list
+    # hit at the same best rank (monotonicity of the fusion)
+    both = [r for r in rows if r.lex_rank and r.vec_rank]
+    if both:
+        only = [r for r in rows if not (r.lex_rank and r.vec_rank)]
+        for b in both:
+            for o in only:
+                if max(b.lex_rank, b.vec_rank) <= (o.lex_rank or o.vec_rank):
+                    assert b.rrf_score > o.rrf_score
