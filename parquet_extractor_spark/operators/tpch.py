@@ -848,9 +848,14 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance): how many distinct suppliers can provide each
     (brand, type, size) combination, excluding Brand#1, PROMO parts,
     and the excluded suppliers. NOT IN decorrelates to a LEFT ANTI
-    join against the (tiny, broadcast) excluded-supplier list; the
-    distinct pair projection collapses lineitem once on ONE shuffle
-    before any dimension join."""
+    join against the (tiny, broadcast) excluded-supplier list.
+
+    Plan: both dimension joins are broadcast and run MAP-SIDE against
+    the raw lineitem scan, so the qualifying-part filter prunes the
+    fact rows BEFORE the only wide shuffle — the distinct over
+    (brand, type, size, suppkey), which also makes the final count a
+    plain count(*) (no count-distinct expand; partkey is irrelevant
+    once the group columns ride along)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -860,12 +865,19 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    quads = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
     return (
-        ps.join(F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti")
-        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        quads.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count("*").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
