@@ -398,3 +398,75 @@ fit AS (
 SELECT n_terms, total_tokens, zipf_slope, zipf_intercept
 FROM vocab, fit
 """
+
+
+TEXT_INDEX_BUCKETS = 32
+
+
+def build_text_index(
+    spark: SparkSession, sf_dir: str, table_name: str = "text_index"
+) -> None:
+    """Persist the positional inverted index as a catalog table
+    bucketed on doc_id.
+
+    Build once, search many — the index-maintenance half of a lexical
+    search engine. Postings are (doc_id, pos, term) rows; the write
+    pays the doc_id hash partitioning ONCE, so every later
+    per-document operation — phrase adjacency self-joins on
+    (doc_id, pos), document-length aggregations, tf grouping —
+    runs WITHOUT a shuffle (asserted in tests: the phrase plan over
+    the index has zero Exchange nodes). Term filters still push down
+    to the parquet scan as predicates, and sortBy(doc_id, pos) makes
+    each bucket file adjacency-ordered for the merge join.
+
+    At 100 TB the bucket count is sized so one bucket fits an
+    executor core (same rule as write_bucketed documents); index
+    refresh is an append of new doc_id ranges, not a rebuild.
+    """
+    from parquet_extractor_spark.sinks.dataset import write_bucketed
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(tokenize("text")).alias("pos", "term"),
+    )
+    write_bucketed(
+        postings,
+        table_name,
+        ["doc_id"],
+        n_buckets=TEXT_INDEX_BUCKETS,
+        sort_by=["doc_id", "pos"],
+    )
+
+
+def search_phrase_index(
+    spark: SparkSession,
+    phrase: tuple[str, ...] = PHRASE,
+    table_name: str = "text_index",
+) -> DataFrame:
+    """phrase_search's plan over the PERSISTED index: same adjacency
+    equi-joins, but both join sides read the doc_id-bucketed posting
+    table, so the whole match pipeline — joins on (doc_id, pos),
+    per-doc hit count — is exchange-free; the only movement is the
+    final bounded top-k. Results are identical to phrase_search run
+    against the raw corpus (equality-tested)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    pos = spark.table(table_name).filter(F.col("term").isin(*phrase))
+    matched = pos.filter(F.col("term") == phrase[0]).select(
+        "doc_id", F.col("pos").alias("p0")
+    )
+    for off, word in enumerate(phrase[1:], start=1):
+        nxt = pos.filter(F.col("term") == word).select(
+            "doc_id", (F.col("pos") - off).alias("p0")
+        )
+        matched = matched.join(nxt, ["doc_id", "p0"])
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            (F.min("p0") + 1).alias("first_pos"),
+        )
+        .orderBy(F.desc("n_hits"), "doc_id")
+        .limit(PHRASE_TOP)
+    )

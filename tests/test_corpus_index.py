@@ -175,3 +175,32 @@ def test_source_log_odds_terms_shape(spark, sf_small):
         p_src = src_counts[(src, top.term)] / src_n[src]
         p_all = corpus_counts[top.term] / corpus_n
         assert p_src > p_all
+
+
+def test_persisted_text_index_phrase_search(spark, sf_small):
+    """build_text_index + search_phrase_index: same results as the
+    on-the-fly phrase_search, and the indexed plan is exchange-free up
+    to the bounded top-k (the doc_id bucketing paid the shuffle at
+    write time)."""
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    corpus_index.build_text_index(spark, sf_small, "text_index_t")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        indexed = corpus_index.search_phrase_index(
+            spark, table_name="text_index_t"
+        )
+        live = corpus_index.phrase_search(spark, sf_small)
+        assert [tuple(r) for r in indexed.collect()] == [
+            tuple(r) for r in live.collect()
+        ]
+        plan = formatted_plan(indexed)
+        # adjacency join + per-doc agg ride the bucketing: the only
+        # allowed movement is the final top-k single-partition gather
+        body = plan.split("TakeOrderedAndProject")[-1]
+        assert "Exchange" not in body
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS text_index_t")
