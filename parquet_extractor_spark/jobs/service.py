@@ -145,6 +145,8 @@ def create_app(spark: SparkSession, output_root: str):
     GET  /api/jobs/<id>              — O2 (status)
     POST /api/jobs/<id>/cancel       — beyond reference (cancellable)
     GET  /api/queries                — beyond reference: registry listing
+    GET  /api/explain/<name>         — beyond reference: formatted
+                                       physical plan without execution
     POST /api/query/<name>           — beyond reference: run ANY
                                        registered analytics query async
     POST /api/analyze/corpus         — §3.3 flagship (corpus stats)
@@ -216,6 +218,33 @@ def create_app(spark: SparkSession, output_root: str):
         except ImportError:
             return jsonify({"error": "query registry unavailable"}), 503
         return jsonify(sorted(entrymod.queries()))
+
+    @app.get("/api/explain/<name>")
+    def explain_named_query(name: str):
+        """Formatted physical plan of any registered query — the
+        engine's EXPLAIN face: lets an operator confirm pushdown /
+        join strategy / exchange count over REST without running the
+        query (plans are built lazily; nothing executes)."""
+        try:
+            import __spark_entry__ as entrymod
+        except ImportError:
+            return jsonify({"error": "query registry unavailable"}), 503
+        registry = entrymod.queries()
+        if name not in registry:
+            return jsonify({"error": f"unknown query '{name}'"}), 404
+        sf_dir = request.args.get("sf_dir", "/root/testdata/sf0.001")
+        from parquet_extractor_spark.plans.explain import formatted_plan
+
+        df = registry[name](spark, sf_dir)
+        plan = formatted_plan(df)
+        return jsonify(
+            {
+                "query": name,
+                "sf_dir": sf_dir,
+                "plan": plan,
+                "exchanges": plan.count("Exchange"),
+            }
+        )
 
     @app.post("/api/query/<name>")
     def run_named_query(name: str):

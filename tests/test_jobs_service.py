@@ -237,3 +237,16 @@ def test_query_endpoint_rejects_bad_limit(client):
         resp = client.post("/api/query/corpus_stats", json={"limit": bad})
         assert resp.status_code == 400, bad
         assert "limit" in resp.get_json()["error"]
+
+
+def test_explain_endpoint(client):
+    out = client.get("/api/explain/q1_pricing_summary").get_json()
+    assert out["query"] == "q1_pricing_summary"
+    # a real formatted physical plan, not an error string
+    assert "AdaptiveSparkPlan" in out["plan"] or "Physical Plan" in out["plan"]
+    assert "Scan parquet" in out["plan"]
+    assert isinstance(out["exchanges"], int)
+    # nothing executed: explain of a heavy query returns immediately
+    out2 = client.get("/api/explain/dedup_ngram_jaccard").get_json()
+    assert "Exchange" in out2["plan"]
+    assert client.get("/api/explain/nope").status_code == 404
