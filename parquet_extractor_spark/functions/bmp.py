@@ -50,9 +50,18 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 
 def decode_bmp(data: bytes) -> np.ndarray:
-    """24-bit BI_RGB BMP bytes -> (H,W,3) uint8 RGB."""
+    """24-bit BI_RGB BMP bytes -> (H,W,3) uint8 RGB. Malformed or
+    truncated input raises ValueError (never struct.error/IndexError),
+    so the mapInPandas feature path's per-row fallback catches it."""
     if not is_bmp(data):
         raise ValueError("not a BMP stream")
+    try:
+        return _decode_bmp_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt BMP stream: {exc}") from exc
+
+
+def _decode_bmp_inner(data: bytes) -> np.ndarray:
     magic, _size, _r1, _r2, offset = _FILE_HEADER.unpack_from(data, 0)
     (
         hdr_size,

@@ -177,9 +177,19 @@ def _deinterlace(img: np.ndarray) -> np.ndarray:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes -> (H,W,3) uint8 RGB of the first frame."""
+    """GIF bytes -> (H,W,3) uint8 RGB of the first frame. Malformed
+    or truncated input raises ValueError (never struct.error /
+    IndexError), so the mapInPandas feature path's per-row fallback
+    catches it."""
     if not is_gif(data):
         raise ValueError("not a GIF stream")
+    try:
+        return _decode_gif_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"corrupt GIF stream: {exc}") from exc
+
+
+def _decode_gif_inner(data: bytes) -> np.ndarray:
     pos = 6
     _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, pos)
     pos += 7

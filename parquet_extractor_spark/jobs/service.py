@@ -223,8 +223,12 @@ def create_app(spark: SparkSession, output_root: str):
     def explain_named_query(name: str):
         """Formatted physical plan of any registered query — the
         engine's EXPLAIN face: lets an operator confirm pushdown /
-        join strategy / exchange count over REST without running the
-        query (plans are built lazily; nothing executes)."""
+        join strategy / exchange count over REST without executing
+        the query's output. Caveat: queries whose plans embed
+        data-derived literals (IVF/k-means centroid families) run
+        small bounded driver jobs at plan-BUILD time; those run
+        synchronously here. Builder failures (bad sf_dir, missing
+        table) return 400, not 500."""
         try:
             import __spark_entry__ as entrymod
         except ImportError:
@@ -235,14 +239,23 @@ def create_app(spark: SparkSession, output_root: str):
         sf_dir = request.args.get("sf_dir", "/root/testdata/sf0.001")
         from parquet_extractor_spark.plans.explain import formatted_plan
 
-        df = registry[name](spark, sf_dir)
-        plan = formatted_plan(df)
+        try:
+            df = registry[name](spark, sf_dir)
+            plan = formatted_plan(df)
+        except Exception as exc:  # surface builder errors as client errors
+            return (
+                jsonify({"error": f"{type(exc).__name__}: {exc}"[:500]}),
+                400,
+            )
+        # shuffle + broadcast exchanges; ReusedExchange references the
+        # same physical exchange, so it must not inflate the count
+        n_exchanges = plan.count("Exchange") - plan.count("ReusedExchange")
         return jsonify(
             {
                 "query": name,
                 "sf_dir": sf_dir,
                 "plan": plan,
-                "exchanges": plan.count("Exchange"),
+                "exchanges": n_exchanges,
             }
         )
 

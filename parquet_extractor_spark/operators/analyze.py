@@ -228,17 +228,23 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     document type.
 
     Exact, no sampling: ECDFs are evaluated on the full corpus length
-    support. The max runs over |cum_s·n_all − cum_all·n_s| in BIGINT
-    (one division at the end), so both engines agree to the last bit.
+    support. The max runs over |cum_s·n_all − cum_all·n_s| in
+    DECIMAL(38,0) (one division at the end): the products reach
+    ~n_docs² and would wrap a 64-bit long near 3e9 documents, while
+    decimal stays exact to 1e38 — matching DuckDB's HUGEINT promotion
+    bit for bit.
 
     Shape for scale: lengths pre-aggregate to (source, x) counts —
     the largest shuffle carries |sources|×|distinct lengths| partial
     rows, NOT documents. The evaluation grid is that same bounded
     support crossed with the (tiny) source list; per-source running
-    sums are windows partitioned by source, and the corpus cumulative
-    re-aggregates from the per-source cumulatives via a window over x
-    (state: one partial per source) — no unpartitioned window
-    anywhere, no second scan of the documents table.
+    sums are windows partitioned by source, and BOTH corpus-side
+    quantities (cumulative and total) re-aggregate from the
+    per-source columns via one window over x (state: one partial per
+    source) — no unpartitioned window and no separate corpus-total
+    branch. The three column-pruned (source, n_chars) scans feeding
+    counts / support / source-list are each width-2 projections of
+    the same parquet footprint.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     cs = (
@@ -263,28 +269,33 @@ def source_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_run).alias("cum_s"),
         F.sum("c").over(w_src).alias("n_s"),
     )
+    # at any fixed x, Σ_sources n_s = corpus total — so n_all rides
+    # the same per-x window as cum_all, with no extra scan branch
     w_x = Window.partitionBy("x")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     both = cum.select(
         "source",
         "x",
         "cum_s",
         "n_s",
         F.sum("cum_s").over(w_x).alias("cum_all"),
+        F.sum("n_s").over(w_x).alias("n_all"),
     )
-    total = filled.agg(F.sum("c").alias("n_all"))
     return (
-        both.join(F.broadcast(total))
-        .groupBy("source")
+        both.groupBy("source")
         .agg(
             F.max("n_s").alias("n_docs"),
             F.round(
                 F.max(
                     F.abs(
-                        F.col("cum_s") * F.col("n_all")
-                        - F.col("cum_all") * F.col("n_s")
+                        dec("cum_s") * dec("n_all")
+                        - dec("cum_all") * dec("n_s")
                     )
-                )
-                / (F.max("n_s") * F.max("n_all")),
+                ).cast("double")
+                / (
+                    F.max("n_s").cast("double")
+                    * F.max("n_all").cast("double")
+                ),
                 6,
             ).alias("ks_stat"),
         )
@@ -316,15 +327,16 @@ cum AS (
 ),
 both_cdf AS (
     SELECT source, x, cum_s, n_s,
-           sum(cum_s) OVER (PARTITION BY x) AS cum_all
+           sum(cum_s) OVER (PARTITION BY x) AS cum_all,
+           sum(n_s) OVER (PARTITION BY x) AS n_all
     FROM cum
-),
-total AS (SELECT sum(c) AS n_all FROM filled)
+)
 SELECT source,
        CAST(max(n_s) AS BIGINT) AS n_docs,
        round(CAST(max(abs(cum_s * n_all - cum_all * n_s)) AS DOUBLE)
-             / (max(n_s) * max(n_all)), 6) AS ks_stat
-FROM both_cdf CROSS JOIN total
+             / (CAST(max(n_s) AS DOUBLE) * CAST(max(n_all) AS DOUBLE)),
+             6) AS ks_stat
+FROM both_cdf
 GROUP BY source
 ORDER BY source
 """

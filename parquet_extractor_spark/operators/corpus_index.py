@@ -313,15 +313,23 @@ def phrase_search(
     accepts; the per-term df cap used by dedup would bolt on
     unchanged if needed.
     """
-    if len(phrase) < 2:
-        raise ValueError("phrase needs >= 2 terms")
     docs = spread(load_table(spark, sf_dir, "documents"))
-    pos = docs.select(
+    postings = docs.select(
         "doc_id",
         F.posexplode(tokenize("text")).alias("pos", "term"),
-    ).filter(F.col("term").isin(*phrase))
-    # postings of the first word anchor the match; each later word
-    # joins on (doc_id, anchor_pos + offset)
+    )
+    return _phrase_match(postings, phrase)
+
+
+def _phrase_match(postings: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """Shared adjacency-match pipeline over a (doc_id, pos, term)
+    posting frame — used by both the on-the-fly phrase_search and the
+    persisted-index search_phrase_index. Postings of the first word
+    anchor the match; each later word equi-joins on
+    (doc_id, anchor_pos + offset)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    pos = postings.filter(F.col("term").isin(*phrase))
     matched = pos.filter(F.col("term") == phrase[0]).select(
         "doc_id", F.col("pos").alias("p0")
     )
@@ -450,23 +458,4 @@ def search_phrase_index(
     per-doc hit count — is exchange-free; the only movement is the
     final bounded top-k. Results are identical to phrase_search run
     against the raw corpus (equality-tested)."""
-    if len(phrase) < 2:
-        raise ValueError("phrase needs >= 2 terms")
-    pos = spark.table(table_name).filter(F.col("term").isin(*phrase))
-    matched = pos.filter(F.col("term") == phrase[0]).select(
-        "doc_id", F.col("pos").alias("p0")
-    )
-    for off, word in enumerate(phrase[1:], start=1):
-        nxt = pos.filter(F.col("term") == word).select(
-            "doc_id", (F.col("pos") - off).alias("p0")
-        )
-        matched = matched.join(nxt, ["doc_id", "p0"])
-    return (
-        matched.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_hits"),
-            (F.min("p0") + 1).alias("first_pos"),
-        )
-        .orderBy(F.desc("n_hits"), "doc_id")
-        .limit(PHRASE_TOP)
-    )
+    return _phrase_match(spark.table(table_name), phrase)

@@ -352,3 +352,28 @@ def test_decode_image_dispatches_gif_and_bmp():
     assert np.array_equal(decode_image(encode_gif(gif_arr)), gif_arr)
     bmp_arr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(encode_bmp(bmp_arr)), bmp_arr)
+
+
+def test_corrupt_media_rows_fall_back_not_crash():
+    """Truncated/garbage bytes wearing a valid magic must raise
+    ValueError from the codecs (never struct.error/IndexError), so the
+    mapInPandas feature path's per-row fallback catches them."""
+    from parquet_extractor_spark.functions.bmp import decode_bmp
+    from parquet_extractor_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from parquet_extractor_spark.operators.multimodal import (
+        fake_feature,
+        feature_for_bytes,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM\x00\x01bogus")
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    good = encode_gif(pal[np.zeros((8, 8), dtype=np.int64)])
+    with pytest.raises(ValueError):
+        decode_gif(good[: len(good) // 2])  # mid-stream truncation
+    # the feature path degrades to the byte-hash stand-in, not a crash
+    for bad in (b"BM\x00\x01bogus", good[: len(good) // 2]):
+        assert feature_for_bytes(bad) == fake_feature(bad)
