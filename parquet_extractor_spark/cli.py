@@ -107,6 +107,28 @@ def build_parser() -> argparse.ArgumentParser:
     sq.add_argument("sf_dir", help="fixture dir containing the parquet tables")
     sq.add_argument("--limit", type=int, default=100,
                     help="max rows printed (plan-level LIMIT, default 100)")
+
+    sr = sub.add_parser(
+        "search", help="retrieval over the documents/embeddings tables"
+    )
+    sr.add_argument(
+        "method", choices=["phrase", "bm25", "hybrid"],
+        help="phrase: positional exact-phrase match; bm25: lexical "
+        "top-k for the default term set; hybrid: BM25 + cosine "
+        "reciprocal rank fusion",
+    )
+    sr.add_argument("sf_dir", help="fixture dir containing the parquet tables")
+    sr.add_argument("--phrase", default=None,
+                    help="space-separated phrase (phrase method only; "
+                    "default 'table value')")
+    sr.add_argument("--limit", type=int, default=20,
+                    help="max rows printed (default 20)")
+
+    xp = sub.add_parser(
+        "explain", help="formatted physical plan of a registered query"
+    )
+    xp.add_argument("name", help="queries() registry name")
+    xp.add_argument("sf_dir", help="fixture dir containing the parquet tables")
     return p
 
 
@@ -116,7 +138,7 @@ def main(argv: list[str] | None = None) -> int:
     # is treated as `parquet FILE`
     known = {
         "parquet", "cisi", "analyze", "curate", "sql", "select",
-        "dedup", "export",
+        "dedup", "export", "search", "explain",
     }
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
@@ -222,6 +244,36 @@ def main(argv: list[str] | None = None) -> int:
         rows = spark.sql(args.query).limit(args.limit).collect()
         for row in rows:
             print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.command == "search":
+        from parquet_extractor_spark.operators import corpus_index, selection
+
+        if args.method == "phrase":
+            phrase = (
+                tuple(args.phrase.split())
+                if args.phrase
+                else corpus_index.PHRASE
+            )
+            df = corpus_index.phrase_search(spark, args.sf_dir, phrase)
+        elif args.method == "bm25":
+            df = selection.bm25_doc_scores(spark, args.sf_dir)
+        else:
+            df = selection.hybrid_search_rrf(spark, args.sf_dir)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+        return 0
+
+    if args.command == "explain":
+        import __spark_entry__ as entrymod
+
+        from parquet_extractor_spark.plans.explain import formatted_plan
+
+        registry = entrymod.queries()
+        if args.name not in registry:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}))
+            return 1
+        print(formatted_plan(registry[args.name](spark, args.sf_dir)))
         return 0
 
     if args.command == "curate":

@@ -459,3 +459,30 @@ def search_phrase_index(
     final bounded top-k. Results are identical to phrase_search run
     against the raw corpus (equality-tested)."""
     return _phrase_match(spark.table(table_name), phrase)
+
+
+def append_text_index(
+    spark: SparkSession, docs: DataFrame, table_name: str = "text_index"
+) -> None:
+    """Incremental index refresh: append postings for NEW documents
+    (a crawl increment) to the persisted index. The append writes into
+    the existing bucket layout (same bucket count and sort), so
+    searches over the refreshed index keep the exchange-free plan —
+    refresh cost is proportional to the increment, never a rebuild.
+    ``docs`` must carry (doc_id, text) with doc_ids disjoint from the
+    indexed corpus (the caller's contract, same as any append-only
+    ingest)."""
+    from parquet_extractor_spark.sinks.dataset import write_bucketed
+
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(tokenize("text")).alias("pos", "term"),
+    )
+    write_bucketed(
+        postings,
+        table_name,
+        ["doc_id"],
+        n_buckets=TEXT_INDEX_BUCKETS,
+        sort_by=["doc_id", "pos"],
+        mode="append",
+    )

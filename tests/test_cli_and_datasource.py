@@ -345,3 +345,25 @@ def test_docs_stream_reader_restart_does_not_regress_offsets():
     assert parts[0].start == 600 and parts[-1].end == 800
     ids = [row[0] for p in parts for row in r.read(p)]
     assert ids == [f"doc{i}" for i in range(600, 800)]
+
+
+def test_cli_search_and_explain(spark, sf_small, capsys):
+    import json
+
+    rc = cli_main(["search", "phrase", sf_small, "--phrase", "value table"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert rows and all(r["n_hits"] >= 1 for r in rows)
+
+    rc = cli_main(["search", "hybrid", sf_small, "--limit", "5"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert 0 < len(rows) <= 5 and "rrf_score" in rows[0]
+
+    rc = cli_main(["explain", "q1_pricing_summary", sf_small])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Scan parquet" in out
+
+    rc = cli_main(["explain", "nope", sf_small])
+    assert rc == 1

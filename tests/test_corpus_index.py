@@ -204,3 +204,33 @@ def test_persisted_text_index_phrase_search(spark, sf_small):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS text_index_t")
+
+
+def test_text_index_incremental_append(spark, sf_small):
+    """A crawl increment appended to the persisted index is visible
+    to the same exchange-free search — no rebuild."""
+    corpus_index.build_text_index(spark, sf_small, "text_index_a")
+    before = {
+        r.doc_id
+        for r in corpus_index.search_phrase_index(
+            spark, table_name="text_index_a"
+        ).collect()
+    }
+    new_id = 10_000_001
+    phrase_text = " ".join(corpus_index.PHRASE)
+    inc = spark.createDataFrame(
+        [(new_id, f"padding words {phrase_text} more {phrase_text}")],
+        "doc_id long, text string",
+    )
+    try:
+        corpus_index.append_text_index(spark, inc, "text_index_a")
+        after = corpus_index.search_phrase_index(
+            spark, table_name="text_index_a"
+        )
+        got = {r.doc_id: r for r in after.collect()}
+        assert new_id in got
+        assert got[new_id].n_hits == 2
+        # the pre-existing matches are untouched
+        assert before <= set(got) | before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS text_index_a")
