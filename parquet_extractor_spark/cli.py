@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     xp.add_argument("name", help="queries() registry name")
     xp.add_argument("sf_dir", help="fixture dir containing the parquet tables")
+
+    dc = sub.add_parser(
+        "datacard", help="corpus datasheet JSON (volume, mix, quality, "
+        "dedup reduction, drift)"
+    )
+    dc.add_argument("sf_dir", help="fixture dir containing the parquet tables")
     return p
 
 
@@ -138,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     # is treated as `parquet FILE`
     known = {
         "parquet", "cisi", "analyze", "curate", "sql", "select",
-        "dedup", "export", "search", "explain",
+        "dedup", "export", "search", "explain", "datacard",
     }
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
@@ -274,6 +280,12 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"error": f"unknown query {args.name!r}"}))
             return 1
         print(formatted_plan(registry[args.name](spark, args.sf_dir)))
+        return 0
+
+    if args.command == "datacard":
+        from parquet_extractor_spark.pipelines import datacard
+
+        print(json.dumps(datacard(spark, args.sf_dir), default=str))
         return 0
 
     if args.command == "curate":

@@ -233,3 +233,64 @@ def incremental_dedup(
     return w_first.join(seen_digests, "text_md5", "left_anti").drop(
         "text_md5"
     )
+
+
+def datacard(spark: SparkSession, sf_dir: str) -> dict:
+    """Corpus datasheet (Gebru et al. 2021 "Datasheets for Datasets",
+    mechanized): one JSON-able report assembling the bounded
+    aggregates an LLM-data release ships alongside the shards —
+    volume, language/source mix, quality pass rates, dedup reduction,
+    length profile, and per-source drift screens.
+
+    Every section is an existing registry query; each returns a
+    GROUP-cardinality result (languages, sources, one-row stats), so
+    the driver only ever collects constant-size tables no matter the
+    corpus size. The heavy lifting stays in the same audited plans
+    the driver hash-checks.
+    """
+    from parquet_extractor_spark.operators.analyze import (
+        corpus_stats,
+        doc_length_quantiles,
+        source_length_ks,
+        source_token_kl,
+        tokens_per_lang,
+    )
+    from parquet_extractor_spark.operators.dedup import (
+        dedup_reduction_report,
+    )
+    from parquet_extractor_spark.operators.quality import (
+        source_quality_summary,
+    )
+
+    stats = corpus_stats(spark, sf_dir).first().asDict()
+    langs = [
+        r.asDict() for r in tokens_per_lang(spark, sf_dir).collect()
+    ]
+    lengths = [
+        r.asDict() for r in doc_length_quantiles(spark, sf_dir).collect()
+    ]
+    quality = [
+        r.asDict() for r in source_quality_summary(spark, sf_dir).collect()
+    ]
+    reduction = [
+        r.asDict() for r in dedup_reduction_report(spark, sf_dir).collect()
+    ]
+    kl = {r.source: r.kl_divergence for r in source_token_kl(spark, sf_dir).collect()}
+    ks = {r.source: r.ks_stat for r in source_length_ks(spark, sf_dir).collect()}
+    drift = [
+        {
+            "source": s,
+            "token_kl": kl[s],
+            "length_ks": ks.get(s),
+        }
+        for s in sorted(kl)
+    ]
+    return {
+        "sf_dir": sf_dir,
+        "corpus": stats,
+        "languages": langs,
+        "length_quantiles": lengths,
+        "quality_by_source": quality,
+        "dedup_reduction": reduction,
+        "drift_by_source": drift,
+    }

@@ -174,3 +174,30 @@ def test_curate_classifier_stage_gates_exactly_on_keep_flag(spark, sf_small):
     }
     assert gated == base & kept_flags
     assert gated < base  # the stage must actually drop something here
+
+
+def test_datacard_report(spark, sf_small):
+    from parquet_extractor_spark.operators.analyze import corpus_stats
+    from parquet_extractor_spark.pipelines import datacard
+
+    card = datacard(spark, sf_small)
+    assert set(card) == {
+        "sf_dir",
+        "corpus",
+        "languages",
+        "length_quantiles",
+        "quality_by_source",
+        "dedup_reduction",
+        "drift_by_source",
+    }
+    direct = corpus_stats(spark, sf_small).first().asDict()
+    assert card["corpus"] == direct
+    assert card["languages"] and card["drift_by_source"]
+    langs_total = sum(r["total_tokens"] for r in card["languages"])
+    assert langs_total == direct["total_tokens"]
+    for d in card["drift_by_source"]:
+        assert d["token_kl"] >= 0.0
+        assert d["length_ks"] is not None and 0.0 <= d["length_ks"] <= 1.0
+    import json as _json
+
+    _json.dumps(card, default=str)  # JSON-able end to end
