@@ -178,3 +178,4 @@ def read_jsonl_dataset(spark, out_dir: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(out_dir)
+

@@ -272,3 +272,19 @@ def test_jsonl_sink_roundtrip_and_line_format(spark, sf_small, tmp_path):
     want = {(r.doc_id, r.text, r.lang, r.source) for r in docs.collect()}
     got = {(r.doc_id, r.text, r.lang, r.source) for r in back.collect()}
     assert got == want
+
+
+def test_compact_dataset_preserves_content_exactly(spark, sf_small, tmp_path):
+    """Compaction is a layout change only: row multiset identical."""
+    from parquet_extractor_spark.sinks.dataset import compact_dataset
+    from parquet_extractor_spark.sources.tables import load_table
+
+    frag = str(tmp_path / "fragmented2")
+    docs = load_table(spark, sf_small, "documents")
+    docs.repartition(80).write.parquet(frag)
+    report = compact_dataset(spark, frag, target_file_mb=256)
+    assert report["files_after"] < report["files_before"]
+    assert report["rows"] == docs.count()
+    back = spark.read.parquet(frag)
+    assert back.exceptAll(docs).count() == 0
+    assert docs.exceptAll(back).count() == 0
