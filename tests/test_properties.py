@@ -189,3 +189,60 @@ def test_wav_roundtrip_property(n, stereo, sr, data):
     out, got_sr = decode_wav(encode_wav(samples, sr))
     assert got_sr == sr
     assert np.array_equal(out, samples)
+
+
+@st.composite
+def gif_arrays(draw):
+    h = draw(st.integers(1, 24))
+    w = draw(st.integers(1, 24))
+    ncol = draw(st.integers(1, 256))
+    pal_bytes = draw(st.binary(min_size=ncol * 3, max_size=ncol * 3))
+    pal = np.unique(
+        np.frombuffer(pal_bytes, dtype=np.uint8).reshape(ncol, 3), axis=0
+    )
+    idx = draw(
+        st.lists(
+            st.integers(0, len(pal) - 1), min_size=h * w, max_size=h * w
+        )
+    )
+    return pal[np.asarray(idx, dtype=np.int64)].reshape(h, w, 3)
+
+
+@settings(max_examples=30, deadline=None)
+@given(arr=gif_arrays())
+def test_gif_roundtrip_property(arr):
+    """GIF LZW encode/decode is exact for arbitrary dims and any
+    palette up to the format's 256-color bound; encoding is
+    deterministic."""
+    from parquet_extractor_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+        is_gif,
+    )
+
+    data = encode_gif(arr)
+    assert is_gif(data) and data.endswith(b"\x3b")
+    assert data == encode_gif(arr)
+    assert np.array_equal(decode_gif(data), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(h, w, data):
+    """24-bit BMP encode/decode is exact for arbitrary dims/content
+    (row padding covered by non-multiple-of-4 widths)."""
+    from parquet_extractor_spark.functions.bmp import (
+        decode_bmp,
+        encode_bmp,
+        is_bmp,
+    )
+
+    raw = data.draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    out = encode_bmp(arr)
+    assert is_bmp(out)
+    assert np.array_equal(decode_bmp(out), arr)
