@@ -53,3 +53,129 @@ def salted_join(
     )
     out = salted_l.join(replicated_r, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+SKEW_KEY_COLUMNS = ("l_orderkey", "l_partkey", "l_suppkey")
+SKEW_TOP_KEYS = 5
+
+
+def join_key_skew(spark, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over the fact table — the measurement
+    behind every "salt it / bucket it / leave it" decision this module
+    automates. For each candidate lineitem join key: distinct-key
+    count, total rows, the heaviest key's row count, the max/mean
+    ratio (1.0 = perfectly uniform; the factor the slowest reducer is
+    overloaded by on an unsalted shuffle join), and the top heavy keys.
+
+    One scan of the three key columns; a 3-way explode tags each row
+    with (key_column, key), then ONE partial+final agg per (column,
+    key) and a bounded per-column top-k window. Exact integer counts
+    → the ratio divides two exact doubles, identical in any engine.
+
+    Scale: shuffle carries (column, key) partial counts — 3× the key
+    cardinality, not 3× the rows; the heavy-key window sees only
+    per-key counts and the output is 3 rows.
+    """
+    from parquet_extractor_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    tagged = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key_column"),
+                        F.col(c).cast("long").alias("key"),
+                    )
+                    for c in SKEW_KEY_COLUMNS
+                ]
+            )
+        ).alias("t")
+    ).select("t.key_column", "t.key")
+    counts = tagged.groupBy("key_column", "key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key_column").orderBy(F.desc("c"), "key")
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= SKEW_TOP_KEYS)
+        .groupBy("key_column")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_rn", "key"))
+                    ),
+                    lambda s: s.key.cast("string"),
+                ),
+                ",",
+            ).alias("top_keys")
+        )
+    )
+    stats = counts.groupBy("key_column").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_count"),
+    )
+    return (
+        stats.join(top, "key_column")
+        .select(
+            "key_column",
+            "n_keys",
+            "total_rows",
+            "max_count",
+            F.round(
+                F.col("max_count").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+            "top_keys",
+        )
+        .orderBy("key_column")
+    )
+
+
+_SKEW_COLS_SQL = ", ".join(f"('{c}')" for c in SKEW_KEY_COLUMNS)
+
+JOIN_KEY_SKEW_SQL = rf"""
+WITH tagged AS (
+    SELECT 'l_orderkey' AS key_column, l_orderkey AS key FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', l_partkey FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+counts AS (
+    SELECT key_column, key, count(*) AS c
+    FROM tagged GROUP BY 1, 2
+),
+top AS (
+    SELECT key_column,
+           array_to_string(list(CAST(key AS VARCHAR) ORDER BY rn), ',')
+               AS top_keys
+    FROM (
+        SELECT key_column, key,
+               row_number() OVER (PARTITION BY key_column
+                                  ORDER BY c DESC, key) AS rn
+        FROM counts
+    )
+    WHERE rn <= {SKEW_TOP_KEYS}
+    GROUP BY key_column
+),
+stats AS (
+    SELECT key_column,
+           count(*) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS total_rows,
+           CAST(max(c) AS BIGINT) AS max_count
+    FROM counts GROUP BY 1
+)
+SELECT key_column, n_keys, total_rows, max_count,
+       round(CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(total_rows AS DOUBLE), 6) AS skew_ratio,
+       top_keys
+FROM stats JOIN top USING (key_column)
+ORDER BY key_column
+"""

@@ -66,3 +66,30 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_join_key_skew_report(spark, sf_small):
+    from parquet_extractor_spark.operators.skew import (
+        SKEW_KEY_COLUMNS,
+        join_key_skew,
+    )
+
+    rows = {r.key_column: r for r in join_key_skew(spark, sf_small).collect()}
+    assert set(rows) == set(SKEW_KEY_COLUMNS)
+    li = load_table(spark, sf_small, "lineitem")
+    n = li.count()
+    for col, r in rows.items():
+        assert r.total_rows == n
+        assert r.n_keys == li.select(col).distinct().count()
+        top = r.top_keys.split(",")
+        assert 1 <= len(top) <= 5
+        # heaviest key recomputed directly
+        heavy = (
+            li.groupBy(col)
+            .count()
+            .orderBy(F.desc("count"), col)
+            .first()
+        )
+        assert int(top[0]) == heavy[col]
+        assert r.max_count == heavy["count"]
+        assert r.skew_ratio >= 1.0
