@@ -301,6 +301,30 @@ def media_feature_checksums(spark, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+RESIZE_W, RESIZE_H = 32, 16  # media_resize_checksums target dims
+
+
+def media_resize_checksums(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable resize query: run the REAL decode → nearest-
+    neighbor resample → re-encode pipeline (resize_images) over the
+    image rows of the deterministic media fixture and reduce each
+    output binary to (length, 60-bit md5 prefix) — a BYTE-level pin
+    of all four codecs' encode sides, complementing
+    media_feature_checksums' pixel-level pin of the decode sides.
+    The oracle (MEDIA_RESIZE_CHECKSUMS_SQL, generated from the same
+    pure-Python resize_bytes, committed) lists the expected values as
+    literals. ``sf_dir`` unused, as for media_feature_checksums."""
+    del sf_dir
+    resized = resize_images(synthetic_media(spark), RESIZE_W, RESIZE_H)
+    return resized.select(
+        "media_id",
+        F.length("data").cast("bigint").alias("n_bytes"),
+        F.conv(F.substring(F.md5("data"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("bytes_hash"),
+    ).orderBy("media_id")
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -324,17 +348,12 @@ def fake_resized_bytes(data: bytes | None, width: int, height: int) -> bytes:
     return np.resize(arr, width * height).tobytes()
 
 
-def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Image-resize over mapInPandas: PNG/JPEG rows decode → nearest-
-    neighbor resample → re-encode in their own format, all on real
-    pixels (functions/png.py, functions/jpeg.py); non-decodable
-    formats fall back to the declared byte-tiling fake. The
-    Spark-side contract either way: filter to images BEFORE the
-    Python boundary (pushed to the scan), Arrow-batched binary
-    streaming in, bounded binary out, output volume proportional to
-    row count × target dims — which is what determines the downstream
-    partition sizing when the resized table is written.
-    """
+def resize_bytes(d: bytes | None, width: int, height: int) -> bytes:
+    """Per-row decode → nearest-neighbor resample → re-encode in the
+    source format (PNG/JPEG/GIF/BMP — all real in-repo codecs);
+    undecodable rows fall back to the declared byte-tiling fake. Pure
+    function of the inputs — shared by the Spark mapInPandas stage and
+    the oracle generator (tools/gen_multimodal_oracle.py)."""
     from parquet_extractor_spark.functions.bmp import encode_bmp, is_bmp
     from parquet_extractor_spark.functions.gif import encode_gif, is_gif
     from parquet_extractor_spark.functions.jpeg import encode_jpeg, is_jpeg
@@ -344,31 +363,38 @@ def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> Data
         resize_nearest,
     )
 
+    try:
+        if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
+            return encode_png(resize_nearest(decode_image(d), width, height))
+        if is_jpeg(d):
+            return encode_jpeg(
+                resize_nearest(decode_image(d), width, height),
+                quality=90,
+                subsample=True,
+            )
+        if is_gif(d):
+            # nearest-neighbor only replicates pixels, so the resized
+            # frame stays inside the source palette
+            return encode_gif(resize_nearest(decode_image(d), width, height))
+        if is_bmp(d):
+            return encode_bmp(resize_nearest(decode_image(d), width, height))
+    except (NotImplementedError, ValueError):
+        pass  # undecodable row (progressive/corrupt): declared fake
+    return fake_resized_bytes(d, width, height)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize over mapInPandas: rows decode → nearest-neighbor
+    resample → re-encode in their own format, all on real pixels
+    (resize_bytes). The Spark-side contract: filter to images BEFORE
+    the Python boundary (pushed to the scan), Arrow-batched binary
+    streaming in, bounded binary out, output volume proportional to
+    row count × target dims — which is what determines the downstream
+    partition sizing when the resized table is written.
+    """
+
     def _one(d: bytes | None) -> bytes:
-        try:
-            if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
-                return encode_png(
-                    resize_nearest(decode_image(d), width, height)
-                )
-            if is_jpeg(d):
-                return encode_jpeg(
-                    resize_nearest(decode_image(d), width, height),
-                    quality=90,
-                    subsample=True,
-                )
-            if is_gif(d):
-                # nearest-neighbor only replicates pixels, so the
-                # resized frame stays inside the source palette
-                return encode_gif(
-                    resize_nearest(decode_image(d), width, height)
-                )
-            if is_bmp(d):
-                return encode_bmp(
-                    resize_nearest(decode_image(d), width, height)
-                )
-        except (NotImplementedError, ValueError):
-            pass  # undecodable row (progressive/corrupt): declared fake
-        return fake_resized_bytes(d, width, height)
+        return resize_bytes(d, width, height)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
