@@ -270,3 +270,17 @@ def test_minhash_signatures_have_no_aggregation(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_plans_audit_covers_every_registered_query():
+    """PLANS.md regression guard: the committed plan audit must have
+    one row per queries() entry (the review in r03 caught a silently
+    missing row after a registry addition)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    text = open("/root/repo/PLANS.md").read()
+    audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M))
+    missing = set(entrymod.queries()) - audited
+    assert not missing, f"run tools/audit_plans.py — missing: {sorted(missing)}"
