@@ -322,3 +322,68 @@ def test_curate_stream_classifier_gate_equals_batch_flags(spark, sf_small, tmp_p
     }
     assert gated_ids == plain_ids & keep
     assert gated_ids < plain_ids  # the gate drops something real
+
+
+def test_watermark_drops_late_event_and_emits_windows_once(spark, tmp_path):
+    """The semantic the watermark exists for, pinned end-to-end: a
+    finalized window is emitted exactly once (append mode), and an
+    event arriving behind the watermark in a LATER run neither
+    re-emits nor alters the already-final window. Two availableNow
+    drains share one checkpoint, so the watermark persists across the
+    restart like a real 24/7 pipeline."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.streaming.events import hourly_agg
+
+    in_dir = str(tmp_path / "landing")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, user_id long, value double"
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(hours):
+        return [
+            (base + dt.timedelta(hours=h, minutes=30), "click", h, 1.0)
+            for h in hours
+        ]
+
+    def drain():
+        stream = hourly_agg(
+            spark.readStream.schema(schema).parquet(in_dir),
+            watermark="2 hours",
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # run 1: one event in each hour 0..9 -> watermark reaches 7:30,
+    # windows for the early hours finalize and emit
+    spark.createDataFrame(rows(range(10)), schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    drain()
+    first = spark.read.parquet(out_dir).collect()
+    hour3_epoch = int((base + dt.timedelta(hours=3)).timestamp())
+    assert [r.n_events for r in first if r.hour_epoch == hour3_epoch] == [1]
+
+    # run 2: a LATE duplicate into hour 3 (far behind the watermark)
+    # plus fresh events advancing the clock
+    spark.createDataFrame(
+        rows([3, 12, 13]), schema
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    final = spark.read.parquet(out_dir).collect()
+    hour3 = [r for r in final if r.hour_epoch == hour3_epoch]
+    # exactly one emission, and the late event did not inflate it
+    assert len(hour3) == 1 and hour3[0].n_events == 1
+    # the fresh events DID extend the emitted window set
+    emitted = {r.hour_epoch for r in final}
+    assert len(emitted) > len({r.hour_epoch for r in first})
