@@ -253,15 +253,25 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "search":
+        import re
+
         from parquet_extractor_spark.operators import corpus_index, selection
 
         if args.method == "phrase":
+            # normalize with the index's own tokenizer rule (lowercase,
+            # punctuation → space) so "Table Value" finds "table value"
             phrase = (
-                tuple(args.phrase.split())
+                tuple(
+                    re.sub(r"[^\w\s]", " ", args.phrase.lower()).split()
+                )
                 if args.phrase
                 else corpus_index.PHRASE
             )
-            df = corpus_index.phrase_search(spark, args.sf_dir, phrase)
+            try:
+                df = corpus_index.phrase_search(spark, args.sf_dir, phrase)
+            except ValueError as exc:
+                print(json.dumps({"error": str(exc)}))
+                return 1
         elif args.method == "bm25":
             df = selection.bm25_doc_scores(spark, args.sf_dir)
         else:

@@ -44,6 +44,36 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# codec dispatch runs per ROW inside mapInPandas stages — import the
+# (dependency-free) codecs once at module load, never per call
+from parquet_extractor_spark.functions.bmp import (  # noqa: E402
+    decode_bmp,
+    encode_bmp,
+    is_bmp,
+)
+from parquet_extractor_spark.functions.gif import (  # noqa: E402
+    decode_gif,
+    encode_gif,
+    is_gif,
+)
+from parquet_extractor_spark.functions.jpeg import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+from parquet_extractor_spark.functions.png import (  # noqa: E402
+    PNG_MAGIC,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+from parquet_extractor_spark.functions.wav import (  # noqa: E402
+    audio_feature,
+    decode_wav,
+    encode_wav,
+    is_wav,
+)
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -74,11 +104,6 @@ def decode_image(data: bytes) -> "np.ndarray":
     (functions/jpeg.py), GIF (functions/gif.py — real LZW), and
     24-bit BMP (functions/bmp.py); other formats need an imaging
     library this container doesn't ship."""
-    from parquet_extractor_spark.functions.bmp import decode_bmp, is_bmp
-    from parquet_extractor_spark.functions.gif import decode_gif, is_gif
-    from parquet_extractor_spark.functions.jpeg import decode_jpeg, is_jpeg
-    from parquet_extractor_spark.functions.png import PNG_MAGIC, decode_png
-
     if data and data[: len(PNG_MAGIC)] == PNG_MAGIC:
         return decode_png(data)
     if is_jpeg(data):
@@ -124,16 +149,6 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
     formats with no decoder. Pure function of the bytes — shared by
     the Spark mapInPandas stage and the oracle generator
     (tools/gen_multimodal_oracle.py)."""
-    from parquet_extractor_spark.functions.bmp import is_bmp
-    from parquet_extractor_spark.functions.gif import is_gif
-    from parquet_extractor_spark.functions.jpeg import is_jpeg
-    from parquet_extractor_spark.functions.png import PNG_MAGIC
-    from parquet_extractor_spark.functions.wav import (
-        audio_feature,
-        decode_wav,
-        is_wav,
-    )
-
     if d is not None and (
         d[: len(PNG_MAGIC)] == PNG_MAGIC
         or is_jpeg(d)
@@ -205,12 +220,6 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     64-color palette, since GIF is palette-indexed by definition),
     and 24-bit BMP; audio rows carry REAL 0.25 s 8 kHz PCM-16 WAVs
     (sine + noise); video rows carry opaque pseudo-random payloads."""
-    from parquet_extractor_spark.functions.bmp import encode_bmp
-    from parquet_extractor_spark.functions.gif import encode_gif
-    from parquet_extractor_spark.functions.jpeg import encode_jpeg
-    from parquet_extractor_spark.functions.png import encode_png
-    from parquet_extractor_spark.functions.wav import encode_wav
-
     image_mimes = ("image/png", "image/jpeg", "image/gif", "image/bmp")
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
@@ -353,16 +362,9 @@ def resize_bytes(d: bytes | None, width: int, height: int) -> bytes:
     source format (PNG/JPEG/GIF/BMP — all real in-repo codecs);
     undecodable rows fall back to the declared byte-tiling fake. Pure
     function of the inputs — shared by the Spark mapInPandas stage and
-    the oracle generator (tools/gen_multimodal_oracle.py)."""
-    from parquet_extractor_spark.functions.bmp import encode_bmp, is_bmp
-    from parquet_extractor_spark.functions.gif import encode_gif, is_gif
-    from parquet_extractor_spark.functions.jpeg import encode_jpeg, is_jpeg
-    from parquet_extractor_spark.functions.png import (
-        PNG_MAGIC,
-        encode_png,
-        resize_nearest,
-    )
-
+    the oracle generator (tools/gen_multimodal_oracle.py). Codec
+    imports are module-level (functions/ has no heavy deps), so the
+    per-row mapInPandas path pays no import machinery."""
     try:
         if d is not None and d[: len(PNG_MAGIC)] == PNG_MAGIC:
             return encode_png(resize_nearest(decode_image(d), width, height))

@@ -138,15 +138,16 @@ def join_key_skew(spark, sf_dir: str) -> DataFrame:
     )
 
 
-_SKEW_COLS_SQL = ", ".join(f"('{c}')" for c in SKEW_KEY_COLUMNS)
+# the UNION ALL arms generate from SKEW_KEY_COLUMNS so the oracle
+# cannot drift from the Spark side when the column list changes
+_SKEW_TAGGED_SQL = "\n    UNION ALL\n    ".join(
+    f"SELECT '{c}' AS key_column, {c} AS key FROM lineitem"
+    for c in SKEW_KEY_COLUMNS
+)
 
 JOIN_KEY_SKEW_SQL = rf"""
 WITH tagged AS (
-    SELECT 'l_orderkey' AS key_column, l_orderkey AS key FROM lineitem
-    UNION ALL
-    SELECT 'l_partkey', l_partkey FROM lineitem
-    UNION ALL
-    SELECT 'l_suppkey', l_suppkey FROM lineitem
+    {_SKEW_TAGGED_SQL}
 ),
 counts AS (
     SELECT key_column, key, count(*) AS c

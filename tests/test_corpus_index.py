@@ -231,6 +231,6 @@ def test_text_index_incremental_append(spark, sf_small):
         assert new_id in got
         assert got[new_id].n_hits == 2
         # the pre-existing matches are untouched
-        assert before <= set(got) | before
+        assert before <= set(got)
     finally:
         spark.sql("DROP TABLE IF EXISTS text_index_a")

@@ -276,11 +276,16 @@ def test_plans_audit_covers_every_registered_query():
     """PLANS.md regression guard: the committed plan audit must have
     one row per queries() entry (the review in r03 caught a silently
     missing row after a registry addition)."""
+    import os
     import re
 
     import __spark_entry__ as entrymod
 
-    text = open("/root/repo/PLANS.md").read()
+    plans = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PLANS.md",
+    )
+    text = open(plans).read()
     audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M))
     missing = set(entrymod.queries()) - audited
     assert not missing, f"run tools/audit_plans.py — missing: {sorted(missing)}"

@@ -371,7 +371,20 @@ def test_watermark_drops_late_event_and_emits_windows_once(spark, tmp_path):
     ).parquet(in_dir)
     drain()
     first = spark.read.parquet(out_dir).collect()
-    hour3_epoch = int((base + dt.timedelta(hours=3)).timestamp())
+    # derive the hour-3 window start through Spark's own epoch
+    # conversion + hour alignment, so the assertion holds in any
+    # session timezone (incl. half-hour offsets)
+    epoch330 = (
+        spark.range(1)
+        .select(
+            F.unix_timestamp(
+                F.lit(base + dt.timedelta(hours=3, minutes=30))
+            ).alias("e")
+        )
+        .first()
+        .e
+    )
+    hour3_epoch = epoch330 // 3600 * 3600
     assert [r.n_events for r in first if r.hour_epoch == hour3_epoch] == [1]
 
     # run 2: a LATE duplicate into hour 3 (far behind the watermark)
