@@ -89,6 +89,8 @@ HEADLINE = [
     "source_log_odds_terms",
     "source_length_ks",
     "hybrid_search_rrf",
+    "join_key_skew",
+    "media_resize_checksums",
 ]
 
 
