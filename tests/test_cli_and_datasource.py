@@ -367,3 +367,13 @@ def test_cli_search_and_explain(spark, sf_small, capsys):
 
     rc = cli_main(["explain", "nope", sf_small])
     assert rc == 1
+
+
+def test_cli_datacard(spark, sf_small, capsys):
+    import json
+
+    rc = cli_main(["datacard", sf_small])
+    assert rc == 0
+    card = json.loads(capsys.readouterr().out)
+    assert card["corpus"]["document_count"] > 0
+    assert card["languages"] and card["dedup_reduction"]
