@@ -827,3 +827,75 @@ WHERE trail_n >= {ANOMALY_MIN_TRAIL}
 ORDER BY dev_micro DESC, event_type ASC, day_epoch ASC
 LIMIT {ANOMALY_TOP_K}
 """
+
+
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user
+    streams — the Markov-chain view of user behavior (what follows a
+    view? does click → purchase?), the aggregate behind next-action
+    prediction and funnel discovery.
+
+    Per user, events order by (ts, event_id) — event_id breaks
+    timestamp ties deterministically in both engines — and each
+    adjacent pair (prev_type, next_type) counts once. The transition
+    probability divides two exact BIGINTs (per-pair count over the
+    per-prev row total, the row-stochastic normalization), so
+    round(6) is engine-stable.
+
+    Shape for scale: one shuffle on user_id for the lag window (state:
+    one carried event per row), then a partial+final agg on the
+    (prev, next) pair — the matrix is |event_types|² rows no matter
+    the corpus, and the per-prev totals re-aggregate from the pair
+    counts via a window over prev_type (one partial per next_type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(w_prev))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total").cast("double"),
+                6,
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENT_MARKOV_TRANSITIONS_SQL = r"""
+WITH pairs AS (
+    SELECT prev_type, event_type AS next_type
+    FROM (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events
+    )
+    WHERE prev_type IS NOT NULL
+),
+counts AS (
+    SELECT prev_type, next_type, count(*) AS n
+    FROM pairs GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+             6) AS p
+FROM counts
+ORDER BY prev_type, next_type
+"""

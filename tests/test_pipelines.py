@@ -201,3 +201,21 @@ def test_datacard_report(spark, sf_small):
     import json as _json
 
     _json.dumps(card, default=str)  # JSON-able end to end
+
+
+def test_event_markov_transitions_row_stochastic(spark, sf_small):
+    from parquet_extractor_spark.operators.timeseries import (
+        event_markov_transitions,
+    )
+
+    rows = event_markov_transitions(spark, sf_small).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert r.n >= 1 and 0.0 < r.p <= 1.0
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4  # rounding slack
+        total = sum(r.n for r in rs)
+        for r in rs:
+            assert abs(r.p - r.n / total) < 1e-6
