@@ -118,15 +118,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     outgrows memory — or use the MinHash tier, whose shuffle volume
     is independent of document frequency.
 
-    Jaccard denominators need each doc's surviving-shingle count:
-    rather than aggregating a per-doc sizes table and joining it back
-    onto the (large) pair table twice — the r02 plan, whose unhinted
-    joins were also its slowest stages — the count rides ALONG: a
-    window count over doc_id attaches n_shingles to every surviving
-    row before the shingle groupBy, so each generated pair is born
-    with both denominators and the pair table never re-shuffles.
-    Per-doc window state is one counter; the extra shuffle it costs
-    (by doc_id) replaces two joins keyed by the same column.
+    Jaccard denominators need each doc's surviving-shingle count.
+    That is a SIZES table — one row per doc, derived by re-exploding
+    the PERSISTED grouped postings (no second corpus scan) — joined
+    onto the (much smaller, threshold-filtered) pair table twice,
+    UNHINTED: AQE broadcasts it while it fits executor memory and
+    falls back to a shuffle join beyond, which is the whole point of
+    leaving the hint off (r02/r03 lesson — the r03 attempt to make
+    the count "ride along" via Window.partitionBy(doc_id) added a
+    full shuffle+sort of every exploded (doc_id, shingle) row and
+    benched 2.6× slower). The joins are keyed on doc_id against a
+    table whose cardinality is n_docs, not n_shingles, so they stay
+    cheap at any scale.
     """
     all_sh = _doc_shingles(spark, sf_dir)
     hot = (
@@ -139,12 +142,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it GROWS with vocabulary, so no forced hint — AQE broadcasts the
     # anti-join side while it fits and shuffle-joins beyond (same
     # policy as the marginal tables; see SCALE.md).
-    wd = Window.partitionBy("doc_id")
-    sized = all_sh.join(hot, "shingle", "left_anti").withColumn(
-        "n", F.count(F.lit(1)).over(wd)
+    from pyspark import StorageLevel
+
+    # persist the grouped postings: BOTH the sizes table (explode of
+    # the bounded doc lists — no second documents scan) and the pair
+    # stage read it, so the explode + anti-join runs exactly once.
+    grouped = (
+        all_sh.join(hot, "shingle", "left_anti")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    grouped_pairs = sized.groupBy("shingle").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     pair_arr = F.flatten(
         F.transform(
@@ -152,23 +164,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a: F.transform(
                 "ds",
                 lambda b: F.struct(
-                    a.doc_id.alias("doc_a"),
-                    b.doc_id.alias("doc_b"),
-                    a.n.alias("na"),
-                    b.n.alias("nb"),
+                    a.alias("doc_a"),
+                    b.alias("doc_b"),
                 ),
             ),
         )
     )
     shared = (
-        grouped_pairs.select(
+        grouped.select(
             F.explode(F.filter(pair_arr, lambda p: p.doc_a < p.doc_b)).alias("p")
         )
-        .groupBy("p.doc_a", "p.doc_b", "p.na", "p.nb")
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_shared"))
     )
     return (
-        shared.select(
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
             "doc_a",
             "doc_b",
             F.round(

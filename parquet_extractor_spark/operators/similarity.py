@@ -558,10 +558,26 @@ ORDER BY query_id, rank
 # each within-cluster near-duplicate group). 0.35 matches the fixture
 # geometry documented at NEAR_DUP_THRESHOLD.
 SEMDEDUP_THRESHOLD = 0.35
-# SemDeDup sizes k so cells stay small (paper: k ~ n/100); a finer
-# grid than IVF's 8 coarse cells keeps the quadratic within-cell pair
-# cost bounded — 32 cells cut pair volume 4x vs sharing NUM_CENTROIDS.
-SEMDEDUP_CENTROIDS = 32
+# SemDeDup sizes k so cells stay small (paper: k ~ n/100): the
+# within-cell pair term is quadratic in CELL size, so k must GROW
+# with n to keep cells — and the wall-time ratio — constant (the r03
+# 10x measurement showed 3.7x with k pinned at 32; see SCALE.md).
+# k = clamp(n // SEMDEDUP_CELL_TARGET, MIN, MAX), derived from a
+# cheap count() at plan time and mirrored exactly by the oracle SQL.
+# MAX bounds the literal-centroid plan size; past it (n > ~400k per
+# partition-group) the production path swaps the literal argmax for a
+# broadcast numpy centroid matrix inside a pandas UDF — same math,
+# documented boundary.
+SEMDEDUP_MIN_CENTROIDS = 32
+SEMDEDUP_MAX_CENTROIDS = 4096
+SEMDEDUP_CELL_TARGET = 100
+
+
+def _semdedup_k(n: int) -> int:
+    return max(
+        SEMDEDUP_MIN_CENTROIDS,
+        min(SEMDEDUP_MAX_CENTROIDS, n // SEMDEDUP_CELL_TARGET),
+    )
 
 
 def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,10 +594,12 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible choice an oracle can mirror).
 
     Scale: the cluster self-join is quadratic in CELL size, not corpus
-    size — exactly SemDeDup's published cost model, controlled by
-    choosing k so cells stay ~|corpus|/k (SEMDEDUP_CENTROIDS here).
-    Skewed cells would use the same MAX_SHINGLE_DF-style cap the
-    lexical tier applies.
+    size — exactly SemDeDup's published cost model. k self-scales with
+    the input (``_semdedup_k``: n // SEMDEDUP_CELL_TARGET, clamped) so
+    cells stay ~constant-sized as data grows; a static k would make
+    the pair term quadratic in n (the r03 weak item). Skewed cells
+    would use the same MAX_SHINGLE_DF-style cap the lexical tier
+    applies.
     Output: (vec_id, cluster, keep) for every vector.
     """
     return semdedup_verdicts(
@@ -593,13 +611,15 @@ def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """SemDeDup over an ARBITRARY (vec_id, embedding) frame — the
     DataFrame-in form pipelines compose over subsets (e.g. the lexical
     survivors in pipelines.curate), with centroids seeded from the
-    INPUT frame's first SEMDEDUP_CENTROIDS rows so the rule is
-    self-contained on whatever population it is given. semdedup_keep
-    is this applied to the whole embeddings table."""
+    INPUT frame's first k rows (k = ``_semdedup_k(count)``) so the
+    rule is self-contained — and self-SCALING — on whatever population
+    it is given. semdedup_keep is this applied to the whole embeddings
+    table."""
+    n_vecs = emb.count()
     seed_rows = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
-        .limit(SEMDEDUP_CENTROIDS)
+        .limit(_semdedup_k(n_vecs))
         .collect()
     )
     if not seed_rows:
@@ -611,7 +631,7 @@ def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # - each CENTROID's norm is a plan-time Python constant (python
     #   float arithmetic == JVM double arithmetic, left-to-right);
     # - each ROW's norm is computed once as a column and reused by all
-    #   SEMDEDUP_CENTROIDS assignment cosines AND the pair stage,
+    #   k assignment cosines AND the pair stage,
     #   which then pays one dot fold per pair instead of three.
     def py_norm(c: list[float]) -> float:
         acc = 0.0
@@ -631,7 +651,7 @@ def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
     sims = [cell_sim(c) for c in cents]
     sim_arr = F.array(*sims)
     cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
-    # persist: the assignment (SEMDEDUP_CENTROIDS dot folds per row)
+    # persist: the assignment (k dot folds per row)
     # feeds BOTH self-join sides and the final keep projection —
     # caching evaluates it once instead of three times, the same
     # shared-subplan persist ngram_jaccard_pairs uses.
@@ -676,13 +696,21 @@ def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
 
 SEMDEDUP_KEEP_SQL = rf"""
-WITH cent AS (
+WITH kv AS (
+    -- mirrors _semdedup_k(): k = clamp(n // cell_target, min, max)
+    SELECT GREATEST({SEMDEDUP_MIN_CENTROIDS},
+                    LEAST({SEMDEDUP_MAX_CENTROIDS},
+                          COUNT(*) // {SEMDEDUP_CELL_TARGET})) AS k
+    FROM embeddings
+),
+cent AS (
     -- cid = seed RANK (not vec_id): matches the Spark side's
     -- array-index cluster labels even if vec_ids are sparse
-    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-           embedding AS c_emb
-    FROM (SELECT vec_id, embedding FROM embeddings
-          ORDER BY vec_id LIMIT {SEMDEDUP_CENTROIDS})
+    SELECT rn - 1 AS cid, embedding AS c_emb
+    FROM (SELECT vec_id, embedding,
+                 row_number() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings) s, kv
+    WHERE s.rn <= kv.k
 ),
 scored AS (
     SELECT e.vec_id, e.embedding, c.cid,
