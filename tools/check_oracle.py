@@ -78,38 +78,49 @@ def norm_rows(cols, rows):
     )
 
 
-def main() -> int:
+def run_gate(only=(), sf_dir=None, spark=None, quiet=False) -> list:
+    """Run the driver-gate replica; returns the list of failing query
+    names (empty = all green). Importable so the pytest suite can run
+    the full registry sweep mechanically (tests/test_oracle_gate.py);
+    the CLI below is this with argv as ``only``."""
     import __spark_entry__ as entrymod
     from parquet_extractor_spark.session import get_spark
 
-    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    sf_dir = sf_dir or SF_DIR
+    if spark is None:
+        spark = get_spark("oracle-check", master="local[8]",
+                          shuffle_partitions=8)
+
+    def say(msg):
+        if not quiet:
+            print(msg)
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(only)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             scols = sdf.columns
             stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            say(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"pass {name}: rows-only ({len(srows)} rows) "
-                  f"[{time.time()-t0:.1f}s]")
+            say(f"pass {name}: rows-only ({len(srows)} rows) "
+                f"[{time.time()-t0:.1f}s]")
             continue
         try:
             rel = con.sql(oracles[name])
@@ -117,23 +128,23 @@ def main() -> int:
             dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
+            say(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         ok = True
         stags = {c: type_tag(t) for c, t in zip(scols, stypes)}
         dtags = {c: type_tag(t) for c, t in zip(dcols, dtypes)}
         if sorted(scols) != sorted(dcols):
-            print(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            say(f"FAIL {name}: columns {sorted(scols)} != {sorted(dcols)}")
             ok = False
         elif stags != dtags:
             diffs = {
                 c: (stags[c], dtags[c]) for c in stags if stags[c] != dtags[c]
             }
-            print(f"FAIL {name}: type-tag mismatch {diffs}")
+            say(f"FAIL {name}: type-tag mismatch {diffs}")
             ok = False
         elif len(srows) != len(drows):
-            print(f"FAIL {name}: rowcount {len(srows)} != {len(drows)}")
+            say(f"FAIL {name}: rowcount {len(srows)} != {len(drows)}")
             ok = False
         else:
             sn = norm_rows(scols, srows)
@@ -142,12 +153,18 @@ def main() -> int:
                 diffs = [
                     (a, b) for a, b in zip(sn, dn) if a != b
                 ][:3]
-                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+                say(f"FAIL {name}: value mismatch, first diffs: {diffs}")
                 ok = False
         if ok:
-            print(f"pass {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            say(f"pass {name}: {len(srows)} rows match "
+                f"[{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+    return failures
+
+
+def main() -> int:
+    failures = run_gate(sys.argv[1:])
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
