@@ -584,8 +584,10 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic dedup via embedding clustering — the
     embedding-space sibling of the MinHash/Jaccard lexical tiers.
 
-    Shape: (1) map-side cluster assignment against literal centroids
-    (identical to ann_ivf — zero shuffle); (2) within-cluster pair
+    Shape: (1) cluster assignment via a broadcast cross join against
+    the k-row centroid frame + max_by groupBy (one codegen'd cosine
+    regardless of k — literal argmax expressions stop scaling once k
+    self-scales; see semdedup_verdicts); (2) within-cluster pair
     scoring via a self-join keyed on cluster (pairs only ever form
     inside a cell, never across the corpus); (3) a vector is dropped
     when a LOWER-id member of its cluster sits within
@@ -616,47 +618,79 @@ def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
     it is given. semdedup_keep is this applied to the whole embeddings
     table."""
     n_vecs = emb.count()
-    seed_rows = (
+    if n_vecs == 0:
+        raise ValueError("semdedup: input frame is empty, no centroids")
+    k = _semdedup_k(n_vecs)
+
+    # Assignment = broadcast cross join against the k-row centroid
+    # frame + max_by groupBy, NOT k literal argmax expressions: with a
+    # self-scaling k the literal formulation's plan grows linearly in
+    # k and falls out of whole-stage codegen past ~100 expressions
+    # (measured 4× slower than static k at k=200). The join keeps ONE
+    # codegen'd cosine expression regardless of k; the broadcast side
+    # is bounded by SEMDEDUP_MAX_CENTROIDS rows by construction. The
+    # row_number window runs on a k-row frame AFTER limit(k) —
+    # bounded, the documented benign single-partition pattern.
+    cent = (
         emb.select("vec_id", "embedding")
         .orderBy("vec_id")
-        .limit(_semdedup_k(n_vecs))
-        .collect()
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            F.col("embedding").alias("c_emb"),
+        )
+        # centroid norm computed ONCE per centroid row before the
+        # broadcast: each of the n×k join rows then pays a single
+        # array fold (the dot) instead of three — higher-order
+        # functions are CodegenFallback (interpreted), so fold count
+        # is the hot-path constant here.
+        .withColumn("c_nrm", _norm(F.col("c_emb")))
     )
-    if not seed_rows:
-        raise ValueError("semdedup: input frame is empty, no centroids")
-    cents = [[float(x) for x in r.embedding] for r in seed_rows]
-
-    # Two fold-elimination tricks, both bit-identical to cosine()'s
-    # formula (same IEEE doubles, same operation order):
-    # - each CENTROID's norm is a plan-time Python constant (python
-    #   float arithmetic == JVM double arithmetic, left-to-right);
-    # - each ROW's norm is computed once as a column and reused by all
-    #   k assignment cosines AND the pair stage,
-    #   which then pays one dot fold per pair instead of three.
-    def py_norm(c: list[float]) -> float:
-        acc = 0.0
-        for v in c:
-            acc += v * v
-        return acc ** 0.5
-
-    def cell_sim(c: list[float]) -> Column:
-        dot = _dot_sql_expr("embedding", _vec_lit_sql(c))
-        return F.expr(f"round({dot} / (nrm * {_dlit_sql(py_norm(c))}), 9)")
 
     from pyspark import StorageLevel
 
-    base = emb.select("vec_id", "embedding").withColumn(
-        "nrm", _norm(F.col("embedding"))
+    # repartition before fanning out n×k rows: a freshly-read small
+    # parquet table arrives in 1-2 partitions, which would serialize
+    # the whole assignment stage on 2 cores (measured 57s vs ~4s at
+    # 20k×200 on local[32]). One cheap n-row shuffle buys full
+    # parallelism for the dominant compute.
+    base = (
+        emb.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", _norm(F.col("embedding")))
     )
-    sims = [cell_sim(c) for c in cents]
-    sim_arr = F.array(*sims)
-    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
-    # persist: the assignment (k dot folds per row)
-    # feeds BOTH self-join sides and the final keep projection —
-    # caching evaluates it once instead of three times, the same
-    # shared-subplan persist ngram_jaccard_pairs uses.
-    assigned = base.withColumn("cluster", cluster).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # round-then-argmax matches the oracle's rank over round(cos, 9);
+    # ties break to the LOWEST cid (max of (sim, -cid) struct ==
+    # ORDER BY sim DESC, cid ASC limit 1). any_value is exact here:
+    # every row in a vec_id group carries the same embedding/nrm.
+    # dot/(nrm*c_nrm) is bit-identical to cosine(): same fold, same
+    # left-to-right double ops, same divisor association.
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("c_emb"))
+        / (F.col("nrm") * F.col("c_nrm")),
+        9,
+    )
+    # persist: the assignment feeds BOTH self-join sides and the final
+    # keep projection — caching evaluates it once instead of three
+    # times, the same shared-subplan persist ngram_jaccard_pairs uses.
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "nrm", "cid", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("embedding").alias("embedding"),
+            F.any_value("nrm").alias("nrm"),
+            F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias(
+                "m"
+            ),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (-F.col("m.ncid")).cast("int").alias("cluster"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     a = assigned.select(
