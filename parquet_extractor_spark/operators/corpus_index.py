@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from parquet_extractor_spark.functions.windows import bounded_global_window
+
 from parquet_extractor_spark.functions.text import tokenize
 from parquet_extractor_spark.sources.tables import load_table, spread
 
@@ -265,7 +267,7 @@ def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpartitioned row_number window only ever sees ZIPF_RANKS rows,
     # so the single-partition WindowExec is bounded by a constant, not
     # by vocabulary size.
-    w = Window.orderBy(F.desc("freq"), "term")
+    w = bounded_global_window(F.desc("freq"), "term")
     head = (
         freq.orderBy(F.desc("freq"), "term")
         .limit(ZIPF_RANKS)

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from parquet_extractor_spark.functions.windows import bounded_global_window
+
 from parquet_extractor_spark.sources.tables import load_table
 
 
@@ -631,7 +633,7 @@ def customer_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 2).alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    w = bounded_global_window(F.desc("total_spend"), F.asc("o_custkey"))
     ranked = spend.select(
         "o_custkey",
         "total_spend",

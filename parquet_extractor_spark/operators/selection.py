@@ -34,7 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from parquet_extractor_spark.functions.windows import bounded_global_window
 
 from parquet_extractor_spark.functions.text import (
     portable_hash64,
@@ -238,7 +239,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heaps, no global sort); the rank window then runs over only
     # BM25_TOP_K rows, so the unpartitioned WindowExec is bounded.
     top = per_doc.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(BM25_TOP_K)
-    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    w = bounded_global_window(F.desc("score_micro"), F.asc("doc_id"))
     return (
         top.withColumn("rank", F.row_number().over(w).cast("bigint")).orderBy("rank")
     )
@@ -703,7 +704,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vec_top = sims.orderBy(F.desc("cos"), F.asc("id")).limit(HYBRID_TOP_K)
-    wv = Window.orderBy(F.desc("cos"), F.asc("id"))
+    wv = bounded_global_window(F.desc("cos"), F.asc("id"))
     vec = vec_top.select(
         "id", F.row_number().over(wv).cast("bigint").alias("vec_rank")
     )

@@ -43,6 +43,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from parquet_extractor_spark.functions.windows import bounded_global_window
+
 from parquet_extractor_spark.sources.tables import load_table
 
 TOP_K = 5
@@ -636,7 +638,7 @@ def semdedup_verdicts(spark: SparkSession, emb: DataFrame) -> DataFrame:
         .orderBy("vec_id")
         .limit(k)
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            (F.row_number().over(bounded_global_window("vec_id")) - 1).alias("cid"),
             F.col("embedding").alias("c_emb"),
         )
         # centroid norm computed ONCE per centroid row before the

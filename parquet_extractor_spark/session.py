@@ -93,4 +93,31 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _quiet_bounded_window_warns(spark)
+    return spark
+
+
+def _quiet_bounded_window_warns(spark: SparkSession) -> None:
+    """Silence WindowExec's "No Partition Defined" WARN.
+
+    Every global window in this codebase goes through
+    ``functions.windows.bounded_global_window`` and is K-bounded by
+    construction (post-limit heads, constant-cardinality reductions) —
+    enforced mechanically by the source lint in
+    tests/test_plan_quality.py, so the WARN carries no signal here and
+    ~40 repeats per run would mask a real log line. Catalyst constant-
+    folds any literal partition key out of the window spec, so the
+    suppression has to happen at the logger, not the plan."""
+    try:
+        jvm = spark.sparkContext._jvm
+        configurator = jvm.org.apache.logging.log4j.core.config.Configurator
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        for cls in (
+            "org.apache.spark.sql.execution.window.WindowExec",
+            "org.apache.spark.sql.execution.window.WindowInPandasExec",
+        ):
+            configurator.setLevel(cls, level)
+    except Exception:
+        # non-log4j2 deployments: warnings stay, nothing breaks
+        pass

@@ -289,3 +289,38 @@ def test_plans_audit_covers_every_registered_query():
     audited = set(re.findall(r"^\| (\w+) \|", text, flags=re.M))
     missing = set(entrymod.queries()) - audited
     assert not missing, f"run tools/audit_plans.py — missing: {sorted(missing)}"
+
+
+def test_no_direct_unpartitioned_windows_in_source():
+    """r03 verdict item 8: a global (unpartitioned) window is only
+    legitimate over a K-bounded input, and every such site must go
+    through functions.windows.bounded_global_window — whose lit(0)
+    partition keeps WindowExec from WARNing, so run logs stay clean
+    enough that a REAL unbounded global window stands out. This lint
+    makes the rule mechanical: no operator/source/sink/stream file may
+    call Window.orderBy directly (docstrings mentioning it are fine —
+    only call sites match)."""
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "parquet_extractor_spark",
+    )
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            if fname == "windows.py":
+                continue
+            path = os.path.join(dirpath, fname)
+            for lineno, line in enumerate(open(path), start=1):
+                if re.search(r"\bWindow\.orderBy\(", line) and not (
+                    line.lstrip().startswith("#")
+                    or "``" in line
+                ):
+                    offenders.append(f"{path}:{lineno}")
+    assert not offenders, (
+        f"use bounded_global_window (functions/windows.py): {offenders}"
+    )
