@@ -8,7 +8,10 @@ Image decode is REAL for PNG via the dependency-free codec in
 24-bit BMP via ``functions/bmp.py`` — features and resize run on
 actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
 ``functions/wav.py`` (stdlib ``wave``) — energy-envelope features run
-on actual samples. Remaining formats (progressive JPEG, WebP, MP3,
+on actual samples. MP2/MP3 get metadata-level support — a real
+frame-header parser (``functions/mp3.py``: duration, bitrate, sample
+rate, channel mode, CBR/VBR) with PCM decode declared out of scope.
+Remaining formats (progressive JPEG, WebP, MP3 PCM decode,
 video frames) would need PIL/librosa/ffmpeg, absent from this
 container, and raise a clearly-marked NotImplementedError; their
 Spark-side plumbing — the schema, the mapInPandas batch iteration,
@@ -36,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -468,3 +472,158 @@ def audio_spectral_features(media: DataFrame) -> DataFrame:
         .select("media_id", "data")
         .mapInPandas(_spectra, schema=SPECTRUM_SCHEMA)
     )
+
+
+# ── audio stream metadata (WAV headers + MP3 frame-header walk) ─────
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),  # wav|mp3|None
+        StructField("sample_rate", LongType(), True),
+        StructField("channels", LongType(), True),
+        StructField("bitrate_kbps", LongType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("vbr", BooleanType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+
+def audio_metadata_for_bytes(d: bytes | None) -> tuple:
+    """(container, sample_rate, channels, bitrate_kbps, n_frames, vbr,
+    duration_ms) for one audio binary — WAV via the RIFF header
+    (stdlib ``wave``), MP2/MP3 via the frame-header walk in
+    functions/mp3.py (metadata-level; PCM decode stays a declared
+    boundary there). Pure function of the bytes, shared by the Spark
+    mapInPandas stage and the oracle generator. Unknown/corrupt
+    payloads yield all-NULL metadata rather than failing the task."""
+    import io
+    import wave
+
+    from parquet_extractor_spark.functions.mp3 import (
+        is_mp3,
+        parse_mp3_metadata,
+    )
+    from parquet_extractor_spark.functions.wav import is_wav
+
+    nulls = (None, None, None, None, None, None, None)
+    if d is None:
+        return nulls
+    if is_wav(d):
+        try:
+            with wave.open(io.BytesIO(d), "rb") as w:
+                sr = w.getframerate()
+                ch = w.getnchannels()
+                nf = w.getnframes()
+                width = w.getsampwidth()
+        except (wave.Error, EOFError):
+            return nulls
+        return (
+            "wav",
+            sr,
+            ch,
+            sr * width * 8 * ch // 1000,
+            nf,
+            False,
+            nf * 1000 // max(1, sr),
+        )
+    if is_mp3(d):
+        m = parse_mp3_metadata(d)
+        if m is None:
+            return nulls
+        return (
+            "mp3",
+            m["sample_rate"],
+            m["channels"],
+            m["bitrate_kbps"],
+            m["n_frames"],
+            m["vbr"],
+            m["duration_ms"],
+        )
+    return nulls
+
+
+def audio_stream_metadata(media: DataFrame) -> DataFrame:
+    """mapInPandas metadata extraction over audio binaries — same
+    Arrow-batched shape as extract_features: bounded batches, no
+    per-partition materialization, output keyed by media_id for the
+    separate-skinny-table layout the module doc prescribes."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "container sample_rate channels bitrate_kbps n_frames vbr "
+            "duration_ms"
+        ).split()
+        for pdf in batches:
+            metas = [audio_metadata_for_bytes(d) for d in pdf["data"]]
+            out = {"media_id": pdf["media_id"]}
+            for j, c in enumerate(cols):
+                out[c] = [m[j] for m in metas]
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        _meta, schema=AUDIO_META_SCHEMA
+    )
+
+
+def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
+    """Deterministic audio fixture: REAL PCM-16 WAVs interleaved with
+    spec-valid MP3 frame chains cycling MPEG version/layer/bitrate/
+    mono — including one VBR stream (two CBR runs concatenated) and
+    one ID3v2-tagged stream, so every parser path is pinned by the
+    oracle. (media_id, data) rows."""
+    from parquet_extractor_spark.functions.mp3 import build_mp3_stream
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    mp3_variants = [
+        dict(version="1", layer=3, bitrate_kbps=128, sample_rate=44100),
+        dict(version="1", layer=2, bitrate_kbps=192, sample_rate=48000),
+        dict(version="1", layer=1, bitrate_kbps=224, sample_rate=32000),
+        dict(version="2", layer=3, bitrate_kbps=64, sample_rate=22050,
+             mono=True),
+        dict(version="2.5", layer=3, bitrate_kbps=40, sample_rate=11025),
+        dict(version="1", layer=3, bitrate_kbps=160, sample_rate=44100,
+             id3_payload=b"TAGDATA" * 12),
+    ]
+    for i in range(n):
+        if i % 2 == 0:
+            sr = 8000
+            t = np.arange(int(sr * 0.2)) / sr
+            sig = 6000.0 * np.sin(2 * np.pi * (150.0 + 25.0 * (i % 5)) * t)
+            sig += rng.normal(0.0, 400.0, size=t.size)
+            data = encode_wav(sig.astype(np.int16), sr)
+        elif i % 12 == 11:
+            # VBR: two same-(sr,layer) CBR runs back to back
+            data = build_mp3_stream(
+                8, version="1", layer=3, bitrate_kbps=128, sample_rate=44100
+            ) + build_mp3_stream(
+                8, version="1", layer=3, bitrate_kbps=224, sample_rate=44100
+            )
+        else:
+            v = dict(mp3_variants[(i // 2) % len(mp3_variants)])
+            data = build_mp3_stream(6 + (i % 5), **v)
+        rows.append((i, data))
+    return rows
+
+
+def media_audio_metadata(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable audio-metadata query: run the WAV/MP3 header
+    parsers over the deterministic audio fixture through the real
+    mapInPandas plumbing. The oracle (MEDIA_AUDIO_METADATA_SQL,
+    generated by tools/gen_multimodal_oracle.py from the same
+    pure-Python parser, committed) pins every row, so a driver
+    hash-match proves the frame-header walk — ID3 skip, version/layer
+    tables, padding arithmetic, VBR detection — byte-for-byte.
+    ``sf_dir`` unused: fixture-generated, like media_feature_checksums.
+    """
+    del sf_dir
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    media = spark.createDataFrame(synthetic_audio_rows(), schema)
+    return audio_stream_metadata(media).orderBy("media_id")

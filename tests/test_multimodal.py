@@ -377,3 +377,136 @@ def test_corrupt_media_rows_fall_back_not_crash():
     # the feature path degrades to the byte-hash stand-in, not a crash
     for bad in (b"BM\x00\x01bogus", good[: len(good) // 2]):
         assert feature_for_bytes(bad) == fake_feature(bad)
+
+
+# ── MP3 frame-header parser (functions/mp3.py) ──────────────────────
+
+
+def test_mp3_header_walk_cbr_and_tables():
+    from parquet_extractor_spark.functions.mp3 import (
+        build_mp3_stream,
+        is_mp3,
+        parse_mp3_metadata,
+    )
+
+    s = build_mp3_stream(
+        38, version="1", layer=3, bitrate_kbps=128, sample_rate=44100
+    )
+    assert is_mp3(s)
+    m = parse_mp3_metadata(s)
+    assert m == {
+        "version": "1",
+        "layer": 3,
+        "sample_rate": 44100,
+        "channels": 2,
+        "n_frames": 38,
+        "bitrate_kbps": 128,
+        "vbr": False,
+        # 38 frames × 1152 samples / 44100 Hz = 992.6 ms (floor)
+        "duration_ms": 992,
+    }
+    # layer I uses 384 samples/frame and the ×4 slot size
+    m1 = parse_mp3_metadata(
+        build_mp3_stream(4, version="1", layer=1, bitrate_kbps=192,
+                         sample_rate=48000)
+    )
+    assert (m1["layer"], m1["n_frames"], m1["duration_ms"]) == (1, 4, 32)
+    # MPEG-2 LSF halves layer-III samples/frame; mono channel mode
+    m2 = parse_mp3_metadata(
+        build_mp3_stream(10, version="2", layer=3, bitrate_kbps=64,
+                         sample_rate=22050, mono=True)
+    )
+    assert (m2["channels"], m2["duration_ms"]) == (1, 261)
+    # MPEG-2.5 sample-rate table
+    m25 = parse_mp3_metadata(
+        build_mp3_stream(5, version="2.5", layer=2, bitrate_kbps=48,
+                         sample_rate=8000)
+    )
+    assert (m25["version"], m25["sample_rate"]) == ("2.5", 8000)
+
+
+def test_mp3_id3_skip_vbr_and_garbage():
+    from parquet_extractor_spark.functions.mp3 import (
+        build_mp3_stream,
+        is_mp3,
+        parse_mp3_metadata,
+    )
+
+    tagged = build_mp3_stream(
+        6, version="1", layer=3, bitrate_kbps=160, sample_rate=44100,
+        id3_payload=b"TAGDATA" * 12,
+    )
+    assert tagged[:3] == b"ID3"
+    assert parse_mp3_metadata(tagged)["n_frames"] == 6
+    vbr = build_mp3_stream(
+        8, version="1", layer=3, bitrate_kbps=128, sample_rate=44100
+    ) + build_mp3_stream(
+        8, version="1", layer=3, bitrate_kbps=224, sample_rate=44100
+    )
+    mv = parse_mp3_metadata(vbr)
+    assert mv["vbr"] is True
+    assert mv["n_frames"] == 16
+    assert mv["bitrate_kbps"] == (128 * 8 + 224 * 8) // 16
+    assert not is_mp3(b"RIFF....WAVE")
+    assert not is_mp3(None)
+    assert parse_mp3_metadata(b"\xff\x00junk") is None
+    # truncated stream parses the clean frame prefix
+    trunc = parse_mp3_metadata(
+        build_mp3_stream(3, version="1", layer=3, bitrate_kbps=128,
+                         sample_rate=44100)[:-10]
+    )
+    assert trunc["n_frames"] == 2
+
+
+def test_mp3_pcm_decode_is_declared_boundary():
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.mp3 import decode_mp3_samples
+
+    with _pytest.raises(NotImplementedError):
+        decode_mp3_samples(b"\xff\xfb\x90\x00")
+
+
+def test_audio_stream_metadata_spark_path(spark):
+    """The mapInPandas plumbing end-to-end: WAV rows parse via the
+    RIFF header, MP3 rows via the frame walk, and the Spark output
+    equals the pure-Python parser row-for-row."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from parquet_extractor_spark.operators.multimodal import (
+        audio_metadata_for_bytes,
+        audio_stream_metadata,
+        synthetic_audio_rows,
+    )
+
+    rows = synthetic_audio_rows(12)
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    got = {
+        r.media_id: (
+            r.container,
+            r.sample_rate,
+            r.channels,
+            r.bitrate_kbps,
+            r.n_frames,
+            r.vbr,
+            r.duration_ms,
+        )
+        for r in audio_stream_metadata(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert len(got) == 12
+    for media_id, data in rows:
+        assert got[media_id] == audio_metadata_for_bytes(data)
+    # both containers present in the fixture
+    assert {v[0] for v in got.values()} == {"wav", "mp3"}
