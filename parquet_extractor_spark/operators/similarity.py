@@ -1976,3 +1976,174 @@ SELECT query_id, neighbor_id, adc_dist_micro, rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# ── semantic decontamination (embedding tier) ───────────────────────
+# The embedding-space sibling of contamination.ngram_decontamination:
+# benchmark/eval items leak into crawled training data in paraphrased
+# form that n-gram overlap misses; cosine similarity against the
+# benchmark's embeddings is the published countermeasure (e.g. the
+# decontamination appendices of recent LLM reports). The probe set is
+# a benchmark SUITE — constant-size by construction in production —
+# so the fixture mirrors that: a deterministic subset, hard-capped.
+DECON_BENCH_MOD = 41
+DECON_MAX_BENCH = 64
+DECON_THRESHOLD = 0.35  # same fixture geometry as NEAR_DUP_THRESHOLD
+
+
+def _decon_bench(emb: DataFrame) -> DataFrame:
+    """The pseudo-benchmark probe set: vec_id ≡ 0 (mod 41), capped at
+    DECON_MAX_BENCH rows by vec_id order — bounded by construction
+    (a real benchmark suite is a fixed artifact, not a slice that
+    scales with the corpus), which is what licenses the forced
+    broadcast in semantic_decontamination."""
+    return (
+        emb.filter(F.col("vec_id") % DECON_BENCH_MOD == 0)
+        .orderBy("vec_id")
+        .limit(DECON_MAX_BENCH)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("b_emb"),
+        )
+        .withColumn("b_nrm", _norm(F.col("b_emb")))
+    )
+
+
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max benchmark-cosine per corpus vector + contaminated flag.
+
+    Plan shape: broadcast the (bounded) probe set, fan out n×|bench|
+    rows map-side — one codegen'd dot fold per row, norms precomputed
+    on both sides (the semdedup assignment shape) — then one groupBy
+    max per vector. No shuffle touches the wide embedding column:
+    only (vec_id, label, cosine) scalars reach the aggregation.
+    Output: every NON-benchmark vector with its nearest-benchmark
+    cosine, flagged at DECON_THRESHOLD. At 100 TB the probe set is
+    still one broadcast and the scan is one pass — the same cost as a
+    single extra map stage in the curation pipeline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = _decon_bench(emb)
+    base = (
+        emb.filter(F.col("vec_id") % DECON_BENCH_MOD != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", _norm(F.col("embedding")))
+    )
+    sim = F.round(
+        _dot(F.col("embedding"), F.col("b_emb"))
+        / (F.col("nrm") * F.col("b_nrm")),
+        6,
+    )
+    return (
+        base.crossJoin(F.broadcast(bench))
+        .select("vec_id", "label", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("label").alias("label"),
+            F.max("sim").alias("max_bench_cosine"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "max_bench_cosine",
+            (F.col("max_bench_cosine") >= DECON_THRESHOLD).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DECONTAMINATION_SQL = rf"""
+WITH bench AS (
+    SELECT vec_id AS bench_id, embedding AS b_emb
+    FROM embeddings WHERE vec_id % {DECON_BENCH_MOD} = 0
+    ORDER BY vec_id LIMIT {DECON_MAX_BENCH}
+),
+scored AS (
+    SELECT e.vec_id, e.label,
+           round({_cos_sql('e.embedding', 'b.b_emb')}, 6) AS sim
+    FROM embeddings e CROSS JOIN bench b
+    WHERE e.vec_id % {DECON_BENCH_MOD} != 0
+)
+SELECT vec_id,
+       CAST(label AS INTEGER) AS label,
+       max(sim) AS max_bench_cosine,
+       max(sim) >= {DECON_THRESHOLD} AS contaminated
+FROM scored
+GROUP BY vec_id, label
+ORDER BY vec_id
+"""
+
+
+# ── hard-negative mining (contrastive training prep) ────────────────
+HARD_NEG_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar DIFFERENT-label vectors for each query —
+    the standard hard-negative selection step when building
+    contrastive/embedding training pairs (high-cosine negatives carry
+    the gradient signal; random negatives are trivial).
+
+    Same bounded-query-side BNLJ shape as knn_bruteforce (the ANN
+    tiers are the scale path for the full-corpus variant); the label
+    inequality is part of the join condition so excluded positives
+    never materialize. Output: (query_id, q_label, neighbor_id,
+    n_label, cosine_sim, rank ≤ HARD_NEG_K).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _query_rows(emb).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = (
+        load_table(spark, sf_dir, "embeddings")
+        .alias("e")
+        .join(F.broadcast(queries), F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = rf"""
+WITH q AS (
+    SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN {_QUERY_IDS_SQL}
+),
+pairs AS (
+    SELECT q.query_id,
+           CAST(q.q_label AS INTEGER) AS q_label,
+           e.vec_id AS neighbor_id,
+           CAST(e.label AS INTEGER) AS n_label,
+           round({_cos_sql('e.embedding', 'q.q_emb')}, 6) AS cosine_sim
+    FROM embeddings e JOIN q ON e.label != q.q_label
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, neighbor_id ASC)
+               AS rank
+    FROM pairs
+)
+SELECT query_id, q_label, neighbor_id, n_label, cosine_sim,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {HARD_NEG_K}
+ORDER BY query_id, rank
+"""
