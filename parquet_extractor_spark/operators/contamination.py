@@ -101,3 +101,152 @@ SELECT doc_id, n_shared, n_grams,
 FROM hits JOIN totals USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ── Bloom-filter decontamination ────────────────────────────────────
+# The constant-memory form of the same membership test: instead of
+# broadcasting the benchmark's distinct GRAMS (which costs their full
+# string bytes per executor), broadcast a fixed-size bitset. At a real
+# benchmark suite's scale the gram set is already small — the point of
+# this tier is the PROBE side: membership becomes a pure map-side
+# bit test over a plan-time literal, with zero join in the plan at
+# all, which composes into any hot path for free. False positives are
+# the documented price (rate ~ (1 - e^{-K·n/M})^K); the exact-join
+# tier above stays the ground truth, and the pytest suite pins the
+# superset property between the two.
+BLOOM_BITS = 8192  # M
+BLOOM_HASHES = 3  # K
+_BLOOM_WORDS = BLOOM_BITS // 32
+
+
+def _bloom_positions_expr(gram_col: str) -> list:
+    """The K bit positions of one gram, as Column expressions the
+    DuckDB twin mirrors literally: pos_i = (h1 + i·h2) mod M with
+    h1 = phash(g), h2 = phash(g || '#2') — both 60-bit md5 prefixes,
+    so i·h2 + h1 < 2^62 never overflows BIGINT."""
+    from parquet_extractor_spark.functions.text import portable_hash64
+
+    h1 = portable_hash64(F.col(gram_col))
+    h2 = portable_hash64(F.concat(F.col(gram_col), F.lit("#2")))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side Bloom membership screen of corpus grams against the
+    benchmark slice.
+
+    Build: the benchmark grams' bit positions are aggregated
+    DISTINCT and collected — bounded by construction (K × |benchmark
+    grams|, and a real benchmark suite is a fixed artifact) — then
+    folded into a BLOOM_BITS bitset embedded as a plan-time
+    array<int> literal, exactly the IVF-centroid-literal pattern.
+
+    Probe: scan + map-side bit tests + one partial agg keyed by
+    doc_id. No join anywhere in the plan: the corpus side's cost is
+    one pass regardless of benchmark size.
+
+    Output: (doc_id, n_grams, n_bloom_hits, flagged) for every
+    non-benchmark doc; flagged docs are a SUPERSET of
+    ngram_decontamination's (Bloom has false positives, no false
+    negatives).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
+        ).alias("g"),
+    )
+    bench_pos = (
+        grams.filter((F.col("doc_id") % BENCH_MOD) == 0)
+        .select(F.explode(F.array(*_bloom_positions_expr("g"))).alias("pos"))
+        .distinct()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in bench_pos.collect():
+        words[r.pos // 32] |= 1 << (r.pos % 32)
+    bitset = F.array(*[F.lit(w) for w in words])
+
+    hit = None
+    for p in _bloom_positions_expr("g"):
+        test = (
+            F.getbit(
+                F.element_at(bitset, (p / 32).cast("int") + 1),
+                F.pmod(p, F.lit(32)),
+            )
+            == 1
+        )
+        hit = test if hit is None else (hit & test)
+
+    corpus = grams.filter((F.col("doc_id") % BENCH_MOD) != 0)
+    return (
+        corpus.select("doc_id", hit.cast("int").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("h").cast("bigint").alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") > 0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_H1 = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
+_BLOOM_H2 = "CAST('0x' || substr(md5(g || '#2'), 1, 15) AS BIGINT)"
+# the oracle carries the bench POSITION SET explicitly: "all K bits
+# set" ≡ "each position was set by some bench gram", which is the
+# bitset semantics without needing DuckDB to build the literal words
+_BLOOM_POS = ", ".join(
+    f"({_BLOOM_H1} + {i} * {_BLOOM_H2}) % {BLOOM_BITS}"
+    for i in range(BLOOM_HASHES)
+)
+
+BLOOM_DECONTAMINATION_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(
+               1, greatest(len(tokens) - {DECONTAM_NGRAM - 1}, 1))) AS i
+    FROM toks
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(tokens[i:i+{DECONTAM_NGRAM - 1}], ' ') AS g
+    FROM pos
+),
+gram_bits AS (
+    SELECT doc_id, g, unnest([{_BLOOM_POS}]) AS bitpos
+    FROM grams
+),
+bench_bits AS (
+    SELECT DISTINCT bitpos FROM gram_bits WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus_hits AS (
+    SELECT gb.doc_id, gb.g,
+           count(*) = {BLOOM_HASHES}
+               AND count(bb.bitpos) = {BLOOM_HASHES} AS hit
+    FROM gram_bits gb LEFT JOIN bench_bits bb USING (bitpos)
+    WHERE gb.doc_id % {BENCH_MOD} <> 0
+    GROUP BY gb.doc_id, gb.g
+)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged
+FROM corpus_hits
+GROUP BY doc_id
+ORDER BY doc_id
+"""

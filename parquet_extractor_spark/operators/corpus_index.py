@@ -488,3 +488,137 @@ def append_text_index(
         sort_by=["doc_id", "pos"],
         mode="append",
     )
+
+
+# ── count-min sketch heavy hitters ──────────────────────────────────
+# Bounded-memory frequency estimation (Cormode & Muthukrishnan 2005):
+# the sketch is a D×W counter grid — constant size no matter how many
+# distinct tokens the corpus has, which is the property that matters
+# when the vocabulary of a 100 TB crawl outgrows a hash-agg. This
+# query is the sketch-quality eval (the lsh_quality_eval pattern):
+# build the sketch distributedly, estimate the exact top-K tokens'
+# counts from it, and report estimate vs truth — count-min guarantees
+# est ≥ exact, overshoot bounded by e·N/W with prob 1−e^{−D}.
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_TOP = 20
+
+
+def _cm_pos(tok_col, d: int):
+    """Row-d bucket of one token: phash(tok ‖ '#d') mod W — the
+    md5-prefix hash both engines reproduce byte-identically."""
+    from parquet_extractor_spark.functions.text import portable_hash64
+
+    return F.pmod(
+        portable_hash64(F.concat(tok_col, F.lit(f"#{d}"))), F.lit(CM_WIDTH)
+    )
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-CM_TOP tokens with their count-min estimates.
+
+    Plan shape: ONE token explode feeds both sides. The sketch is a
+    groupBy over (d, pos) — D rows per token map-side, partial-agg
+    compressed to ≤ D×W rows total, bounded by construction → the
+    estimate join broadcasts it. The exact top-K comes from the
+    ordinary token hash-agg via TakeOrderedAndProject. Estimation is
+    min over the token's D bucket counters. Output: (token, exact_cnt,
+    cm_estimate, overestimate ≥ 0), ordered by exact count.
+    """
+    toks = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(tokenize("text")).alias("tok"))
+        .filter(F.length("tok") >= MIN_TERM_LEN)
+    )
+    sketch = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cm_pos(F.col("tok"), d).alias("pos"),
+                        )
+                        for d in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.d", "c.pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(CM_TOP)
+    )
+    probes = top.select(
+        "tok",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cm_pos(F.col("tok"), d).alias("pos"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "exact_cnt", "c.d", "c.pos")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "pos"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+        .select(
+            F.col("tok").alias("token"),
+            "exact_cnt",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+    )
+
+
+_CM_TOKS_SQL = (
+    r"list_filter(regexp_split_to_array("
+    r"regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'), "
+    rf"x -> length(x) >= {MIN_TERM_LEN})"
+)
+_CM_POS_SQL = (
+    "CAST('0x' || substr(md5(tok || '#' || d), 1, 15) AS BIGINT) "
+    f"% {CM_WIDTH}"
+)
+
+COUNTMIN_HEAVY_HITTERS_SQL = rf"""
+WITH toks AS (
+    SELECT unnest({_CM_TOKS_SQL}) AS tok FROM documents
+),
+cells AS (
+    SELECT tok, d, {_CM_POS_SQL} AS pos
+    FROM toks, unnest(range(0, {CM_DEPTH})) AS u(d)
+),
+sketch AS (
+    SELECT d, pos, count(*) AS cnt FROM cells GROUP BY d, pos
+),
+top AS (
+    SELECT tok, count(*) AS exact_cnt
+    FROM toks GROUP BY tok
+    ORDER BY exact_cnt DESC, tok ASC LIMIT {CM_TOP}
+),
+probes AS (
+    SELECT t.tok, t.exact_cnt, u.d, {_CM_POS_SQL.replace('tok', 't.tok')} AS pos
+    FROM top t, unnest(range(0, {CM_DEPTH})) AS u(d)
+)
+SELECT p.tok AS token,
+       p.exact_cnt,
+       CAST(min(s.cnt) AS BIGINT) AS cm_estimate,
+       CAST(min(s.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+FROM probes p JOIN sketch s ON p.d = s.d AND p.pos = s.pos
+GROUP BY p.tok, p.exact_cnt
+ORDER BY p.exact_cnt DESC, token ASC
+"""

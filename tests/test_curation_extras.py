@@ -68,3 +68,41 @@ def test_repetition_aggs_are_partial(spark, sf_small):
     from parquet_extractor_spark.plans.explain import has_partial_aggregation
 
     assert has_partial_aggregation(quality.repetition_scores(spark, sf_small))
+
+
+def test_bloom_decontamination_superset_and_joinless_probe(spark, sf_small):
+    """Bloom membership has no false negatives: every doc the exact
+    join flags must be flagged by the Bloom tier, and its hit count
+    can only overestimate. The probe plan must contain NO join at all
+    (the whole point of the bitset literal)."""
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    exact = {
+        r.doc_id: r.n_shared
+        for r in contamination.ngram_decontamination(spark, sf_small).collect()
+    }
+    bloom_rows = contamination.bloom_decontamination(spark, sf_small).collect()
+    bloom = {r.doc_id: r for r in bloom_rows}
+    for doc_id, n_shared in exact.items():
+        assert bloom[doc_id].flagged, f"false negative on doc {doc_id}"
+        assert bloom[doc_id].n_bloom_hits >= n_shared
+    for r in bloom_rows:
+        assert r.doc_id % contamination.BENCH_MOD != 0
+        assert 0 <= r.n_bloom_hits <= r.n_grams
+    plan = formatted_plan(contamination.bloom_decontamination(spark, sf_small))
+    assert "Join" not in plan
+
+
+def test_countmin_never_underestimates(spark, sf_small):
+    """The count-min guarantee: est ≥ exact for every probed token,
+    and the sketch join side stays broadcast (bounded D×W rows)."""
+    from parquet_extractor_spark.operators import corpus_index
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    df = corpus_index.countmin_heavy_hitters(spark, sf_small)
+    rows = df.collect()
+    assert len(rows) == corpus_index.CM_TOP
+    for r in rows:
+        assert r.overestimate >= 0, r
+        assert r.cm_estimate == r.exact_cnt + r.overestimate
+    assert "BroadcastHashJoin" in formatted_plan(df)
