@@ -380,13 +380,19 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _streak(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        best = cur = 0
-        prev = None
-        for t in pdf["event_type"]:
-            cur = cur + 1 if t == prev else 1
-            best = max(best, cur)
-            prev = t
+        # vectorized run-length: boundaries where the type changes;
+        # the longest gap between boundaries is the streak (numpy,
+        # not a Python row loop — the groups are small but there are
+        # MANY of them, so per-row Python cost dominates the stage)
+        t = pdf.sort_values(["ts", "event_id"])["event_type"].to_numpy()
+        if t.size == 0:
+            best = 0
+        else:
+            import numpy as np
+
+            bounds = np.flatnonzero(t[1:] != t[:-1])
+            edges = np.concatenate(([-1], bounds, [t.size - 1]))
+            best = int(np.diff(edges).max())
         return pd.DataFrame(
             {"user_id": [pdf["user_id"].iloc[0]], "longest_streak": [best]}
         )
