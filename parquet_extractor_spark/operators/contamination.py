@@ -133,69 +133,93 @@ def _bloom_positions_expr(gram_col: str) -> list:
     ]
 
 
-def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-side Bloom membership screen of corpus grams against the
-    benchmark slice.
-
-    Build: the benchmark grams' bit positions are aggregated
-    DISTINCT and collected — bounded by construction (K × |benchmark
-    grams|, and a real benchmark suite is a fixed artifact) — then
-    folded into a BLOOM_BITS bitset embedded as a plan-time
-    array<int> literal, exactly the IVF-centroid-literal pattern.
-
-    Probe: scan + map-side bit tests + one partial agg keyed by
-    doc_id. No join anywhere in the plan: the corpus side's cost is
-    one pass regardless of benchmark size.
-
-    Output: (doc_id, n_grams, n_bloom_hits, flagged) for every
-    non-benchmark doc; flagged docs are a SUPERSET of
-    ngram_decontamination's (Bloom has false positives, no false
-    negatives).
-    """
+def build_bloom_bitset(spark: SparkSession, sf_dir: str) -> list[int]:
+    """The benchmark slice's Bloom bitset as _BLOOM_WORDS ints: gram
+    bit positions aggregated DISTINCT and collected — bounded by
+    construction (≤ BLOOM_BITS positions, and a real benchmark suite
+    is a fixed artifact) — then folded into words driver-side."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
-        ).alias("g"),
-    )
     bench_pos = (
-        grams.filter((F.col("doc_id") % BENCH_MOD) == 0)
+        docs.filter((F.col("doc_id") % BENCH_MOD) == 0)
+        .select(
+            F.explode(
+                F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
+            ).alias("g")
+        )
         .select(F.explode(F.array(*_bloom_positions_expr("g"))).alias("pos"))
         .distinct()
     )
     words = [0] * _BLOOM_WORDS
     for r in bench_pos.collect():
         words[r.pos // 32] |= 1 << (r.pos % 32)
+    return words
+
+
+def bloom_hit_lambda(words: list[int]):
+    """g -> Column membership test against the bitset literal, usable
+    inside F.filter/F.aggregate lambdas (single-param callable — the
+    Spark HOF arity contract) and on plain columns."""
     bitset = F.array(*[F.lit(w) for w in words])
 
-    hit = None
-    for p in _bloom_positions_expr("g"):
-        test = (
-            F.getbit(
-                F.element_at(bitset, (p / 32).cast("int") + 1),
-                F.pmod(p, F.lit(32)),
-            )
-            == 1
-        )
-        hit = test if hit is None else (hit & test)
+    def hit(g):
+        from parquet_extractor_spark.functions.text import portable_hash64
 
-    corpus = grams.filter((F.col("doc_id") % BENCH_MOD) != 0)
-    return (
-        corpus.select("doc_id", hit.cast("int").alias("h"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("h").cast("bigint").alias("n_bloom_hits"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_bloom_hits",
-            (F.col("n_bloom_hits") > 0).alias("flagged"),
-        )
-        .orderBy("doc_id")
+        h1 = portable_hash64(g)
+        h2 = portable_hash64(F.concat(g, F.lit("#2")))
+        t = None
+        for i in range(BLOOM_HASHES):
+            p = F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS))
+            test = (
+                F.getbit(
+                    F.element_at(bitset, (p / 32).cast("int") + 1),
+                    F.pmod(p, F.lit(32)),
+                )
+                == 1
+            )
+            t = test if t is None else (t & test)
+        return t
+
+    return hit
+
+
+def bloom_probe_columns(docs: DataFrame, words: list[int]) -> DataFrame:
+    """The probe as a PURE PROJECTION: per-row gram array → filter by
+    the bitset test → counts. Zero shuffle, zero join, no aggregation
+    state — which is also why it composes onto a structured stream
+    unchanged (streaming/documents.py)."""
+    gs = F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
+    hits = F.size(F.filter(gs, bloom_hit_lambda(words)))
+    return docs.select(
+        "doc_id",
+        F.size(gs).cast("bigint").alias("n_grams"),
+        hits.cast("bigint").alias("n_bloom_hits"),
+        (hits > 0).alias("flagged"),
     )
+
+
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side Bloom membership screen of corpus grams against the
+    benchmark slice.
+
+    Build: the benchmark grams' bit positions fold into a BLOOM_BITS
+    bitset embedded as a plan-time array<int> literal, exactly the
+    IVF-centroid-literal pattern (build_bloom_bitset).
+
+    Probe: a pure per-row projection (bloom_probe_columns) — the plan
+    contains NO join and NO aggregation at all; corpus cost is one
+    scan regardless of benchmark size, and the same expression
+    composes stateless onto a structured stream.
+
+    Output: (doc_id, n_grams, n_bloom_hits, flagged) for every
+    non-benchmark doc; flagged docs are a SUPERSET of
+    ngram_decontamination's (Bloom has false positives, no false
+    negatives).
+    """
+    words = build_bloom_bitset(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        (F.col("doc_id") % BENCH_MOD) != 0
+    )
+    return bloom_probe_columns(docs, words).orderBy("doc_id")
 
 
 _BLOOM_H1 = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"

@@ -236,3 +236,24 @@ def run_near_dup_stream(
         .drop("epoch")
         .distinct()
     )
+
+
+def bloom_decontamination_stream(
+    stream_docs: DataFrame, bitset_words: list[int]
+) -> DataFrame:
+    """Streaming twin of ``contamination.bloom_decontamination``: the
+    probe is a pure per-row projection against the bitset literal
+    (zero joins, zero aggregation state), so it composes onto the
+    stream with NO watermark and NO state store at all — the
+    benchmark bitset is built once from the static benchmark slice
+    (``contamination.build_bloom_bitset``) exactly as an ingest
+    pipeline would load a decontamination artifact at job start.
+    """
+    from parquet_extractor_spark.operators.contamination import (
+        BENCH_MOD,
+        bloom_probe_columns,
+    )
+
+    return bloom_probe_columns(
+        stream_docs.filter((F.col("doc_id") % BENCH_MOD) != 0), bitset_words
+    )

@@ -400,3 +400,38 @@ def test_watermark_drops_late_event_and_emits_windows_once(spark, tmp_path):
     # the fresh events DID extend the emitted window set
     emitted = {r.hour_epoch for r in final}
     assert len(emitted) > len({r.hour_epoch for r in first})
+
+
+def test_bloom_decontamination_stream_equals_batch(spark, sf_small, tmp_path):
+    """Stateless stream probe ≡ the batch operator row-for-row."""
+    from parquet_extractor_spark.operators.contamination import (
+        bloom_decontamination,
+        build_bloom_bitset,
+    )
+    from parquet_extractor_spark.streaming.documents import (
+        bloom_decontamination_stream,
+        read_documents_stream,
+    )
+
+    words = build_bloom_bitset(spark, sf_small)
+    stream = bloom_decontamination_stream(
+        read_documents_stream(spark, sf_small), words
+    )
+    out = str(tmp_path / "bloom_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_grams, r.n_bloom_hits, r.flagged)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.n_grams, r.n_bloom_hits, r.flagged)
+        for r in bloom_decontamination(spark, sf_small).collect()
+    }
+    assert got == want
