@@ -445,3 +445,156 @@ FROM cum, a
 WHERE cum_tokens <= alloc
 ORDER BY source, cum_tokens
 """
+
+
+# ── temperature-scaled mixing (multilingual up/down-sampling) ───────
+# The exponential-smoothing mixture recipe (mBERT / XLM-R: sample
+# source s with probability ∝ p_s^ALPHA) — the standard low-resource
+# upweighting knob; ALPHA=1 is natural sampling, ALPHA→0 uniform.
+MIX_ALPHA = 0.7
+
+
+def temperature_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature-smoothed sampling shares.
+
+    Same single partial+final aggregation as source_mixing_weights;
+    the pow/normalize arithmetic runs on the handful of per-source
+    rows against a broadcast 1-row total. pow() is libm on both
+    engines — shares round at 6dp, the label_centroids acceptance.
+    Output: (source, source_tokens, natural_share, temp_share,
+    boost) where boost = temp/natural (>1 = upsampled).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_source = (
+        docs.select(
+            "source", F.size(tokenize("text")).cast("bigint").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("source_tokens"))
+    )
+    tot = per_source.agg(F.sum("source_tokens").alias("all_tokens"))
+    shared = per_source.join(F.broadcast(tot), how="cross").withColumn(
+        "p", F.col("source_tokens") / F.col("all_tokens")
+    )
+    zsum = shared.agg(
+        F.sum(F.pow(F.col("p"), F.lit(MIX_ALPHA))).alias("z")
+    )
+    return (
+        shared.join(F.broadcast(zsum), how="cross")
+        .select(
+            "source",
+            "source_tokens",
+            F.round(F.col("p"), 6).alias("natural_share"),
+            F.round(
+                F.pow(F.col("p"), F.lit(MIX_ALPHA)) / F.col("z"), 6
+            ).alias("temp_share"),
+            F.round(
+                F.pow(F.col("p"), F.lit(MIX_ALPHA)) / F.col("z") / F.col("p"),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+TEMPERATURE_MIXING_SQL = rf"""
+WITH toks AS (
+    SELECT source,
+           CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT) AS n
+    FROM documents
+),
+per_source AS (
+    SELECT source, CAST(sum(n) AS BIGINT) AS source_tokens
+    FROM toks GROUP BY source
+),
+tot AS (SELECT sum(source_tokens) AS all_tokens FROM per_source),
+shared AS (
+    SELECT source, source_tokens,
+           source_tokens / all_tokens AS p
+    FROM per_source CROSS JOIN tot
+),
+zs AS (SELECT sum(pow(p, {MIX_ALPHA})) AS z FROM shared)
+SELECT source,
+       source_tokens,
+       round(p, 6) AS natural_share,
+       round(pow(p, {MIX_ALPHA}) / z, 6) AS temp_share,
+       round(pow(p, {MIX_ALPHA}) / z / p, 6) AS boost
+FROM shared CROSS JOIN zs
+ORDER BY source
+"""
+
+
+# ── sequence-length bucketing (padding-efficiency report) ───────────
+
+
+def length_bucketing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length buckets with padding-waste accounting —
+    the batch-assembly question ("how much compute does padding burn
+    if we bucket sequences by length?") answered from one token-count
+    aggregation. Bucket id = bit width of the token count (integer
+    floor(log2): computed from the BINARY STRING length, not float
+    log, so both engines bucket identically at every boundary).
+
+    Output per bucket: doc count, real vs padded token totals (padded
+    = n_docs × bucket max — every sequence padded to its bucket's
+    longest), and the waste fraction; plus the bucket's
+    [min_len, max_len] observed range. One partial+final agg; the
+    waste arithmetic runs on ≤ log2(max_len) rows.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.size(tokenize("text")).cast("bigint").alias("n")
+    ).filter(F.col("n") > 0)
+    bucketed = toks.withColumn(
+        "bucket", (F.length(F.bin(F.col("n"))) - 1).cast("int")
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+            (F.col("n_docs") * F.col("max_tokens")).alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens") / (F.col("n_docs") * F.col("max_tokens")),
+                6,
+            ).alias("waste_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+LENGTH_BUCKETING_SQL = rf"""
+WITH toks AS (
+    SELECT CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT) AS n
+    FROM documents
+),
+bucketed AS (
+    SELECT n, CAST(length(printf('%b', n)) - 1 AS INTEGER) AS bucket
+    FROM toks WHERE n > 0
+),
+agg AS (
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           min(n) AS min_tokens, max(n) AS max_tokens
+    FROM bucketed GROUP BY bucket
+)
+SELECT bucket, n_docs, total_tokens, min_tokens, max_tokens,
+       n_docs * max_tokens AS padded_tokens,
+       round(1.0 - total_tokens / (n_docs * max_tokens), 6) AS waste_frac
+FROM agg
+ORDER BY bucket
+"""
