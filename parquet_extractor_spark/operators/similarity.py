@@ -124,6 +124,40 @@ def _cos_lit_sql_expr(a: str, vec: list[float]) -> str:
     return f"({_dot_sql_expr(a, b)} / ({_norm_sql_expr(a)} * {_norm_sql_expr(b)}))"
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Left-to-right L2 norm in Python floats — bit-identical to the
+    JVM/DuckDB fold (IEEE doubles, same order, sqrt correctly
+    rounded), so a literal centroid's norm can be baked into the plan
+    as a constant instead of re-folded per row."""
+    acc = 0.0
+    for v in vec:
+        acc += float(v) * float(v)
+    return acc ** 0.5
+
+
+def _assigned_cells(spark: SparkSession, emb: DataFrame, cents):
+    """(emb + nrm + cluster columns, sims exprs): literal-centroid
+    argmax cell assignment, shared by ann_ivf / build_ivf_index /
+    _ivf_pq_search. Repartitions first (a small parquet read arrives
+    in 1-2 partitions and would serialize the fan-out — the r04
+    lesson) and computes the row norm ONCE, reused by every centroid
+    cosine: dot/(nrm * c_norm_lit) is bit-identical to the inline
+    literal cosine (same folds, same association, _py_norm == the SQL
+    twin's left-to-right sum)."""
+    base = emb.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+
+    def cell_sim(c: list[float]) -> Column:
+        dot = _dot_sql_expr("embedding", _vec_lit_sql(c))
+        return F.expr(f"round({dot} / (nrm * {_dlit_sql(_py_norm(c))}), 9)")
+
+    sims = [cell_sim(c) for c in cents]
+    sim_arr = F.array(*sims)
+    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
+    return base.withColumn("cluster", cluster), sims
+
+
 def _query_rows(emb: DataFrame) -> DataFrame:
     """The query set: first N_QUERIES rows by vec_id. ORDER BY/LIMIT
     rather than a `vec_id < N` filter so a sparse or non-zero-based id
@@ -463,18 +497,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cents = _centroid_vectors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def cell_sim(c: list[float]) -> Column:
-        # round(9) so argmax compares identically to the oracle's
-        # rounded window ordering; one F.expr per centroid keeps the
-        # 64-dim literal out of py4j chatter
-        return F.expr(f"round({_cos_lit_sql_expr('embedding', c)}, 9)")
-
-    sims = [cell_sim(c) for c in cents]
-    sim_arr = F.array(*sims)
-    # first max index = lowest centroid id on ties
-    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
-    assigned = emb.withColumn("cluster", cluster)
+    # round(9) argmax compares identically to the oracle's rounded
+    # window ordering; first max index = lowest centroid id on ties
+    assigned, sims = _assigned_cells(spark, emb, cents)
 
     # per-query probe cells: sort (−sim, cid) structs ascending → top
     # NPROBE by sim, ties toward lower cid
@@ -485,7 +510,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     probes = (
-        _query_rows(emb)
+        _query_rows(assigned)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -954,16 +979,11 @@ def build_ivf_index(
 
     cents = _centroid_vectors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def cell_sim(c: list[float]) -> Column:
-        return F.expr(f"round({_cos_lit_sql_expr('embedding', c)}, 9)")
-
-    sims = [cell_sim(c) for c in cents]
-    sim_arr = F.array(*sims)
-    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
-    assigned = emb.withColumn("cluster", cluster)
+    assigned, _sims = _assigned_cells(spark, emb, cents)
     write_bucketed(
-        assigned, table_name, ["cluster"], n_buckets=NUM_CENTROIDS
+        # nrm is an assignment-time intermediate, not index schema
+        assigned.drop("nrm"), table_name, ["cluster"],
+        n_buckets=NUM_CENTROIDS,
     )
     return cents
 
@@ -1692,13 +1712,7 @@ def _ivf_pq_search(
         ]
 
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def cell_sim(c: list[float]) -> Column:
-        return F.expr(f"round({_cos_lit_sql_expr('embedding', c)}, 9)")
-
-    sims = [cell_sim(c) for c in cents]
-    sim_arr = F.array(*sims)
-    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
+    base, _sims = _assigned_cells(spark, emb, cents)
 
     code_cols = []
     for s in range(PQ_M):
@@ -1716,7 +1730,7 @@ def _ivf_pq_search(
             .cast("int")
             .alias(f"c{s}")
         )
-    assigned = emb.select("vec_id", cluster.alias("cluster"), *code_cols)
+    assigned = base.select("vec_id", "cluster", *code_cols)
 
     probes = spark.createDataFrame(
         probe_rows, "query_id long, probe_cluster int"
