@@ -106,3 +106,48 @@ def test_countmin_never_underestimates(spark, sf_small):
         assert r.overestimate >= 0, r
         assert r.cm_estimate == r.exact_cnt + r.overestimate
     assert "BroadcastHashJoin" in formatted_plan(df)
+
+
+def test_bloom_and_countmin_hash_portability(spark):
+    """The Spark-side md5-prefix position expressions equal the
+    pure-Python computation token-for-token — the cross-engine
+    contract both sketch oracles stand on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.contamination import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        _bloom_positions_expr,
+    )
+    from parquet_extractor_spark.operators.corpus_index import (
+        CM_DEPTH,
+        CM_WIDTH,
+        _cm_pos,
+    )
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = [
+        "join", "merge", "vector", "Ünïcode", "x" * 200, "0", " ",
+        "tab\tsep", "emoji🙂", "ngram one two three",
+    ]
+    df = spark.createDataFrame([(t,) for t in toks], "g string")
+    got_bloom = df.select(
+        "g", F.array(*_bloom_positions_expr("g")).alias("pos")
+    ).collect()
+    for r in got_bloom:
+        h1, h2 = phash(r.g), phash(r.g + "#2")
+        want = [(h1 + i * h2) % BLOOM_BITS for i in range(BLOOM_HASHES)]
+        assert list(r.pos) == want, r.g
+    got_cm = df.select(
+        "g",
+        F.array(
+            *[_cm_pos(F.col("g"), d) for d in range(CM_DEPTH)]
+        ).alias("pos"),
+    ).collect()
+    for r in got_cm:
+        want = [phash(f"{r.g}#{d}") % CM_WIDTH for d in range(CM_DEPTH)]
+        assert list(r.pos) == want, r.g

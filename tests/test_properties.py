@@ -246,3 +246,66 @@ def test_bmp_roundtrip_property(h, w, data):
     out = encode_bmp(arr)
     assert is_bmp(out)
     assert np.array_equal(decode_bmp(out), arr)
+
+
+# ── MP3 frame-header parser: build→parse roundtrip ──────────────────
+
+_MP3_VALID = [
+    # (version, layer, sample_rates)
+    ("1", 1, (44100, 48000, 32000)),
+    ("1", 2, (44100, 48000, 32000)),
+    ("1", 3, (44100, 48000, 32000)),
+    ("2", 1, (22050, 24000, 16000)),
+    ("2", 2, (22050, 24000, 16000)),
+    ("2", 3, (22050, 24000, 16000)),
+    ("2.5", 1, (11025, 12000, 8000)),
+    ("2.5", 2, (11025, 12000, 8000)),
+    ("2.5", 3, (11025, 12000, 8000)),
+]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    combo=st.integers(0, len(_MP3_VALID) - 1),
+    sr_idx=st.integers(0, 2),
+    br_idx=st.integers(1, 14),
+    n_frames=st.integers(1, 24),
+    mono=st.booleans(),
+    tag=st.binary(min_size=0, max_size=64),
+)
+def test_mp3_build_parse_roundtrip(combo, sr_idx, br_idx, n_frames, mono, tag):
+    """Any spec-valid (version, layer, bitrate, sample-rate, channel,
+    ID3) combination survives build→parse with every header field
+    recovered exactly and the ISO duration formula honored."""
+    from parquet_extractor_spark.functions.mp3 import (
+        _BITRATES,
+        build_mp3_stream,
+        parse_mp3_metadata,
+    )
+
+    version, layer, srs = _MP3_VALID[combo]
+    family = "1" if version == "1" else "2"
+    bitrate = _BITRATES[(family, layer)][br_idx - 1]
+    sr = srs[sr_idx]
+    data = build_mp3_stream(
+        n_frames,
+        version=version,
+        layer=layer,
+        bitrate_kbps=bitrate,
+        sample_rate=sr,
+        mono=mono,
+        id3_payload=tag,
+    )
+    m = parse_mp3_metadata(data)
+    assert m is not None
+    assert m["version"] == version
+    assert m["layer"] == layer
+    assert m["sample_rate"] == sr
+    assert m["bitrate_kbps"] == bitrate
+    assert m["channels"] == (1 if mono else 2)
+    assert m["n_frames"] == n_frames
+    assert m["vbr"] is False
+    spf = 384 if layer == 1 else (
+        1152 if layer == 2 or version == "1" else 576
+    )
+    assert m["duration_ms"] == n_frames * spf * 1000 // sr
