@@ -598,3 +598,100 @@ SELECT bucket, n_docs, total_tokens, min_tokens, max_tokens,
 FROM agg
 ORDER BY bucket
 """
+
+
+def write_shards_with_manifest(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = N_SHARDS,
+    seed: str = SHARD_SALT,
+) -> dict:
+    """write_shards + a committed ``_manifest.json`` (underscore prefix: Spark data readers skip it, the _SUCCESS convention): per-shard doc and
+    token counts and order-independent doc_id checksums (sum, xor),
+    computed DISTRIBUTED (one n_shards-group aggregation — the
+    shard_assignments shape) and collected as n_shards bounded rows.
+    The manifest is what a training loader checks before trusting an
+    export, and what ``verify_shards`` re-derives from the written
+    files — any dropped/duplicated/corrupted shard shows up as a
+    checksum mismatch without re-reading text."""
+    import json
+    import os
+
+    write_shards(docs, out_dir, n_shards=n_shards, seed=seed)
+    stats = (
+        docs.select(
+            shard_column(seed, n_shards).alias("shard"),
+            "doc_id",
+            F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("doc_id_sum"),
+            F.bit_xor("doc_id").alias("doc_id_xor"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "salt": seed,
+        "shards": {
+            int(r.shard): {
+                "n_docs": int(r.n_docs),
+                "total_tokens": int(r.total_tokens),
+                "doc_id_sum": int(r.doc_id_sum),
+                "doc_id_xor": int(r.doc_id_xor),
+            }
+            for r in stats
+        },
+    }
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def verify_shards(spark: SparkSession, out_dir: str) -> dict:
+    """Re-derive the manifest's per-shard accounting from the WRITTEN
+    parquet and compare. Returns the manifest on success; raises
+    ValueError naming every mismatched shard otherwise. One scan of
+    the export, one bounded aggregation — cheap enough to run as the
+    loader's preflight."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_manifest.json")) as f:
+        manifest = json.load(f)
+    got = {
+        int(r.shard): {
+            "n_docs": int(r.n_docs),
+            "total_tokens": int(r.total_tokens),
+            "doc_id_sum": int(r.doc_id_sum),
+            "doc_id_xor": int(r.doc_id_xor),
+        }
+        for r in (
+            spark.read.parquet(out_dir)
+            .select(
+                "shard",
+                "doc_id",
+                F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+            )
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.sum("doc_id").alias("doc_id_sum"),
+                F.bit_xor("doc_id").alias("doc_id_xor"),
+            )
+            .collect()
+        )
+    }
+    want = {int(k): v for k, v in manifest["shards"].items()}
+    bad = sorted(
+        {k for k in want if want[k] != got.get(k)}
+        | (set(got) - set(want))
+    )
+    if bad:
+        raise ValueError(f"shard verification failed for shards {bad}")
+    return manifest

@@ -138,3 +138,28 @@ def test_token_budget_sample_respects_allocations(spark, sf_small):
             acc += ordered[d][1]
             want.append(d)
         assert [r.doc_id for r in kept] == want, source
+
+
+def test_shard_manifest_roundtrip_and_tamper_detection(spark, sf_small, tmp_path):
+    from parquet_extractor_spark.operators.training import (
+        write_shards_with_manifest,
+        verify_shards,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    out = str(tmp_path / "shards")
+    docs = load_table(spark, sf_small, "documents")
+    manifest = write_shards_with_manifest(spark, docs, out, n_shards=4)
+    assert set(manifest["shards"]) == {0, 1, 2, 3}
+    assert sum(s["n_docs"] for s in manifest["shards"].values()) == docs.count()
+    # clean verify
+    assert verify_shards(spark, out)["n_shards"] == 4
+    # tamper: drop one shard directory -> named failure
+    import shutil
+
+    import pytest
+
+    victim = sorted(manifest["shards"])[0]
+    shutil.rmtree(str(tmp_path / "shards" / f"shard={victim}"))
+    with pytest.raises(ValueError, match="shard verification failed"):
+        verify_shards(spark, out)
