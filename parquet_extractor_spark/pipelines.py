@@ -275,6 +275,32 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
     reduction = [
         r.asDict() for r in dedup_reduction_report(spark, sf_dir).collect()
     ]
+    from parquet_extractor_spark.operators.contamination import (
+        bloom_decontamination,
+    )
+    from parquet_extractor_spark.operators.training import (
+        length_bucketing_efficiency,
+        temperature_mixing_weights,
+    )
+
+    mixing = [
+        r.asDict()
+        for r in temperature_mixing_weights(spark, sf_dir).collect()
+    ]
+    buckets = [
+        r.asDict()
+        for r in length_bucketing_efficiency(spark, sf_dir).collect()
+    ]
+    # contamination rate: one more bounded aggregate over the
+    # zero-join Bloom screen (flag counts, not per-doc rows)
+    decon = (
+        bloom_decontamination(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("flagged").cast("int")).alias("n_flagged"),
+        )
+        .first()
+    )
     kl = {r.source: r.kl_divergence for r in source_token_kl(spark, sf_dir).collect()}
     ks = {r.source: r.ks_stat for r in source_length_ks(spark, sf_dir).collect()}
     drift = [
@@ -293,4 +319,11 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
         "quality_by_source": quality,
         "dedup_reduction": reduction,
         "drift_by_source": drift,
+        "mixing_weights": mixing,
+        "length_buckets": buckets,
+        "benchmark_contamination": {
+            "screen": "bloom(ngram)",
+            "n_docs": int(decon.n_docs),
+            "n_flagged": int(decon.n_flagged or 0),
+        },
     }

@@ -189,7 +189,17 @@ def test_datacard_report(spark, sf_small):
         "quality_by_source",
         "dedup_reduction",
         "drift_by_source",
+        "mixing_weights",
+        "length_buckets",
+        "benchmark_contamination",
     }
+    assert card["mixing_weights"] and card["length_buckets"]
+    shares = sum(r["temp_share"] for r in card["mixing_weights"])
+    assert abs(shares - 1.0) < 1e-3
+    for b in card["length_buckets"]:
+        assert 0.0 <= b["waste_frac"] < 1.0
+    bc = card["benchmark_contamination"]
+    assert 0 <= bc["n_flagged"] <= bc["n_docs"]
     direct = corpus_stats(spark, sf_small).first().asDict()
     assert card["corpus"] == direct
     assert card["languages"] and card["drift_by_source"]
