@@ -787,3 +787,132 @@ ORDER BY doc_id
 
 
 QUALITY_CLASSIFIER_SQL = _quality_classifier_oracle()
+
+
+# ── Luhn-validated PII audit ────────────────────────────────────────
+# Deeper PII screening than pii_redaction's pattern scrub: a bare
+# 13-19-digit regex flags order numbers and timestamps as "credit
+# cards"; validating the Luhn check digit (ISO/IEC 7812 — public
+# spec) kills most false positives, which at 100 TB is the difference
+# between a useful audit and noise. The arithmetic is pure integer
+# expressions in BOTH engines — no UDF, no literal-answer baking: the
+# oracle recomputes Luhn itself over the same fixture.
+_CARD_CAND_RE = r"[0-9](?:[0-9 -]{11,21})[0-9]"
+_IPV4_RE = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def _pii_fixture_rows() -> list[tuple]:
+    """Deterministic audit fixture: valid Luhn card numbers (test
+    numbers published in payment-industry docs), corrupted variants
+    (one digit off — Luhn must reject), separator formats, IPv4s
+    (valid and out-of-range octets), and clean text."""
+    return [
+        (0, "order 4111111111111111 shipped"),            # valid visa test
+        (1, "card 4111 1111 1111 1111 on file"),          # spaced, valid
+        (2, "card 5500-0000-0000-0004 expired"),          # dashed, valid
+        (3, "ref 4111111111111112 is not a card"),        # Luhn-invalid
+        (4, "ts 1699999999999999 batch id"),              # Luhn-invalid
+        (5, "amex 378282246310005 accepted"),             # 15-digit valid
+        (6, "host 10.0.0.1 and 192.168.300.1 pinged"),    # 1 valid, 1 bad ip
+        (7, "totally clean document text"),
+        (8, "both 4111111111111111 and 8.8.8.8 appear"),
+        (9, "edge 999.1.1.1 and 0.0.0.0"),                # 1 bad, 1 valid
+    ]
+
+
+_LUHN_SPARK = (
+    "aggregate(sequence(1, length(rd)), 0, (acc, i) -> acc + "
+    "CASE WHEN i % 2 = 0 THEN "
+    "  IF(2 * (ascii(substr(reverse(rd), i, 1)) - 48) > 9, "
+    "     2 * (ascii(substr(reverse(rd), i, 1)) - 48) - 9, "
+    "     2 * (ascii(substr(reverse(rd), i, 1)) - 48)) "
+    "ELSE ascii(substr(reverse(rd), i, 1)) - 48 END) % 10 = 0"
+)
+
+
+def pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row PII audit over the deterministic fixture: card-shaped
+    candidates split by Luhn verdict, IPv4 candidates split by octet
+    range check. All map-side array expressions (regexp_extract_all →
+    transform/filter folds); at corpus scale this composes into the
+    curation scan like the other quality columns. ``sf_dir`` unused —
+    fixture rows carry known ground truth the way the media fixtures
+    do, since the synthetic documents table contains no PII at all.
+    """
+    del sf_dir
+    rows = spark.createDataFrame(_pii_fixture_rows(), "row_id long, text string")
+    # regexes via the DataFrame API (F.lit patterns), never F.expr —
+    # Spark SQL string literals eat backslashes, which silently turns
+    # the IPv4 regex's \. into match-any (the documented gotcha)
+    cands = F.regexp_extract_all(F.col("text"), F.lit(_CARD_CAND_RE), F.lit(0))
+    ips = F.regexp_extract_all(F.col("text"), F.lit(_IPV4_RE), F.lit(0))
+    ip_ok = (
+        "size(filter(ips, p -> "
+        "array_max(transform(split(p, '\\\\.'), o -> CAST(o AS INT))) <= 255"
+        "))"
+    )
+    base = rows.select(
+        "row_id",
+        cands.alias("cards"),
+        ips.alias("ips"),
+    ).select(
+        "row_id",
+        F.expr(
+            "size(filter(transform(cards, c -> regexp_replace(c, '[^0-9]', '')), "
+            "rd -> length(rd) BETWEEN 13 AND 19 AND " + _LUHN_SPARK + "))"
+        )
+        .cast("bigint")
+        .alias("n_cards_valid"),
+        F.expr(
+            "size(filter(transform(cards, c -> regexp_replace(c, '[^0-9]', '')), "
+            "rd -> length(rd) BETWEEN 13 AND 19 AND NOT (" + _LUHN_SPARK + ")))"
+        )
+        .cast("bigint")
+        .alias("n_cards_luhn_rejected"),
+        F.expr(ip_ok).cast("bigint").alias("n_ipv4_valid"),
+        (F.size("ips") - F.expr(ip_ok)).cast("bigint").alias("n_ipv4_invalid"),
+    )
+    return base.orderBy("row_id")
+
+
+_PII_FIXTURE_VALUES = ",\n    ".join(
+    f"({rid}, '{txt}')" for rid, txt in _pii_fixture_rows()
+)
+_LUHN_DUCK = (
+    "list_sum(list_transform(range(1, length(rd) + 1), i -> "
+    "CASE WHEN i % 2 = 0 THEN "
+    "  CASE WHEN 2 * (ascii(substr(reverse(rd), i, 1)) - 48) > 9 "
+    "       THEN 2 * (ascii(substr(reverse(rd), i, 1)) - 48) - 9 "
+    "       ELSE 2 * (ascii(substr(reverse(rd), i, 1)) - 48) END "
+    "ELSE ascii(substr(reverse(rd), i, 1)) - 48 END)) % 10 = 0"
+)
+
+PII_AUDIT_SQL = rf"""
+WITH fixture(row_id, text) AS (VALUES
+    {_PII_FIXTURE_VALUES}
+),
+ext AS (
+    SELECT row_id,
+           list_transform(regexp_extract_all(text, '{_CARD_CAND_RE}'),
+                          c -> regexp_replace(c, '[^0-9]', '', 'g')) AS rds,
+           regexp_extract_all(text, '{_IPV4_RE}') AS ips
+    FROM fixture
+)
+SELECT row_id,
+       CAST(len(list_filter(rds, rd ->
+            length(rd) BETWEEN 13 AND 19 AND {_LUHN_DUCK})) AS BIGINT)
+           AS n_cards_valid,
+       CAST(len(list_filter(rds, rd ->
+            length(rd) BETWEEN 13 AND 19 AND NOT ({_LUHN_DUCK}))) AS BIGINT)
+           AS n_cards_luhn_rejected,
+       CAST(len(list_filter(ips, p ->
+            list_max(list_transform(string_split(p, '.'),
+                                    o -> CAST(o AS INT))) <= 255)) AS BIGINT)
+           AS n_ipv4_valid,
+       CAST(len(ips) - len(list_filter(ips, p ->
+            list_max(list_transform(string_split(p, '.'),
+                                    o -> CAST(o AS INT))) <= 255)) AS BIGINT)
+           AS n_ipv4_invalid
+FROM ext
+ORDER BY row_id
+"""
