@@ -257,3 +257,39 @@ def bloom_decontamination_stream(
     return bloom_probe_columns(
         stream_docs.filter((F.col("doc_id") % BENCH_MOD) != 0), bitset_words
     )
+
+
+def countmin_sketch_stream(stream_docs: DataFrame) -> DataFrame:
+    """Streaming count-min sketch build: the same D×W cell aggregation
+    as corpus_index.countmin_heavy_hitters, running as an UNWATERMARKED
+    streaming aggregation — legitimate here precisely because the
+    sketch bounds the state by construction (≤ CM_DEPTH × CM_WIDTH
+    groups regardless of stream length), which is the whole point of
+    sketching a stream. Complete-mode output; the drained snapshot
+    equals the batch sketch exactly (equality-tested)."""
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.corpus_index import (
+        CM_DEPTH,
+        MIN_TERM_LEN,
+        _cm_pos,
+    )
+
+    toks = stream_docs.select(
+        F.explode(tokenize("text")).alias("tok")
+    ).filter(F.length("tok") >= MIN_TERM_LEN)
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cm_pos(F.col("tok"), d).alias("pos"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy("c.d", "c.pos").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

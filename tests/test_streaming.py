@@ -435,3 +435,68 @@ def test_bloom_decontamination_stream_equals_batch(spark, sf_small, tmp_path):
         for r in bloom_decontamination(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_countmin_sketch_stream_equals_batch(spark, sf_small, tmp_path):
+    """The drained streaming sketch == the batch sketch cell-for-cell;
+    state is bounded by D x W groups by construction, so the
+    unwatermarked aggregation is legitimate."""
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.corpus_index import (
+        CM_DEPTH,
+        CM_WIDTH,
+        MIN_TERM_LEN,
+        _cm_pos,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.documents import (
+        countmin_sketch_stream,
+        read_documents_stream,
+    )
+    from pyspark.sql import functions as F
+
+    sketch_stream = countmin_sketch_stream(
+        read_documents_stream(spark, sf_small)
+    )
+    captured = {}
+
+    def _sink(batch, epoch):
+        captured["rows"] = {
+            (r.d, r.pos): r.cnt for r in batch.collect()
+        }
+
+    q = (
+        sketch_stream.writeStream.outputMode("complete")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = captured["rows"]
+    assert 0 < len(got) <= CM_DEPTH * CM_WIDTH
+    toks = (
+        load_table(spark, sf_small, "documents")
+        .select(F.explode(tokenize("text")).alias("tok"))
+        .filter(F.length("tok") >= MIN_TERM_LEN)
+    )
+    want = {
+        (r.d, r.pos): r.cnt
+        for r in toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cm_pos(F.col("tok"), d).alias("pos"),
+                        )
+                        for d in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.d", "c.pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want
