@@ -1264,7 +1264,12 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinates round(6), output mean-squared-distance round(4) —
     each rounding absorbs partial-sum reorder jitter at that stage.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # repartition once: both Lloyd assignment passes fan k distance
+    # expressions over every row, and a 1-2 partition parquet read
+    # would serialize them (the r04 lesson)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def argmin_cluster(cents: list[tuple[int, list[float]]]) -> tuple[Column, Column]:
         dists = [
