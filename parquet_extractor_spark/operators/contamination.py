@@ -119,21 +119,40 @@ BLOOM_HASHES = 3  # K
 _BLOOM_WORDS = BLOOM_BITS // 32
 
 
-def _bloom_positions_expr(gram_col: str) -> list:
-    """The K bit positions of one gram, as Column expressions the
-    DuckDB twin mirrors literally: pos_i = (h1 + i·h2) mod M with
-    h1 = phash(g), h2 = phash(g || '#2') — both 60-bit md5 prefixes,
-    so i·h2 + h1 < 2^62 never overflows BIGINT."""
+def _bloom_positions_expr(gram_col, fast: bool = False) -> list:
+    """The K bit positions of one gram, as Column expressions:
+    pos_i = (h1 + i·h2) mod M. Default hashes are 60-bit md5 prefixes
+    the DuckDB twin mirrors literally (i·h2 + h1 < 2^62 — no BIGINT
+    overflow). ``fast=True`` swaps in ``F.xxhash64`` — measured ~20%
+    end-to-end at the 100× check (per-hash xxhash is ~10× cheaper but
+    the probe machinery dominates; SCALE.md) — at the price of oracle
+    parity: xxhash is
+    engine-specific, so the fast tier is verified by the superset
+    property against the exact join, which holds under ANY hash, not
+    by the DuckDB twin. pmod (not %) keeps xxhash's negative halves
+    in [0, M)."""
     from parquet_extractor_spark.functions.text import portable_hash64
 
-    h1 = portable_hash64(F.col(gram_col))
-    h2 = portable_hash64(F.concat(F.col(gram_col), F.lit("#2")))
+    g = F.col(gram_col) if isinstance(gram_col, str) else gram_col
+    if fast:
+        h1r = F.xxhash64(g)
+        h2r = F.xxhash64(F.concat(g, F.lit("#2")))
+    else:
+        h1r = portable_hash64(g)
+        h2r = portable_hash64(F.concat(g, F.lit("#2")))
+    # pre-reduce mod M before combining: (h1%M + i*(h2%M)) % M ==
+    # (h1 + i*h2) % M, so the oracle's formula is unchanged — and
+    # xxhash64's full-range values can't ANSI-overflow the BIGINT sum
+    h1 = F.pmod(h1r, F.lit(BLOOM_BITS))
+    h2 = F.pmod(h2r, F.lit(BLOOM_BITS))
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS)) for i in range(BLOOM_HASHES)
     ]
 
 
-def build_bloom_bitset(spark: SparkSession, sf_dir: str) -> list[int]:
+def build_bloom_bitset(
+    spark: SparkSession, sf_dir: str, fast: bool = False
+) -> list[int]:
     """The benchmark slice's Bloom bitset as _BLOOM_WORDS ints: gram
     bit positions aggregated DISTINCT and collected — bounded by
     construction (≤ BLOOM_BITS positions, and a real benchmark suite
@@ -146,7 +165,9 @@ def build_bloom_bitset(spark: SparkSession, sf_dir: str) -> list[int]:
                 F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
             ).alias("g")
         )
-        .select(F.explode(F.array(*_bloom_positions_expr("g"))).alias("pos"))
+        .select(
+            F.explode(F.array(*_bloom_positions_expr("g", fast))).alias("pos")
+        )
         .distinct()
     )
     words = [0] * _BLOOM_WORDS
@@ -155,20 +176,16 @@ def build_bloom_bitset(spark: SparkSession, sf_dir: str) -> list[int]:
     return words
 
 
-def bloom_hit_lambda(words: list[int]):
+def bloom_hit_lambda(words: list[int], fast: bool = False):
     """g -> Column membership test against the bitset literal, usable
     inside F.filter/F.aggregate lambdas (single-param callable — the
-    Spark HOF arity contract) and on plain columns."""
+    Spark HOF arity contract) and on plain columns. ``fast`` must
+    match the flag the bitset was built with."""
     bitset = F.array(*[F.lit(w) for w in words])
 
     def hit(g):
-        from parquet_extractor_spark.functions.text import portable_hash64
-
-        h1 = portable_hash64(g)
-        h2 = portable_hash64(F.concat(g, F.lit("#2")))
         t = None
-        for i in range(BLOOM_HASHES):
-            p = F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_BITS))
+        for p in _bloom_positions_expr(g, fast):
             test = (
                 F.getbit(
                     F.element_at(bitset, (p / 32).cast("int") + 1),
@@ -182,13 +199,20 @@ def bloom_hit_lambda(words: list[int]):
     return hit
 
 
-def bloom_probe_columns(docs: DataFrame, words: list[int]) -> DataFrame:
+def bloom_probe_columns(
+    docs: DataFrame, words: list[int], fast: bool = False
+) -> DataFrame:
     """The probe as a PURE PROJECTION: per-row gram array → filter by
     the bitset test → counts. Zero shuffle, zero join, no aggregation
-    state — which is also why it composes onto a structured stream
-    unchanged (streaming/documents.py)."""
+    state — which is why it composes onto a structured stream
+    unchanged (streaming/documents.py). For BATCH use prefer
+    bloom_decontamination's explode form: F.filter lambdas are
+    CodegenFallback (interpreted per gram), and the measured 100×
+    cost is 60 s here vs 24 s for the exploded codegen'd bit test —
+    statelessness is worth that price only where state is the
+    constraint."""
     gs = F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
-    hits = F.size(F.filter(gs, bloom_hit_lambda(words)))
+    hits = F.size(F.filter(gs, bloom_hit_lambda(words, fast)))
     return docs.select(
         "doc_id",
         F.size(gs).cast("bigint").alias("n_grams"),
@@ -205,10 +229,14 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitset embedded as a plan-time array<int> literal, exactly the
     IVF-centroid-literal pattern (build_bloom_bitset).
 
-    Probe: a pure per-row projection (bloom_probe_columns) — the plan
-    contains NO join and NO aggregation at all; corpus cost is one
-    scan regardless of benchmark size, and the same expression
-    composes stateless onto a structured stream.
+    Probe: explode the distinct grams and run the bit test as a
+    plain codegen'd column expression, then one partial agg keyed by
+    doc_id. Still NO join anywhere in the plan — corpus cost is one
+    scan + one bounded shuffle regardless of benchmark size. (The
+    zero-shuffle HOF-projection form exists as bloom_probe_columns
+    for the stateless streaming twin, but F.filter lambdas are
+    interpreted per gram: 60 s vs 24 s at the 100× check, so batch
+    takes the exploded codegen path.)
 
     Output: (doc_id, n_grams, n_bloom_hits, flagged) for every
     non-benchmark doc; flagged docs are a SUPERSET of
@@ -219,7 +247,28 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents")).filter(
         (F.col("doc_id") % BENCH_MOD) != 0
     )
-    return bloom_probe_columns(docs, words).orderBy("doc_id")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
+        ).alias("g"),
+    )
+    hit = bloom_hit_lambda(words)(F.col("g"))
+    return (
+        grams.select("doc_id", hit.cast("int").alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("h").cast("bigint").alias("n_bloom_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            (F.col("n_bloom_hits") > 0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _BLOOM_H1 = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
