@@ -323,3 +323,96 @@ FROM corpus_hits
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-but-verify for the Bloom tier (the lsh_quality_eval
+    pattern): exact-join flag counts vs Bloom flag counts and the
+    realized false-positive rate, ONE summary row. At 100 TB this is
+    the figure that decides whether BLOOM_BITS is sized right before
+    the screen gates real data.
+
+    Both sides are the engine's own operators; the comparison is two
+    1-row aggregates joined by broadcast cross join. Bloom has no
+    false negatives by construction, so flagged_exact ≤ flagged_bloom
+    and fp = flagged_bloom − flagged_exact.
+    """
+    exact_docs = ngram_decontamination(spark, sf_dir).select("doc_id")
+    bloom = bloom_decontamination(spark, sf_dir)
+    ne = exact_docs.agg(F.count(F.lit(1)).alias("flagged_exact"))
+    nb = bloom.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("flagged").cast("int")).cast("bigint").alias(
+            "flagged_bloom"
+        ),
+    )
+    return nb.crossJoin(F.broadcast(ne)).select(
+        "n_docs",
+        "flagged_exact",
+        "flagged_bloom",
+        (F.col("flagged_bloom") - F.col("flagged_exact"))
+        .cast("bigint")
+        .alias("false_positives"),
+        F.expr(
+            "CASE WHEN n_docs - flagged_exact = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(floor((flagged_bloom - flagged_exact) * 1000000.0 "
+            "/ (n_docs - flagged_exact)) AS BIGINT) END"
+        ).alias("fp_rate_micro"),
+    )
+
+
+DECONTAMINATION_REPORT_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(
+               1, greatest(len(tokens) - {DECONTAM_NGRAM - 1}, 1))) AS i
+    FROM toks
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(tokens[i:i+{DECONTAM_NGRAM - 1}], ' ') AS g
+    FROM pos
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % {BENCH_MOD} <> 0),
+exact_flagged AS (
+    SELECT count(DISTINCT c.doc_id) AS flagged_exact
+    FROM corpus c JOIN bench USING (g)
+),
+gram_bits AS (
+    SELECT doc_id, g, unnest([{_BLOOM_POS}]) AS bitpos FROM grams
+),
+bench_bits AS (
+    SELECT DISTINCT bitpos FROM gram_bits WHERE doc_id % {BENCH_MOD} = 0
+),
+bloom_hits AS (
+    SELECT gb.doc_id, gb.g,
+           count(*) = {BLOOM_HASHES}
+               AND count(bb.bitpos) = {BLOOM_HASHES} AS hit
+    FROM gram_bits gb LEFT JOIN bench_bits bb USING (bitpos)
+    WHERE gb.doc_id % {BENCH_MOD} <> 0
+    GROUP BY gb.doc_id, gb.g
+),
+bloom_docs AS (
+    SELECT doc_id, max(CASE WHEN hit THEN 1 ELSE 0 END) AS flagged
+    FROM bloom_hits GROUP BY doc_id
+),
+bloom_agg AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(flagged) AS BIGINT) AS flagged_bloom
+    FROM bloom_docs
+)
+SELECT n_docs, flagged_exact, flagged_bloom,
+       CAST(flagged_bloom - flagged_exact AS BIGINT) AS false_positives,
+       CASE WHEN n_docs - flagged_exact = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor((flagged_bloom - flagged_exact) * 1000000.0
+                 / (n_docs - flagged_exact)) AS BIGINT) END AS fp_rate_micro
+FROM bloom_agg CROSS JOIN exact_flagged
+"""
