@@ -4,13 +4,19 @@
 global (single-partition) window in this codebase, and it is only
 legitimate over K-BOUNDED inputs: a post-``limit(K)`` head, or a
 grouped reduction whose cardinality is a constant of the query (never
-raw fact rows). ``partitionBy(lit(0))`` keeps the partition spec
-non-empty so WindowExec doesn't emit its "No Partition Defined"
-WARN for what is a deliberate, bounded single partition — which in
-turn keeps run logs clean enough that a REAL unbounded global window
-(someone calling ``Window.orderBy`` directly) stands out. A source
-lint in tests/test_plan_quality.py enforces that operators never call
-``Window.orderBy`` directly (r03 verdict item 8).
+raw fact rows). ``partitionBy(lit(0))`` marks the INTENT — "this
+single partition is deliberate and bounded" — but does NOT suppress
+WindowExec's "No Partition Defined" WARN on its own: Catalyst
+constant-folds the literal key out of the window spec, so the
+physical plan is still partition-less. Suppression happens at the
+logger (``session._quiet_bounded_window_warns`` sets the two
+WindowExec logger classes to ERROR), which is safe precisely because
+a source lint in tests/test_plan_quality.py enforces that operators
+never call ``Window.orderBy`` directly (r03 verdict item 8) — every
+in-package global window is bounded by construction. Note the
+logger-level silencing is session-wide: ad-hoc windows built OUTSIDE
+this package (tests, user composition) also lose the WARN, which is
+why the lint, not the log line, is the real guard.
 """
 
 from __future__ import annotations

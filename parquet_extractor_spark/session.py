@@ -98,6 +98,37 @@ def get_spark(
     return spark
 
 
+def release_cached(spark: SparkSession) -> None:
+    """Drop every cached artifact the previous query left behind:
+    SQL-catalog cached tables AND raw persistent RDD blocks (which is
+    where ``persist()`` frames *and* ``localCheckpoint()`` snapshots
+    live — ``clearCache()`` alone misses both).
+
+    Operators in this package persist shared intermediates for the
+    lifetime of their returned plan (e.g. the grouped postings in
+    ``dedup.ngram_jaccard_pairs``, the per-round label snapshots in
+    ``dedup.dedup_components``) and cannot unpersist them before the
+    caller consumes the DataFrame. A long-lived session running many
+    queries back-to-back (the bench harness, the oracle gate, a REST
+    service between jobs) calls this between queries; a short-lived
+    session can rely on LRU block eviction. Measured effect: without
+    this, ``dedup_canonical`` degraded 2.6s -> 6.9s by position ~60 of
+    a 140-query sweep (r04 bench) purely from accumulated blocks.
+    """
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            jmap.get(rid).unpersist(False)
+    except Exception:
+        # non-JVM backends (Spark Connect): cached blocks are remote
+        # and session-scoped; nothing to release client-side.
+        pass
+
+
 def _quiet_bounded_window_warns(spark: SparkSession) -> None:
     """Silence WindowExec's "No Partition Defined" WARN.
 
@@ -108,7 +139,12 @@ def _quiet_bounded_window_warns(spark: SparkSession) -> None:
     tests/test_plan_quality.py, so the WARN carries no signal here and
     ~40 repeats per run would mask a real log line. Catalyst constant-
     folds any literal partition key out of the window spec, so the
-    suppression has to happen at the logger, not the plan."""
+    suppression has to happen at the logger, not the plan (the
+    ``partitionBy(lit(0))`` in bounded_global_window marks intent; it
+    does not itself silence anything). Trade-off: the silencing is
+    session-wide, so ad-hoc global windows built outside the linted
+    package also lose the WARN — the source lint is the guard, the
+    log line never was."""
     try:
         jvm = spark.sparkContext._jvm
         configurator = jvm.org.apache.logging.log4j.core.config.Configurator
