@@ -5,7 +5,15 @@ Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
 the MEDIAN — bench noise on this host is ±50% across runs (r01
 verdict), so single samples aren't comparable round-to-round.
 
-Prints ONE JSON line:
+Self-defense against capture truncation (three consecutive rounds of
+driver-side `parsed: null`): the full payload is ALSO written to
+BENCH_LOCAL.json in the repo root, a short summary JSON line is
+printed before the full one, and each query attempt runs under a
+cancellable Spark job group with a wall-clock timeout so one hung
+plan cannot starve the payload.
+
+Prints a short line then ONE full JSON line:
+  {"metric": "...", "value": N, "n": ...}
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
 
@@ -100,9 +108,50 @@ HEADLINE = [
 ]
 
 
+def _attempt(spark, name: str, fn, sf_dir: str, timeout_s: float) -> dict:
+    """Run one query attempt in a cancellable job group.
+
+    The noop write runs in an InheritableThread (propagates the job
+    group to Spark's local properties); if it outlives ``timeout_s``
+    the group is cancelled (interruptOnCancel) and the attempt is
+    reported as a timeout instead of hanging the whole bench — the
+    driver must always get its JSON line.
+    """
+    from pyspark import InheritableThread
+
+    group = f"bench-{name}"
+    result: dict = {}
+
+    def _target() -> None:
+        try:
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel=True)
+            df = fn(spark, sf_dir)
+            # noop sink: full computation of every output column
+            # without count()'s column pruning shortcutting the
+            # expressions.
+            df.write.format("noop").mode("overwrite").save()
+            result["ok"] = True
+        except Exception as exc:
+            result["err"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    th = InheritableThread(target=_target, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        try:
+            spark.sparkContext.cancelJobGroup(group)
+        except Exception:
+            pass
+        th.join(10)
+        result.pop("ok", None)
+        result.setdefault("err", f"Timeout: exceeded {timeout_s:.0f}s")
+        result["timeout"] = True
+    return result
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
-    from parquet_extractor_spark.session import get_spark
+    from parquet_extractor_spark.session import get_spark, release_cached
 
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -138,6 +187,11 @@ def main() -> None:
     # of a driver-side timeout that records nothing.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
     hard_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_S", "900"))
+    # Per-attempt wall-clock cap: one hung plan must not starve the
+    # payload. 120s is >25× the slowest healthy query at sf0.1.
+    query_timeout_s = float(
+        os.environ.get("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_S", "120")
+    )
     bench_t0 = time.time()
 
     timings: dict[str, float] = {}
@@ -154,18 +208,18 @@ def main() -> None:
         samples = []
         for _ in range(runs):
             t0 = time.time()
-            try:
-                df = fn(spark, SF_DIR)
-                # noop sink: full computation of every output column
-                # without count()'s column pruning shortcutting the
-                # expressions.
-                df.write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # one broken query must not erase the round's metric
-                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            res = _attempt(spark, name, fn, SF_DIR, query_timeout_s)
+            if not res.get("ok"):  # error or timeout: drop the query, keep the run
+                errors[name] = res.get("err", "unknown")
                 print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
                 samples = []
                 break
             samples.append(time.time() - t0)
+        # Cached intermediates (persist + localCheckpoint blocks) from
+        # this query must not bleed memory pressure into the next —
+        # r04 measured dedup_canonical 2.6s->6.9s by sweep position
+        # ~60 purely from accumulated blocks.
+        release_cached(spark)
         if not samples:
             continue
         dt = statistics.median(samples)
@@ -193,6 +247,29 @@ def main() -> None:
         payload["errors"] = errors
     if skipped:
         payload["skipped"] = skipped
+    # Self-defense against driver-side capture truncation: persist the
+    # full payload in-repo, and print a short always-parsable summary
+    # line BEFORE the full JSON line.
+    local_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "n": len(timings),
+                "errors": len(errors),
+                "skipped": len(skipped),
+            }
+        )
+    )
     print(json.dumps(payload))
 
 

@@ -30,10 +30,12 @@ from pyspark import InheritableThread
 from pyspark.sql import SparkSession
 
 from parquet_extractor_spark.constants import (
+    MAX_CRAWL_ARTICLES,
     MAX_DOCS,
     MAX_ERRORS,
     MAX_QUERY_ROWS,
 )
+from parquet_extractor_spark.session import release_cached
 
 DEFAULT_PORT = 5000
 
@@ -97,6 +99,19 @@ def submit_job(
                 jobs[job_id]["log"].append(traceback.format_exc()[-2000:])
         # no clearJobGroup: the property is thread-local and this
         # worker thread ends here (PySpark 4 removed clearJobGroup).
+        # Long-lived session hygiene: drop cached intermediates the
+        # job left behind (persist + localCheckpoint blocks) — but
+        # ONLY when no sibling job is still running, because
+        # release_cached is session-wide and would hard-invalidate a
+        # concurrent job's checkpointed lineage (session.py WARNING).
+        with _jobs_lock:
+            others_running = any(
+                j["status"] == "running"
+                for jid, j in jobs.items()
+                if jid != job_id
+            )
+        if not others_running:
+            release_cached(spark)
 
     InheritableThread(target=_run).start()
     return job_id
@@ -137,7 +152,7 @@ def check_write_access(output_dir: str) -> None:
     os.remove(probe)
 
 
-def create_app(spark: SparkSession, output_root: str):
+def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
     """Flask app factory. Routes mirror api.py's surface:
 
     GET  /api/health                 — O6
@@ -153,12 +168,22 @@ def create_app(spark: SparkSession, output_root: str):
     POST /api/extract/documents      — §3.1 extract pipeline
     POST /api/extract/parquet        — S5 multipart upload → extract
     POST /api/extract/pdf            — S9 documents → per-doc PDFs
+    POST /api/extract/cisi           — S3 CISI upload → markdown sink
+                                       (api.py:106-165)
+    POST /api/extract/wiki           — S6/S7 category crawl → PDF sink
+                                       (api.py:849-979)
     GET  /api/files                  — S11 listing
     GET  /api/files/<name>           — S12 download
     DELETE /api/files                — S13 cleanup (cleanup_wikir.py:22-61)
 
     Every client-supplied ``subdir`` goes through :func:`resolve_subdir`
     (400 on escape attempts) before touching the filesystem.
+
+    ``wiki_adapters`` injects the crawl's network seam: a zero-arg
+    callable returning ``(list_members, fetch_page)``. Defaults to the
+    live mwclient/wikipediaapi adapters (503 when those libs are
+    absent); tests pass deterministic fakes — same injectable shape as
+    sources/wikipedia.py itself.
     """
     import shutil
     import tempfile
@@ -172,9 +197,20 @@ def create_app(spark: SparkSession, output_root: str):
         extract_any_parquet,
         extract_files,
     )
+    from parquet_extractor_spark.functions.text import sanitize_filename
     from parquet_extractor_spark.sinks.markdown import write_files
     from parquet_extractor_spark.sinks.pdf import write_pdfs
+    from parquet_extractor_spark.sources.cisi import (
+        cisi_to_markdown,
+        read_cisi,
+    )
     from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.sources.wikipedia import (
+        WIKI_CRAWL_CATEGORIES,
+        crawl_category,
+        live_fetch_page,
+        live_list_members,
+    )
 
     app = Flask("parquet_extractor_spark")
 
@@ -410,6 +446,97 @@ def create_app(spark: SparkSession, output_root: str):
             return result
 
         job_id = submit_job(spark, "extract_pdf", _work, params)
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.post("/api/extract/cisi")
+    def extract_cisi():
+        """S3 face (api.py:106-165): CISI.ALL multipart upload spooled
+        to a temp dir → regex split + section-parse pandas_udf →
+        file-per-row markdown sink. Same spool/cleanup contract as the
+        parquet upload above."""
+        if "file" not in request.files:
+            return jsonify({"error": "no file provided"}), 400
+        up = request.files["file"]
+        if not up.filename:
+            return jsonify({"error": "no file selected"}), 400
+        tmp = tempfile.mkdtemp(prefix="cisi_")
+        path = os.path.join(tmp, up.filename)
+        up.save(path)
+        out_dir, err = _subdir_or_400(request.form.get("subdir", "cisi_papers"))
+        if err:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return err
+
+        def _work(job_id: str) -> dict[str, Any]:
+            try:
+                check_write_access(out_dir)
+                job_log(job_id, f"parsing CISI upload -> {out_dir}")
+                work = cisi_to_markdown(read_cisi(spark, path))
+                result = write_files(work, out_dir)
+                job_log(job_id, f"wrote {result['written']} files")
+                result["file_count"] = len(os.listdir(out_dir))
+                return result
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        job_id = submit_job(
+            spark, "cisi", _work, {"file": up.filename, "subdir": out_dir}
+        )
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.post("/api/extract/wiki")
+    def extract_wiki():
+        """S6/S7 face (api.py:849-979, the ww2 route generalized):
+        category crawl (driver-side member listing, rate-limited
+        executor-side page fetch) → file-per-row PDF sink. The network
+        seam comes from create_app's ``wiki_adapters``; without an
+        injection and without the live libs installed this returns
+        503 instead of launching a doomed job."""
+        params = request.get_json(silent=True) or {}
+        categories = params.get("categories") or WIKI_CRAWL_CATEGORIES
+        limit = min(int(params.get("limit", 200)), MAX_CRAWL_ARTICLES)
+        delay_s = float(params.get("delay_s", 1.0))
+        out_dir, err = _subdir_or_400(params.get("subdir", "wiki_pdf"))
+        if err:
+            return err
+        try:
+            if wiki_adapters is not None:
+                list_members, fetch_page = wiki_adapters()
+            else:
+                list_members = live_list_members()
+                fetch_page = live_fetch_page()
+        except ImportError as exc:
+            return jsonify({"error": f"wiki adapters unavailable: {exc}"}), 503
+
+        def _work(job_id: str) -> dict[str, Any]:
+            check_write_access(out_dir)
+            job_log(
+                job_id,
+                f"crawling {len(categories)} categories (limit {limit})",
+            )
+            pages = crawl_category(
+                spark, categories, list_members, fetch_page,
+                limit=limit, delay_s=delay_s,
+            )
+            work = pages.select(
+                F.concat(
+                    sanitize_filename(F.col("title")), F.lit(".pdf")
+                ).alias("filename"),
+                F.col("title").alias("title"),
+                F.col("title").alias("doc_id"),
+                F.col("text").alias("content"),
+            )
+            result = write_pdfs(work, out_dir)
+            job_log(job_id, f"rendered {result['written']} PDFs")
+            result["file_count"] = len(os.listdir(out_dir))
+            return result
+
+        job_id = submit_job(
+            spark,
+            "wiki_crawl",
+            _work,
+            {"categories": categories, "limit": limit, "subdir": out_dir},
+        )
         return jsonify({"job_id": job_id, "status": "running"}), 202
 
     @app.get("/api/files")

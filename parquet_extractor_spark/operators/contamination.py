@@ -27,18 +27,31 @@ DECONTAM_NGRAM = 4
 BENCH_MOD = 50
 
 
-def ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents sharing ≥1 distinct word 4-gram with the benchmark
-    slice, with their contamination fraction (shared / total distinct
-    grams). Benchmark gram set → distinct → broadcast; corpus side is
-    scan + map-side probe + one partial agg keyed by doc_id."""
+def _all_doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, g): every doc's per-doc-distinct word 4-grams,
+    exploded — the shared upstream of BOTH decontamination tiers
+    (exact join and Bloom). decontamination_report persists one
+    instance of this frame and threads it into both."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    grams = docs.select(
+    return docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
         ).alias("g"),
     )
+
+
+def ngram_decontamination(
+    spark: SparkSession, sf_dir: str, grams: DataFrame | None = None
+) -> DataFrame:
+    """Documents sharing ≥1 distinct word 4-gram with the benchmark
+    slice, with their contamination fraction (shared / total distinct
+    grams). Benchmark gram set → distinct → broadcast; corpus side is
+    scan + map-side probe + one partial agg keyed by doc_id.
+    ``grams`` lets a caller (decontamination_report) supply an
+    already-persisted gram frame instead of rebuilding it."""
+    if grams is None:
+        grams = _all_doc_grams(spark, sf_dir)
     bench = (
         grams.filter((F.col("doc_id") % BENCH_MOD) == 0).select("g").distinct()
     )
@@ -151,20 +164,20 @@ def _bloom_positions_expr(gram_col, fast: bool = False) -> list:
 
 
 def build_bloom_bitset(
-    spark: SparkSession, sf_dir: str, fast: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    fast: bool = False,
+    grams: DataFrame | None = None,
 ) -> list[int]:
     """The benchmark slice's Bloom bitset as _BLOOM_WORDS ints: gram
     bit positions aggregated DISTINCT and collected — bounded by
     construction (≤ BLOOM_BITS positions, and a real benchmark suite
-    is a fixed artifact) — then folded into words driver-side."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    is a fixed artifact) — then folded into words driver-side.
+    ``grams`` reuses a caller-persisted (doc_id, g) frame."""
+    if grams is None:
+        grams = _all_doc_grams(spark, sf_dir)
     bench_pos = (
-        docs.filter((F.col("doc_id") % BENCH_MOD) == 0)
-        .select(
-            F.explode(
-                F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
-            ).alias("g")
-        )
+        grams.filter((F.col("doc_id") % BENCH_MOD) == 0)
         .select(
             F.explode(F.array(*_bloom_positions_expr("g", fast))).alias("pos")
         )
@@ -221,7 +234,9 @@ def bloom_probe_columns(
     )
 
 
-def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_decontamination(
+    spark: SparkSession, sf_dir: str, grams: DataFrame | None = None
+) -> DataFrame:
     """Map-side Bloom membership screen of corpus grams against the
     benchmark slice.
 
@@ -241,21 +256,16 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, n_grams, n_bloom_hits, flagged) for every
     non-benchmark doc; flagged docs are a SUPERSET of
     ngram_decontamination's (Bloom has false positives, no false
-    negatives).
+    negatives). ``grams`` reuses a caller-persisted (doc_id, g)
+    frame for both the bitset build and the probe.
     """
-    words = build_bloom_bitset(spark, sf_dir)
-    docs = spread(load_table(spark, sf_dir, "documents")).filter(
-        (F.col("doc_id") % BENCH_MOD) != 0
-    )
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
-        ).alias("g"),
-    )
+    if grams is None:
+        grams = _all_doc_grams(spark, sf_dir)
+    words = build_bloom_bitset(spark, sf_dir, grams=grams)
+    corpus = grams.filter((F.col("doc_id") % BENCH_MOD) != 0)
     hit = bloom_hit_lambda(words)(F.col("g"))
     return (
-        grams.select("doc_id", hit.cast("int").alias("h"))
+        corpus.select("doc_id", hit.cast("int").alias("h"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_grams"),
@@ -336,9 +346,23 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row aggregates joined by broadcast cross join. Bloom has no
     false negatives by construction, so flagged_exact ≤ flagged_bloom
     and fp = flagged_bloom − flagged_exact.
+
+    The shared upstream — documents scan + tokenize + 4-gram explode
+    — is built ONCE, persisted (the ngram_jaccard_pairs pattern), and
+    threaded into both tiers via their ``grams`` parameter; without
+    it the explode pipeline ran three times (exact probe, bitset
+    build, Bloom probe). Long-lived drivers release the blocks via
+    session.release_cached between queries.
     """
-    exact_docs = ngram_decontamination(spark, sf_dir).select("doc_id")
-    bloom = bloom_decontamination(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    grams = _all_doc_grams(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    exact_docs = ngram_decontamination(spark, sf_dir, grams=grams).select(
+        "doc_id"
+    )
+    bloom = bloom_decontamination(spark, sf_dir, grams=grams)
     ne = exact_docs.agg(F.count(F.lit(1)).alias("flagged_exact"))
     nb = bloom.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -827,9 +827,25 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is identical, only the input frame shrinks.
     Output: (n_exact_pairs, n_candidate_pairs, n_hits,
     precision_micro, recall_micro).
+
+    Each upstream pair tier is PERSISTED (the ngram_jaccard_pairs
+    pattern): both tiers feed two consumers (their own 1-row count and
+    the semi-join), so without the persist the full shingle pipeline
+    runs twice per tier. Long-lived drivers release the blocks via
+    session.release_cached between queries.
     """
-    exact = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    from pyspark import StorageLevel
+
+    exact = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = (
+        minhash_lsh_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hits = exact.join(cand, ["doc_a", "doc_b"], "left_semi")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
@@ -901,11 +917,19 @@ def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical member. Three stage aggregates (each partial+final over
     a per-doc token count) unioned into a 3-row report; stage keys are
     lexicographic so the output order is the pipeline order.
+
+    Shared tiers are PERSISTED (the ngram_jaccard_pairs pattern):
+    per_doc feeds all three stages and the exact-survivor frame feeds
+    two, so without the persists the documents scan + tokenize runs
+    3× and the exact_dedup semi-join 2×. Long-lived drivers release
+    the blocks via session.release_cached between queries.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select(
         "doc_id", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     exact_keep = exact_dedup(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id")
     )
@@ -920,15 +944,14 @@ def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
 
+    exact_survivors = per_doc.join(
+        exact_keep, "doc_id", "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     raw = stage("1_raw", per_doc)
-    exact = stage(
-        "2_exact_dedup", per_doc.join(exact_keep, "doc_id", "left_semi")
-    )
+    exact = stage("2_exact_dedup", exact_survivors)
     near = stage(
         "3_near_dedup",
-        per_doc.join(exact_keep, "doc_id", "left_semi").join(
-            canonical, "doc_id", "left_semi"
-        ),
+        exact_survivors.join(canonical, "doc_id", "left_semi"),
     )
     return raw.unionByName(exact).unionByName(near).orderBy("stage")
 

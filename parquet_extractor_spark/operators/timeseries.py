@@ -404,6 +404,42 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_longest_streak_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive same-type events per user — the
+    DEFAULT, fully declarative gaps-and-islands formulation (two
+    ranking windows + two hash aggregations, all JVM-side inside
+    whole-stage codegen; same answer as the applyInPandas pin above).
+
+    Plan shape: one shuffle on user_id serves both row_number windows
+    (Catalyst reuses the partitioning; the second window only adds a
+    sort on the extended key), then partial+final hash aggs — no
+    Python worker, no Arrow hop. At 100 TB this is the form to run:
+    the applyInPandas variant (``user_longest_streak``) is kept as the
+    documented §2.11 escape hatch for per-group logic that genuinely
+    outgrows window tricks, and the suite equality-tests the two.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    islands = (
+        ev.withColumn(
+            "island",
+            F.row_number().over(w_all) - F.row_number().over(w_type),
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count("*").alias("streak"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(F.max("streak").alias("longest_streak"))
+        .orderBy("user_id")
+    )
+
+
 USER_LONGEST_STREAK_SQL = r"""
 WITH ordered AS (
     SELECT user_id, event_type,

@@ -99,33 +99,51 @@ def get_spark(
 
 
 def release_cached(spark: SparkSession) -> None:
-    """Drop every cached artifact the previous query left behind:
-    SQL-catalog cached tables AND raw persistent RDD blocks (which is
-    where ``persist()`` frames *and* ``localCheckpoint()`` snapshots
-    live — ``clearCache()`` alone misses both).
+    """Drop every cached artifact the previous query left behind.
+
+    ``spark.catalog.clearCache()`` goes through the CacheManager and
+    unpersists all DataFrame-level ``persist()``/``cache()`` frames;
+    the RDD loop below exists for what the CacheManager does NOT
+    track — RDD-level blocks, i.e. ``localCheckpoint()`` snapshots
+    (dedup.py's iterative label propagation) and any raw RDD persists.
 
     Operators in this package persist shared intermediates for the
     lifetime of their returned plan (e.g. the grouped postings in
     ``dedup.ngram_jaccard_pairs``, the per-round label snapshots in
     ``dedup.dedup_components``) and cannot unpersist them before the
-    caller consumes the DataFrame. A long-lived session running many
-    queries back-to-back (the bench harness, the oracle gate, a REST
-    service between jobs) calls this between queries; a short-lived
-    session can rely on LRU block eviction. Measured effect: without
-    this, ``dedup_canonical`` degraded 2.6s -> 6.9s by position ~60 of
-    a 140-query sweep (r04 bench) purely from accumulated blocks.
+    caller consumes the DataFrame. Long-lived drivers in this repo —
+    ``bench.py`` between queries, the oracle gate
+    (``tools/check_oracle.py``) between checks, and the job service
+    after each job — call this; a short-lived session can rely on LRU
+    block eviction. Measured effect: without it, ``dedup_canonical``
+    degraded 2.6s -> 6.9s by position ~60 of a 140-query sweep (r04
+    bench) purely from accumulated blocks.
+
+    WARNING — invalidates prior results, hard: because the RDD loop
+    also drops ``localCheckpoint()`` blocks, a still-referenced
+    DataFrame from a *previous* query whose lineage was truncated by a
+    checkpoint will FAIL on re-execution with "Checkpoint block not
+    found" rather than recompute. Call this only at a boundary where
+    every DataFrame handed out earlier has been fully consumed.
     """
+    import logging
+
     try:
         spark.catalog.clearCache()
-    except Exception:
-        pass
+    except Exception as exc:
+        # Spark Connect pre-3.5 lacks catalog.clearCache; anything
+        # else is a real driver/catalog error — surface it at debug
+        # so failures are diagnosable, but never break the caller's
+        # query loop over a cleanup step.
+        logging.getLogger(__name__).debug("clearCache failed: %s", exc)
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for rid in list(jmap.keySet().toArray()):
             jmap.get(rid).unpersist(False)
     except Exception:
-        # non-JVM backends (Spark Connect): cached blocks are remote
-        # and session-scoped; nothing to release client-side.
+        # non-JVM backends (Spark Connect): no sparkContext._jsc;
+        # cached blocks are remote and session-scoped; nothing to
+        # release client-side.
         pass
 
 

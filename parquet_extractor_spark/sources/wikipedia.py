@@ -44,6 +44,18 @@ from parquet_extractor_spark.constants import (
 
 FETCH_PARALLELISM = 1  # politeness: single fetch lane (api.py:938)
 
+# The reference's crawl roots: the primary category plus its related-
+# category fallbacks (api.py:664, api.py:686-692). The REST face uses
+# these as its default `categories` payload.
+WIKI_CRAWL_CATEGORIES = [
+    "World_War_II",
+    "World_War_II_by_country",
+    "Military_equipment_of_World_War_II",
+    "Battles_of_World_War_II",
+    "Military_operations_of_World_War_II",
+    "World_War_II_military_personnel",
+]
+
 TITLE_SCHEMA = StructType(
     [
         StructField("title", StringType(), False),

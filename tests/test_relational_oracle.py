@@ -107,23 +107,27 @@ def test_events_approx_users_accuracy(spark, sf_small):
 
 def test_driver_window_composition():
     """Regression guard on the dict ORDER of queries(): the driver
-    only checks the first 50 entries, so the r04-priority queries
-    (the never-driver-verified r03 tail + the two plans reworked this
-    round) must sit inside the window and the registry must stay
-    oracle-complete."""
+    only checks the first 50 entries, so the r06-priority queries
+    (the 8 that had never had a driver CORRECTNESS row before r06,
+    plus the r06-new declarative streak twin and the off-by-one
+    casualty q1_pricing_summary) must sit inside the window and the
+    registry must stay oracle-complete."""
     qs = list(entrymod.queries())
     window = set(qs[:50])
     must_be_in_window = {
-        # never had a driver CORRECTNESS row before r04
-        "semdedup_keep",
-        "ann_ivf_pq",
-        "dedup_graph_pagerank",
-        "curriculum_phases",
-        "media_resize_checksums",
-        "q20_excess_shippers",
-        # plans reworked in r04 — need a fresh driver row
-        "dedup_ngram_jaccard",
-        "lm_bigram_surprisal",
+        # never had a driver CORRECTNESS row before r06
+        "semantic_decontamination",
+        "hard_negative_mining",
+        "bloom_decontamination",
+        "countmin_heavy_hitters",
+        "temperature_mixing_weights",
+        "length_bucketing_efficiency",
+        "pii_audit",
+        "decontamination_report",
+        # r06-new: needs its first driver row
+        "user_longest_streak_window",
+        # entry #51 of the r04/r05 window (the off-by-one), r02-stale
+        "q1_pricing_summary",
     }
     assert must_be_in_window <= window
     assert len(qs) == len(set(qs)) == len(entrymod.oracle_sql())

@@ -84,7 +84,7 @@ def run_gate(only=(), sf_dir=None, spark=None, quiet=False) -> list:
     the full registry sweep mechanically (tests/test_oracle_gate.py);
     the CLI below is this with argv as ``only``."""
     import __spark_entry__ as entrymod
-    from parquet_extractor_spark.session import get_spark
+    from parquet_extractor_spark.session import get_spark, release_cached
 
     sf_dir = sf_dir or SF_DIR
     if spark is None:
@@ -118,6 +118,12 @@ def run_gate(only=(), sf_dir=None, spark=None, quiet=False) -> list:
             say(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # collect() fully consumed the frame; drop its persisted
+            # intermediates + localCheckpoint blocks before the next
+            # query (see session.release_cached — r04 measured block
+            # accumulation degrading late-sweep queries 2.6s->6.9s).
+            release_cached(spark)
         if name not in oracles:
             say(f"pass {name}: rows-only ({len(srows)} rows) "
                 f"[{time.time()-t0:.1f}s]")
