@@ -570,9 +570,10 @@ def audio_stream_metadata(media: DataFrame) -> DataFrame:
 def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
     """Deterministic audio fixture: REAL PCM-16 WAVs interleaved with
     spec-valid MP3 frame chains cycling MPEG version/layer/bitrate/
-    mono — including one VBR stream (two CBR runs concatenated) and
-    one ID3v2-tagged stream, so every parser path is pinned by the
-    oracle. (media_id, data) rows."""
+    mono — including VBR streams (two CBR runs concatenated, at
+    i%16==15) and ID3v2-tagged streams (variant 5, reachable at
+    i∈{11,23,35}), so every parser path — ID3 skip included — is
+    pinned by the oracle. (media_id, data) rows."""
     from parquet_extractor_spark.functions.mp3 import build_mp3_stream
 
     rng = np.random.default_rng(seed)
@@ -594,8 +595,11 @@ def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
             sig = 6000.0 * np.sin(2 * np.pi * (150.0 + 25.0 * (i % 5)) * t)
             sig += rng.normal(0.0, 400.0, size=t.size)
             data = encode_wav(sig.astype(np.int16), sr)
-        elif i % 12 == 11:
-            # VBR: two same-(sr,layer) CBR runs back to back
+        elif i % 16 == 15:
+            # VBR: two same-(sr,layer) CBR runs back to back.
+            # (i%16, not %12: every odd i with i//2%6==5 — the ID3
+            # variant's slots — satisfied i%12==11, so the ID3 path
+            # was unreachable until r06.)
             data = build_mp3_stream(
                 8, version="1", layer=3, bitrate_kbps=128, sample_rate=44100
             ) + build_mp3_stream(
