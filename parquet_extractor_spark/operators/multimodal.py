@@ -631,3 +631,145 @@ def media_audio_metadata(spark, sf_dir: str) -> DataFrame:
     )
     media = spark.createDataFrame(synthetic_audio_rows(), schema)
     return audio_stream_metadata(media).orderBy("media_id")
+
+
+# ── video container metadata (MP4 box walk + WebM EBML walk) ────────
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),  # mp4|webm|None
+        StructField("brand", StringType(), True),  # ftyp brand / DocType
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("has_video", BooleanType(), True),
+        StructField("has_audio", BooleanType(), True),
+    ]
+)
+
+
+def video_metadata_for_bytes(d: bytes | None) -> tuple:
+    """(container, brand, duration_ms, n_tracks, width, height,
+    has_video, has_audio) for one video binary — MP4 via the ISO BMFF
+    box walk (functions/mp4.py), WebM via the EBML walk
+    (functions/webm.py); frame decode stays a declared boundary in
+    both. Pure function of the bytes, shared by the Spark mapInPandas
+    stage and the oracle generator; unknown/corrupt payloads yield
+    all-NULL metadata rather than failing the task."""
+    from parquet_extractor_spark.functions.mp4 import parse_mp4_metadata
+    from parquet_extractor_spark.functions.webm import parse_webm_metadata
+
+    nulls = (None, None, None, None, None, None, None, None)
+    if d is None:
+        return nulls
+    m = parse_mp4_metadata(d) or parse_webm_metadata(d)
+    if m is None:
+        return nulls
+    return (
+        m["container"],
+        m["brand"],
+        m["duration_ms"],
+        m["n_tracks"],
+        m["width"],
+        m["height"],
+        m["has_video"],
+        m["has_audio"],
+    )
+
+
+def video_stream_metadata(media: DataFrame) -> DataFrame:
+    """mapInPandas container-metadata extraction over video binaries —
+    the video twin of audio_stream_metadata: Arrow-batched, bounded
+    per-batch memory (the parser walks HEADERS, never payload bytes,
+    so a 4 GB asset costs the same as a 4 KB one), output keyed by
+    media_id."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "container brand duration_ms n_tracks width height "
+            "has_video has_audio"
+        ).split()
+        for pdf in batches:
+            metas = [video_metadata_for_bytes(d) for d in pdf["data"]]
+            out = {"media_id": pdf["media_id"]}
+            for j, c in enumerate(cols):
+                out[c] = [m[j] for m in metas]
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        _meta, schema=VIDEO_META_SCHEMA
+    )
+
+
+def synthetic_video_rows(n: int = 36) -> list[tuple]:
+    """Deterministic video fixture: spec-valid MP4 box trees and WebM
+    EBML trees cycling brand/timescale/track-layout/size — including
+    a 64-bit-mdat MP4, a version-1 (64-bit times) moov, a non-default
+    WebM timecode scale, and corrupt/foreign rows that must parse to
+    NULLs. (media_id, data) rows."""
+    from parquet_extractor_spark.functions.mp4 import build_mp4
+    from parquet_extractor_spark.functions.webm import build_webm
+
+    mp4_variants = [
+        dict(brand="isom", timescale=1000, duration=5000,
+             video_size=(640, 360), audio=True),
+        dict(brand="mp42", timescale=600, duration=3600,
+             video_size=(1920, 1080), audio=False),
+        dict(brand="avc1", timescale=90000, duration=450000,
+             video_size=(1280, 720), audio=True, mvhd_version=1),
+        dict(brand="M4A ", timescale=44100, duration=441000,
+             video_size=None, audio=True),
+        dict(brand="isom", timescale=1000, duration=12000,
+             video_size=(320, 240), audio=True, large_mdat=True),
+    ]
+    webm_variants = [
+        dict(doc_type="webm", duration_ticks=4000.0,
+             video_size=(1280, 720), audio_channels=2),
+        dict(doc_type="webm", timecode_scale_ns=500_000,
+             duration_ticks=9000.0, video_size=(854, 480),
+             audio_channels=None),
+        dict(doc_type="matroska", duration_ticks=1500.0,
+             video_size=(3840, 2160), audio_channels=6),
+        dict(doc_type="webm", duration_ticks=250.0, video_size=None,
+             audio_channels=1),
+    ]
+    rows = []
+    for i in range(n):
+        if i % 9 == 8:
+            # corrupt/foreign bytes: truncated box header, a PNG
+            # signature, and an empty payload — all must yield NULLs
+            data = [b"\x00\x00\x00", b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,
+                    b""][i // 9 % 3]
+        elif i % 2 == 0:
+            v = dict(mp4_variants[(i // 2) % len(mp4_variants)])
+            v["mdat_bytes"] = 32 + (i % 7) * 8
+            data = build_mp4(**v)
+        else:
+            data = build_webm(**webm_variants[(i // 2) % len(webm_variants)])
+        rows.append((i, data))
+    return rows
+
+
+def media_video_metadata(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable video-metadata query: run the MP4/WebM
+    container parsers over the deterministic video fixture through
+    the real mapInPandas plumbing. The oracle
+    (MEDIA_VIDEO_METADATA_SQL, generated by
+    tools/gen_multimodal_oracle.py from the same pure-Python parsers,
+    committed) pins every row, so a driver hash-match proves the box
+    walk — ftyp brand, mvhd v0/v1 timescale math, 16.16 tkhd sizes,
+    64-bit largesize — and the EBML walk — VINT decoding, DocType,
+    non-default TimecodeScale, track-type dispatch — byte-for-byte.
+    ``sf_dir`` unused: fixture-generated, like media_audio_metadata.
+    """
+    del sf_dir
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    media = spark.createDataFrame(synthetic_video_rows(), schema)
+    return video_stream_metadata(media).orderBy("media_id")

@@ -510,3 +510,134 @@ def test_audio_stream_metadata_spark_path(spark):
         assert got[media_id] == audio_metadata_for_bytes(data)
     # both containers present in the fixture
     assert {v[0] for v in got.values()} == {"wav", "mp3"}
+
+
+# ── video container metadata (r06: MP4 box walk + WebM EBML walk) ──
+
+
+def test_mp4_box_walk_parses_built_container():
+    from parquet_extractor_spark.functions.mp4 import (
+        build_mp4,
+        is_mp4,
+        parse_mp4_metadata,
+    )
+
+    data = build_mp4(
+        brand="mp42", timescale=600, duration=1800,
+        video_size=(1920, 1080), audio=True,
+    )
+    assert is_mp4(data)
+    m = parse_mp4_metadata(data)
+    assert m["brand"] == "mp42"
+    assert m["duration_ms"] == 3000  # 1800 / 600 ticks
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["n_tracks"] == 2 and m["has_video"] and m["has_audio"]
+
+
+def test_mp4_v1_and_largesize_paths():
+    from parquet_extractor_spark.functions.mp4 import (
+        build_mp4,
+        parse_mp4_metadata,
+    )
+
+    v1 = parse_mp4_metadata(
+        build_mp4(timescale=90000, duration=450000, mvhd_version=1,
+                  video_size=(1280, 720))
+    )
+    assert v1["duration_ms"] == 5000
+    assert (v1["width"], v1["height"]) == (1280, 720)
+    large = parse_mp4_metadata(build_mp4(large_mdat=True))
+    assert large["duration_ms"] == 5000  # walk survives 64-bit mdat
+
+
+def test_mp4_truncated_and_foreign_bytes():
+    from parquet_extractor_spark.functions.mp4 import (
+        build_mp4,
+        parse_mp4_metadata,
+    )
+
+    assert parse_mp4_metadata(b"") is None
+    assert parse_mp4_metadata(b"\x00\x00\x00\x08free") is None
+    whole = build_mp4()
+    # cut mid-moov: parser degrades to what is parseable, no raise
+    cut = parse_mp4_metadata(whole[: len(whole) // 2])
+    assert cut is not None and cut["container"] == "mp4"
+
+
+def test_webm_ebml_walk_parses_built_container():
+    from parquet_extractor_spark.functions.webm import (
+        build_webm,
+        is_webm,
+        parse_webm_metadata,
+    )
+
+    data = build_webm(
+        doc_type="webm", timecode_scale_ns=500_000,
+        duration_ticks=9000.0, video_size=(854, 480),
+        audio_channels=None,
+    )
+    assert is_webm(data)
+    m = parse_webm_metadata(data)
+    assert m["brand"] == "webm"
+    assert m["duration_ms"] == 4500  # 9000 ticks x 0.5ms scale
+    assert (m["width"], m["height"]) == (854, 480)
+    assert m["n_tracks"] == 1 and m["has_video"] and not m["has_audio"]
+
+
+def test_webm_vint_multibyte_sizes():
+    """Element payloads >127 bytes force multi-byte VINT sizes — the
+    builder emits them and the parser must walk across them."""
+    from parquet_extractor_spark.functions.webm import (
+        build_webm,
+        parse_webm_metadata,
+    )
+
+    m = parse_webm_metadata(
+        build_webm(doc_type="matroska" + "x" * 200,
+                   video_size=(3840, 2160), audio_channels=6)
+    )
+    assert m["brand"].startswith("matroskax")
+    assert (m["width"], m["height"]) == (3840, 2160)
+    assert m["has_audio"]
+
+
+def test_video_metadata_dispatch_and_nulls():
+    from parquet_extractor_spark.operators.multimodal import (
+        video_metadata_for_bytes,
+    )
+
+    assert video_metadata_for_bytes(None)[0] is None
+    assert video_metadata_for_bytes(b"\x89PNG\r\n\x1a\n")[0] is None
+    assert video_metadata_for_bytes(b"\x00\x00")[0] is None
+
+
+def test_video_frame_decode_declared_boundary():
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.mp4 import (
+        build_mp4,
+        decode_video_frames,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_video_frames(build_mp4())
+
+
+def test_media_video_metadata_matches_pure_python(spark):
+    """The mapInPandas plumbing must agree row-for-row with the pure
+    parser the oracle generator uses."""
+    from parquet_extractor_spark.operators.multimodal import (
+        media_video_metadata,
+        synthetic_video_rows,
+        video_metadata_for_bytes,
+    )
+
+    got = {
+        r.media_id: (
+            r.container, r.brand, r.duration_ms, r.n_tracks,
+            r.width, r.height, r.has_video, r.has_audio,
+        )
+        for r in media_video_metadata(spark, "unused").collect()
+    }
+    for media_id, data in synthetic_video_rows():
+        assert got[media_id] == video_metadata_for_bytes(data)
