@@ -69,3 +69,65 @@ def run_media_features_stream(
             f"media feature stream did not drain within {timeout_s}s"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def read_video_stream(spark: SparkSession, media_dir: str) -> DataFrame:
+    """File-source stream over a landing dir of (media_id, data)
+    parquet — the skinny two-column layout the video fixture uses."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(media_dir)
+
+
+def run_video_metadata_stream(
+    spark: SparkSession,
+    media_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming twin of operators.multimodal.video_stream_metadata:
+    container-metadata extraction (MP4 box walk / WebM EBML walk —
+    the same pure parsers the batch path and the literal oracle use)
+    is a stateless per-row projection, so it composes onto the file
+    stream unchanged: no watermark, no state store, one Arrow batch
+    of memory per task. Epoch-overwrite sink = idempotent under
+    at-least-once replay, matching every other stream in this
+    package."""
+    from parquet_extractor_spark.operators.multimodal import (
+        video_stream_metadata,
+    )
+
+    meta = video_stream_metadata(read_video_stream(spark, media_dir))
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        (
+            batch.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch}"))
+        )
+
+    query = (
+        meta.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "video_meta")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"video metadata stream did not drain within {timeout_s}s"
+        )
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -500,3 +500,45 @@ def test_countmin_sketch_stream_equals_batch(spark, sf_small, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_video_metadata_equal_batch(spark, tmp_path):
+    """Streamed MP4/WebM container-metadata extraction over a landing
+    dir must equal the batch mapInPandas result row-for-row (one
+    parser definition, two execution modes)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from parquet_extractor_spark.operators.multimodal import (
+        synthetic_video_rows,
+        video_stream_metadata,
+    )
+    from parquet_extractor_spark.streaming.media import (
+        run_video_metadata_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    media = spark.createDataFrame(synthetic_video_rows(), schema)
+    landing = str(tmp_path / "video_landing")
+    media.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    got = run_video_metadata_stream(
+        spark,
+        landing,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "video_meta_out"),
+    )
+    want = video_stream_metadata(media)
+    cols = [c for c in want.columns]
+    g = sorted(tuple(r) for r in got.select(cols).collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) == 36
