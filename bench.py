@@ -144,7 +144,10 @@ def _attempt(spark, name: str, fn, sf_dir: str, timeout_s: float) -> dict:
             pass
         th.join(10)
         result.pop("ok", None)
-        result.setdefault("err", f"Timeout: exceeded {timeout_s:.0f}s")
+        # overwrite any cancellation trace the worker recorded while
+        # unwinding — the timeout is the cause, the SparkException the
+        # symptom
+        result["err"] = f"Timeout: exceeded {timeout_s:.0f}s"
         result["timeout"] = True
     return result
 

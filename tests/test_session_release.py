@@ -46,3 +46,44 @@ def test_streak_window_twin_matches_applyinpandas(spark, sf_small):
     a = user_longest_streak(spark, sf_small).collect()
     b = user_longest_streak_window(spark, sf_small).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bench_attempt_timeout_cancels_hung_query(spark, sf_small):
+    """bench._attempt must cancel a hung plan via its job group and
+    report a timeout instead of blocking forever — the self-defense
+    that guarantees the driver always gets its JSON line."""
+    import time as _time
+
+    import bench
+
+    def hung_query(s, sf_dir):
+        df = s.range(8, numPartitions=8)
+
+        def _sleep(batches):
+            for pdf in batches:
+                _time.sleep(300)
+                yield pdf
+
+        return df.mapInPandas(_sleep, schema="id long")
+
+    t0 = _time.time()
+    res = bench._attempt(spark, "hung", hung_query, sf_small, timeout_s=3)
+    assert res.get("timeout") is True
+    assert "Timeout" in res.get("err", "")
+    assert _time.time() - t0 < 60  # cancelled, not blocked for 300s
+
+
+def test_bench_attempt_ok_and_error_paths(spark, sf_small):
+    import bench
+
+    ok = bench._attempt(
+        spark, "ok", lambda s, d: s.range(3), sf_small, timeout_s=60
+    )
+    assert ok.get("ok") is True
+
+    def broken(s, d):
+        raise ValueError("boom")
+
+    err = bench._attempt(spark, "broken", broken, sf_small, timeout_s=60)
+    assert not err.get("ok")
+    assert "ValueError" in err["err"]
