@@ -309,3 +309,46 @@ def test_mp3_build_parse_roundtrip(combo, sr_idx, br_idx, n_frames, mono, tag):
         1152 if layer == 2 or version == "1" else 576
     )
     assert m["duration_ms"] == n_frames * spf * 1000 // sr
+
+
+@given(st.binary(max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_container_parsers_never_raise_on_arbitrary_bytes(data):
+    """A corrupt media row must never kill a mapInPandas task: the
+    MP4 box walk and WebM EBML walk return a dict or None for ANY
+    byte string, never raise (r06 parsers)."""
+    from parquet_extractor_spark.functions.mp4 import parse_mp4_metadata
+    from parquet_extractor_spark.functions.webm import parse_webm_metadata
+
+    for parse in (parse_mp4_metadata, parse_webm_metadata):
+        out = parse(data)
+        assert out is None or isinstance(out, dict)
+
+
+@given(st.integers(0, 10_000), st.data())
+@settings(max_examples=60, deadline=None)
+def test_container_parsers_survive_truncation_and_mutation(cut, d):
+    """Truncating or flipping bytes of a VALID container degrades to
+    a partial parse or None — never an exception (the failure mode a
+    100 TB scan actually hits: torn uploads, bit rot)."""
+    from parquet_extractor_spark.functions.mp4 import (
+        build_mp4,
+        parse_mp4_metadata,
+    )
+    from parquet_extractor_spark.functions.webm import (
+        build_webm,
+        parse_webm_metadata,
+    )
+
+    for build, parse in (
+        (build_mp4, parse_mp4_metadata),
+        (build_webm, parse_webm_metadata),
+    ):
+        whole = bytearray(build())
+        trunc = bytes(whole[: cut % (len(whole) + 1)])
+        out = parse(trunc)
+        assert out is None or isinstance(out, dict)
+        pos = d.draw(st.integers(0, len(whole) - 1))
+        whole[pos] ^= 0xFF
+        out = parse(bytes(whole))
+        assert out is None or isinstance(out, dict)
