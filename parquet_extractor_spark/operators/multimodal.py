@@ -11,6 +11,10 @@ actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
 on actual samples. MP2/MP3 get metadata-level support — a real
 frame-header parser (``functions/mp3.py``: duration, bitrate, sample
 rate, channel mode, CBR/VBR) with PCM decode declared out of scope.
+MP4/WebM get the same treatment since r06 — real container-metadata
+parsers (``functions/mp4.py`` box walk, ``functions/webm.py`` EBML
+walk: brand, duration, track layout, display size) with frame decode
+declared out of scope.
 Remaining formats (progressive JPEG, WebP, MP3 PCM decode,
 video frames) would need PIL/librosa/ffmpeg, absent from this
 container, and raise a clearly-marked NotImplementedError; their
