@@ -1,0 +1,243 @@
+"""Distributed quality-classifier TRAINING: logistic regression by
+integer-exact batch gradient descent.
+
+The pipeline step the engine could previously only *score*
+(quality.quality_classifier_scores applies fixed weights — the
+FineWeb/DCLM-style gate): here the weights are LEARNED from the
+corpus, demonstrating the second iterative-algorithm shape after
+Lloyd's k-means (similarity.kmeans_refine):
+
+- the per-doc feature projection is a pure codegen'd expression chain
+  (tokenize → length/diversity/word-shape features), persisted once
+  and reused by every epoch;
+- each epoch is ONE partial+final aggregation producing the 4-component
+  gradient and the epoch loss — shuffle volume is 5 numbers per
+  partition, independent of corpus size;
+- the weight update runs driver-side on those 5 numbers and re-enters
+  the next epoch's plan as literals — the same sync-point shape as
+  kmeans_refine's centroid hop (bytes, not data, at 100 TB).
+
+Cross-engine determinism (the dedup/selection micro-unit trick, one
+level deeper because the algorithm is iterative): per-doc gradient
+contributions and losses are quantized to integer micro-units BEFORE
+the distributed sum, so the aggregation is an order-independent
+integer sum; margins and probabilities round(9) before use
+(absorbing partial-sum reorder jitter exactly like kmeans_refine's
+distance rounding); weight updates are floor-based integer arithmetic
+mirrored literally by the DuckDB oracle's unrolled epoch CTEs (the
+dedup_graph_pagerank pattern).
+
+Labels here are a deterministic heuristic (length ≥ LABEL_MIN_TOKENS
+and token-diversity ≥ LABEL_MIN_DIVERSITY) so the fixture and the
+oracle agree bit-for-bit; in production the label column comes from
+human/LLM annotations and nothing else changes.
+
+Reference scope: the reference repo has no model training (north-star
+extension, same status as the dedup/similarity tiers).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.functions.text import tokenize
+from parquet_extractor_spark.sources.tables import load_table
+
+LOGREG_ITERS = 3
+LOGREG_LR = 2.0
+LABEL_MIN_TOKENS = 40
+LABEL_MIN_DIVERSITY = 0.7
+N_FEATURES = 4  # bias, capped length, diversity, mean word length
+
+
+def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x0..x3, y) per document — one codegen'd projection, no UDF.
+
+    x0 bias; x1 = min(n_tokens,100)/100; x2 = distinct-token ratio;
+    x3 = mean token length / 10. Every feature round(6) so both
+    engines bucket identically; the label reuses the ROUNDED x2 so
+    there is exactly one definition of diversity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize("text").alias("tokens"))
+    n = F.size("tokens")
+    x2 = F.round(
+        F.size(F.array_distinct("tokens")) / n.cast("double"), 6
+    )
+    return (
+        toks.filter(n > 0)
+        .select(
+            F.lit(1.0).alias("x0"),
+            F.round(F.least(n, F.lit(100)) / F.lit(100.0), 6).alias("x1"),
+            x2.alias("x2"),
+            F.round(
+                F.length(F.concat_ws("", F.col("tokens")))
+                / n.cast("double")
+                / F.lit(10.0),
+                6,
+            ).alias("x3"),
+            (
+                (n >= LABEL_MIN_TOKENS) & (x2 >= LABEL_MIN_DIVERSITY)
+            ).cast("int").alias("y"),
+        )
+    )
+
+
+def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGREG_ITERS unrolled GD epochs; output one row per epoch:
+    (iteration, loss_micro, w0_micro..w3_micro) where loss_micro is
+    the corpus log-loss UNDER THE EPOCH'S STARTING WEIGHTS (so
+    epoch 1 always shows the ln(2)-per-doc cold loss) and the weight
+    columns are the POST-update values the next epoch runs with.
+    """
+    from pyspark import StorageLevel
+
+    feats = _feature_frame(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_docs = feats.count()
+    w = [0] * N_FEATURES  # micro-units
+    rows = []
+    for it in range(1, LOGREG_ITERS + 1):
+        margin = F.round(
+            sum(
+                (F.lit(w[j] / 1e6) * F.col(f"x{j}"))
+                for j in range(N_FEATURES)
+            ),
+            9,
+        )
+        step = feats.withColumn("margin", margin).withColumn(
+            "p",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 9
+            ),
+        )
+        aggs = [
+            F.sum(
+                F.floor(
+                    (F.col("p") - F.col("y"))
+                    * F.col(f"x{j}")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias(f"g{j}")
+            for j in range(N_FEATURES)
+        ]
+        aggs.append(
+            F.sum(
+                F.floor(
+                    F.when(
+                        F.col("y") == 1, -F.log(F.col("p"))
+                    ).otherwise(-F.log(F.lit(1.0) - F.col("p")))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("loss")
+        )
+        stats = step.agg(*aggs).first()
+        for j in range(N_FEATURES):
+            w[j] -= math.floor(
+                LOGREG_LR * int(stats[f"g{j}"]) / n_docs + 0.5
+            )
+        rows.append((it, int(stats["loss"]), *w))
+    feats.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "iteration int, loss_micro bigint, w0_micro bigint, "
+        "w1_micro bigint, w2_micro bigint, w3_micro bigint",
+    ).orderBy("iteration")
+
+
+def _logreg_oracle() -> str:
+    """Unrolled epoch CTE chain (the dedup_graph_pagerank pattern):
+    s{t} aggregates the integer gradient/loss under w{t-1}'s scalars,
+    w{t} applies the identical floor-based update."""
+    xs = [f"x{j}" for j in range(N_FEATURES)]
+
+    def margin(wcte: str | None) -> str:
+        if wcte is None:  # epoch 1: all-zero weights
+            return "0.0"
+        terms = " + ".join(
+            f"({wcte}.w{j} / 1000000.0) * f.{xs[j]}"
+            for j in range(N_FEATURES)
+        )
+        return f"round({terms}, 9)"
+
+    def stage_simple(t: int, wcte: str | None) -> str:
+        src = "feats f" if wcte is None else f"feats f CROSS JOIN {wcte} w"
+        m = margin("w") if wcte else "0.0"
+        gcols = ",\n           ".join(
+            f"CAST(sum(CAST(floor((q.p - q.y) * q.{xs[j]} * 1000000.0 "
+            f"+ 0.5) AS BIGINT)) AS BIGINT) AS g{j}"
+            for j in range(N_FEATURES)
+        )
+        return f"""s{t} AS (
+    SELECT {gcols},
+           CAST(sum(CAST(floor((CASE WHEN q.y = 1 THEN -ln(q.p)
+                           ELSE -ln(1.0 - q.p) END) * 1000000.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS loss
+    FROM (SELECT f.x0, f.x1, f.x2, f.x3, f.y,
+                 round(1.0 / (1.0 + exp(-({m}))), 9) AS p
+          FROM {src}) q
+)"""
+
+    def update(t: int, prev: str | None) -> str:
+        cols = ",\n           ".join(
+            (
+                f"CAST({f'{prev}.w{j}' if prev else '0'} - "
+                f"floor({LOGREG_LR} * s{t}.g{j} / "
+                f"(SELECT n FROM consts) + 0.5) AS BIGINT) AS w{j}"
+            )
+            for j in range(N_FEATURES)
+        )
+        src = f"s{t}" + (f" CROSS JOIN {prev}" if prev else "")
+        return f"""w{t} AS (
+    SELECT {cols},
+           s{t}.loss AS loss
+    FROM {src}
+)"""
+
+    stages = []
+    for t in range(1, LOGREG_ITERS + 1):
+        prev = f"w{t - 1}" if t > 1 else None
+        stages.append(stage_simple(t, prev))
+        stages.append(update(t, prev))
+    body = ",\n".join(stages)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iteration, w{t}.loss AS loss_micro, "
+        + ", ".join(f"w{t}.w{j} AS w{j}_micro" for j in range(N_FEATURES))
+        + f" FROM w{t}"
+        for t in range(1, LOGREG_ITERS + 1)
+    )
+    return rf"""
+WITH toks AS (
+    SELECT list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM documents
+),
+feats AS (
+    SELECT 1.0 AS x0,
+           round(least(len(tokens), 100) / 100.0, 6) AS x1,
+           round(len(list_distinct(tokens))
+                 / CAST(len(tokens) AS DOUBLE), 6) AS x2,
+           round(len(array_to_string(tokens, ''))
+                 / CAST(len(tokens) AS DOUBLE) / 10.0, 6) AS x3,
+           CASE WHEN len(tokens) >= {LABEL_MIN_TOKENS}
+                     AND round(len(list_distinct(tokens))
+                               / CAST(len(tokens) AS DOUBLE), 6)
+                         >= {LABEL_MIN_DIVERSITY}
+                THEN 1 ELSE 0 END AS y
+    FROM toks WHERE len(tokens) > 0
+),
+consts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+{body}
+SELECT iteration, loss_micro, w0_micro, w1_micro, w2_micro, w3_micro
+FROM ({selects}) u
+ORDER BY iteration
+"""
+
+
+TRAIN_QUALITY_CLASSIFIER_SQL = _logreg_oracle()

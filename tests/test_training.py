@@ -163,3 +163,54 @@ def test_shard_manifest_roundtrip_and_tamper_detection(spark, sf_small, tmp_path
     shutil.rmtree(str(tmp_path / "shards" / f"shard={victim}"))
     with pytest.raises(ValueError, match="shard verification failed"):
         verify_shards(spark, out)
+
+
+# ── distributed quality-classifier training (r06, classifier.py) ───
+
+
+def test_train_quality_classifier_converges(spark, sf_small):
+    """Batch-GD logistic regression must LEARN: corpus log-loss
+    strictly decreases across the unrolled epochs, starting from the
+    exact ln(2)-per-doc cold loss (all-zero weights)."""
+    import math
+
+    from parquet_extractor_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    rows = train_quality_classifier(spark, sf_small).collect()
+    assert [r.iteration for r in rows] == [1, 2, 3]
+    losses = [r.loss_micro for r in rows]
+    assert losses[0] > losses[1] > losses[2]
+    # epoch 1 loss = n_docs × floor(ln(2)·1e6 + .5) exactly
+    n_docs = 500
+    assert losses[0] == n_docs * math.floor(math.log(2) * 1e6 + 0.5)
+
+
+def test_train_quality_classifier_separates_labels(spark, sf_small):
+    """The learned weights must actually separate the label classes:
+    applying the final epoch's weights to the feature frame beats the
+    majority-class baseline."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.classifier import (
+        _feature_frame,
+        train_quality_classifier,
+    )
+
+    final = train_quality_classifier(spark, sf_small).collect()[-1]
+    w = [final[f"w{j}_micro"] / 1e6 for j in range(4)]
+    feats = _feature_frame(spark, sf_small)
+    margin = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(4))
+    scored = feats.select(
+        "y", ((margin > 0).cast("int")).alias("pred")
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred") == F.col("y")).cast("int")).alias("hits"),
+        F.sum("y").alias("pos"),
+    ).first()
+    accuracy = agg.hits / agg.n
+    majority = max(agg.pos, agg.n - agg.pos) / agg.n
+    assert accuracy >= majority  # no worse than predicting the mode
+    assert accuracy > 0.5
