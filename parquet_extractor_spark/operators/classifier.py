@@ -54,7 +54,8 @@ N_FEATURES = 4  # bias, capped length, diversity, mean word length
 
 
 def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(x0..x3, y) per document — one codegen'd projection, no UDF.
+    """(doc_id, x0..x3, y) per document — one codegen'd projection,
+    no UDF.
 
     x0 bias; x1 = min(n_tokens,100)/100; x2 = distinct-token ratio;
     x3 = mean token length / 10. Every feature round(6) so both
@@ -69,6 +70,7 @@ def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         toks.filter(n > 0)
         .select(
+            "doc_id",
             F.lit(1.0).alias("x0"),
             F.round(F.least(n, F.lit(100)) / F.lit(100.0), 6).alias("x1"),
             x2.alias("x2"),
@@ -85,13 +87,12 @@ def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LOGREG_ITERS unrolled GD epochs; output one row per epoch:
-    (iteration, loss_micro, w0_micro..w3_micro) where loss_micro is
-    the corpus log-loss UNDER THE EPOCH'S STARTING WEIGHTS (so
-    epoch 1 always shows the ln(2)-per-doc cold loss) and the weight
-    columns are the POST-update values the next epoch runs with.
-    """
+def _train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], list[int]]:
+    """Run the GD epochs; return (per-epoch rows, final micro
+    weights). Shared by the training-curve query and the scoring
+    query."""
     from pyspark import StorageLevel
 
     feats = _feature_frame(spark, sf_dir).persist(
@@ -143,6 +144,17 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         rows.append((it, int(stats["loss"]), *w))
     feats.unpersist()
+    return rows, w
+
+
+def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOGREG_ITERS unrolled GD epochs; output one row per epoch:
+    (iteration, loss_micro, w0_micro..w3_micro) where loss_micro is
+    the corpus log-loss UNDER THE EPOCH'S STARTING WEIGHTS (so
+    epoch 1 always shows the ln(2)-per-doc cold loss) and the weight
+    columns are the POST-update values the next epoch runs with.
+    """
+    rows, _w = _train(spark, sf_dir)
     return spark.createDataFrame(
         rows,
         "iteration int, loss_micro bigint, w0_micro bigint, "
@@ -150,10 +162,33 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("iteration")
 
 
-def _logreg_oracle() -> str:
+def trained_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train, then SCORE every document with the learned weights —
+    the end-to-end gate shape: scoring is a pure map-side projection
+    (the weights are 4 plan-time literals), so at 100 TB it costs one
+    scan, exactly like the fixed-weight quality_classifier_scores.
+    Output: (doc_id, logit_micro, pred, y) by doc_id.
+    """
+    _rows, w = _train(spark, sf_dir)
+    feats = _feature_frame(spark, sf_dir)
+    logit = sum(
+        (F.lit(w[j] / 1e6) * F.col(f"x{j}")) for j in range(N_FEATURES)
+    )
+    logit_micro = F.floor(logit * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return feats.select(
+        "doc_id",
+        logit_micro.alias("logit_micro"),
+        (logit_micro > 0).cast("int").alias("pred"),
+        F.col("y"),
+    ).orderBy("doc_id")
+
+
+def _logreg_oracle(scoring: bool = False) -> str:
     """Unrolled epoch CTE chain (the dedup_graph_pagerank pattern):
     s{t} aggregates the integer gradient/loss under w{t-1}'s scalars,
-    w{t} applies the identical floor-based update."""
+    w{t} applies the identical floor-based update. ``scoring`` swaps
+    the final select from the per-epoch training curve to the
+    per-document scores under the FINAL weights."""
     xs = [f"x{j}" for j in range(N_FEATURES)]
 
     def margin(wcte: str | None) -> str:
@@ -205,21 +240,42 @@ def _logreg_oracle() -> str:
         stages.append(stage_simple(t, prev))
         stages.append(update(t, prev))
     body = ",\n".join(stages)
-    selects = "\nUNION ALL\n".join(
-        f"SELECT {t} AS iteration, w{t}.loss AS loss_micro, "
-        + ", ".join(f"w{t}.w{j} AS w{j}_micro" for j in range(N_FEATURES))
-        + f" FROM w{t}"
-        for t in range(1, LOGREG_ITERS + 1)
-    )
+    last = f"w{LOGREG_ITERS}"
+    if scoring:
+        terms = " + ".join(
+            f"(w.w{j} / 1000000.0) * f.x{j}" for j in range(N_FEATURES)
+        )
+        final = f"""SELECT f.doc_id,
+       CAST(floor(({terms}) * 1000000.0 + 0.5) AS BIGINT) AS logit_micro,
+       CASE WHEN CAST(floor(({terms}) * 1000000.0 + 0.5) AS BIGINT) > 0
+            THEN 1 ELSE 0 END AS pred,
+       f.y
+FROM feats f CROSS JOIN {last} w
+ORDER BY f.doc_id"""
+    else:
+        selects = "\nUNION ALL\n".join(
+            f"SELECT {t} AS iteration, w{t}.loss AS loss_micro, "
+            + ", ".join(
+                f"w{t}.w{j} AS w{j}_micro" for j in range(N_FEATURES)
+            )
+            + f" FROM w{t}"
+            for t in range(1, LOGREG_ITERS + 1)
+        )
+        final = f"""SELECT iteration, loss_micro, w0_micro, w1_micro,
+       w2_micro, w3_micro
+FROM ({selects}) u
+ORDER BY iteration"""
     return rf"""
 WITH toks AS (
-    SELECT list_filter(regexp_split_to_array(
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
                x -> x != '') AS tokens
     FROM documents
 ),
 feats AS (
-    SELECT 1.0 AS x0,
+    SELECT doc_id,
+           1.0 AS x0,
            round(least(len(tokens), 100) / 100.0, 6) AS x1,
            round(len(list_distinct(tokens))
                  / CAST(len(tokens) AS DOUBLE), 6) AS x2,
@@ -234,10 +290,9 @@ feats AS (
 ),
 consts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
 {body}
-SELECT iteration, loss_micro, w0_micro, w1_micro, w2_micro, w3_micro
-FROM ({selects}) u
-ORDER BY iteration
+{final}
 """
 
 
 TRAIN_QUALITY_CLASSIFIER_SQL = _logreg_oracle()
+TRAINED_CLASSIFIER_SCORES_SQL = _logreg_oracle(scoring=True)

@@ -214,3 +214,24 @@ def test_train_quality_classifier_separates_labels(spark, sf_small):
     majority = max(agg.pos, agg.n - agg.pos) / agg.n
     assert accuracy >= majority  # no worse than predicting the mode
     assert accuracy > 0.5
+
+
+def test_trained_classifier_scores_consistent(spark, sf_small):
+    """The scoring query's pred must be exactly (logit_micro > 0) and
+    its weights must be the training run's final epoch weights."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.classifier import (
+        trained_classifier_scores,
+    )
+
+    scored = trained_classifier_scores(spark, sf_small)
+    bad = scored.filter(
+        (F.col("pred") == 1) != (F.col("logit_micro") > 0)
+    ).count()
+    assert bad == 0
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred") == F.col("y")).cast("int")).alias("hits"),
+    ).first()
+    assert agg.hits / agg.n > 0.5
