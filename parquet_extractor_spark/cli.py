@@ -135,6 +135,19 @@ def build_parser() -> argparse.ArgumentParser:
         "dedup reduction, drift)"
     )
     dc.add_argument("sf_dir", help="fixture dir containing the parquet tables")
+
+    tc = sub.add_parser(
+        "train-classifier",
+        help="train the quality classifier (integer-exact logistic GD) "
+        "and print the per-epoch loss/weight curve",
+    )
+    tc.add_argument("sf_dir", help="fixture dir containing the parquet tables")
+    tc.add_argument(
+        "--score", action="store_true",
+        help="also print per-doc scores under the final weights "
+        "(first --limit rows)",
+    )
+    tc.add_argument("--limit", type=int, default=20)
     return p
 
 
@@ -145,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
     known = {
         "parquet", "cisi", "analyze", "curate", "sql", "select",
         "dedup", "export", "search", "explain", "datacard",
+        "train-classifier",
     }
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
@@ -239,6 +253,19 @@ def main(argv: list[str] | None = None) -> int:
             "output_dir": args.output_dir,
             "rows": n,
         }))
+        return 0
+
+    if args.command == "train-classifier":
+        from parquet_extractor_spark.operators import classifier
+
+        for row in classifier.train_quality_classifier(
+            spark, args.sf_dir
+        ).collect():
+            print(json.dumps(row.asDict()))
+        if args.score:
+            scored = classifier.trained_classifier_scores(spark, args.sf_dir)
+            for row in scored.limit(args.limit).collect():
+                print(json.dumps(row.asDict()))
         return 0
 
     if args.command == "sql":

@@ -377,3 +377,19 @@ def test_cli_datacard(spark, sf_small, capsys):
     card = json.loads(capsys.readouterr().out)
     assert card["corpus"]["document_count"] > 0
     assert card["languages"] and card["dedup_reduction"]
+
+
+def test_cli_train_classifier(spark, sf_small, capsys):
+    import json as _json
+
+    rc = cli_main(["train-classifier", sf_small, "--score", "--limit", "2"])
+    assert rc == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    epochs = [ln for ln in lines if "iteration" in ln]
+    scores = [ln for ln in lines if "doc_id" in ln]
+    assert [e["iteration"] for e in epochs] == [1, 2, 3]
+    assert epochs[0]["loss_micro"] > epochs[-1]["loss_micro"]
+    assert len(scores) == 2 and all("pred" in s for s in scores)
