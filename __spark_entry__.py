@@ -46,11 +46,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 entries (exactly 50 — the r04/r05 window accidentally
     listed 51, leaving entry #51 unchecked). Round 6 window = the 8
     registry queries that have NEVER had a driver CORRECTNESS row
-    (r05 verdict item 1) + the r06-new user_longest_streak_window
-    (declarative gaps-and-islands twin) + all 32 r02-stale rows
-    (including q1_pricing_summary, the r04 off-by-one casualty) + the
-    9 oldest r03-stale rows. After this round every registry query
-    has at least one driver row and none is older than r03.
+    (r05 verdict item 1) + the r06-new queries
+    (user_longest_streak_window, the declarative gaps-and-islands
+    twin; bpe_train_merges, the multi-round BPE trainer;
+    media_image_metadata, the header-only image metadata pass) + all
+    32 r02-stale rows (including q1_pricing_summary, the r04
+    off-by-one casualty) + the 7 oldest r03-stale rows. After this
+    round every pre-r06 registry query has a driver row and none is
+    older than r03.
     Everything r05-green rotates to the tail; every tail entry is
     re-verified locally each round via tools/check_oracle.py at
     sf0.001/0.01/0.1 (one command:
@@ -67,8 +70,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucketing_efficiency": training.length_bucketing_efficiency,
         "pii_audit": quality.pii_audit,
         "decontamination_report": contamination.decontamination_report,
-        # — r06-new: declarative twin of the applyInPandas streak pin —
+        # — r06-new queries —
         "user_longest_streak_window": timeseries.user_longest_streak_window,
+        "bpe_train_merges": textprep.bpe_train_merges,
+        "media_image_metadata": multimodal.media_image_metadata,
         # — all 32 r02-stale rows —
         "q1_pricing_summary": relational.q1_pricing_summary,
         "doc_chunks": textprep.doc_chunks,
@@ -102,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignments": training.shard_assignments,
         "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
         "doc_length_quantiles": analyze.doc_length_quantiles,
-        # — the 9 oldest r03-stale rows —
+        # — the 7 oldest r03-stale rows —
         "label_centroids": similarity.label_centroids,
         "duplicate_spans": selection.duplicate_spans,
         "events_approx_users": relational.events_approx_users,
@@ -110,10 +115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_checksums": multimodal.media_feature_checksums,
         "q5_region_revenue": relational.q5_region_revenue,
         "source_token_kl": analyze.source_token_kl,
-        "doc_length_histogram": analyze.doc_length_histogram,
-        "sampled_doc_ids": extract.sampled_doc_ids,
         # ——— tail (driver-green r03/r05; re-verified locally each
         #     round via tools/check_oracle.py — see COVERAGE.md) ———
+        # — r03-green rows displaced from the window by the r06-new
+        #   queries —
+        "doc_length_histogram": analyze.doc_length_histogram,
+        "sampled_doc_ids": extract.sampled_doc_ids,
         # — r05-green, freshest first —
         "dedup_graph_pagerank": dedup.dedup_graph_pagerank,
         "lsh_quality_eval": dedup.lsh_quality_eval,
@@ -225,6 +232,9 @@ def oracle_sql() -> dict[str, str]:
             multimodal_oracle.MEDIA_AUDIO_METADATA_SQL,
         "media_video_metadata":
             multimodal_oracle.MEDIA_VIDEO_METADATA_SQL,
+        "media_image_metadata":
+            multimodal_oracle.MEDIA_IMAGE_METADATA_SQL,
+        "bpe_train_merges": textprep.BPE_TRAIN_MERGES_SQL,
         "train_quality_classifier":
             classifier.TRAIN_QUALITY_CLASSIFIER_SQL,
         "trained_classifier_scores":

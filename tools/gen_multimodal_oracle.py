@@ -144,25 +144,53 @@ FROM (VALUES
        height, has_video, has_audio)
 ORDER BY media_id"""
 
+    from parquet_extractor_spark.operators.multimodal import (
+        image_metadata_for_bytes,
+        synthetic_image_rows,
+    )
+
+    image_vals = []
+    for media_id, data in synthetic_image_rows():
+        meta = image_metadata_for_bytes(data)
+        image_vals.append(
+            f"({media_id}, " + ", ".join(lit(v) for v in meta) + ")"
+        )
+    image_rows = ",\n    ".join(image_vals)
+    image_sql = f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       container,
+       variant,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(has_alpha AS BOOLEAN) AS has_alpha,
+       CAST(is_animated AS BOOLEAN) AS is_animated,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM (VALUES
+    {image_rows}
+) AS t(media_id, container, variant, width, height, has_alpha,
+       is_animated, n_bytes)
+ORDER BY media_id"""
+
     with open(OUT, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_multimodal_oracle.py — do not edit.\n'
             "\nLiteral oracles for media_feature_checksums (decode + feature\n"
             "checksums), media_resize_checksums (decode + resample +\n"
             "re-encode byte hashes), media_audio_metadata (WAV/MP3\n"
-            "header parsing), and media_video_metadata (MP4 box walk +\n"
-            "WebM EBML walk) over the deterministic media fixtures,\n"
-            "computed by the same pure-Python codec/feature functions the\n"
-            'Spark pipeline ships.\n"""\n\n'
+            "header parsing), media_video_metadata (MP4 box walk +\n"
+            "WebM EBML walk), and media_image_metadata (PNG/JPEG/GIF/\n"
+            "BMP/WebP header-only parsing) over the deterministic media\n"
+            "fixtures, computed by the same pure-Python codec/feature\n"
+            'functions the Spark pipeline ships.\n"""\n\n'
             f"MEDIA_FEATURE_CHECKSUMS_SQL = r'''{sql}\n'''\n\n"
             f"MEDIA_RESIZE_CHECKSUMS_SQL = r'''{resize_sql}\n'''\n\n"
             f"MEDIA_AUDIO_METADATA_SQL = r'''{audio_sql}\n'''\n\n"
-            f"MEDIA_VIDEO_METADATA_SQL = r'''{video_sql}\n'''\n"
+            f"MEDIA_VIDEO_METADATA_SQL = r'''{video_sql}\n'''\n\n"
+            f"MEDIA_IMAGE_METADATA_SQL = r'''{image_sql}\n'''\n"
         )
     print(
         f"wrote {OUT} "
         f"({len(values)} + {len(resize_vals)} + {len(audio_vals)} + "
-        f"{len(video_vals)} rows)"
+        f"{len(video_vals)} + {len(image_vals)} rows)"
     )
 
 
