@@ -131,3 +131,46 @@ def run_video_metadata_stream(
             f"video metadata stream did not drain within {timeout_s}s"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def run_image_metadata_stream(
+    spark: SparkSession,
+    media_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming twin of operators.multimodal.image_header_metadata:
+    the header-only image pass (PNG IHDR / JPEG SOF walk / GIF
+    descriptor scan / BMP DIB / WebP VP8-VP8L-VP8X — the same pure
+    parsers the batch path and the literal oracle use) is a stateless
+    per-row projection, so it composes onto the file stream
+    unchanged: no watermark, no state store, header-bounded CPU per
+    row regardless of payload size. Epoch-overwrite sink = idempotent
+    under at-least-once replay, like every other stream here."""
+    from parquet_extractor_spark.operators.multimodal import (
+        image_header_metadata,
+    )
+
+    meta = image_header_metadata(read_video_stream(spark, media_dir))
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        (
+            batch.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch}"))
+        )
+
+    query = (
+        meta.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "image_meta")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"image metadata stream did not drain within {timeout_s}s"
+        )
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -542,3 +542,49 @@ def test_streaming_video_metadata_equal_batch(spark, tmp_path):
     g = sorted(tuple(r) for r in got.select(cols).collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and len(g) == 36
+
+
+def test_streaming_image_metadata_equal_batch(spark, tmp_path):
+    """Streamed header-only image metadata over a landing dir must
+    equal the batch mapInPandas result row-for-row (one parser
+    definition, two execution modes) — including the NULL rows for
+    corrupt payloads."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from parquet_extractor_spark.operators.multimodal import (
+        image_header_metadata,
+        synthetic_image_rows,
+    )
+    from parquet_extractor_spark.streaming.media import (
+        run_image_metadata_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("data", BinaryType(), True),
+        ]
+    )
+    media = spark.createDataFrame(synthetic_image_rows(), schema)
+    landing = str(tmp_path / "image_landing")
+    media.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    got = run_image_metadata_stream(
+        spark,
+        landing,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "image_meta_out"),
+    )
+    want = image_header_metadata(media)
+    cols = [c for c in want.columns]
+    g = sorted(
+        tuple(r) for r in got.select(cols).collect()
+    )
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) == 44
+    assert any(r[1] is None for r in g)  # corrupt rows preserved
