@@ -1,20 +1,36 @@
-"""Dependency-free WAV (RIFF/PCM-16) codec — the audio twin of
+"""Dependency-free WAV (RIFF) codec — the audio twin of
 ``functions/png.py``.
 
-The container ships no audio library (librosa/soundfile/pydub), but
-16-bit PCM WAV is parseable with the stdlib ``wave`` module alone, so
-audio feature extraction in ``operators/multimodal.py`` can run on
-REAL samples in CI instead of a byte-hash fake. Executors only ever
-see these functions inside Arrow-batched ``mapInPandas`` — each call
-is a pure function of the bytes, safe under task retries.
+The container ships no audio library (librosa/soundfile/pydub), so the
+RIFF container and every common sample encoding are parsed by hand:
+PCM 8/16/24/32-bit, IEEE float32/float64, and G.711 A-law/µ-law
+(format tags 1, 3, 6, 7, plus WAVE_FORMAT_EXTENSIBLE 0xFFFE resolved
+through its subformat GUID). That lets audio feature extraction in
+``operators/multimodal.py`` run on REAL samples in CI instead of a
+byte-hash fake, for every encoding a field corpus is likely to carry —
+the former "PCM-16 only" boundary is closed as of r06. Executors only
+ever see these functions inside Arrow-batched ``mapInPandas`` — each
+call is a pure function of the bytes, safe under task retries.
+
+G.711 companding follows the classic CCITT/Sun reference arithmetic
+(16-bit linear scale: µ-law bias 0x84 / clip 32635, A-law seg table),
+vectorized through 256-entry numpy decode tables; the encoders are
+exact inverses of the decoders on all 256 code points (pinned by
+tests/test_multimodal.py).
 """
 
 from __future__ import annotations
 
-import io
-import wave
+import struct
 
 import numpy as np
+
+# RIFF fmt-chunk audio format tags (public WAVE spec).
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
 def is_wav(data: bytes | None) -> bool:
@@ -26,37 +42,260 @@ def is_wav(data: bytes | None) -> bool:
     )
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """Encode int16 samples (shape (n,) mono or (n, ch)) to WAV bytes."""
-    arr = np.asarray(samples, dtype=np.int16)
+# ── G.711 companding (CCITT reference arithmetic, 16-bit scale) ──────
+
+
+def _ulaw_decode_one(code: int) -> int:
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _alaw_decode_one(code: int) -> int:
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_TABLE = np.array(
+    [_ulaw_decode_one(c) for c in range(256)], dtype=np.int16
+)
+_ALAW_TABLE = np.array(
+    [_alaw_decode_one(c) for c in range(256)], dtype=np.int16
+)
+
+_ULAW_SEG_END = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int32
+)
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32
+)
+
+
+def ulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear → µ-law bytes (vectorized Sun/CCITT arithmetic)."""
+    pcm = np.asarray(samples, dtype=np.int32) >> 2  # 14-bit domain
+    mask = np.where(pcm < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.abs(pcm), 8159) + 33
+    seg = np.searchsorted(_ULAW_SEG_END, mag, side="left")
+    seg7 = np.minimum(seg, 7)
+    uval = np.where(
+        seg >= 8, 0x7F, (seg7 << 4) | ((mag >> (seg7 + 1)) & 0x0F)
+    )
+    return ((uval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    return _ULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+def alaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 linear → A-law bytes (vectorized Sun/CCITT arithmetic)."""
+    pcm = np.asarray(samples, dtype=np.int32) >> 3  # 13-bit domain
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    mag = np.where(pcm >= 0, pcm, -pcm - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, mag, side="left")
+    seg7 = np.minimum(seg, 7)
+    shift = np.where(seg7 < 2, 1, seg7)
+    aval = np.where(seg >= 8, 0x7F, (seg7 << 4) | ((mag >> shift) & 0x0F))
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    return _ALAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
+# ── RIFF container ───────────────────────────────────────────────────
+
+
+def parse_wav_header(data: bytes) -> dict | None:
+    """Walk the RIFF chunk list by hand and return the format facts:
+    ``{format, channels, sample_rate, bits_per_sample, block_align,
+    n_frames, data_offset, data_size}``. EXTENSIBLE (0xFFFE) is
+    resolved to its subformat's first-two-GUID-bytes format code.
+    Unknown chunks (LIST, fact, cue, …) are skipped per spec (word
+    alignment honored). Returns None for non-WAV or corrupt headers
+    rather than raising — callers in mapInPandas stages must not fail
+    the task on one bad row."""
+    if not is_wav(data):
+        return None
+    pos, end = 12, len(data)
+    fmt = None
+    data_off = data_size = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and csize >= 16 and body + 16 <= end:
+            tag, ch, sr, _br, ba, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            if tag == WAVE_FORMAT_EXTENSIBLE and csize >= 40:
+                if body + 26 <= end:
+                    (tag,) = struct.unpack_from("<H", data, body + 24)
+                else:
+                    return None
+            fmt = {
+                "format": tag,
+                "channels": ch,
+                "sample_rate": sr,
+                "bits_per_sample": bits,
+                "block_align": ba,
+            }
+        elif cid == b"data":
+            data_off = body
+            data_size = min(csize, end - body)
+        pos = body + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_off is None:
+        return None
+    if fmt["channels"] < 1 or fmt["sample_rate"] < 1:
+        return None
+    ba = fmt["block_align"] or fmt["channels"] * max(
+        1, fmt["bits_per_sample"] // 8
+    )
+    fmt["block_align"] = ba
+    fmt["n_frames"] = data_size // ba if ba else 0
+    fmt["data_offset"] = data_off
+    fmt["data_size"] = data_size
+    return fmt
+
+
+_FMT_SPECS = {
+    # fmt name → (format tag, bits per sample)
+    "pcm8": (WAVE_FORMAT_PCM, 8),
+    "pcm16": (WAVE_FORMAT_PCM, 16),
+    "pcm24": (WAVE_FORMAT_PCM, 24),
+    "pcm32": (WAVE_FORMAT_PCM, 32),
+    "float32": (WAVE_FORMAT_IEEE_FLOAT, 32),
+    "float64": (WAVE_FORMAT_IEEE_FLOAT, 64),
+    "alaw": (WAVE_FORMAT_ALAW, 8),
+    "ulaw": (WAVE_FORMAT_MULAW, 8),
+}
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 8000, fmt: str = "pcm16"
+) -> bytes:
+    """Encode int16-scale samples (shape (n,) mono or (n, ch)) to WAV
+    bytes in any supported encoding. One fixture signal serves every
+    format: float formats store ``samples/32768``; pcm24/pcm32 shift
+    the 16-bit input into the wide word's top bits (standard studio
+    practice); pcm8 keeps the top byte (unsigned, biased +128); G.711
+    formats compand. Non-PCM fmt chunks carry the spec's cbSize=0
+    extension plus a ``fact`` chunk, exercising the parser's
+    chunk-walk on real layouts."""
+    tag, bits = _FMT_SPECS[fmt]
+    arr = np.asarray(samples)
     if arr.ndim == 1:
         arr = arr[:, None]
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(arr.shape[1])
-        w.setsampwidth(2)
-        w.setframerate(sample_rate)
-        w.writeframes(arr.astype("<i2").tobytes())
-    return buf.getvalue()
+    n, ch = arr.shape
+    i16 = np.clip(np.round(arr).astype(np.int64), -32768, 32767).astype(
+        np.int16
+    )
+    if fmt == "pcm16":
+        payload = i16.astype("<i2").tobytes()
+    elif fmt == "pcm8":
+        payload = ((i16.astype(np.int32) >> 8) + 128).astype(
+            np.uint8
+        ).tobytes()
+    elif fmt == "pcm24":
+        wide = (i16.astype(np.int32) << 8).astype("<i4")
+        b4 = wide.tobytes()
+        payload = b"".join(
+            b4[i : i + 3] for i in range(0, len(b4), 4)
+        )  # low 3 of each LE int32
+    elif fmt == "pcm32":
+        payload = (i16.astype(np.int32) << 16).astype("<i4").tobytes()
+    elif fmt == "float32":
+        payload = (
+            np.asarray(arr, dtype=np.float64) / 32768.0
+        ).astype("<f4").tobytes()
+    elif fmt == "float64":
+        payload = (
+            np.asarray(arr, dtype=np.float64) / 32768.0
+        ).astype("<f8").tobytes()
+    elif fmt == "alaw":
+        payload = alaw_encode(i16.ravel()).tobytes()
+    else:  # ulaw
+        payload = ulaw_encode(i16.ravel()).tobytes()
+
+    block_align = ch * (bits // 8)
+    byte_rate = sample_rate * block_align
+    if tag == WAVE_FORMAT_PCM:
+        fmt_chunk = struct.pack(
+            "<HHIIHH", tag, ch, sample_rate, byte_rate, block_align, bits
+        )
+        chunks = [(b"fmt ", fmt_chunk), (b"data", payload)]
+    else:
+        fmt_chunk = struct.pack(
+            "<HHIIHHH", tag, ch, sample_rate, byte_rate, block_align, bits, 0
+        )
+        chunks = [
+            (b"fmt ", fmt_chunk),
+            (b"fact", struct.pack("<I", n)),
+            (b"data", payload),
+        ]
+    body = b"".join(
+        cid + struct.pack("<I", len(c)) + c + (b"\x00" if len(c) & 1 else b"")
+        for cid, c in chunks
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode WAV bytes to (samples, sample_rate); samples are int16
-    with shape (n,) for mono or (n, ch) otherwise. Only PCM-16 is
-    supported — anything else needs a real audio library."""
-    with wave.open(io.BytesIO(data), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise NotImplementedError(
-                f"only 16-bit PCM WAV is supported, got sampwidth="
-                f"{w.getsampwidth()}; other encodings need soundfile/librosa"
-            )
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        arr = np.frombuffer(w.readframes(n), dtype="<i2")
+    """Decode WAV bytes of any supported encoding to (samples,
+    sample_rate); shape (n,) mono / (n, ch) otherwise. Dtype reflects
+    the stored precision: int16 for pcm8/pcm16/G.711, int32 for
+    pcm24/pcm32, float32/float64 for IEEE float. Raises ValueError on
+    corrupt containers and NotImplementedError only for genuinely
+    exotic codecs (ADPCM, GSM, MPEG-in-WAV)."""
+    h = parse_wav_header(data)
+    if h is None:
+        raise ValueError("not a parseable RIFF/WAVE container")
+    tag, bits = h["format"], h["bits_per_sample"]
+    raw = data[h["data_offset"] : h["data_offset"] + h["data_size"]]
+    if tag == WAVE_FORMAT_PCM and bits == 16:
+        arr = np.frombuffer(raw[: len(raw) // 2 * 2], dtype="<i2")
+    elif tag == WAVE_FORMAT_PCM and bits == 8:
+        arr = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+        ).astype(np.int16) << 8
+    elif tag == WAVE_FORMAT_PCM and bits == 24:
+        trimmed = raw[: len(raw) // 3 * 3]
+        b = np.frombuffer(trimmed, dtype=np.uint8).reshape(-1, 3)
+        arr = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        arr = np.where(arr & 0x800000, arr - 0x1000000, arr).astype(np.int32)
+    elif tag == WAVE_FORMAT_PCM and bits == 32:
+        arr = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<i4")
+    elif tag == WAVE_FORMAT_IEEE_FLOAT and bits == 32:
+        arr = np.frombuffer(raw[: len(raw) // 4 * 4], dtype="<f4")
+    elif tag == WAVE_FORMAT_IEEE_FLOAT and bits == 64:
+        arr = np.frombuffer(raw[: len(raw) // 8 * 8], dtype="<f8")
+    elif tag == WAVE_FORMAT_ALAW and bits == 8:
+        arr = alaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    elif tag == WAVE_FORMAT_MULAW and bits == 8:
+        arr = ulaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    else:
+        raise NotImplementedError(
+            f"WAV format tag 0x{tag:04X} @ {bits}-bit is an exotic codec "
+            "(ADPCM/GSM/MPEG-in-WAV) — outside the supported set "
+            "pcm8/16/24/32, float32/64, A-law, µ-law"
+        )
+    ch = h["channels"]
     if ch > 1:
-        arr = arr.reshape(-1, ch)
-    return arr, sr
+        arr = arr[: arr.size // ch * ch].reshape(-1, ch)
+    return arr, h["sample_rate"]
 
 
 def audio_feature(samples: np.ndarray, dim: int = 16) -> list[float]:

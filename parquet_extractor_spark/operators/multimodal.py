@@ -6,9 +6,10 @@ Image decode is REAL for PNG via the dependency-free codec in
 ``functions/jpeg.py`` (pure numpy Huffman+DCT), for GIF via
 ``functions/gif.py`` (real LZW with table growth/reset), and for
 24-bit BMP via ``functions/bmp.py`` — features and resize run on
-actual pixels in CI. Audio decode is REAL for PCM-16 WAV via
-``functions/wav.py`` (stdlib ``wave``) — energy-envelope features run
-on actual samples. MP2/MP3 get metadata-level support — a real
+actual pixels in CI. Audio decode is REAL for WAV in all eight common
+RIFF encodings (PCM 8/16/24/32, float32/64, G.711 A-law/µ-law) via
+``functions/wav.py``'s hand-rolled chunk walk — energy-envelope
+features run on actual samples. MP2/MP3 get metadata-level support — a real
 frame-header parser (``functions/mp3.py``: duration, bitrate, sample
 rate, channel mode, CBR/VBR) with PCM decode declared out of scope.
 MP4/WebM get the same treatment since r06 — real container-metadata
@@ -438,11 +439,12 @@ SPECTRUM_SCHEMA = StructType(
 
 
 def audio_spectral_features(media: DataFrame) -> DataFrame:
-    """FFT band-energy features over the audio rows: decode PCM-16
-    WAV bytes (stdlib codec), rFFT, FEATURE_DIM equal bands to
-    Nyquist, peak-normalized — real DSP, executor-side, Arrow-batched.
-    Non-WAV rows are filtered out BEFORE the Python boundary so the
-    pandas stage only ever sees decodable bytes."""
+    """FFT band-energy features over the audio rows: decode WAV bytes
+    (any of functions/wav.py's eight RIFF encodings), rFFT,
+    FEATURE_DIM equal bands to Nyquist, peak-normalized — real DSP,
+    executor-side, Arrow-batched. Non-WAV rows are filtered out
+    BEFORE the Python boundary so the pandas stage only ever sees
+    decodable bytes."""
 
     from parquet_extractor_spark.functions.wav import (
         decode_wav,
@@ -497,38 +499,35 @@ AUDIO_META_SCHEMA = StructType(
 
 def audio_metadata_for_bytes(d: bytes | None) -> tuple:
     """(container, sample_rate, channels, bitrate_kbps, n_frames, vbr,
-    duration_ms) for one audio binary — WAV via the RIFF header
-    (stdlib ``wave``), MP2/MP3 via the frame-header walk in
-    functions/mp3.py (metadata-level; PCM decode stays a declared
-    boundary there). Pure function of the bytes, shared by the Spark
-    mapInPandas stage and the oracle generator. Unknown/corrupt
-    payloads yield all-NULL metadata rather than failing the task."""
-    import io
-    import wave
-
+    duration_ms) for one audio binary — WAV via the hand-rolled RIFF
+    chunk walk in functions/wav.py (all eight supported encodings:
+    PCM 8/16/24/32, float32/64, A-law, µ-law — identical numbers to
+    the former stdlib-``wave`` path for PCM rows), MP2/MP3 via the
+    frame-header walk in functions/mp3.py (metadata-level; PCM decode
+    stays a declared boundary there). Pure function of the bytes,
+    shared by the Spark mapInPandas stage and the oracle generator.
+    Unknown/corrupt payloads yield all-NULL metadata rather than
+    failing the task."""
     from parquet_extractor_spark.functions.mp3 import (
         is_mp3,
         parse_mp3_metadata,
     )
-    from parquet_extractor_spark.functions.wav import is_wav
+    from parquet_extractor_spark.functions.wav import is_wav, parse_wav_header
 
     nulls = (None, None, None, None, None, None, None)
     if d is None:
         return nulls
     if is_wav(d):
-        try:
-            with wave.open(io.BytesIO(d), "rb") as w:
-                sr = w.getframerate()
-                ch = w.getnchannels()
-                nf = w.getnframes()
-                width = w.getsampwidth()
-        except (wave.Error, EOFError):
+        h = parse_wav_header(d)
+        if h is None:
             return nulls
+        sr = h["sample_rate"]
+        nf = h["n_frames"]
         return (
             "wav",
             sr,
-            ch,
-            sr * width * 8 * ch // 1000,
+            h["channels"],
+            sr * h["bits_per_sample"] * h["channels"] // 1000,
             nf,
             False,
             nf * 1000 // max(1, sr),
@@ -573,16 +572,23 @@ def audio_stream_metadata(media: DataFrame) -> DataFrame:
 
 
 def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
-    """Deterministic audio fixture: REAL PCM-16 WAVs interleaved with
-    spec-valid MP3 frame chains cycling MPEG version/layer/bitrate/
-    mono — including VBR streams (two CBR runs concatenated, at
-    i%16==15) and ID3v2-tagged streams (variant 5, reachable at
-    i∈{11,23,35}), so every parser path — ID3 skip included — is
-    pinned by the oracle. (media_id, data) rows."""
+    """Deterministic audio fixture: REAL WAVs cycling all eight
+    supported RIFF encodings (PCM 8/16/24/32-bit, IEEE float32/64,
+    G.711 A-law/µ-law — functions/wav.py's hand-rolled codec, r06)
+    interleaved with spec-valid MP3 frame chains cycling MPEG
+    version/layer/bitrate/mono — including VBR streams (two CBR runs
+    concatenated, at i%16==15) and ID3v2-tagged streams (variant 5,
+    reachable at i∈{11,23,35}), so every parser path — ID3 skip and
+    every fmt-tag branch included — is pinned by the oracle.
+    (media_id, data) rows."""
     from parquet_extractor_spark.functions.mp3 import build_mp3_stream
 
     rng = np.random.default_rng(seed)
     rows = []
+    wav_fmts = [
+        "pcm16", "float32", "pcm24", "pcm8", "ulaw", "alaw", "pcm32",
+        "float64",
+    ]
     mp3_variants = [
         dict(version="1", layer=3, bitrate_kbps=128, sample_rate=44100),
         dict(version="1", layer=2, bitrate_kbps=192, sample_rate=48000),
@@ -599,7 +605,9 @@ def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
             t = np.arange(int(sr * 0.2)) / sr
             sig = 6000.0 * np.sin(2 * np.pi * (150.0 + 25.0 * (i % 5)) * t)
             sig += rng.normal(0.0, 400.0, size=t.size)
-            data = encode_wav(sig.astype(np.int16), sr)
+            data = encode_wav(
+                sig.astype(np.int16), sr, fmt=wav_fmts[(i // 2) % 8]
+            )
         elif i % 16 == 15:
             # VBR: two same-(sr,layer) CBR runs back to back.
             # (i%16, not %12: every odd i with i//2%6==5 — the ID3

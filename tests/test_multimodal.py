@@ -181,6 +181,128 @@ def test_wav_roundtrip_mono_and_stereo():
     assert not is_wav(b"RIFFxxxx")  # too short / not WAVE
 
 
+def test_g711_codepoints_are_self_inverse():
+    """encode(decode(c)) == c for every A-law code and every µ-law
+    code except 0x7F (negative zero, which the CCITT reference
+    encoder folds to positive zero 0xFF)."""
+    from parquet_extractor_spark.functions.wav import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    u = ulaw_encode(ulaw_decode(codes))
+    assert np.array_equal(np.delete(u, 0x7F), np.delete(codes, 0x7F))
+    assert u[0x7F] == 0xFF  # -0 folds to +0 per the reference code
+    # magnitude extremes land where the spec says
+    assert ulaw_decode(np.array([0x80], dtype=np.uint8))[0] == 32124
+    assert alaw_decode(np.array([0xAA], dtype=np.uint8))[0] == 32256
+
+
+def test_wav_all_eight_encodings_roundtrip():
+    """Every RIFF encoding decodes back within its quantization step:
+    exact for pcm16/24/32/float; one-LSB-of-8 (256) for pcm8; G.711's
+    top-segment step (<=512) for A-law/µ-law. Covers the fmt-tag
+    branches the former PCM-16-only boundary excluded."""
+    from parquet_extractor_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    rng = np.random.default_rng(7)
+    sig = rng.normal(0, 8000, 500).astype(np.int16)
+    tols = {
+        "pcm16": 0, "pcm24": 0, "pcm32": 0, "float32": 0.05, "float64": 0,
+        "pcm8": 256, "alaw": 512, "ulaw": 512,
+    }
+    for fmt, tol in tols.items():
+        data = encode_wav(sig, 8000, fmt=fmt)
+        out, sr = decode_wav(data)
+        assert sr == 8000
+        if fmt == "pcm24":
+            got = (np.asarray(out) >> 8).astype(np.float64)
+        elif fmt == "pcm32":
+            got = (np.asarray(out) >> 16).astype(np.float64)
+        elif fmt.startswith("float"):
+            got = np.asarray(out, dtype=np.float64) * 32768.0
+        else:
+            got = np.asarray(out, dtype=np.float64)
+        assert np.abs(got - sig).max() <= tol, fmt
+        h = parse_wav_header(data)
+        assert h["n_frames"] == 500 and h["channels"] == 1
+        # stereo reshape holds for non-16-bit widths too
+        st, _ = decode_wav(
+            encode_wav(np.stack([sig, -sig], axis=1), 16000, fmt=fmt)
+        )
+        assert st.shape == (500, 2), fmt
+
+
+def test_wav_extensible_and_exotic_and_corrupt():
+    """WAVE_FORMAT_EXTENSIBLE resolves through the subformat GUID;
+    a truly exotic tag (ADPCM) raises the declared
+    NotImplementedError; corrupt containers raise ValueError from
+    decode but yield all-NULL metadata from the row-safe path."""
+    import struct
+
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+        parse_wav_header,
+    )
+    from parquet_extractor_spark.operators.multimodal import (
+        audio_metadata_for_bytes,
+    )
+
+    sig = (np.sin(np.arange(200) / 4) * 9000).astype(np.int16)
+    plain = encode_wav(sig, 8000)  # RIFF + 16-byte PCM fmt + data
+
+    def swap_fmt(data: bytes, new_fmt: bytes) -> bytes:
+        # replace the 16-byte fmt chunk body, fixing RIFF/chunk sizes
+        head, rest = data[:12], data[20:]
+        body = new_fmt + rest[16:]
+        out = (
+            head[:4]
+            + struct.pack("<I", 4 + 8 + len(new_fmt) + len(rest) - 16)
+            + head[8:]
+            + b"fmt "
+            + struct.pack("<I", len(new_fmt))
+            + body
+        )
+        return out
+
+    # EXTENSIBLE: 40-byte fmt, subformat GUID leading with 0x0001 (PCM)
+    ext = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 1, 8000, 16000, 2, 16, 22, 16, 1
+    ) + b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xAA\x00\x38\x9B\x71"
+    ext_wav = swap_fmt(plain, ext)
+    h = parse_wav_header(ext_wav)
+    assert h["format"] == 1 and h["bits_per_sample"] == 16
+    out, _ = decode_wav(ext_wav)
+    assert np.array_equal(out, sig)
+    # metadata path agrees with the plain-PCM container
+    assert audio_metadata_for_bytes(ext_wav) == audio_metadata_for_bytes(
+        plain
+    )
+
+    # ADPCM (tag 2) = exotic: parse succeeds, decode declares boundary
+    adpcm = swap_fmt(plain, struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4))
+    assert parse_wav_header(adpcm)["format"] == 2
+    with _pytest.raises(NotImplementedError):
+        decode_wav(adpcm)
+
+    # corrupt: header truncated mid-fmt
+    with _pytest.raises(ValueError):
+        decode_wav(plain[:16])
+    assert audio_metadata_for_bytes(plain[:16]) == (None,) * 7
+    assert audio_metadata_for_bytes(adpcm)[0] == "wav"  # metadata-only ok
+
+
 def test_audio_feature_tracks_real_energy():
     """The envelope must reflect actual signal energy: a burst in the
     first quarter and silence elsewhere."""
