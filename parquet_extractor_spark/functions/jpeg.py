@@ -5,13 +5,24 @@ now decode to real pixels with no PIL/libjpeg, the same way
 ``functions/png.py`` handles PNG with no libpng. Pure numpy + stdlib.
 
 Scope (mirrors what a training-data pipeline actually meets):
-- decode: baseline sequential (SOF0), 8-bit, grayscale or YCbCr,
+- decode: baseline sequential (SOF0/1), 8-bit, grayscale or YCbCr,
   arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 ...), restart
-  markers, multiple DQT/DHT segments. Progressive (SOF2) and
-  arithmetic coding raise NotImplementedError — a declared boundary,
-  not a silent wrong answer.
-- encode: baseline sequential, quality-scaled Annex K quantization
-  tables, Annex K Huffman tables, 4:4:4 or 4:2:0.
+  markers, multiple DQT/DHT segments; AND — since r06 — progressive
+  (SOF2) with full T.81 Annex G semantics: spectral selection,
+  successive approximation (DC and AC refinement scans, correction
+  bits), EOB runs, interleaved DC / non-interleaved AC scans.
+  Arithmetic coding and the hierarchical modes raise
+  NotImplementedError — a declared boundary, not a silent wrong
+  answer.
+- encode: baseline sequential (quality-scaled Annex K quantization
+  tables, Annex K Huffman tables, 4:4:4 or 4:2:0) and progressive
+  (``progressive=True``): a 10-scan script exercising every decode
+  path — DC first at Al=1 + DC refinement, split AC bands first at
+  Al=1 + AC refinements — with per-scan optimal length-limited
+  Huffman tables built by the Annex K.2 reference algorithm.
+  Progressive encode→decode reconstructs the IDENTICAL pixels to
+  baseline encode→decode at the same quality (same coefficients,
+  different entropy layout), which is what the round-trip test pins.
 
 Everything here is public-spec material: marker structure and Huffman
 coding from ITU-T T.81, JFIF from ECMA TR/98, quality scaling as
@@ -357,14 +368,21 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as baseline JFIF JPEG.
+    """Encode an (H, W, 3) uint8 RGB array as JFIF JPEG.
 
     subsample=False writes 4:4:4; True writes 4:2:0 (2x2-averaged
     chroma) — the common web layout, and the decoder's upsampling
     path exercised in tests. restart_interval > 0 emits a DRI segment
     and RSTn markers every N MCUs (the decoder resync path).
+    progressive=True writes an SOF2 stream via the 10-scan script in
+    _encode_progressive (same quantized coefficients, so it decodes
+    to pixels identical to the baseline stream at the same quality);
+    restart markers are a baseline-only option here.
     """
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is a baseline-only option")
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("encode_jpeg expects (H, W, 3) RGB")
     h, w = pixels.shape[:2]
@@ -419,6 +437,11 @@ def encode_jpeg(
     cbb = _fit(cbb)
     crb = _fit(crb)
 
+    if progressive:
+        return _encode_progressive(
+            h, w, qy, qc, [yb, cbb, crb], hy, vy, mcus_x, mcus_y
+        )
+
     writer = _BitWriter()
     prev = [0, 0, 0]
     mcu_count = 0
@@ -469,9 +492,10 @@ def encode_jpeg(
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to an (H, W, 3) uint8 RGB
-    array (grayscale returns replicated channels). Raises
-    NotImplementedError for progressive/arithmetic streams."""
+    """Decode a baseline-sequential OR progressive JPEG to an
+    (H, W, 3) uint8 RGB array (grayscale returns replicated
+    channels). Raises NotImplementedError for arithmetic-coded and
+    hierarchical streams."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -480,6 +504,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict[tuple[int, int], int]] = {}
     frame = None  # (h, w, comps) with comps = [(cid, hh, vv, tq)]
     restart_interval = 0
+    progressive = False
+    scans_decoded = 0
+    coef: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag coefs
 
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -523,16 +550,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + n])
                 p += 17 + n
                 (huff_ac if cls else huff_dc)[ident] = _decode_table(bits, vals)
-        elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 baseline
+        elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if tag == 0xC2:
+                progressive = True
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcx = -(-fw // (8 * hmax))
+                mcy = -(-fh // (8 * vmax))
+                coef = {
+                    cid: np.zeros((mcy * vv, mcx * hh, 64), dtype=np.int64)
+                    for cid, hh, vv, _ in comps
+                }
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"jpeg: only baseline sequential supported (SOF marker 0x{tag:02x})"
+                "jpeg: only baseline sequential and progressive supported "
+                f"(SOF marker 0x{tag:02x})"
             )
         elif tag == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -540,18 +578,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tabs >> 4, tabs & 0x0F))
+            if progressive:
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                scans_decoded += 1
+                pos = _decode_progressive_scan(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan,
+                    (ss, se, ahal >> 4, ahal & 0x0F),
+                    coef,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
+                continue
             if ns != len(frame[2]):
                 # non-interleaved scans lay blocks out in raster order,
                 # not MCU order — decoding them with the interleaved
                 # walk below would return silently scrambled pixels
                 raise NotImplementedError(
-                    "jpeg: only single interleaved scans supported "
-                    f"(scan has {ns} of {len(frame[2])} components)"
+                    "jpeg: baseline decode needs a single interleaved "
+                    f"scan (scan has {ns} of {len(frame[2])} components)"
                 )
-            scan = []
-            for i in range(ns):
-                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append((cs, tables >> 4, tables & 0x0F))
             return _decode_scan(
                 data,
                 pos + seglen,
@@ -563,6 +616,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 restart_interval,
             )
         pos += seglen
+    if progressive and scans_decoded:
+        return _reconstruct_progressive(frame, coef, quant)
     raise ValueError("jpeg: no scan data found")
 
 
@@ -610,7 +665,14 @@ def _decode_scan(
                         planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
             mcu_count += 1
 
-    # upsample each component to full frame resolution (nearest)
+    return _planes_to_rgb(planes, comps, fh, fw, hmax, vmax)
+
+
+def _planes_to_rgb(
+    planes: dict, comps: list, fh: int, fw: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Shared decode tail: upsample each component plane to frame
+    resolution (nearest), crop, and color-convert."""
     out_planes = []
     for cid, hh, vv, _ in comps:
         p = planes[cid]
@@ -658,3 +720,528 @@ def _decode_block(
     block = np.zeros(64, dtype=np.int64)
     block[ZIGZAG] = zz
     return block.reshape(8, 8).astype(np.float64)
+
+
+# ------------------------------------------------------- progressive decode
+#
+# T.81 Annex G semantics, mirroring the layout every real-world
+# progressive decoder implements: DC scans (interleaved when the scan
+# carries several components), single-component non-interleaved AC
+# scans, EOB runs, and successive-approximation refinement with
+# correction bits. Coefficients accumulate across scans in zigzag
+# order per block; IDCT happens once at end-of-image.
+
+
+def _comp_block_dims(frame: tuple, comp: tuple) -> tuple[int, int]:
+    """True (non-MCU-padded) block-grid dims of one component — the
+    walk order of non-interleaved scans."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _cid, hh, vv, _tq = comp
+    cw = -(-fw * hh // hmax)
+    ch = -(-fh * vv // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list[tuple[int, int, int]],
+    band: tuple[int, int, int, int],
+    coef: dict[int, np.ndarray],
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the coefficient accumulator;
+    returns the stream position after the entropy-coded segment."""
+    fh, fw, comps = frame
+    ss, se, ah, al = band
+    by_id = {c[0]: c for c in comps}
+    reader = _BitReader(data, pos)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: DC scan must have Se == 0")
+        prev = {cs: 0 for cs, _, _ in scan}
+        if len(scan) > 1:  # interleaved MCU walk over padded grids
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcx = -(-fw // (8 * hmax))
+            mcy = -(-fh // (8 * vmax))
+            mcu = 0
+            for my in range(mcy):
+                for mx in range(mcx):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                    ):
+                        reader.sync_restart()
+                        prev = {cs: 0 for cs in prev}
+                    mcu += 1
+                    for cs, td, _ta in scan:
+                        _cid, hh, vv, _tq = by_id[cs]
+                        arr = coef[cs]
+                        for by in range(vv):
+                            for bx in range(hh):
+                                _dc_unit(
+                                    reader,
+                                    arr[my * vv + by, mx * hh + bx],
+                                    huff_dc.get(td),
+                                    prev,
+                                    cs,
+                                    ah,
+                                    al,
+                                )
+        else:  # single component: raster walk over true dims
+            cs, td, _ta = scan[0]
+            bh, bw = _comp_block_dims(frame, by_id[cs])
+            arr = coef[cs]
+            blk = 0
+            for gy in range(bh):
+                for gx in range(bw):
+                    if (
+                        restart_interval
+                        and blk
+                        and blk % restart_interval == 0
+                    ):
+                        reader.sync_restart()
+                        prev = {cs: 0}
+                    blk += 1
+                    _dc_unit(
+                        reader, arr[gy, gx], huff_dc.get(td), prev, cs, ah, al
+                    )
+        return reader.pos
+
+    # AC scan: spec requires exactly one component
+    if len(scan) != 1:
+        raise ValueError("jpeg: progressive AC scan must be single-component")
+    cs, _td, ta = scan[0]
+    bh, bw = _comp_block_dims(frame, by_id[cs])
+    arr = coef[cs]
+    table = huff_ac[ta]
+    p1 = 1 << al
+    m1 = -p1
+    eobrun = 0
+    blk = 0
+    for gy in range(bh):
+        for gx in range(bw):
+            if restart_interval and blk and blk % restart_interval == 0:
+                reader.sync_restart()
+                eobrun = 0
+            blk += 1
+            zz = arr[gy, gx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = reader.decode_symbol(table)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC index beyond band")
+                        zz[k] = _extend(reader.receive(s), s) << al
+                        k += 1
+                    elif r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    else:
+                        k += 16  # ZRL
+            else:  # refinement pass
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = reader.decode_symbol(table)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break
+                            val = 0  # ZRL: 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: refinement symbol size != 1"
+                                )
+                            val = p1 if reader.read_bit() else m1
+                        while k <= se:
+                            if zz[k] != 0:
+                                if (
+                                    reader.read_bit()
+                                    and (int(zz[k]) & p1) == 0
+                                ):
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            zz[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit() and (int(zz[k]) & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return reader.pos
+
+
+def _dc_unit(
+    reader: _BitReader,
+    zz: np.ndarray,
+    dc_table: dict | None,
+    prev: dict,
+    cs: int,
+    ah: int,
+    al: int,
+) -> None:
+    if ah == 0:  # first DC pass: Huffman-coded diffs of (DC >> Al)
+        size = reader.decode_symbol(dc_table)
+        diff = _extend(reader.receive(size), size) if size else 0
+        prev[cs] += diff
+        zz[0] = prev[cs] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+
+def _reconstruct_progressive(
+    frame: tuple, coef: dict[int, np.ndarray], quant: dict[int, np.ndarray]
+) -> np.ndarray:
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = {}
+    for cid, _hh, _vv, tq in comps:
+        zz = coef[cid]
+        gh, gw = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        deq = nat.astype(np.float64) * quant[tq].reshape(64)[None, None, :]
+        blocks = deq.reshape(gh, gw, 8, 8)
+        pix = np.einsum("ka,ijkl,lb->ijab", _C, blocks, _C) + 128.0
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+    return _planes_to_rgb(planes, comps, fh, fw, hmax, vmax)
+
+
+# ------------------------------------------------------- progressive encode
+
+
+def _build_huffman_table(freq: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Optimal length-limited Huffman table from symbol frequencies —
+    the T.81 Annex K.2 reference procedure (code-size derivation with
+    the reserved symbol 256, BITS counting, and the 16-bit length
+    adjustment), so every progressive scan ships a table fitted to
+    its own symbol mix."""
+    f = [0] * 257
+    for sym, c in freq.items():
+        f[sym] = c
+    f[256] = 1  # reserved: keeps the all-ones code unassigned
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1, least1 = -1, None
+        v2, least2 = -1, None
+        for i in range(257):
+            fi = f[i]
+            if fi <= 0:
+                continue
+            if least1 is None or fi < least1 or (fi == least1 and i > v1):
+                v2, least2 = v1, least1
+                v1, least1 = i, fi
+            elif least2 is None or fi < least2 or (fi == least2 and i > v2):
+                v2, least2 = i, fi
+        if v2 == -1:
+            break
+        f[v1] += f[v2]
+        f[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32  # limit code lengths to 16 (Annex K.2 Figure K.3)
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's code
+    pairs = sorted((codesize[s], s) for s in range(256) if codesize[s])
+    return bits[1:17], [s for _, s in pairs]
+
+
+class _FreqSink:
+    """Pass-1 sink: count Huffman symbols, ignore raw bits."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, _v: int, _n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Pass-2 sink: emit through the shared entropy bit-writer."""
+
+    def __init__(self, writer: _BitWriter, codes: dict) -> None:
+        self.writer = writer
+        self.codes = codes
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.writer.write(v, n)
+
+
+def _emit_ac_first(sink, blocks_zz: np.ndarray, ss: int, se: int, al: int):
+    """First AC pass over one component's true block grid: run/size
+    coding of (coef -> point-transformed) values with EOB-run
+    accumulation (capped at the spec's 0x7FFF)."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            sink.sym(n << 4)
+            sink.bits(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for zz in blocks_zz.reshape(-1, 64):
+        r = 0
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            t = (t >> al) if t >= 0 else -((-t) >> al)
+            if t == 0:
+                r += 1
+                continue
+            flush()
+            while r > 15:
+                sink.sym(0xF0)
+                r -= 16
+            s = _category(t)
+            sink.sym((r << 4) | s)
+            sink.bits(t if t > 0 else t + (1 << s) - 1, s)
+            r = 0
+        if r:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(sink, blocks_zz: np.ndarray, ss: int, se: int, al: int):
+    """AC refinement pass: correction bits for already-significant
+    coefficients, ±1<<Al for newly-significant ones, EOB runs carrying
+    buffered correction bits — the classic refinement layout."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            sink.sym(n << 4)
+            sink.bits(eobrun - (1 << n), n)
+            eobrun = 0
+        for b in pending:
+            sink.bits(b, 1)
+        pending = []
+
+    for zz in blocks_zz.reshape(-1, 64):
+        absv = [0] * (se + 1)
+        eob = ss - 1  # index of the last newly-significant coefficient
+        for k in range(ss, se + 1):
+            t = int(zz[k])
+            t = (t if t >= 0 else -t) >> al
+            absv[k] = t
+            if t == 1:
+                eob = k
+        r = 0
+        br: list[int] = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush()
+                sink.sym(0xF0)
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+                r -= 16
+            if t > 1:  # already significant: buffer its correction bit
+                br.append(t & 1)
+                continue
+            flush()  # newly significant at this level
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if int(zz[k]) >= 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _encode_progressive(
+    h: int,
+    w: int,
+    qy: np.ndarray,
+    qc: np.ndarray,
+    grids: list[np.ndarray],
+    hy: int,
+    vy: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> bytes:
+    """Assemble the progressive (SOF2) stream from the quantized
+    block grids the baseline path produced: a 10-scan script (DC
+    first at Al=1; split-band AC firsts at Al=1; DC refinement; AC
+    refinements to Al=0) with per-scan optimized Huffman tables.
+    Decodes to pixels identical to the baseline stream at the same
+    quality — same coefficients, different entropy layout."""
+    zz_grids = [g.reshape(g.shape[0], g.shape[1], 64)[:, :, ZIGZAG]
+                for g in grids]
+    samp = [(hy, vy), (1, 1), (1, 1)]
+    frame = (h, w, [(1, hy, vy, 0), (2, 1, 1, 1), (3, 1, 1, 1)])
+
+    out = bytearray()
+    out += JPEG_MAGIC
+    out += _marker(
+        0xE0,
+        b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00",
+    )
+    out += _marker(0xDB, bytes([0]) + bytes(int(v) for v in qy.reshape(64)[ZIGZAG]))
+    out += _marker(0xDB, bytes([1]) + bytes(int(v) for v in qc.reshape(64)[ZIGZAG]))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hy << 4) | vy, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += _marker(0xC2, sof)
+    out += _marker(0xC4, _dht_payload(0, 0, DC_LUMA_BITS, DC_LUMA_VALS))
+    out += _marker(0xC4, _dht_payload(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS))
+
+    def sos_header(comps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps)])
+        for cs, td, ta in comps:
+            body += bytes([cs, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _marker(0xDA, body)
+
+    # scan 1: DC first, all components interleaved, Al=1
+    writer = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                hh, vv = samp[ci]
+                codes = _canonical_codes(
+                    *(DC_LUMA_BITS, DC_LUMA_VALS)
+                    if ci == 0
+                    else (DC_CHROMA_BITS, DC_CHROMA_VALS)
+                )
+                for by in range(vv):
+                    for bx in range(hh):
+                        dc = int(zz_grids[ci][my * vv + by, mx * hh + bx, 0])
+                        t = dc >> 1
+                        diff = t - prev[ci]
+                        prev[ci] = t
+                        s = _category(diff)
+                        code, ln = codes[s]
+                        writer.write(code, ln)
+                        if s:
+                            amp = diff if diff > 0 else diff + (1 << s) - 1
+                            writer.write(amp, s)
+    writer.flush()
+    out += sos_header([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1)
+    out += writer.out
+
+    # true (non-padded) block dims per component for AC scans
+    true_dims = [_comp_block_dims(frame, frame[2][ci]) for ci in range(3)]
+
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int) -> None:
+        nonlocal out
+        bh, bw = true_dims[ci]
+        blocks = zz_grids[ci][:bh, :bw]
+        emitter = _emit_ac_refine if ah else _emit_ac_first
+        counter = _FreqSink()
+        emitter(counter, blocks, ss, se, al)
+        bits, vals = _build_huffman_table(counter.freq)
+        out += _marker(0xC4, _dht_payload(1, 0, bits, vals))
+        writer = _BitWriter()
+        emitter(_WriteSink(writer, _canonical_codes(bits, vals)),
+                blocks, ss, se, al)
+        writer.flush()
+        out += sos_header([(ci + 1, 0, 0)], ss, se, ah, al)
+        out += writer.out
+
+    # scans 2-5: AC first passes at Al=1 (split luma band)
+    ac_scan(0, 1, 5, 0, 1)
+    ac_scan(0, 6, 63, 0, 1)
+    ac_scan(1, 1, 63, 0, 1)
+    ac_scan(2, 1, 63, 0, 1)
+
+    # scan 6: DC refinement (raw bits, no Huffman)
+    writer = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                hh, vv = samp[ci]
+                for by in range(vv):
+                    for bx in range(hh):
+                        dc = int(zz_grids[ci][my * vv + by, mx * hh + bx, 0])
+                        writer.write(dc & 1, 1)
+    writer.flush()
+    out += sos_header([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0)
+    out += writer.out
+
+    # scans 7-10: AC refinement passes down to Al=0
+    ac_scan(0, 1, 5, 1, 0)
+    ac_scan(0, 6, 63, 1, 0)
+    ac_scan(1, 1, 63, 1, 0)
+    ac_scan(2, 1, 63, 1, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -16,7 +16,9 @@ MP4/WebM get the same treatment since r06 — real container-metadata
 parsers (``functions/mp4.py`` box walk, ``functions/webm.py`` EBML
 walk: brand, duration, track layout, display size) with frame decode
 declared out of scope.
-Remaining formats (progressive JPEG, WebP, MP3 PCM decode,
+Progressive JPEG decodes for real too since r06 (T.81 Annex G in
+``functions/jpeg.py``: spectral selection, successive approximation,
+EOB runs). Remaining formats (WebP pixel decode, MP3 PCM decode,
 video frames) would need PIL/librosa/ffmpeg, absent from this
 container, and raise a clearly-marked NotImplementedError; their
 Spark-side plumbing — the schema, the mapInPandas batch iteration,
@@ -168,9 +170,9 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
         try:
             return pixel_feature(decode_image(d))
         except (NotImplementedError, ValueError):
-            # progressive JPEG, corrupt stream, etc: fall through to
-            # the byte-hash stand-in rather than failing the whole
-            # mapInPandas task on one undecodable row
+            # arithmetic-coded JPEG, corrupt stream, etc: fall
+            # through to the byte-hash stand-in rather than failing
+            # the whole mapInPandas task on one undecodable row
             return fake_feature(d)
     if is_wav(d):
         samples, _sr = decode_wav(d)
@@ -250,7 +252,14 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
             if fmt == 0:
                 data = encode_png(pixels)
             elif fmt == 1:
-                data = encode_jpeg(pixels, quality=90, subsample=True)
+                # alternate baseline and progressive streams so the
+                # oracle pins BOTH entropy layouts of the decoder
+                data = encode_jpeg(
+                    pixels,
+                    quality=90,
+                    subsample=True,
+                    progressive=bool((i // 12) % 2),
+                )
             elif fmt == 2:
                 data = encode_gif(pixels)
             else:
@@ -391,7 +400,7 @@ def resize_bytes(d: bytes | None, width: int, height: int) -> bytes:
         if is_bmp(d):
             return encode_bmp(resize_nearest(decode_image(d), width, height))
     except (NotImplementedError, ValueError):
-        pass  # undecodable row (progressive/corrupt): declared fake
+        pass  # undecodable row (arithmetic-coded/corrupt): declared fake
     return fake_resized_bytes(d, width, height)
 
 

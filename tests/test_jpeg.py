@@ -1,6 +1,7 @@
-"""Baseline JPEG codec tests (functions/jpeg.py): round-trip fidelity
+"""JPEG codec tests (functions/jpeg.py): baseline round-trip fidelity
 across layouts and quality, restart markers, marker-structure
-validity, and the declared progressive boundary."""
+validity, progressive (SOF2) identity with baseline, and the declared
+arithmetic-coding boundary."""
 
 import struct
 
@@ -75,9 +76,60 @@ def test_deterministic_bytes():
     assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
 
 
-def test_progressive_declared_not_implemented():
-    # minimal stream: SOI + SOF2 header
-    data = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
+def test_progressive_roundtrip_identical_to_baseline():
+    """Progressive encode→decode must reconstruct pixels IDENTICAL to
+    baseline encode→decode at the same quality: the coefficients are
+    the same, only the entropy layout differs — a strong equality
+    check on every Annex G path (spectral selection, successive
+    approximation, EOB runs, refinement correction bits)."""
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for shape, sub, q in [
+        ((16, 16, 3), False, 90),
+        ((24, 17, 3), False, 75),  # odd width
+        ((21, 13, 3), True, 60),  # odd dims + 4:2:0
+        ((64, 48, 3), True, 85),
+    ]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog), (shape, sub, q)
+
+
+def test_progressive_smooth_image_exercises_eob_runs():
+    """A smooth gradient makes whole AC bands zero, forcing EOBn>0
+    runs and buffered refinement correction bits through both encoder
+    and decoder; identity with baseline pins them."""
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:64, 0:96]
+    img = np.stack(
+        [
+            (yy * 2).astype(np.uint8),
+            xx.astype(np.uint8),
+            ((yy + xx) // 2).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    base = decode_jpeg(encode_jpeg(img, quality=70, subsample=True))
+    prog = decode_jpeg(
+        encode_jpeg(img, quality=70, subsample=True, progressive=True)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_arithmetic_coding_declared_not_implemented():
+    # SOI + SOF9 (extended sequential, arithmetic coding) header
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc9"
+        + struct.pack(">H", 11)
+        + b"\x08\x00\x08\x00\x08\x01"
+        + bytes([1, 0x11, 0])
+    )
     with pytest.raises(NotImplementedError):
         decode_jpeg(data)
 
@@ -118,7 +170,7 @@ def test_non_interleaved_scan_declared_not_implemented():
 
 
 def test_undecodable_jpeg_rows_fall_back_to_fake_feature(spark):
-    """A progressive/corrupt JPEG row must not fail the mapInPandas
+    """A corrupt/truncated JPEG row must not fail the mapInPandas
     job — it gets the declared byte-hash stand-in feature."""
     from parquet_extractor_spark.operators.multimodal import (
         MEDIA_SCHEMA,
@@ -126,14 +178,14 @@ def test_undecodable_jpeg_rows_fall_back_to_fake_feature(spark):
         fake_feature,
     )
 
-    # SOI + SOF2 (progressive) header: passes is_jpeg, decode raises
-    progressive = (
+    # SOI + truncated SOF2 header: passes is_jpeg, decode raises
+    truncated = (
         b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
     )
     media = spark.createDataFrame(
-        [(7, "image", "image/jpeg", 8, 8, None, progressive)], MEDIA_SCHEMA
+        [(7, "image", "image/jpeg", 8, 8, None, truncated)], MEDIA_SCHEMA
     )
     [row] = extract_features(media).collect()
     assert row.feature == [
-        __import__("numpy").float32(v) for v in fake_feature(progressive)
+        __import__("numpy").float32(v) for v in fake_feature(truncated)
     ]
