@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — r06-new queries —
         "user_longest_streak_window": timeseries.user_longest_streak_window,
         "bpe_train_merges": textprep.bpe_train_merges,
+        "bpe_encode_corpus": textprep.bpe_encode_corpus,
         "media_image_metadata": multimodal.media_image_metadata,
         # — all 32 r02-stale rows —
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -114,9 +115,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": similarity.pq_codes,
         "media_feature_checksums": multimodal.media_feature_checksums,
         "q5_region_revenue": relational.q5_region_revenue,
-        "source_token_kl": analyze.source_token_kl,
         # ——— tail (driver-green r03/r05; re-verified locally each
         #     round via tools/check_oracle.py — see COVERAGE.md) ———
+        # — r03-green row displaced from the window by
+        #   bpe_encode_corpus (never-driver-checked beats refresh) —
+        "source_token_kl": analyze.source_token_kl,
         # — r03-green rows displaced from the window by the r06-new
         #   queries —
         "doc_length_histogram": analyze.doc_length_histogram,
@@ -235,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "media_image_metadata":
             multimodal_oracle.MEDIA_IMAGE_METADATA_SQL,
         "bpe_train_merges": textprep.BPE_TRAIN_MERGES_SQL,
+        "bpe_encode_corpus": textprep.BPE_ENCODE_CORPUS_SQL,
         "train_quality_classifier":
             classifier.TRAIN_QUALITY_CLASSIFIER_SQL,
         "trained_classifier_scores":

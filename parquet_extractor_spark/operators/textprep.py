@@ -439,6 +439,20 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer ships. Oracle: BPE_TRAIN_MERGES_SQL, the same 8 rounds
     unrolled as a DuckDB CTE chain.
     """
+    return spark.createDataFrame(
+        _run_bpe_training(spark, sf_dir),
+        "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
+    ).orderBy("merge_rank")
+
+
+def _run_bpe_training(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The BPE_TRAIN_ROUNDS training loop itself, returning the merge
+    list to the driver (8 rows — the same constant-size hop as
+    kmeans_refine's centroids). Shared by bpe_train_merges (which
+    ships the table) and bpe_encode_corpus (which re-enters the
+    merges as plan-time literals to segment the corpus)."""
     words = _bpe_words(spark, sf_dir).localCheckpoint()
     seq0 = F.concat(
         F.lit("  "),
@@ -481,18 +495,85 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("seq"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
         )
         cur = cur.select(merged.alias("seq"), "freq")
-    return spark.createDataFrame(
-        merges,
-        "merge_rank bigint, left_sym string, right_sym string, pair_count bigint",
-    ).orderBy("merge_rank")
+    return merges
 
 
-def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
-    """DuckDB oracle for bpe_train_merges: the identical algorithm
-    with the round loop unrolled into a CTE chain — round k = pair
-    counts over w{k-1}, a 1-row argmax b{k}, and one boundary-space
-    replace() producing w{k}. Single-pass-equals-greedy holds for the
-    same structural reason as the Spark side (see bpe_train_merges)."""
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-ENCODE: run the BPE_TRAIN_ROUNDS trainer, then
+    segment every document with the learned merges and report the
+    tokenizer's effect per language — docs, whitespace word count,
+    and post-merge BPE token count (their ratio is the "fertility"
+    a tokenizer team watches per language). This is the apply side
+    of bpe_train_merges, the way quality.bpe_token_counts is the
+    apply side of a FIXED segmentation (reference api.py:489 counts
+    whitespace tokens only; the trainer/encoder pair is the
+    LLM-pipeline extension).
+
+    Scale shape: training is the |vocab|-bounded loop documented on
+    bpe_train_merges; the 8 learned merges hop to the driver
+    (constant-size) and re-enter the ENCODE pass as plan-time
+    literals, so segmentation is a single map-side codegen chain —
+    one replace() per merge over each document's symbol string —
+    followed by a 5-row per-language partial+final agg. No UDF, no
+    joins, no per-document state; at 100 TB the encode pass is
+    embarrassingly parallel and the only shuffle is the tiny final
+    agg.
+
+    Document symbol strings reuse the trainer's boundary-space
+    encoding per word ("  h  e  y  " — see bpe_train_merges for why
+    ONE replace pass == the textbook greedy merge), with words joined
+    by FOUR spaces: a merge pattern needs exactly two spaces between
+    its symbols, so no pattern can ever bridge a word boundary, and
+    replaces consume at most one boundary space from each side
+    (leaving >= 3), preserving that invariant across all 8 rounds.
+
+    Oracle: BPE_ENCODE_CORPUS_SQL — the trainer's unrolled CTE chain
+    extended with the same encode: per-document symbol strings, the
+    8 replaces applied via cross join against each round's 1-row
+    argmax, then the per-language roll-up.
+    """
+    merges = _run_bpe_training(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokenize("text")
+    word_seq = lambda w: F.array_join(  # noqa: E731 — HOF factory
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: w.substr(i, F.lit(1)),
+        ),
+        "  ",
+    )
+    seq = F.when(
+        F.size(toks) > 0,
+        F.concat(
+            F.lit("  "), F.array_join(F.transform(toks, word_seq), "    "), F.lit("  ")
+        ),
+    ).otherwise(F.lit(""))
+    for _rank, l, r, _cnt in merges:
+        seq = F.replace(seq, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    bpe_tokens = F.when(seq == "", F.lit(0)).otherwise(
+        F.size(F.split(F.btrim(seq), " {2,}"))
+    )
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).alias("word_tokens"),
+            bpe_tokens.alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("word_tokens").cast("bigint").alias("word_tokens"),
+            F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_train_ctes(rounds: int = BPE_TRAIN_ROUNDS) -> list[str]:
+    """The trainer's CTE chain (words, w0, then p{k}/b{k}/w{k} per
+    round) — shared by the bpe_train_merges oracle and the
+    bpe_encode_corpus oracle, which extends it with the encode
+    CTEs."""
     words = r"""words AS (
     SELECT t AS w, count(*) AS freq
     FROM (
@@ -526,6 +607,16 @@ def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
             f" ' ' || b.l || b.r || ' ') AS seq, w.freq AS freq\n"
             f"    FROM w{k - 1} AS w, b{k} AS b\n)"
         )
+    return ctes
+
+
+def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """DuckDB oracle for bpe_train_merges: the identical algorithm
+    with the round loop unrolled into a CTE chain — round k = pair
+    counts over w{k-1}, a 1-row argmax b{k}, and one boundary-space
+    replace() producing w{k}. Single-pass-equals-greedy holds for the
+    same structural reason as the Spark side (see bpe_train_merges)."""
+    ctes = _bpe_train_ctes(rounds)
     unions = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym,"
         f" r AS right_sym, cnt AS pair_count FROM b{k}"
@@ -539,6 +630,57 @@ def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
 
 
 BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
+
+
+def _bpe_encode_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """DuckDB oracle for bpe_encode_corpus: the trainer chain
+    (_bpe_train_ctes) plus the encode — per-document symbol strings
+    in the same boundary-space layout (words joined by four spaces),
+    one replace() per round applied via cross join against that
+    round's 1-row argmax b{k}, then the per-language roll-up."""
+    ctes = _bpe_train_ctes(rounds)
+    ctes.append(
+        r"""d0 AS (
+    SELECT lang, len(toks) AS word_tokens,
+           CASE WHEN len(toks) = 0 THEN '' ELSE
+               '  ' || array_to_string(list_transform(toks,
+                   t -> array_to_string(list_transform(
+                       range(1, length(t) + 1), i -> t[i]), '  ')),
+                   '    ') || '  '
+           END AS seq
+    FROM (
+        SELECT lang, list_filter(regexp_split_to_array(
+            regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+            x -> x != '') AS toks
+        FROM documents
+    )
+)"""
+    )
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"d{k} AS (\n    SELECT d.lang, d.word_tokens,"
+            f" replace(d.seq, ' ' || b.l || '  ' || b.r || ' ',"
+            f" ' ' || b.l || b.r || ' ') AS seq\n"
+            f"    FROM d{k - 1} AS d, b{k} AS b\n)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(word_tokens) AS BIGINT) AS word_tokens,
+       CAST(sum(CASE WHEN seq = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(seq), ' {{2,}}')) END)
+            AS BIGINT) AS bpe_tokens
+FROM d{rounds}
+GROUP BY lang
+ORDER BY lang
+"""
+    )
+
+
+BPE_ENCODE_CORPUS_SQL = _bpe_encode_sql()
 
 
 def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

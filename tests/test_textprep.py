@@ -269,3 +269,100 @@ def test_bpe_train_merges_matches_oracle(spark, sf_small, duck):
     got = [tuple(r) for r in bpe_train_merges(spark, sf_small).collect()]
     want = [tuple(r) for r in duck.execute(BPE_TRAIN_MERGES_SQL).fetchall()]
     assert got == want
+
+
+# ── bpe_encode_corpus (train-then-encode, per-language fertility) ───
+
+def test_bpe_encode_corpus_equals_python_reference(spark, tmp_path):
+    """End-to-end exact check on a handcrafted corpus: train with
+    _run_bpe_training, re-apply the merges per word with the textbook
+    greedy scan in Python, and demand identical per-language token
+    sums from the distributed encode."""
+    import re
+
+    from parquet_extractor_spark.operators.textprep import (
+        _run_bpe_training,
+        bpe_encode_corpus,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the thin thing thought, then sang!", "en"),
+        (2, "aaaaa aaa aa a", "en"),          # same-symbol runs
+        (3, "le chat  --  le chien", "fr"),
+        (4, "", "fr"),                        # empty doc -> 0 tokens
+        (5, "!!! ???", "fr"),                 # punctuation-only -> 0
+        (6, "singleton", "zh"),
+    ]
+    d = tmp_path / "bpefix"
+    spark.createDataFrame(
+        [(i, t, g, "s", len(t)) for i, t, g in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "documents.parquet")
+    )
+
+    merges = _run_bpe_training(spark, str(d))
+    assert merges, "trainer found no merges on the fixture"
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w)
+        for _rank, left, right, _cnt in merges:
+            syms = _greedy_merge(syms, left, right)
+        return syms
+
+    expect: dict[str, list[int]] = {}
+    for _i, text, lang in docs:
+        words = [
+            t
+            for t in re.sub(r"[^\w\s]", " ", text.lower()).split()
+            if t
+        ]
+        st = expect.setdefault(lang, [0, 0, 0])
+        st[0] += 1
+        st[1] += len(words)
+        st[2] += sum(len(encode_word(w)) for w in words)
+
+    got = {
+        r.lang: [r.docs, r.word_tokens, r.bpe_tokens]
+        for r in bpe_encode_corpus(spark, str(d)).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_encode_corpus_invariants(spark, sf_small):
+    """On the real fixture: per-language sums are bounded by the
+    char-token count above and the word count below, the merges
+    actually compressed something, and doc counts reconcile."""
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.textprep import (
+        bpe_encode_corpus,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = bpe_encode_corpus(spark, sf_small).collect()
+    assert [r.lang for r in rows] == sorted(r.lang for r in rows)
+
+    docs = load_table(spark, sf_small, "documents")
+    base = {
+        r.lang: (r.docs, r.chars)
+        for r in docs.select(
+            "lang", F.explode(tokenize("text")).alias("w")
+        )
+        .groupBy("lang")
+        .agg(F.sum(F.length("w")).alias("chars"))
+        .join(
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("docs")),
+            "lang",
+        )
+        .collect()
+    }
+    for r in rows:
+        n_docs, char_tokens = base[r.lang]
+        assert r.docs == n_docs
+        # every word is at least one symbol, at most one per char
+        assert r.word_tokens <= r.bpe_tokens <= char_tokens
+    # 8 merges must compress SOMETHING across the corpus
+    assert sum(r.bpe_tokens for r in rows) < sum(
+        base[r.lang][1] for r in rows
+    )
