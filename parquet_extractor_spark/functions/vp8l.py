@@ -1,0 +1,855 @@
+"""Dependency-free WebP-lossless (VP8L) pixel codec.
+
+Closes the r05 "WebP pixel decode" boundary for the LOSSLESS half of
+the format: VP8L is a self-contained prefix-coded bitstream (it is
+NOT the lossy-video-derived VP8 intra codec), so — like the PNG and
+JPEG codecs next to it — it has solid stdlib/numpy footing. Decode
+implements the full public bitstream spec (RFC 9649 §3 / the WebP
+Lossless Bitstream Specification): LSB-first bit reading, simple and
+normal prefix codes (code-length codes with 16/17/18 repeats and the
+max-symbol shortcut), LZ77 backward references through the 120-entry
+2D distance map, the color cache, meta prefix images, and all four
+transforms (predictor with its 14 modes, cross-color, subtract-green,
+color-indexing with sub-byte index bundling). Lossy ``VP8 `` frames
+remain the declared boundary (operators/multimodal.py) — that codec
+genuinely needs libwebp.
+
+The encoder emits spec-valid streams exercising every decode path the
+tests pin: literal mode (subtract-green + distance-1 run backrefs +
+per-channel optimal length-limited prefix codes via package-merge),
+palette mode (color-indexing incl. 1/2/4-bit bundling), and
+single-block predictor / cross-color modes. Reference parity with the
+reference repo's media handling: the reference (DorinR/
+parquet-extractor) has no media path at all — this backs the
+LLM-pipeline multimodal extension (SURVEY.md §2 extensions).
+
+Everything here derives from the public spec; constants (distance
+map, code-length order, cache hash multiplier) are spec tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Code-length symbols are transmitted in this fixed order (spec §5.2).
+KCODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2D proximity map for short backward references (spec §4.4.2.2):
+# plane code k (1-based) means offset (dx, dy) below; longer distances
+# are transmitted as code - 120.
+KDIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+# Transform type codes (spec §4.1).
+T_PREDICTOR = 0
+T_COLOR = 1
+T_SUBTRACT_GREEN = 2
+T_COLOR_INDEXING = 3
+
+_CACHE_MULT = 0x1E35A7BD  # color-cache hash multiplier (spec §4.4.1)
+_MAX_CODE_LEN = 15
+
+
+class _BitReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0  # bit position
+
+    def bit(self) -> int:
+        p = self._pos
+        byte = p >> 3
+        if byte >= len(self._d):
+            raise ValueError("VP8L bitstream overrun")
+        self._pos = p + 1
+        return (self._d[byte] >> (p & 7)) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.bit() << i
+        return v
+
+
+class _BitWriter:
+    """LSB-first bit writer."""
+
+    def __init__(self) -> None:
+        self._out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def bits(self, value: int, n: int) -> None:
+        self._acc |= (value & ((1 << n) - 1)) << self._nbits
+        self._nbits += n
+        while self._nbits >= 8:
+            self._out.append(self._acc & 0xFF)
+            self._acc >>= 8
+            self._nbits -= 8
+
+    def code(self, code: int, length: int) -> None:
+        """Prefix codes are written MSB-of-code first (spec §5.1)."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def tobytes(self) -> bytes:
+        out = bytes(self._out)
+        if self._nbits:
+            out += bytes([self._acc & 0xFF])
+        return out
+
+
+# ── canonical prefix codes ──────────────────────────────────────────
+
+class _PrefixCode:
+    """Canonical prefix decoder: (length, code) -> symbol walk, plus
+    the degenerate single-symbol tree that consumes zero bits."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise ValueError("empty prefix code")
+        if len(used) == 1:
+            self.single: int | None = used[0][1]
+            self.table: dict[tuple[int, int], int] = {}
+            self.max_len = 0
+            return
+        self.single = None
+        self.table = {}
+        code = 0
+        prev_len = 0
+        for ln, sym in sorted(used):
+            code <<= ln - prev_len
+            prev_len = ln
+            self.table[(ln, code)] = sym
+            code += 1
+        self.max_len = prev_len
+        if code != (1 << prev_len):
+            raise ValueError("prefix code lengths violate Kraft equality")
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.max_len + 1):
+            code = (code << 1) | br.bit()
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code in VP8L stream")
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Symbol -> (code, length) under DEFLATE/VP8L canonical order."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in sorted((ln, s) for s, ln in lengths.items() if ln > 0):
+        code <<= ln - prev_len
+        prev_len = ln
+        out[sym] = (code, ln)
+        code += 1
+    return out
+
+
+def _limited_lengths(freq: dict[int, int], limit: int = _MAX_CODE_LEN) -> dict[int, int]:
+    """Optimal length-limited code lengths via package-merge."""
+    syms = sorted(s for s, f in freq.items() if f > 0)
+    if not syms:
+        return {}
+    if len(syms) == 1:
+        return {syms[0]: 0}
+    coins = sorted((freq[s], (s,)) for s in syms)
+    pkgs: list[tuple[int, tuple[int, ...]]] = []
+    for level in range(limit):
+        merged = sorted(coins + pkgs)
+        if level == limit - 1:
+            chosen = merged[: 2 * (len(syms) - 1)]
+            break
+        pkgs = [
+            (
+                merged[i][0] + merged[i + 1][0],
+                merged[i][1] + merged[i + 1][1],
+            )
+            for i in range(0, len(merged) - 1, 2)
+        ]
+    lengths = dict.fromkeys(syms, 0)
+    for _, members in chosen:
+        for s in members:
+            lengths[s] += 1
+    return lengths
+
+
+# ── prefix-coded values (lengths / distances, spec §4.4.2.1) ────────
+
+def _prefix_value(br: _BitReader, code: int) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _value_to_prefix(v: int) -> tuple[int, int, int]:
+    """value -> (code, extra_bits_value, extra_bits_count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    shifted = v - 1
+    extra = shifted.bit_length() - 2
+    offset = (2 + ((shifted >> extra) & 1)) << extra
+    return 2 * extra + ((shifted >> extra) & 1) + 2, v - offset - 1, extra
+
+
+def _plane_to_dist(plane_code: int, xsize: int) -> int:
+    if plane_code > 120:
+        return plane_code - 120
+    dx, dy = KDIST_MAP[plane_code - 1]
+    return max(1, dy * xsize + dx)
+
+
+# ── decoder ─────────────────────────────────────────────────────────
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.bit():  # simple code
+        num_symbols = br.bit() + 1
+        if br.bit():  # first symbol is 8 bits
+            s0 = br.bits(8)
+        else:
+            s0 = br.bit()
+        lengths = [0] * alphabet_size
+        if num_symbols == 2:
+            s1 = br.bits(8)
+            if s0 >= alphabet_size or s1 >= alphabet_size:
+                raise ValueError("simple-code symbol out of alphabet range")
+            lengths[s0] = 1
+            lengths[s1] = 1
+        else:
+            if s0 >= alphabet_size:
+                raise ValueError("simple-code symbol out of alphabet range")
+            lengths[s0] = 1  # single symbol: _PrefixCode reads 0 bits
+        return _PrefixCode(lengths)
+    num_clc = 4 + br.bits(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[KCODE_LENGTH_ORDER[i]] = br.bits(3)
+    clc = _PrefixCode(clc_lengths)
+    if br.bit():
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev_len
+                    i += 1
+        elif s == 17:
+            i += 3 + br.bits(3)
+        else:
+            i += 11 + br.bits(7)
+    return _PrefixCode(lengths)
+
+
+def _read_code_groups(
+    br: _BitReader, num_groups: int, cache_bits: int
+) -> list[list[_PrefixCode]]:
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    sizes = [green_size, 256, 256, 256, 40]
+    return [
+        [_read_prefix_code(br, s) for s in sizes] for _ in range(num_groups)
+    ]
+
+
+def _decode_entropy_pixels(
+    br: _BitReader,
+    w: int,
+    h: int,
+    groups: list[list[_PrefixCode]],
+    meta: np.ndarray | None,
+    meta_bits: int,
+    cache_bits: int,
+) -> np.ndarray:
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    cache = [0] * ((1 << cache_bits) if cache_bits else 0)
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    meta_w = ((w + (1 << meta_bits) - 1) >> meta_bits) if meta is not None else 0
+    pos = 0
+    group = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            group = groups[int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])]
+        s = group[0].read(br)
+        if s < 256:
+            red = group[1].read(br)
+            blue = group[2].read(br)
+            alpha = group[3].read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = px
+            pos += 1
+            if cache_bits:
+                cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> cache_shift] = px
+        elif s < 256 + 24:
+            length = _prefix_value(br, s - 256)
+            dist_code = _prefix_value(br, group[4].read(br))
+            dist = _plane_to_dist(dist_code, w)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L backward reference out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                pos += 1
+                if cache_bits:
+                    cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> cache_shift] = px
+        else:
+            if not cache_bits:
+                raise ValueError("cache symbol without color cache")
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+    return out
+
+
+def _read_image_stream(
+    br: _BitReader, w: int, h: int, is_level0: bool
+) -> tuple[np.ndarray, list[tuple], int]:
+    """Returns (argb pixels row-major, transforms read, coded width).
+
+    Transforms only exist at level 0; sub-images (transform data, meta
+    prefix images, palettes) recurse with is_level0=False.
+    """
+    transforms: list[tuple] = []
+    cur_w = w
+    if is_level0:
+        while br.bit():
+            ttype = br.bits(2)
+            if ttype == T_PREDICTOR or ttype == T_COLOR:
+                size_bits = br.bits(3) + 2
+                bw = (cur_w + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub, _, _ = _read_image_stream(br, bw, bh, False)
+                transforms.append((ttype, size_bits, sub, cur_w))
+            elif ttype == T_SUBTRACT_GREEN:
+                transforms.append((ttype,))
+            elif ttype == T_COLOR_INDEXING:
+                n_colors = br.bits(8) + 1
+                pal_deltas, _, _ = _read_image_stream(br, n_colors, 1, False)
+                palette = np.cumsum(
+                    pal_deltas.view(np.uint8).reshape(-1, 4).astype(np.uint16),
+                    axis=0,
+                    dtype=np.uint16,
+                ).astype(np.uint8)
+                width_bits = (
+                    3 if n_colors <= 2 else 2 if n_colors <= 4
+                    else 1 if n_colors <= 16 else 0
+                )
+                transforms.append((ttype, width_bits, palette, cur_w))
+                if width_bits:
+                    cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+    cache_bits = br.bits(4) if br.bit() else 0
+    meta = None
+    meta_bits = 0
+    num_groups = 1
+    if is_level0 and br.bit():
+        meta_bits = br.bits(3) + 2
+        mw = (cur_w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img, _, _ = _read_image_stream(br, mw, mh, False)
+        # group index lives in the red+green channels
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        num_groups = int(meta.max()) + 1
+    groups = _read_code_groups(br, num_groups, cache_bits)
+    pixels = _decode_entropy_pixels(
+        br, cur_w, h, groups, meta, meta_bits, cache_bits
+    )
+    return pixels, transforms, cur_w
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.uint16) + b.astype(np.uint16)) // 2
+
+
+def _predict(mode: int, left, top, topleft, topright) -> np.ndarray:
+    """One predictor-mode prediction over uint8[4] ARGB vectors
+    (spec §4.2.2). Inputs/outputs are little [b,g,r,a]-ordered; the
+    math is componentwise so ordering doesn't matter."""
+    if mode == 0:
+        return np.array([0, 0, 0, 255], dtype=np.uint8)
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return _avg2(_avg2(left, topright), top).astype(np.uint8)
+    if mode == 6:
+        return _avg2(left, topleft).astype(np.uint8)
+    if mode == 7:
+        return _avg2(left, top).astype(np.uint8)
+    if mode == 8:
+        return _avg2(topleft, top).astype(np.uint8)
+    if mode == 9:
+        return _avg2(top, topright).astype(np.uint8)
+    if mode == 10:
+        return _avg2(_avg2(left, topleft), _avg2(top, topright)).astype(np.uint8)
+    if mode == 11:  # Select
+        p = left.astype(np.int16) + top.astype(np.int16) - topleft.astype(np.int16)
+        p_top = int(np.abs(p - top.astype(np.int16)).sum())
+        p_left = int(np.abs(p - left.astype(np.int16)).sum())
+        return top if p_top <= p_left else left
+    if mode == 12:  # ClampAddSubtractFull
+        full = left.astype(np.int16) + top.astype(np.int16) - topleft.astype(np.int16)
+        return np.clip(full, 0, 255).astype(np.uint8)
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(left, top).astype(np.int16)
+        diff = ave - topleft.astype(np.int16)
+        # C truncating division by 2 (toward zero), not floor
+        half = np.where(diff >= 0, diff // 2, -((-diff) // 2))
+        return np.clip(ave + half, 0, 255).astype(np.uint8)
+    raise ValueError(f"invalid predictor mode {mode}")
+
+
+def _inverse_predictor(
+    pixels: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray
+) -> np.ndarray:
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    modes = ((sub >> 8) & 0xFF).astype(np.int64)
+    px = pixels.view(np.uint8).reshape(h, w, 4).copy()  # [b,g,r,a] per pixel
+    black = np.array([0, 0, 0, 255], dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = px[0, x - 1]
+            elif x == 0:
+                pred = px[y - 1, 0]
+            else:
+                mode = int(modes[(y >> size_bits) * bw + (x >> size_bits)])
+                topright = px[y - 1, x + 1] if x + 1 < w else px[y - 1, 0]
+                pred = _predict(
+                    mode, px[y, x - 1], px[y - 1, x], px[y - 1, x - 1], topright
+                )
+            px[y, x] += pred  # uint8 wraparound == mod-256 add
+    return px.reshape(-1, 4).view(np.uint32).reshape(-1)
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(int8)t * (int8)c >> 5 with arithmetic shift (spec §4.2.3)."""
+    prod = t.astype(np.int8).astype(np.int32) * c.astype(np.int8).astype(np.int32)
+    return prod >> 5
+
+
+def _inverse_color_transform(
+    pixels: np.ndarray, w: int, h: int, size_bits: int, sub: np.ndarray
+) -> np.ndarray:
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    ys, xs = np.divmod(np.arange(w * h), w)
+    elem = sub[(ys >> size_bits) * bw + (xs >> size_bits)]
+    g2r = (elem & 0xFF).astype(np.uint8)
+    g2b = ((elem >> 8) & 0xFF).astype(np.uint8)
+    r2b = ((elem >> 16) & 0xFF).astype(np.uint8)
+    green = ((pixels >> 8) & 0xFF).astype(np.uint8)
+    red = ((pixels >> 16) & 0xFF).astype(np.int32)
+    blue = (pixels & 0xFF).astype(np.int32)
+    new_red = (red + _ct_delta(g2r, green)) & 0xFF
+    new_blue = (blue + _ct_delta(g2b, green)) & 0xFF
+    new_blue = (new_blue + _ct_delta(r2b, new_red.astype(np.uint8))) & 0xFF
+    return (
+        (pixels & 0xFF00FF00)
+        | (new_red.astype(np.uint32) << 16)
+        | new_blue.astype(np.uint32)
+    )
+
+
+def _inverse_transforms(
+    pixels: np.ndarray, transforms: list[tuple], w: int, h: int
+) -> np.ndarray:
+    for t in reversed(transforms):
+        ttype = t[0]
+        if ttype == T_SUBTRACT_GREEN:
+            g = (pixels >> 8) & 0xFF
+            r = ((pixels >> 16) + g) & 0xFF
+            b = (pixels + g) & 0xFF
+            pixels = (pixels & 0xFF00FF00) | (r << 16) | b
+        elif ttype == T_COLOR_INDEXING:
+            _, width_bits, palette, orig_w = t
+            if width_bits:
+                per = 1 << width_bits
+                ibits = 8 >> width_bits
+                mask = (1 << ibits) - 1
+                packed = ((pixels >> 8) & 0xFF).astype(np.int64).reshape(h, -1)
+                shifts = np.arange(per) * ibits
+                idx = (packed[:, :, None] >> shifts[None, None, :]) & mask
+                idx = idx.reshape(h, -1)[:, :orig_w]
+            else:
+                idx = ((pixels >> 8) & 0xFF).astype(np.int64).reshape(h, orig_w)
+            if int(idx.max()) >= len(palette):
+                raise ValueError("palette index out of range")
+            pal32 = palette.reshape(-1, 4).copy().view(np.uint32).reshape(-1)
+            pixels = pal32[idx.reshape(-1)]
+        elif ttype == T_PREDICTOR:
+            _, size_bits, sub, tw = t
+            pixels = _inverse_predictor(pixels, tw, h, size_bits, sub)
+        elif ttype == T_COLOR:
+            _, size_bits, sub, tw = t
+            pixels = _inverse_color_transform(pixels, tw, h, size_bits, sub)
+    return pixels
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a VP8L chunk payload to an (H, W, 3) uint8 RGB array
+    (alpha is decoded but not returned — the package pixel model is
+    RGB, matching png/jpeg/gif/bmp)."""
+    if len(payload) < 5 or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    packed = struct.unpack("<I", payload[1:5])[0]
+    w = (packed & 0x3FFF) + 1
+    h = ((packed >> 14) & 0x3FFF) + 1
+    if (packed >> 29) & 0x7:
+        raise ValueError("unsupported VP8L version")
+    br = _BitReader(payload[5:])
+    pixels, transforms, _ = _read_image_stream(br, w, h, True)
+    pixels = _inverse_transforms(pixels, transforms, w, h)
+    # uint32 ARGB == little-endian bytes [b, g, r, a]
+    bgra = pixels.view(np.uint8).reshape(h, w, 4)
+    return bgra[:, :, [2, 1, 0]].copy()
+
+
+# ── encoder ─────────────────────────────────────────────────────────
+
+def _emit_prefix_code(
+    bw: _BitWriter, lengths: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Write one prefix-code header; returns symbol -> (code, len)."""
+    used = sorted(s for s, ln in lengths.items() if ln > 0 or len(lengths) == 1)
+    if len(used) <= 2 and all(s < 256 for s in used):
+        bw.bits(1, 1)  # simple
+        bw.bits(len(used) - 1, 1)
+        s0 = used[0]
+        if s0 <= 1:
+            bw.bits(0, 1)
+            bw.bits(s0, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(s0, 8)
+        if len(used) == 2:
+            bw.bits(used[1], 8)
+            return {used[0]: (0, 1), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}
+    bw.bits(0, 1)  # normal code
+    full = [lengths.get(s, 0) for s in range(alphabet_size)]
+    last_used = max(s for s, ln in enumerate(full) if ln)
+    # code-length code over the emitted prefix (no 16/17/18 repeats;
+    # every symbol up to last_used gets an explicit length symbol)
+    clc_freq: dict[int, int] = {}
+    for ln in full[: last_used + 1]:
+        clc_freq[ln] = clc_freq.get(ln, 0) + 1
+    clc_lengths = _limited_lengths(clc_freq, 7)
+    if len(clc_lengths) == 1:
+        # a 0-bit single-symbol code-length code decodes without
+        # consuming bits; make it explicit as length-1 padding with a
+        # second dummy entry instead, so the stream stays canonical
+        only = next(iter(clc_lengths))
+        dummy = 0 if only != 0 else 1
+        clc_lengths = {only: 1, dummy: 1}
+    clc_codes = _canonical_codes(clc_lengths)
+    num_clc = max(
+        4,
+        max(
+            i + 1
+            for i, sym in enumerate(KCODE_LENGTH_ORDER)
+            if sym in clc_codes
+        ),
+    )
+    bw.bits(num_clc - 4, 4)
+    for i in range(num_clc):
+        bw.bits(clc_lengths.get(KCODE_LENGTH_ORDER[i], 0), 3)
+    # max-symbol shortcut: stop after last_used + 1 decoded lengths
+    n_to_send = last_used + 1
+    if n_to_send < alphabet_size:
+        bw.bits(1, 1)
+        length_nbits = 14  # 2 + 2*6
+        bw.bits(6, 3)
+        bw.bits(n_to_send - 2, length_nbits)
+    else:
+        bw.bits(0, 1)
+    for ln in full[:n_to_send]:
+        c, cl = clc_codes[ln]
+        bw.code(c, cl)
+    return _canonical_codes(lengths)
+
+
+def _tokenize_runs(argb: np.ndarray) -> list[tuple]:
+    """Literal/backref token stream: runs of an identical pixel become
+    (ref, length) with distance 1 — exercising the LZ77 path — and
+    everything else is a literal."""
+    tokens: list[tuple] = []
+    n = len(argb)
+    i = 0
+    while i < n:
+        run = 1
+        while i + run < n and argb[i + run] == argb[i] and run < 4096:
+            run += 1
+        if i > 0 and argb[i] == argb[i - 1] and run >= 2:
+            tokens.append(("ref", run))
+            i += run
+        else:
+            tokens.append(("lit", int(argb[i])))
+            i += 1
+    return tokens
+
+
+def _emit_entropy_image(
+    bw: _BitWriter, argb: np.ndarray, use_runs: bool, level0: bool = False
+) -> None:
+    """Cache bit (then, for the main image only, the meta-prefix bit
+    — spec stream order), five prefix codes, and the token stream for
+    one entropy-coded image (sub-images and the main image share
+    this)."""
+    bw.bits(0, 1)  # no color cache
+    if level0:
+        bw.bits(0, 1)  # no meta prefix image
+    tokens = (
+        _tokenize_runs(argb)
+        if use_runs
+        else [("lit", int(p)) for p in argb]
+    )
+    freqs: list[dict[int, int]] = [{}, {}, {}, {}, {}]
+
+    def _bump(t: int, s: int) -> None:
+        freqs[t][s] = freqs[t].get(s, 0) + 1
+
+    for kind, v in tokens:
+        if kind == "lit":
+            _bump(0, (v >> 8) & 0xFF)
+            _bump(1, (v >> 16) & 0xFF)
+            _bump(2, v & 0xFF)
+            _bump(3, (v >> 24) & 0xFF)
+        else:
+            code, _, _ = _value_to_prefix(v)
+            _bump(0, 256 + code)
+            dcode, _, _ = _value_to_prefix(2)  # plane code 2 == distance 1
+            _bump(4, dcode)
+    if not freqs[4]:
+        freqs[4] = {0: 1}  # distance tree must exist even when unused
+    green_size = 256 + 24
+    sizes = [green_size, 256, 256, 256, 40]
+    codes = [
+        _emit_prefix_code(bw, _limited_lengths(freqs[t]), sizes[t])
+        for t in range(5)
+    ]
+    for kind, v in tokens:
+        if kind == "lit":
+            for t, s in (
+                (0, (v >> 8) & 0xFF),
+                (1, (v >> 16) & 0xFF),
+                (2, v & 0xFF),
+                (3, (v >> 24) & 0xFF),
+            ):
+                c, ln = codes[t][s]
+                if ln:
+                    bw.code(c, ln)
+        else:
+            code, extra_v, extra_n = _value_to_prefix(v)
+            c, ln = codes[0][256 + code]
+            if ln:
+                bw.code(c, ln)
+            if extra_n:
+                bw.bits(extra_v, extra_n)
+            dcode, d_v, d_n = _value_to_prefix(2)
+            c, ln = codes[4][dcode]
+            if ln:
+                bw.code(c, ln)
+            if d_n:
+                bw.bits(d_v, d_n)
+
+
+def _to_argb(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("expected (H, W, 3|4) uint8 array")
+    h, w = arr.shape[:2]
+    a = (
+        arr[:, :, 3].astype(np.uint32)
+        if arr.shape[2] == 4
+        else np.full((h, w), 255, dtype=np.uint32)
+    )
+    return (
+        (a << 24)
+        | (arr[:, :, 0].astype(np.uint32) << 16)
+        | (arr[:, :, 1].astype(np.uint32) << 8)
+        | arr[:, :, 2].astype(np.uint32)
+    ).reshape(-1)
+
+
+def _forward_subtract_green(argb: np.ndarray) -> np.ndarray:
+    g = (argb >> 8) & 0xFF
+    r = ((argb >> 16) - g) & 0xFF
+    b = (argb - g) & 0xFF
+    return (argb & 0xFF00FF00) | (r << 16) | b
+
+
+def encode_vp8l(
+    arr: np.ndarray,
+    mode: str = "auto",
+    color_multipliers: tuple[int, int, int] = (0, 0, 0),
+    predictor_mode: int = 7,
+) -> bytes:
+    """Encode to a VP8L chunk payload. Modes:
+
+    - ``palette``: color-indexing transform (with sub-byte bundling
+      when the palette is small);
+    - ``literal``: subtract-green + distance-1 run backrefs;
+    - ``predictor``: single-block predictor transform with
+      ``predictor_mode`` (exercises each of the 14 modes);
+    - ``color``: single-block cross-color transform with the given
+      (green_to_red, green_to_blue, red_to_blue) multipliers;
+    - ``auto``: palette when <= 16 distinct colors, else literal.
+    """
+    h, w = arr.shape[:2]
+    if w > 16384 or h > 16384:
+        raise ValueError("VP8L dimensions exceed 14-bit limit")
+    argb = _to_argb(arr)
+    if mode == "auto":
+        mode = "palette" if len(np.unique(argb)) <= 16 else "literal"
+    bw = _BitWriter()
+    if mode == "literal":
+        bw.bits(1, 1)
+        bw.bits(T_SUBTRACT_GREEN, 2)
+        bw.bits(0, 1)  # no more transforms
+        _emit_entropy_image(
+            bw, _forward_subtract_green(argb), use_runs=True, level0=True
+        )
+    elif mode == "palette":
+        colors, idx = np.unique(argb, return_inverse=True)
+        n_colors = len(colors)
+        if n_colors > 256:
+            raise ValueError("palette mode needs <= 256 distinct colors")
+        bw.bits(1, 1)
+        bw.bits(T_COLOR_INDEXING, 2)
+        bw.bits(n_colors - 1, 8)
+        # palette entries are delta-coded componentwise (mod 256)
+        comp = colors.reshape(-1, 1).copy().view(np.uint8).reshape(-1, 4)
+        deltas = comp.copy()
+        deltas[1:] = comp[1:] - comp[:-1]  # uint8 wraparound
+        pal_argb = deltas.copy().view(np.uint32).reshape(-1)
+        _emit_entropy_image(bw, pal_argb, use_runs=False)
+        bw.bits(0, 1)  # no more transforms
+        width_bits = (
+            3 if n_colors <= 2 else 2 if n_colors <= 4
+            else 1 if n_colors <= 16 else 0
+        )
+        if width_bits:
+            per = 1 << width_bits
+            ibits = 8 >> width_bits
+            packed_w = (w + per - 1) // per
+            rows = idx.reshape(h, w)
+            padded = np.zeros((h, packed_w * per), dtype=np.int64)
+            padded[:, :w] = rows
+            shifts = np.arange(per) * ibits
+            packed = (
+                (padded.reshape(h, packed_w, per) << shifts[None, None, :])
+                .sum(axis=2)
+                .astype(np.uint32)
+            )
+            body = (0xFF000000 | (packed << 8)).reshape(-1)
+        else:
+            body = (0xFF000000 | (idx.astype(np.uint32) << 8)).reshape(-1)
+        _emit_entropy_image(bw, body, use_runs=True, level0=True)
+    elif mode in ("predictor", "color"):
+        size_bits = 9  # one 512x512 block covers any test image
+        bw.bits(1, 1)
+        bw.bits(T_PREDICTOR if mode == "predictor" else T_COLOR, 2)
+        bw.bits(size_bits - 2, 3)
+        if mode == "predictor":
+            sub_px = 0xFF000000 | (predictor_mode << 8)
+            residual = _forward_predictor(argb, w, h, predictor_mode)
+        else:
+            g2r, g2b, r2b = (m & 0xFF for m in color_multipliers)
+            sub_px = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            residual = _forward_color_transform(argb, color_multipliers)
+        _emit_entropy_image(
+            bw, np.array([sub_px], dtype=np.uint32), use_runs=False
+        )
+        bw.bits(0, 1)  # no more transforms
+        _emit_entropy_image(bw, residual, use_runs=True, level0=True)
+    else:
+        raise ValueError(f"unknown VP8L encoder mode {mode!r}")
+    packed = ((w - 1) & 0x3FFF) | (((h - 1) & 0x3FFF) << 14)
+    return b"\x2f" + struct.pack("<I", packed) + bw.tobytes()
+
+
+def _forward_predictor(argb: np.ndarray, w: int, h: int, mode: int) -> np.ndarray:
+    px = argb.view(np.uint8).reshape(h, w, 4)
+    out = px.copy()
+    black = np.array([0, 0, 0, 255], dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = px[0, x - 1]
+            elif x == 0:
+                pred = px[y - 1, 0]
+            else:
+                topright = px[y - 1, x + 1] if x + 1 < w else px[y - 1, 0]
+                pred = _predict(
+                    mode, px[y, x - 1], px[y - 1, x], px[y - 1, x - 1], topright
+                )
+            out[y, x] = px[y, x] - pred  # uint8 wraparound == mod-256
+    return out.reshape(-1, 4).view(np.uint32).reshape(-1)
+
+
+def _forward_color_transform(
+    argb: np.ndarray, multipliers: tuple[int, int, int]
+) -> np.ndarray:
+    g2r, g2b, r2b = multipliers
+    g2r_a = np.full(len(argb), g2r & 0xFF, dtype=np.uint8)
+    g2b_a = np.full(len(argb), g2b & 0xFF, dtype=np.uint8)
+    r2b_a = np.full(len(argb), r2b & 0xFF, dtype=np.uint8)
+    green = ((argb >> 8) & 0xFF).astype(np.uint8)
+    red = ((argb >> 16) & 0xFF).astype(np.int32)
+    blue = (argb & 0xFF).astype(np.int32)
+    new_red = (red - _ct_delta(g2r_a, green)) & 0xFF
+    new_blue = (blue - _ct_delta(g2b_a, green)) & 0xFF
+    new_blue = (new_blue - _ct_delta(r2b_a, red.astype(np.uint8))) & 0xFF
+    return (
+        (argb & 0xFF00FF00)
+        | (new_red.astype(np.uint32) << 16)
+        | new_blue.astype(np.uint32)
+    )

@@ -96,6 +96,42 @@ def build_webp(
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
 
 
+def build_webp_lossless(arr, mode: str = "auto") -> bytes:
+    """RIFF-wrapped VP8L encode of an (H, W, 3) uint8 array — the
+    WRITE side of the r06 lossless-WebP boundary closure (pixel codec
+    in ``functions/vp8l.py``)."""
+    from parquet_extractor_spark.functions.vp8l import encode_vp8l
+
+    chunk = _chunk(b"VP8L", encode_vp8l(arr, mode=mode))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def decode_webp(data: bytes):
+    """Decode a WebP container to (H, W, 3) uint8 RGB. Lossless VP8L
+    decodes for real (``functions/vp8l.py``); the chunk walk also
+    reaches a VP8L chunk behind a VP8X extended header. Lossy ``VP8 ``
+    frames are the remaining declared boundary."""
+    if not is_webp(data):
+        raise ValueError("not a WebP container")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if pos + 8 + size > len(data):
+            raise ValueError("truncated WebP chunk payload")
+        if fourcc == b"VP8L":
+            from parquet_extractor_spark.functions.vp8l import decode_vp8l
+
+            return decode_vp8l(data[pos + 8 : pos + 8 + size])
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 frame decode needs libwebp; only lossless "
+                "VP8L pixels decode here"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP container has no VP8/VP8L bitstream chunk")
+
+
 def webp_metadata(data: bytes) -> tuple[str, int, int, bool, bool]:
     """Parse (variant, width, height, has_alpha, is_animated) from a
     WebP container's first bitstream chunk. Raises ValueError on

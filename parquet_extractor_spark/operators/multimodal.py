@@ -18,9 +18,11 @@ walk: brand, duration, track layout, display size) with frame decode
 declared out of scope.
 Progressive JPEG decodes for real too since r06 (T.81 Annex G in
 ``functions/jpeg.py``: spectral selection, successive approximation,
-EOB runs). Remaining formats (WebP pixel decode, MP3 PCM decode,
-video frames) would need PIL/librosa/ffmpeg, absent from this
-container, and raise a clearly-marked NotImplementedError; their
+EOB runs), as do lossless-WebP pixels (``functions/vp8l.py``: the
+full VP8L entropy layer and all four transforms). Remaining formats
+(lossy-VP8 WebP, MP3 PCM decode, video frames) would need
+PIL/librosa/ffmpeg, absent from this container, and raise a
+clearly-marked NotImplementedError; their
 Spark-side plumbing — the schema, the mapInPandas batch iteration,
 the Arrow column shapes, and the partitioning strategy — is real and
 tested either way.
@@ -73,6 +75,11 @@ from parquet_extractor_spark.functions.jpeg import (  # noqa: E402
     encode_jpeg,
     is_jpeg,
 )
+from parquet_extractor_spark.functions.webp import (  # noqa: E402
+    build_webp_lossless,
+    decode_webp,
+    is_webp,
+)
 from parquet_extractor_spark.functions.png import (  # noqa: E402
     PNG_MAGIC,
     decode_png,
@@ -112,9 +119,10 @@ FEATURE_DIM = 16
 
 def decode_image(data: bytes) -> "np.ndarray":
     """Decode an image binary to an (H,W,C) uint8 array. PNG decodes
-    for real (functions/png.py), as do baseline JPEG
-    (functions/jpeg.py), GIF (functions/gif.py — real LZW), and
-    24-bit BMP (functions/bmp.py); other formats need an imaging
+    for real (functions/png.py), as do JPEG (functions/jpeg.py,
+    baseline + progressive), GIF (functions/gif.py — real LZW),
+    24-bit BMP (functions/bmp.py), and lossless WebP
+    (functions/vp8l.py); lossy WebP and other formats need an imaging
     library this container doesn't ship."""
     if data and data[: len(PNG_MAGIC)] == PNG_MAGIC:
         return decode_png(data)
@@ -124,10 +132,14 @@ def decode_image(data: bytes) -> "np.ndarray":
         return decode_gif(data)
     if is_bmp(data):
         return decode_bmp(data)
+    if is_webp(data):
+        # lossless VP8L decodes for real (functions/vp8l.py, r06);
+        # lossy VP8 raises NotImplementedError inside decode_webp
+        return decode_webp(data)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, GIF, and 24-bit BMP decode are "
-        "implemented; WebP/TIFF/... require PIL/pillow, not available "
-        "in this environment"
+        "only PNG, JPEG, GIF, 24-bit BMP, and lossless WebP decode "
+        "are implemented; lossy WebP/TIFF/... require PIL/pillow, "
+        "not available in this environment"
     )
 
 
@@ -166,13 +178,14 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
         or is_jpeg(d)
         or is_gif(d)
         or is_bmp(d)
+        or is_webp(d)
     ):
         try:
             return pixel_feature(decode_image(d))
         except (NotImplementedError, ValueError):
-            # arithmetic-coded JPEG, corrupt stream, etc: fall
-            # through to the byte-hash stand-in rather than failing
-            # the whole mapInPandas task on one undecodable row
+            # arithmetic-coded JPEG, lossy-VP8 WebP, corrupt stream,
+            # etc: fall through to the byte-hash stand-in rather than
+            # failing the whole mapInPandas task on one undecodable row
             return fake_feature(d)
     if is_wav(d):
         samples, _sr = decode_wav(d)
@@ -227,28 +240,40 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic fixture rows (pure Python — shared by the Spark
     fixture below and the oracle generator). Image rows carry REAL
-    64×48 images cycling through all four in-repo codecs — PNG,
-    baseline JPEG (4:2:0), GIF (real LZW; pixels drawn from a
-    64-color palette, since GIF is palette-indexed by definition),
-    and 24-bit BMP; audio rows carry REAL 0.25 s 8 kHz PCM-16 WAVs
-    (sine + noise); video rows carry opaque pseudo-random payloads."""
-    image_mimes = ("image/png", "image/jpeg", "image/gif", "image/bmp")
+    64×48 images cycling through all five in-repo codecs — PNG,
+    JPEG (alternating baseline and progressive, 4:2:0), GIF (real
+    LZW; pixels drawn from a 64-color palette, since GIF is
+    palette-indexed by definition), 24-bit BMP, and lossless WebP
+    (alternating literal-mode noise rows and small-palette rows so
+    both VP8L entropy layouts are pinned); audio rows carry REAL
+    0.25 s 8 kHz PCM-16 WAVs (sine + noise); video rows carry opaque
+    pseudo-random payloads."""
+    image_mimes = (
+        "image/png", "image/jpeg", "image/gif", "image/bmp", "image/webp"
+    )
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            fmt = (i // 3) % 4
+            fmt = (i // 3) % 5
             if fmt == 2:  # GIF: honest palette-indexed pixel draw
                 palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
                 pixels = palette[
                     rng.integers(0, 64, size=(48, 64), dtype=np.int64)
                 ]
+            elif fmt == 4 and (i // 15) % 2:
+                # small-palette draw: VP8L auto mode picks the
+                # color-indexing transform for these rows
+                palette = rng.integers(0, 256, size=(12, 3), dtype=np.uint8)
+                pixels = palette[
+                    rng.integers(0, 12, size=(48, 64), dtype=np.int64)
+                ]
             else:
                 pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            # image rows cycle PNG / JPEG / GIF / BMP — four real
-            # codecs through one decode pipeline
+            # image rows cycle PNG / JPEG / GIF / BMP / lossless WebP
+            # — five real codecs through one decode pipeline
             if fmt == 0:
                 data = encode_png(pixels)
             elif fmt == 1:
@@ -262,8 +287,12 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 )
             elif fmt == 2:
                 data = encode_gif(pixels)
-            else:
+            elif fmt == 3:
                 data = encode_bmp(pixels)
+            else:
+                # auto mode: literal (subtract-green + runs) for the
+                # noise rows, palette for the small-palette rows
+                data = build_webp_lossless(pixels)
         elif kind == "audio":
             sr, dur = 8000, 0.25
             t = np.arange(int(sr * dur)) / sr
@@ -275,7 +304,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
             size = int(rng.integers(64, 512))
             data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
         if kind == "image":
-            mime = image_mimes[(i // 3) % 4]
+            mime = image_mimes[(i // 3) % 5]
         else:
             mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(
@@ -337,7 +366,7 @@ def media_resize_checksums(spark, sf_dir: str) -> DataFrame:
     neighbor resample → re-encode pipeline (resize_images) over the
     image rows of the deterministic media fixture and reduce each
     output binary to (length, 60-bit md5 prefix) — a BYTE-level pin
-    of all four codecs' encode sides, complementing
+    of all five codecs' encode sides, complementing
     media_feature_checksums' pixel-level pin of the decode sides.
     The oracle (MEDIA_RESIZE_CHECKSUMS_SQL, generated from the same
     pure-Python resize_bytes, committed) lists the expected values as
@@ -399,8 +428,12 @@ def resize_bytes(d: bytes | None, width: int, height: int) -> bytes:
             return encode_gif(resize_nearest(decode_image(d), width, height))
         if is_bmp(d):
             return encode_bmp(resize_nearest(decode_image(d), width, height))
+        if is_webp(d):
+            return build_webp_lossless(
+                resize_nearest(decode_image(d), width, height)
+            )
     except (NotImplementedError, ValueError):
-        pass  # undecodable row (arithmetic-coded/corrupt): declared fake
+        pass  # undecodable row (lossy-VP8/arithmetic-coded/corrupt): declared fake
     return fake_resized_bytes(d, width, height)
 
 

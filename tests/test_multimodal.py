@@ -50,9 +50,16 @@ def test_decode_image_real_png_jpeg_and_stubbed_other_formats():
     dec = decode_image(encode_jpeg(flat, quality=90))
     assert dec.shape == flat.shape
     assert np.abs(dec.astype(int) - 120).max() <= 2
-    # formats with no in-repo codec stay declared stubs
+    # lossless WebP decodes for real (r06); lossy VP8 stays the
+    # declared stub
+    from parquet_extractor_spark.functions.webp import (
+        build_webp,
+        build_webp_lossless,
+    )
+
+    assert np.array_equal(decode_image(build_webp_lossless(arr)), arr)
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        decode_image(build_webp(8, 8, variant="vp8"))
     # garbage wearing a JPEG magic is a parse error, not a stub
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
@@ -125,7 +132,9 @@ def test_resize_images_real_pixels(spark):
     from parquet_extractor_spark.functions.gif import is_gif
     from parquet_extractor_spark.functions.png import PNG_MAGIC
 
-    fmt_counts = {"png": 0, "jpeg": 0, "gif": 0, "bmp": 0}
+    from parquet_extractor_spark.functions.webp import is_webp
+
+    fmt_counts = {"png": 0, "jpeg": 0, "gif": 0, "bmp": 0, "webp": 0}
     for r in out:
         assert r.width == 32 and r.height == 16
         assert r.orig_width == 64
@@ -149,12 +158,15 @@ def test_resize_images_real_pixels(spark):
             elif is_gif(src_bytes):
                 fmt_counts["gif"] += 1
                 assert is_gif(bytes(r.data))
-            else:
+            elif is_bmp(src_bytes):
                 fmt_counts["bmp"] += 1
                 assert is_bmp(bytes(r.data))
+            else:
+                fmt_counts["webp"] += 1
+                assert is_webp(bytes(r.data))
             assert np.array_equal(resized, want)
-    # 10 image rows, format cycle PNG/JPEG/GIF/BMP over i//3 = 0..9
-    assert fmt_counts == {"png": 3, "jpeg": 3, "gif": 2, "bmp": 2}
+    # 10 image rows, format cycle PNG/JPEG/GIF/BMP/WebP over i//3 = 0..9
+    assert fmt_counts == {"png": 2, "jpeg": 2, "gif": 2, "bmp": 2, "webp": 2}
     # deterministic across runs
     again = resize_images(media, width=32, height=16).collect()
     assert [bytes(r.data) for r in out] == [bytes(r.data) for r in again]
