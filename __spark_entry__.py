@@ -49,11 +49,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (r05 verdict item 1) + the r06-new queries
     (user_longest_streak_window, the declarative gaps-and-islands
     twin; bpe_train_merges, the multi-round BPE trainer;
-    media_image_metadata, the header-only image metadata pass) + all
-    32 r02-stale rows (including q1_pricing_summary, the r04
-    off-by-one casualty) + the 7 oldest r03-stale rows. After this
-    round every pre-r06 registry query has a driver row and none is
-    older than r03.
+    bpe_encode_corpus, the trainer's corpus-wide apply side;
+    media_image_metadata, the header-only image metadata pass;
+    media_gif_frame_checksums, real animated-GIF frame sampling) +
+    all 32 r02-stale rows (including q1_pricing_summary, the r04
+    off-by-one casualty) + the 5 oldest r03-stale rows
+    (source_token_kl and q5_region_revenue rotated back to the tail
+    to make room for the two later r06 additions). After this round
+    every pre-r06 registry query has a driver row and none is older
+    than r03.
     Everything r05-green rotates to the tail; every tail entry is
     re-verified locally each round via tools/check_oracle.py at
     sf0.001/0.01/0.1 (one command:
@@ -75,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": textprep.bpe_train_merges,
         "bpe_encode_corpus": textprep.bpe_encode_corpus,
         "media_image_metadata": multimodal.media_image_metadata,
+        "media_gif_frame_checksums": multimodal.media_gif_frame_checksums,
         # — all 32 r02-stale rows —
         "q1_pricing_summary": relational.q1_pricing_summary,
         "doc_chunks": textprep.doc_chunks,
@@ -114,12 +119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_users": relational.events_approx_users,
         "pq_codes": similarity.pq_codes,
         "media_feature_checksums": multimodal.media_feature_checksums,
-        "q5_region_revenue": relational.q5_region_revenue,
         # ——— tail (driver-green r03/r05; re-verified locally each
         #     round via tools/check_oracle.py — see COVERAGE.md) ———
-        # — r03-green row displaced from the window by
-        #   bpe_encode_corpus (never-driver-checked beats refresh) —
+        # — r03-green rows displaced from the window by the r06-new
+        #   bpe_encode_corpus and media_gif_frame_checksums
+        #   (never-driver-checked beats refresh) —
         "source_token_kl": analyze.source_token_kl,
+        "q5_region_revenue": relational.q5_region_revenue,
         # — r03-green rows displaced from the window by the r06-new
         #   queries —
         "doc_length_histogram": analyze.doc_length_histogram,
@@ -237,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
             multimodal_oracle.MEDIA_VIDEO_METADATA_SQL,
         "media_image_metadata":
             multimodal_oracle.MEDIA_IMAGE_METADATA_SQL,
+        "media_gif_frame_checksums":
+            multimodal_oracle.MEDIA_GIF_FRAME_CHECKSUMS_SQL,
         "bpe_train_merges": textprep.BPE_TRAIN_MERGES_SQL,
         "bpe_encode_corpus": textprep.BPE_ENCODE_CORPUS_SQL,
         "train_quality_classifier":

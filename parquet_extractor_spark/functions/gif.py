@@ -1,4 +1,4 @@
-"""Dependency-free GIF codec (87a/89a, real LZW).
+"""Dependency-free GIF codec (87a/89a, real LZW, real animation).
 
 Palette-indexed raster with genuine LZW compression — the fourth real
 image decode path in the multimodal pipeline (after PNG, baseline
@@ -6,17 +6,23 @@ JPEG, and BMP) and the only one exercising a dictionary coder. Pure
 Python/numpy; no PIL (absent from this container).
 
 Decoder: header + logical screen descriptor, global/local color
-tables, extension-block skipping (GCE/comment/application), full LZW
-with code-width growth and table reset, interlace de-pass. Animated
-streams decode to their FIRST frame (frame iteration is the video
-sampling path's job). Encoder: non-interlaced single frame with a
-real compressing LZW (dictionary build, 12-bit cap, clear-code
-reset) — decode(encode(x)) round-trips bit-exactly, and the decode
-side's table-growth path is exercised by actual compressed input.
+tables, full LZW with code-width growth and table reset, interlace
+de-pass. Since r06 ANIMATED streams decode for real too
+(``decode_gif_frames``): Graphic Control Extension state (delay,
+transparent index, disposal method), sub-rectangle frames composited
+onto the logical screen, and all three disposal methods (keep /
+restore-background / restore-previous) per the GIF89a spec.
+``decode_gif`` stays the cheap first-frame path. Encoder:
+non-interlaced frames with a real compressing LZW (dictionary build,
+12-bit cap, clear-code reset) — decode(encode(x)) round-trips
+bit-exactly — plus ``encode_gif_animation``: NETSCAPE looping
+extension, per-frame delays, diff-bounding-box sub-rect frames with
+transparent unchanged pixels (the classic GIF optimizer), which is
+exactly the stream shape that exercises the compositing decoder.
 
 Scope boundary: pixels must fit a 256-color palette to ENCODE (GIF is
 palette-indexed by definition — callers quantize first); DECODE
-handles any conformant non-animated frame.
+handles any conformant frame sequence.
 """
 
 from __future__ import annotations
@@ -163,6 +169,96 @@ def encode_gif(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_gif_animation(
+    frames: list[np.ndarray],
+    delays_ms: list[int] | int = 100,
+    loop: int = 0,
+    optimize_subrects: bool = True,
+) -> bytes:
+    """Same-size (H,W,3) uint8 frames -> animated GIF89a bytes.
+
+    Real animation encode: NETSCAPE2.0 looping extension, per-frame
+    Graphic Control Extensions carrying the delays, and — the classic
+    GIF optimizer, which is also exactly what exercises the
+    compositing decoder — every frame after the first is emitted as
+    the diff bounding box against the previous canvas with unchanged
+    pixels inside the box marked transparent (disposal method 1).
+    One global color table over all frames; one palette slot is
+    reserved for the transparency index."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape != frames[0].shape or f.dtype != np.uint8:
+            raise ValueError("all frames must be same-shape uint8")
+    if isinstance(delays_ms, int):
+        delays_ms = [delays_ms] * len(frames)
+    if len(delays_ms) != len(frames):
+        raise ValueError("one delay per frame required")
+    all_px = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(all_px, axis=0, return_inverse=True)
+    if len(palette) > 255:
+        raise ValueError(
+            f"animated GIF needs ≤255 distinct colors (one slot is "
+            f"reserved for transparency), got {len(palette)}"
+        )
+    transparent_idx = len(palette)
+    depth = max(1, int(transparent_idx).bit_length())
+    table_size = 1 << depth
+    gct = np.zeros((table_size, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    frame_idx = inverse.reshape(len(frames), h, w).astype(np.uint8)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0
+    )
+    out += gct.tobytes()
+    # NETSCAPE2.0 application extension: loop count (0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    min_code_size = max(2, depth)
+    for k, idx in enumerate(frame_idx):
+        use_transparency = False
+        if k == 0 or not optimize_subrects:
+            x0, y0, rect = 0, 0, idx
+        else:
+            changed = idx != frame_idx[k - 1]
+            ys, xs = np.nonzero(changed)
+            if ys.size == 0:
+                # identical frame: 1x1 fully-transparent rect keeps
+                # the stream conformant and the delay visible
+                x0, y0 = 0, 0
+                rect = np.full((1, 1), transparent_idx, dtype=np.uint8)
+                use_transparency = True
+            else:
+                y0, y1 = int(ys.min()), int(ys.max()) + 1
+                x0, x1 = int(xs.min()), int(xs.max()) + 1
+                rect = idx[y0:y1, x0:x1].copy()
+                box_changed = changed[y0:y1, x0:x1]
+                if not box_changed.all():
+                    rect[~box_changed] = transparent_idx
+                    use_transparency = True
+        delay_cs = max(0, delays_ms[k]) // 10
+        packed = (1 << 2) | (1 if use_transparency else 0)  # disposal 1
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB",
+            packed,
+            delay_cs,
+            transparent_idx if use_transparency else 0,
+        ) + b"\x00"
+        rh, rw = rect.shape
+        out += b"\x2c" + struct.pack("<HHHHB", x0, y0, rw, rh, 0)
+        out.append(min_code_size)
+        compressed = _lzw_encode(rect.reshape(-1), min_code_size)
+        for i in range(0, len(compressed), 255):
+            block = compressed[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _deinterlace(img: np.ndarray) -> np.ndarray:
     h = img.shape[0]
     order = (
@@ -177,42 +273,83 @@ def _deinterlace(img: np.ndarray) -> np.ndarray:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes -> (H,W,3) uint8 RGB of the first frame. Malformed
-    or truncated input raises ValueError (never struct.error /
+    """GIF bytes -> (H,W,3) uint8 RGB of the first frame (the cheap
+    path the feature/resize pipeline uses — the frame walk is lazy,
+    so animated inputs don't pay for their tail). Malformed or
+    truncated input raises ValueError (never struct.error /
     IndexError), so the mapInPandas feature path's per-row fallback
     catches it."""
+    for _delay, frame in _iter_frames_checked(data):
+        return frame
+    raise ValueError("GIF stream contains no image data")
+
+
+def decode_gif_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
+    """Full animation decode: [(delay_ms, (H,W,3) canvas), ...] with
+    GIF89a compositing semantics — sub-rectangle frames drawn onto
+    the logical screen, transparent pixels leaving the canvas
+    untouched, and disposal methods 1 (keep), 2 (restore background)
+    and 3 (restore previous) applied between frames."""
+    frames = list(_iter_frames_checked(data))
+    if not frames:
+        raise ValueError("GIF stream contains no image data")
+    return frames
+
+
+def _iter_frames_checked(data: bytes):
     if not is_gif(data):
         raise ValueError("not a GIF stream")
     try:
-        return _decode_gif_inner(data)
+        yield from _iter_frames(data)
     except (struct.error, IndexError) as exc:
         raise ValueError(f"corrupt GIF stream: {exc}") from exc
 
 
-def _decode_gif_inner(data: bytes) -> np.ndarray:
+def _iter_frames(data: bytes):
     pos = 6
-    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, pos)
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, pos)
     pos += 7
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    if gct is not None and bg < len(gct):
+        bg_color = gct[bg]
+    else:
+        bg_color = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_color
+    # pending Graphic Control Extension state (applies to the next
+    # image only, then resets)
+    delay_ms = 0
+    transparent_idx: int | None = None
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
+        if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skip
+        if block == 0x21:  # extension
+            label = data[pos]
             pos += 1
-            while data[pos]:
+            if label == 0xF9 and data[pos] == 4:  # Graphic Control
+                packed, delay_cs, tidx = struct.unpack_from(
+                    "<BHB", data, pos + 1
+                )
+                disposal = (packed >> 2) & 0x7
+                transparent_idx = tidx if packed & 0x1 else None
+                delay_ms = delay_cs * 10
+            while data[pos]:  # skip sub-blocks (incl. the GCE body)
                 pos += 1 + data[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
+        if x + w > sw or y + h > sh:
+            raise ValueError("GIF frame rect exceeds logical screen")
         table = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
@@ -228,9 +365,23 @@ def _decode_gif_inner(data: bytes) -> np.ndarray:
             chunks += data[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        indices = _lzw_decode(bytes(chunks), min_code_size, w * h)
-        img = table[indices.reshape(h, w)]
+        indices = _lzw_decode(bytes(chunks), min_code_size, w * h).reshape(h, w)
         if iflags & 0x40:
-            img = _deinterlace(img)
-        return np.ascontiguousarray(img)
-    raise ValueError("GIF stream contains no image data")
+            indices = _deinterlace(indices)
+        if int(indices.max(initial=0)) >= len(table):
+            raise ValueError("GIF index outside color table")
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        rect = canvas[y : y + h, x : x + w]
+        if transparent_idx is None:
+            rect[:] = table[indices]
+        else:
+            mask = indices != transparent_idx
+            rect[mask] = table[indices[mask]]
+        yield (delay_ms, canvas.copy())
+        if disposal == 2:
+            canvas[y : y + h, x : x + w] = bg_color
+        elif disposal == 3:
+            canvas = prev_canvas
+        delay_ms = 0
+        transparent_idx = None
+        disposal = 0

@@ -67,7 +67,9 @@ from parquet_extractor_spark.functions.bmp import (  # noqa: E402
 )
 from parquet_extractor_spark.functions.gif import (  # noqa: E402
     decode_gif,
+    decode_gif_frames,
     encode_gif,
+    encode_gif_animation,
     is_gif,
 )
 from parquet_extractor_spark.functions.jpeg import (  # noqa: E402
@@ -235,6 +237,144 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.lit(None).cast(BinaryType()).alias("frame"),  # STUB: no ffmpeg
         )
     )
+
+
+GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+_GIF_DEFAULT_DELAY_MS = 100  # browser convention for 0-delay frames
+
+
+def gif_frame_samples(
+    data: bytes, every_ms: int = 100
+) -> list[tuple[int, bytes]]:
+    """REAL frame sampling for one animated GIF: decode the full
+    animation (functions/gif.py compositing semantics), lay the
+    frames on a timeline (0-delay frames get the browser-conventional
+    100 ms), and return [(ts_ms, png_bytes)] — the frame visible at
+    each grid tick t = 0, every_ms, 2*every_ms, ... inside the
+    animation's duration, re-encoded as PNG (lossless, so the sample
+    pins the composited canvas byte-for-byte). Pure function of the
+    inputs — shared by the Spark mapInPandas stage and the oracle
+    generator."""
+    frames = decode_gif_frames(data)
+    delays = [d if d > 0 else _GIF_DEFAULT_DELAY_MS for d, _ in frames]
+    total = sum(delays)
+    out = []
+    k, frame_end = 0, delays[0]
+    for t in range(0, total, every_ms):
+        while t >= frame_end:
+            k += 1
+            frame_end += delays[k]
+        out.append((t, encode_png(frames[k][1])))
+    return out
+
+
+def sample_gif_frames(media: DataFrame, every_ms: int = 100) -> DataFrame:
+    """Animated-GIF frame sampling with REAL frames — the format for
+    which the r06 `sample_frames` video stub becomes fully real: the
+    in-repo GIF codec decodes and composites every frame, so the
+    sampled rows carry actual PNG-encoded canvases, not NULL stubs.
+    Same Spark shape as extract_features: filter to GIF rows BEFORE
+    the Python boundary, Arrow-batched mapInPandas, one output row
+    per (media_id, tick) — the fan-out a video pipeline feeds to a
+    frame encoder. Undecodable/static rows yield no output rather
+    than failing the task."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, d in zip(pdf["media_id"], pdf["data"]):
+                if d is None or not is_gif(bytes(d)):
+                    continue
+                try:
+                    samples = gif_frame_samples(bytes(d), every_ms)
+                except ValueError:
+                    continue
+                for ts, png in samples:
+                    w, h = struct.unpack(">II", png[16:24])  # IHDR dims
+                    rows.append((int(media_id), ts, w, h, png))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FRAME_SCHEMA.fields]
+            )
+
+    return media.filter(F.col("mime") == "image/gif").mapInPandas(
+        _sample, schema=GIF_FRAME_SCHEMA
+    )
+
+
+def synthetic_animated_gif_rows(n: int = 12, seed: int = 46) -> list[tuple]:
+    """Deterministic animated-GIF fixture (pure Python — shared by
+    the Spark fixture and the oracle generator): moving-block
+    animations with varying canvas sizes, frame counts, palettes, and
+    delays; every third row contains an identical consecutive frame
+    (the 1x1 fully-transparent sub-rect path) and rows alternate
+    optimized sub-rect and full-frame encodes."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = 10 + int(rng.integers(0, 8))
+        w = 14 + int(rng.integers(0, 10))
+        ncol = 4 + int(rng.integers(0, 12))
+        palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        base = palette[rng.integers(0, ncol, size=(h, w), dtype=np.int64)]
+        n_frames = 2 + int(rng.integers(0, 5))
+        frames = []
+        for k in range(n_frames):
+            f = base.copy()
+            x0 = (3 * k) % max(1, w - 4)
+            f[2:6, x0 : x0 + 4] = palette[k % ncol]
+            frames.append(f)
+        if i % 3 == 0 and n_frames >= 2:
+            frames[1] = frames[0].copy()  # identical-frame path
+        delays = [
+            int(rng.choice([0, 40, 70, 100, 150])) for _ in range(n_frames)
+        ]
+        data = encode_gif_animation(
+            frames, delays_ms=delays, optimize_subrects=bool(i % 2)
+        )
+        rows.append((i, data))
+    return rows
+
+
+def synthetic_animated_gifs(spark) -> DataFrame:
+    rows = [
+        (media_id, "image", "image/gif", None, None, None, data)
+        for media_id, data in synthetic_animated_gif_rows()
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+
+
+def media_gif_frame_checksums(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable frame-sampling query: run the REAL animated-GIF
+    decode → composite → grid-sample → PNG re-encode pipeline
+    (sample_gif_frames) over the deterministic animation fixture and
+    reduce every sampled frame to (ts, dims, length, 60-bit md5
+    prefix). The oracle (MEDIA_GIF_FRAME_CHECKSUMS_SQL, generated
+    from the same pure gif_frame_samples, committed) lists the
+    expected values as literals — a row-for-row pin of the GCE delay
+    timeline, the disposal/transparency compositing, and the PNG
+    bytes of each sampled canvas. ``sf_dir`` unused, as for the other
+    media fixtures."""
+    del sf_dir
+    sampled = sample_gif_frames(synthetic_animated_gifs(spark), every_ms=60)
+    return sampled.select(
+        "media_id",
+        "frame_ts_ms",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.length("frame").cast("bigint").alias("n_bytes"),
+        F.conv(F.substring(F.md5("frame"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("frame_hash"),
+    ).orderBy("media_id", "frame_ts_ms")
 
 
 def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:

@@ -934,3 +934,169 @@ def test_media_image_metadata_matches_pure_python(spark):
     assert {m[1] for m in got.values() if m[0] == "webp"} == {
         "vp8", "vp8l", "vp8x",
     }
+
+
+# ── animated GIF: real frame decode + sampling (r06) ────────────────
+
+def _gif_header(sw, sh, colors, bg=0):
+    import struct as _struct
+
+    depth = max(1, (len(colors) - 1).bit_length())
+    gct = np.zeros((1 << depth, 3), dtype=np.uint8)
+    gct[: len(colors)] = colors
+    return (
+        b"GIF89a"
+        + _struct.pack(
+            "<HHBBB", sw, sh, 0x80 | ((depth - 1) << 4) | (depth - 1), bg, 0
+        )
+        + gct.tobytes()
+    ), max(2, depth)
+
+
+def _gif_gce(disposal, delay_cs, tidx=None):
+    import struct as _struct
+
+    packed = (disposal << 2) | (1 if tidx is not None else 0)
+    return (
+        b"\x21\xf9\x04"
+        + _struct.pack("<BHB", packed, delay_cs, tidx or 0)
+        + b"\x00"
+    )
+
+
+def _gif_img(x, y, w, h, indices, mcs):
+    import struct as _struct
+
+    from parquet_extractor_spark.functions.gif import _lzw_encode
+
+    out = bytearray(b"\x2c" + _struct.pack("<HHHHB", x, y, w, h, 0))
+    out.append(mcs)
+    comp = _lzw_encode(
+        np.asarray(indices, dtype=np.uint8).reshape(-1), mcs
+    )
+    for i in range(0, len(comp), 255):
+        block = comp[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00"
+    return bytes(out)
+
+
+def test_gif_animation_roundtrip_and_compositing(spark):
+    from parquet_extractor_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (9, 3), dtype=np.uint8)
+    base = pal[rng.integers(0, 9, (11, 17))]
+    frames = []
+    for k in range(4):
+        f = base.copy()
+        f[2:6, 3 * k : 3 * k + 4] = pal[k]
+        frames.append(f)
+    frames[2] = frames[1].copy()  # identical consecutive frame
+    data = encode_gif_animation(frames, delays_ms=[50, 0, 70, 110])
+    dec = decode_gif_frames(data)
+    assert [d for d, _ in dec] == [50, 0, 70, 110]
+    for want, (_d, got) in zip(frames, dec):
+        assert np.array_equal(got, want)
+
+
+def test_gif_disposal_restore_background():
+    from parquet_extractor_spark.functions.gif import decode_gif_frames
+
+    colors = np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0]], dtype=np.uint8
+    )
+    head, mcs = _gif_header(4, 2, colors, bg=1)
+    data = (
+        head
+        + _gif_gce(2, 3)  # disposal 2: restore background
+        + _gif_img(0, 0, 4, 2, [2] * 8, mcs)
+        + _gif_gce(0, 4)
+        + _gif_img(0, 0, 1, 1, [0], mcs)
+        + b"\x3b"
+    )
+    frames = decode_gif_frames(data)
+    assert len(frames) == 2 and frames[0][0] == 30 and frames[1][0] == 40
+    assert (frames[0][1] == colors[2]).all()
+    # after restore-background, frame 2 shows bg (color 1) everywhere
+    # except its own 1x1 rect
+    want = np.tile(colors[1], (2, 4, 1)).astype(np.uint8)
+    want[0, 0] = colors[0]
+    assert np.array_equal(frames[1][1], want)
+
+
+def test_gif_disposal_restore_previous():
+    from parquet_extractor_spark.functions.gif import decode_gif_frames
+
+    colors = np.array(
+        [[5, 5, 5], [250, 250, 0], [0, 0, 250]], dtype=np.uint8
+    )
+    head, mcs = _gif_header(3, 2, colors)
+    data = (
+        head
+        + _gif_gce(1, 2)
+        + _gif_img(0, 0, 3, 2, [0] * 6, mcs)
+        + _gif_gce(3, 2)  # disposal 3: restore previous
+        + _gif_img(1, 0, 2, 1, [2, 2], mcs)
+        + _gif_gce(0, 2)
+        + _gif_img(0, 1, 1, 1, [1], mcs)
+        + b"\x3b"
+    )
+    frames = decode_gif_frames(data)
+    assert len(frames) == 3
+    a = np.tile(colors[0], (2, 3, 1)).astype(np.uint8)
+    b = a.copy()
+    b[0, 1:3] = colors[2]
+    c = a.copy()  # frame 2's rect was rolled back before frame 3
+    c[1, 0] = colors[1]
+    assert np.array_equal(frames[0][1], a)
+    assert np.array_equal(frames[1][1], b)
+    assert np.array_equal(frames[2][1], c)
+
+
+def test_gif_frame_sampling_timeline():
+    from parquet_extractor_spark.functions.png import decode_png
+    from parquet_extractor_spark.functions.gif import encode_gif_animation
+    from parquet_extractor_spark.operators.multimodal import (
+        gif_frame_samples,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+    frames = [np.tile(pal[k], (4, 5, 1)).astype(np.uint8) for k in range(3)]
+    data = encode_gif_animation(frames, delays_ms=[50, 0, 70])
+    # timeline: f0 [0,50), f1 [50,150) (0 -> default 100), f2 [150,220)
+    samples = gif_frame_samples(data, every_ms=60)
+    assert [t for t, _ in samples] == [0, 60, 120, 180]
+    got = [decode_png(png)[0, 0].tolist() for _, png in samples]
+    assert got == [
+        pal[0].tolist(), pal[1].tolist(), pal[1].tolist(), pal[2].tolist()
+    ]
+
+
+def test_sample_gif_frames_spark_matches_pure(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        gif_frame_samples,
+        sample_gif_frames,
+        synthetic_animated_gif_rows,
+        synthetic_animated_gifs,
+    )
+
+    got = {
+        (r.media_id, r.frame_ts_ms): (r.width, r.height, bytes(r.frame))
+        for r in sample_gif_frames(
+            synthetic_animated_gifs(spark), every_ms=60
+        ).collect()
+    }
+    want = {}
+    for media_id, data in synthetic_animated_gif_rows():
+        for ts, png in gif_frame_samples(data, every_ms=60):
+            import struct as _struct
+
+            w, h = _struct.unpack(">II", png[16:24])
+            want[(media_id, ts)] = (w, h, png)
+    assert got == want
+    assert len(want) >= 40  # the fixture is a real animation corpus
