@@ -33,6 +33,11 @@ import numpy as np
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")
 _MAX_CODE_WIDTH = 12
+# decode-bomb guard for untrusted bytes inside mapInPandas tasks: a
+# flipped header byte must not allocate a 65535x65535 canvas (12 GB)
+# before the bitstream parse has a chance to fail. 2^26 px ≈ 200 MB
+# RGB — far above any real GIF, far below an executor OOM.
+_MAX_CANVAS_PIXELS = 1 << 26
 
 
 def is_gif(data: bytes | None) -> bool:
@@ -309,6 +314,8 @@ def _iter_frames(data: bytes):
     pos = 6
     sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", data, pos)
     pos += 7
+    if sw * sh > _MAX_CANVAS_PIXELS:
+        raise ValueError(f"GIF logical screen too large ({sw}x{sh})")
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)

@@ -65,6 +65,11 @@ T_COLOR_INDEXING = 3
 
 _CACHE_MULT = 0x1E35A7BD  # color-cache hash multiplier (spec §4.4.1)
 _MAX_CODE_LEN = 15
+# decode-bomb guard for untrusted bytes inside mapInPandas tasks: the
+# 14-bit dims allow a 16384x16384 claim (1 GB of uint32) from a
+# 5-byte header; cap the canvas before allocating. 2^26 px ≈ 268 MB
+# ARGB — far above any fixture, far below an executor OOM.
+_MAX_CANVAS_PIXELS = 1 << 26
 
 
 class _BitReader:
@@ -543,6 +548,8 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     h = ((packed >> 14) & 0x3FFF) + 1
     if (packed >> 29) & 0x7:
         raise ValueError("unsupported VP8L version")
+    if w * h > _MAX_CANVAS_PIXELS:
+        raise ValueError(f"VP8L canvas too large ({w}x{h})")
     br = _BitReader(payload[5:])
     pixels, transforms, _ = _read_image_stream(br, w, h, True)
     pixels = _inverse_transforms(pixels, transforms, w, h)

@@ -174,3 +174,51 @@ def run_image_metadata_stream(
             f"image metadata stream did not drain within {timeout_s}s"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def run_gif_frames_stream(
+    spark: SparkSession,
+    media_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    every_ms: int = 60,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming twin of operators.multimodal.sample_gif_frames: the
+    r06 REAL animated-GIF frame sampler (full-animation decode,
+    compositing, time-grid sampling, PNG re-encode) is stateless
+    per-row fan-out — each input row independently yields its sampled
+    frames — so it composes onto the file stream unchanged: no
+    watermark, no state store, one animation's frames of memory per
+    row. This is the continuously-ingesting shape of a video-frame
+    curation feed, running on the one format the in-repo codecs
+    decode end-to-end. Epoch-overwrite sink = idempotent under
+    at-least-once replay, like every other stream here."""
+    from parquet_extractor_spark.operators.multimodal import (
+        sample_gif_frames,
+    )
+
+    frames = sample_gif_frames(
+        read_media_stream(spark, media_dir), every_ms=every_ms
+    )
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        (
+            batch.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch}"))
+        )
+
+    query = (
+        frames.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "gif_frames")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"gif frame stream did not drain within {timeout_s}s"
+        )
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -1100,3 +1100,56 @@ def test_sample_gif_frames_spark_matches_pure(spark):
             want[(media_id, ts)] = (w, h, png)
     assert got == want
     assert len(want) >= 40  # the fixture is a real animation corpus
+
+
+def test_fuzz_gif_animation_and_webp_decode_robustness():
+    """Arbitrary bytes and truncations/bit flips of valid streams
+    never escape the GIF animation decoder or the WebP container
+    decoder with anything but ValueError/NotImplementedError — and
+    the decode-bomb guards reject huge claimed canvases instead of
+    allocating them."""
+    import random
+    import struct as _struct
+
+    from parquet_extractor_spark.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+    from parquet_extractor_spark.functions.webp import (
+        build_webp_lossless,
+        decode_webp,
+    )
+
+    rng = random.Random(9)
+    npr = np.random.default_rng(9)
+    pal = npr.integers(0, 256, (6, 3), dtype=np.uint8)
+    frames = [
+        pal[npr.integers(0, 6, (9, 13))] for _ in range(3)
+    ]
+    gif = encode_gif_animation(frames, delays_ms=40)
+    webp = build_webp_lossless(frames[0])
+    for _ in range(300):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(60)))
+        for fn in (decode_gif_frames, decode_webp):
+            try:
+                fn(b"GIF89a" + junk if fn is decode_gif_frames else junk)
+            except (ValueError, NotImplementedError):
+                pass
+    for good, fn in ((gif, decode_gif_frames), (webp, decode_webp)):
+        for _ in range(300):
+            b = bytearray(good)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                fn(bytes(b[: rng.randrange(1, len(b) + 1)]))
+            except (ValueError, NotImplementedError):
+                pass
+    # decode-bomb guards: a 16k x 16k claim is rejected, not allocated
+    with pytest.raises(ValueError, match="too large"):
+        huge = bytearray(gif)
+        huge[6:10] = _struct.pack("<HH", 60000, 60000)
+        decode_gif_frames(bytes(huge))
+    from parquet_extractor_spark.functions.vp8l import decode_vp8l
+
+    packed = (16383 & 0x3FFF) | ((16383 & 0x3FFF) << 14)
+    with pytest.raises(ValueError, match="too large"):
+        decode_vp8l(b"\x2f" + _struct.pack("<I", packed) + b"\x00" * 8)

@@ -588,3 +588,39 @@ def test_streaming_image_metadata_equal_batch(spark, tmp_path):
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and len(g) == 44
     assert any(r[1] is None for r in g)  # corrupt rows preserved
+
+
+def test_gif_frames_stream_equals_batch(spark, tmp_path):
+    """run_gif_frames_stream ≡ batch sample_gif_frames over the
+    animated-GIF fixture: every sampled frame (timeline position,
+    dims, PNG bytes) identical between the two execution modes."""
+    from parquet_extractor_spark.operators.multimodal import (
+        sample_gif_frames,
+        synthetic_animated_gifs,
+    )
+    from parquet_extractor_spark.streaming.media import (
+        run_gif_frames_stream,
+    )
+
+    media = synthetic_animated_gifs(spark)
+    landing = str(tmp_path / "gif_landing")
+    media.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    got = run_gif_frames_stream(
+        spark,
+        landing,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "gif_frames_out"),
+        every_ms=60,
+    )
+    want = sample_gif_frames(media, every_ms=60)
+    cols = want.columns
+    g = sorted(
+        (r.media_id, r.frame_ts_ms, r.width, r.height, bytes(r.frame))
+        for r in got.select(cols).collect()
+    )
+    w = sorted(
+        (r.media_id, r.frame_ts_ms, r.width, r.height, bytes(r.frame))
+        for r in want.collect()
+    )
+    assert g == w and len(g) == 80
