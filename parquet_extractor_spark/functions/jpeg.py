@@ -495,9 +495,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline-sequential OR progressive JPEG to an
     (H, W, 3) uint8 RGB array (grayscale returns replicated
     channels). Raises NotImplementedError for arithmetic-coded and
-    hierarchical streams."""
+    hierarchical streams; any other malformed input raises ValueError
+    (never IndexError/KeyError/struct.error), so the mapInPandas
+    per-row fallback catches it."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
+    try:
+        return _decode_jpeg_inner(data)
+    except (
+        struct.error,
+        IndexError,
+        KeyError,
+        AttributeError,
+        TypeError,
+        OverflowError,
+        ZeroDivisionError,
+    ) as exc:
+        raise ValueError(f"corrupt JPEG stream: {exc!r}") from exc
+
+
+# decode-bomb guard for untrusted bytes: cap claimed dims before
+# allocating plane buffers (2^26 px ≈ 200 MB RGB).
+_MAX_PIXELS = 1 << 26
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict[tuple[int, int], int]] = {}
@@ -552,6 +574,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 (huff_ac if cls else huff_dc)[ident] = _decode_table(bits, vals)
         elif tag in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if fh * fw > _MAX_PIXELS:
+                raise ValueError(f"JPEG frame too large ({fw}x{fh})")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]

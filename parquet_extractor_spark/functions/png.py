@@ -115,9 +115,23 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (H,W,C). CRC-checked; all 5 filters."""
+    """PNG bytes → uint8 array (H,W,C). CRC-checked; all 5 filters.
+    Malformed input raises ValueError (never zlib.error/struct.error/
+    IndexError), so the mapInPandas per-row fallback catches it."""
     if not data or not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG byte stream")
+    try:
+        return _decode_png_inner(data)
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(f"corrupt PNG stream: {exc}") from exc
+
+
+# decode-bomb guard for untrusted bytes: a corrupt IHDR can claim
+# 4Gx4G pixels; cap before allocating (2^26 px ≈ 200 MB RGB).
+_MAX_PIXELS = 1 << 26
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
     pos = len(PNG_MAGIC)
     idat = bytearray()
     w = h = depth = color = interlace = None
@@ -141,6 +155,8 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"PNG canvas too large ({w}x{h})")
     if depth != 8 or color not in _COLOR_TO_CHANNELS or interlace:
         raise NotImplementedError(
             f"unsupported PNG (depth={depth}, color={color}, "

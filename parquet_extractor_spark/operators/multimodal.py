@@ -190,8 +190,12 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
             # failing the whole mapInPandas task on one undecodable row
             return fake_feature(d)
     if is_wav(d):
-        samples, _sr = decode_wav(d)
-        return audio_feature(samples, FEATURE_DIM)
+        try:
+            samples, _sr = decode_wav(d)
+            return audio_feature(samples, FEATURE_DIM)
+        except (NotImplementedError, ValueError):
+            # exotic codec (ADPCM/GSM) or corrupt RIFF: declared fake
+            return fake_feature(d)
     return fake_feature(d)
 
 

@@ -1153,3 +1153,61 @@ def test_fuzz_gif_animation_and_webp_decode_robustness():
     packed = (16383 & 0x3FFF) | ((16383 & 0x3FFF) << 14)
     with pytest.raises(ValueError, match="too large"):
         decode_vp8l(b"\x2f" + _struct.pack("<I", packed) + b"\x00" * 8)
+
+
+def test_fuzz_no_exception_escapes_any_dispatch_path():
+    """The per-row robustness contract at 100 TB: one corrupt media
+    row must NEVER kill a mapInPandas task. Bit-flipped/truncated
+    variants of every codec's valid output go through all five
+    dispatch paths (features, resize, audio/video/image metadata) and
+    nothing but the declared fallbacks may happen — codecs wrap
+    zlib/struct/Index/Key/Attribute/Overflow errors as ValueError,
+    and every dispatcher catches it."""
+    import random
+
+    from parquet_extractor_spark.functions.bmp import encode_bmp
+    from parquet_extractor_spark.functions.gif import (
+        encode_gif,
+        encode_gif_animation,
+    )
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
+    from parquet_extractor_spark.functions.wav import encode_wav
+    from parquet_extractor_spark.functions.webp import build_webp_lossless
+    from parquet_extractor_spark.operators.multimodal import (
+        audio_metadata_for_bytes,
+        image_metadata_for_bytes,
+        resize_bytes,
+        video_metadata_for_bytes,
+    )
+
+    rng = random.Random(20260814)
+    npr = np.random.default_rng(20260814)
+    arr = npr.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    pal = npr.integers(0, 256, (8, 3), dtype=np.uint8)[
+        npr.integers(0, 8, (12, 16))
+    ]
+    goods = [
+        encode_png(arr),
+        encode_jpeg(arr, quality=85),
+        encode_jpeg(arr, quality=85, progressive=True),
+        encode_gif(pal),
+        encode_gif_animation([pal, pal[::-1]], 50),
+        encode_bmp(arr),
+        build_webp_lossless(arr),
+        encode_wav(npr.normal(0, 3000, 300).astype(np.int16), 8000),
+    ]
+    from parquet_extractor_spark.operators.multimodal import (
+        feature_for_bytes,
+    )
+
+    for good in goods:
+        for _ in range(120):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            data = bytes(b[: rng.randrange(8, len(b) + 1)])
+            feature_for_bytes(data)
+            resize_bytes(data, 8, 6)
+            audio_metadata_for_bytes(data)
+            video_metadata_for_bytes(data)
+            image_metadata_for_bytes(data)
