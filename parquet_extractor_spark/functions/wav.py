@@ -4,7 +4,7 @@
 The container ships no audio library (librosa/soundfile/pydub), so the
 RIFF container and every common sample encoding are parsed by hand:
 PCM 8/16/24/32-bit, IEEE float32/float64, and G.711 A-law/µ-law
-(format tags 1, 3, 6, 7, plus WAVE_FORMAT_EXTENSIBLE 0xFFFE resolved
+(format tags 1, 3, 6, 7, 0x11 IMA ADPCM, plus WAVE_FORMAT_EXTENSIBLE 0xFFFE resolved
 through its subformat GUID). That lets audio feature extraction in
 ``operators/multimodal.py`` run on REAL samples in CI instead of a
 byte-hash fake, for every encoding a field corpus is likely to carry —
@@ -30,7 +30,157 @@ WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_IMA_ADPCM = 0x0011
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# IMA/DVI ADPCM tables (public IMA spec / RFC 3551 appendix).
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_DELTA = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _ima_decode_nibbles(
+    nibbles, predictor: int, index: int
+) -> tuple[list[int], int, int]:
+    """Decode a nibble run with running (predictor, step index) state;
+    the standard IMA expansion with the step>>3 rounding terms."""
+    out = []
+    for n in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        out.append(predictor)
+        index = max(0, min(88, index + int(_IMA_INDEX_DELTA[n & 7])))
+    return out, predictor, index
+
+
+def _ima_encode_nibble(sample: int, predictor: int, index: int):
+    """Quantize one sample against the running state (the reference
+    IMA encoder), returning (nibble, new_predictor, new_index)."""
+    step = int(_IMA_STEPS[index])
+    delta = sample - predictor
+    nibble = 8 if delta < 0 else 0
+    if delta < 0:
+        delta = -delta
+    diff = step >> 3
+    if delta >= step:
+        nibble |= 4
+        delta -= step
+        diff += step
+    if delta >= step >> 1:
+        nibble |= 2
+        delta -= step >> 1
+        diff += step >> 1
+    if delta >= step >> 2:
+        nibble |= 1
+        diff += step >> 2
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_IMA_INDEX_DELTA[nibble & 7])))
+    return nibble, predictor, index
+
+
+_IMA_BLOCK_ALIGN = 256  # bytes per mono block -> 505 samples/block
+
+
+def ima_adpcm_samples_per_block(block_align: int, channels: int) -> int:
+    return (block_align - 4 * channels) * 2 // channels + 1
+
+
+def ima_adpcm_encode(samples: np.ndarray, channels: int = 1) -> bytes:
+    """int16 samples (frame-major for stereo) -> IMA ADPCM block
+    stream at _IMA_BLOCK_ALIGN*channels bytes per block: per-channel
+    4-byte headers (predictor, step index), then 4-byte-per-channel
+    interleaved nibble words, low nibble first. The final partial
+    block is padded by repeating the last sample (standard
+    practice)."""
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1, channels)
+    block_align = _IMA_BLOCK_ALIGN * channels
+    spb = ima_adpcm_samples_per_block(block_align, channels)
+    out = bytearray()
+    indices = [0] * channels
+    for start in range(0, len(arr), spb):
+        block = arr[start : start + spb]
+        if len(block) < spb:
+            pad = np.repeat(block[-1:], spb - len(block), axis=0)
+            block = np.concatenate([block, pad])
+        chan_nibbles = []
+        for c in range(channels):
+            pred = int(block[0, c])
+            out += int(pred).to_bytes(2, "little", signed=True)
+            out.append(indices[c])
+            out.append(0)
+            nibs = []
+            for s in block[1:, c].tolist():
+                nib, pred, indices[c] = _ima_encode_nibble(
+                    s, pred, indices[c]
+                )
+                nibs.append(nib)
+            chan_nibbles.append(nibs)
+        # interleave: 8 nibbles (one 4-byte word) per channel in turn
+        per_chan = len(chan_nibbles[0])
+        for w in range(0, per_chan, 8):
+            for c in range(channels):
+                chunk = chan_nibbles[c][w : w + 8]
+                chunk += [0] * (8 - len(chunk))
+                for i in range(0, 8, 2):
+                    out.append(chunk[i] | (chunk[i + 1] << 4))
+    return bytes(out)
+
+
+def ima_adpcm_decode(
+    raw: bytes, channels: int, block_align: int, n_frames: int
+) -> np.ndarray:
+    """IMA ADPCM block stream -> int16 samples ((n,) mono or (n, ch));
+    truncated to n_frames (the fact-chunk length, since the last
+    block is padded)."""
+    spb = ima_adpcm_samples_per_block(block_align, channels)
+    frames: list[np.ndarray] = []
+    for off in range(0, len(raw) - block_align + 1, block_align):
+        block = raw[off : off + block_align]
+        preds, idxs, nibs = [], [], []
+        for c in range(channels):
+            hdr = block[c * 4 : c * 4 + 4]
+            preds.append(int.from_bytes(hdr[:2], "little", signed=True))
+            idxs.append(min(88, hdr[2]))
+            nibs.append([])
+        body = block[4 * channels :]
+        for word, woff in enumerate(range(0, len(body), 4)):
+            c = word % channels
+            for b in body[woff : woff + 4]:
+                nibs[c].append(b & 0xF)
+                nibs[c].append(b >> 4)
+        chans = []
+        for c in range(channels):
+            dec, _, _ = _ima_decode_nibbles(nibs[c], preds[c], idxs[c])
+            chans.append(
+                np.array([preds[c]] + dec, dtype=np.int16)[:spb]
+            )
+        frames.append(np.stack(chans, axis=1))
+    if not frames:
+        return np.zeros((0,) if channels == 1 else (0, channels), np.int16)
+    arr = np.concatenate(frames)[:n_frames]
+    return arr[:, 0] if channels == 1 else arr
 
 
 def is_wav(data: bytes | None) -> bool:
@@ -129,6 +279,7 @@ def parse_wav_header(data: bytes) -> dict | None:
     pos, end = 12, len(data)
     fmt = None
     data_off = data_size = None
+    fact_frames = None
     while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (csize,) = struct.unpack_from("<I", data, pos + 4)
@@ -149,6 +300,17 @@ def parse_wav_header(data: bytes) -> dict | None:
                 "bits_per_sample": bits,
                 "block_align": ba,
             }
+            if (
+                tag == WAVE_FORMAT_IMA_ADPCM
+                and csize >= 20
+                and body + 20 <= end
+            ):
+                # cbSize=2 extension: wSamplesPerBlock
+                (fmt["samples_per_block"],) = struct.unpack_from(
+                    "<H", data, body + 18
+                )
+        elif cid == b"fact" and csize >= 4 and body + 4 <= end:
+            (fact_frames,) = struct.unpack_from("<I", data, body)
         elif cid == b"data":
             data_off = body
             data_size = min(csize, end - body)
@@ -161,7 +323,19 @@ def parse_wav_header(data: bytes) -> dict | None:
         1, fmt["bits_per_sample"] // 8
     )
     fmt["block_align"] = ba
-    fmt["n_frames"] = data_size // ba if ba else 0
+    if fmt["format"] == WAVE_FORMAT_IMA_ADPCM:
+        spb = fmt.get("samples_per_block") or (
+            ima_adpcm_samples_per_block(ba, fmt["channels"]) if ba else 0
+        )
+        fmt["samples_per_block"] = spb
+        blocks = data_size // ba if ba else 0
+        fmt["n_frames"] = (
+            fact_frames
+            if fact_frames is not None
+            else blocks * spb
+        )
+    else:
+        fmt["n_frames"] = data_size // ba if ba else 0
     fmt["data_offset"] = data_off
     fmt["data_size"] = data_size
     return fmt
@@ -177,6 +351,7 @@ _FMT_SPECS = {
     "float64": (WAVE_FORMAT_IEEE_FLOAT, 64),
     "alaw": (WAVE_FORMAT_ALAW, 8),
     "ulaw": (WAVE_FORMAT_MULAW, 8),
+    "ima_adpcm": (WAVE_FORMAT_IMA_ADPCM, 4),
 }
 
 
@@ -223,17 +398,35 @@ def encode_wav(
         ).astype("<f8").tobytes()
     elif fmt == "alaw":
         payload = alaw_encode(i16.ravel()).tobytes()
+    elif fmt == "ima_adpcm":
+        payload = ima_adpcm_encode(i16, ch)
     else:  # ulaw
         payload = ulaw_encode(i16.ravel()).tobytes()
 
-    block_align = ch * (bits // 8)
-    byte_rate = sample_rate * block_align
-    if tag == WAVE_FORMAT_PCM:
+    if fmt == "ima_adpcm":
+        block_align = _IMA_BLOCK_ALIGN * ch
+        spb = ima_adpcm_samples_per_block(block_align, ch)
+        byte_rate = sample_rate * block_align // spb
+        # cbSize=2 extension carries wSamplesPerBlock (public spec)
+        fmt_chunk = struct.pack(
+            "<HHIIHHHH",
+            tag, ch, sample_rate, byte_rate, block_align, bits, 2, spb,
+        )
+        chunks = [
+            (b"fmt ", fmt_chunk),
+            (b"fact", struct.pack("<I", n)),
+            (b"data", payload),
+        ]
+    elif tag == WAVE_FORMAT_PCM:
+        block_align = ch * (bits // 8)
+        byte_rate = sample_rate * block_align
         fmt_chunk = struct.pack(
             "<HHIIHH", tag, ch, sample_rate, byte_rate, block_align, bits
         )
         chunks = [(b"fmt ", fmt_chunk), (b"data", payload)]
     else:
+        block_align = ch * (bits // 8)
+        byte_rate = sample_rate * block_align
         fmt_chunk = struct.pack(
             "<HHIIHHH", tag, ch, sample_rate, byte_rate, block_align, bits, 0
         )
@@ -286,11 +479,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         arr = alaw_decode(np.frombuffer(raw, dtype=np.uint8))
     elif tag == WAVE_FORMAT_MULAW and bits == 8:
         arr = ulaw_decode(np.frombuffer(raw, dtype=np.uint8))
+    elif tag == WAVE_FORMAT_IMA_ADPCM and bits == 4:
+        arr = ima_adpcm_decode(
+            raw, h["channels"], h["block_align"], h["n_frames"]
+        )
+        return arr, h["sample_rate"]  # already channel-shaped
     else:
         raise NotImplementedError(
             f"WAV format tag 0x{tag:04X} @ {bits}-bit is an exotic codec "
-            "(ADPCM/GSM/MPEG-in-WAV) — outside the supported set "
-            "pcm8/16/24/32, float32/64, A-law, µ-law"
+            "(GSM/MPEG-in-WAV/MS-ADPCM) — outside the supported set "
+            "pcm8/16/24/32, float32/64, A-law, µ-law, IMA ADPCM"
         )
     ch = h["channels"]
     if ch > 1:

@@ -6,8 +6,9 @@ Image decode is REAL for PNG via the dependency-free codec in
 ``functions/jpeg.py`` (pure numpy Huffman+DCT), for GIF via
 ``functions/gif.py`` (real LZW with table growth/reset), and for
 24-bit BMP via ``functions/bmp.py`` — features and resize run on
-actual pixels in CI. Audio decode is REAL for WAV in all eight common
-RIFF encodings (PCM 8/16/24/32, float32/64, G.711 A-law/µ-law) via
+actual pixels in CI. Audio decode is REAL for WAV in all nine common
+RIFF encodings (PCM 8/16/24/32, float32/64, G.711 A-law/µ-law, and
+since later in r06 IMA ADPCM) via
 ``functions/wav.py``'s hand-rolled chunk walk — energy-envelope
 features run on actual samples. MP2/MP3 get metadata-level support — a real
 frame-header parser (``functions/mp3.py``: duration, bitrate, sample
@@ -194,7 +195,7 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
             samples, _sr = decode_wav(d)
             return audio_feature(samples, FEATURE_DIM)
         except (NotImplementedError, ValueError):
-            # exotic codec (ADPCM/GSM) or corrupt RIFF: declared fake
+            # exotic codec (GSM/MS-ADPCM) or corrupt RIFF: declared fake
             return fake_feature(d)
     return fake_feature(d)
 
@@ -758,9 +759,10 @@ def audio_stream_metadata(media: DataFrame) -> DataFrame:
 
 
 def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
-    """Deterministic audio fixture: REAL WAVs cycling all eight
+    """Deterministic audio fixture: REAL WAVs cycling all nine
     supported RIFF encodings (PCM 8/16/24/32-bit, IEEE float32/64,
-    G.711 A-law/µ-law — functions/wav.py's hand-rolled codec, r06)
+    G.711 A-law/µ-law, IMA ADPCM — functions/wav.py's hand-rolled
+    codec, r06)
     interleaved with spec-valid MP3 frame chains cycling MPEG
     version/layer/bitrate/mono — including VBR streams (two CBR runs
     concatenated, at i%16==15) and ID3v2-tagged streams (variant 5,
@@ -773,7 +775,7 @@ def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
     rows = []
     wav_fmts = [
         "pcm16", "float32", "pcm24", "pcm8", "ulaw", "alaw", "pcm32",
-        "float64",
+        "float64", "ima_adpcm",
     ]
     mp3_variants = [
         dict(version="1", layer=3, bitrate_kbps=128, sample_rate=44100),
@@ -792,7 +794,7 @@ def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
             sig = 6000.0 * np.sin(2 * np.pi * (150.0 + 25.0 * (i % 5)) * t)
             sig += rng.normal(0.0, 400.0, size=t.size)
             data = encode_wav(
-                sig.astype(np.int16), sr, fmt=wav_fmts[(i // 2) % 8]
+                sig.astype(np.int16), sr, fmt=wav_fmts[(i // 2) % 9]
             )
         elif i % 16 == 15:
             # VBR: two same-(sr,layer) CBR runs back to back.

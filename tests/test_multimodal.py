@@ -1211,3 +1211,65 @@ def test_fuzz_no_exception_escapes_any_dispatch_path():
             audio_metadata_for_bytes(data)
             video_metadata_for_bytes(data)
             image_metadata_for_bytes(data)
+
+
+def test_ima_adpcm_roundtrip_and_header():
+    """IMA ADPCM (format tag 0x11): multi-block mono and stereo
+    round-trips reconstruct within the codec's known ~25 dB SNR, the
+    fmt-chunk extension carries wSamplesPerBlock, and the fact chunk
+    pins the exact frame count across padded final blocks."""
+    from parquet_extractor_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    rng = np.random.default_rng(12)
+    t = np.arange(2000) / 8000.0
+    sig = (
+        8000 * np.sin(2 * np.pi * 300 * t) + rng.normal(0, 400, 2000)
+    ).astype(np.int16)
+    data = encode_wav(sig, 8000, fmt="ima_adpcm")
+    h = parse_wav_header(data)
+    assert h["format"] == 0x11 and h["bits_per_sample"] == 4
+    assert h["block_align"] == 256 and h["samples_per_block"] == 505
+    assert h["n_frames"] == 2000  # fact chunk, not block-padded count
+    out, sr = decode_wav(data)
+    assert sr == 8000 and out.shape == (2000,)
+    err = out.astype(np.float64) - sig
+    snr = 10 * np.log10(
+        (sig.astype(np.float64) ** 2).mean() / (err**2).mean()
+    )
+    assert snr > 20, snr
+    # first sample is stored verbatim in the block header
+    assert out[0] == sig[0]
+
+    stereo = np.stack([sig, (-sig) // 2], axis=1)
+    out2, _ = decode_wav(encode_wav(stereo, 16000, fmt="ima_adpcm"))
+    assert out2.shape == (2000, 2)
+    err2 = out2.astype(np.float64) - stereo
+    snr2 = 10 * np.log10(
+        (stereo.astype(np.float64) ** 2).mean() / (err2**2).mean()
+    )
+    assert snr2 > 20, snr2
+
+
+def test_ima_adpcm_known_vector():
+    """Pin the nibble expansion against hand-computed IMA steps:
+    from (predictor=0, index=0, step=7), nibble 0x4 adds
+    7 + 7>>3 = 7 (diff = step>>3 + step) ... computed per the spec
+    arithmetic below, and the index walks the public delta table."""
+    from parquet_extractor_spark.functions.wav import (
+        _ima_decode_nibbles,
+    )
+
+    # nibble 4: diff = (step>>3) + step = 0 + 7 = 7; index += 2
+    dec, pred, idx = _ima_decode_nibbles([4], 0, 0)
+    assert dec == [7] and pred == 7 and idx == 2
+    # next step = steps[2] = 9; nibble 0xF: diff = 9>>3 + 9 +
+    # 9>>1 + 9>>2 = 1+9+4+2 = 16, sign bit -> -16; index += 8
+    dec2, pred2, idx2 = _ima_decode_nibbles([0xF], pred, idx)
+    assert dec2 == [7 - 16] and idx2 == 10
+    # nibble 0: diff = step>>3 only; index floors at 0
+    dec3, _, idx3 = _ima_decode_nibbles([0, 0, 0, 0], 100, 1)
+    assert idx3 == 0 and dec3[0] == 100 + (int(8) >> 3)
