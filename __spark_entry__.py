@@ -51,13 +51,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     twin; bpe_train_merges, the multi-round BPE trainer;
     bpe_encode_corpus, the trainer's corpus-wide apply side;
     media_image_metadata, the header-only image metadata pass;
-    media_gif_frame_checksums, real animated-GIF frame sampling) +
-    all 32 r02-stale rows (including q1_pricing_summary, the r04
-    off-by-one casualty) + the 5 oldest r03-stale rows
-    (source_token_kl and q5_region_revenue rotated back to the tail
-    to make room for the two later r06 additions). After this round
-    every pre-r06 registry query has a driver row and none is older
-    than r03.
+    media_gif_frame_checksums and media_apng_frame_checksums, real
+    animated frame sampling) + all 32 r02-stale rows (including
+    q1_pricing_summary, the r04 off-by-one casualty) + the 4 oldest
+    r03-stale rows (source_token_kl, q5_region_revenue and
+    label_centroids rotated back to the tail to make room for the
+    three later r06 additions). After this round every pre-r06
+    registry query has a driver row and none is older than r03.
     Everything r05-green rotates to the tail; every tail entry is
     re-verified locally each round via tools/check_oracle.py at
     sf0.001/0.01/0.1 (one command:
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_corpus": textprep.bpe_encode_corpus,
         "media_image_metadata": multimodal.media_image_metadata,
         "media_gif_frame_checksums": multimodal.media_gif_frame_checksums,
+        "media_apng_frame_checksums": multimodal.media_apng_frame_checksums,
         # — all 32 r02-stale rows —
         "q1_pricing_summary": relational.q1_pricing_summary,
         "doc_chunks": textprep.doc_chunks,
@@ -113,8 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignments": training.shard_assignments,
         "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
         "doc_length_quantiles": analyze.doc_length_quantiles,
-        # — the 7 oldest r03-stale rows —
-        "label_centroids": similarity.label_centroids,
+        # — the 4 oldest r03-stale rows —
         "duplicate_spans": selection.duplicate_spans,
         "events_approx_users": relational.events_approx_users,
         "pq_codes": similarity.pq_codes,
@@ -122,9 +122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— tail (driver-green r03/r05; re-verified locally each
         #     round via tools/check_oracle.py — see COVERAGE.md) ———
         # — r03-green rows displaced from the window by the r06-new
-        #   bpe_encode_corpus and media_gif_frame_checksums
-        #   (never-driver-checked beats refresh) —
+        #   bpe_encode_corpus, media_gif_frame_checksums and
+        #   media_apng_frame_checksums (never-driver-checked beats
+        #   refresh) —
         "source_token_kl": analyze.source_token_kl,
+        "label_centroids": similarity.label_centroids,
         "q5_region_revenue": relational.q5_region_revenue,
         # — r03-green rows displaced from the window by the r06-new
         #   queries —
@@ -245,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
             multimodal_oracle.MEDIA_IMAGE_METADATA_SQL,
         "media_gif_frame_checksums":
             multimodal_oracle.MEDIA_GIF_FRAME_CHECKSUMS_SQL,
+        "media_apng_frame_checksums":
+            multimodal_oracle.MEDIA_APNG_FRAME_CHECKSUMS_SQL,
         "bpe_train_merges": textprep.BPE_TRAIN_MERGES_SQL,
         "bpe_encode_corpus": textprep.BPE_ENCODE_CORPUS_SQL,
         "train_quality_classifier":

@@ -78,6 +78,11 @@ from parquet_extractor_spark.functions.jpeg import (  # noqa: E402
     encode_jpeg,
     is_jpeg,
 )
+from parquet_extractor_spark.functions.apng import (  # noqa: E402
+    decode_apng_frames,
+    encode_apng,
+    is_apng,
+)
 from parquet_extractor_spark.functions.webp import (  # noqa: E402
     build_webp_lossless,
     decode_webp,
@@ -257,19 +262,25 @@ GIF_FRAME_SCHEMA = StructType(
 _GIF_DEFAULT_DELAY_MS = 100  # browser convention for 0-delay frames
 
 
-def gif_frame_samples(
+def animation_frame_samples(
     data: bytes, every_ms: int = 100
 ) -> list[tuple[int, bytes]]:
-    """REAL frame sampling for one animated GIF: decode the full
-    animation (functions/gif.py compositing semantics), lay the
-    frames on a timeline (0-delay frames get the browser-conventional
-    100 ms), and return [(ts_ms, png_bytes)] — the frame visible at
-    each grid tick t = 0, every_ms, 2*every_ms, ... inside the
-    animation's duration, re-encoded as PNG (lossless, so the sample
-    pins the composited canvas byte-for-byte). Pure function of the
-    inputs — shared by the Spark mapInPandas stage and the oracle
-    generator."""
-    frames = decode_gif_frames(data)
+    """REAL frame sampling for one animation — GIF (functions/gif.py
+    compositing semantics) or APNG (functions/apng.py acTL/fcTL/fdAT
+    semantics): decode the full animation, lay the frames on a
+    timeline (0-delay frames get the browser-conventional 100 ms),
+    and return [(ts_ms, png_bytes)] — the frame visible at each grid
+    tick t = 0, every_ms, 2*every_ms, ... inside the animation's
+    duration, re-encoded as PNG (lossless, so the sample pins the
+    composited canvas byte-for-byte; APNG canvases keep their alpha
+    plane). Pure function of the inputs — shared by the Spark
+    mapInPandas stage and the oracle generator."""
+    if is_gif(data):
+        frames = decode_gif_frames(data)
+    elif is_apng(data):
+        frames = decode_apng_frames(data)
+    else:
+        raise ValueError("not an animated GIF or APNG stream")
     delays = [d if d > 0 else _GIF_DEFAULT_DELAY_MS for d, _ in frames]
     total = sum(delays)
     out = []
@@ -282,25 +293,38 @@ def gif_frame_samples(
     return out
 
 
-def sample_gif_frames(media: DataFrame, every_ms: int = 100) -> DataFrame:
-    """Animated-GIF frame sampling with REAL frames — the format for
+def gif_frame_samples(
+    data: bytes, every_ms: int = 100
+) -> list[tuple[int, bytes]]:
+    """Back-compat name for the GIF-only callers; the sampler itself
+    is format-dispatching (animation_frame_samples)."""
+    return animation_frame_samples(data, every_ms)
+
+
+def sample_animation_frames(
+    media: DataFrame, every_ms: int = 100
+) -> DataFrame:
+    """Animation frame sampling with REAL frames — the formats for
     which the r06 `sample_frames` video stub becomes fully real: the
-    in-repo GIF codec decodes and composites every frame, so the
-    sampled rows carry actual PNG-encoded canvases, not NULL stubs.
-    Same Spark shape as extract_features: filter to GIF rows BEFORE
-    the Python boundary, Arrow-batched mapInPandas, one output row
-    per (media_id, tick) — the fan-out a video pipeline feeds to a
-    frame encoder. Undecodable/static rows yield no output rather
-    than failing the task."""
+    in-repo GIF and APNG codecs decode and composite every frame, so
+    the sampled rows carry actual PNG-encoded canvases, not NULL
+    stubs. Same Spark shape as extract_features: filter to animated
+    rows BEFORE the Python boundary, Arrow-batched mapInPandas, one
+    output row per (media_id, tick) — the fan-out a video pipeline
+    feeds to a frame encoder. Undecodable/static rows yield no
+    output rather than failing the task."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, d in zip(pdf["media_id"], pdf["data"]):
-                if d is None or not is_gif(bytes(d)):
+                if d is None:
+                    continue
+                b = bytes(d)
+                if not (is_gif(b) or is_apng(b)):
                     continue
                 try:
-                    samples = gif_frame_samples(bytes(d), every_ms)
+                    samples = animation_frame_samples(b, every_ms)
                 except ValueError:
                     continue
                 for ts, png in samples:
@@ -310,9 +334,16 @@ def sample_gif_frames(media: DataFrame, every_ms: int = 100) -> DataFrame:
                 rows, columns=[f.name for f in GIF_FRAME_SCHEMA.fields]
             )
 
-    return media.filter(F.col("mime") == "image/gif").mapInPandas(
-        _sample, schema=GIF_FRAME_SCHEMA
-    )
+    return media.filter(
+        F.col("mime").isin("image/gif", "image/apng")
+    ).mapInPandas(_sample, schema=GIF_FRAME_SCHEMA)
+
+
+def sample_gif_frames(media: DataFrame, every_ms: int = 100) -> DataFrame:
+    """Back-compat name: the GIF rows of the format-dispatching
+    animation sampler (APNG rows pass through it too — the mime
+    filter inside keeps non-animated rows out either way)."""
+    return sample_animation_frames(media, every_ms)
 
 
 def synthetic_animated_gif_rows(n: int = 12, seed: int = 46) -> list[tuple]:
@@ -355,6 +386,68 @@ def synthetic_animated_gifs(spark) -> DataFrame:
         for media_id, data in synthetic_animated_gif_rows()
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+
+
+def synthetic_apng_rows(n: int = 8, seed: int = 47) -> list[tuple]:
+    """Deterministic APNG fixture (pure Python — shared by the Spark
+    fixture and the oracle generator): RGB and RGBA moving-block
+    animations with varying canvas sizes, frame counts and delays;
+    every other row is RGBA (alpha gradient) so the sampled PNGs pin
+    the alpha plane, and every third row has an identical consecutive
+    frame (the 1x1 sub-rect path)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = 9 + int(rng.integers(0, 7))
+        w = 12 + int(rng.integers(0, 9))
+        channels = 4 if i % 2 else 3
+        base = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        if channels == 4:
+            base[:, :, 3] = np.linspace(40, 255, w, dtype=np.uint8)[None, :]
+        n_frames = 2 + int(rng.integers(0, 4))
+        frames = []
+        for k in range(n_frames):
+            f = base.copy()
+            x0 = (2 * k) % max(1, w - 3)
+            f[1:5, x0 : x0 + 3, :3] = 255 - f[1:5, x0 : x0 + 3, :3]
+            frames.append(f)
+        if i % 3 == 0 and n_frames >= 2:
+            frames[1] = frames[0].copy()
+        delays = [
+            int(rng.choice([0, 30, 60, 90, 140])) for _ in range(n_frames)
+        ]
+        rows.append((i, encode_apng(frames, delays_ms=delays)))
+    return rows
+
+
+def synthetic_apngs(spark) -> DataFrame:
+    rows = [
+        (media_id, "image", "image/apng", None, None, None, data)
+        for media_id, data in synthetic_apng_rows()
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+
+
+def media_apng_frame_checksums(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable APNG frame-sampling query — the APNG twin of
+    media_gif_frame_checksums: run the REAL acTL/fcTL/fdAT decode →
+    blend/dispose compositing → grid-sample → PNG re-encode pipeline
+    (sample_animation_frames) over the deterministic APNG fixture and
+    reduce every sampled frame to (ts, dims, length, 60-bit md5
+    prefix), pinned by a generated literal oracle. ``sf_dir`` unused,
+    as for the other media fixtures."""
+    del sf_dir
+    sampled = sample_animation_frames(synthetic_apngs(spark), every_ms=50)
+    return sampled.select(
+        "media_id",
+        "frame_ts_ms",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.length("frame").cast("bigint").alias("n_bytes"),
+        F.conv(F.substring(F.md5("frame"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("frame_hash"),
+    ).orderBy("media_id", "frame_ts_ms")
 
 
 def media_gif_frame_checksums(spark, sf_dir: str) -> DataFrame:

@@ -1273,3 +1273,160 @@ def test_ima_adpcm_known_vector():
     # nibble 0: diff = step>>3 only; index floors at 0
     dec3, _, idx3 = _ima_decode_nibbles([0, 0, 0, 0], 100, 1)
     assert idx3 == 0 and dec3[0] == 100 + (int(8) >> 3)
+
+
+# ── APNG: real animated-PNG decode + sampling (r06) ─────────────────
+
+def test_apng_roundtrip_rgb_and_rgba():
+    from parquet_extractor_spark.functions.apng import (
+        decode_apng_frames,
+        encode_apng,
+        is_apng,
+    )
+    from parquet_extractor_spark.functions.png import decode_png
+
+    rng = np.random.default_rng(13)
+    for channels in (3, 4):
+        base = rng.integers(0, 256, (11, 15, channels), dtype=np.uint8)
+        frames = []
+        for k in range(4):
+            f = base.copy()
+            f[2:6, 3 * k : 3 * k + 4, :3] = 255 - f[2:6, 3 * k : 3 * k + 4, :3]
+            frames.append(f)
+        frames[2] = frames[1].copy()  # identical-frame sub-rect path
+        data = encode_apng(frames, delays_ms=[40, 0, 90, 130])
+        assert is_apng(data)
+        dec = decode_apng_frames(data)
+        assert [d for d, _ in dec] == [40, 0, 90, 130]
+        for want, (_d, canvas) in zip(frames, dec):
+            assert canvas.shape == (11, 15, 4)
+            assert np.array_equal(canvas[:, :, :3], want[:, :, :3])
+            if channels == 4:
+                assert np.array_equal(canvas[:, :, 3], want[:, :, 3])
+            else:
+                assert (canvas[:, :, 3] == 255).all()
+        # a plain PNG decoder sees the default image (frame 0)
+        first = decode_png(data)
+        assert np.array_equal(first, frames[0])
+
+
+def _apng_handbuilt(frames_spec, w, h):
+    """Build an APNG from (region, x, y, delay, dispose, blend)
+    tuples using the codec's own chunk helpers."""
+    import struct as _struct
+
+    from parquet_extractor_spark.functions.apng import _idat_payload
+    from parquet_extractor_spark.functions.png import (
+        PNG_MAGIC,
+        _chunk,
+        encode_png,
+    )
+
+    out = bytearray()
+    out += PNG_MAGIC
+    out += _chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+    out += _chunk(b"acTL", _struct.pack(">II", len(frames_spec), 0))
+    seq = 0
+    for k, (region, x, y, delay, dispose, blend) in enumerate(frames_spec):
+        fh, fw = region.shape[:2]
+        out += _chunk(
+            b"fcTL",
+            _struct.pack(
+                ">IIIIIHHBB", seq, fw, fh, x, y, delay, 1000, dispose, blend
+            ),
+        )
+        seq += 1
+        body = _idat_payload(encode_png(np.ascontiguousarray(region)))
+        if k == 0:
+            out += _chunk(b"IDAT", body)
+        else:
+            out += _chunk(b"fdAT", _struct.pack(">I", seq) + body)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_apng_blend_over_and_dispose_ops():
+    """Handcrafted streams for the paths the encoder never emits:
+    OVER compositing of a semi-transparent region, and the BACKGROUND
+    / PREVIOUS dispose operations."""
+    from parquet_extractor_spark.functions.apng import decode_apng_frames
+
+    w, h = 4, 3
+    red = np.zeros((h, w, 4), dtype=np.uint8)
+    red[:] = [200, 0, 0, 255]
+    half_blue = np.zeros((1, 2, 4), dtype=np.uint8)
+    half_blue[:] = [0, 0, 200, 128]
+    # frame 2 blends 50%-alpha blue OVER red at (1,1)
+    frames = decode_apng_frames(
+        _apng_handbuilt(
+            [
+                (red, 0, 0, 50, 0, 0),
+                (half_blue, 1, 1, 60, 0, 1),
+            ],
+            w, h,
+        )
+    )
+    assert len(frames) == 2
+    # over math: out = src*a + dst*(1-a), a = 128/255
+    a = 128 / 255
+    want_r = int(np.floor(0 * a + 200 * 1 * (1 - a) / (a + (1 - a)) + 0.5))
+    px = frames[1][1][1, 1]
+    assert px[3] == 255  # opaque dst stays opaque
+    assert abs(int(px[0]) - want_r) <= 1 and px[2] > 90
+
+    # BACKGROUND dispose clears the frame's rect to transparent black
+    frames2 = decode_apng_frames(
+        _apng_handbuilt(
+            [
+                (red, 0, 0, 50, 1, 0),          # full, dispose bg
+                (half_blue, 0, 0, 60, 0, 0),    # small source rect
+            ],
+            w, h,
+        )
+    )
+    f2 = frames2[1][1]
+    assert (f2[2, :, 3] == 0).all()  # outside rect: cleared
+    assert (f2[0, :2, 3] == 128).all()  # the new rect's own alpha
+
+    # PREVIOUS dispose rolls the canvas back
+    green = np.zeros((1, 1, 4), dtype=np.uint8)
+    green[:] = [0, 255, 0, 255]
+    frames3 = decode_apng_frames(
+        _apng_handbuilt(
+            [
+                (red, 0, 0, 50, 0, 0),
+                (green, 2, 1, 60, 2, 0),  # dispose previous
+                (green, 0, 0, 70, 0, 0),
+            ],
+            w, h,
+        )
+    )
+    assert np.array_equal(frames3[1][1][1, 2], [0, 255, 0, 255])
+    # frame 3: the green at (2,1) was rolled back, only (0,0) changed
+    assert np.array_equal(frames3[2][1][1, 2], [200, 0, 0, 255])
+    assert np.array_equal(frames3[2][1][0, 0], [0, 255, 0, 255])
+
+
+def test_sample_animation_frames_handles_gif_and_apng(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        animation_frame_samples,
+        sample_animation_frames,
+        synthetic_apng_rows,
+        synthetic_apngs,
+    )
+
+    got = {
+        (r.media_id, r.frame_ts_ms): (r.width, r.height, bytes(r.frame))
+        for r in sample_animation_frames(
+            synthetic_apngs(spark), every_ms=50
+        ).collect()
+    }
+    want = {}
+    for media_id, data in synthetic_apng_rows():
+        for ts, png in animation_frame_samples(data, every_ms=50):
+            import struct as _struct
+
+            wpx, hpx = _struct.unpack(">II", png[16:24])
+            want[(media_id, ts)] = (wpx, hpx, png)
+    assert got == want and len(want) >= 20

@@ -196,6 +196,31 @@ FROM (VALUES
 ) AS t(media_id, frame_ts_ms, width, height, n_bytes, frame_hash)
 ORDER BY media_id, frame_ts_ms"""
 
+    from parquet_extractor_spark.operators.multimodal import (
+        animation_frame_samples,
+        synthetic_apng_rows,
+    )
+
+    apng_vals = []
+    for media_id, data in synthetic_apng_rows():
+        for ts, png in animation_frame_samples(data, every_ms=50):
+            wpx, hpx = struct.unpack(">II", png[16:24])
+            digest = int(hashlib.md5(png).hexdigest()[:15], 16)
+            apng_vals.append(
+                f"({media_id}, {ts}, {wpx}, {hpx}, {len(png)}, {digest})"
+            )
+    apng_rows = ",\n    ".join(apng_vals)
+    apng_sql = f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(frame_hash AS BIGINT) AS frame_hash
+FROM (VALUES
+    {apng_rows}
+) AS t(media_id, frame_ts_ms, width, height, n_bytes, frame_hash)
+ORDER BY media_id, frame_ts_ms"""
+
     with open(OUT, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_multimodal_oracle.py — do not edit.\n'
@@ -212,12 +237,14 @@ ORDER BY media_id, frame_ts_ms"""
             f"MEDIA_AUDIO_METADATA_SQL = r'''{audio_sql}\n'''\n\n"
             f"MEDIA_VIDEO_METADATA_SQL = r'''{video_sql}\n'''\n\n"
             f"MEDIA_IMAGE_METADATA_SQL = r'''{image_sql}\n'''\n\n"
-            f"MEDIA_GIF_FRAME_CHECKSUMS_SQL = r'''{gif_sql}\n'''\n"
+            f"MEDIA_GIF_FRAME_CHECKSUMS_SQL = r'''{gif_sql}\n'''\n\n"
+            f"MEDIA_APNG_FRAME_CHECKSUMS_SQL = r'''{apng_sql}\n'''\n"
         )
     print(
         f"wrote {OUT} "
         f"({len(values)} + {len(resize_vals)} + {len(audio_vals)} + "
-        f"{len(video_vals)} + {len(image_vals)} + {len(gif_vals)} rows)"
+        f"{len(video_vals)} + {len(image_vals)} + {len(gif_vals)} + "
+        f"{len(apng_vals)} rows)"
     )
 
 
