@@ -1096,11 +1096,14 @@ def image_metadata_for_bytes(d: bytes | None) -> tuple:
     filter/bucket by dimensions and capabilities before spending any
     decode CPU. PNG IHDR, JPEG SOF marker walk, GIF logical screen
     descriptor (+ NETSCAPE loop ext / GCE transparency flag), BMP
-    DIB header, and all three WebP bitstream headers
-    (functions/webp.py) — so WebP, whose pixel DECODE is the declared
-    libwebp boundary, still gets first-class metadata. Pure function
+    DIB header, all three WebP bitstream headers
+    (functions/webp.py), and the TIFF IFD walk (functions/tiff.py,
+    r06: both byte orders, chained multi-page IFDs, ExtraSamples
+    alpha) — formats whose pixel DECODE is a declared boundary still
+    get first-class metadata. Pure function
     of the bytes, shared with the oracle generator; unknown/corrupt
     payloads yield NULL metadata."""
+    from parquet_extractor_spark.functions.tiff import is_tiff, tiff_metadata
     from parquet_extractor_spark.functions.webp import is_webp, webp_metadata
 
     if d is None:
@@ -1157,6 +1160,11 @@ def image_metadata_for_bytes(d: bytes | None) -> tuple:
         if is_webp(d):
             variant, w, h, alpha, animated = webp_metadata(d)
             return ("webp", variant, w, h, alpha, animated, n)
+        if is_tiff(d):
+            # r06: TIFF IFD walk (functions/tiff.py) — is_animated
+            # carries "multi-page" for the chained-IFD case
+            variant, w, h, alpha, pages = tiff_metadata(d)
+            return ("tiff", variant, w, h, alpha, pages > 1, n)
     except (ValueError, struct.error):
         return nulls
     return nulls
@@ -1188,9 +1196,11 @@ def synthetic_image_rows(n: int = 44, seed: int = 44) -> list[tuple]:
     """Deterministic image fixture: REAL PNG/JPEG/GIF/BMP files from
     the in-repo encoders at varying dimensions, all five WebP header
     variants (lossy VP8, lossless VP8L ± alpha, extended VP8X ±
-    alpha/animation), and corrupt/foreign rows (truncated RIFF, bare
-    SOI, a WAV, arbitrary bytes) that must parse to NULLs.
+    alpha/animation), TIFF headers in both byte orders (single and
+    multi-page, ± alpha — r06), and corrupt/foreign rows (truncated
+    RIFF, bare SOI, arbitrary bytes) that must parse to NULLs.
     (media_id, data) rows."""
+    from parquet_extractor_spark.functions.tiff import build_tiff
     from parquet_extractor_spark.functions.webp import build_webp
 
     rng = np.random.default_rng(seed)
@@ -1226,15 +1236,24 @@ def synthetic_image_rows(n: int = 44, seed: int = 44) -> list[tuple]:
         bmp24,
         lambda i: build_webp(1024, 768, "vp8x", alpha=(i % 2 == 1)),
         lambda i: build_webp(400, 300, "vp8x", animated=True),
-        # corrupt slot lands on i%9==8, so index the sub-variant by
-        # i//9, NOT i%3 (i%9==8 forces i%3==2 — the same
-        # unreachable-variant trap the r05 advice found in the MP3
-        # fixture)
+        # TIFF: alternate byte order / page count / alpha by i//10 so
+        # every sub-variant is reachable (the i%k trap, see below)
+        lambda i: build_tiff(
+            200 + 8 * (i % 4),
+            150,
+            endian="le" if (i // 10) % 2 == 0 else "be",
+            pages=1 + (i // 10) % 3,
+            samples=4 if (i // 10) % 2 else 3,
+            extra_alpha=bool((i // 10) % 2),
+        ),
+        # corrupt slot lands on i%10==9, so index the sub-variant by
+        # i//10, NOT i%3 (the unreachable-variant trap the r05 advice
+        # found in the MP3 fixture)
         lambda i: [
             b"RIFF\x10\x00\x00\x00WEBP",  # truncated container
             b"\xff\xd8\xff",  # bare JPEG SOI
             bytes((5 * j + 1) % 256 for j in range(64)),  # arbitrary
-        ][(i // 9) % 3],
+        ][(i // 10) % 3],
     ]
     rows = []
     for i in range(n):

@@ -907,7 +907,7 @@ def test_image_metadata_jpeg_sof_walk():
 def test_media_image_metadata_matches_pure_python(spark):
     """The mapInPandas plumbing must agree row-for-row with the pure
     parser the oracle generator uses — and the corrupt sub-variants
-    must all be reachable (the i//9 index, not i%3)."""
+    must all be reachable (the i//10 index, not i%3)."""
     from parquet_extractor_spark.operators.multimodal import (
         image_metadata_for_bytes,
         media_image_metadata,
@@ -925,15 +925,20 @@ def test_media_image_metadata_matches_pure_python(spark):
     assert len(got) == len(rows)
     for media_id, data in rows:
         assert got[media_id] == image_metadata_for_bytes(data)
-    corrupt_lens = {got[i][6] for i, _ in rows if i % 9 == 8}
+    corrupt_lens = {got[i][6] for i, _ in rows if i % 10 == 9}
     assert len(corrupt_lens) == 3, "a corrupt sub-variant is unreachable"
     # every container and all three webp variants appear
     assert {m[0] for m in got.values()} >= {
-        "png", "jpeg", "gif", "bmp", "webp", None,
+        "png", "jpeg", "gif", "bmp", "webp", "tiff", None,
     }
     assert {m[1] for m in got.values() if m[0] == "webp"} == {
         "vp8", "vp8l", "vp8x",
     }
+    # TIFF sub-variants: both byte orders, multi-page, alpha
+    tiffs = [m for m in got.values() if m[0] == "tiff"]
+    assert {m[1] for m in tiffs} == {"le", "be"}
+    assert any(m[5] for m in tiffs) and any(not m[5] for m in tiffs)
+    assert any(m[4] for m in tiffs) and any(not m[4] for m in tiffs)
 
 
 # ── animated GIF: real frame decode + sampling (r06) ────────────────
@@ -1430,3 +1435,40 @@ def test_sample_animation_frames_handles_gif_and_apng(spark):
             wpx, hpx = _struct.unpack(">II", png[16:24])
             want[(media_id, ts)] = (wpx, hpx, png)
     assert got == want and len(want) >= 20
+
+
+def test_tiff_header_parsing_and_fuzz():
+    """TIFF IFD walk (r06): both byte orders, chained multi-page
+    IFDs, ExtraSamples/4-sample alpha; fuzz never escapes with
+    anything but ValueError, and IFD chain cycles are rejected."""
+    import random
+    import struct as _struct
+
+    from parquet_extractor_spark.functions.tiff import (
+        build_tiff,
+        is_tiff,
+        tiff_metadata,
+    )
+
+    for endian in ("le", "be"):
+        for pages in (1, 3):
+            d = build_tiff(640, 480, endian, pages, samples=3)
+            assert is_tiff(d)
+            assert tiff_metadata(d) == (endian, 640, 480, False, pages)
+    assert tiff_metadata(build_tiff(10, 9, samples=4))[3] is True
+    assert tiff_metadata(build_tiff(10, 9, extra_alpha=True))[3] is True
+    # a self-pointing IFD chain must raise, not loop forever
+    cyc = bytearray(build_tiff(5, 5))
+    n_entries = _struct.unpack_from("<H", cyc, 8)[0]
+    _struct.pack_into("<I", cyc, 10 + 12 * n_entries, 8)
+    with pytest.raises(ValueError, match="cycles"):
+        tiff_metadata(bytes(cyc))
+    rng = random.Random(6)
+    good = build_tiff(100, 80, "be", 2)
+    for _ in range(300):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            tiff_metadata(bytes(b[: rng.randrange(8, len(b) + 1)]))
+        except ValueError:
+            pass
