@@ -52,12 +52,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bpe_encode_corpus, the trainer's corpus-wide apply side;
     media_image_metadata, the header-only image metadata pass;
     media_gif_frame_checksums and media_apng_frame_checksums, real
-    animated frame sampling) + all 32 r02-stale rows (including
-    q1_pricing_summary, the r04 off-by-one casualty) + the 4 oldest
-    r03-stale rows (source_token_kl, q5_region_revenue and
-    label_centroids rotated back to the tail to make room for the
-    three later r06 additions). After this round every pre-r06
-    registry query has a driver row and none is older than r03.
+    animated frame sampling; sq8_codes, scalar quantization) + all 32
+    r02-stale rows (including q1_pricing_summary, the r04 off-by-one
+    casualty) + the 3 oldest r03-stale rows (source_token_kl,
+    q5_region_revenue, label_centroids and duplicate_spans rotated
+    back to the tail to make room for the four later r06 additions).
+    After this round every pre-r06 registry query has a driver row
+    and none is older than r03.
     Everything r05-green rotates to the tail; every tail entry is
     re-verified locally each round via tools/check_oracle.py at
     sf0.001/0.01/0.1 (one command:
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image_metadata": multimodal.media_image_metadata,
         "media_gif_frame_checksums": multimodal.media_gif_frame_checksums,
         "media_apng_frame_checksums": multimodal.media_apng_frame_checksums,
+        "sq8_codes": similarity.sq8_codes,
         # — all 32 r02-stale rows —
         "q1_pricing_summary": relational.q1_pricing_summary,
         "doc_chunks": textprep.doc_chunks,
@@ -114,8 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignments": training.shard_assignments,
         "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
         "doc_length_quantiles": analyze.doc_length_quantiles,
-        # — the 4 oldest r03-stale rows —
-        "duplicate_spans": selection.duplicate_spans,
+        # — the 3 oldest r03-stale rows —
         "events_approx_users": relational.events_approx_users,
         "pq_codes": similarity.pq_codes,
         "media_feature_checksums": multimodal.media_feature_checksums,
@@ -127,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   refresh) —
         "source_token_kl": analyze.source_token_kl,
         "label_centroids": similarity.label_centroids,
+        "duplicate_spans": selection.duplicate_spans,
         "q5_region_revenue": relational.q5_region_revenue,
         # — r03-green rows displaced from the window by the r06-new
         #   queries —
@@ -237,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "events_approx_users": relational.EVENTS_APPROX_USERS_SQL,
         "pq_codes": similarity.PQ_CODES_SQL,
+        "sq8_codes": similarity.SQ8_CODES_SQL,
         "media_feature_checksums":
             multimodal_oracle.MEDIA_FEATURE_CHECKSUMS_SQL,
         "media_audio_metadata":

@@ -2197,3 +2197,113 @@ SELECT query_id, q_label, neighbor_id, n_label, cosine_sim,
 FROM ranked WHERE rank <= {HARD_NEG_K}
 ORDER BY query_id, rank
 """
+
+
+# ── scalar quantization (SQ8) — the third compression family ────────
+
+SQ8_LEVELS = 255  # 8-bit codes: 0..255
+
+
+def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension) 8-bit quantization of the embedding
+    corpus — the third vector-compression family next to PQ
+    (pq_codes) and binary sign sketches (ann_sign_lsh), and the form
+    FAISS ships as SQ8: each dimension d gets a corpus [min_d, max_d]
+    range and every component is snapped to the nearest of 256 evenly
+    spaced levels, a 4x memory cut with near-lossless recall.
+
+    Scale shape: pass 1 is ONE partial+final aggregate producing the
+    128 per-dimension min/max scalars (constant-size driver hop, the
+    kmeans_refine pattern); pass 2 re-enters them as plan-time
+    literals, so quantization is a single map-side codegen projection
+    — no shuffle, no UDF, no join; the whole operator is two scans at
+    any corpus size. Output: (vec_id, sq8_code "c1,...,c64",
+    recon_err_micro), with the squared reconstruction error snapped
+    to integer micro-units PER DIMENSION before the 64-way sum
+    (order-independent integer addition — the pq_codes lesson about
+    double-sum rounding divergence between engines).
+
+    Exactness: min/max of the same float32 column widen to identical
+    doubles in both engines; the literals re-enter through exact-repr
+    CAST('…' AS DOUBLE) strings; the scaled value is snapped with
+    round(x, 6) before the +0.5 floor on both sides, mirroring
+    SQ8_CODES_SQL term for term.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    aggs = []
+    for d in range(1, EMB_DIM + 1):
+        e = F.element_at("embedding", d).cast("double")
+        aggs.append(F.min(e).alias(f"mn{d}"))
+        aggs.append(F.max(e).alias(f"mx{d}"))
+    row = emb.agg(*aggs).collect()[0]
+    mins = [float(row[f"mn{d}"]) for d in range(1, EMB_DIM + 1)]
+    maxs = [float(row[f"mx{d}"]) for d in range(1, EMB_DIM + 1)]
+
+    # one SQL string per projection, not EMB_DIM Column objects — the
+    # pq_codes py4j-round-trip lesson
+    code_terms, err_terms = [], []
+    for d in range(1, EMB_DIM + 1):
+        mn, mx = mins[d - 1], maxs[d - 1]
+        span = mx - mn
+        val = f"CAST(element_at(embedding, {d}) AS DOUBLE)"
+        if span == 0.0:
+            code = "CAST(0 AS BIGINT)"
+        else:
+            code = (
+                f"CAST(floor(round(({val} - {_dlit_sql(mn)}) * 255.0 / "
+                f"{_dlit_sql(span)}, 6) + 0.5) AS BIGINT)"
+            )
+        code_terms.append(code)
+        deq = (
+            f"({_dlit_sql(mn)} + CAST(element_at(codes, {d}) AS DOUBLE) * "
+            f"{_dlit_sql(span)} / 255.0)"
+        )
+        err_terms.append(
+            f"CAST(floor(round(pow({val} - {deq}, 2), 9) * 1000000.0 + 0.5)"
+            f" AS BIGINT)"
+        )
+    staged = emb.selectExpr(
+        "vec_id", "embedding", f"array({','.join(code_terms)}) AS codes"
+    )
+    return (
+        staged.selectExpr(
+            "vec_id",
+            "array_join(codes, ',') AS sq8_code",
+            f"({' + '.join(err_terms)}) AS recon_err_micro",
+        )
+        .orderBy("vec_id")
+    )
+
+
+SQ8_CODES_SQL = f"""
+WITH mm AS (
+    SELECT u.i AS d,
+           min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+           max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) u(i)
+    GROUP BY 1
+),
+q AS (
+    SELECT e.vec_id, m.d,
+           CAST(e.embedding[m.d] AS DOUBLE) AS val, m.mn, m.mx,
+           CASE WHEN m.mx = m.mn THEN CAST(0 AS BIGINT) ELSE
+               CAST(floor(round((CAST(e.embedding[m.d] AS DOUBLE) - m.mn)
+                   * 255.0 / (m.mx - m.mn), 6) + 0.5) AS BIGINT)
+           END AS code
+    FROM embeddings e CROSS JOIN mm m
+),
+err AS (
+    SELECT vec_id, d, code,
+           CAST(floor(round(pow(val - (mn + CAST(code AS DOUBLE)
+               * (CASE WHEN mx = mn THEN 0.0 ELSE mx - mn END) / 255.0),
+               2), 9) * 1000000.0 + 0.5) AS BIGINT) AS e_micro
+    FROM q
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY d) AS sq8_code,
+       CAST(sum(e_micro) AS BIGINT) AS recon_err_micro
+FROM err
+GROUP BY vec_id
+ORDER BY vec_id
+"""

@@ -197,3 +197,60 @@ def test_source_length_ks_matches_pure_python(spark, sf_small):
             ks = max(ks, abs(f_s - f_a))
         assert abs(r.ks_stat - ks) < 1e-6
         assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_sq8_codes_quality_and_plan(spark, sf_small):
+    """SQ8 scalar quantization: every code is an 8-bit level, the
+    reconstruction recovers the corpus well enough that dequantized
+    cosine top-10 matches exact top-10 with high recall (the
+    near-lossless property that makes SQ8 the default FAISS
+    compressor), and the quantize pass itself is map-side only — the
+    min/max table re-enters as plan-time literals."""
+    import numpy as np
+
+    from parquet_extractor_spark.operators.similarity import sq8_codes
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = sq8_codes(spark, sf_small).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    assert len(rows) == len(emb)
+    mat = np.stack([emb[i] for i in sorted(emb)])
+    mins, maxs = mat.min(axis=0), mat.max(axis=0)
+    span = np.where(maxs > mins, maxs - mins, 1.0)
+    deq = {}
+    for r in rows:
+        codes = np.array([int(c) for c in r.sq8_code.split(",")])
+        assert codes.min() >= 0 and codes.max() <= 255
+        assert r.recon_err_micro >= 0
+        deq[r.vec_id] = mins + codes * span / 255.0
+        # per-vector reconstruction error matches the reported one
+        err = float(((emb[r.vec_id] - deq[r.vec_id]) ** 2).sum())
+        assert abs(err - r.recon_err_micro / 1e6) < 1e-3
+    # recall@10 of dequantized cosine vs exact cosine over 20 queries
+    ids = sorted(emb)
+    exact = np.stack([emb[i] for i in ids])
+    approx = np.stack([deq[i] for i in ids])
+    exact_n = exact / np.linalg.norm(exact, axis=1, keepdims=True)
+    approx_n = approx / np.linalg.norm(approx, axis=1, keepdims=True)
+    hits = total = 0
+    for q in range(20):
+        true_top = set(
+            np.argsort(-(exact_n @ exact_n[q]))[1:11].tolist()
+        )
+        appr_top = set(
+            np.argsort(-(approx_n @ approx_n[q]))[1:11].tolist()
+        )
+        hits += len(true_top & appr_top)
+        total += 10
+    assert hits / total >= 0.9, hits / total
+
+    plan = (
+        sq8_codes(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
