@@ -4,7 +4,7 @@
 The container ships no audio library (librosa/soundfile/pydub), so the
 RIFF container and every common sample encoding are parsed by hand:
 PCM 8/16/24/32-bit, IEEE float32/float64, and G.711 A-law/µ-law
-(format tags 1, 3, 6, 7, 0x11 IMA ADPCM, plus WAVE_FORMAT_EXTENSIBLE 0xFFFE resolved
+(format tags 1, 3, 6, 7, 0x11 IMA ADPCM, 0x02 MS-ADPCM, plus WAVE_FORMAT_EXTENSIBLE 0xFFFE resolved
 through its subformat GUID). That lets audio feature extraction in
 ``operators/multimodal.py`` run on REAL samples in CI instead of a
 byte-hash fake, for every encoding a field corpus is likely to carry —
@@ -27,6 +27,7 @@ import numpy as np
 
 # RIFF fmt-chunk audio format tags (public WAVE spec).
 WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_MS_ADPCM = 0x0002
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
@@ -98,6 +99,155 @@ def _ima_encode_nibble(sample: int, predictor: int, index: int):
     predictor = max(-32768, min(32767, predictor))
     index = max(0, min(88, index + int(_IMA_INDEX_DELTA[nibble & 7])))
     return nibble, predictor, index
+
+
+# MS-ADPCM tables (public Microsoft WAVE spec): the 7 standard
+# predictor coefficient pairs and the delta adaptation table.
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+    (460, -208), (392, -232),
+]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _ms_decode_block_channel(
+    nibbles, predictor_idx: int, delta: int, sample1: int, sample2: int
+) -> list[int]:
+    """One channel of one MS-ADPCM block: the two header samples are
+    the first two outputs, then each 4-bit code extends the 2-tap
+    prediction."""
+    c1, c2 = _MS_COEFS[predictor_idx]
+    out = [sample2, sample1]
+    for nib in nibbles:
+        signed = nib - 16 if nib >= 8 else nib
+        pred = (sample1 * c1 + sample2 * c2) >> 8
+        sample = max(-32768, min(32767, pred + signed * delta))
+        out.append(sample)
+        sample2, sample1 = sample1, sample
+        delta = max(16, (_MS_ADAPT[nib] * delta) >> 8)
+    return out
+
+
+def _ms_encode_nibble(
+    sample: int, delta: int, sample1: int, sample2: int, c1: int, c2: int
+):
+    """Quantize one sample against the 2-tap prediction (reference
+    encoder arithmetic), returning (nibble, new_delta, new_s1, new_s2)."""
+    pred = (sample1 * c1 + sample2 * c2) >> 8
+    err = sample - pred
+    nib = err // delta if delta else 0
+    nib = max(-8, min(7, nib))
+    code = nib & 0xF
+    recon = max(-32768, min(32767, pred + nib * delta))
+    new_delta = max(16, (_MS_ADAPT[code] * delta) >> 8)
+    return code, new_delta, recon, sample1
+
+
+_MS_BLOCK_ALIGN = 256  # bytes per mono block
+
+
+def ms_adpcm_samples_per_block(block_align: int, channels: int) -> int:
+    return 2 + (block_align - 7 * channels) * 2 // channels
+
+
+def ms_adpcm_encode(samples: np.ndarray, channels: int = 1) -> bytes:
+    """int16 samples -> MS-ADPCM block stream (predictor 0, the
+    {256, 0} pair) at _MS_BLOCK_ALIGN*channels bytes per block:
+    per-channel 7-byte headers (predictor index, initial delta,
+    sample1, sample2), then channel-interleaved nibbles, HIGH nibble
+    first. Final partial blocks pad by repeating the last sample."""
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1, channels)
+    block_align = _MS_BLOCK_ALIGN * channels
+    spb = ms_adpcm_samples_per_block(block_align, channels)
+    out = bytearray()
+    for start in range(0, len(arr), spb):
+        block = arr[start : start + spb]
+        if len(block) < spb:
+            pad = np.repeat(block[-1:], spb - len(block), axis=0)
+            block = np.concatenate([block, pad])
+        c1, c2 = _MS_COEFS[0]
+        state = []
+        for c in range(channels):
+            out.append(0)  # predictor index
+        deltas = [512] * channels
+        for c in range(channels):
+            out += int(deltas[c]).to_bytes(2, "little", signed=True)
+        for c in range(channels):
+            out += int(block[1, c]).to_bytes(2, "little", signed=True)
+        for c in range(channels):
+            out += int(block[0, c]).to_bytes(2, "little", signed=True)
+        for c in range(channels):
+            state.append(
+                {"delta": deltas[c], "s1": int(block[1, c]), "s2": int(block[0, c])}
+            )
+        nib_count = (spb - 2) * channels
+        codes = []
+        for i in range(2, spb):
+            for c in range(channels):
+                st = state[c]
+                code, st["delta"], st["s1"], st["s2"] = _ms_encode_nibble(
+                    int(block[i, c]), st["delta"], st["s1"], st["s2"], c1, c2
+                )
+                codes.append(code)
+        if len(codes) % 2:
+            codes.append(0)
+        for i in range(0, len(codes), 2):
+            out.append((codes[i] << 4) | codes[i + 1])
+        assert len(codes) == nib_count + (nib_count % 2)
+    return bytes(out)
+
+
+def ms_adpcm_decode(
+    raw: bytes, channels: int, block_align: int, n_frames: int
+) -> np.ndarray:
+    """MS-ADPCM block stream -> int16 samples, truncated to the
+    fact-chunk n_frames."""
+    spb = ms_adpcm_samples_per_block(block_align, channels)
+    frames: list[np.ndarray] = []
+    for off in range(0, len(raw) - block_align + 1, block_align):
+        block = raw[off : off + block_align]
+        preds = []
+        for c in range(channels):
+            p = block[c]
+            if p >= len(_MS_COEFS):
+                raise ValueError(f"MS-ADPCM predictor index {p} out of range")
+            preds.append(p)
+        pos = channels
+        deltas = [
+            int.from_bytes(block[pos + 2 * c : pos + 2 * c + 2], "little", signed=True)
+            for c in range(channels)
+        ]
+        pos += 2 * channels
+        s1 = [
+            int.from_bytes(block[pos + 2 * c : pos + 2 * c + 2], "little", signed=True)
+            for c in range(channels)
+        ]
+        pos += 2 * channels
+        s2 = [
+            int.from_bytes(block[pos + 2 * c : pos + 2 * c + 2], "little", signed=True)
+            for c in range(channels)
+        ]
+        pos += 2 * channels
+        nibs: list[list[int]] = [[] for _ in range(channels)]
+        idx = 0
+        for b in block[pos:]:
+            for nib in (b >> 4, b & 0xF):
+                nibs[idx % channels].append(nib)
+                idx += 1
+        chans = []
+        for c in range(channels):
+            dec = _ms_decode_block_channel(
+                nibs[c][: spb - 2], preds[c], max(16, abs(deltas[c])), s1[c], s2[c]
+            )
+            chans.append(np.array(dec[:spb], dtype=np.int16))
+        frames.append(np.stack(chans, axis=1))
+    if not frames:
+        return np.zeros((0,) if channels == 1 else (0, channels), np.int16)
+    arr = np.concatenate(frames)[:n_frames]
+    return arr[:, 0] if channels == 1 else arr
 
 
 _IMA_BLOCK_ALIGN = 256  # bytes per mono block -> 505 samples/block
@@ -301,11 +451,12 @@ def parse_wav_header(data: bytes) -> dict | None:
                 "block_align": ba,
             }
             if (
-                tag == WAVE_FORMAT_IMA_ADPCM
+                tag in (WAVE_FORMAT_IMA_ADPCM, WAVE_FORMAT_MS_ADPCM)
                 and csize >= 20
                 and body + 20 <= end
             ):
-                # cbSize=2 extension: wSamplesPerBlock
+                # extension starts with wSamplesPerBlock for both
+                # ADPCM families (cbSize at 16, value at 18)
                 (fmt["samples_per_block"],) = struct.unpack_from(
                     "<H", data, body + 18
                 )
@@ -323,10 +474,13 @@ def parse_wav_header(data: bytes) -> dict | None:
         1, fmt["bits_per_sample"] // 8
     )
     fmt["block_align"] = ba
-    if fmt["format"] == WAVE_FORMAT_IMA_ADPCM:
-        spb = fmt.get("samples_per_block") or (
-            ima_adpcm_samples_per_block(ba, fmt["channels"]) if ba else 0
-        )
+    if fmt["format"] in (WAVE_FORMAT_IMA_ADPCM, WAVE_FORMAT_MS_ADPCM):
+        default_spb = (
+            ima_adpcm_samples_per_block(ba, fmt["channels"])
+            if fmt["format"] == WAVE_FORMAT_IMA_ADPCM
+            else ms_adpcm_samples_per_block(ba, fmt["channels"])
+        ) if ba else 0
+        spb = fmt.get("samples_per_block") or default_spb
         fmt["samples_per_block"] = spb
         blocks = data_size // ba if ba else 0
         fmt["n_frames"] = (
@@ -352,6 +506,7 @@ _FMT_SPECS = {
     "alaw": (WAVE_FORMAT_ALAW, 8),
     "ulaw": (WAVE_FORMAT_MULAW, 8),
     "ima_adpcm": (WAVE_FORMAT_IMA_ADPCM, 4),
+    "ms_adpcm": (WAVE_FORMAT_MS_ADPCM, 4),
 }
 
 
@@ -400,6 +555,8 @@ def encode_wav(
         payload = alaw_encode(i16.ravel()).tobytes()
     elif fmt == "ima_adpcm":
         payload = ima_adpcm_encode(i16, ch)
+    elif fmt == "ms_adpcm":
+        payload = ms_adpcm_encode(i16, ch)
     else:  # ulaw
         payload = ulaw_encode(i16.ravel()).tobytes()
 
@@ -412,6 +569,23 @@ def encode_wav(
             "<HHIIHHHH",
             tag, ch, sample_rate, byte_rate, block_align, bits, 2, spb,
         )
+        chunks = [
+            (b"fmt ", fmt_chunk),
+            (b"fact", struct.pack("<I", n)),
+            (b"data", payload),
+        ]
+    elif fmt == "ms_adpcm":
+        block_align = _MS_BLOCK_ALIGN * ch
+        spb = ms_adpcm_samples_per_block(block_align, ch)
+        byte_rate = sample_rate * block_align // spb
+        # extension: wSamplesPerBlock, wNumCoef, the 7 standard pairs
+        ext = struct.pack("<HH", spb, len(_MS_COEFS))
+        for c1, c2 in _MS_COEFS:
+            ext += struct.pack("<hh", c1, c2)
+        fmt_chunk = struct.pack(
+            "<HHIIHHH",
+            tag, ch, sample_rate, byte_rate, block_align, bits, len(ext),
+        ) + ext
         chunks = [
             (b"fmt ", fmt_chunk),
             (b"fact", struct.pack("<I", n)),
@@ -484,11 +658,16 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raw, h["channels"], h["block_align"], h["n_frames"]
         )
         return arr, h["sample_rate"]  # already channel-shaped
+    elif tag == WAVE_FORMAT_MS_ADPCM and bits == 4:
+        arr = ms_adpcm_decode(
+            raw, h["channels"], h["block_align"], h["n_frames"]
+        )
+        return arr, h["sample_rate"]  # already channel-shaped
     else:
         raise NotImplementedError(
             f"WAV format tag 0x{tag:04X} @ {bits}-bit is an exotic codec "
-            "(GSM/MPEG-in-WAV/MS-ADPCM) — outside the supported set "
-            "pcm8/16/24/32, float32/64, A-law, µ-law, IMA ADPCM"
+            "(GSM/MPEG-in-WAV/TrueSpeech) — outside the supported set "
+            "pcm8/16/24/32, float32/64, A-law, µ-law, IMA/MS ADPCM"
         )
     ch = h["channels"]
     if ch > 1:

@@ -6,9 +6,9 @@ Image decode is REAL for PNG via the dependency-free codec in
 ``functions/jpeg.py`` (pure numpy Huffman+DCT), for GIF via
 ``functions/gif.py`` (real LZW with table growth/reset), and for
 24-bit BMP via ``functions/bmp.py`` — features and resize run on
-actual pixels in CI. Audio decode is REAL for WAV in all nine common
+actual pixels in CI. Audio decode is REAL for WAV in all ten common
 RIFF encodings (PCM 8/16/24/32, float32/64, G.711 A-law/µ-law, and
-since later in r06 IMA ADPCM) via
+since later in r06 IMA and MS ADPCM) via
 ``functions/wav.py``'s hand-rolled chunk walk — energy-envelope
 features run on actual samples. MP2/MP3 get metadata-level support — a real
 frame-header parser (``functions/mp3.py``: duration, bitrate, sample
@@ -83,6 +83,11 @@ from parquet_extractor_spark.functions.apng import (  # noqa: E402
     encode_apng,
     is_apng,
 )
+from parquet_extractor_spark.functions.tiff import (  # noqa: E402
+    build_tiff_image,
+    decode_tiff,
+    is_tiff,
+)
 from parquet_extractor_spark.functions.webp import (  # noqa: E402
     build_webp_lossless,
     decode_webp,
@@ -144,10 +149,16 @@ def decode_image(data: bytes) -> "np.ndarray":
         # lossless VP8L decodes for real (functions/vp8l.py, r06);
         # lossy VP8 raises NotImplementedError inside decode_webp
         return decode_webp(data)
+    if is_tiff(data):
+        # uncompressed + PackBits strips decode for real
+        # (functions/tiff.py, r06); LZW/Deflate/JPEG-in-TIFF raise
+        # NotImplementedError inside decode_tiff
+        return decode_tiff(data)
     raise NotImplementedError(
-        "only PNG, JPEG, GIF, 24-bit BMP, and lossless WebP decode "
-        "are implemented; lossy WebP/TIFF/... require PIL/pillow, "
-        "not available in this environment"
+        "only PNG, JPEG, GIF, 24-bit BMP, lossless WebP, and "
+        "uncompressed/PackBits TIFF decode are implemented; lossy "
+        "WebP, LZW TIFF, HEIC/... require PIL/pillow, not available "
+        "in this environment"
     )
 
 
@@ -187,6 +198,7 @@ def feature_for_bytes(d: bytes | None) -> list[float]:
         or is_gif(d)
         or is_bmp(d)
         or is_webp(d)
+        or is_tiff(d)
     ):
         try:
             return pixel_feature(decode_image(d))
@@ -478,16 +490,18 @@ def media_gif_frame_checksums(spark, sf_dir: str) -> DataFrame:
 def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     """Deterministic fixture rows (pure Python — shared by the Spark
     fixture below and the oracle generator). Image rows carry REAL
-    64×48 images cycling through all five in-repo codecs — PNG,
+    64×48 images cycling through all six in-repo codecs — PNG,
     JPEG (alternating baseline and progressive, 4:2:0), GIF (real
     LZW; pixels drawn from a 64-color palette, since GIF is
-    palette-indexed by definition), 24-bit BMP, and lossless WebP
+    palette-indexed by definition), 24-bit BMP, lossless WebP
     (alternating literal-mode noise rows and small-palette rows so
-    both VP8L entropy layouts are pinned); audio rows carry REAL
-    0.25 s 8 kHz PCM-16 WAVs (sine + noise); video rows carry opaque
-    pseudo-random payloads."""
+    both VP8L entropy layouts are pinned), and TIFF (alternating
+    byte order and uncompressed/PackBits strips); audio rows carry
+    REAL 0.25 s 8 kHz PCM-16 WAVs (sine + noise); video rows carry
+    opaque pseudo-random payloads."""
     image_mimes = (
-        "image/png", "image/jpeg", "image/gif", "image/bmp", "image/webp"
+        "image/png", "image/jpeg", "image/gif", "image/bmp",
+        "image/webp", "image/tiff",
     )
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
@@ -495,7 +509,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            fmt = (i // 3) % 5
+            fmt = (i // 3) % 6
             if fmt == 2:  # GIF: honest palette-indexed pixel draw
                 palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
                 pixels = palette[
@@ -511,7 +525,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
             else:
                 pixels = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
             # image rows cycle PNG / JPEG / GIF / BMP / lossless WebP
-            # — five real codecs through one decode pipeline
+            # / TIFF — six real codecs through one decode pipeline
             if fmt == 0:
                 data = encode_png(pixels)
             elif fmt == 1:
@@ -527,10 +541,18 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 data = encode_gif(pixels)
             elif fmt == 3:
                 data = encode_bmp(pixels)
-            else:
+            elif fmt == 4:
                 # auto mode: literal (subtract-green + runs) for the
                 # noise rows, palette for the small-palette rows
                 data = build_webp_lossless(pixels)
+            else:
+                # alternate compression and byte order so the oracle
+                # pins both strip paths of the TIFF decoder
+                data = build_tiff_image(
+                    pixels,
+                    endian="le" if (i // 15) % 2 == 0 else "be",
+                    compression=1 if (i // 30) % 2 == 0 else 32773,
+                )
         elif kind == "audio":
             sr, dur = 8000, 0.25
             t = np.arange(int(sr * dur)) / sr
@@ -542,7 +564,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
             size = int(rng.integers(64, 512))
             data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
         if kind == "image":
-            mime = image_mimes[(i // 3) % 5]
+            mime = image_mimes[(i // 3) % 6]
         else:
             mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append(
@@ -668,6 +690,10 @@ def resize_bytes(d: bytes | None, width: int, height: int) -> bytes:
             return encode_bmp(resize_nearest(decode_image(d), width, height))
         if is_webp(d):
             return build_webp_lossless(
+                resize_nearest(decode_image(d), width, height)
+            )
+        if is_tiff(d):
+            return build_tiff_image(
                 resize_nearest(decode_image(d), width, height)
             )
     except (NotImplementedError, ValueError):
@@ -852,10 +878,10 @@ def audio_stream_metadata(media: DataFrame) -> DataFrame:
 
 
 def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
-    """Deterministic audio fixture: REAL WAVs cycling all nine
+    """Deterministic audio fixture: REAL WAVs cycling all ten
     supported RIFF encodings (PCM 8/16/24/32-bit, IEEE float32/64,
-    G.711 A-law/µ-law, IMA ADPCM — functions/wav.py's hand-rolled
-    codec, r06)
+    G.711 A-law/µ-law, IMA + MS ADPCM — functions/wav.py's
+    hand-rolled codec, r06)
     interleaved with spec-valid MP3 frame chains cycling MPEG
     version/layer/bitrate/mono — including VBR streams (two CBR runs
     concatenated, at i%16==15) and ID3v2-tagged streams (variant 5,
@@ -868,7 +894,7 @@ def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
     rows = []
     wav_fmts = [
         "pcm16", "float32", "pcm24", "pcm8", "ulaw", "alaw", "pcm32",
-        "float64", "ima_adpcm",
+        "float64", "ima_adpcm", "ms_adpcm",
     ]
     mp3_variants = [
         dict(version="1", layer=3, bitrate_kbps=128, sample_rate=44100),
@@ -887,7 +913,7 @@ def synthetic_audio_rows(n: int = 48, seed: int = 43) -> list[tuple]:
             sig = 6000.0 * np.sin(2 * np.pi * (150.0 + 25.0 * (i % 5)) * t)
             sig += rng.normal(0.0, 400.0, size=t.size)
             data = encode_wav(
-                sig.astype(np.int16), sr, fmt=wav_fmts[(i // 2) % 9]
+                sig.astype(np.int16), sr, fmt=wav_fmts[(i // 2) % 10]
             )
         elif i % 16 == 15:
             # VBR: two same-(sr,layer) CBR runs back to back.

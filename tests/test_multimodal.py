@@ -132,9 +132,12 @@ def test_resize_images_real_pixels(spark):
     from parquet_extractor_spark.functions.gif import is_gif
     from parquet_extractor_spark.functions.png import PNG_MAGIC
 
+    from parquet_extractor_spark.functions.tiff import is_tiff
     from parquet_extractor_spark.functions.webp import is_webp
 
-    fmt_counts = {"png": 0, "jpeg": 0, "gif": 0, "bmp": 0, "webp": 0}
+    fmt_counts = {
+        "png": 0, "jpeg": 0, "gif": 0, "bmp": 0, "webp": 0, "tiff": 0,
+    }
     for r in out:
         assert r.width == 32 and r.height == 16
         assert r.orig_width == 64
@@ -161,12 +164,18 @@ def test_resize_images_real_pixels(spark):
             elif is_bmp(src_bytes):
                 fmt_counts["bmp"] += 1
                 assert is_bmp(bytes(r.data))
-            else:
+            elif is_webp(src_bytes):
                 fmt_counts["webp"] += 1
                 assert is_webp(bytes(r.data))
+            else:
+                fmt_counts["tiff"] += 1
+                assert is_tiff(bytes(r.data))
             assert np.array_equal(resized, want)
-    # 10 image rows, format cycle PNG/JPEG/GIF/BMP/WebP over i//3 = 0..9
-    assert fmt_counts == {"png": 2, "jpeg": 2, "gif": 2, "bmp": 2, "webp": 2}
+    # 10 image rows, format cycle PNG/JPEG/GIF/BMP/WebP/TIFF over
+    # i//3 = 0..9
+    assert fmt_counts == {
+        "png": 2, "jpeg": 2, "gif": 2, "bmp": 2, "webp": 1, "tiff": 1,
+    }
     # deterministic across runs
     again = resize_images(media, width=32, height=16).collect()
     assert [bytes(r.data) for r in out] == [bytes(r.data) for r in again]
@@ -255,7 +264,7 @@ def test_wav_all_eight_encodings_roundtrip():
 
 def test_wav_extensible_and_exotic_and_corrupt():
     """WAVE_FORMAT_EXTENSIBLE resolves through the subformat GUID;
-    a truly exotic tag (ADPCM) raises the declared
+    a truly exotic tag (GSM) raises the declared
     NotImplementedError; corrupt containers raise ValueError from
     decode but yield all-NULL metadata from the row-safe path."""
     import struct
@@ -302,9 +311,9 @@ def test_wav_extensible_and_exotic_and_corrupt():
         plain
     )
 
-    # ADPCM (tag 2) = exotic: parse succeeds, decode declares boundary
-    adpcm = swap_fmt(plain, struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4))
-    assert parse_wav_header(adpcm)["format"] == 2
+    # GSM (tag 0x31) = exotic: parse succeeds, decode declares boundary
+    adpcm = swap_fmt(plain, struct.pack("<HHIIHH", 0x31, 1, 8000, 1625, 65, 0))
+    assert parse_wav_header(adpcm)["format"] == 0x31
     with _pytest.raises(NotImplementedError):
         decode_wav(adpcm)
 
@@ -1472,3 +1481,93 @@ def test_tiff_header_parsing_and_fuzz():
             tiff_metadata(bytes(b[: rng.randrange(8, len(b) + 1)]))
         except ValueError:
             pass
+
+
+def test_ms_adpcm_roundtrip_and_header():
+    """MS-ADPCM (format tag 0x02): multi-block mono and stereo
+    round-trips reconstruct within the codec's ~25 dB SNR, the fmt
+    extension carries wSamplesPerBlock + the 7 standard coefficient
+    pairs, and the fact chunk pins the exact frame count."""
+    from parquet_extractor_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    rng = np.random.default_rng(15)
+    t = np.arange(2000) / 8000.0
+    sig = (
+        8000 * np.sin(2 * np.pi * 250 * t) + rng.normal(0, 400, 2000)
+    ).astype(np.int16)
+    data = encode_wav(sig, 8000, fmt="ms_adpcm")
+    h = parse_wav_header(data)
+    assert h["format"] == 0x02 and h["bits_per_sample"] == 4
+    assert h["block_align"] == 256 and h["samples_per_block"] == 500
+    assert h["n_frames"] == 2000
+    out, sr = decode_wav(data)
+    assert sr == 8000 and out.shape == (2000,)
+    # the two header samples are stored verbatim per block
+    assert out[0] == sig[0] and out[1] == sig[1]
+    err = out.astype(np.float64) - sig
+    snr = 10 * np.log10(
+        (sig.astype(np.float64) ** 2).mean() / (err**2).mean()
+    )
+    assert snr > 20, snr
+    stereo = np.stack([sig, (-sig) // 3], axis=1)
+    out2, _ = decode_wav(encode_wav(stereo, 16000, fmt="ms_adpcm"))
+    assert out2.shape == (2000, 2)
+    err2 = out2.astype(np.float64) - stereo
+    snr2 = 10 * np.log10(
+        (stereo.astype(np.float64) ** 2).mean() / (err2**2).mean()
+    )
+    assert snr2 > 20, snr2
+
+
+def test_tiff_pixel_decode_roundtrip_and_boundaries():
+    """TIFF strips decode for real (r06): uncompressed and PackBits,
+    both byte orders, gray/RGB/RGBA, multi-strip layouts; LZW stays
+    the declared Pillow boundary and the PackBits codec satisfies the
+    classic RLE contract."""
+    import random
+
+    from parquet_extractor_spark.functions.tiff import (
+        TIFF_COMPRESSION_PACKBITS,
+        _packbits_decode,
+        _packbits_encode,
+        build_tiff_image,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(22)
+    for c in (1, 3, 4):
+        for endian in ("le", "be"):
+            for comp in (1, TIFF_COMPRESSION_PACKBITS):
+                arr = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
+                arr[4:9] = 7  # flat region exercises replicate packets
+                out = decode_tiff(
+                    build_tiff_image(arr, endian, comp, rows_per_strip=5)
+                )
+                want = arr.repeat(3, axis=2) if c == 1 else arr
+                assert np.array_equal(out, want), (c, endian, comp)
+    # decode_image dispatch + LZW boundary
+    arr = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(build_tiff_image(arr)), arr)
+    lzw = bytearray(build_tiff_image(arr))
+    # patch compression tag (259) value to 5 (LZW)
+    import struct as _struct
+
+    n_entries = _struct.unpack_from("<H", lzw, 8)[0]
+    for i in range(n_entries):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", lzw, off)[0] == 259:
+            _struct.pack_into("<H", lzw, off + 8, 5)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(lzw))
+    # PackBits round-trip property on runs/noise mixtures
+    r = random.Random(4)
+    for _ in range(200):
+        raw = bytes(
+            r.choice([0, 1, 2, r.randrange(256)])
+            for _ in range(r.randrange(0, 300))
+        )
+        assert _packbits_decode(_packbits_encode(raw), len(raw)) == raw
