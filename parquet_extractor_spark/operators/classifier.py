@@ -92,7 +92,23 @@ def _train(
 ) -> tuple[list[tuple], list[int]]:
     """Run the GD epochs; return (per-epoch rows, final micro
     weights). Shared by the training-curve query and the scoring
-    query."""
+    query — and memoized per (session, data dir): the gradient
+    descent is integer-deterministic, so the curve query and the
+    scoring query in one sweep train the model once between them
+    (artifacts.memo_artifact)."""
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    return memo_artifact(
+        spark,
+        sf_dir,
+        ("logreg_train",),
+        lambda: _train_uncached(spark, sf_dir),
+    )
+
+
+def _train_uncached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple], list[int]]:
     from pyspark import StorageLevel
 
     feats = _feature_frame(spark, sf_dir).persist(

@@ -173,20 +173,32 @@ def build_bloom_bitset(
     bit positions aggregated DISTINCT and collected — bounded by
     construction (≤ BLOOM_BITS positions, and a real benchmark suite
     is a fixed artifact) — then folded into words driver-side.
-    ``grams`` reuses a caller-persisted (doc_id, g) frame."""
-    if grams is None:
-        grams = _all_doc_grams(spark, sf_dir)
-    bench_pos = (
-        grams.filter((F.col("doc_id") % BENCH_MOD) == 0)
-        .select(
-            F.explode(F.array(*_bloom_positions_expr("g", fast))).alias("pos")
+    ``grams`` reuses a caller-persisted (doc_id, g) frame.
+
+    Memoized per (session, data dir, fast): the bitset is a pure
+    function of the benchmark slice, so bloom_decontamination, the
+    streaming probe and decontamination_report share one build. The
+    ``grams`` frame only matters on a cold build — a warm memo
+    returns the identical words either way."""
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    def build() -> list[int]:
+        g = grams if grams is not None else _all_doc_grams(spark, sf_dir)
+        bench_pos = (
+            g.filter((F.col("doc_id") % BENCH_MOD) == 0)
+            .select(
+                F.explode(
+                    F.array(*_bloom_positions_expr("g", fast))
+                ).alias("pos")
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    words = [0] * _BLOOM_WORDS
-    for r in bench_pos.collect():
-        words[r.pos // 32] |= 1 << (r.pos % 32)
-    return words
+        words = [0] * _BLOOM_WORDS
+        for r in bench_pos.collect():
+            words[r.pos // 32] |= 1 << (r.pos % 32)
+        return words
+
+    return memo_artifact(spark, sf_dir, ("bloom_bitset", fast), build)
 
 
 def bloom_hit_lambda(words: list[int], fast: bool = False):

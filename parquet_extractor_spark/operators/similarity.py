@@ -463,17 +463,26 @@ def _centroid_vectors(
     they become plan-time literals, broadcast for free inside the
     serialized expressions. Seeds are the FIRST k rows by vec_id
     (robust to non-contiguous / non-zero-based id spaces; the oracles
-    mirror with ORDER BY vec_id LIMIT k)."""
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("embeddings table is empty, no centroid seeds")
-    return [[float(x) for x in r.embedding] for r in rows]
+    mirror with ORDER BY vec_id LIMIT k).
+
+    Memoized per (session, data dir, k) — every IVF-family query
+    shares one coarse quantizer, so a sweep trains it once
+    (artifacts.memo_artifact)."""
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    def build() -> list[list[float]]:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("embeddings table is empty, no centroid seeds")
+        return [[float(x) for x in r.embedding] for r in rows]
+
+    return memo_artifact(spark, sf_dir, ("centroids", k), build)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,22 +1294,36 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cents0 = list(enumerate(_centroid_vectors(spark, sf_dir)))
-    c1, _d1 = argmin_cluster(cents0)
-    a1 = emb.withColumn("cluster", c1)
 
-    refined_rows = (
-        a1.select("cluster", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("cluster", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
-        .collect()
+    def train_cents1() -> list[tuple[int, list[float]]]:
+        c1, _d1 = argmin_cluster(cents0)
+        a1 = emb.withColumn("cluster", c1)
+        refined_rows = (
+            a1.select(
+                "cluster", F.posexplode("embedding").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in refined_rows:
+            by_cluster.setdefault(int(r.cluster), {})[int(r.dim)] = float(
+                r.cv
+            )
+        return [
+            (cid, [dims[d] for d in sorted(dims)])
+            for cid, dims in sorted(by_cluster.items())
+        ]
+
+    # the iteration-1 centroids are a deterministic training product
+    # (seeded assignment, rounded means) — memoized so the refined
+    # quantizer is trained once per session, not once per query
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    cents1 = memo_artifact(
+        spark, sf_dir, ("kmeans_cents1",), train_cents1
     )
-    by_cluster: dict[int, dict[int, float]] = {}
-    for r in refined_rows:
-        by_cluster.setdefault(int(r.cluster), {})[int(r.dim)] = float(r.cv)
-    cents1 = [
-        (cid, [dims[d] for d in sorted(dims)])
-        for cid, dims in sorted(by_cluster.items())
-    ]
 
     c2, d2 = argmin_cluster(cents1)
     return (
@@ -1507,17 +1530,23 @@ ORDER BY vec_id
 def _head_vectors(spark: SparkSession, sf_dir: str, k: int) -> list:
     """One driver collect serving centroids, PQ seeds, AND the query
     set: the first k rows by vec_id (all three are prefixes of the
-    same ordering, so one job covers them)."""
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("embeddings table is empty")
-    return rows
+    same ordering, so one job covers them). Memoized per (session,
+    data dir, k) — shared across the whole PQ/IVF query family."""
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    def build() -> list:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(k)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("embeddings table is empty")
+        return rows
+
+    return memo_artifact(spark, sf_dir, ("head_vectors", k), build)
 
 
 def _books_from_rows(rows: list) -> list[list[list[float]]]:
@@ -1583,7 +1612,30 @@ def refined_pq_books(
     sum order can differ in the last ulp, so a mean landing within a
     ulp of a .5-micro boundary could floor differently. That is a
     measure-zero coincidence band (~1e-9 per component) accepted the
-    same way label_centroids accepts rounded averages."""
+    same way label_centroids accepts rounded averages.
+
+    The default-seeded training (seed_books=None) is memoized per
+    (session, data dir): ann_ivf_pq_refined and its consumers share
+    one trained codebook instead of re-running the Lloyd pass per
+    query. An explicit seed bypasses the memo (the caller is doing
+    its own training experiment)."""
+    if seed_books is None:
+        from parquet_extractor_spark.artifacts import memo_artifact
+
+        return memo_artifact(
+            spark,
+            sf_dir,
+            ("refined_pq_books",),
+            lambda: _refined_pq_books_uncached(spark, sf_dir, None),
+        )
+    return _refined_pq_books_uncached(spark, sf_dir, seed_books)
+
+
+def _refined_pq_books_uncached(
+    spark: SparkSession,
+    sf_dir: str,
+    seed_books: list[list[list[float]]] | None,
+) -> list[list[list[float]]]:
     books = seed_books or _books_from_rows(
         _head_vectors(spark, sf_dir, PQ_K)
     )
@@ -2230,14 +2282,26 @@ def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQ8_CODES_SQL term for term.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    aggs = []
-    for d in range(1, EMB_DIM + 1):
-        e = F.element_at("embedding", d).cast("double")
-        aggs.append(F.min(e).alias(f"mn{d}"))
-        aggs.append(F.max(e).alias(f"mx{d}"))
-    row = emb.agg(*aggs).collect()[0]
-    mins = [float(row[f"mn{d}"]) for d in range(1, EMB_DIM + 1)]
-    maxs = [float(row[f"mx{d}"]) for d in range(1, EMB_DIM + 1)]
+
+    def train_ranges() -> tuple[list[float], list[float]]:
+        aggs = []
+        for d in range(1, EMB_DIM + 1):
+            e = F.element_at("embedding", d).cast("double")
+            aggs.append(F.min(e).alias(f"mn{d}"))
+            aggs.append(F.max(e).alias(f"mx{d}"))
+        row = emb.agg(*aggs).collect()[0]
+        return (
+            [float(row[f"mn{d}"]) for d in range(1, EMB_DIM + 1)],
+            [float(row[f"mx{d}"]) for d in range(1, EMB_DIM + 1)],
+        )
+
+    # per-dimension ranges are the trained SQ8 "model": memoized per
+    # (session, data dir) like the IVF centroids and PQ codebooks
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    mins, maxs = memo_artifact(
+        spark, sf_dir, ("sq8_minmax",), train_ranges
+    )
 
     # one SQL string per projection, not EMB_DIM Column objects — the
     # pq_codes py4j-round-trip lesson

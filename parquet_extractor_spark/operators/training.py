@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from parquet_extractor_spark.functions.text import portable_hash64, tokenize
-from parquet_extractor_spark.operators.dedup import dedup_components
 from parquet_extractor_spark.sources.tables import load_table, spread
 
 SEQ_BUDGET = 256  # tokens per packed sequence (context-window budget)
@@ -252,7 +251,9 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (api.py:248-254 skip-existing); this is the corpus-scale
     generalization.
     """
-    labels = dedup_components(spark, sf_dir)
+    from parquet_extractor_spark.operators.dedup import _components_tier
+
+    labels = _components_tier(spark, sf_dir)
     return (
         labels.select(
             "doc_id",

@@ -24,10 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_extractor_spark.operators.dedup import (
-    dedup_components,
-    exact_dedup,
-)
 from parquet_extractor_spark.operators.quality import quality_scores
 from parquet_extractor_spark.operators.textprep import doc_chunks
 from parquet_extractor_spark.sinks.dataset import write_dataset
@@ -79,13 +75,17 @@ def curate(
         )
         keep_quality = keep_quality.join(keep_cls, "doc_id", "left_semi")
 
-    # 2. exact dedup survivors (min doc_id per distinct text)
-    exact_survivors = exact_dedup(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id")
+    # 2. exact dedup survivors (min doc_id per distinct text) — via
+    #    the materialized tier store, shared with the report queries
+    from parquet_extractor_spark.operators.dedup import (
+        _components_tier,
+        _exact_keep_tier,
     )
 
+    exact_survivors = _exact_keep_tier(spark, sf_dir)
+
     # 3. near-dup components: keep only each component's canonical doc
-    comp = dedup_components(spark, sf_dir)
+    comp = _components_tier(spark, sf_dir)
     near_survivors = comp.filter(F.col("doc_id") == F.col("component")).select(
         "doc_id"
     )

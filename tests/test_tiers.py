@@ -1,0 +1,138 @@
+"""The shared-tier store (tiers.py) and artifact memo (artifacts.py).
+
+Contract under test: a tier/artifact is derived at most once per
+(session, data dir, name); reuse returns value-identical results; the
+kill switch restores the inline cold path; clearing forgets
+everything. Plus the end-to-end guarantee the layers exist for — a
+warm dedup consumer returns byte-identical rows to a cold one."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark import artifacts, tiers
+
+
+@pytest.fixture(autouse=True)
+def _fresh_registry():
+    """Each test starts and ends with empty tier/memo registries so
+    cross-test order never matters (other test modules build tiers
+    via the dedup consumers)."""
+    tiers.clear_tiers()
+    yield
+    tiers.clear_tiers()
+
+
+def test_ensure_tier_builds_once(spark, sf_small):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).select(F.col("id").alias("n"))
+
+    a = tiers.ensure_tier(spark, sf_small, "t_unit", build)
+    b = tiers.ensure_tier(spark, sf_small, "t_unit", build)
+    assert len(calls) == 1
+    assert sorted(r.n for r in a.collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r.n for r in b.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_tier_key_isolates_name_and_dir(spark, sf_small, tmp_path):
+    # same name, different dir -> distinct tiers; same dir, different
+    # name -> distinct tiers
+    d2 = str(tmp_path)
+    tiers.ensure_tier(
+        spark, sf_small, "t_k", lambda: spark.range(1).select("id")
+    )
+    calls = []
+
+    def build2():
+        calls.append(1)
+        return spark.range(2).select("id")
+
+    tiers.ensure_tier(spark, d2, "t_k", build2)
+    tiers.ensure_tier(spark, sf_small, "t_k2", build2)
+    assert len(calls) == 2
+
+
+def test_kill_switch_disables_both_layers(spark, sf_small, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_NO_TIER_CACHE", "1")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(1).select("id")
+
+    tiers.ensure_tier(spark, sf_small, "t_off", build)
+    tiers.ensure_tier(spark, sf_small, "t_off", build)
+    assert len(calls) == 2
+    vals = []
+    artifacts.memo_artifact(spark, sf_small, ("a_off",), lambda: vals.append(1))
+    artifacts.memo_artifact(spark, sf_small, ("a_off",), lambda: vals.append(1))
+    assert len(vals) == 2
+
+
+def test_clear_tiers_forgets(spark, sf_small):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(1).select("id")
+
+    tiers.ensure_tier(spark, sf_small, "t_clear", build)
+    tiers.clear_tiers()
+    tiers.ensure_tier(spark, sf_small, "t_clear", build)
+    assert len(calls) == 2
+
+
+def test_memo_artifact_builds_once_and_isolates_keys(spark, sf_small):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return [1, 2, 3]
+
+    assert artifacts.memo_artifact(spark, sf_small, ("m", 1), build) == [1, 2, 3]
+    assert artifacts.memo_artifact(spark, sf_small, ("m", 1), build) == [1, 2, 3]
+    assert len(calls) == 1
+    artifacts.memo_artifact(spark, sf_small, ("m", 2), build)
+    assert len(calls) == 2
+
+
+def test_warm_dedup_consumer_equals_cold(spark, sf_small, monkeypatch):
+    """dedup_canonical cold (no tier layer) vs warm (tiers built by a
+    prior consumer) — row-identical output, the guarantee that reuse
+    changes cost, never answers."""
+    from parquet_extractor_spark.operators import dedup
+    from parquet_extractor_spark.operators.training import dedup_canonical
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_TIER_CACHE", "1")
+    cold = [tuple(r) for r in dedup_canonical(spark, sf_small).collect()]
+    monkeypatch.delenv("SPARK_GRAFT_NO_TIER_CACHE")
+
+    # prime the tiers through a DIFFERENT consumer first
+    dedup.dedup_graph_pagerank(spark, sf_small).collect()
+    warm = [tuple(r) for r in dedup_canonical(spark, sf_small).collect()]
+    assert warm == cold
+
+
+def test_tier_survives_release_cached(spark, sf_small):
+    """release_cached drops cached blocks; the parquet tier store
+    must keep serving (that is why it is files, not persist())."""
+    from parquet_extractor_spark.operators import dedup
+    from parquet_extractor_spark.session import release_cached
+
+    first = dedup._lsh_pairs_tier(spark, sf_small).count()
+    release_cached(spark)
+    calls = []
+
+    def poisoned_build():  # must NOT be called — tier already built
+        calls.append(1)
+        raise AssertionError("tier rebuilt after release_cached")
+
+    df = tiers.ensure_tier(spark, sf_small, "lsh_pairs", poisoned_build)
+    assert df.count() == first
+    assert not calls
