@@ -4,10 +4,13 @@ Same treatment the r06 header pass gives WebP/MP4/WebM: the IFD walk
 (both byte orders, 42 magic, chained IFDs for multi-page files) is
 parsed for real from the public TIFF 6.0 specification, yielding the
 fields a curation pipeline filters on — dimensions, samples/alpha,
-page count — without touching strip data. Pixel DECODE stays a
-declared boundary (TIFF's compression zoo — LZW, PackBits, JPEG-in-
-TIFF, Deflate — plus planar configs is Pillow's job in production;
-the header pass is what a 100 TB pre-filter actually runs).
+page count — without touching strip data. Pixel DECODE is real for
+8-bit chunky strips in every mainstream encoding — uncompressed,
+PackBits, LZW (TIFF 6.0 §13 early-change flavor), Deflate (8 and
+legacy 32946), with Predictor 2 undone — leaving JPEG-in-TIFF, the
+CCITT fax family and planar configs as the declared Pillow boundary
+(the header pass remains what a 100 TB pre-filter actually runs
+before spending any decode CPU).
 
 Layout facts used (all from the spec): ``II``/``MM`` byte-order mark,
 u16 magic 42, u32 first-IFD offset; each IFD is u16 entry-count,
@@ -134,17 +137,154 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (compression 5), TIFF 6.0 §13: MSB-first bit
+    packing, ClearCode 256, EOI 257, first dynamic code 258, and the
+    spec's "early change" — code width grows one code EARLIER than
+    classic LZW. The decoder lags the encoder's table by one entry,
+    so its width bump fires when the table reaches 2^n - 2 entries
+    past the fixed 258 (i.e. len(table) == 510/1022/2046), which
+    pairs exactly with an encoder bumping at NextCode == 511/1023/
+    2047 (2^n - 1). Round-trip property-tested against _lzw_encode.
+    """
+    out = bytearray()
+    table: list[bytes] = []
+    nbits = 9
+    prev: bytes | None = None
+    acc = nacc = i = 0
+    CLEAR, EOI = 256, 257
+
+    def reset() -> None:
+        nonlocal table, nbits, prev
+        table = [bytes([j]) for j in range(256)] + [b"", b""]
+        nbits = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        while nacc < nbits:
+            if i >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc = (acc << 8) | data[i]
+            i += 1
+            nacc += 8
+        code = (acc >> (nacc - nbits)) & ((1 << nbits) - 1)
+        nacc -= nbits
+        acc &= (1 << nacc) - 1  # keep the int small (O(1) bit ops)
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError("first LZW code after clear not a literal")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code beyond table")
+            if len(table) >= (1 << nbits) - 2 and nbits < 12:
+                nbits += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("LZW stream too short")
+    return bytes(out[:expected])
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """Matching TIFF LZW encoder: starts with ClearCode, re-clears
+    when NextCode hits 4094 (spec mandate), ends with EOI; width
+    bumps at NextCode == 2^n - 1 (early change)."""
+    out = bytearray()
+    acc = nacc = 0
+
+    def put(code: int, nbits: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << nbits) | code
+        nacc += nbits
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+
+    CLEAR, EOI = 256, 257
+    table: dict[bytes, int] = {}
+    next_code = 258
+    nbits = 9
+
+    def reset() -> None:
+        nonlocal table, next_code, nbits
+        table = {bytes([j]): j for j in range(256)}
+        next_code = 258
+        nbits = 9
+
+    put(CLEAR, 9)
+    reset()
+    omega = b""
+    for b in raw:
+        cand = omega + bytes([b])
+        if cand in table:
+            omega = cand
+            continue
+        put(table[omega], nbits)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        omega = bytes([b])
+        if next_code >= 4094:
+            put(CLEAR, nbits)
+            reset()
+    if omega:
+        put(table[omega], nbits)
+    put(EOI, nbits)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(strip: bytes, w: int, samples: int):
+    """TIFF Predictor 2 (tag 317, horizontal differencing): each
+    sample stores the delta to its left neighbour; undo is a modular
+    cumulative sum along the row, per channel."""
+    import numpy as np
+
+    a = np.frombuffer(strip, dtype=np.uint8).reshape(-1, w, samples)
+    return np.cumsum(a, axis=1, dtype=np.uint8).tobytes()
+
+
+def _apply_predictor2(strip: bytes, w: int, samples: int) -> bytes:
+    import numpy as np
+
+    a = np.frombuffer(strip, dtype=np.uint8).reshape(-1, w, samples)
+    d = a.copy()
+    d[:, 1:, :] -= a[:, :-1, :]
+    return d.tobytes()
+
+
 TIFF_COMPRESSION_NONE = 1
+TIFF_COMPRESSION_LZW = 5
+TIFF_COMPRESSION_DEFLATE = 8  # "Adobe" deflate; 32946 is the old tag
+TIFF_COMPRESSION_DEFLATE_OLD = 32946
 TIFF_COMPRESSION_PACKBITS = 32773
 
 
 def decode_tiff(data: bytes):
     """Decode the FIRST page of an 8-bit chunky TIFF to an (H, W, C)
-    uint8 array. Real pixels for uncompressed (1) and PackBits
-    (32773) strips — the baseline encodings the spec requires every
-    reader to support; LZW/Deflate/JPEG-in-TIFF remain the declared
-    Pillow boundary (NotImplementedError). Malformed input raises
-    ValueError."""
+    uint8 array. Real pixels for uncompressed (1), PackBits (32773),
+    LZW (5, with the spec's early-change width schedule) and Deflate
+    (8 and legacy 32946) strips, with Predictor 2 (horizontal
+    differencing) undone when tagged — the encodings that cover
+    effectively all 8-bit TIFFs in the wild. JPEG-in-TIFF (6/7) and
+    the CCITT fax family remain the declared Pillow boundary
+    (NotImplementedError). Malformed input raises ValueError."""
     import numpy as np
 
     if not is_tiff(data):
@@ -160,7 +300,7 @@ def decode_tiff(data: bytes):
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from(endian + "H", data, off)
-        if tag in (256, 257, 258, 259, 273, 277, 278, 279, 284):
+        if tag in (256, 257, 258, 259, 273, 277, 278, 279, 284, 317):
             vals = _read_entry_values(data, off, endian)
             if vals is None:
                 raise ValueError(f"bad TIFF entry for tag {tag}")
@@ -181,10 +321,20 @@ def decode_tiff(data: bytes):
         )
     if planar != 1:
         raise NotImplementedError("planar TIFF needs Pillow")
-    if compression not in (TIFF_COMPRESSION_NONE, TIFF_COMPRESSION_PACKBITS):
+    if compression not in (
+        TIFF_COMPRESSION_NONE,
+        TIFF_COMPRESSION_PACKBITS,
+        TIFF_COMPRESSION_LZW,
+        TIFF_COMPRESSION_DEFLATE,
+        TIFF_COMPRESSION_DEFLATE_OLD,
+    ):
         raise NotImplementedError(
-            f"TIFF compression {compression} (LZW/Deflate/JPEG) needs Pillow"
+            f"TIFF compression {compression} (JPEG-in-TIFF/CCITT) "
+            "needs Pillow"
         )
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if w * h > (1 << 26):  # decode-bomb guard, as in png/gif/vp8l
         raise ValueError(f"TIFF image too large ({w}x{h})")
     if len(offsets) != len(counts):
@@ -199,9 +349,24 @@ def decode_tiff(data: bytes):
         raw = data[o : o + c]
         if compression == TIFF_COMPRESSION_PACKBITS:
             raw = _packbits_decode(raw, expected)
+        elif compression == TIFF_COMPRESSION_LZW:
+            raw = _lzw_decode(raw, expected)
+        elif compression in (
+            TIFF_COMPRESSION_DEFLATE,
+            TIFF_COMPRESSION_DEFLATE_OLD,
+        ):
+            import zlib
+
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate strip: {exc}") from exc
         if len(raw) < expected:
             raise ValueError("TIFF strip shorter than its rows")
-        rows += raw[:expected]
+        raw = raw[:expected]
+        if predictor == 2:
+            raw = _undo_predictor2(raw, w, samples)
+        rows += raw
         remaining -= strip_rows
     if remaining > 0:
         raise ValueError("TIFF strips do not cover the image")
@@ -214,9 +379,11 @@ def build_tiff_image(
     endian: str = "le",
     compression: int = TIFF_COMPRESSION_NONE,
     rows_per_strip: int = 8,
+    predictor: int = 1,
 ) -> bytes:
     """(H, W, 1|3|4) uint8 array -> real striped 8-bit chunky TIFF
-    (uncompressed or PackBits)."""
+    (uncompressed, PackBits, LZW or Deflate; optional horizontal-
+    differencing Predictor 2)."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -228,8 +395,19 @@ def build_tiff_image(
     strips = []
     for y0 in range(0, h, rows_per_strip):
         raw = a[y0 : y0 + rows_per_strip].tobytes()
+        if predictor == 2:
+            raw = _apply_predictor2(raw, w, c)
         if compression == TIFF_COMPRESSION_PACKBITS:
             raw = _packbits_encode(raw)
+        elif compression == TIFF_COMPRESSION_LZW:
+            raw = _lzw_encode(raw)
+        elif compression in (
+            TIFF_COMPRESSION_DEFLATE,
+            TIFF_COMPRESSION_DEFLATE_OLD,
+        ):
+            import zlib
+
+            raw = zlib.compress(raw, 6)
         strips.append(raw)
     n_strips = len(strips)
     tags = [
@@ -243,6 +421,8 @@ def build_tiff_image(
         (278, 4, 1, [rows_per_strip]),
         (279, 4, n_strips, [len(s) for s in strips]),
     ]
+    if predictor == 2:
+        tags.append((317, 3, 1, [2]))
     header = bytearray(bom + struct.pack(e + "I", 8))
     ifd = bytearray(struct.pack(e + "H", len(tags)))
     # layout: header(8) + IFD + next-ptr + overflow area + strips

@@ -150,15 +150,16 @@ def decode_image(data: bytes) -> "np.ndarray":
         # lossy VP8 raises NotImplementedError inside decode_webp
         return decode_webp(data)
     if is_tiff(data):
-        # uncompressed + PackBits strips decode for real
-        # (functions/tiff.py, r06); LZW/Deflate/JPEG-in-TIFF raise
-        # NotImplementedError inside decode_tiff
+        # uncompressed / PackBits / LZW / Deflate strips (with
+        # Predictor 2) decode for real (functions/tiff.py, r06);
+        # JPEG-in-TIFF and CCITT raise NotImplementedError inside
+        # decode_tiff
         return decode_tiff(data)
     raise NotImplementedError(
         "only PNG, JPEG, GIF, 24-bit BMP, lossless WebP, and "
-        "uncompressed/PackBits TIFF decode are implemented; lossy "
-        "WebP, LZW TIFF, HEIC/... require PIL/pillow, not available "
-        "in this environment"
+        "baseline-compression TIFF decode are implemented; lossy "
+        "WebP, JPEG-in-TIFF, HEIC/... require PIL/pillow, not "
+        "available in this environment"
     )
 
 
@@ -546,12 +547,14 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 # noise rows, palette for the small-palette rows
                 data = build_webp_lossless(pixels)
             else:
-                # alternate compression and byte order so the oracle
-                # pins both strip paths of the TIFF decoder
+                # rotate compression (uncompressed / PackBits / LZW /
+                # Deflate), byte order and Predictor 2 so the oracle
+                # pins every real strip path of the TIFF decoder
                 data = build_tiff_image(
                     pixels,
                     endian="le" if (i // 15) % 2 == 0 else "be",
-                    compression=1 if (i // 30) % 2 == 0 else 32773,
+                    compression=[1, 32773, 5, 8][(i // 30) % 4],
+                    predictor=2 if (i // 60) % 2 else 1,
                 )
         elif kind == "audio":
             sr, dur = 8000, 0.25

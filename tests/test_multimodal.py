@@ -1524,47 +1524,74 @@ def test_ms_adpcm_roundtrip_and_header():
 
 
 def test_tiff_pixel_decode_roundtrip_and_boundaries():
-    """TIFF strips decode for real (r06): uncompressed and PackBits,
-    both byte orders, gray/RGB/RGBA, multi-strip layouts; LZW stays
-    the declared Pillow boundary and the PackBits codec satisfies the
-    classic RLE contract."""
+    """TIFF strips decode for real: uncompressed, PackBits, LZW
+    (early-change flavor, since later in r06) and Deflate (both
+    tags), with and without Predictor 2, both byte orders,
+    gray/RGB/RGBA, multi-strip layouts; JPEG-in-TIFF stays the
+    declared Pillow boundary and the PackBits/LZW codecs satisfy
+    their round-trip contracts."""
     import random
 
     from parquet_extractor_spark.functions.tiff import (
+        TIFF_COMPRESSION_DEFLATE,
+        TIFF_COMPRESSION_DEFLATE_OLD,
+        TIFF_COMPRESSION_LZW,
         TIFF_COMPRESSION_PACKBITS,
+        _lzw_decode,
+        _lzw_encode,
         _packbits_decode,
         _packbits_encode,
         build_tiff_image,
         decode_tiff,
     )
 
+    comps = (
+        1,
+        TIFF_COMPRESSION_PACKBITS,
+        TIFF_COMPRESSION_LZW,
+        TIFF_COMPRESSION_DEFLATE,
+        TIFF_COMPRESSION_DEFLATE_OLD,
+    )
     rng = np.random.default_rng(22)
     for c in (1, 3, 4):
         for endian in ("le", "be"):
-            for comp in (1, TIFF_COMPRESSION_PACKBITS):
-                arr = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
-                arr[4:9] = 7  # flat region exercises replicate packets
-                out = decode_tiff(
-                    build_tiff_image(arr, endian, comp, rows_per_strip=5)
-                )
-                want = arr.repeat(3, axis=2) if c == 1 else arr
-                assert np.array_equal(out, want), (c, endian, comp)
-    # decode_image dispatch + LZW boundary
+            for comp in comps:
+                for pred in (1, 2):
+                    arr = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
+                    arr[4:9] = 7  # flat region exercises RLE/LZW runs
+                    out = decode_tiff(
+                        build_tiff_image(
+                            arr, endian, comp, rows_per_strip=5,
+                            predictor=pred,
+                        )
+                    )
+                    want = arr.repeat(3, axis=2) if c == 1 else arr
+                    assert np.array_equal(out, want), (c, endian, comp, pred)
+    # decode_image dispatch + the remaining JPEG-in-TIFF boundary
     arr = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(build_tiff_image(arr)), arr)
-    lzw = bytearray(build_tiff_image(arr))
-    # patch compression tag (259) value to 5 (LZW)
+    jpg = bytearray(build_tiff_image(arr))
+    # patch compression tag (259) value to 7 (JPEG-in-TIFF)
     import struct as _struct
 
-    n_entries = _struct.unpack_from("<H", lzw, 8)[0]
+    n_entries = _struct.unpack_from("<H", jpg, 8)[0]
     for i in range(n_entries):
         off = 10 + 12 * i
-        if _struct.unpack_from("<H", lzw, off)[0] == 259:
-            _struct.pack_into("<H", lzw, off + 8, 5)
+        if _struct.unpack_from("<H", jpg, off)[0] == 259:
+            _struct.pack_into("<H", jpg, off + 8, 7)
     with pytest.raises(NotImplementedError):
-        decode_tiff(bytes(lzw))
-    # PackBits round-trip property on runs/noise mixtures
+        decode_tiff(bytes(jpg))
+    # corrupt LZW stream must be ValueError, never a crash
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\xff\xff\xff\xff", 64)
+    # LZW round-trip past the 9->10 bit early-change point and the
+    # 4094-code table reset (mid-stream Clear)
     r = random.Random(4)
+    long_mix = bytes(r.randrange(256) for _ in range(70000))
+    assert _lzw_decode(_lzw_encode(long_mix), len(long_mix)) == long_mix
+    runs = bytes(range(256)) * 300
+    assert _lzw_decode(_lzw_encode(runs), len(runs)) == runs
+    # PackBits round-trip property on runs/noise mixtures
     for _ in range(200):
         raw = bytes(
             r.choice([0, 1, 2, r.randrange(256)])
