@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trained_classifier_scores": classifier.trained_classifier_scores,
         "doc_length_quantile_sketch": analyze.doc_length_quantile_sketch,
         "label_text_profile": analyze.label_text_profile,
+        "surprisal_mixing_weights": selection.surprisal_mixing_weights,
+        "source_vocab_overlap": selection.source_vocab_overlap,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -385,6 +387,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": analyze.DOC_LENGTH_QUANTILES_SQL,
         "doc_length_quantile_sketch": analyze.DOC_LENGTH_QUANTILE_SKETCH_SQL,
         "label_text_profile": analyze.LABEL_TEXT_PROFILE_SQL,
+        "surprisal_mixing_weights": selection.SURPRISAL_MIXING_WEIGHTS_SQL,
+        "source_vocab_overlap": selection.SOURCE_VOCAB_OVERLAP_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

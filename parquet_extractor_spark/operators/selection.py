@@ -781,3 +781,241 @@ FROM fused
 ORDER BY rrf_score DESC, id ASC
 LIMIT {HYBRID_TOP_K}
 """
+
+
+def surprisal_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-flavored domain reweighting from LM excess loss: score
+    every source's text under the corpus bigram LM (the
+    lm_bigram_surprisal machinery), and up-weight sources whose
+    average surprisal EXCEEDS the corpus average — the "spend more
+    sampling mass on domains the reference model finds hard" recipe,
+    with the count-based hashed LM standing in for the reference
+    model so the operator needs no external artifact.
+
+    All arithmetic after the per-bigram log-prob snap is exact BIGINT:
+    per-source and corpus averages use integer division (DIV) of
+    micro-unit sums, excess clips at zero and adds one micro so every
+    source keeps nonzero mass, and the final weights are
+    floor(excess*1e6 / total_excess) — engine-exact, no doubles.
+
+    Plan shape: the two LM count tables are LM_BUCKETS rows each —
+    broadcast; scoring is map-side; the only data shuffle is the
+    partial+final agg onto ~|sources| keys. The corpus average and
+    weight normalizer re-enter via broadcast 1-row cross joins. At
+    100 TB this is one scan + one tiny agg — the same shape as
+    temperature_mixing_weights.
+    Output: (source, n_bigrams, avg_surprisal_micro, excess_micro,
+    weight_micro) by source.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", tokenize("text").alias("ts"))
+    bigrams = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ts")),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ", F.element_at("ts", i - 1), F.element_at("ts", i)
+                    ).alias("bg"),
+                    F.element_at("ts", i - 1).alias("prev"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "source",
+        F.pmod(portable_hash64(F.col("p.bg")), F.lit(LM_BUCKETS)).alias("bb"),
+        F.pmod(portable_hash64(F.col("p.prev")), F.lit(LM_BUCKETS)).alias(
+            "pb"
+        ),
+    )
+    uni = docs.select(F.explode(tokenize("text")).alias("tok")).select(
+        F.pmod(portable_hash64(F.col("tok")), F.lit(LM_BUCKETS)).alias("pb")
+    )
+    big_counts = bigrams.groupBy("bb").agg(F.count(F.lit(1)).alias("cb"))
+    uni_counts = uni.groupBy("pb").agg(F.count(F.lit(1)).alias("cp"))
+    lp_micro = F.round(
+        F.log(
+            (F.col("cb") + 1).cast("double") / (F.col("cp") + LM_BUCKETS)
+        )
+        * F.lit(1_000_000.0)
+    ).cast("bigint")
+    per_src = (
+        bigrams.join(F.broadcast(big_counts), "bb")
+        .join(F.broadcast(uni_counts), "pb")
+        .withColumn("lp_micro", lp_micro)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (-F.sum("lp_micro")).cast("bigint").alias("s_micro"),
+        )
+        .withColumn(
+            "avg_surprisal_micro", F.expr("s_micro DIV n_bigrams")
+        )
+    )
+    tot = per_src.agg(
+        F.sum("s_micro").alias("ts_micro"),
+        F.sum("n_bigrams").alias("tn"),
+    )
+    with_excess = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "excess_micro",
+            F.greatest(
+                F.col("avg_surprisal_micro")
+                - F.expr("ts_micro DIV tn"),
+                F.lit(0),
+            ).cast("bigint")
+            + 1,
+        )
+    )
+    wsum = with_excess.agg(F.sum("excess_micro").alias("we"))
+    return (
+        with_excess.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_bigrams",
+            "avg_surprisal_micro",
+            "excess_micro",
+            F.expr("(excess_micro * 1000000) DIV we")
+            .cast("bigint")
+            .alias("weight_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+SURPRISAL_MIXING_WEIGHTS_SQL = rf"""
+WITH toks AS (
+    SELECT source, {_TOKENS_SQL} AS ts FROM documents
+),
+bigrams AS (
+    SELECT source,
+           {_PHASH_SQL.format("(ts[i - 1] || ' ' || ts[i])")} % {LM_BUCKETS} AS bb,
+           {_PHASH_SQL.format('ts[i - 1]')} % {LM_BUCKETS} AS pb
+    FROM toks, unnest(range(2, len(ts) + 1)) AS u(i)
+),
+uni AS (
+    SELECT {_PHASH_SQL.format('t.tok')} % {LM_BUCKETS} AS pb
+    FROM documents, unnest({_TOKENS_SQL}) AS t(tok)
+),
+big_counts AS (SELECT bb, count(*) AS cb FROM bigrams GROUP BY bb),
+uni_counts AS (SELECT pb, count(*) AS cp FROM uni GROUP BY pb),
+per_src AS (
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(CAST(round(ln(CAST(bc.cb + 1 AS DOUBLE)
+                                    / (uc.cp + {LM_BUCKETS}))
+                               * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS s_micro
+    FROM bigrams b
+    JOIN big_counts bc USING (bb)
+    JOIN uni_counts uc USING (pb)
+    GROUP BY b.source
+),
+avgs AS (
+    SELECT source, n_bigrams, s_micro,
+           s_micro // n_bigrams AS avg_surprisal_micro
+    FROM per_src
+),
+tot AS (
+    SELECT sum(s_micro) // sum(n_bigrams) AS corpus_avg FROM avgs
+),
+ex AS (
+    SELECT a.source, a.n_bigrams, a.avg_surprisal_micro,
+           CAST(greatest(a.avg_surprisal_micro - t.corpus_avg, 0) + 1
+                AS BIGINT) AS excess_micro
+    FROM avgs a, tot t
+),
+wsum AS (SELECT sum(excess_micro) AS we FROM ex)
+SELECT e.source, e.n_bigrams, e.avg_surprisal_micro, e.excess_micro,
+       CAST((e.excess_micro * 1000000) // w.we AS BIGINT) AS weight_micro
+FROM ex e, wsum w
+ORDER BY e.source
+"""
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-level
+    "how much do these two crawls overlap" diagnostic a mixing/dedup
+    pipeline reads before deciding whether cross-source dedup is
+    worth a pass (compare cross_source_dedup_candidates, which finds
+    the individual pairs; this is the cheap aggregate screen).
+
+    Plan shape: the (source, token) frame is DISTINCT-reduced first
+    (vocabulary-bounded: |V| x |sources| rows max, shuffle-compressed
+    by the partial distinct), then self-joined on token. Per-token
+    fan-out is at most |sources| per side, so join work is
+    O(|V| x |sources|^2) worst case with TINY constants — never a
+    function of corpus size. Per-source vocabulary sizes broadcast
+    back onto the ~|sources|^2/2 result rows. Jaccard snaps to
+    integer micro-units via BIGINT division.
+    Output: (src_a, src_b, n_common, n_a, n_b, jaccard_micro)
+    ordered by jaccard desc then pair.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = docs.select(
+        "source", F.explode(tokenize("text")).alias("tok")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n").alias("n_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("(n_common * 1000000) DIV (n_a + n_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .orderBy(F.desc("jaccard_micro"), "src_a", "src_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = rf"""
+WITH vocab AS (
+    SELECT DISTINCT source, t.tok
+    FROM documents, unnest({_TOKENS_SQL}) AS t(tok)
+),
+sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY source
+),
+common AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT c.src_a, c.src_b, c.n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       CAST((c.n_common * 1000000) // (sa.n + sb.n - c.n_common)
+            AS BIGINT) AS jaccard_micro
+FROM common c
+JOIN sizes sa ON sa.source = c.src_a
+JOIN sizes sb ON sb.source = c.src_b
+ORDER BY jaccard_micro DESC, c.src_a, c.src_b
+"""
