@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_text_profile": analyze.label_text_profile,
         "surprisal_mixing_weights": selection.surprisal_mixing_weights,
         "source_vocab_overlap": selection.source_vocab_overlap,
+        "dedup_graph_triangles": dedup.dedup_graph_triangles,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -389,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "label_text_profile": analyze.LABEL_TEXT_PROFILE_SQL,
         "surprisal_mixing_weights": selection.SURPRISAL_MIXING_WEIGHTS_SQL,
         "source_vocab_overlap": selection.SOURCE_VOCAB_OVERLAP_SQL,
+        "dedup_graph_triangles": dedup.DEDUP_GRAPH_TRIANGLES_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

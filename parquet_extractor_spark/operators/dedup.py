@@ -1054,3 +1054,103 @@ ORDER BY stage
 
 
 DEDUP_REDUCTION_REPORT_SQL = _reduction_report_oracle()
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over
+    the LSH near-dup candidate graph — the third graph diagnostic
+    next to dedup_components (groups) and dedup_graph_pagerank
+    (hubs). High clustering = tightly templated near-dup
+    neighborhoods (safe to collapse aggressively); low clustering at
+    high degree = chain-shaped similarity (collapse cautiously —
+    transitive merges may span dissimilar endpoints).
+
+    Distributed shape: the classic two-join triangle enumeration on
+    the canonically ordered edge list (doc_a < doc_b, from the
+    materialized lsh_pairs tier, so the pair pipeline itself is not
+    re-run). Ordering each triangle (a < b < c) counts it exactly
+    once; join traffic is bounded by Σ deg² over the candidate graph
+    — the graph is LSH-sparse by construction, never the corpus.
+    Degrees come from one agg over the same tier; the coefficient
+    snaps to micro-units via exact BIGINT division.
+    Output: (doc_id, degree, n_triangles, clustering_micro) for
+    every node in a triangle, by n_triangles desc, doc_id.
+    """
+    p = _lsh_pairs_tier(spark, sf_dir)
+    e1, e2, e3 = p.alias("e1"), p.alias("e2"), p.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        p.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(p.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return (
+        per_node.join(deg, "doc_id")
+        .select(
+            "doc_id",
+            "degree",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN degree < 2 THEN CAST(0 AS BIGINT) "
+                "ELSE (n_triangles * 2000000) DIV (degree * (degree - 1)) "
+                "END"
+            )
+            .cast("bigint")
+            .alias("clustering_micro"),
+        )
+        .orderBy(F.desc("n_triangles"), "doc_id")
+    )
+
+
+def _triangles_oracle() -> str:
+    pairs_sql = MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "").strip()
+    return f"""
+WITH pairs AS ({pairs_sql}),
+tri AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e1.doc_b = e2.doc_a
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+per_node AS (
+    SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tri, unnest([tri.a, tri.b, tri.c]) AS u(doc_id)
+    GROUP BY u.doc_id
+),
+deg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b FROM pairs)
+    GROUP BY doc_id
+)
+SELECT p.doc_id, d.degree, p.n_triangles,
+       CASE WHEN d.degree < 2 THEN CAST(0 AS BIGINT)
+            ELSE CAST((p.n_triangles * 2000000)
+                      // (d.degree * (d.degree - 1)) AS BIGINT)
+       END AS clustering_micro
+FROM per_node p JOIN deg d USING (doc_id)
+ORDER BY p.n_triangles DESC, p.doc_id
+"""
+
+
+DEDUP_GRAPH_TRIANGLES_SQL = _triangles_oracle()
