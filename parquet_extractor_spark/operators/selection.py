@@ -1019,3 +1019,108 @@ JOIN sizes sa ON sa.source = c.src_a
 JOIN sizes sb ON sb.source = c.src_b
 ORDER BY jaccard_micro DESC, c.src_a, c.src_b
 """
+
+
+def lm_count_arrays(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[int], list[int]]:
+    """The hashed bigram LM's two count tables as dense LM_BUCKETS
+    arrays — the "frozen reference model" artifact a scoring job
+    loads at start. Memoized per (session, data dir) like the Bloom
+    bitset; bounded by construction (2 x LM_BUCKETS ints)."""
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    def build() -> tuple[list[int], list[int]]:
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        toks = docs.select(tokenize("text").alias("ts"))
+        bb = toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("ts")),
+                    lambda i: F.pmod(
+                        portable_hash64(
+                            F.concat_ws(
+                                " ",
+                                F.element_at("ts", i - 1),
+                                F.element_at("ts", i),
+                            )
+                        ),
+                        F.lit(LM_BUCKETS),
+                    ),
+                )
+            ).alias("b")
+        ).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        pb = toks.select(F.explode("ts").alias("tok")).select(
+            F.pmod(portable_hash64(F.col("tok")), F.lit(LM_BUCKETS)).alias(
+                "b"
+            )
+        ).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        cb = [0] * LM_BUCKETS
+        for r in bb.collect():
+            cb[int(r.b)] = int(r.c)
+        cp = [0] * LM_BUCKETS
+        for r in pb.collect():
+            cp[int(r.b)] = int(r.c)
+        return cb, cp
+
+    return memo_artifact(spark, sf_dir, ("lm_counts",), build)
+
+
+def surprisal_probe_columns(
+    docs: DataFrame, cb: list[int], cp: list[int]
+) -> DataFrame:
+    """Per-document LM surprisal as a PURE PROJECTION against the
+    count-table literals: zero joins, zero aggregation state — the
+    stream-composable form of lm_bigram_surprisal, the same
+    batch-vs-stream split bloom_probe_columns draws for the Bloom
+    probe. Batch prefers the broadcast-join form (codegen'd joins
+    beat interpreted HOF lambdas); a stream prefers THIS shape
+    because statelessness means no watermark and no state store.
+
+    Emits exactly lm_bigram_surprisal's schema and values for every
+    doc with >= 2 tokens: per-bigram log-probs snap to micro-units
+    before the per-doc sum, and the average mirrors the batch
+    expression term for term.
+    """
+    cb_lit = F.expr(
+        "array(" + ",".join(str(v) for v in cb) + ")"
+    )
+    cp_lit = F.expr(
+        "array(" + ",".join(str(v) for v in cp) + ")"
+    )
+
+    def lp_at(i):  # factory, not default-arg capture (lambda arity)
+        bg = F.concat_ws(
+            " ", F.element_at("ts", i - 1), F.element_at("ts", i)
+        )
+        prev = F.element_at("ts", i - 1)
+        bbi = F.pmod(portable_hash64(bg), F.lit(LM_BUCKETS)).cast("int")
+        pbi = F.pmod(portable_hash64(prev), F.lit(LM_BUCKETS)).cast("int")
+        num = (F.element_at(cb_lit, bbi + 1) + 1).cast("double")
+        den = (F.element_at(cp_lit, pbi + 1) + F.lit(LM_BUCKETS)).cast(
+            "double"
+        )
+        return F.round(F.log(num / den) * F.lit(1_000_000.0)).cast(
+            "bigint"
+        )
+
+    def acc_fn(acc, i):
+        return acc + lp_at(i)
+
+    with_ts = docs.select(
+        "doc_id", "lang", tokenize("text").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    s_micro = F.aggregate(
+        F.sequence(F.lit(2), F.size("ts")),
+        F.lit(0).cast("bigint"),
+        acc_fn,
+    )
+    n_bigrams = (F.size("ts") - 1).cast("bigint")
+    return with_ts.select(
+        "doc_id",
+        "lang",
+        n_bigrams.alias("n_bigrams"),
+        F.round(-s_micro.cast("double") / n_bigrams)
+        .cast("bigint")
+        .alias("avg_surprisal_micro"),
+    )

@@ -293,3 +293,22 @@ def countmin_sketch_stream(stream_docs: DataFrame) -> DataFrame:
     return cells.groupBy("c.d", "c.pos").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+def surprisal_stream(
+    stream_docs: DataFrame, cb: list[int], cp: list[int]
+) -> DataFrame:
+    """Streaming twin of ``selection.lm_bigram_surprisal``: score a
+    live document stream against a FROZEN reference LM — the count
+    tables are loaded once at job start (``selection.lm_count_arrays``,
+    the memoized artifact, standing in for "read the reference-model
+    counts from the model store") and enter the plan as literals, so
+    scoring is a pure per-row projection: no joins, no aggregation
+    state, no watermark. This is the CCNet-style perplexity filter as
+    an ingest-time stream stage; equality with the batch scorer is
+    pinned by test_streaming."""
+    from parquet_extractor_spark.operators.selection import (
+        surprisal_probe_columns,
+    )
+
+    return surprisal_probe_columns(stream_docs, cb, cp)

@@ -624,3 +624,38 @@ def test_gif_frames_stream_equals_batch(spark, tmp_path):
         for r in want.collect()
     )
     assert g == w and len(g) == 80
+
+
+def test_surprisal_stream_equals_batch(spark, sf_small, tmp_path):
+    """Stateless LM-scoring stream ≡ batch lm_bigram_surprisal
+    row-for-row: the frozen count tables enter as literals, so the
+    stream needs no joins, no state store, no watermark."""
+    from parquet_extractor_spark.operators.selection import (
+        lm_bigram_surprisal,
+        lm_count_arrays,
+    )
+    from parquet_extractor_spark.streaming.documents import (
+        read_documents_stream,
+        surprisal_stream,
+    )
+
+    cb, cp = lm_count_arrays(spark, sf_small)
+    stream = surprisal_stream(read_documents_stream(spark, sf_small), cb, cp)
+    out = str(tmp_path / "surprisal_out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_surprisal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.lang, r.n_bigrams, r.avg_surprisal_micro)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.doc_id: (r.lang, r.n_bigrams, r.avg_surprisal_micro)
+        for r in lm_bigram_surprisal(spark, sf_small).collect()
+    }
+    assert got == want
