@@ -177,6 +177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surprisal_mixing_weights": selection.surprisal_mixing_weights,
         "source_vocab_overlap": selection.source_vocab_overlap,
         "dedup_graph_triangles": dedup.dedup_graph_triangles,
+        "matryoshka_recall": similarity.matryoshka_recall,
+        "unimax_mixing_budgets": training.unimax_mixing_budgets,
+        "k_anonymity_audit": quality.k_anonymity_audit,
+        "ccnet_perplexity_buckets": selection.ccnet_perplexity_buckets,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -391,6 +395,10 @@ def oracle_sql() -> dict[str, str]:
         "surprisal_mixing_weights": selection.SURPRISAL_MIXING_WEIGHTS_SQL,
         "source_vocab_overlap": selection.SOURCE_VOCAB_OVERLAP_SQL,
         "dedup_graph_triangles": dedup.DEDUP_GRAPH_TRIANGLES_SQL,
+        "matryoshka_recall": similarity.MATRYOSHKA_RECALL_SQL,
+        "unimax_mixing_budgets": training.UNIMAX_MIXING_BUDGETS_SQL,
+        "k_anonymity_audit": quality.K_ANONYMITY_AUDIT_SQL,
+        "ccnet_perplexity_buckets": selection.CCNET_PERPLEXITY_BUCKETS_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

@@ -916,3 +916,90 @@ SELECT row_id,
 FROM ext
 ORDER BY row_id
 """
+
+
+# ── k-anonymity / l-diversity privacy audit ──────────────────────────
+
+K_ANONYMITY = 5  # minimum safe equivalence-class size (Sweeney 2002)
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit before releasing a training table.
+
+    Sweeney's k-anonymity: group rows by their quasi-identifier tuple
+    — attributes an adversary can link from outside (here nation +
+    market segment on ``customer``) — and flag equivalence classes
+    smaller than k: those rows are re-identifiable by linkage.
+    Machanavajjhala's l-diversity tightens it: a class whose SENSITIVE
+    attribute (account-balance band) is near-constant leaks the value
+    even when the class is large. One report row drives the release
+    decision the way decontamination_report does.
+
+    Plan shape: one scan → one shuffle keyed by the quasi-identifier
+    tuple with partial aggregation (class size + distinct sensitive
+    values per class are both map-side combinable; the distinct is
+    bounded by the ~11 balance bands) → a 1-row final aggregate.
+    Linear in rows at any scale, output O(1). Every reported metric
+    except the rate is an integer — engines cannot drift.
+    Output: 1 row (k, n_rows, n_classes, risky_classes, risky_rows,
+    suppression_rate, min_class_size, min_l_diversity).
+    """
+    cust = spread(load_table(spark, sf_dir, "customer"))
+    classes = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000)
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("bal_band").alias("l_div"),
+        )
+    )
+    risky = F.col("class_size") < K_ANONYMITY
+    return classes.agg(
+        F.lit(K_ANONYMITY).cast("bigint").alias("k"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias(
+            "risky_classes"
+        ),
+        F.sum(F.when(risky, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("risky_rows"),
+        F.round(
+            F.sum(F.when(risky, F.col("class_size")).otherwise(0))
+            / F.sum("class_size"),
+            6,
+        ).alias("suppression_rate"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+        F.min("l_div").cast("bigint").alias("min_l_diversity"),
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = rf"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                AS BIGINT) AS l_div
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST({K_ANONYMITY} AS BIGINT) AS k,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN class_size < {K_ANONYMITY} THEN 1 ELSE 0 END)
+            AS BIGINT) AS risky_classes,
+       CAST(sum(CASE WHEN class_size < {K_ANONYMITY} THEN class_size
+                ELSE 0 END) AS BIGINT) AS risky_rows,
+       round(sum(CASE WHEN class_size < {K_ANONYMITY} THEN class_size
+                 ELSE 0 END) / CAST(sum(class_size) AS DOUBLE), 6)
+           AS suppression_rate,
+       CAST(min(class_size) AS BIGINT) AS min_class_size,
+       CAST(min(l_div) AS BIGINT) AS min_l_diversity
+FROM classes
+"""

@@ -1124,3 +1124,93 @@ def surprisal_probe_columns(
         .cast("bigint")
         .alias("avg_surprisal_micro"),
     )
+
+
+# ── CCNet per-language perplexity buckets ────────────────────────────
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): within
+    EACH language, cut the corpus into perplexity tertiles against the
+    language model — head (most in-distribution) is what CCNet ships
+    as high-quality pre-training data; tail is the junk drawer.
+
+    Differs from curriculum_phases on both axes that make it CCNet:
+    the cutoffs are PER-LANGUAGE (a global cut would let a verbose
+    language flood another's head bucket) and the output is the
+    release report per (lang, bucket), not a per-doc assignment.
+
+    Plan shape: lm_bigram_surprisal's scoring pass, then the tertile
+    cutoffs are one grouped aggregate over |langs| rows — broadcast
+    back, so bucketing is a map-side comparison; NO per-language
+    total sort (CCNet's own implementation sorts each language's
+    shard — the rank form — which at 100 TB would funnel every
+    language through one partition; broadcast quantile cutoffs give
+    the same thirds without the skew hazard). Final report is one
+    partial+final agg on (lang, bucket).
+    Output: (lang, bucket, n_docs, n_bigrams, doc_share) sorted.
+    """
+    scores = lm_bigram_surprisal(spark, sf_dir).select(
+        "lang", "n_bigrams", "avg_surprisal_micro"
+    )
+    cuts = scores.groupBy("lang").agg(
+        F.percentile(
+            F.col("avg_surprisal_micro").cast("double"), F.lit(1.0 / 3.0)
+        ).alias("c33"),
+        F.percentile(
+            F.col("avg_surprisal_micro").cast("double"), F.lit(2.0 / 3.0)
+        ).alias("c67"),
+        F.count(F.lit(1)).alias("lang_docs"),
+    )
+    bucket = (
+        F.when(F.col("avg_surprisal_micro") <= F.col("c33"), "head")
+        .when(F.col("avg_surprisal_micro") <= F.col("c67"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scores.join(F.broadcast(cuts), "lang")
+        .select("lang", "n_bigrams", "lang_docs", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.count(F.lit(1)) / F.first("lang_docs"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def _ccnet_oracle() -> str:
+    base = LM_BIGRAM_SURPRISAL_SQL.replace("ORDER BY doc_id", "").strip()
+    return f"""
+WITH scored AS ({base}),
+cuts AS (
+    SELECT lang,
+           quantile_cont(CAST(avg_surprisal_micro AS DOUBLE), 1.0/3.0)
+               AS c33,
+           quantile_cont(CAST(avg_surprisal_micro AS DOUBLE), 2.0/3.0)
+               AS c67,
+           count(*) AS lang_docs
+    FROM scored GROUP BY lang
+),
+tagged AS (
+    SELECT s.lang, s.n_bigrams, c.lang_docs,
+           CASE WHEN s.avg_surprisal_micro <= c.c33 THEN 'head'
+                WHEN s.avg_surprisal_micro <= c.c67 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN cuts c USING (lang)
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       round(count(*) / CAST(any_value(lang_docs) AS DOUBLE), 6)
+           AS doc_share
+FROM tagged
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+CCNET_PERPLEXITY_BUCKETS_SQL = _ccnet_oracle()

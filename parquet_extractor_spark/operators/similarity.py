@@ -2371,3 +2371,147 @@ FROM err
 GROUP BY vec_id
 ORDER BY vec_id
 """
+
+
+# ── Matryoshka truncation-recall evaluation ──────────────────────────
+
+# Prefix truncations evaluated against the full dimensionality.
+# Kusupati et al. 2022 ("Matryoshka Representation Learning") train
+# embeddings whose PREFIXES are themselves usable representations; the
+# operational question for a 100 TB retrieval pipeline is "how many
+# dims can the first-stage index drop before recall@k degrades" — a
+# 4× prefix cut is a 4× shrink of every ANN index and shuffle.
+MATRYOSHKA_DIMS = [8, 16, 32, EMB_DIM]
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of prefix-truncated cosine search vs full-dim search.
+
+    For each probe vector (the knn_bruteforce query set) and each
+    prefix length d in MATRYOSHKA_DIMS, rank the corpus by cosine over
+    the first d components and measure |top-k(d) ∩ top-k(full)| / k.
+    The d = EMB_DIM row is the identity anchor (recall exactly 1.0).
+
+    Plan shape: ONE corpus scan computes all four truncated
+    similarities per (probe, candidate) pair inside a single codegen
+    stage (slice + the zip_with fold), ``stack`` unpivots to
+    (dims, sim) rows, one shuffle ranks per (dims, probe), and the
+    k-bounded full-dim top-k broadcasts back for the hit count. Cost
+    is the knn_bruteforce scan ×1 (not ×4 — slices share the pass);
+    at scale the probe suite stays a broadcast literal and nothing is
+    pairwise beyond the bounded-query fan-out.
+
+    Cross-engine determinism: trunc-cosine rounds at 6dp with
+    neighbor_id tiebreak (the knn acceptance), hit counts are
+    integers, recall is an exact integer ratio rounded at 6dp.
+    Output: (dims, n_hits, recall_at_k) one row per prefix length.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _query_rows(emb).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = []
+    for d in MATRYOSHKA_DIMS:
+        qd = F.slice(F.col("q_emb"), 1, d)
+        ed = F.slice(F.col("embedding"), 1, d)
+        sims.append(
+            F.round(
+                _dot(qd, ed) / (_norm(qd) * _norm(ed)), 6
+            ).alias(f"s{d}")
+        )
+    pairs = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), *sims
+        )
+    )
+    stack_args = ", ".join(f"{d}, s{d}" for d in MATRYOSHKA_DIMS)
+    long = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            f"stack({len(MATRYOSHKA_DIMS)}, {stack_args}) AS (dims, sim)"
+        ),
+    )
+    w = Window.partitionBy("dims", "query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    topk = long.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    full = topk.filter(F.col("dims") == EMB_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        topk.join(F.broadcast(full), ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy(F.col("dims").cast("bigint").alias("dims"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "dims",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.lit(TOP_K * N_QUERIES), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("dims")
+    )
+
+
+def _trunc_cos_sql(d: int) -> str:
+    """DuckDB trunc-cosine over the first d components — the same
+    left-to-right double fold as the Spark slice + zip_with tree."""
+    dot = (
+        f"list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> CAST(q_emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE)))"
+    )
+    qn = (
+        f"sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE))))"
+    )
+    en = (
+        f"sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        f"i -> CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE))))"
+    )
+    return f"round({dot} / ({qn} * {en}), 6)"
+
+
+MATRYOSHKA_RECALL_SQL = rf"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id IN {_QUERY_IDS_SQL}
+),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           e.embedding AS emb, q.q_emb
+    FROM embeddings e JOIN q ON e.vec_id != q.query_id
+),
+long AS (
+    {' UNION ALL '.join(
+        f"SELECT query_id, neighbor_id, CAST({d} AS BIGINT) AS dims, "
+        f"{_trunc_cos_sql(d)} AS sim FROM pairs"
+        for d in MATRYOSHKA_DIMS
+    )}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, dims,
+           row_number() OVER (PARTITION BY dims, query_id
+                              ORDER BY sim DESC, neighbor_id ASC) AS rank
+    FROM long
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {TOP_K}),
+full_set AS (
+    SELECT query_id, neighbor_id FROM topk WHERE dims = {EMB_DIM}
+)
+SELECT t.dims,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6)
+           AS recall_at_k
+FROM topk t
+WHERE EXISTS (SELECT 1 FROM full_set f
+              WHERE f.query_id = t.query_id
+                AND f.neighbor_id = t.neighbor_id)
+GROUP BY t.dims
+ORDER BY t.dims
+"""

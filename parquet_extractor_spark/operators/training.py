@@ -696,3 +696,183 @@ def verify_shards(spark: SparkSession, out_dir: str) -> dict:
     if bad:
         raise ValueError(f"shard verification failed for shards {bad}")
     return manifest
+
+
+# ── UniMax epoch-capped budget allocation ────────────────────────────
+
+UNIMAX_EPOCH_CAP = 2  # no source repeats more than this many epochs
+# token budget = 95% of the capped corpus (NUM/DEN of all_tokens ×
+# cap) — deliberately between "one epoch of everything" and "cap ×
+# everything" so the waterfill boundary is exercised: the smallest
+# sources hit the epoch cap, the larger ones share the remainder.
+UNIMAX_BUDGET_NUM = UNIMAX_EPOCH_CAP * 95
+UNIMAX_BUDGET_DEN = 100
+
+
+def unimax_mixing_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. 2023) budget allocation: closest-to-uniform
+    per-source token budgets subject to a per-source epoch cap.
+
+    The published algorithm is a sequential greedy waterfill —
+    ascending by capacity, give each source min(cap, remaining/left).
+    Closed form used here (provable because caps are visited
+    ascending): a source is CAPPED iff
+    ``cap_i·(n−i+1) + prefix_{i−1} ≤ B`` (all integers — exact on
+    both engines), and every uncapped source receives the identical
+    share ``(B − Σ capped caps) / n_uncapped``; once one source is
+    uncapped all later ones are (the condition is monotone), so the
+    sequential recurrence collapses to one window pass + one
+    aggregate. B < Σ caps by construction, so ≥1 source is always
+    uncapped and the division is safe.
+
+    Plan shape: one scan → per-source agg (constant cardinality), a
+    bounded global window over the ~|sources| rows for (rank, prefix
+    sum), one 1-row aggregate broadcast back. Nothing scales with
+    corpus size after the first agg. Only the final share division is
+    floating point; the cap decision itself is integer-exact, so the
+    engines cannot disagree on WHICH sources cap.
+    Output: (source, source_tokens, cap_tokens, is_capped,
+    allocated_tokens, epochs) by source.
+    """
+    from parquet_extractor_spark.functions.windows import (
+        bounded_global_window,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_source = (
+        docs.select(
+            "source", F.size(tokenize("text")).cast("bigint").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("source_tokens"))
+    )
+    tot = per_source.agg(
+        F.sum("source_tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    w = bounded_global_window(F.asc("cap_tokens"), F.asc("source"))
+    shared = (
+        per_source.withColumn(
+            "cap_tokens", F.col("source_tokens") * UNIMAX_EPOCH_CAP
+        )
+        .join(F.broadcast(tot), how="cross")
+        .withColumn(
+            "budget",
+            F.expr(
+                f"all_tokens * {UNIMAX_BUDGET_NUM} div {UNIMAX_BUDGET_DEN}"
+            ),
+        )
+        .withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cprefix",
+            F.sum("cap_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "is_capped",
+            (
+                F.col("cap_tokens") * (F.col("n_src") - F.col("i") + 1)
+                + F.col("cprefix")
+                - F.col("cap_tokens")
+            )
+            <= F.col("budget"),
+        )
+    )
+    fills = shared.agg(
+        F.sum(
+            F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(
+                F.lit(0)
+            )
+        ).alias("capped_sum"),
+        F.sum(F.when(F.col("is_capped"), 1).otherwise(0)).alias("n_capped"),
+    )
+    share = (F.col("budget") - F.col("capped_sum")) / (
+        F.col("n_src") - F.col("n_capped")
+    )
+    return (
+        shared.join(F.broadcast(fills), how="cross")
+        .select(
+            "source",
+            "source_tokens",
+            "cap_tokens",
+            "is_capped",
+            F.round(
+                F.when(
+                    F.col("is_capped"), F.col("cap_tokens").cast("double")
+                ).otherwise(share),
+                6,
+            ).alias("allocated_tokens"),
+            F.round(
+                F.when(
+                    F.col("is_capped"),
+                    F.lit(float(UNIMAX_EPOCH_CAP)),
+                ).otherwise(share / F.col("source_tokens")),
+                6,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+UNIMAX_MIXING_BUDGETS_SQL = rf"""
+WITH toks AS (
+    SELECT source,
+           CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT) AS n
+    FROM documents
+),
+per_source AS (
+    SELECT source, CAST(sum(n) AS BIGINT) AS source_tokens
+    FROM toks GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(source_tokens) AS BIGINT) AS all_tokens,
+           CAST(count(*) AS BIGINT) AS n_src
+    FROM per_source
+),
+shared AS (
+    SELECT source, source_tokens,
+           source_tokens * {UNIMAX_EPOCH_CAP} AS cap_tokens,
+           all_tokens, n_src,
+           (all_tokens * {UNIMAX_BUDGET_NUM}) // {UNIMAX_BUDGET_DEN}
+               AS budget,
+           CAST(row_number() OVER (
+               ORDER BY source_tokens * {UNIMAX_EPOCH_CAP} ASC, source ASC
+           ) AS BIGINT) AS i,
+           sum(source_tokens * {UNIMAX_EPOCH_CAP}) OVER (
+               ORDER BY source_tokens * {UNIMAX_EPOCH_CAP} ASC, source ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cprefix
+    FROM per_source CROSS JOIN tot
+),
+flagged AS (
+    SELECT *,
+           cap_tokens * (n_src - i + 1) + cprefix - cap_tokens <= budget
+               AS is_capped
+    FROM shared
+),
+fills AS (
+    SELECT CAST(sum(CASE WHEN is_capped THEN cap_tokens ELSE 0 END)
+                AS BIGINT) AS capped_sum,
+           CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped
+    FROM flagged
+)
+SELECT source,
+       source_tokens,
+       cap_tokens,
+       is_capped,
+       round(CASE WHEN is_capped THEN CAST(cap_tokens AS DOUBLE)
+             ELSE CAST(budget - capped_sum AS DOUBLE)
+                  / CAST(n_src - n_capped AS DOUBLE) END, 6)
+           AS allocated_tokens,
+       round(CASE WHEN is_capped THEN CAST({UNIMAX_EPOCH_CAP} AS DOUBLE)
+             ELSE CAST(budget - capped_sum AS DOUBLE)
+                  / CAST(n_src - n_capped AS DOUBLE)
+                  / CAST(source_tokens AS DOUBLE) END, 6)
+           AS epochs
+FROM flagged CROSS JOIN fills
+ORDER BY source
+"""

@@ -254,3 +254,25 @@ def test_sq8_codes_quality_and_plan(spark, sf_small):
         .toString()
     )
     assert "Join" not in plan
+
+
+def test_matryoshka_recall_monotone_anchor(spark, sf_small):
+    from parquet_extractor_spark.operators.similarity import (
+        EMB_DIM,
+        MATRYOSHKA_DIMS,
+        N_QUERIES,
+        TOP_K,
+        matryoshka_recall,
+    )
+
+    rows = {r.dims: r for r in matryoshka_recall(spark, sf_small).collect()}
+    assert set(rows) == set(MATRYOSHKA_DIMS)
+    # full-dim row is the identity anchor
+    assert rows[EMB_DIM].recall_at_k == 1.0
+    assert rows[EMB_DIM].n_hits == TOP_K * N_QUERIES
+    for d, r in rows.items():
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits <= TOP_K * N_QUERIES
+    # truncating to an eighth of the dims must lose information on
+    # random (non-matryoshka-trained) fixture embeddings
+    assert rows[8].recall_at_k < 1.0

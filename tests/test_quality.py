@@ -264,3 +264,21 @@ def test_quality_classifier_scores_properties(spark, sf_small):
     )
     assert "HashAggregate" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_k_anonymity_audit_consistency(spark, sf_small):
+    from parquet_extractor_spark.operators.quality import (
+        K_ANONYMITY,
+        k_anonymity_audit,
+    )
+
+    row = k_anonymity_audit(spark, sf_small).collect()[0]
+    assert row.k == K_ANONYMITY
+    assert row.n_rows == 150  # sf0.001 customer cardinality
+    assert 0 < row.n_classes <= 125  # 25 nations × 5 segments
+    assert 0 <= row.risky_classes <= row.n_classes
+    assert row.risky_rows <= row.n_rows
+    # with 150 rows over ~125 classes nearly everything is risky
+    assert row.min_class_size < K_ANONYMITY and row.risky_classes > 0
+    assert abs(row.suppression_rate - row.risky_rows / row.n_rows) < 1e-6
+    assert 1 <= row.min_l_diversity

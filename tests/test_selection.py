@@ -301,3 +301,25 @@ def test_hybrid_search_rrf_fuses_both_lists(spark, sf_small):
             for o in only:
                 if max(b.lex_rank, b.vec_rank) <= (o.lex_rank or o.vec_rank):
                     assert b.rrf_score > o.rrf_score
+
+
+def test_ccnet_buckets_are_language_tertiles(spark, sf_small):
+    from parquet_extractor_spark.operators.selection import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, sf_small).collect()
+    by_lang: dict[str, dict[str, object]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}, lang
+        shares = [buckets[b].doc_share for b in ("head", "middle", "tail")]
+        assert abs(sum(shares) - 1.0) < 1e-5
+        # tertiles: each bucket holds roughly a third of the language
+        for s in shares:
+            assert 0.15 <= s <= 0.55, (lang, shares)
+        # head is the LOW-surprisal (in-distribution) side: its docs
+        # cannot be fewer than a tail that the cutoffs would forbid
+        n = sum(buckets[b].n_docs for b in buckets)
+        assert buckets["head"].n_docs >= n // 3 - 1

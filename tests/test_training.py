@@ -235,3 +235,36 @@ def test_trained_classifier_scores_consistent(spark, sf_small):
         F.sum((F.col("pred") == F.col("y")).cast("int")).alias("hits"),
     ).first()
     assert agg.hits / agg.n > 0.5
+
+
+def test_unimax_budgets_waterfill_invariants(spark, sf_small):
+    from parquet_extractor_spark.operators.training import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+        unimax_mixing_budgets,
+    )
+
+    rows = unimax_mixing_budgets(spark, sf_small).collect()
+    assert len(rows) == 20
+    total = sum(r.source_tokens for r in rows)
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    # both regimes exercised on the fixture skew
+    capped = [r for r in rows if r.is_capped]
+    uncapped = [r for r in rows if not r.is_capped]
+    assert capped and uncapped
+    # capped sources get exactly their cap; uncapped share equally
+    for r in capped:
+        assert r.allocated_tokens == r.cap_tokens == (
+            r.source_tokens * UNIMAX_EPOCH_CAP
+        )
+        assert r.epochs == UNIMAX_EPOCH_CAP
+    shares = {r.allocated_tokens for r in uncapped}
+    assert len(shares) == 1
+    # the equal share exceeds every capped cap (waterfill order) and
+    # respects the cap for every uncapped source
+    share = shares.pop()
+    assert all(r.cap_tokens <= share for r in capped)
+    assert all(r.cap_tokens > share for r in uncapped)
+    # budget exhausted exactly (up to the 6dp rounding of the share)
+    assert abs(sum(r.allocated_tokens for r in rows) - budget) < 1e-2
