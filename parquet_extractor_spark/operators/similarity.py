@@ -2441,13 +2441,23 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = long.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
     )
-    full = topk.filter(F.col("dims") == EMB_DIM).select(
-        "query_id", "neighbor_id"
+    full = (
+        topk.filter(F.col("dims") == EMB_DIM)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
     )
+    # left join + conditional sum, NOT leftsemi + count: a prefix
+    # length with ZERO hits must still report its row (observed at
+    # sf0.1 — dims=8 recall hit exactly 0.0 and the semi-join form
+    # silently dropped the group)
     return (
-        topk.join(F.broadcast(full), ["query_id", "neighbor_id"], "leftsemi")
+        topk.join(F.broadcast(full), ["query_id", "neighbor_id"], "left")
         .groupBy(F.col("dims").cast("bigint").alias("dims"))
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits")
+        )
         .select(
             "dims",
             "n_hits",
@@ -2505,13 +2515,16 @@ full_set AS (
     SELECT query_id, neighbor_id FROM topk WHERE dims = {EMB_DIM}
 )
 SELECT t.dims,
-       CAST(count(*) AS BIGINT) AS n_hits,
-       round(count(*) / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6)
-           AS recall_at_k
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM full_set f
+                     WHERE f.query_id = t.query_id
+                       AND f.neighbor_id = t.neighbor_id)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN EXISTS (SELECT 1 FROM full_set f
+                      WHERE f.query_id = t.query_id
+                        AND f.neighbor_id = t.neighbor_id)
+                 THEN 1 ELSE 0 END)
+             / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6) AS recall_at_k
 FROM topk t
-WHERE EXISTS (SELECT 1 FROM full_set f
-              WHERE f.query_id = t.query_id
-                AND f.neighbor_id = t.neighbor_id)
 GROUP BY t.dims
 ORDER BY t.dims
 """
