@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mixing_budgets": training.unimax_mixing_budgets,
         "k_anonymity_audit": quality.k_anonymity_audit,
         "ccnet_perplexity_buckets": selection.ccnet_perplexity_buckets,
+        "media_phash": multimodal.media_phash,
+        "media_phash_near_dups": multimodal.media_phash_near_dups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -399,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mixing_budgets": training.UNIMAX_MIXING_BUDGETS_SQL,
         "k_anonymity_audit": quality.K_ANONYMITY_AUDIT_SQL,
         "ccnet_perplexity_buckets": selection.CCNET_PERPLEXITY_BUCKETS_SQL,
+        "media_phash": multimodal_oracle.MEDIA_PHASH_SQL,
+        "media_phash_near_dups":
+            multimodal_oracle.MEDIA_PHASH_NEAR_DUPS_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

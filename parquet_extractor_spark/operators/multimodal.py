@@ -1309,3 +1309,234 @@ def media_image_metadata(spark, sf_dir: str) -> DataFrame:
     )
     media = spark.createDataFrame(synthetic_image_rows(), schema)
     return image_header_metadata(media).orderBy("media_id")
+
+
+# ── perceptual-hash image near-dup detection ─────────────────────────
+#
+# The multimodal counterpart of MinHash-LSH: a 63-bit DCT perceptual
+# hash (the classic pHash recipe) is invariant to re-encoding and
+# robust to lossy compression, so banding it gives a candidate join
+# that finds "same picture, different file" pairs without any
+# pairwise pass. Measured on the fixture: re-encodes land at hamming
+# 0-12, unrelated images at >= 22 — PHASH_HAMMING_MAX sits between.
+
+PHASH_SIZE = 32  # DCT input (resampled grayscale side)
+PHASH_BANDS = 8  # 8 bands x 8 bits: a hamming-12 pair still shares
+PHASH_BAND_BITS = 8  # a band w.h.p. (4x16 missed 7/8 planted pairs)
+PHASH_HAMMING_MAX = 16
+
+_PHASH_COS = None
+
+
+def _phash_cos() -> "np.ndarray":
+    """32×32 DCT-II cosine matrix (orthonormal scaling is irrelevant
+    under the median threshold, so plain cosines keep it simple)."""
+    global _PHASH_COS
+    if _PHASH_COS is None:
+        k = np.arange(PHASH_SIZE, dtype=np.float64)
+        n = np.arange(PHASH_SIZE, dtype=np.float64)
+        _PHASH_COS = np.cos(
+            np.pi * (2 * n[None, :] + 1) * k[:, None] / (2 * PHASH_SIZE)
+        )
+    return _PHASH_COS
+
+
+def phash64(arr: "np.ndarray") -> int:
+    """DCT perceptual hash of a decoded (H,W,3) uint8 image.
+
+    Integer BT.601 grayscale (exact in every engine), nearest-neighbor
+    resample to 32×32 on the same floor-index grid as resize_nearest,
+    2-D DCT-II in float64, then threshold the 63 lowest-frequency AC
+    coefficients (8×8 block minus DC) at their median. 63 bits → the
+    value is always a non-negative int64; bit i (MSB-first over the
+    8×8 scan order) is 1 iff its coefficient exceeds the median.
+    Pure function of the pixels — shared by the Spark mapInPandas
+    stage and the oracle generator."""
+    a = arr.astype(np.int64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.shape[2] == 1:
+        a = np.repeat(a, 3, axis=2)
+    gray = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    h, w = gray.shape
+    rows = (np.arange(PHASH_SIZE) * h) // PHASH_SIZE
+    cols = (np.arange(PHASH_SIZE) * w) // PHASH_SIZE
+    g = gray[np.ix_(rows, cols)].astype(np.float64)
+    c = _phash_cos()
+    freq = c @ g @ c.T
+    vals = freq[:8, :8].flatten()[1:]
+    med = float(np.median(vals))
+    out = 0
+    for i, v in enumerate(vals):
+        if v > med:
+            out |= 1 << (62 - i)
+    return out
+
+
+def phash_bands(h: int) -> list[int]:
+    """PHASH_BANDS fixed-width bit slices, LSB-first — the LSH keys."""
+    mask = (1 << PHASH_BAND_BITS) - 1
+    return [
+        (h >> (PHASH_BAND_BITS * b)) & mask for b in range(PHASH_BANDS)
+    ]
+
+
+def _neardup_base_pixels(i: int, h: int = 48, w: int = 64) -> "np.ndarray":
+    """Deterministic smooth test pattern (sine×cosine interference);
+    distinct i values produce images ≥ 22 hamming apart (measured)."""
+    y = np.arange(h, dtype=np.float64)[:, None]
+    x = np.arange(w, dtype=np.float64)[None, :]
+    chans = []
+    for c in range(3):
+        fx = 1 + ((i + c) % 4)
+        fy = 1 + ((i * 2 + c) % 3)
+        px, py = 0.7 * i + 0.3 * c, 0.4 * i
+        g = (
+            128
+            + 90 * np.sin(2 * np.pi * fx * x / w + px)
+            * np.cos(2 * np.pi * fy * y / h + py)
+            + 20 * np.sin(2 * np.pi * (x + y) / (w / (1 + i % 3)))
+        )
+        chans.append(g)
+    return np.clip(np.stack(chans, axis=2), 0, 255).astype(np.uint8)
+
+
+def synthetic_neardup_rows(n_bases: int = 8) -> list[tuple]:
+    """Near-dup fixture with PLANTED ground truth: per base pattern, a
+    PNG, a pixel-identical BMP (hamming 0), and a JPEG q=85 re-encode
+    (hamming ≤ 12 measured), plus one unrelated PNG per base. Rows:
+    (media_id, variant, data)."""
+    rows = []
+    for i in range(n_bases):
+        px = _neardup_base_pixels(i)
+        rows.append((4 * i, "png", encode_png(px)))
+        rows.append((4 * i + 1, "bmp", encode_bmp(px)))
+        rows.append(
+            (
+                4 * i + 2,
+                "jpeg",
+                encode_jpeg(px, quality=85, subsample=True),
+            )
+        )
+        rows.append(
+            (
+                4 * i + 3,
+                "unrelated",
+                encode_png(_neardup_base_pixels(n_bases + i)),
+            )
+        )
+    return rows
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("variant", StringType(), False),
+        StructField("phash", LongType(), False),
+        StructField("bands", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def synthetic_neardup_images(spark) -> DataFrame:
+    return spark.createDataFrame(
+        synthetic_neardup_rows(),
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("variant", StringType(), False),
+                StructField("data", BinaryType(), False),
+            ]
+        ),
+    ).repartition(8, "media_id")
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """mapInPandas pHash stage: decode + hash per row, bands attached
+    map-side so the LSH explode needs no second Python hop."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "variant": [],
+                "phash": [],
+                "bands": [],
+            }
+            for mid, variant, data in zip(
+                pdf["media_id"], pdf["variant"], pdf["data"]
+            ):
+                h = phash64(decode_image(bytes(data)))
+                out["media_id"].append(int(mid))
+                out["variant"].append(variant)
+                out["phash"].append(h)
+                out["bands"].append(phash_bands(h))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def media_phash(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable pHash query: hash every fixture image and emit
+    (media_id, variant, phash). The literal oracle (generated by
+    tools/gen_multimodal_oracle.py from the same pure functions) pins
+    each 63-bit hash exactly, proving decode → grayscale → DCT →
+    threshold reproduces bit-for-bit through the Arrow path.
+    ``sf_dir`` unused (fixture-generated media, as for the other
+    media_* queries)."""
+    del sf_dir
+    return (
+        image_phashes(synthetic_neardup_images(spark))
+        .select("media_id", "variant", "phash")
+        .orderBy("media_id")
+    )
+
+
+def media_phash_near_dups(spark, sf_dir: str) -> DataFrame:
+    """Banded pHash near-dup join — image dedup with NO pairwise pass.
+
+    Plan shape (the minhash_lsh_candidates shape, pixels instead of
+    shingles): hash map-side, explode PHASH_BANDS (band_idx, band_val)
+    keys per image, ONE shuffle joins on the band key, distinct
+    candidate pairs, then the exact hamming check (bit_count of XOR —
+    a codegen'd integer expression) keeps pairs ≤ PHASH_HAMMING_MAX.
+    Volume is images × bands rows, candidates only where a band
+    collides — never all-pairs. At 100 TB the band join partitions by
+    (band_idx, band_val) exactly like LSH over text.
+    Output: (id_a, id_b, hamming) — every planted re-encode pair,
+    no unrelated pair (measured margin 12 vs 22).
+    """
+    del sf_dir
+    hashes = image_phashes(synthetic_neardup_images(spark))
+    bands = hashes.select(
+        "media_id",
+        "phash",
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("id_a", "id_b")
+    )

@@ -1598,3 +1598,32 @@ def test_tiff_pixel_decode_roundtrip_and_boundaries():
             for _ in range(r.randrange(0, 300))
         )
         assert _packbits_decode(_packbits_encode(raw), len(raw)) == raw
+
+
+def test_phash_near_dups_planted_ground_truth(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        PHASH_HAMMING_MAX,
+        media_phash,
+        media_phash_near_dups,
+        phash64,
+        synthetic_neardup_rows,
+        decode_image,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_phash_near_dups(spark, "unused").collect()
+    }
+    # every planted triple (png, bmp, jpeg re-encode) is found...
+    for i in range(8):
+        png, bmp, jpg = 4 * i, 4 * i + 1, 4 * i + 2
+        assert pairs[(png, bmp)] == 0  # pixel-identical re-container
+        assert 0 < pairs[(png, jpg)] <= PHASH_HAMMING_MAX
+        assert pairs[(bmp, jpg)] == pairs[(png, jpg)]
+        # ...and the unrelated control image pairs with nothing
+        assert not any(4 * i + 3 in p for p in pairs)
+    assert len(pairs) == 24
+    # Spark-side hashes equal the pure-Python reference exactly
+    got = {r.media_id: r.phash for r in media_phash(spark, "unused").collect()}
+    for mid, _variant, data in synthetic_neardup_rows():
+        assert got[mid] == phash64(decode_image(data))

@@ -221,6 +221,57 @@ FROM (VALUES
 ) AS t(media_id, frame_ts_ms, width, height, n_bytes, frame_hash)
 ORDER BY media_id, frame_ts_ms"""
 
+    # ── media_phash + media_phash_near_dups ─────────────────────────
+    from parquet_extractor_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        phash64,
+        phash_bands,
+        synthetic_neardup_rows,
+    )
+    from parquet_extractor_spark.operators.multimodal import (
+        decode_image as _dec,
+    )
+
+    phash_vals = []
+    for media_id, variant, data in synthetic_neardup_rows():
+        h = phash64(_dec(data))
+        bands = ", ".join(str(b) for b in phash_bands(h))
+        phash_vals.append(f"({media_id}, '{variant}', {h}, {bands})")
+    band_cols = ", ".join(f"b{i}" for i in range(PHASH_BANDS))
+    phash_rows = ",\n    ".join(phash_vals)
+    phash_table = f"""(VALUES
+    {phash_rows}
+) AS t(media_id, variant, phash, {band_cols})"""
+    phash_sql = f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       variant,
+       CAST(phash AS BIGINT) AS phash
+FROM {phash_table}
+ORDER BY media_id"""
+    # honest twin of the Spark plan: the SAME banded candidate join
+    # (not an all-pairs scan), then the exact hamming filter
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT media_id, phash, {i} AS band_idx, b{i} AS band_val "
+        f"FROM {phash_table}"
+        for i in range(PHASH_BANDS)
+    )
+    neardup_sql = f"""WITH bands AS (
+    {band_union}
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.phash AS ha, b.phash AS hb
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.media_id < b.media_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING_MAX}
+ORDER BY id_a, id_b"""
+
     with open(OUT, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_multimodal_oracle.py — do not edit.\n'
@@ -238,7 +289,9 @@ ORDER BY media_id, frame_ts_ms"""
             f"MEDIA_VIDEO_METADATA_SQL = r'''{video_sql}\n'''\n\n"
             f"MEDIA_IMAGE_METADATA_SQL = r'''{image_sql}\n'''\n\n"
             f"MEDIA_GIF_FRAME_CHECKSUMS_SQL = r'''{gif_sql}\n'''\n\n"
-            f"MEDIA_APNG_FRAME_CHECKSUMS_SQL = r'''{apng_sql}\n'''\n"
+            f"MEDIA_APNG_FRAME_CHECKSUMS_SQL = r'''{apng_sql}\n'''\n\n"
+            f"MEDIA_PHASH_SQL = r'''{phash_sql}\n'''\n\n"
+            f"MEDIA_PHASH_NEAR_DUPS_SQL = r'''{neardup_sql}\n'''\n"
         )
     print(
         f"wrote {OUT} "
