@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from parquet_extractor_spark import pipelines
 from parquet_extractor_spark.operators import (
     analyze,
     classifier,
@@ -181,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mixing_budgets": training.unimax_mixing_budgets,
         "k_anonymity_audit": quality.k_anonymity_audit,
         "ccnet_perplexity_buckets": selection.ccnet_perplexity_buckets,
+        "curation_funnel": pipelines.curation_funnel,
         "media_phash": multimodal.media_phash,
         "media_phash_near_dups": multimodal.media_phash_near_dups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -401,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mixing_budgets": training.UNIMAX_MIXING_BUDGETS_SQL,
         "k_anonymity_audit": quality.K_ANONYMITY_AUDIT_SQL,
         "ccnet_perplexity_buckets": selection.CCNET_PERPLEXITY_BUCKETS_SQL,
+        "curation_funnel": pipelines.CURATION_FUNNEL_SQL,
         "media_phash": multimodal_oracle.MEDIA_PHASH_SQL,
         "media_phash_near_dups":
             multimodal_oracle.MEDIA_PHASH_NEAR_DUPS_SQL,

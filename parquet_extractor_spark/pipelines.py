@@ -327,3 +327,162 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
             "n_flagged": int(decon.n_flagged or 0),
         },
     }
+
+
+# ── observable funnel report over the composed pipeline ──────────────
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor accounting for the curate() chain — the
+    report a data engineer reads before shipping a corpus ("quality
+    gate dropped 12%, near-dup another 30%…").
+
+    Six cumulative stages: raw → heuristic quality gate → model-based
+    classifier gate → exact dedup → near-dup components → n-gram
+    decontamination, each reporting surviving docs, surviving tokens
+    and the retained fraction of the raw corpus. Stage predicates are
+    the SAME operators curate() composes (shared tier store, so a
+    sweep computes the dedup tiers once); each stage's survivor set
+    is doc_id-keyed and the six 1-row aggregates union at the end.
+
+    Plan shape: one token-count scan reused by every stage, five
+    doc_id-keyed semi/anti joins (exact + components come from the
+    persisted tier store), six partial+final 1-row aggs — no shuffle
+    carries more than doc_id keys; report is O(stages).
+    Output: (stage_idx, stage, n_docs, n_tokens, retained_frac).
+    """
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.contamination import (
+        ngram_decontamination,
+    )
+    from parquet_extractor_spark.operators.dedup import (
+        _components_tier,
+        _exact_keep_tier,
+    )
+    from parquet_extractor_spark.operators.quality import (
+        quality_classifier_scores,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n")
+    )
+
+    quality_keep = (
+        quality_scores(spark, sf_dir)
+        .filter(F.col("quality_score") >= MIN_QUALITY)
+        .select("doc_id")
+    )
+    cls_keep = (
+        quality_classifier_scores(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    exact_keep = _exact_keep_tier(spark, sf_dir)
+    canon_keep = (
+        _components_tier(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+    contaminated = ngram_decontamination(spark, sf_dir).select("doc_id")
+
+    stages: list[tuple[int, str, DataFrame]] = []
+    surv = toks
+    stages.append((0, "raw", surv))
+    surv = surv.join(quality_keep, "doc_id", "left_semi")
+    stages.append((1, "quality_gate", surv))
+    surv = surv.join(cls_keep, "doc_id", "left_semi")
+    stages.append((2, "classifier_gate", surv))
+    surv = surv.join(exact_keep, "doc_id", "left_semi")
+    stages.append((3, "exact_dedup", surv))
+    surv = surv.join(canon_keep, "doc_id", "left_semi")
+    stages.append((4, "near_dedup", surv))
+    surv = surv.join(contaminated, "doc_id", "left_anti")
+    stages.append((5, "decontaminated", surv))
+
+    raw_total = toks.agg(F.count(F.lit(1)).alias("raw_docs"))
+    reports = [
+        df.agg(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        )
+        for idx, name, df in stages
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return (
+        out.join(F.broadcast(raw_total), how="cross")
+        .select(
+            "stage_idx",
+            "stage",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("raw_docs"), 6).alias(
+                "retained_frac"
+            ),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def _funnel_oracle() -> str:
+    from parquet_extractor_spark.operators.contamination import (
+        NGRAM_DECONTAMINATION_SQL,
+    )
+    from parquet_extractor_spark.operators.dedup import (
+        DEDUP_COMPONENTS_SQL,
+        EXACT_DEDUP_SQL,
+    )
+    from parquet_extractor_spark.operators.quality import (
+        QUALITY_CLASSIFIER_SQL,
+        QUALITY_SCORES_SQL,
+    )
+    from parquet_extractor_spark.operators.selection import _TOKENS_SQL
+
+    def body(sql: str) -> str:
+        head, _, _tail = sql.strip().rpartition("ORDER BY")
+        return head.strip()
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n FROM documents
+),
+qual AS ({body(QUALITY_SCORES_SQL)}),
+cls AS ({body(QUALITY_CLASSIFIER_SQL)}),
+exact AS ({body(EXACT_DEDUP_SQL)}),
+comp AS ({body(DEDUP_COMPONENTS_SQL)}),
+contam AS ({body(NGRAM_DECONTAMINATION_SQL)}),
+s1 AS (SELECT t.doc_id, t.n FROM toks t
+       JOIN qual q ON q.doc_id = t.doc_id
+       WHERE q.quality_score >= {MIN_QUALITY}),
+s2 AS (SELECT s.doc_id, s.n FROM s1 s
+       JOIN cls c ON c.doc_id = s.doc_id AND c.keep),
+s3 AS (SELECT s.doc_id, s.n FROM s2 s
+       WHERE s.doc_id IN (SELECT keep_doc_id FROM exact)),
+s4 AS (SELECT s.doc_id, s.n FROM s3 s
+       JOIN comp c ON c.doc_id = s.doc_id AND c.component = s.doc_id),
+s5 AS (SELECT s.doc_id, s.n FROM s4 s
+       WHERE s.doc_id NOT IN (SELECT doc_id FROM contam)),
+raw_total AS (SELECT CAST(count(*) AS BIGINT) AS raw_docs FROM toks),
+stages AS (
+    SELECT 0 AS stage_idx, 'raw' AS stage,
+           count(*) AS n_docs, coalesce(sum(n), 0) AS n_tokens FROM toks
+    UNION ALL SELECT 1, 'quality_gate', count(*), coalesce(sum(n), 0) FROM s1
+    UNION ALL SELECT 2, 'classifier_gate', count(*), coalesce(sum(n), 0) FROM s2
+    UNION ALL SELECT 3, 'exact_dedup', count(*), coalesce(sum(n), 0) FROM s3
+    UNION ALL SELECT 4, 'near_dedup', count(*), coalesce(sum(n), 0) FROM s4
+    UNION ALL SELECT 5, 'decontaminated', count(*), coalesce(sum(n), 0) FROM s5
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx,
+       stage,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_docs / CAST(raw_docs AS DOUBLE), 6) AS retained_frac
+FROM stages CROSS JOIN raw_total
+ORDER BY stage_idx
+"""
+
+
+CURATION_FUNNEL_SQL = _funnel_oracle()

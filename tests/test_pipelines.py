@@ -229,3 +229,24 @@ def test_event_markov_transitions_row_stochastic(spark, sf_small):
         total = sum(r.n for r in rs)
         for r in rs:
             assert abs(r.p - r.n / total) < 1e-6
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark, sf_small):
+    from parquet_extractor_spark.pipelines import curation_funnel
+
+    rows = sorted(
+        curation_funnel(spark, sf_small).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "quality_gate", "classifier_gate",
+        "exact_dedup", "near_dedup", "decontaminated",
+    ]
+    assert rows[0].n_docs == 500 and rows[0].retained_frac == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_tokens <= prev.n_tokens
+    for r in rows:
+        assert abs(r.retained_frac - r.n_docs / rows[0].n_docs) < 1e-6
+    # the pipeline must actually drop something end to end
+    assert rows[-1].n_docs < rows[0].n_docs
