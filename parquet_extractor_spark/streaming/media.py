@@ -222,3 +222,69 @@ def run_gif_frames_stream(
             f"gif frame stream did not drain within {timeout_s}s"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+# ── streaming pHash (continuous image-dedup ingestion) ───────────────
+
+_NEARDUP_SCHEMA = None
+
+
+def read_neardup_stream(spark: SparkSession, media_dir: str) -> DataFrame:
+    """File-source stream over a landing dir of (media_id, variant,
+    data) image parquet — the continuously-arriving-images shape."""
+    global _NEARDUP_SCHEMA
+    if _NEARDUP_SCHEMA is None:
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        _NEARDUP_SCHEMA = StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("variant", StringType(), False),
+                StructField("data", BinaryType(), False),
+            ]
+        )
+    return spark.readStream.schema(_NEARDUP_SCHEMA).parquet(media_dir)
+
+
+def run_phash_stream(
+    spark: SparkSession,
+    media_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming twin of ``operators.multimodal.image_phashes``: drain
+    the image landing dir once (availableNow) through the SAME decode
+    → DCT → threshold mapInPandas stage and append (media_id, variant,
+    phash, bands) rows. Hashing is stateless per row, so state is one
+    Arrow batch per task; the banded near-dup join then runs as a
+    batch (or stream-static join) over the hash table this stream
+    maintains — hashes are tiny, images are fat, which is exactly why
+    the hash table is the thing to keep hot."""
+    from parquet_extractor_spark.operators.multimodal import image_phashes
+
+    hashes = image_phashes(read_neardup_stream(spark, media_dir))
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+
+    query = (
+        hashes.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "phash")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"phash stream did not drain within {timeout_s}s")
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

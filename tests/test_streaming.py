@@ -659,3 +659,29 @@ def test_surprisal_stream_equals_batch(spark, sf_small, tmp_path):
         for r in lm_bigram_surprisal(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_streaming_phash_equals_batch(spark, tmp_path):
+    """Streamed perceptual hashing over an image landing dir must
+    reproduce the batch pHashes exactly — same decode + DCT +
+    threshold functions, two execution modes."""
+    from parquet_extractor_spark.operators.multimodal import (
+        image_phashes,
+        synthetic_neardup_images,
+    )
+    from parquet_extractor_spark.streaming.media import run_phash_stream
+
+    media = synthetic_neardup_images(spark)
+    landing = str(tmp_path / "img_landing")
+    media.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    got = run_phash_stream(
+        spark, landing, str(tmp_path / "ckpt_ph"), str(tmp_path / "ph_out")
+    )
+    want = image_phashes(media)
+
+    def key(rows):
+        return {(r.media_id, r.variant, r.phash, tuple(r.bands)) for r in rows}
+
+    assert key(got.collect()) == key(want.collect())
+    assert got.count() == 32
