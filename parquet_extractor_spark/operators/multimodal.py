@@ -1466,12 +1466,29 @@ def image_phashes(media: DataFrame) -> DataFrame:
             for mid, variant, data in zip(
                 pdf["media_id"], pdf["variant"], pdf["data"]
             ):
-                h = phash64(decode_image(bytes(data)))
+                try:
+                    h = phash64(decode_image(bytes(data)))
+                except (NotImplementedError, ValueError):
+                    # robustness contract (r06): corrupt or
+                    # undecodable bytes must never kill the task —
+                    # a row that can't be hashed can't be deduped,
+                    # so it drops out of the hash table
+                    continue
                 out["media_id"].append(int(mid))
                 out["variant"].append(variant)
                 out["phash"].append(h)
                 out["bands"].append(phash_bands(h))
-            yield pd.DataFrame(out)
+            # explicit dtypes: a batch whose every row was dropped
+            # otherwise yields default-typed empty columns that Arrow
+            # cannot convert to the declared list<int> schema
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "variant": pd.Series(out["variant"], dtype=object),
+                    "phash": pd.Series(out["phash"], dtype="int64"),
+                    "bands": pd.Series(out["bands"], dtype=object),
+                }
+            )
 
     return media.mapInPandas(_hash, PHASH_SCHEMA)
 

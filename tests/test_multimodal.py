@@ -1627,3 +1627,38 @@ def test_phash_near_dups_planted_ground_truth(spark):
     got = {r.media_id: r.phash for r in media_phash(spark, "unused").collect()}
     for mid, _variant, data in synthetic_neardup_rows():
         assert got[mid] == phash64(decode_image(data))
+
+
+def test_image_phashes_skips_corrupt_rows(spark):
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from parquet_extractor_spark.operators.multimodal import (
+        image_phashes,
+        synthetic_neardup_rows,
+    )
+
+    rows = synthetic_neardup_rows()[:4]
+    # corrupt: truncated PNG, bit-flipped JPEG, garbage, empty magic
+    rows += [
+        (100, "corrupt", rows[0][2][:20]),
+        (101, "corrupt", b"\xff\xd8\xff" + b"\x00" * 40),
+        (102, "corrupt", b"not an image at all"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("variant", StringType(), False),
+                StructField("data", BinaryType(), False),
+            ]
+        ),
+    )
+    got = {r.media_id for r in image_phashes(df).collect()}
+    assert got == {0, 1, 2, 3}  # clean rows hashed, corrupt dropped
