@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": quality.k_anonymity_audit,
         "ccnet_perplexity_buckets": selection.ccnet_perplexity_buckets,
         "curation_funnel": pipelines.curation_funnel,
+        "source_ngram_diversity": analyze.source_ngram_diversity,
         "media_phash": multimodal.media_phash,
         "media_phash_near_dups": multimodal.media_phash_near_dups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -404,6 +405,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": quality.K_ANONYMITY_AUDIT_SQL,
         "ccnet_perplexity_buckets": selection.CCNET_PERPLEXITY_BUCKETS_SQL,
         "curation_funnel": pipelines.CURATION_FUNNEL_SQL,
+        "source_ngram_diversity": analyze.SOURCE_NGRAM_DIVERSITY_SQL,
         "media_phash": multimodal_oracle.MEDIA_PHASH_SQL,
         "media_phash_near_dups":
             multimodal_oracle.MEDIA_PHASH_NEAR_DUPS_SQL,

@@ -650,3 +650,94 @@ SELECT s.label, s.n_docs, s.avg_tokens, t.top_lang
 FROM stats s JOIN top_lang t USING (label)
 ORDER BY s.label
 """
+
+
+# ── n-gram diversity (distinct-n) ────────────────────────────────────
+
+
+def source_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1 / distinct-2 per source (Li et al. 2016's diversity
+    metric, the standard screen for template-generated or synthetic
+    text): unique n-grams over total n-grams. A source whose
+    distinct-2 collapses is recycling phrasing — the signal used to
+    down-weight or drop machine-generated sources before training.
+
+    Plan shape: unigrams and bigrams fan out map-side from the token
+    array (sequence/transform — no self-join), then ONE shuffle per
+    n-gram order keyed by source with partial aggregation;
+    count_distinct is Spark's two-phase distinct agg, volume bounded
+    by vocabulary per source, never corpus size. Ratios are exact
+    integer divisions rounded at 6dp.
+    Output: (source, n_tokens, distinct_1, n_bigrams, distinct_2).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("source", tokenize("text").alias("ts"))
+    uni = toks.select("source", F.explode("ts").alias("g"))
+    uni_stats = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("g").alias("u1"),
+    )
+    bi = toks.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ts")),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i - 1), F.element_at("ts", i)
+                ),
+            )
+        ).alias("g"),
+    )
+    bi_stats = bi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("g").alias("u2"),
+    )
+    return (
+        uni_stats.join(bi_stats, "source")
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("u1") / F.col("n_tokens"), 6).alias("distinct_1"),
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("u2") / F.col("n_bigrams"), 6).alias("distinct_2"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_NGRAM_DIVERSITY_SQL = r"""
+WITH toks AS (
+    SELECT source,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS ts
+    FROM documents
+),
+uni AS (
+    SELECT source, t.g
+    FROM toks, unnest(ts) AS t(g)
+),
+uni_stats AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           count(DISTINCT g) AS u1
+    FROM uni GROUP BY source
+),
+bi AS (
+    SELECT source, ts[i - 1] || ' ' || ts[i] AS g
+    FROM toks, unnest(range(2, len(ts) + 1)) AS u(i)
+),
+bi_stats AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           count(DISTINCT g) AS u2
+    FROM bi GROUP BY source
+)
+SELECT source,
+       n_tokens,
+       round(u1 / CAST(n_tokens AS DOUBLE), 6) AS distinct_1,
+       n_bigrams,
+       round(u2 / CAST(n_bigrams AS DOUBLE), 6) AS distinct_2
+FROM uni_stats JOIN bi_stats USING (source)
+ORDER BY source
+"""
