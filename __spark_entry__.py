@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_perplexity_buckets": selection.ccnet_perplexity_buckets,
         "curation_funnel": pipelines.curation_funnel,
         "source_ngram_diversity": analyze.source_ngram_diversity,
+        "encoding_audit": quality.encoding_audit,
         "media_phash": multimodal.media_phash,
         "media_phash_near_dups": multimodal.media_phash_near_dups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_perplexity_buckets": selection.CCNET_PERPLEXITY_BUCKETS_SQL,
         "curation_funnel": pipelines.CURATION_FUNNEL_SQL,
         "source_ngram_diversity": analyze.SOURCE_NGRAM_DIVERSITY_SQL,
+        "encoding_audit": quality.ENCODING_AUDIT_SQL,
         "media_phash": multimodal_oracle.MEDIA_PHASH_SQL,
         "media_phash_near_dups":
             multimodal_oracle.MEDIA_PHASH_NEAR_DUPS_SQL,

@@ -1003,3 +1003,114 @@ SELECT CAST({K_ANONYMITY} AS BIGINT) AS k,
        CAST(min(l_div) AS BIGINT) AS min_l_diversity
 FROM classes
 """
+
+
+# ── encoding / mojibake audit ────────────────────────────────────────
+
+# UTF-8 bytes re-decoded as Latin-1/cp1252 leave fingerprints: a C2/C3
+# lead byte becomes 'Â'/'Ã' followed by a char in U+0080-U+00BF, and
+# an E2-lead three-byte sequence (curly quotes, dashes) becomes 'â'
+# followed by '€' (cp1252's 0x80). Escape-form code points keep the
+# pattern text free of raw control characters in BOTH engines.
+_MOJIBAKE_RE = (
+    r"([\x{c2}\x{c3}][\x{80}-\x{bf}]|\x{e2}\x{20ac})"
+)
+_REPLACEMENT_RE = r"\x{fffd}"
+_CONTROL_RE = (
+    r"[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}-\x{9f}]"
+)
+
+
+def _encoding_fixture_rows() -> list[tuple]:
+    """Deterministic audit fixture: clean ASCII/UTF-8/emoji rows that
+    must NOT be flagged, and planted corruption — Latin-1 mojibake
+    ('Ã©', 'Â£'), cp1252 mojibake ('â€™'), U+FFFD replacement chars,
+    C0 and C1 control bytes."""
+    return [
+        (0, "totally clean ascii text"),
+        (1, "café résumé naïve"),  # legit accents
+        (2, "cafÃ© rÃ©sumÃ©"),  # Ã© mojibake
+        (3, "itâ€™s a test"),  # cp1252 â€™ mojibake
+        (4, "costs Â£3 total"),  # Â£ mojibake
+        (5, "data �lost� here"),  # replacement chars
+        (6, "bad\x01\x02text\x1fend"),  # C0 controls
+        (7, "hidden\x85break\x9cchars"),  # C1 controls
+        (8, "mix Ã¶ and � and\x07bell"),  # all three
+        (9, "emoji \U0001f389 stays clean"),
+    ]
+
+
+def _sql_text_expr(s: str) -> str:
+    """DuckDB expression reproducing ``s`` exactly without embedding
+    any non-ASCII or control byte in the SQL text: runs of plain
+    printable ASCII stay string literals, everything else is chr(n)."""
+    parts: list[str] = []
+    run: list[str] = []
+    for ch in s:
+        if " " <= ch <= "~" and ch != "'":
+            run.append(ch)
+            continue
+        if run:
+            parts.append("'" + "".join(run) + "'")
+            run = []
+        parts.append(f"chr({ord(ch)})")
+    if run:
+        parts.append("'" + "".join(run) + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row encoding-corruption audit (the ftfy step of a curation
+    pipeline): count Latin-1/cp1252 mojibake fingerprints, U+FFFD
+    replacement characters, and C0/C1 control characters; flag rows
+    carrying any. All three are pure regexp_count map-side
+    expressions — at corpus scale this composes into the curation
+    scan like the other quality columns. ``sf_dir`` unused — fixture
+    rows carry known ground truth the way pii_audit's do, since the
+    synthetic documents table is pure ASCII.
+    Output: (row_id, n_mojibake, n_replacement, n_control,
+    is_suspect) by row_id.
+    """
+    del sf_dir
+    rows = spark.createDataFrame(
+        _encoding_fixture_rows(), "row_id long, text string"
+    )
+    n_moj = F.regexp_count(F.col("text"), F.lit(_MOJIBAKE_RE))
+    n_rep = F.regexp_count(F.col("text"), F.lit(_REPLACEMENT_RE))
+    n_ctl = F.regexp_count(F.col("text"), F.lit(_CONTROL_RE))
+    return (
+        rows.select(
+            "row_id",
+            n_moj.cast("bigint").alias("n_mojibake"),
+            n_rep.cast("bigint").alias("n_replacement"),
+            n_ctl.cast("bigint").alias("n_control"),
+            ((n_moj + n_rep + n_ctl) > 0).alias("is_suspect"),
+        )
+        .orderBy("row_id")
+    )
+
+
+_ENCODING_FIXTURE_VALUES = ",\n    ".join(
+    f"({rid}, {_sql_text_expr(txt)})"
+    for rid, txt in _encoding_fixture_rows()
+)
+
+ENCODING_AUDIT_SQL = rf"""
+WITH fixture(row_id, text) AS (VALUES
+    {_ENCODING_FIXTURE_VALUES}
+),
+counted AS (
+    SELECT row_id,
+           CAST(len(regexp_extract_all(text, '{_MOJIBAKE_RE}'))
+                AS BIGINT) AS n_mojibake,
+           CAST(len(regexp_extract_all(text, '{_REPLACEMENT_RE}'))
+                AS BIGINT) AS n_replacement,
+           CAST(len(regexp_extract_all(text, '{_CONTROL_RE}'))
+                AS BIGINT) AS n_control
+    FROM fixture
+)
+SELECT row_id, n_mojibake, n_replacement, n_control,
+       (n_mojibake + n_replacement + n_control) > 0 AS is_suspect
+FROM counted
+ORDER BY row_id
+"""

@@ -282,3 +282,23 @@ def test_k_anonymity_audit_consistency(spark, sf_small):
     assert row.min_class_size < K_ANONYMITY and row.risky_classes > 0
     assert abs(row.suppression_rate - row.risky_rows / row.n_rows) < 1e-6
     assert 1 <= row.min_l_diversity
+
+
+def test_encoding_audit_ground_truth(spark):
+    from parquet_extractor_spark.operators.quality import encoding_audit
+
+    rows = {r.row_id: r for r in encoding_audit(spark, "unused").collect()}
+    # clean rows — ascii, legit accents, emoji — never flagged
+    for rid in (0, 1, 9):
+        assert not rows[rid].is_suspect, rid
+    # every planted corruption flagged with the right counter
+    assert rows[2].n_mojibake == 3  # Ã© ×3
+    assert rows[3].n_mojibake == 1  # cp1252 â€™
+    assert rows[4].n_mojibake == 1  # Â£
+    assert rows[5].n_replacement == 2
+    assert rows[6].n_control == 3
+    assert rows[7].n_control == 2  # C1 range
+    assert (
+        rows[8].n_mojibake == rows[8].n_replacement == rows[8].n_control == 1
+    )
+    assert all(rows[r].is_suspect for r in (2, 3, 4, 5, 6, 7, 8))
