@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_audit": quality.encoding_audit,
         "media_phash": multimodal.media_phash,
         "media_phash_near_dups": multimodal.media_phash_near_dups,
+        "media_audio_fingerprint": multimodal.media_audio_fingerprint,
+        "media_audio_near_dups": multimodal.media_audio_near_dups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -411,6 +413,10 @@ def oracle_sql() -> dict[str, str]:
         "media_phash": multimodal_oracle.MEDIA_PHASH_SQL,
         "media_phash_near_dups":
             multimodal_oracle.MEDIA_PHASH_NEAR_DUPS_SQL,
+        "media_audio_fingerprint":
+            multimodal_oracle.MEDIA_AUDIO_FINGERPRINT_SQL,
+        "media_audio_near_dups":
+            multimodal_oracle.MEDIA_AUDIO_NEAR_DUPS_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

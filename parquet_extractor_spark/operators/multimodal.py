@@ -1524,7 +1524,141 @@ def media_phash_near_dups(spark, sf_dir: str) -> DataFrame:
     no unrelated pair (measured margin 12 vs 22).
     """
     del sf_dir
-    hashes = image_phashes(synthetic_neardup_images(spark))
+    return banded_near_dup_pairs(
+        image_phashes(synthetic_neardup_images(spark)),
+        PHASH_HAMMING_MAX,
+    )
+
+
+# ── audio fingerprint near-dup detection ─────────────────────────────
+#
+# Audio twin of the pHash family: a 63-bit energy-contour fingerprint
+# (frame the samples into 64 windows, take the sign of successive
+# log-energy deltas — the Haitsma-Kalker/Shazam-style contour bit)
+# is invariant to container/precision changes and robust to lossy
+# companding. Measured margins on the fixture: float32 re-encode
+# hamming 0, G.711 µ-law and IMA ADPCM ≤ 3; unrelated signals ≥ 22.
+
+AFP_FRAMES = 64
+AFP_HAMMING_MAX = 12
+
+
+def audio_fingerprint64(data: bytes) -> int:
+    """Energy-contour fingerprint of a WAV binary. Decode (any
+    supported encoding), first channel, split into AFP_FRAMES equal
+    frames, float64 frame energies; bit k (MSB-first) is 1 iff
+    e[k+1] > e[k]. Delta-signs are amplitude-scale invariant, so
+    pcm16/float32/pcm24… re-encodes of the same signal hash
+    identically. 63 bits → always a non-negative int64. Pure function
+    of the bytes — shared with the oracle generator."""
+    arr, _sr = decode_wav(data)
+    if arr.ndim > 1:
+        arr = arr[:, 0]
+    x = arr.astype(np.float64)
+    n = (len(x) // AFP_FRAMES) * AFP_FRAMES
+    if n == 0:
+        raise ValueError("audio too short to fingerprint")
+    e = (x[:n].reshape(AFP_FRAMES, -1) ** 2).sum(axis=1)
+    out = 0
+    for k in range(AFP_FRAMES - 1):
+        if e[k + 1] > e[k]:
+            out |= 1 << (AFP_FRAMES - 2 - k)
+    return out
+
+
+def _afp_base_signal(i: int, n: int = 2048, sr: int = 8000) -> "np.ndarray":
+    """Deterministic AM-modulated sine + noise; distinct i values
+    produce contours ≥ 19 hamming apart (measured)."""
+    rng = np.random.default_rng(1000 + i)
+    t = np.arange(n, dtype=np.float64) / sr
+    # an energy-contour hash keys on the ENVELOPE, so envelopes must
+    # decorrelate across indices: one independent random amplitude
+    # step per analysis frame makes each contour bit a fair coin
+    # across signals (smooth sinusoid envelopes left distinct signals
+    # within candidate distance of each other — measured)
+    f1 = rng.uniform(250.0, 1800.0)
+    env = np.repeat(rng.uniform(0.25, 1.0, AFP_FRAMES), n // AFP_FRAMES)
+    sig = 14000.0 * env * np.sin(2 * np.pi * f1 * t)
+    sig += rng.normal(0, 400, n)
+    return np.clip(np.round(sig), -32768, 32767).astype(np.int16)
+
+
+def synthetic_audio_neardup_rows(n_bases: int = 8) -> list[tuple]:
+    """Planted audio near-dup fixture: per base signal a PCM-16
+    reference, a float32 re-encode (hamming 0), a G.711 µ-law
+    companding and an IMA ADPCM lossy encode (≤3 measured), and an
+    unrelated control signal. Rows: (media_id, variant, data)."""
+    rows = []
+    for i in range(n_bases):
+        sig = _afp_base_signal(i)
+        rows.append((5 * i, "pcm16", encode_wav(sig, fmt="pcm16")))
+        rows.append((5 * i + 1, "float32", encode_wav(sig, fmt="float32")))
+        rows.append((5 * i + 2, "ulaw", encode_wav(sig, fmt="ulaw")))
+        rows.append(
+            (5 * i + 3, "ima_adpcm", encode_wav(sig, fmt="ima_adpcm"))
+        )
+        rows.append(
+            (
+                5 * i + 4,
+                "unrelated",
+                encode_wav(_afp_base_signal(n_bases + i), fmt="pcm16"),
+            )
+        )
+    return rows
+
+
+def synthetic_audio_neardup(spark) -> DataFrame:
+    return spark.createDataFrame(
+        synthetic_audio_neardup_rows(),
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("variant", StringType(), False),
+                StructField("data", BinaryType(), False),
+            ]
+        ),
+    ).repartition(8, "media_id")
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """mapInPandas fingerprint stage — the audio image_phashes:
+    decode + contour-hash per row, PHASH-style bands attached
+    map-side; undecodable rows drop (robustness contract)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "variant": [], "phash": [], "bands": []}
+            for mid, variant, data in zip(
+                pdf["media_id"], pdf["variant"], pdf["data"]
+            ):
+                try:
+                    h = audio_fingerprint64(bytes(data))
+                except (NotImplementedError, ValueError):
+                    continue
+                out["media_id"].append(int(mid))
+                out["variant"].append(variant)
+                out["phash"].append(h)
+                out["bands"].append(phash_bands(h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "variant": pd.Series(out["variant"], dtype=object),
+                    "phash": pd.Series(out["phash"], dtype="int64"),
+                    "bands": pd.Series(out["bands"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(_hash, PHASH_SCHEMA)
+
+
+def banded_near_dup_pairs(
+    hashes: DataFrame, hamming_max: int
+) -> DataFrame:
+    """Shared banded-LSH candidate join + exact hamming verify over a
+    (media_id, phash, bands) frame — the plan both media_phash_near_
+    dups and media_audio_near_dups run: posexplode band keys, ONE
+    shuffle on (band_idx, band_val), distinct pairs, codegen'd
+    bit_count(xor) filter. Never all-pairs."""
     bands = hashes.select(
         "media_id",
         "phash",
@@ -1554,6 +1688,31 @@ def media_phash_near_dups(spark, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .filter(F.col("hamming") <= hamming_max)
         .orderBy("id_a", "id_b")
+    )
+
+
+def media_audio_fingerprint(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable audio-fingerprint query (the audio
+    media_phash): hash every fixture clip and emit (media_id,
+    variant, phash); literal oracle pins each 63-bit contour.
+    ``sf_dir`` unused (fixture-generated audio)."""
+    del sf_dir
+    return (
+        audio_fingerprints(synthetic_audio_neardup(spark))
+        .select("media_id", "variant", "phash")
+        .orderBy("media_id")
+    )
+
+
+def media_audio_near_dups(spark, sf_dir: str) -> DataFrame:
+    """Banded audio near-dup join — finds every planted re-encode
+    (float32/µ-law/ADPCM of the same signal) with no unrelated pair;
+    same plan as media_phash_near_dups via banded_near_dup_pairs.
+    ``sf_dir`` unused."""
+    del sf_dir
+    return banded_near_dup_pairs(
+        audio_fingerprints(synthetic_audio_neardup(spark)),
+        AFP_HAMMING_MAX,
     )

@@ -1662,3 +1662,36 @@ def test_image_phashes_skips_corrupt_rows(spark):
     )
     got = {r.media_id for r in image_phashes(df).collect()}
     assert got == {0, 1, 2, 3}  # clean rows hashed, corrupt dropped
+
+
+def test_audio_near_dups_planted_ground_truth(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        AFP_HAMMING_MAX,
+        audio_fingerprint64,
+        media_audio_fingerprint,
+        media_audio_near_dups,
+        synthetic_audio_neardup_rows,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_audio_near_dups(spark, "unused").collect()
+    }
+    for i in range(8):
+        grp = [5 * i, 5 * i + 1, 5 * i + 2, 5 * i + 3]
+        # pcm16 and float32 carry the same samples → same contour
+        assert pairs[(grp[0], grp[1])] == 0
+        # lossy companding/ADPCM stays within the verify threshold
+        for a_idx in range(4):
+            for b_idx in range(a_idx + 1, 4):
+                assert pairs[(grp[a_idx], grp[b_idx])] <= AFP_HAMMING_MAX
+        # the unrelated control never pairs with anything
+        assert not any(5 * i + 4 in p for p in pairs)
+    assert len(pairs) == 48
+    # Spark-side fingerprints equal the pure-Python reference
+    got = {
+        r.media_id: r.phash
+        for r in media_audio_fingerprint(spark, "unused").collect()
+    }
+    for mid, _variant, data in synthetic_audio_neardup_rows():
+        assert got[mid] == audio_fingerprint64(data)

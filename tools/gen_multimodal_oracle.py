@@ -272,6 +272,49 @@ FROM cand
 WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING_MAX}
 ORDER BY id_a, id_b"""
 
+    # ── media_audio_fingerprint + media_audio_near_dups ─────────────
+    from parquet_extractor_spark.operators.multimodal import (
+        AFP_HAMMING_MAX,
+        audio_fingerprint64,
+        synthetic_audio_neardup_rows,
+    )
+
+    afp_vals = []
+    for media_id, variant, data in synthetic_audio_neardup_rows():
+        h = audio_fingerprint64(data)
+        bands = ", ".join(str(b) for b in phash_bands(h))
+        afp_vals.append(f"({media_id}, '{variant}', {h}, {bands})")
+    afp_rows = ",\n    ".join(afp_vals)
+    afp_table = f"""(VALUES
+    {afp_rows}
+) AS t(media_id, variant, phash, {band_cols})"""
+    afp_sql = f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       variant,
+       CAST(phash AS BIGINT) AS phash
+FROM {afp_table}
+ORDER BY media_id"""
+    afp_band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT media_id, phash, {i} AS band_idx, b{i} AS band_val "
+        f"FROM {afp_table}"
+        for i in range(PHASH_BANDS)
+    )
+    afp_neardup_sql = f"""WITH bands AS (
+    {afp_band_union}
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.phash AS ha, b.phash AS hb
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.media_id < b.media_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {AFP_HAMMING_MAX}
+ORDER BY id_a, id_b"""
+
     with open(OUT, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_multimodal_oracle.py — do not edit.\n'
@@ -291,7 +334,9 @@ ORDER BY id_a, id_b"""
             f"MEDIA_GIF_FRAME_CHECKSUMS_SQL = r'''{gif_sql}\n'''\n\n"
             f"MEDIA_APNG_FRAME_CHECKSUMS_SQL = r'''{apng_sql}\n'''\n\n"
             f"MEDIA_PHASH_SQL = r'''{phash_sql}\n'''\n\n"
-            f"MEDIA_PHASH_NEAR_DUPS_SQL = r'''{neardup_sql}\n'''\n"
+            f"MEDIA_PHASH_NEAR_DUPS_SQL = r'''{neardup_sql}\n'''\n\n"
+            f"MEDIA_AUDIO_FINGERPRINT_SQL = r'''{afp_sql}\n'''\n\n"
+            f"MEDIA_AUDIO_NEAR_DUPS_SQL = r'''{afp_neardup_sql}\n'''\n"
         )
     print(
         f"wrote {OUT} "
