@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_near_dups": multimodal.media_phash_near_dups,
         "media_audio_fingerprint": multimodal.media_audio_fingerprint,
         "media_audio_near_dups": multimodal.media_audio_near_dups,
+        "media_animation_signatures":
+            multimodal.media_animation_signatures,
+        "media_animation_near_dups": multimodal.media_animation_near_dups,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -417,6 +420,10 @@ def oracle_sql() -> dict[str, str]:
             multimodal_oracle.MEDIA_AUDIO_FINGERPRINT_SQL,
         "media_audio_near_dups":
             multimodal_oracle.MEDIA_AUDIO_NEAR_DUPS_SQL,
+        "media_animation_signatures":
+            multimodal_oracle.MEDIA_ANIMATION_SIGNATURES_SQL,
+        "media_animation_near_dups":
+            multimodal_oracle.MEDIA_ANIMATION_NEAR_DUPS_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

@@ -1716,3 +1716,193 @@ def media_audio_near_dups(spark, sf_dir: str) -> DataFrame:
         audio_fingerprints(synthetic_audio_neardup(spark)),
         AFP_HAMMING_MAX,
     )
+
+
+# ── animation (video-level) near-dup detection ───────────────────────
+#
+# Frame-level extension of the pHash family to the formats whose
+# frame sampling is real (GIF89a + APNG): sample each animation on
+# the time grid, pHash every sampled canvas, and band the FRAME
+# hashes — two animations are near-dups when enough sampled frames
+# match. Because the sampler re-encodes composited canvases
+# losslessly, a GIF and an APNG of the SAME frames hash identically
+# frame-for-frame: cross-FORMAT video dedup with no pixel tolerance
+# needed, while the hamming threshold still absorbs lossy variants.
+
+ANIM_MIN_MATCHED = 2  # sampled frames that must match to pair
+
+
+def _anim_frames(i: int, seed: int, n_frames: int = 4) -> list:
+    """Deterministic palette-drawn frames (GIF-encodable by
+    construction: ≤64 colors) with fully random content per frame —
+    distinct frames land ~31 hamming apart."""
+    rng = np.random.default_rng(seed + i)
+    palette = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    return [
+        palette[rng.integers(0, 64, size=(48, 64), dtype=np.int64)]
+        for _ in range(n_frames)
+    ]
+
+
+def synthetic_animation_neardup_rows(n_bases: int = 4) -> list[tuple]:
+    """Planted animation near-dup fixture, per base: a GIF, an APNG
+    of the SAME frames (full-match twin across formats), a GIF with
+    one frame swapped for unrelated content (partial match), and an
+    entirely unrelated animation. Rows: (media_id, variant, data)."""
+    rows = []
+    for i in range(n_bases):
+        frames = _anim_frames(i, 2000)
+        rows.append(
+            (4 * i, "gif", encode_gif_animation(frames, delays_ms=100))
+        )
+        rows.append((4 * i + 1, "apng", encode_apng(frames, delays_ms=100)))
+        partial = list(frames)
+        partial[2] = _anim_frames(i, 4000)[0]
+        rows.append(
+            (
+                4 * i + 2,
+                "gif_one_frame_off",
+                encode_gif_animation(partial, delays_ms=100),
+            )
+        )
+        rows.append(
+            (
+                4 * i + 3,
+                "unrelated",
+                encode_gif_animation(
+                    _anim_frames(n_bases + i, 3000), delays_ms=100
+                ),
+            )
+        )
+    return rows
+
+
+ANIM_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("variant", StringType(), False),
+        StructField("frame_ts", LongType(), False),
+        StructField("phash", LongType(), False),
+        StructField("bands", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def synthetic_animation_neardup(spark) -> DataFrame:
+    return spark.createDataFrame(
+        synthetic_animation_neardup_rows(),
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("variant", StringType(), False),
+                StructField("data", BinaryType(), False),
+            ]
+        ),
+    ).repartition(8, "media_id")
+
+
+def animation_phashes(media: DataFrame) -> DataFrame:
+    """mapInPandas stage: sample each animation's time grid (real
+    GIF/APNG compositing) and pHash every sampled canvas — one output
+    row per (media_id, tick). Undecodable rows drop (robustness
+    contract)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "variant": [],
+                "frame_ts": [],
+                "phash": [],
+                "bands": [],
+            }
+            for mid, variant, data in zip(
+                pdf["media_id"], pdf["variant"], pdf["data"]
+            ):
+                try:
+                    samples = animation_frame_samples(bytes(data))
+                    hashes = [
+                        (ts, phash64(decode_png(png))) for ts, png in samples
+                    ]
+                except (NotImplementedError, ValueError):
+                    continue
+                for ts, h in hashes:
+                    out["media_id"].append(int(mid))
+                    out["variant"].append(variant)
+                    out["frame_ts"].append(int(ts))
+                    out["phash"].append(h)
+                    out["bands"].append(phash_bands(h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "variant": pd.Series(out["variant"], dtype=object),
+                    "frame_ts": pd.Series(out["frame_ts"], dtype="int64"),
+                    "phash": pd.Series(out["phash"], dtype="int64"),
+                    "bands": pd.Series(out["bands"], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(_hash, ANIM_PHASH_SCHEMA)
+
+
+def media_animation_signatures(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable animation-signature query: sample + hash every
+    fixture animation; the literal oracle pins each (media_id,
+    frame_ts, phash) row, proving the full decode → composite →
+    sample → re-encode → pHash chain. ``sf_dir`` unused."""
+    del sf_dir
+    return (
+        animation_phashes(synthetic_animation_neardup(spark))
+        .select("media_id", "variant", "frame_ts", "phash")
+        .orderBy("media_id", "frame_ts")
+    )
+
+
+def media_animation_near_dups(spark, sf_dir: str) -> DataFrame:
+    """Frame-banded animation near-dup join: band keys from every
+    sampled frame's pHash, ONE shuffle on (band_idx, band_val),
+    candidate frame pairs verified by the codegen hamming check, then
+    pairs scored by DISTINCT matched sample ticks — ≥ ANIM_MIN_MATCHED
+    frames ⇒ the animations are duplicates. Any-tick matching, so a
+    re-timed duplicate still pairs. Never all-pairs at any stage;
+    volume is animations × ticks × bands.
+    Output: (id_a, id_b, n_frames_matched). Every GIF↔APNG twin
+    matches on all 4 ticks, the one-frame-off variant on 3, unrelated
+    animations never pair. ``sf_dir`` unused."""
+    del sf_dir
+    frames = animation_phashes(synthetic_animation_neardup(spark))
+    bands = frames.select(
+        "media_id",
+        "frame_ts",
+        "phash",
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.frame_ts").alias("ts_a"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    matched = cand.filter(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        <= PHASH_HAMMING_MAX
+    )
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("ts_a").cast("bigint").alias("n_frames_matched")
+        )
+        .filter(F.col("n_frames_matched") >= ANIM_MIN_MATCHED)
+        .orderBy("id_a", "id_b")
+    )

@@ -1695,3 +1695,23 @@ def test_audio_near_dups_planted_ground_truth(spark):
     }
     for mid, _variant, data in synthetic_audio_neardup_rows():
         assert got[mid] == audio_fingerprint64(data)
+
+
+def test_animation_near_dups_cross_format_ground_truth(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        media_animation_near_dups,
+    )
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_frames_matched
+        for r in media_animation_near_dups(spark, "unused").collect()
+    }
+    for i in range(4):
+        gif, apng, off, unrel = 4 * i, 4 * i + 1, 4 * i + 2, 4 * i + 3
+        # GIF and APNG of the same frames: every sampled tick matches
+        assert pairs[(gif, apng)] == 4
+        # one swapped frame costs exactly one tick
+        assert pairs[(gif, off)] == 3
+        assert pairs[(apng, off)] == 3
+        assert not any(unrel in p for p in pairs)
+    assert len(pairs) == 12

@@ -315,6 +315,59 @@ FROM cand
 WHERE bit_count(xor(ha, hb)) <= {AFP_HAMMING_MAX}
 ORDER BY id_a, id_b"""
 
+    # ── media_animation_signatures + media_animation_near_dups ──────
+    from parquet_extractor_spark.functions.png import decode_png as _dpng
+    from parquet_extractor_spark.operators.multimodal import (
+        ANIM_MIN_MATCHED,
+        animation_frame_samples,
+        synthetic_animation_neardup_rows,
+    )
+
+    anim_vals = []
+    for media_id, variant, data in synthetic_animation_neardup_rows():
+        for ts, png in animation_frame_samples(data):
+            h = phash64(_dpng(png))
+            bands = ", ".join(str(b) for b in phash_bands(h))
+            anim_vals.append(
+                f"({media_id}, '{variant}', {ts}, {h}, {bands})"
+            )
+    anim_rows = ",\n    ".join(anim_vals)
+    anim_table = f"""(VALUES
+    {anim_rows}
+) AS t(media_id, variant, frame_ts, phash, {band_cols})"""
+    anim_sql = f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       variant,
+       CAST(frame_ts AS BIGINT) AS frame_ts,
+       CAST(phash AS BIGINT) AS phash
+FROM {anim_table}
+ORDER BY media_id, frame_ts"""
+    anim_band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT media_id, frame_ts, phash, {i} AS band_idx, "
+        f"b{i} AS band_val FROM {anim_table}"
+        for i in range(PHASH_BANDS)
+    )
+    anim_neardup_sql = f"""WITH bands AS (
+    {anim_band_union}
+),
+cand AS (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.frame_ts AS ts_a, a.phash AS ha, b.phash AS hb
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.media_id < b.media_id
+),
+matched AS (
+    SELECT id_a, id_b, ts_a FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {PHASH_HAMMING_MAX}
+)
+SELECT CAST(id_a AS BIGINT) AS id_a,
+       CAST(id_b AS BIGINT) AS id_b,
+       CAST(count(DISTINCT ts_a) AS BIGINT) AS n_frames_matched
+FROM matched
+GROUP BY id_a, id_b
+HAVING count(DISTINCT ts_a) >= {ANIM_MIN_MATCHED}
+ORDER BY id_a, id_b"""
+
     with open(OUT, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_multimodal_oracle.py — do not edit.\n'
@@ -336,7 +389,9 @@ ORDER BY id_a, id_b"""
             f"MEDIA_PHASH_SQL = r'''{phash_sql}\n'''\n\n"
             f"MEDIA_PHASH_NEAR_DUPS_SQL = r'''{neardup_sql}\n'''\n\n"
             f"MEDIA_AUDIO_FINGERPRINT_SQL = r'''{afp_sql}\n'''\n\n"
-            f"MEDIA_AUDIO_NEAR_DUPS_SQL = r'''{afp_neardup_sql}\n'''\n"
+            f"MEDIA_AUDIO_NEAR_DUPS_SQL = r'''{afp_neardup_sql}\n'''\n\n"
+            f"MEDIA_ANIMATION_SIGNATURES_SQL = r'''{anim_sql}\n'''\n\n"
+            f"MEDIA_ANIMATION_NEAR_DUPS_SQL = r'''{anim_neardup_sql}\n'''\n"
         )
     print(
         f"wrote {OUT} "
