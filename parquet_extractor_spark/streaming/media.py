@@ -288,3 +288,37 @@ def run_phash_stream(
         query.stop()
         raise TimeoutError(f"phash stream did not drain within {timeout_s}s")
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def run_audio_fingerprint_stream(
+    spark: SparkSession,
+    media_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming twin of ``operators.multimodal.audio_fingerprints``
+    — same landing-dir shape as run_phash_stream (the neardup
+    (media_id, variant, data) schema), same epoch-idempotent sink;
+    the contour hashing is stateless per row."""
+    from parquet_extractor_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    hashes = audio_fingerprints(read_neardup_stream(spark, media_dir))
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+
+    query = (
+        hashes.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "afp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(f"afp stream did not drain within {timeout_s}s")
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

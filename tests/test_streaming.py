@@ -685,3 +685,28 @@ def test_streaming_phash_equals_batch(spark, tmp_path):
 
     assert key(got.collect()) == key(want.collect())
     assert got.count() == 32
+
+
+def test_streaming_audio_fingerprints_equal_batch(spark, tmp_path):
+    from parquet_extractor_spark.operators.multimodal import (
+        audio_fingerprints,
+        synthetic_audio_neardup,
+    )
+    from parquet_extractor_spark.streaming.media import (
+        run_audio_fingerprint_stream,
+    )
+
+    media = synthetic_audio_neardup(spark)
+    landing = str(tmp_path / "wav_landing")
+    media.coalesce(2).write.mode("overwrite").parquet(landing)
+
+    got = run_audio_fingerprint_stream(
+        spark, landing, str(tmp_path / "ckpt_afp"), str(tmp_path / "afp_out")
+    )
+    want = audio_fingerprints(media)
+
+    def key(rows):
+        return {(r.media_id, r.variant, r.phash, tuple(r.bands)) for r in rows}
+
+    assert key(got.collect()) == key(want.collect())
+    assert got.count() == 40
