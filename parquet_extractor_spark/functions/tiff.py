@@ -7,7 +7,9 @@ fields a curation pipeline filters on — dimensions, samples/alpha,
 page count — without touching strip data. Pixel DECODE is real for
 8-bit chunky strips in every mainstream encoding — uncompressed,
 PackBits, LZW (TIFF 6.0 §13 early-change flavor), Deflate (8 and
-legacy 32946), with Predictor 2 undone — leaving JPEG-in-TIFF, the
+legacy 32946), with Predictor 2 undone — and new-style JPEG-in-TIFF
+(compression 7, shared JPEGTables spliced per strip) since late r06,
+leaving old-style JPEG (6), the
 CCITT fax family and planar configs as the declared Pillow boundary
 (the header pass remains what a 100 TB pre-filter actually runs
 before spending any decode CPU).
@@ -271,6 +273,7 @@ def _apply_predictor2(strip: bytes, w: int, samples: int) -> bytes:
 
 TIFF_COMPRESSION_NONE = 1
 TIFF_COMPRESSION_LZW = 5
+TIFF_COMPRESSION_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2)
 TIFF_COMPRESSION_DEFLATE = 8  # "Adobe" deflate; 32946 is the old tag
 TIFF_COMPRESSION_DEFLATE_OLD = 32946
 TIFF_COMPRESSION_PACKBITS = 32773
@@ -279,11 +282,13 @@ TIFF_COMPRESSION_PACKBITS = 32773
 def decode_tiff(data: bytes):
     """Decode the FIRST page of an 8-bit chunky TIFF to an (H, W, C)
     uint8 array. Real pixels for uncompressed (1), PackBits (32773),
-    LZW (5, with the spec's early-change width schedule) and Deflate
-    (8 and legacy 32946) strips, with Predictor 2 (horizontal
-    differencing) undone when tagged — the encodings that cover
-    effectively all 8-bit TIFFs in the wild. JPEG-in-TIFF (6/7) and
-    the CCITT fax family remain the declared Pillow boundary
+    LZW (5, with the spec's early-change width schedule), Deflate
+    (8 and legacy 32946) strips — with Predictor 2 (horizontal
+    differencing) undone when tagged — and, since late r06, new-style
+    JPEG-in-TIFF (7, TTN2): each strip is a JPEG stream decoded by
+    functions/jpeg.py, with a shared JPEGTables tag (347) spliced
+    after each strip's SOI when present. Old-style JPEG (6) and the
+    CCITT fax family remain the declared Pillow boundary
     (NotImplementedError). Malformed input raises ValueError."""
     import numpy as np
 
@@ -300,7 +305,7 @@ def decode_tiff(data: bytes):
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from(endian + "H", data, off)
-        if tag in (256, 257, 258, 259, 273, 277, 278, 279, 284, 317):
+        if tag in (256, 257, 258, 259, 273, 277, 278, 279, 284, 317, 347):
             vals = _read_entry_values(data, off, endian)
             if vals is None:
                 raise ValueError(f"bad TIFF entry for tag {tag}")
@@ -327,14 +332,31 @@ def decode_tiff(data: bytes):
         TIFF_COMPRESSION_LZW,
         TIFF_COMPRESSION_DEFLATE,
         TIFF_COMPRESSION_DEFLATE_OLD,
+        TIFF_COMPRESSION_JPEG,
     ):
         raise NotImplementedError(
-            f"TIFF compression {compression} (JPEG-in-TIFF/CCITT) "
+            f"TIFF compression {compression} (old-style JPEG/CCITT) "
             "needs Pillow"
         )
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor}")
+    # new-style JPEG (TTN2): each strip is a JPEG stream; a shared
+    # JPEGTables tag (347) holds an abbreviated tables-only stream
+    # whose segments are spliced after each strip's SOI
+    jpeg_tables_body = b""
+    if compression == TIFF_COMPRESSION_JPEG:
+        if samples != 3:
+            raise NotImplementedError(
+                "JPEG-in-TIFF decodes as 3-sample YCbCr/RGB here"
+            )
+        if predictor == 2:
+            raise ValueError("predictor 2 is invalid for JPEG strips")
+        tbl = bytes(tags.get(347, []))
+        if tbl:
+            if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
+                raise ValueError("bad JPEGTables stream")
+            jpeg_tables_body = tbl[2:-2]
     if w * h > (1 << 26):  # decode-bomb guard, as in png/gif/vp8l
         raise ValueError(f"TIFF image too large ({w}x{h})")
     if len(offsets) != len(counts):
@@ -361,6 +383,18 @@ def decode_tiff(data: bytes):
                 raw = zlib.decompress(raw)
             except zlib.error as exc:
                 raise ValueError(f"bad TIFF deflate strip: {exc}") from exc
+        elif compression == TIFF_COMPRESSION_JPEG:
+            from parquet_extractor_spark.functions.jpeg import decode_jpeg
+
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError("JPEG strip missing SOI")
+            stream = b"\xff\xd8" + jpeg_tables_body + bytes(raw[2:])
+            tile = decode_jpeg(stream)
+            if tile.shape[1] != w or tile.shape[0] < strip_rows:
+                raise ValueError(
+                    "JPEG strip dimensions disagree with the IFD"
+                )
+            raw = tile[:strip_rows].tobytes()
         if len(raw) < expected:
             raise ValueError("TIFF strip shorter than its rows")
         raw = raw[:expected]
@@ -374,16 +408,46 @@ def decode_tiff(data: bytes):
     return arr[:, :, 0:1].repeat(3, axis=2) if samples == 1 else arr
 
 
+def _jpeg_strip_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split one JPEG stream into (tables_body, stream_without_tables):
+    walk the segment markers, lift every DQT (FFDB) / DHT (FFC4)
+    segment out. The lifted body goes into the shared JPEGTables tag;
+    the remainder is the abbreviated per-strip stream TTN2 describes."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    kept = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG segment marker")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows — keep the rest
+            kept += stream[pos:]
+            return bytes(tables), bytes(kept)
+        (seg_len,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            kept += seg
+        pos += 2 + seg_len
+    raise ValueError("JPEG stream without SOS")
+
+
 def build_tiff_image(
     arr,
     endian: str = "le",
     compression: int = TIFF_COMPRESSION_NONE,
     rows_per_strip: int = 8,
     predictor: int = 1,
+    jpeg_quality: int = 95,
+    jpeg_shared_tables: bool = False,
 ) -> bytes:
     """(H, W, 1|3|4) uint8 array -> real striped 8-bit chunky TIFF
-    (uncompressed, PackBits, LZW or Deflate; optional horizontal-
-    differencing Predictor 2)."""
+    (uncompressed, PackBits, LZW, Deflate, or new-style JPEG-in-TIFF
+    with optional shared JPEGTables; optional horizontal-differencing
+    Predictor 2 for the lossless encodings)."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -392,8 +456,28 @@ def build_tiff_image(
     h, w, c = a.shape
     e = "<" if endian == "le" else ">"
     bom = b"II\x2a\x00" if endian == "le" else b"MM\x00\x2a"
+    jpeg_tables = b""
+    if compression == TIFF_COMPRESSION_JPEG and (c != 3 or predictor == 2):
+        raise ValueError("JPEG-in-TIFF writes 3-sample strips, no predictor")
     strips = []
     for y0 in range(0, h, rows_per_strip):
+        if compression == TIFF_COMPRESSION_JPEG:
+            from parquet_extractor_spark.functions.jpeg import encode_jpeg
+
+            stream = encode_jpeg(
+                a[y0 : y0 + rows_per_strip],
+                quality=jpeg_quality,
+                subsample=False,
+            )
+            if jpeg_shared_tables:
+                # baseline tables depend only on quality (Annex-K
+                # Huffman + quality-scaled quant), so every strip
+                # lifts the SAME segments — take them once
+                tbl, stream = _jpeg_strip_tables(stream)
+                if not jpeg_tables:
+                    jpeg_tables = b"\xff\xd8" + tbl + b"\xff\xd9"
+            strips.append(stream)
+            continue
         raw = a[y0 : y0 + rows_per_strip].tobytes()
         if predictor == 2:
             raw = _apply_predictor2(raw, w, c)
@@ -410,12 +494,15 @@ def build_tiff_image(
             raw = zlib.compress(raw, 6)
         strips.append(raw)
     n_strips = len(strips)
+    photometric = 1 if c == 1 else 2
+    if compression == TIFF_COMPRESSION_JPEG:
+        photometric = 6  # YCbCr, the JFIF strips' native space
     tags = [
         (256, 4, 1, [w]),
         (257, 4, 1, [h]),
         (258, 3, c, [8] * c),
         (259, 3, 1, [compression]),
-        (262, 3, 1, [1 if c == 1 else 2]),  # photometric
+        (262, 3, 1, [photometric]),
         (273, 4, n_strips, None),  # patched below
         (277, 3, 1, [c]),
         (278, 4, 1, [rows_per_strip]),
@@ -423,6 +510,8 @@ def build_tiff_image(
     ]
     if predictor == 2:
         tags.append((317, 3, 1, [2]))
+    if jpeg_tables:
+        tags.append((347, 7, len(jpeg_tables), list(jpeg_tables)))
     header = bytearray(bom + struct.pack(e + "I", 8))
     ifd = bytearray(struct.pack(e + "H", len(tags)))
     # layout: header(8) + IFD + next-ptr + overflow area + strips
@@ -431,6 +520,8 @@ def build_tiff_image(
     overflow_base = 8 + ifd_size
 
     def value_bytes(typ, vals):
+        if typ in (1, 7):  # BYTE / UNDEFINED
+            return bytes(vals)
         fmt = {3: "H", 4: "I"}[typ]
         return b"".join(struct.pack(e + fmt, v) for v in vals)
 

@@ -151,14 +151,14 @@ def decode_image(data: bytes) -> "np.ndarray":
         return decode_webp(data)
     if is_tiff(data):
         # uncompressed / PackBits / LZW / Deflate strips (with
-        # Predictor 2) decode for real (functions/tiff.py, r06);
-        # JPEG-in-TIFF and CCITT raise NotImplementedError inside
-        # decode_tiff
+        # Predictor 2) and new-style JPEG-in-TIFF decode for real
+        # (functions/tiff.py, r06); old-style JPEG (6) and CCITT
+        # raise NotImplementedError inside decode_tiff
         return decode_tiff(data)
     raise NotImplementedError(
         "only PNG, JPEG, GIF, 24-bit BMP, lossless WebP, and "
-        "baseline-compression TIFF decode are implemented; lossy "
-        "WebP, JPEG-in-TIFF, HEIC/... require PIL/pillow, not "
+        "TIFF (incl. new-style JPEG strips) decode are implemented; "
+        "lossy WebP, HEIC/... require PIL/pillow, not "
         "available in this environment"
     )
 
@@ -547,14 +547,19 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 # noise rows, palette for the small-palette rows
                 data = build_webp_lossless(pixels)
             else:
-                # rotate compression (uncompressed / PackBits / LZW /
-                # Deflate), byte order and Predictor 2 so the oracle
-                # pins every real strip path of the TIFF decoder
+                # rotate compression by TIFF-row occurrence (rows land
+                # at i = 15, 33, 51): new-style JPEG with shared
+                # JPEGTables (the late-r06 boundary closure — pins the
+                # tables-splice decode path), PackBits, and
+                # LZW + Predictor 2; byte order still alternates.
+                # Uncompressed/Deflate strips stay unit-test-pinned.
+                occ = (i - 15) // 18
                 data = build_tiff_image(
                     pixels,
                     endian="le" if (i // 15) % 2 == 0 else "be",
-                    compression=[1, 32773, 5, 8][(i // 30) % 4],
-                    predictor=2 if (i // 60) % 2 else 1,
+                    compression=[7, 32773, 5][occ % 3],
+                    predictor=2 if occ % 3 == 2 else 1,
+                    jpeg_shared_tables=True,
                 )
         elif kind == "audio":
             sr, dur = 8000, 0.25

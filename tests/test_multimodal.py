@@ -1527,9 +1527,9 @@ def test_tiff_pixel_decode_roundtrip_and_boundaries():
     """TIFF strips decode for real: uncompressed, PackBits, LZW
     (early-change flavor, since later in r06) and Deflate (both
     tags), with and without Predictor 2, both byte orders,
-    gray/RGB/RGBA, multi-strip layouts; JPEG-in-TIFF stays the
-    declared Pillow boundary and the PackBits/LZW codecs satisfy
-    their round-trip contracts."""
+    gray/RGB/RGBA, multi-strip layouts; the PackBits/LZW codecs
+    satisfy their round-trip contracts. New-style JPEG-in-TIFF is
+    covered by test_tiff_jpeg_in_tiff below (late-r06 closure)."""
     import random
 
     from parquet_extractor_spark.functions.tiff import (
@@ -1567,18 +1567,19 @@ def test_tiff_pixel_decode_roundtrip_and_boundaries():
                     )
                     want = arr.repeat(3, axis=2) if c == 1 else arr
                     assert np.array_equal(out, want), (c, endian, comp, pred)
-    # decode_image dispatch + the remaining JPEG-in-TIFF boundary
+    # decode_image dispatch + the remaining old-style-JPEG boundary
+    # (compression 6; NEW-style 7 decodes for real since late r06 —
+    # see test_tiff_jpeg_in_tiff)
     arr = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
     assert np.array_equal(decode_image(build_tiff_image(arr)), arr)
     jpg = bytearray(build_tiff_image(arr))
-    # patch compression tag (259) value to 7 (JPEG-in-TIFF)
     import struct as _struct
 
     n_entries = _struct.unpack_from("<H", jpg, 8)[0]
     for i in range(n_entries):
         off = 10 + 12 * i
         if _struct.unpack_from("<H", jpg, off)[0] == 259:
-            _struct.pack_into("<H", jpg, off + 8, 7)
+            _struct.pack_into("<H", jpg, off + 8, 6)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(jpg))
     # corrupt LZW stream must be ValueError, never a crash
@@ -1715,3 +1716,75 @@ def test_animation_near_dups_cross_format_ground_truth(spark):
         assert pairs[(apng, off)] == 3
         assert not any(unrel in p for p in pairs)
     assert len(pairs) == 12
+
+
+def test_tiff_jpeg_in_tiff():
+    """New-style JPEG-in-TIFF (compression 7, TTN2) decodes for real
+    through the in-repo JPEG codec: inline-tables strips, shared
+    JPEGTables (tag 347) spliced after each strip's SOI, both byte
+    orders, short last strips; lossy round-trip stays within the
+    JPEG error band and corrupt streams raise ValueError."""
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.tiff import (
+        TIFF_COMPRESSION_JPEG,
+        build_tiff_image,
+        decode_tiff,
+    )
+
+    y, x = np.mgrid[0:45, 0:64]
+    px = np.clip(
+        np.stack(
+            [
+                128 + 90 * np.sin(x / 9.0) * np.cos(y / 7.0),
+                128 + 70 * np.cos(x / 11.0),
+                128 + 80 * np.sin((x + y) / 13.0),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for endian in ("le", "be"):
+        for shared in (False, True):
+            t = build_tiff_image(
+                px,
+                endian=endian,
+                compression=TIFF_COMPRESSION_JPEG,
+                rows_per_strip=16,  # 45 rows → short last strip
+                jpeg_shared_tables=shared,
+            )
+            out = decode_tiff(t)
+            assert out.shape == px.shape
+            err = np.abs(out.astype(int) - px.astype(int))
+            assert err.max() <= 8 and err.mean() < 2.0
+    # shared tables genuinely shrink the file (the point of tag 347)
+    inline = build_tiff_image(
+        px, compression=TIFF_COMPRESSION_JPEG, rows_per_strip=16
+    )
+    shared = build_tiff_image(
+        px,
+        compression=TIFF_COMPRESSION_JPEG,
+        rows_per_strip=16,
+        jpeg_shared_tables=True,
+    )
+    assert len(shared) < len(inline)
+    # corrupt strip: flip a byte inside the first strip's entropy data
+    bad = bytearray(shared)
+    bad[-20] ^= 0xFF
+    try:
+        decode_tiff(bytes(bad))  # may survive (entropy noise) ...
+    except ValueError:
+        pass  # ... or raise ValueError — never anything else
+    # truncated JPEGTables must raise cleanly
+    with _pytest.raises(ValueError):
+        from parquet_extractor_spark.functions.tiff import (
+            _jpeg_strip_tables,
+        )
+
+        _jpeg_strip_tables(b"\xff\xd8\xff\xdb\x00\x04\x00\x00")
+    # predictor 2 + JPEG is rejected at build time
+    with _pytest.raises(ValueError):
+        build_tiff_image(
+            px, compression=TIFF_COMPRESSION_JPEG, predictor=2
+        )
