@@ -80,9 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
         "dedup", help="duplicate detection over documents/embeddings"
     )
     dd.add_argument(
-        "method", choices=["exact", "lsh", "semantic"],
+        "method",
+        choices=["exact", "lsh", "semantic", "image", "audio", "animation"],
         help="exact: content-hash groups; lsh: MinHash band candidate "
-        "pairs; semantic: SemDeDup keep/drop verdicts over embeddings",
+        "pairs; semantic: SemDeDup keep/drop verdicts over embeddings; "
+        "image/audio/animation: banded perceptual-hash near-dup pairs "
+        "over the media fixtures (pHash / energy contour / frame "
+        "hashes)",
     )
     dd.add_argument("sf_dir", help="fixture dir containing the parquet tables")
     dd.add_argument("--limit", type=int, default=20,
@@ -215,12 +219,19 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "dedup":
-        from parquet_extractor_spark.operators import dedup, similarity
+        from parquet_extractor_spark.operators import (
+            dedup,
+            multimodal,
+            similarity,
+        )
 
         fn = {
             "exact": dedup.exact_dedup,
             "lsh": dedup.minhash_lsh_candidates,
             "semantic": similarity.semdedup_keep,
+            "image": multimodal.media_phash_near_dups,
+            "audio": multimodal.media_audio_near_dups,
+            "animation": multimodal.media_animation_near_dups,
         }[args.method]
         for row in fn(spark, args.sf_dir).limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))

@@ -207,6 +207,9 @@ def test_cli_dedup_and_quality_methods(spark, sf_small, capsys):
     for args, key in (
         (["dedup", "exact", sf_small, "--limit", "3"], "keep_doc_id"),
         (["dedup", "semantic", sf_small, "--limit", "3"], "keep"),
+        (["dedup", "image", sf_small, "--limit", "3"], "hamming"),
+        (["dedup", "animation", sf_small, "--limit", "3"],
+         "n_frames_matched"),
         (["select", "gopher", sf_small, "--limit", "3"], "gopher_keep"),
         (["select", "winnow", sf_small, "--limit", "3"], "n_selected"),
     ):
