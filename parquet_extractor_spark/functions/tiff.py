@@ -9,8 +9,9 @@ page count — without touching strip data. Pixel DECODE is real for
 PackBits, LZW (TIFF 6.0 §13 early-change flavor), Deflate (8 and
 legacy 32946), with Predictor 2 undone — and new-style JPEG-in-TIFF
 (compression 7, shared JPEGTables spliced per strip) since late r06,
-leaving old-style JPEG (6), the
-CCITT fax family and planar configs as the declared Pillow boundary
+plus PlanarConfiguration-2 per-plane strip groups,
+leaving old-style JPEG (6) and the
+CCITT fax family as the declared Pillow boundary
 (the header pass remains what a 100 TB pre-filter actually runs
 before spending any decode CPU).
 
@@ -324,8 +325,8 @@ def decode_tiff(data: bytes):
         raise NotImplementedError(
             "only 8-bit grayscale/RGB/RGBA TIFF decodes here"
         )
-    if planar != 1:
-        raise NotImplementedError("planar TIFF needs Pillow")
+    if planar not in (1, 2):
+        raise ValueError(f"bad PlanarConfiguration {planar}")
     if compression not in (
         TIFF_COMPRESSION_NONE,
         TIFF_COMPRESSION_PACKBITS,
@@ -361,13 +362,13 @@ def decode_tiff(data: bytes):
         raise ValueError(f"TIFF image too large ({w}x{h})")
     if len(offsets) != len(counts):
         raise ValueError("TIFF strip offset/count mismatch")
-    rows = bytearray()
-    remaining = h
-    for s, (o, c) in enumerate(zip(offsets, counts)):
+    def _strip_pixels(o: int, c: int, strip_rows: int, spp: int) -> bytes:
+        """Decompress one strip to exactly strip_rows×w×spp bytes
+        (spp = samples carried by the strip: all of them for chunky,
+        one for planar)."""
         if o + c > len(data):
             raise ValueError("TIFF strip out of bounds")
-        strip_rows = min(rows_per_strip, remaining)
-        expected = strip_rows * w * samples
+        expected = strip_rows * w * spp
         raw = data[o : o + c]
         if compression == TIFF_COMPRESSION_PACKBITS:
             raw = _packbits_decode(raw, expected)
@@ -397,14 +398,49 @@ def decode_tiff(data: bytes):
             raw = tile[:strip_rows].tobytes()
         if len(raw) < expected:
             raise ValueError("TIFF strip shorter than its rows")
-        raw = raw[:expected]
+        raw = bytes(raw[:expected])
         if predictor == 2:
-            raw = _undo_predictor2(raw, w, samples)
-        rows += raw
-        remaining -= strip_rows
-    if remaining > 0:
-        raise ValueError("TIFF strips do not cover the image")
-    arr = np.frombuffer(bytes(rows), dtype=np.uint8).reshape(h, w, samples)
+            raw = _undo_predictor2(raw, w, spp)
+        return raw
+
+    if planar == 2:
+        # PlanarConfiguration 2: strips are grouped per sample plane
+        # (all plane-0 strips, then plane-1, …), each carrying one
+        # sample per pixel
+        if compression == TIFF_COMPRESSION_JPEG:
+            raise NotImplementedError("planar JPEG strips need Pillow")
+        spp_strips = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) != samples * spp_strips:
+            raise ValueError("planar TIFF strip count mismatch")
+        planes = []
+        for p in range(samples):
+            rows = bytearray()
+            remaining = h
+            for s in range(spp_strips):
+                idx = p * spp_strips + s
+                strip_rows = min(rows_per_strip, remaining)
+                rows += _strip_pixels(
+                    offsets[idx], counts[idx], strip_rows, 1
+                )
+                remaining -= strip_rows
+            planes.append(
+                np.frombuffer(bytes(rows), dtype=np.uint8).reshape(h, w)
+            )
+        arr = np.stack(planes, axis=2)
+    else:
+        rows = bytearray()
+        remaining = h
+        for o, c in zip(offsets, counts):
+            if remaining <= 0:
+                break
+            strip_rows = min(rows_per_strip, remaining)
+            rows += _strip_pixels(o, c, strip_rows, samples)
+            remaining -= strip_rows
+        if remaining > 0:
+            raise ValueError("TIFF strips do not cover the image")
+        arr = np.frombuffer(bytes(rows), dtype=np.uint8).reshape(
+            h, w, samples
+        )
     return arr[:, :, 0:1].repeat(3, axis=2) if samples == 1 else arr
 
 
@@ -443,11 +479,13 @@ def build_tiff_image(
     predictor: int = 1,
     jpeg_quality: int = 95,
     jpeg_shared_tables: bool = False,
+    planar: int = 1,
 ) -> bytes:
-    """(H, W, 1|3|4) uint8 array -> real striped 8-bit chunky TIFF
+    """(H, W, 1|3|4) uint8 array -> real striped 8-bit TIFF
     (uncompressed, PackBits, LZW, Deflate, or new-style JPEG-in-TIFF
     with optional shared JPEGTables; optional horizontal-differencing
-    Predictor 2 for the lossless encodings)."""
+    Predictor 2 for the lossless encodings; planar=2 writes
+    PlanarConfiguration-2 per-plane strip groups)."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -457,42 +495,59 @@ def build_tiff_image(
     e = "<" if endian == "le" else ">"
     bom = b"II\x2a\x00" if endian == "le" else b"MM\x00\x2a"
     jpeg_tables = b""
-    if compression == TIFF_COMPRESSION_JPEG and (c != 3 or predictor == 2):
-        raise ValueError("JPEG-in-TIFF writes 3-sample strips, no predictor")
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        if compression == TIFF_COMPRESSION_JPEG:
-            from parquet_extractor_spark.functions.jpeg import encode_jpeg
+    if compression == TIFF_COMPRESSION_JPEG and (
+        c != 3 or predictor == 2 or planar == 2
+    ):
+        raise ValueError(
+            "JPEG-in-TIFF writes 3-sample chunky strips, no predictor"
+        )
 
-            stream = encode_jpeg(
-                a[y0 : y0 + rows_per_strip],
-                quality=jpeg_quality,
-                subsample=False,
-            )
-            if jpeg_shared_tables:
-                # baseline tables depend only on quality (Annex-K
-                # Huffman + quality-scaled quant), so every strip
-                # lifts the SAME segments — take them once
-                tbl, stream = _jpeg_strip_tables(stream)
-                if not jpeg_tables:
-                    jpeg_tables = b"\xff\xd8" + tbl + b"\xff\xd9"
-            strips.append(stream)
-            continue
-        raw = a[y0 : y0 + rows_per_strip].tobytes()
+    def _pack(raw: bytes, spp: int) -> bytes:
         if predictor == 2:
-            raw = _apply_predictor2(raw, w, c)
+            raw = _apply_predictor2(raw, w, spp)
         if compression == TIFF_COMPRESSION_PACKBITS:
-            raw = _packbits_encode(raw)
-        elif compression == TIFF_COMPRESSION_LZW:
-            raw = _lzw_encode(raw)
-        elif compression in (
+            return _packbits_encode(raw)
+        if compression == TIFF_COMPRESSION_LZW:
+            return _lzw_encode(raw)
+        if compression in (
             TIFF_COMPRESSION_DEFLATE,
             TIFF_COMPRESSION_DEFLATE_OLD,
         ):
             import zlib
 
-            raw = zlib.compress(raw, 6)
-        strips.append(raw)
+            return zlib.compress(raw, 6)
+        return raw
+
+    strips = []
+    if planar == 2:
+        for p in range(c):
+            plane = np.ascontiguousarray(a[:, :, p])
+            for y0 in range(0, h, rows_per_strip):
+                strips.append(
+                    _pack(plane[y0 : y0 + rows_per_strip].tobytes(), 1)
+                )
+    else:
+        for y0 in range(0, h, rows_per_strip):
+            if compression == TIFF_COMPRESSION_JPEG:
+                from parquet_extractor_spark.functions.jpeg import (
+                    encode_jpeg,
+                )
+
+                stream = encode_jpeg(
+                    a[y0 : y0 + rows_per_strip],
+                    quality=jpeg_quality,
+                    subsample=False,
+                )
+                if jpeg_shared_tables:
+                    # baseline tables depend only on quality (Annex-K
+                    # Huffman + quality-scaled quant), so every strip
+                    # lifts the SAME segments — take them once
+                    tbl, stream = _jpeg_strip_tables(stream)
+                    if not jpeg_tables:
+                        jpeg_tables = b"\xff\xd8" + tbl + b"\xff\xd9"
+                strips.append(stream)
+                continue
+            strips.append(_pack(a[y0 : y0 + rows_per_strip].tobytes(), c))
     n_strips = len(strips)
     photometric = 1 if c == 1 else 2
     if compression == TIFF_COMPRESSION_JPEG:
@@ -508,6 +563,8 @@ def build_tiff_image(
         (278, 4, 1, [rows_per_strip]),
         (279, 4, n_strips, [len(s) for s in strips]),
     ]
+    if planar == 2:
+        tags.append((284, 3, 1, [2]))
     if predictor == 2:
         tags.append((317, 3, 1, [2]))
     if jpeg_tables:

@@ -1788,3 +1788,47 @@ def test_tiff_jpeg_in_tiff():
         build_tiff_image(
             px, compression=TIFF_COMPRESSION_JPEG, predictor=2
         )
+
+
+def test_tiff_planar_configuration():
+    """PlanarConfiguration-2 TIFFs decode for real: per-plane strip
+    groups across every lossless compression, both byte orders,
+    predictor 2 applied per plane; planar strip-count mismatches
+    raise ValueError."""
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.tiff import (
+        TIFF_COMPRESSION_DEFLATE,
+        TIFF_COMPRESSION_JPEG,
+        TIFF_COMPRESSION_LZW,
+        TIFF_COMPRESSION_PACKBITS,
+        build_tiff_image,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(5)
+    for c in (1, 3, 4):
+        for comp in (
+            1,
+            TIFF_COMPRESSION_PACKBITS,
+            TIFF_COMPRESSION_LZW,
+            TIFF_COMPRESSION_DEFLATE,
+        ):
+            for pred in (1, 2):
+                for endian in ("le", "be"):
+                    arr = rng.integers(0, 256, (13, 17, c), dtype=np.uint8)
+                    t = build_tiff_image(
+                        arr,
+                        endian=endian,
+                        compression=comp,
+                        predictor=pred,
+                        rows_per_strip=5,
+                        planar=2,
+                    )
+                    out = decode_tiff(t)
+                    want = arr.repeat(3, axis=2) if c == 1 else arr
+                    assert np.array_equal(out, want), (c, comp, pred, endian)
+    # JPEG strips stay chunky-only (TTN2 defines no planar layout here)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    with _pytest.raises(ValueError):
+        build_tiff_image(px, compression=TIFF_COMPRESSION_JPEG, planar=2)
