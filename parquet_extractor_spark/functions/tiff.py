@@ -288,7 +288,9 @@ def decode_tiff(data: bytes):
     differencing) undone when tagged — and, since late r06, new-style
     JPEG-in-TIFF (7, TTN2): each strip is a JPEG stream decoded by
     functions/jpeg.py, with a shared JPEGTables tag (347) spliced
-    after each strip's SOI when present. Old-style JPEG (6) and the
+    after each strip's SOI when present. Old-style JPEG (6) decodes
+    in its common interchange layout (tags 513/514 point at one
+    complete stream); its deprecated strip-based variants and the
     CCITT fax family remain the declared Pillow boundary
     (NotImplementedError). Malformed input raises ValueError."""
     import numpy as np
@@ -306,11 +308,38 @@ def decode_tiff(data: bytes):
     for i in range(n_entries):
         off = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from(endian + "H", data, off)
-        if tag in (256, 257, 258, 259, 273, 277, 278, 279, 284, 317, 347):
+        if tag in (
+            256, 257, 258, 259, 273, 277, 278, 279, 284, 317, 347,
+            513, 514,
+        ):
             vals = _read_entry_values(data, off, endian)
             if vals is None:
                 raise ValueError(f"bad TIFF entry for tag {tag}")
             tags[tag] = vals
+    if tags.get(259, [1])[0] == 6 and 513 in tags:
+        # old-style JPEG (compression 6) in its one sane, common
+        # layout: JPEGInterchangeFormat/-Length (513/514) point at a
+        # COMPLETE interchange JPEG stream for the whole image —
+        # decode it directly (such files often omit strip tags
+        # entirely, so this runs before the strip-tag requirement).
+        # The deprecated strip-based old-style variants (tags
+        # 515-521) stay the NotImplementedError boundary below.
+        from parquet_extractor_spark.functions.jpeg import decode_jpeg
+
+        jo = tags[513][0]
+        jl = tags.get(514, [len(data) - jo])[0]
+        if jo + jl > len(data) or jl < 4:
+            raise ValueError("old-style JPEG stream out of bounds")
+        tile = decode_jpeg(bytes(data[jo : jo + jl]))
+        try:
+            jw, jh = tags[256][0], tags[257][0]
+        except KeyError as exc:
+            raise ValueError(f"TIFF missing required tag {exc}") from exc
+        if tile.shape[0] != jh or tile.shape[1] != jw:
+            raise ValueError(
+                "old-style JPEG dimensions disagree with the IFD"
+            )
+        return tile
     try:
         w, h = tags[256][0], tags[257][0]
         offsets, counts = tags[273], tags[279]

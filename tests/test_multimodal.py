@@ -1832,3 +1832,63 @@ def test_tiff_planar_configuration():
     px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     with _pytest.raises(ValueError):
         build_tiff_image(px, compression=TIFF_COMPRESSION_JPEG, planar=2)
+
+
+def test_tiff_old_style_jpeg_interchange():
+    """Old-style JPEG-in-TIFF (compression 6) in its common
+    interchange layout — JPEGInterchangeFormat/-Length point at one
+    complete JFIF stream — decodes through the in-repo JPEG codec;
+    the deprecated strip-based old-style variants still raise
+    NotImplementedError."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
+    from parquet_extractor_spark.functions.tiff import decode_tiff
+
+    y, x = np.mgrid[0:24, 0:32]
+    px = np.clip(
+        np.stack(
+            [
+                128 + 80 * np.sin(x / 5.0),
+                128 + 60 * np.cos(y / 4.0),
+                128 + 70 * np.sin((x + y) / 7.0),
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    jfif = encode_jpeg(px, quality=95)
+
+    def old_style(with_interchange: bool) -> bytes:
+        tags = [(256, 4, 1, 32), (257, 4, 1, 24), (259, 3, 1, 6)]
+        if with_interchange:
+            # header(8) + count(2) + 5*12 + next(4) = 74 = stream base
+            tags += [(513, 4, 1, 74), (514, 4, 1, len(jfif))]
+        out = bytearray(b"II\x2a\x00" + _struct.pack("<I", 8))
+        out += _struct.pack("<H", len(tags))
+        for tag, typ, count, val in tags:
+            out += _struct.pack("<HHII", tag, typ, count, val)
+        out += _struct.pack("<I", 0)
+        out += jfif
+        return bytes(out)
+
+    got = decode_tiff(old_style(True))
+    err = np.abs(got.astype(int) - px.astype(int))
+    assert got.shape == px.shape and err.max() <= 8
+    # without the interchange pointer the old-style file is the
+    # declared boundary (here it dies on the missing strip tags)
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_tiff(old_style(False))
+    # a length running past the file must raise cleanly
+    bad = bytearray(old_style(True))
+    # patch 514's value to something absurd
+    n = _struct.unpack_from("<H", bad, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", bad, off)[0] == 514:
+            _struct.pack_into("<I", bad, off + 8, 1 << 30)
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
