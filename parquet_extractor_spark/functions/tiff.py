@@ -309,7 +309,7 @@ def decode_tiff(data: bytes):
         off = ifd_off + 2 + 12 * i
         (tag,) = struct.unpack_from(endian + "H", data, off)
         if tag in (
-            256, 257, 258, 259, 273, 277, 278, 279, 284, 317, 347,
+            256, 257, 258, 259, 273, 274, 277, 278, 279, 284, 317, 347,
             513, 514,
         ):
             vals = _read_entry_values(data, off, endian)
@@ -339,7 +339,7 @@ def decode_tiff(data: bytes):
             raise ValueError(
                 "old-style JPEG dimensions disagree with the IFD"
             )
-        return tile
+        return _apply_orientation(tile, tags.get(274, [1])[0])
     try:
         w, h = tags[256][0], tags[257][0]
         offsets, counts = tags[273], tags[279]
@@ -470,7 +470,33 @@ def decode_tiff(data: bytes):
         arr = np.frombuffer(bytes(rows), dtype=np.uint8).reshape(
             h, w, samples
         )
+    arr = _apply_orientation(arr, tags.get(274, [1])[0])
     return arr[:, :, 0:1].repeat(3, axis=2) if samples == 1 else arr
+
+
+def _apply_orientation(arr, orientation: int):
+    """Undo TIFF/EXIF Orientation (tag 274): return the image as it
+    should be VIEWED given how it is stored. The eight cases are the
+    EXIF standard's; 5-8 swap output width/height."""
+    import numpy as np
+
+    if orientation in (0, 1):
+        return arr
+    if orientation == 2:  # mirror horizontal
+        return np.ascontiguousarray(arr[:, ::-1])
+    if orientation == 3:  # rotate 180
+        return np.ascontiguousarray(arr[::-1, ::-1])
+    if orientation == 4:  # mirror vertical
+        return np.ascontiguousarray(arr[::-1])
+    if orientation == 5:  # transpose (main diagonal)
+        return np.ascontiguousarray(arr.transpose(1, 0, 2))
+    if orientation == 6:  # rotate 90 CW to view
+        return np.ascontiguousarray(np.rot90(arr, k=-1))
+    if orientation == 7:  # transverse (anti-diagonal)
+        return np.ascontiguousarray(arr.transpose(1, 0, 2)[::-1, ::-1])
+    if orientation == 8:  # rotate 270 CW to view
+        return np.ascontiguousarray(np.rot90(arr, k=1))
+    raise ValueError(f"bad TIFF orientation {orientation}")
 
 
 def _jpeg_strip_tables(stream: bytes) -> tuple[bytes, bytes]:
@@ -509,6 +535,7 @@ def build_tiff_image(
     jpeg_quality: int = 95,
     jpeg_shared_tables: bool = False,
     planar: int = 1,
+    orientation: int = 1,
 ) -> bytes:
     """(H, W, 1|3|4) uint8 array -> real striped 8-bit TIFF
     (uncompressed, PackBits, LZW, Deflate, or new-style JPEG-in-TIFF
@@ -588,6 +615,7 @@ def build_tiff_image(
         (259, 3, 1, [compression]),
         (262, 3, 1, [photometric]),
         (273, 4, n_strips, None),  # patched below
+        (274, 3, 1, [orientation]),
         (277, 3, 1, [c]),
         (278, 4, 1, [rows_per_strip]),
         (279, 4, n_strips, [len(s) for s in strips]),

@@ -1892,3 +1892,36 @@ def test_tiff_old_style_jpeg_interchange():
             _struct.pack_into("<I", bad, off + 8, 1 << 30)
     with _pytest.raises(ValueError):
         decode_tiff(bytes(bad))
+
+
+def test_tiff_orientation_applied_on_decode():
+    """TIFF/EXIF Orientation (tag 274) is undone on decode: the
+    stored pixels come back as they should be VIEWED, including the
+    width/height-swapping cases 5-8."""
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.tiff import (
+        build_tiff_image,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(9)
+    stored = rng.integers(0, 256, (10, 14, 3), dtype=np.uint8)
+    expect = {
+        1: stored,
+        2: stored[:, ::-1],
+        3: stored[::-1, ::-1],
+        4: stored[::-1],
+        5: stored.transpose(1, 0, 2),
+        6: np.rot90(stored, k=-1),
+        7: stored.transpose(1, 0, 2)[::-1, ::-1],
+        8: np.rot90(stored, k=1),
+    }
+    for o, want in expect.items():
+        got = decode_tiff(build_tiff_image(stored, orientation=o))
+        assert np.array_equal(got, want), o
+        if o >= 5:
+            assert got.shape[:2] == (14, 10)
+    bad = build_tiff_image(stored, orientation=9)
+    with _pytest.raises(ValueError):
+        decode_tiff(bad)
