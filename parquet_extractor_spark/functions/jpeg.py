@@ -501,7 +501,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     try:
-        return _decode_jpeg_inner(data)
+        out = _decode_jpeg_inner(data)
+        orientation = jpeg_exif_orientation(data)
+        if orientation > 1:
+            from parquet_extractor_spark.functions.tiff import (
+                _apply_orientation,
+            )
+
+            out = _apply_orientation(out, orientation)
+        return out
     except (
         struct.error,
         IndexError,
@@ -517,6 +525,44 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 # decode-bomb guard for untrusted bytes: cap claimed dims before
 # allocating plane buffers (2^26 px ≈ 200 MB RGB).
 _MAX_PIXELS = 1 << 26
+
+
+def jpeg_exif_orientation(data: bytes) -> int:
+    """EXIF Orientation from a JPEG's APP1 segment (a TIFF IFD blob,
+    tag 274 in IFD0), or 1 when absent/unparseable — camera files
+    store rotation here rather than rotating pixels, so an image
+    pipeline that ignores it trains on sideways photos."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return 1
+        tag = data[pos + 1]
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        if tag in (0xDA, 0xD9):  # entropy data / EOI: no EXIF ahead
+            return 1
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if tag == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            blob = data[pos + 10 : pos + 2 + seglen]
+            if len(blob) < 14 or blob[:2] not in (b"II", b"MM"):
+                return 1
+            e = "<" if blob[:2] == b"II" else ">"
+            magic, ifd0 = struct.unpack_from(e + "HI", blob, 2)
+            if magic != 42 or ifd0 + 2 > len(blob):
+                return 1
+            (n,) = struct.unpack_from(e + "H", blob, ifd0)
+            for i in range(n):
+                off = ifd0 + 2 + 12 * i
+                if off + 12 > len(blob):
+                    return 1
+                t, typ, _cnt = struct.unpack_from(e + "HHI", blob, off)
+                if t == 274 and typ == 3:
+                    (o,) = struct.unpack_from(e + "H", blob, off + 8)
+                    return o if 1 <= o <= 8 else 1
+            return 1
+        pos += 2 + seglen
+    return 1
 
 
 def _decode_jpeg_inner(data: bytes) -> np.ndarray:

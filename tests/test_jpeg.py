@@ -189,3 +189,52 @@ def test_undecodable_jpeg_rows_fall_back_to_fake_feature(spark):
     assert row.feature == [
         __import__("numpy").float32(v) for v in fake_feature(truncated)
     ]
+
+
+def test_jpeg_exif_orientation_applied():
+    """A JPEG carrying an EXIF APP1 orientation decodes to the VIEW
+    transform of its stored pixels (camera files store rotation as a
+    tag, not rotated pixels)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from parquet_extractor_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_exif_orientation,
+    )
+
+    y, x = np.mgrid[0:16, 0:24]
+    px = np.clip(
+        np.stack([128 + 80 * np.sin(x / 4.0)] * 3, axis=2), 0, 255
+    ).astype(np.uint8)
+    plain = encode_jpeg(px, quality=95)
+    base = decode_jpeg(plain)
+
+    def with_exif(jpeg: bytes, o: int) -> bytes:
+        # minimal APP1: Exif\0\0 + little-endian TIFF blob with one
+        # IFD0 entry (tag 274, SHORT, value o)
+        blob = (
+            b"II" + _struct.pack("<HI", 42, 8)
+            + _struct.pack("<H", 1)
+            + _struct.pack("<HHIHH", 274, 3, 1, o, 0)
+            + _struct.pack("<I", 0)
+        )
+        payload = b"Exif\x00\x00" + blob
+        app1 = b"\xff\xe1" + _struct.pack(">H", len(payload) + 2) + payload
+        return jpeg[:2] + app1 + jpeg[2:]
+
+    assert jpeg_exif_orientation(plain) == 1
+    for o, want in (
+        (1, base),
+        (3, base[::-1, ::-1]),
+        (6, np.rot90(base, k=-1)),
+        (8, np.rot90(base, k=1)),
+    ):
+        tagged = with_exif(plain, o)
+        assert jpeg_exif_orientation(tagged) == o
+        assert np.array_equal(decode_jpeg(tagged), want), o
+    # garbage APP1 never breaks the decode
+    junk = plain[:2] + b"\xff\xe1\x00\x08Exif\x00\x00" + plain[2:]
+    assert np.array_equal(decode_jpeg(junk), base)
