@@ -1315,3 +1315,170 @@ def _encode_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_exif_gps(data: bytes) -> tuple[float, float] | None:
+    """(latitude, longitude) in signed decimal degrees from a JPEG's
+    EXIF GPS IFD (IFD0 tag 0x8825 → GPS tags 1-4: refs + deg/min/sec
+    rationals), or None when absent/unparseable. Geotags are PII — a
+    release pipeline audits and strips them (strip_jpeg_exif)."""
+    blob = _exif_blob(data)
+    if blob is None:
+        return None
+    e = "<" if blob[:2] == b"II" else ">"
+    try:
+        magic, ifd0 = struct.unpack_from(e + "HI", blob, 2)
+        if magic != 42:
+            return None
+        gps_off = None
+        (n,) = struct.unpack_from(e + "H", blob, ifd0)
+        for i in range(n):
+            off = ifd0 + 2 + 12 * i
+            t, typ, _cnt, val = struct.unpack_from(e + "HHII", blob, off)
+            if t == 0x8825:
+                gps_off = val
+        if gps_off is None or gps_off + 2 > len(blob):
+            return None
+        refs: dict[int, str] = {}
+        rats: dict[int, tuple] = {}
+        (n,) = struct.unpack_from(e + "H", blob, gps_off)
+        for i in range(n):
+            off = gps_off + 2 + 12 * i
+            t, typ, cnt, val = struct.unpack_from(e + "HHII", blob, off)
+            if t in (1, 3) and typ == 2:  # ASCII ref ('N'/'S'/'E'/'W')
+                raw = (
+                    struct.pack(e + "I", val)
+                    if cnt <= 4
+                    else blob[val : val + cnt]
+                )
+                refs[t] = raw[:1].decode("ascii", "replace")
+            elif t in (2, 4) and typ == 5 and cnt == 3:  # 3 RATIONALs
+                if val + 24 > len(blob):
+                    return None
+                parts = struct.unpack_from(e + "IIIIII", blob, val)
+                rats[t] = parts
+        if 2 not in rats or 4 not in rats:
+            return None
+
+        def to_deg(p: tuple) -> float:
+            dn, dd, mn, md, sn, sd = p
+            if not (dd and md and sd):
+                return float("nan")
+            return dn / dd + mn / (60.0 * md) + sn / (3600.0 * sd)
+
+        lat = to_deg(rats[2])
+        lon = to_deg(rats[4])
+        if lat != lat or lon != lon:  # NaN guard
+            return None
+        if refs.get(1, "N") == "S":
+            lat = -lat
+        if refs.get(3, "E") == "W":
+            lon = -lon
+        return lat, lon
+    except struct.error:
+        return None
+
+
+def _exif_blob(data: bytes) -> bytes | None:
+    """The APP1 EXIF TIFF blob, or None."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        tag = data[pos + 1]
+        if tag in (0xD8, 0x01) or 0xD0 <= tag <= 0xD7:
+            pos += 2
+            continue
+        if tag in (0xDA, 0xD9):
+            return None
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if tag == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            blob = data[pos + 10 : pos + 2 + seglen]
+            return blob if len(blob) >= 8 and blob[:2] in (b"II", b"MM") else None
+        pos += 2 + seglen
+    return None
+
+
+def strip_jpeg_exif(data: bytes) -> bytes:
+    """Remove every APP1 segment (EXIF + XMP) from a JPEG — the
+    standard metadata scrub before publishing a dataset. Entropy data
+    and all other segments pass through byte-identical; a caller that
+    needs the orientation must bake it into pixels FIRST (decode_jpeg
+    already applies it)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            out += data[pos:]
+            break
+        tag = data[pos + 1]
+        if tag in (0x01,) or 0xD0 <= tag <= 0xD9:
+            out += data[pos : pos + 2]
+            pos += 2
+            continue
+        if tag == 0xDA:  # SOS: copy the rest verbatim
+            out += data[pos:]
+            break
+        if pos + 4 > len(data):
+            out += data[pos:]
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        if tag != 0xE1:
+            out += data[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+    return bytes(out)
+
+
+def build_jpeg_exif(
+    jpeg: bytes,
+    orientation: int = 1,
+    gps: tuple[float, float] | None = None,
+) -> bytes:
+    """Insert a minimal APP1 EXIF segment (little-endian TIFF blob:
+    IFD0 orientation + optional GPS IFD with deg/min/sec rationals)
+    after the SOI — the encode side of jpeg_exif_orientation /
+    jpeg_exif_gps, used by fixtures and tests."""
+    if not is_jpeg(jpeg):
+        raise ValueError("not a JPEG (missing SOI)")
+    entries0 = [(274, 3, 1, orientation)]
+    gps_entries = b""
+    tail = b""
+    if gps is not None:
+        entries0.append((0x8825, 4, 1, 38))
+
+    def ifd(entries: list[tuple], next_off: int = 0) -> bytes:
+        out = struct.pack("<H", len(entries))
+        for t, typ, cnt, val in entries:
+            out += struct.pack("<HHII", t, typ, cnt, val)
+        return out + struct.pack("<I", next_off)
+
+    ifd0 = ifd(entries0)
+    blob = b"II" + struct.pack("<HI", 42, 8) + ifd0
+    if gps is not None:
+        lat, lon = gps
+        gps_off = 8 + len(ifd0)  # == 38 with two IFD0 entries
+        assert gps_off == 38
+        rat_base = gps_off + 2 + 4 * 12 + 4
+
+        def rats(v: float) -> bytes:
+            v = abs(v)
+            d = int(v)
+            m = int((v - d) * 60)
+            s = round(((v - d) * 60 - m) * 60 * 1000)
+            return struct.pack("<IIIIII", d, 1, m, 1, s, 1000)
+
+        lat_ref = b"N\x00\x00\x00" if lat >= 0 else b"S\x00\x00\x00"
+        lon_ref = b"E\x00\x00\x00" if lon >= 0 else b"W\x00\x00\x00"
+        gps_entries = struct.pack("<H", 4)
+        gps_entries += struct.pack("<HHI", 1, 2, 2) + lat_ref
+        gps_entries += struct.pack("<HHII", 2, 5, 3, rat_base)
+        gps_entries += struct.pack("<HHI", 3, 2, 2) + lon_ref
+        gps_entries += struct.pack("<HHII", 4, 5, 3, rat_base + 24)
+        gps_entries += struct.pack("<I", 0)
+        tail = rats(lat) + rats(lon)
+        blob += gps_entries + tail
+    payload = b"Exif\x00\x00" + blob
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + app1 + jpeg[2:]

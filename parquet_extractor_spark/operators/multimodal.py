@@ -1911,3 +1911,151 @@ def media_animation_near_dups(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("n_frames_matched") >= ANIM_MIN_MATCHED)
         .orderBy("id_a", "id_b")
     )
+
+
+# ── EXIF privacy audit (geotag detection + scrub) ────────────────────
+#
+# The media twin of pii_audit: camera JPEGs carry GPS coordinates in
+# the EXIF APP1 segment — direct location PII that dataset releases
+# strip (and an orientation tag the pixels need before stripping).
+# The audit parses both; the scrub column proves strip_jpeg_exif
+# removes every APP1 while leaving the entropy data byte-identical.
+
+
+def synthetic_exif_rows() -> list[tuple]:
+    """Planted EXIF fixture: plain JPEG, orientation-only EXIF,
+    geotagged rows across all four hemisphere ref combinations, a
+    non-JPEG control, and a corrupt row. (media_id, data)."""
+    from parquet_extractor_spark.functions.jpeg import build_jpeg_exif
+
+    def jpg(i: int) -> bytes:
+        return encode_jpeg(
+            _neardup_base_pixels(i), quality=90, subsample=False
+        )
+
+    return [
+        (0, jpg(0)),  # no EXIF at all
+        (1, build_jpeg_exif(jpg(1), orientation=6)),  # rotation only
+        (2, build_jpeg_exif(jpg(2), gps=(48.8584, 2.2945))),  # N/E
+        (3, build_jpeg_exif(jpg(3), gps=(-33.8568, 151.2153))),  # S/E
+        (4, build_jpeg_exif(jpg(4), gps=(37.4220, -122.0841))),  # N/W
+        (
+            5,
+            build_jpeg_exif(
+                jpg(5), orientation=3, gps=(-12.3456, -45.6789)
+            ),
+        ),  # S/W + rotation
+        (6, encode_png(_neardup_base_pixels(6))),  # non-JPEG control
+        (7, b"\xff\xd8\xff\xe1\x00\x04ab"),  # corrupt
+    ]
+
+
+EXIF_AUDIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("has_gps", BooleanType(), False),
+        StructField("lat_micro", LongType(), True),
+        StructField("lon_micro", LongType(), True),
+        StructField("orientation", LongType(), False),
+        StructField("scrub_clean", BooleanType(), False),
+    ]
+)
+
+
+def media_exif_gps_audit(spark, sf_dir: str) -> DataFrame:
+    """Oracle-pairable EXIF privacy audit: per fixture row, whether a
+    GPS geotag is present (coordinates in integer micro-degrees when
+    so), the orientation tag, and whether the APP1 scrub verifiably
+    removes all EXIF while keeping the decoded pixels identical.
+    All map-side Arrow work; the literal oracle pins every row.
+    ``sf_dir`` unused (fixture-generated, as for the other media_*
+    queries)."""
+    del sf_dir
+    from parquet_extractor_spark.functions.jpeg import (
+        decode_jpeg,
+        is_jpeg,
+        jpeg_exif_gps,
+        jpeg_exif_orientation,
+        strip_jpeg_exif,
+    )
+
+    rows = spark.createDataFrame(
+        synthetic_exif_rows(),
+        StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("data", BinaryType(), False),
+            ]
+        ),
+    ).repartition(4, "media_id")
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [],
+                "has_gps": [],
+                "lat_micro": [],
+                "lon_micro": [],
+                "orientation": [],
+                "scrub_clean": [],
+            }
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                data = bytes(data)
+                gps = jpeg_exif_gps(data) if is_jpeg(data) else None
+                orientation = (
+                    jpeg_exif_orientation(data) if is_jpeg(data) else 1
+                )
+                clean = False
+                if is_jpeg(data):
+                    try:
+                        scrubbed = strip_jpeg_exif(data)
+                        clean = (
+                            jpeg_exif_gps(scrubbed) is None
+                            and jpeg_exif_orientation(scrubbed) == 1
+                            and np.array_equal(
+                                # compare STORED pixels: decode of the
+                                # scrub must equal the unrotated frame
+                                decode_jpeg(scrubbed),
+                                _apply_no_orientation(data),
+                            )
+                        )
+                    except (ValueError, NotImplementedError):
+                        clean = False
+                out["media_id"].append(int(mid))
+                out["has_gps"].append(gps is not None)
+                out["lat_micro"].append(
+                    None if gps is None else int(round(gps[0] * 1e6))
+                )
+                out["lon_micro"].append(
+                    None if gps is None else int(round(gps[1] * 1e6))
+                )
+                out["orientation"].append(int(orientation))
+                out["scrub_clean"].append(bool(clean))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "has_gps": pd.Series(out["has_gps"], dtype=bool),
+                    "lat_micro": pd.Series(
+                        out["lat_micro"], dtype="object"
+                    ),
+                    "lon_micro": pd.Series(
+                        out["lon_micro"], dtype="object"
+                    ),
+                    "orientation": pd.Series(
+                        out["orientation"], dtype="int64"
+                    ),
+                    "scrub_clean": pd.Series(out["scrub_clean"], dtype=bool),
+                }
+            )
+
+    return rows.mapInPandas(_audit, EXIF_AUDIT_SCHEMA).orderBy("media_id")
+
+
+def _apply_no_orientation(data: bytes) -> "np.ndarray":
+    """Decode ignoring the orientation tag (the stored frame), for
+    comparing against the decode of a scrubbed stream."""
+    from parquet_extractor_spark.functions.jpeg import (
+        _decode_jpeg_inner,
+    )
+
+    return _decode_jpeg_inner(data)

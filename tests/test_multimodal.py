@@ -1925,3 +1925,25 @@ def test_tiff_orientation_applied_on_decode():
     bad = build_tiff_image(stored, orientation=9)
     with _pytest.raises(ValueError):
         decode_tiff(bad)
+
+
+def test_exif_gps_audit_ground_truth(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        media_exif_gps_audit,
+    )
+
+    rows = {
+        r.media_id: r for r in media_exif_gps_audit(spark, "unused").collect()
+    }
+    assert not rows[0].has_gps and rows[0].orientation == 1
+    assert not rows[1].has_gps and rows[1].orientation == 6
+    # all four hemisphere combinations parse with micro-degree signs
+    assert rows[2].lat_micro == 48858400 and rows[2].lon_micro == 2294500
+    assert rows[3].lat_micro < 0 < rows[3].lon_micro
+    assert rows[4].lat_micro > 0 > rows[4].lon_micro
+    assert rows[5].lat_micro < 0 and rows[5].lon_micro < 0
+    assert rows[5].orientation == 3
+    # every real JPEG scrubs verifiably clean; PNG + corrupt do not
+    for mid in range(6):
+        assert rows[mid].scrub_clean, mid
+    assert not rows[6].scrub_clean and not rows[7].scrub_clean

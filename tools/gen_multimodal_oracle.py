@@ -368,6 +368,52 @@ GROUP BY id_a, id_b
 HAVING count(DISTINCT ts_a) >= {ANIM_MIN_MATCHED}
 ORDER BY id_a, id_b"""
 
+    # ── media_exif_gps_audit ────────────────────────────────────────
+    from parquet_extractor_spark.functions.jpeg import (
+        decode_jpeg as _djpg,
+        is_jpeg as _isj,
+        jpeg_exif_gps as _gps,
+        jpeg_exif_orientation as _ori,
+        strip_jpeg_exif as _strip,
+        _decode_jpeg_inner as _djpg_raw,
+    )
+    from parquet_extractor_spark.operators.multimodal import (
+        synthetic_exif_rows,
+    )
+
+    exif_vals = []
+    for media_id, data in synthetic_exif_rows():
+        gps = _gps(data) if _isj(data) else None
+        ori = _ori(data) if _isj(data) else 1
+        clean = False
+        if _isj(data):
+            try:
+                s = _strip(data)
+                clean = (
+                    _gps(s) is None
+                    and _ori(s) == 1
+                    and bool((_djpg(s) == _djpg_raw(data)).all())
+                )
+            except (ValueError, NotImplementedError):
+                clean = False
+        lat = "NULL" if gps is None else str(int(round(gps[0] * 1e6)))
+        lon = "NULL" if gps is None else str(int(round(gps[1] * 1e6)))
+        exif_vals.append(
+            f"({media_id}, {str(gps is not None).upper()}, {lat}, {lon}, "
+            f"{ori}, {str(clean).upper()})"
+        )
+    exif_rows = ",\n    ".join(exif_vals)
+    exif_sql = f"""SELECT CAST(media_id AS BIGINT) AS media_id,
+       has_gps,
+       CAST(lat_micro AS BIGINT) AS lat_micro,
+       CAST(lon_micro AS BIGINT) AS lon_micro,
+       CAST(orientation AS BIGINT) AS orientation,
+       scrub_clean
+FROM (VALUES
+    {exif_rows}
+) AS t(media_id, has_gps, lat_micro, lon_micro, orientation, scrub_clean)
+ORDER BY media_id"""
+
     with open(OUT, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_multimodal_oracle.py — do not edit.\n'
@@ -391,7 +437,8 @@ ORDER BY id_a, id_b"""
             f"MEDIA_AUDIO_FINGERPRINT_SQL = r'''{afp_sql}\n'''\n\n"
             f"MEDIA_AUDIO_NEAR_DUPS_SQL = r'''{afp_neardup_sql}\n'''\n\n"
             f"MEDIA_ANIMATION_SIGNATURES_SQL = r'''{anim_sql}\n'''\n\n"
-            f"MEDIA_ANIMATION_NEAR_DUPS_SQL = r'''{anim_neardup_sql}\n'''\n"
+            f"MEDIA_ANIMATION_NEAR_DUPS_SQL = r'''{anim_neardup_sql}\n'''\n\n"
+            f"MEDIA_EXIF_GPS_AUDIT_SQL = r'''{exif_sql}\n'''\n"
         )
     print(
         f"wrote {OUT} "
