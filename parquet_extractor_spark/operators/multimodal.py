@@ -2059,3 +2059,82 @@ def _apply_no_orientation(data: bytes) -> "np.ndarray":
     )
 
     return _decode_jpeg_inner(data)
+
+
+# ── media near-dup evaluation (trust-before-delete) ──────────────────
+
+
+def _planted_pairs(family: str) -> list[tuple[int, int]]:
+    """Ground-truth duplicate pairs implied by each fixture's
+    structure — the labels the near-dup joins are graded against."""
+    if family == "image":
+        return [
+            (4 * i + a, 4 * i + b)
+            for i in range(8)
+            for a in range(3)
+            for b in range(a + 1, 3)
+        ]
+    if family == "audio":
+        return [
+            (5 * i + a, 5 * i + b)
+            for i in range(8)
+            for a in range(4)
+            for b in range(a + 1, 4)
+        ]
+    if family == "animation":
+        return [
+            (4 * i + a, 4 * i + b)
+            for i in range(4)
+            for a in range(3)
+            for b in range(a + 1, 3)
+        ]
+    raise ValueError(family)
+
+
+def media_neardup_eval(spark, sf_dir: str) -> DataFrame:
+    """Precision/recall of every media near-dup family against its
+    planted ground truth — the lsh_quality_eval of the media side
+    (trust-before-delete: never deploy a dedup join whose recall you
+    have not measured). One row per family; candidate pairs come
+    from the same banded joins the dedup queries ship, ground truth
+    from the fixture structure (broadcast, O(1)).
+    Output: (family, n_pairs, n_planted, true_positives, precision,
+    recall). ``sf_dir`` unused."""
+    del sf_dir
+    fams = [
+        ("animation", media_animation_near_dups),
+        ("audio", media_audio_near_dups),
+        ("image", media_phash_near_dups),
+    ]
+    reports = []
+    for name, fn in fams:
+        pairs = fn(spark, "unused").select("id_a", "id_b")
+        truth = spark.createDataFrame(
+            _planted_pairs(name), "id_a long, id_b long"
+        )
+        tp = pairs.join(F.broadcast(truth), ["id_a", "id_b"], "leftsemi")
+        reports.append(
+            pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+            .crossJoin(tp.agg(F.count(F.lit(1)).alias("true_positives")))
+            .select(
+                F.lit(name).alias("family"),
+                F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                F.lit(len(_planted_pairs(name)))
+                .cast("bigint")
+                .alias("n_planted"),
+                F.col("true_positives").cast("bigint").alias(
+                    "true_positives"
+                ),
+                F.round(
+                    F.col("true_positives") / F.col("n_pairs"), 6
+                ).alias("precision"),
+                F.round(
+                    F.col("true_positives") / F.lit(len(_planted_pairs(name))),
+                    6,
+                ).alias("recall"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("family")

@@ -1947,3 +1947,17 @@ def test_exif_gps_audit_ground_truth(spark):
     for mid in range(6):
         assert rows[mid].scrub_clean, mid
     assert not rows[6].scrub_clean and not rows[7].scrub_clean
+
+
+def test_media_neardup_eval_perfect_on_fixture(spark):
+    from parquet_extractor_spark.operators.multimodal import (
+        media_neardup_eval,
+    )
+
+    rows = {r.family: r for r in media_neardup_eval(spark, "unused").collect()}
+    assert set(rows) == {"image", "audio", "animation"}
+    for fam, r in rows.items():
+        # thresholds were tuned for clean margins; any drift in the
+        # hashes, banding, or fixtures shows up here first
+        assert r.precision == 1.0 and r.recall == 1.0, fam
+        assert r.n_pairs == r.n_planted == r.true_positives

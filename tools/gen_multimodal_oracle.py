@@ -414,6 +414,41 @@ FROM (VALUES
 ) AS t(media_id, has_gps, lat_micro, lon_micro, orientation, scrub_clean)
 ORDER BY media_id"""
 
+    # ── media_neardup_eval ──────────────────────────────────────────
+    import duckdb
+
+    from parquet_extractor_spark.operators.multimodal import (
+        _planted_pairs,
+    )
+
+    eval_vals = []
+    for family, pair_sql in (
+        ("animation", anim_neardup_sql),
+        ("audio", afp_neardup_sql),
+        ("image", neardup_sql),
+    ):
+        got = {
+            (int(a), int(b))
+            for a, b, *_ in duckdb.connect().execute(pair_sql).fetchall()
+        }
+        truth = set(_planted_pairs(family))
+        tp = len(got & truth)
+        eval_vals.append(
+            f"('{family}', {len(got)}, {len(truth)}, {tp}, "
+            f"{round(tp / len(got), 6)}, {round(tp / len(truth), 6)})"
+        )
+    eval_rows = ",\n    ".join(eval_vals)
+    eval_sql = f"""SELECT family,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(n_planted AS BIGINT) AS n_planted,
+       CAST(true_positives AS BIGINT) AS true_positives,
+       CAST(precision AS DOUBLE) AS precision,
+       CAST(recall AS DOUBLE) AS recall
+FROM (VALUES
+    {eval_rows}
+) AS t(family, n_pairs, n_planted, true_positives, precision, recall)
+ORDER BY family"""
+
     with open(OUT, "w") as f:
         f.write(
             '"""GENERATED by tools/gen_multimodal_oracle.py — do not edit.\n'
@@ -438,7 +473,8 @@ ORDER BY media_id"""
             f"MEDIA_AUDIO_NEAR_DUPS_SQL = r'''{afp_neardup_sql}\n'''\n\n"
             f"MEDIA_ANIMATION_SIGNATURES_SQL = r'''{anim_sql}\n'''\n\n"
             f"MEDIA_ANIMATION_NEAR_DUPS_SQL = r'''{anim_neardup_sql}\n'''\n\n"
-            f"MEDIA_EXIF_GPS_AUDIT_SQL = r'''{exif_sql}\n'''\n"
+            f"MEDIA_EXIF_GPS_AUDIT_SQL = r'''{exif_sql}\n'''\n\n"
+            f"MEDIA_NEARDUP_EVAL_SQL = r'''{eval_sql}\n'''\n"
         )
     print(
         f"wrote {OUT} "
