@@ -741,3 +741,98 @@ SELECT source,
 FROM uni_stats JOIN bi_stats USING (source)
 ORDER BY source
 """
+
+
+# ── parquet footer statistics (metadata-only table profiling) ────────
+
+# key column whose footer min/max stats profile each table
+FOOTER_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile every table from parquet FOOTERS alone — row counts
+    and key-column min/max read from row-group statistics without
+    scanning a single data page. At 100 TB this is the "describe the
+    lake" query: cost is O(files), not O(bytes), because the footer
+    carries exact counts and (for these untruncated int stats) exact
+    min/max. The footer walk runs executor-side (mapInPandas over
+    the file list — here one file per table, on a real lake the
+    listing fans out the same way).
+
+    The ORACLE recomputes the identical numbers the slow way — full
+    COUNT/MIN/MAX scans over the registered views — so the driver
+    cross-checks that the metadata fast path tells the truth about
+    the data. Output: (table_name, n_rows, key_min, key_max)."""
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rows = [
+        (t, os.path.join(sf_dir, f"{t}.parquet"), k)
+        for t, k in sorted(FOOTER_KEYS.items())
+    ]
+    files = spark.createDataFrame(
+        rows, "table_name string, path string, key string"
+    ).repartition(len(rows))
+
+    schema = StructType(
+        [
+            StructField("table_name", StringType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("key_min", LongType(), False),
+            StructField("key_max", LongType(), False),
+        ]
+    )
+
+    def _footers(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = {"table_name": [], "n_rows": [], "key_min": [], "key_max": []}
+            for t, path, key in zip(
+                pdf["table_name"], pdf["path"], pdf["key"]
+            ):
+                md = _pq.ParquetFile(path).metadata
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                ki = names.index(key)
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ki).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(f"{path}: footer lacks stats")
+                    mins.append(int(st.min))
+                    maxs.append(int(st.max))
+                out["table_name"].append(t)
+                out["n_rows"].append(int(md.num_rows))
+                out["key_min"].append(min(mins))
+                out["key_max"].append(max(maxs))
+            yield _pd.DataFrame(out)
+
+    return files.mapInPandas(_footers, schema).orderBy("table_name")
+
+
+PARQUET_FOOTER_STATS_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,\n"
+    f"       CAST(min({k}) AS BIGINT) AS key_min,\n"
+    f"       CAST(max({k}) AS BIGINT) AS key_max FROM {t}"
+    for t, k in sorted(FOOTER_KEYS.items())
+) + "\nORDER BY table_name"

@@ -181,3 +181,31 @@ def test_bloom_fast_hash_tier_keeps_superset_property(spark, sf_small):
     for doc_id, n_shared in exact.items():
         assert fast[doc_id].flagged, f"fast-tier false negative on {doc_id}"
         assert fast[doc_id].n_bloom_hits >= n_shared
+
+
+def test_parquet_footer_stats_metadata_only(spark, sf_small):
+    """The footer fast path reports exactly what full scans report —
+    and for every fixture table, not a sample."""
+    from parquet_extractor_spark.operators.analyze import (
+        FOOTER_KEYS,
+        parquet_footer_stats,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = {r.table_name: r for r in parquet_footer_stats(spark, sf_small).collect()}
+    assert set(rows) == set(FOOTER_KEYS)
+    for t in ("documents", "lineitem", "events"):
+        from pyspark.sql import functions as F
+
+        k = FOOTER_KEYS[t]
+        want = (
+            load_table(spark, sf_small, t)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(k).alias("mn"),
+                F.max(k).alias("mx"),
+            )
+            .collect()[0]
+        )
+        assert rows[t].n_rows == want.n
+        assert rows[t].key_min == want.mn and rows[t].key_max == want.mx
