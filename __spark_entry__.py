@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_exif_gps_audit": multimodal.media_exif_gps_audit,
         "media_neardup_eval": multimodal.media_neardup_eval,
         "parquet_footer_stats": analyze.parquet_footer_stats,
+        "binary_hamming_recall": similarity.binary_hamming_recall,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
             multimodal_oracle.MEDIA_EXIF_GPS_AUDIT_SQL,
         "media_neardup_eval": multimodal_oracle.MEDIA_NEARDUP_EVAL_SQL,
         "parquet_footer_stats": analyze.PARQUET_FOOTER_STATS_SQL,
+        "binary_hamming_recall": similarity.BINARY_HAMMING_RECALL_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

@@ -2528,3 +2528,253 @@ FROM topk t
 GROUP BY t.dims
 ORDER BY t.dims
 """
+
+
+# ── Binary quantization (1 bit/dim) + hamming→rerank funnel ──────────
+
+# Rerank pool size: the hamming scan keeps BQ_POOL candidates per
+# query, the exact-cosine rerank reads only those full vectors. 4× the
+# final k is the classic funnel ratio (FAISS refine / vector-DB BQ
+# oversampling default).
+BQ_POOL = 4 * TOP_K
+
+
+def binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization eval: 1-bit-per-dimension codes, hamming
+    top-k, and the hamming→exact-rerank funnel, each scored against
+    exact cosine top-k — the fourth vector-compression family member
+    next to PQ (pq_codes), SQ8 (sq8_codes) and prefix truncation
+    (matryoshka_recall).
+
+    Training is the SQ8 pattern shrunk to 1 bit: one partial+final
+    aggregate yields per-dimension [min, max] and the threshold is the
+    range midpoint (min/max are order-independent across engines,
+    unlike a mean of doubles — the sq8_codes exactness lesson). Codes
+    re-enter as plan-time literals: bit d = (x_d > thr_d), packed
+    little-endian into two 32-bit words held in BIGINTs, a 32× memory
+    cut vs float32·64 (8 bytes vs 256 per vector).
+
+    Plan shape: code generation is ONE map-side codegen projection (64
+    CASE terms summed into two words — integer sums of distinct powers
+    of two, order-independent); the broadcast probe suite pairs with
+    every corpus vector in the same scan that computes the exact
+    cosine ground truth, so the whole eval is one scan + two bounded
+    windows. At 100 TB the production path keeps only the 16-byte
+    words: the hamming scan is embarrassingly parallel (bit_count(xor)
+    per word, whole-stage codegen), the per-query pool is
+    BQ_POOL-bounded, and only pool members' full vectors are ever
+    re-read for the rerank.
+
+    Output: (stage, n_hits, recall_at_k) for stage ∈
+    ('hamming_topk', 'reranked') — hamming-only recall vs the funnel's
+    recall, the gap being what the rerank buys.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def train_thresholds() -> list[float]:
+        aggs = []
+        for d in range(1, EMB_DIM + 1):
+            e = F.element_at("embedding", d).cast("double")
+            aggs.append(F.min(e).alias(f"mn{d}"))
+            aggs.append(F.max(e).alias(f"mx{d}"))
+        row = emb.agg(*aggs).collect()[0]
+        return [
+            (float(row[f"mn{d}"]) + float(row[f"mx{d}"])) / 2.0
+            for d in range(1, EMB_DIM + 1)
+        ]
+
+    from parquet_extractor_spark.artifacts import memo_artifact
+
+    thrs = memo_artifact(spark, sf_dir, ("bq_thresholds",), train_thresholds)
+
+    # one SQL string per packed word, not EMB_DIM Column objects — the
+    # pq_codes py4j-round-trip lesson
+    def word_sql(word: int, col: str = "embedding") -> str:
+        terms = []
+        for j in range(32):
+            d = 32 * word + j + 1
+            cond = (
+                f"CAST(element_at({col}, {d}) AS DOUBLE) > "
+                f"{_dlit_sql(thrs[d - 1])}"
+            )
+            terms.append(
+                f"(CASE WHEN {cond} THEN CAST({1 << j} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        return " + ".join(terms)
+
+    coded = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"({word_sql(0)}) AS w0",
+        f"({word_sql(1)}) AS w1",
+    )
+    queries = _query_rows(coded).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    pairs = (
+        coded.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding"))),
+                6,
+            ).alias("sim"),
+            F.expr(
+                "CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS BIGINT)"
+            ).alias("hamming"),
+        )
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    w_ham = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        F.row_number().over(w_exact).alias("exact_rank"),
+        F.row_number().over(w_ham).alias("ham_rank"),
+    )
+    exact_topk = ranked.filter(F.col("exact_rank") <= TOP_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    pool = ranked.filter(F.col("ham_rank") <= BQ_POOL)
+    ham_topk = pool.filter(F.col("ham_rank") <= TOP_K).select(
+        F.lit("hamming_topk").alias("stage"), "query_id", "neighbor_id"
+    )
+    w_rerank = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    reranked = (
+        pool.withColumn("rr", F.row_number().over(w_rerank))
+        .filter(F.col("rr") <= TOP_K)
+        .select(
+            F.lit("reranked").alias("stage"), "query_id", "neighbor_id"
+        )
+    )
+    staged = ham_topk.unionByName(reranked)
+    # left join + conditional sum, NOT leftsemi + count — the
+    # matryoshka_recall zero-hit-group lesson
+    return (
+        staged.join(
+            F.broadcast(exact_topk), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("stage")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+        .select(
+            "stage",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.lit(TOP_K * N_QUERIES), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("stage")
+    )
+
+
+def _bq_word_sql(word: int) -> str:
+    """DuckDB twin of word_sql: integer sum of distinct powers of two
+    over midpoint-threshold bits — order-independent, so GROUP BY
+    summation order can't diverge from Spark's left-to-right chain."""
+    terms = []
+    for j in range(32):
+        d = 32 * word + j + 1
+        terms.append(
+            f"(CASE WHEN CAST(e.embedding[{d}] AS DOUBLE) > m.thr[{d}] "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+BINARY_HAMMING_RECALL_SQL = rf"""
+WITH mm AS (
+    SELECT u.i AS d,
+           (min(CAST(e.embedding[u.i] AS DOUBLE))
+            + max(CAST(e.embedding[u.i] AS DOUBLE))) / 2.0 AS thr
+    FROM embeddings e
+    CROSS JOIN (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i) u(i)
+    GROUP BY 1
+),
+thr_vec AS (
+    SELECT list(thr ORDER BY d) AS thr FROM mm
+),
+coded AS (
+    SELECT e.vec_id, e.embedding,
+           CAST({_bq_word_sql(0)} AS BIGINT) AS w0,
+           CAST({_bq_word_sql(1)} AS BIGINT) AS w1
+    FROM embeddings e CROSS JOIN thr_vec m
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb, w0 AS qw0, w1 AS qw1
+    FROM coded WHERE vec_id IN {_QUERY_IDS_SQL}
+),
+pairs AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(
+               list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                   i -> CAST(q.q_emb[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> CAST(q.q_emb[i] AS DOUBLE)
+                           * CAST(q.q_emb[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE))))),
+               6) AS sim,
+           CAST(bit_count(xor(c.w0, q.qw0))
+                + bit_count(xor(c.w1, q.qw1)) AS BIGINT) AS hamming
+    FROM coded c JOIN q ON c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, neighbor_id ASC)
+               AS exact_rank,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming ASC, neighbor_id ASC)
+               AS ham_rank
+    FROM pairs
+),
+exact_topk AS (
+    SELECT query_id, neighbor_id FROM ranked WHERE exact_rank <= {TOP_K}
+),
+pool AS (SELECT * FROM ranked WHERE ham_rank <= {BQ_POOL}),
+staged AS (
+    SELECT 'hamming_topk' AS stage, query_id, neighbor_id
+    FROM pool WHERE ham_rank <= {TOP_K}
+    UNION ALL
+    SELECT 'reranked' AS stage, query_id, neighbor_id
+    FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rr
+        FROM pool
+    ) WHERE rr <= {TOP_K}
+)
+SELECT s.stage,
+       CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM exact_topk x
+                     WHERE x.query_id = s.query_id
+                       AND x.neighbor_id = s.neighbor_id)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN EXISTS (SELECT 1 FROM exact_topk x
+                      WHERE x.query_id = s.query_id
+                        AND x.neighbor_id = s.neighbor_id)
+                 THEN 1 ELSE 0 END)
+             / CAST({TOP_K * N_QUERIES} AS DOUBLE), 6) AS recall_at_k
+FROM staged s
+GROUP BY s.stage
+ORDER BY s.stage
+"""
