@@ -1498,6 +1498,26 @@ def image_phashes(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, PHASH_SCHEMA)
 
 
+# Tier key for the fixture-generated media hash stages: the fixtures
+# are pure functions of the builders (sf_dir never enters), so one
+# constant key shares each decoded-hash table across media_phash, the
+# near-dup join, and media_neardup_eval — the decode+hash mapInPandas
+# pass (the only Python in the family) runs once per session instead
+# of once per consumer, the dedup.py tier lesson applied to media.
+_MEDIA_TIER_DIR = "/fixtures/media-neardup"
+
+
+def _phash_tier(spark) -> DataFrame:
+    from parquet_extractor_spark.tiers import ensure_tier
+
+    return ensure_tier(
+        spark,
+        _MEDIA_TIER_DIR,
+        "image_phashes",
+        lambda: image_phashes(synthetic_neardup_images(spark)),
+    )
+
+
 def media_phash(spark, sf_dir: str) -> DataFrame:
     """Oracle-pairable pHash query: hash every fixture image and emit
     (media_id, variant, phash). The literal oracle (generated by
@@ -1508,7 +1528,7 @@ def media_phash(spark, sf_dir: str) -> DataFrame:
     media_* queries)."""
     del sf_dir
     return (
-        image_phashes(synthetic_neardup_images(spark))
+        _phash_tier(spark)
         .select("media_id", "variant", "phash")
         .orderBy("media_id")
     )
@@ -1529,10 +1549,7 @@ def media_phash_near_dups(spark, sf_dir: str) -> DataFrame:
     no unrelated pair (measured margin 12 vs 22).
     """
     del sf_dir
-    return banded_near_dup_pairs(
-        image_phashes(synthetic_neardup_images(spark)),
-        PHASH_HAMMING_MAX,
-    )
+    return banded_near_dup_pairs(_phash_tier(spark), PHASH_HAMMING_MAX)
 
 
 # ── audio fingerprint near-dup detection ─────────────────────────────
@@ -1698,6 +1715,17 @@ def banded_near_dup_pairs(
     )
 
 
+def _afp_tier(spark) -> DataFrame:
+    from parquet_extractor_spark.tiers import ensure_tier
+
+    return ensure_tier(
+        spark,
+        _MEDIA_TIER_DIR,
+        "audio_fingerprints",
+        lambda: audio_fingerprints(synthetic_audio_neardup(spark)),
+    )
+
+
 def media_audio_fingerprint(spark, sf_dir: str) -> DataFrame:
     """Oracle-pairable audio-fingerprint query (the audio
     media_phash): hash every fixture clip and emit (media_id,
@@ -1705,7 +1733,7 @@ def media_audio_fingerprint(spark, sf_dir: str) -> DataFrame:
     ``sf_dir`` unused (fixture-generated audio)."""
     del sf_dir
     return (
-        audio_fingerprints(synthetic_audio_neardup(spark))
+        _afp_tier(spark)
         .select("media_id", "variant", "phash")
         .orderBy("media_id")
     )
@@ -1717,10 +1745,7 @@ def media_audio_near_dups(spark, sf_dir: str) -> DataFrame:
     same plan as media_phash_near_dups via banded_near_dup_pairs.
     ``sf_dir`` unused."""
     del sf_dir
-    return banded_near_dup_pairs(
-        audio_fingerprints(synthetic_audio_neardup(spark)),
-        AFP_HAMMING_MAX,
-    )
+    return banded_near_dup_pairs(_afp_tier(spark), AFP_HAMMING_MAX)
 
 
 # ── animation (video-level) near-dup detection ───────────────────────
@@ -1850,6 +1875,17 @@ def animation_phashes(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, ANIM_PHASH_SCHEMA)
 
 
+def _anim_tier(spark) -> DataFrame:
+    from parquet_extractor_spark.tiers import ensure_tier
+
+    return ensure_tier(
+        spark,
+        _MEDIA_TIER_DIR,
+        "animation_phashes",
+        lambda: animation_phashes(synthetic_animation_neardup(spark)),
+    )
+
+
 def media_animation_signatures(spark, sf_dir: str) -> DataFrame:
     """Oracle-pairable animation-signature query: sample + hash every
     fixture animation; the literal oracle pins each (media_id,
@@ -1857,7 +1893,7 @@ def media_animation_signatures(spark, sf_dir: str) -> DataFrame:
     sample → re-encode → pHash chain. ``sf_dir`` unused."""
     del sf_dir
     return (
-        animation_phashes(synthetic_animation_neardup(spark))
+        _anim_tier(spark)
         .select("media_id", "variant", "frame_ts", "phash")
         .orderBy("media_id", "frame_ts")
     )
@@ -1875,7 +1911,7 @@ def media_animation_near_dups(spark, sf_dir: str) -> DataFrame:
     matches on all 4 ticks, the one-frame-off variant on 3, unrelated
     animations never pair. ``sf_dir`` unused."""
     del sf_dir
-    frames = animation_phashes(synthetic_animation_neardup(spark))
+    frames = _anim_tier(spark)
     bands = frames.select(
         "media_id",
         "frame_ts",
