@@ -9,11 +9,15 @@ page count — without touching strip data. Pixel DECODE is real for
 PackBits, LZW (TIFF 6.0 §13 early-change flavor), Deflate (8 and
 legacy 32946), with Predictor 2 undone — and new-style JPEG-in-TIFF
 (compression 7, shared JPEGTables spliced per strip) since late r06,
-plus PlanarConfiguration-2 per-plane strip groups,
-leaving old-style JPEG (6) and the
-CCITT fax family as the declared Pillow boundary
-(the header pass remains what a 100 TB pre-filter actually runs
-before spending any decode CPU).
+plus PlanarConfiguration-2 per-plane strip groups, plus BOTH
+old-style JPEG (6) layouts: the interchange form (tags 513/514 point
+at one complete stream) and the deprecated §22 strip form (raw
+zigzag/BITS+values tables behind tags 519/520/521, bare entropy data
+in strips, headers rebuilt per strip). The CCITT fax family stays
+the declared Pillow boundary (its MH run-length code tables cannot
+be safely reproduced from memory — the JPEG-arithmetic QM-coder
+decision applied to fax); the header pass remains what a 100 TB
+pre-filter actually runs before spending any decode CPU.
 
 Layout facts used (all from the spec): ``II``/``MM`` byte-order mark,
 u16 magic 42, u32 first-IFD offset; each IFD is u16 entry-count,
@@ -274,6 +278,7 @@ def _apply_predictor2(strip: bytes, w: int, samples: int) -> bytes:
 
 TIFF_COMPRESSION_NONE = 1
 TIFF_COMPRESSION_LZW = 5
+TIFF_COMPRESSION_JPEG_OLD = 6  # deprecated TIFF 6.0 §22 JPEG
 TIFF_COMPRESSION_JPEG = 7  # "new-style" JPEG-in-TIFF (TTN2)
 TIFF_COMPRESSION_DEFLATE = 8  # "Adobe" deflate; 32946 is the old tag
 TIFF_COMPRESSION_DEFLATE_OLD = 32946
@@ -310,7 +315,7 @@ def decode_tiff(data: bytes):
         (tag,) = struct.unpack_from(endian + "H", data, off)
         if tag in (
             256, 257, 258, 259, 273, 274, 277, 278, 279, 284, 317, 347,
-            513, 514,
+            512, 513, 514, 515, 519, 520, 521, 530,
         ):
             vals = _read_entry_values(data, off, endian)
             if vals is None:
@@ -356,7 +361,20 @@ def decode_tiff(data: bytes):
         )
     if planar not in (1, 2):
         raise ValueError(f"bad PlanarConfiguration {planar}")
-    if compression not in (
+    oldstyle_prefix = None
+    if compression == TIFF_COMPRESSION_JPEG_OLD:
+        # old-style strip JPEG (TIFF 6.0 §22): strips hold RAW entropy
+        # data; the tables live behind per-sample pointer tags
+        # (JPEGQTables 519 / JPEGDCTables 520 / JPEGACTables 521) and
+        # the interchange headers must be rebuilt per strip
+        if samples != 3:
+            raise NotImplementedError(
+                "old-style JPEG strips decode as 3-sample YCbCr here"
+            )
+        if tags.get(317, [1])[0] == 2:
+            raise ValueError("predictor 2 is invalid for JPEG strips")
+        oldstyle_prefix = _oldstyle_jpeg_prefix(data, tags, w, samples)
+    elif compression not in (
         TIFF_COMPRESSION_NONE,
         TIFF_COMPRESSION_PACKBITS,
         TIFF_COMPRESSION_LZW,
@@ -365,7 +383,7 @@ def decode_tiff(data: bytes):
         TIFF_COMPRESSION_JPEG,
     ):
         raise NotImplementedError(
-            f"TIFF compression {compression} (old-style JPEG/CCITT) "
+            f"TIFF compression {compression} (CCITT fax family) "
             "needs Pillow"
         )
     predictor = tags.get(317, [1])[0]
@@ -425,6 +443,16 @@ def decode_tiff(data: bytes):
                     "JPEG strip dimensions disagree with the IFD"
                 )
             raw = tile[:strip_rows].tobytes()
+        elif compression == TIFF_COMPRESSION_JPEG_OLD:
+            from parquet_extractor_spark.functions.jpeg import decode_jpeg
+
+            stream = oldstyle_prefix(strip_rows) + bytes(raw) + b"\xff\xd9"
+            tile = decode_jpeg(stream)
+            if tile.shape[1] != w or tile.shape[0] < strip_rows:
+                raise ValueError(
+                    "JPEG strip dimensions disagree with the IFD"
+                )
+            raw = tile[:strip_rows].tobytes()
         if len(raw) < expected:
             raise ValueError("TIFF strip shorter than its rows")
         raw = bytes(raw[:expected])
@@ -436,7 +464,7 @@ def decode_tiff(data: bytes):
         # PlanarConfiguration 2: strips are grouped per sample plane
         # (all plane-0 strips, then plane-1, …), each carrying one
         # sample per pixel
-        if compression == TIFF_COMPRESSION_JPEG:
+        if compression in (TIFF_COMPRESSION_JPEG, TIFF_COMPRESSION_JPEG_OLD):
             raise NotImplementedError("planar JPEG strips need Pillow")
         spp_strips = (h + rows_per_strip - 1) // rows_per_strip
         if len(offsets) != samples * spp_strips:
@@ -524,6 +552,259 @@ def _jpeg_strip_tables(stream: bytes) -> tuple[bytes, bytes]:
             kept += seg
         pos += 2 + seg_len
     raise ValueError("JPEG stream without SOS")
+
+
+def _jm(marker: int, payload: bytes) -> bytes:
+    """One JPEG marker segment: FF xx + big-endian length + payload."""
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _oldstyle_jpeg_prefix(data: bytes, tags: dict, w: int, samples: int):
+    """Rebuild the interchange headers the TIFF 6.0 §22 strip layout
+    strips out. JPEGQTables (519) points at raw 64-byte zigzag
+    quantization tables, JPEGDCTables (520) / JPEGACTables (521) at
+    raw BITS(16)+values Huffman tables — one pointer per sample, with
+    writers repeating one offset for components that share a table.
+    Distinct offsets become distinct table ids in file order. Returns
+    ``prefix(strip_rows) -> bytes``: SOI + DQT* + DHT* + (DRI) + SOF0
+    + SOS, to be prepended to a strip's raw entropy data (the strip
+    itself carries no markers; DC predictors reset per strip because
+    each strip is an independent scan)."""
+    if tags.get(512, [1])[0] != 1:
+        raise NotImplementedError(
+            f"old-style JPEGProc {tags[512][0]} (lossless) needs Pillow"
+        )
+    try:
+        qoffs, dcoffs, acoffs = tags[519], tags[520], tags[521]
+    except KeyError as exc:
+        # no interchange pointer AND no table pointers: the nonstandard
+        # tableless old-style variants (e.g. Wang annotation files)
+        # stay unsupported
+        raise NotImplementedError(
+            f"old-style strip JPEG without table tag {exc} needs Pillow"
+        ) from exc
+    if not (len(qoffs) == len(dcoffs) == len(acoffs) == samples):
+        raise ValueError("old-style JPEG table count != SamplesPerPixel")
+
+    def read_q(off: int) -> bytes:
+        if off + 64 > len(data):
+            raise ValueError("JPEGQTables offset out of bounds")
+        return bytes(data[off : off + 64])
+
+    def read_h(off: int) -> bytes:
+        if off + 16 > len(data):
+            raise ValueError("JPEG Huffman table offset out of bounds")
+        bits = bytes(data[off : off + 16])
+        n = sum(bits)
+        if n > 256 or off + 16 + n > len(data):
+            raise ValueError("JPEG Huffman table out of bounds")
+        return bits + bytes(data[off + 16 : off + 16 + n])
+
+    def assign(offs, reader):
+        """Map distinct table offsets to table ids in file order."""
+        ids: dict[int, int] = {}
+        tables: list[tuple[int, bytes]] = []
+        comp_ids = []
+        for off in offs:
+            if off not in ids:
+                ids[off] = len(ids)
+                tables.append((ids[off], reader(off)))
+            comp_ids.append(ids[off])
+        if len(ids) > 4:
+            raise ValueError("more than 4 distinct JPEG tables")
+        return comp_ids, tables
+
+    qids, qtabs = assign(qoffs, read_q)
+    dcids, dctabs = assign(dcoffs, read_h)
+    acids, actabs = assign(acoffs, read_h)
+    # YCbCrSubSampling (530) gives the luma sampling factors; the TIFF
+    # default is [2, 2] — our encoder always writes the tag explicitly
+    sub = tags.get(530, [2, 2]) if samples == 3 else [1, 1]
+    head = bytearray()
+    for tid, q in qtabs:
+        head += _jm(0xDB, bytes([tid]) + q)
+    for tid, t in dctabs:
+        head += _jm(0xC4, bytes([tid]) + t)
+    for tid, t in actabs:
+        head += _jm(0xC4, bytes([0x10 | tid]) + t)
+    ri = tags.get(515, [0])[0]
+    if ri:
+        head += _jm(0xDD, struct.pack(">H", ri))
+    sos = bytes([samples])
+    for i in range(samples):
+        sos += bytes([i + 1, (dcids[i] << 4) | acids[i]])
+    sos += bytes([0, 63, 0])
+
+    def prefix(strip_rows: int) -> bytes:
+        sof = struct.pack(">BHHB", 8, strip_rows, w, samples)
+        for i in range(samples):
+            hv = (sub[0] << 4) | sub[1] if (i == 0 and samples == 3) else 0x11
+            sof += bytes([i + 1, hv, qids[i]])
+        return (
+            b"\xff\xd8"
+            + bytes(head)
+            + _jm(0xC0, sof)
+            + _jm(0xDA, sos)
+        )
+
+    return prefix
+
+
+def _jpeg_interchange_parts(stream: bytes) -> tuple[dict, dict, dict, bytes]:
+    """Split one baseline interchange JPEG into its raw table payloads
+    and entropy data: ({tq: 64 zigzag bytes}, {th: dc bits+vals},
+    {th: ac bits+vals}, entropy-without-EOI) — the pieces the
+    old-style TIFF layout stores behind tags 519/520/521 and in the
+    strips."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    q: dict[int, bytes] = {}
+    dc: dict[int, bytes] = {}
+    ac: dict[int, bytes] = {}
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG segment marker")
+        marker = stream[pos + 1]
+        (seg_len,) = struct.unpack_from(">H", stream, pos + 2)
+        body = stream[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDA:
+            entropy = stream[pos + 2 + seg_len :]
+            if entropy[-2:] == b"\xff\xd9":
+                entropy = entropy[:-2]
+            return q, dc, ac, bytes(entropy)
+        if marker == 0xDB:
+            b = bytes(body)
+            while b:
+                if b[0] >> 4:
+                    raise ValueError("16-bit quant table")
+                q[b[0] & 0x0F] = b[1:65]
+                b = b[65:]
+        elif marker == 0xC4:
+            b = bytes(body)
+            while b:
+                n = sum(b[1:17])
+                tbl = b[1 : 17 + n]
+                if b[0] & 0x10:
+                    ac[b[0] & 0x0F] = tbl
+                else:
+                    dc[b[0] & 0x0F] = tbl
+                b = b[17 + n :]
+        pos += 2 + seg_len
+    raise ValueError("JPEG stream without SOS")
+
+
+def build_tiff_oldstyle_jpeg(
+    arr,
+    endian: str = "le",
+    rows_per_strip: int = 8,
+    jpeg_quality: int = 95,
+) -> bytes:
+    """(H, W, 3) uint8 RGB -> old-style JPEG-in-TIFF (compression 6)
+    in the deprecated TIFF 6.0 §22 STRIP layout: JPEGProc 1, raw
+    zigzag quantization tables behind JPEGQTables (519), raw
+    BITS+values Huffman tables behind JPEGDCTables/JPEGACTables
+    (520/521, chroma components sharing one offset as real writers
+    do), YCbCrSubSampling [1,1], and strips holding bare entropy data
+    with no markers. Each strip is encoded independently (DC
+    predictors reset), 4:4:4, via functions/jpeg.py."""
+    import numpy as np
+
+    from parquet_extractor_spark.functions.jpeg import encode_jpeg
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("old-style JPEG TIFF writes (H, W, 3) RGB")
+    h, w, _ = a.shape
+    e = "<" if endian == "le" else ">"
+    bom = b"II\x2a\x00" if endian == "le" else b"MM\x00\x2a"
+
+    strips: list[bytes] = []
+    tables = None
+    for y0 in range(0, h, rows_per_strip):
+        stream = encode_jpeg(
+            a[y0 : y0 + rows_per_strip], quality=jpeg_quality, subsample=False
+        )
+        q, dcs, acs, entropy = _jpeg_interchange_parts(stream)
+        if tables is None:
+            # baseline tables depend only on quality — identical for
+            # every strip, so take them once (ids 0 = luma, 1 = chroma)
+            tables = (q[0], q[1], dcs[0], dcs[1], acs[0], acs[1])
+        strips.append(entropy)
+    qy, qc, dc_y, dc_c, ac_y, ac_c = tables
+    n_strips = len(strips)
+
+    # fixed tag set, ascending: 256,257,258,259,262,273,277,278,279,
+    # 512,519,520,521,530
+    tag_list = [
+        (256, 4, 1, [w]),
+        (257, 4, 1, [h]),
+        (258, 3, 3, [8, 8, 8]),
+        (259, 3, 1, [TIFF_COMPRESSION_JPEG_OLD]),
+        (262, 3, 1, [6]),  # photometric YCbCr
+        (273, 4, n_strips, None),  # strip offsets, patched below
+        (277, 3, 1, [3]),
+        (278, 4, 1, [rows_per_strip]),
+        (279, 4, n_strips, [len(s) for s in strips]),
+        (512, 3, 1, [1]),  # JPEGProc baseline
+        (519, 4, 3, None),  # Q-table offsets, patched below
+        (520, 4, 3, None),  # DC-table offsets
+        (521, 4, 3, None),  # AC-table offsets
+        (530, 3, 2, [1, 1]),  # 4:4:4
+    ]
+    ifd_size = 2 + 12 * len(tag_list) + 4
+    overflow_base = 8 + ifd_size
+
+    def value_bytes(typ: int, vals: list[int]) -> bytes:
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(struct.pack(e + fmt, v) for v in vals)
+
+    # two passes: first with placeholder offsets to size the overflow
+    # area, then with the real table/strip positions
+    blob_list = [qy, qc, dc_y, dc_c, ac_y, ac_c]
+    strip_offs = [0] * n_strips
+    q_offs = dc_offs = ac_offs = [0, 0, 0]
+    for pass_no in range(2):
+        overflow = bytearray()
+        ifd = bytearray(struct.pack(e + "H", len(tag_list)))
+        for tag, typ, count, vals in tag_list:
+            if tag == 273:
+                vals = strip_offs
+            elif tag == 519:
+                vals = q_offs
+            elif tag == 520:
+                vals = dc_offs
+            elif tag == 521:
+                vals = ac_offs
+            vb = value_bytes(typ, vals)
+            if len(vb) <= 4:
+                packed = vb + b"\x00" * (4 - len(vb))
+            else:
+                packed = struct.pack(e + "I", overflow_base + len(overflow))
+                overflow += vb
+            ifd += struct.pack(e + "HHI", tag, typ, count) + packed
+        ifd += struct.pack(e + "I", 0)  # no next IFD
+        blob_base = overflow_base + len(overflow)
+        pos = blob_base
+        blob_offs = []
+        for b in blob_list:
+            blob_offs.append(pos)
+            pos += len(b)
+        q_offs = [blob_offs[0], blob_offs[1], blob_offs[1]]
+        dc_offs = [blob_offs[2], blob_offs[3], blob_offs[3]]
+        ac_offs = [blob_offs[4], blob_offs[5], blob_offs[5]]
+        strip_offs = []
+        for s in strips:
+            strip_offs.append(pos)
+            pos += len(s)
+    return bytes(
+        bom
+        + struct.pack(e + "I", 8)
+        + ifd
+        + overflow
+        + b"".join(blob_list)
+        + b"".join(strips)
+    )
 
 
 def build_tiff_image(

@@ -85,6 +85,7 @@ from parquet_extractor_spark.functions.apng import (  # noqa: E402
 )
 from parquet_extractor_spark.functions.tiff import (  # noqa: E402
     build_tiff_image,
+    build_tiff_oldstyle_jpeg,
     decode_tiff,
     is_tiff,
 )
@@ -550,17 +551,23 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 # rotate compression by TIFF-row occurrence (rows land
                 # at i = 15, 33, 51): new-style JPEG with shared
                 # JPEGTables (the late-r06 boundary closure — pins the
-                # tables-splice decode path), PackBits, and
-                # LZW + Predictor 2; byte order still alternates.
-                # Uncompressed/Deflate strips stay unit-test-pinned.
+                # tables-splice decode path), OLD-style §22 strip JPEG
+                # (raw tables behind tags 519/520/521, headers rebuilt
+                # per strip), and LZW + Predictor 2; byte order still
+                # alternates. Uncompressed/PackBits/Deflate strips
+                # stay unit-test-pinned (roundtrip tests cover all).
                 occ = (i - 15) // 18
-                data = build_tiff_image(
-                    pixels,
-                    endian="le" if (i // 15) % 2 == 0 else "be",
-                    compression=[7, 32773, 5][occ % 3],
-                    predictor=2 if occ % 3 == 2 else 1,
-                    jpeg_shared_tables=True,
-                )
+                endian = "le" if (i // 15) % 2 == 0 else "be"
+                if occ % 3 == 1:
+                    data = build_tiff_oldstyle_jpeg(pixels, endian=endian)
+                else:
+                    data = build_tiff_image(
+                        pixels,
+                        endian=endian,
+                        compression=[7, None, 5][occ % 3],
+                        predictor=2 if occ % 3 == 2 else 1,
+                        jpeg_shared_tables=True,
+                    )
         elif kind == "audio":
             sr, dur = 8000, 0.25
             t = np.arange(int(sr * dur)) / sr

@@ -1878,8 +1878,8 @@ def test_tiff_old_style_jpeg_interchange():
     got = decode_tiff(old_style(True))
     err = np.abs(got.astype(int) - px.astype(int))
     assert got.shape == px.shape and err.max() <= 8
-    # without the interchange pointer the old-style file is the
-    # declared boundary (here it dies on the missing strip tags)
+    # without the interchange pointer (or the §22 strip/table tags)
+    # the old-style file is malformed and must raise cleanly
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_tiff(old_style(False))
     # a length running past the file must raise cleanly
@@ -1892,6 +1892,69 @@ def test_tiff_old_style_jpeg_interchange():
             _struct.pack_into("<I", bad, off + 8, 1 << 30)
     with _pytest.raises(ValueError):
         decode_tiff(bytes(bad))
+
+
+def test_tiff_old_style_jpeg_strips():
+    """Old-style JPEG-in-TIFF (compression 6) in the deprecated
+    TIFF 6.0 §22 STRIP layout — raw zigzag quant tables behind
+    JPEGQTables (519), raw BITS+values Huffman tables behind
+    JPEGDC/ACTables (520/521), bare entropy data in the strips —
+    decodes to pixels byte-identical to the new-style (TTN2) file of
+    the same array: both store the same per-strip entropy data, only
+    the container layout differs."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.tiff import (
+        TIFF_COMPRESSION_JPEG,
+        build_tiff_image,
+        build_tiff_oldstyle_jpeg,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(17)
+    for h, w, rps, endian in [(24, 16, 8, "le"), (21, 10, 8, "be")]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        old = build_tiff_oldstyle_jpeg(
+            arr, endian=endian, rows_per_strip=rps, jpeg_quality=95
+        )
+        new = build_tiff_image(
+            arr,
+            endian=endian,
+            compression=TIFF_COMPRESSION_JPEG,
+            rows_per_strip=rps,
+            jpeg_quality=95,
+        )
+        assert np.array_equal(decode_tiff(old), decode_tiff(new))
+    # a table pointer running past the file must raise cleanly
+    old = bytearray(
+        build_tiff_oldstyle_jpeg(
+            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        )
+    )
+    n = _struct.unpack_from("<H", old, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", old, off)[0] == 520:
+            # 3 LONG offsets live in the overflow area; clobber the
+            # first to point past EOF
+            (ptr,) = _struct.unpack_from("<I", old, off + 8)
+            _struct.pack_into("<I", old, ptr, 1 << 30)
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(old))
+    # lossless JPEGProc is a declared boundary
+    good = bytearray(
+        build_tiff_oldstyle_jpeg(
+            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        )
+    )
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", good, off)[0] == 512:
+            _struct.pack_into("<H", good, off + 8, 14)  # lossless proc
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(bytes(good))
 
 
 def test_tiff_orientation_applied_on_decode():
