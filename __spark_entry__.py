@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_neardup_eval": multimodal.media_neardup_eval,
         "parquet_footer_stats": analyze.parquet_footer_stats,
         "binary_hamming_recall": similarity.binary_hamming_recall,
+        "pack_sequences_nosplit": training.pack_sequences_nosplit,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -433,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "media_neardup_eval": multimodal_oracle.MEDIA_NEARDUP_EVAL_SQL,
         "parquet_footer_stats": analyze.PARQUET_FOOTER_STATS_SQL,
         "binary_hamming_recall": similarity.BINARY_HAMMING_RECALL_SQL,
+        "pack_sequences_nosplit": training.PACK_SEQUENCES_NOSPLIT_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

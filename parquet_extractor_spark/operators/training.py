@@ -110,6 +110,109 @@ ORDER BY doc_id
 """
 
 
+def pack_sequences_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NO-SPLIT sequence packing — the "fewer truncations"
+    alternative to pack_sequences' concatenate-then-chunk: docs fill a
+    SEQ_BUDGET-token bin in doc_id order within each source, and a doc
+    that would overflow CLOSES the bin and opens the next. Documents
+    never straddle a sequence boundary; the padding left in each
+    closed bin is the price, and comparing the two packers' waste is
+    exactly what a training team does before choosing one.
+
+    Unlike pack_sequences' prefix sum, the no-split fold is a true
+    recurrence — each doc's bin depends on the padding decisions of
+    every predecessor — so this is the §2.11 applyInPandas case (the
+    user_longest_streak pattern): ONE shuffle on source, a linear
+    numpy-backed pass per group, O(1) rolling state. At 100 TB packing
+    runs per input shard in exactly this shape; a giant source
+    sub-shards by doc_id range to bound group size (the pack_sequences
+    note applies unchanged). Docs longer than the budget truncate to
+    it and are flagged (fixture max length is far below SEQ_BUDGET, so
+    the flag pins the rule, not the data).
+
+    Oracle: PACK_SEQUENCES_NOSPLIT_SQL replays the identical fold
+    row-by-row per source with a recursive CTE — depth = docs in the
+    largest source, fine at oracle scale, never run at bench scale.
+    Output: (doc_id, source, n_tokens_packed, bin_id, truncated),
+    bin_id 1-based per source.
+    """
+    import numpy as np
+    import pandas as pd
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        raw = pdf["n_tokens"].to_numpy()
+        ns = np.minimum(raw, SEQ_BUDGET)
+        bins = np.empty(len(ns), dtype=np.int64)
+        fill, b = 0, 1
+        for i, n in enumerate(ns):
+            if fill + n > SEQ_BUDGET and fill > 0:
+                b += 1
+                fill = 0
+            bins[i] = b
+            fill += int(n)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "source": pdf["source"].to_numpy(),
+                "n_tokens_packed": ns,
+                "bin_id": bins,
+                "truncated": raw > SEQ_BUDGET,
+            }
+        )
+
+    return (
+        toks.groupBy("source")
+        .applyInPandas(
+            _pack,
+            "doc_id long, source string, n_tokens_packed long, "
+            "bin_id long, truncated boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_SEQUENCES_NOSPLIT_SQL = rf"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+ordered AS (
+    SELECT doc_id, source,
+           least(n_tokens, {SEQ_BUDGET}) AS n_packed,
+           n_tokens > {SEQ_BUDGET} AS truncated,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM toks
+),
+pack AS (
+    SELECT doc_id, source, n_packed, truncated, rn,
+           CAST(1 AS BIGINT) AS bin_id, n_packed AS fill
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.doc_id, o.source, o.n_packed, o.truncated, o.rn,
+           CASE WHEN p.fill + o.n_packed > {SEQ_BUDGET} AND p.fill > 0
+                THEN p.bin_id + 1 ELSE p.bin_id END,
+           CASE WHEN p.fill + o.n_packed > {SEQ_BUDGET} AND p.fill > 0
+                THEN o.n_packed ELSE p.fill + o.n_packed END
+    FROM pack p
+    JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT doc_id, source, n_packed AS n_tokens_packed, bin_id, truncated
+FROM pack
+ORDER BY doc_id
+"""
+
+
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic {TRAIN_PCT}/{VAL_PCT}/rest split by portable hash
     of (salt, doc_id): per-split doc and token accounting.

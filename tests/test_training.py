@@ -268,3 +268,39 @@ def test_unimax_budgets_waterfill_invariants(spark, sf_small):
     assert all(r.cap_tokens > share for r in uncapped)
     # budget exhausted exactly (up to the 6dp rounding of the share)
     assert abs(sum(r.allocated_tokens for r in rows) - budget) < 1e-2
+
+
+def test_pack_sequences_nosplit_invariants(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.training import (
+        SEQ_BUDGET,
+        pack_sequences,
+        pack_sequences_nosplit,
+    )
+
+    rows = pack_sequences_nosplit(spark, sf_small).collect()
+    assert rows
+    # every doc appears exactly once (no-split by construction)
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    # no bin ever exceeds the budget, and bins are 1-based contiguous
+    # per source (a bin only closes because the next doc would
+    # overflow it)
+    fills: dict[tuple, int] = {}
+    per_source_bins: dict[str, set] = {}
+    for r in rows:
+        assert not r.truncated  # fixture docs are far below the budget
+        fills[(r.source, r.bin_id)] = (
+            fills.get((r.source, r.bin_id), 0) + r.n_tokens_packed
+        )
+        per_source_bins.setdefault(r.source, set()).add(r.bin_id)
+    assert all(v <= SEQ_BUDGET for v in fills.values())
+    for bins in per_source_bins.values():
+        assert bins == set(range(1, max(bins) + 1))
+    # the trade vs concatenate-then-chunk: nosplit never straddles
+    # (shown above), chunk packing never pads — its straddle count is
+    # what nosplit's padding buys back
+    chunk = pack_sequences(spark, sf_small)
+    n_straddle = chunk.filter(F.col("crosses_boundary")).count()
+    assert n_straddle > 0  # the fixture does exercise the trade-off
