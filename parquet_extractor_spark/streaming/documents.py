@@ -312,3 +312,124 @@ def surprisal_stream(
     )
 
     return surprisal_probe_columns(stream_docs, cb, cp)
+
+
+# ── stateful streaming no-split packer (applyInPandasWithState) ──────
+
+
+def _pack_nosplit_fn(key, pdf_iter, state):
+    """Per-source packer state machine: GroupState carries (bin_id,
+    fill) ACROSS micro-batches, so a bin left half-full by one batch
+    keeps filling when the next batch's documents arrive — the
+    behavior a continuously-packing ingest pipeline needs and a
+    per-batch groupBy cannot express.
+
+    Docs pack in doc_id order WITHIN each batch (chunks of the group
+    are concatenated then sorted; group-per-batch volume is bounded by
+    the trigger) and in arrival order across batches — the streaming
+    semantic. The batch-equality test pins file arrival order to
+    doc_id order, making stream ≡ batch exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from parquet_extractor_spark.operators.training import SEQ_BUDGET
+
+    if state.exists:
+        b, fill = state.get
+    else:
+        b, fill = 1, 0
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        state.update((int(b), int(fill)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "source": pd.Series([], dtype=object),
+                "n_tokens_packed": pd.Series([], dtype="int64"),
+                "bin_id": pd.Series([], dtype="int64"),
+                "truncated": pd.Series([], dtype=bool),
+            }
+        )
+        return
+    pdf = pd.concat(chunks).sort_values("doc_id")
+    raw = pdf["n_tokens"].to_numpy()
+    ns = np.minimum(raw, SEQ_BUDGET)
+    bins = np.empty(len(ns), dtype="int64")
+    for i, n in enumerate(ns):
+        if fill + n > SEQ_BUDGET and fill > 0:
+            b += 1
+            fill = 0
+        bins[i] = b
+        fill += int(n)
+    state.update((int(b), int(fill)))
+    (source,) = key
+    yield pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "source": np.full(len(ns), source, dtype=object),
+            "n_tokens_packed": ns,
+            "bin_id": bins,
+            "truncated": raw > SEQ_BUDGET,
+        }
+    )
+
+
+def pack_nosplit_stream(stream_docs: DataFrame) -> DataFrame:
+    """Streaming twin of ``training.pack_sequences_nosplit``: the
+    token count is the same stateless column expression as the batch
+    path; the sequential no-split fold runs inside
+    ``applyInPandasWithState`` with O(sources) state — two BIGINTs
+    per source, partitioned by the grouping key like any shuffle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from parquet_extractor_spark.functions.text import tokenize
+
+    toks = stream_docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+    )
+    return toks.groupBy("source").applyInPandasWithState(
+        _pack_nosplit_fn,
+        outputStructType=(
+            "doc_id bigint, source string, n_tokens_packed bigint, "
+            "bin_id bigint, truncated boolean"
+        ),
+        stateStructType="bin_id bigint, fill bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_pack_nosplit_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+    table_name: str = "docs_pack_nosplit_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain a documents directory through the stateful packer.
+    ``max_files_per_trigger=1`` forces one micro-batch per file (in
+    file-modification-time order), exercising the cross-batch state
+    carryover; the default drains everything in one batch."""
+    reader = spark.readStream.schema(DOCS_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = pack_nosplit_stream(reader.parquet(src_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, table_name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)

@@ -710,3 +710,81 @@ def test_streaming_audio_fingerprints_equal_batch(spark, tmp_path):
 
     assert key(got.collect()) == key(want.collect())
     assert got.count() == 40
+
+
+def test_pack_nosplit_stream_single_batch_equals_batch(
+    spark, sf_small, tmp_path
+):
+    """One-batch drain of the stateful packer reproduces the batch
+    no-split packer exactly (same fold, doc_id order within batch)."""
+    from parquet_extractor_spark.operators.training import (
+        pack_sequences_nosplit,
+    )
+    from parquet_extractor_spark.streaming.documents import (
+        run_pack_nosplit_stream,
+    )
+
+    stream = run_pack_nosplit_stream(
+        spark, sf_small, str(tmp_path / "ckpt_pack1")
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens_packed, r.bin_id, r.truncated)
+        for r in stream.collect()
+    }
+    want = {
+        r.doc_id: (r.source, r.n_tokens_packed, r.bin_id, r.truncated)
+        for r in pack_sequences_nosplit(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_pack_nosplit_stream_state_carries_across_batches(
+    spark, sf_small, tmp_path
+):
+    """The cross-batch contract: with one file per micro-batch (file
+    mtimes pinning arrival order to doc_id order), a bin left
+    half-full by batch N keeps filling in batch N+1, and the drained
+    stream still equals the batch packer row-for-row."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from parquet_extractor_spark.operators.training import (
+        pack_sequences_nosplit,
+    )
+    from parquet_extractor_spark.streaming.documents import (
+        run_pack_nosplit_stream,
+    )
+
+    tbl = _pq.read_table(_os.path.join(sf_small, "documents.parquet"))
+    tbl = tbl.sort_by("doc_id")
+    src = tmp_path / "docs_split"
+    src.mkdir()
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for k in range(3):
+        part = tbl.slice(cuts[k], cuts[k + 1] - cuts[k])
+        path = src / f"documents-{k}.parquet"
+        _pq.write_table(part, path)
+        t = 1_700_000_000 + 100 * k  # strictly increasing mtimes
+        _os.utime(path, (t, t))
+    stream = run_pack_nosplit_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt_pack3"),
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens_packed, r.bin_id, r.truncated)
+        for r in stream.collect()
+    }
+    want = {
+        r.doc_id: (r.source, r.n_tokens_packed, r.bin_id, r.truncated)
+        for r in pack_sequences_nosplit(spark, sf_small).collect()
+    }
+    assert got == want
+    # the carryover was actually exercised: some source's bins span
+    # more than one micro-batch file, so an unseeded per-batch packer
+    # (state reset to bin 1 each batch) could not produce these ids
+    assert max(b for (_s, _n, b, _t) in got.values()) > 1
