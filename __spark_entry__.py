@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_footer_stats": analyze.parquet_footer_stats,
         "binary_hamming_recall": similarity.binary_hamming_recall,
         "pack_sequences_nosplit": training.pack_sequences_nosplit,
+        "source_vocab_kmv_jaccard": selection.source_vocab_kmv_jaccard,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -435,6 +436,8 @@ def oracle_sql() -> dict[str, str]:
         "parquet_footer_stats": analyze.PARQUET_FOOTER_STATS_SQL,
         "binary_hamming_recall": similarity.BINARY_HAMMING_RECALL_SQL,
         "pack_sequences_nosplit": training.PACK_SEQUENCES_NOSPLIT_SQL,
+        "source_vocab_kmv_jaccard":
+            selection.SOURCE_VOCAB_KMV_JACCARD_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

@@ -996,6 +996,223 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV (bottom-k) sketch size: estimator std error ~ 1/sqrt(K) ≈ 9%.
+KMV_K = 128
+
+
+def source_vocab_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketch estimate of pairwise vocabulary Jaccard,
+    graded against the exact join — the sketch twin of
+    source_vocab_overlap, and the trust-before-deploy eval for it
+    (the lsh_quality_eval pattern): at 100 TB the exact vocabulary
+    self-join is the expensive pass, and this query measures what the
+    constant-size sketch would have answered.
+
+    The sketch: per source, the KMV_K smallest portable 60-bit hashes
+    of the word-BIGRAM vocabulary — a bottom-k signature (Bar-Yossef
+    et al.; the K-minimum-values / theta-sketch family). Bigrams, not
+    unigrams, deliberately: the fixture sources share ~97% of their
+    unigram vocabulary (every pair's Jaccard ≈ 1, nothing to
+    estimate), while bigram Jaccard spans ~0.56-0.71 — a signal the
+    estimator has to actually earn. Pair estimate: take the K
+    smallest hashes of the UNION of two sketches and count how many
+    appear in BOTH — an unbiased Jaccard estimator with ~1/sqrt(K)
+    error.
+
+    Plan shape: the (source, bigram) frame DISTINCT-reduces exactly
+    as the exact query, then ONE source-partitioned window truncates
+    each source to K rows — from there everything is bounded by
+    |sources| × K rows regardless of corpus size: the ~|sources|²/2
+    pair frame broadcasts, per-pair union ranking and the hit count
+    shuffle at most pairs × 2K rows. The exact bigram tier is
+    recomputed here only to grade the sketch (sampled stratum at
+    scale, like every eval harness in the repo). Integer division
+    keeps micro-units engine-exact.
+    Output: (src_a, src_b, jaccard_micro_exact, kmv_jaccard_micro,
+    abs_err_micro, k_used) ordered by pair.
+    """
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = docs.select(
+        "source",
+        F.explode(word_ngrams(tokenize("text"), 2)).alias("tok"),
+    ).distinct()
+    hashed = vocab.select(
+        "source", portable_hash64(F.col("tok")).alias("h")
+    ).distinct()
+    wk = Window.partitionBy("source").orderBy(F.asc("h"))
+    sketch = (
+        hashed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = sketch.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+    )
+    sides = (
+        sketch.join(
+            F.broadcast(pairs),
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.countDistinct("source").alias("n_sides"))
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy(F.asc("h"))
+    est = (
+        sides.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_both"),
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+        )
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    av, bv = vocab.alias("a"), vocab.alias("b")
+    common = (
+        av.join(bv, "tok")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    exact = (
+        common.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("src_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("(n_common * 1000000) DIV (n_a + n_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_micro_exact"),
+        )
+    )
+    return (
+        est.join(F.broadcast(exact), ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce(F.col("jaccard_micro_exact"), F.lit(0))
+            .cast("bigint")
+            .alias("jaccard_micro_exact"),
+            F.expr("(n_both * 1000000) DIV k_used")
+            .cast("bigint")
+            .alias("kmv_jaccard_micro"),
+            F.abs(
+                F.coalesce(F.col("jaccard_micro_exact"), F.lit(0))
+                - F.expr("(n_both * 1000000) DIV k_used")
+            )
+            .cast("bigint")
+            .alias("abs_err_micro"),
+            "k_used",
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_VOCAB_KMV_JACCARD_SQL = rf"""
+WITH toks AS (
+    SELECT source, {_TOKENS_SQL} AS ts FROM documents
+),
+vocab AS (
+    SELECT DISTINCT source,
+           list_aggregate(ts[i:i + 1], 'string_agg', ' ') AS tok
+    FROM toks, unnest(range(1, greatest(len(ts) - 1, 1) + 1)) AS u(i)
+),
+hashed AS (
+    SELECT DISTINCT source, {_PHASH_SQL.format('tok')} AS h FROM vocab
+),
+sketch AS (
+    SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM hashed
+    ) WHERE rk <= {KMV_K}
+),
+pairs AS (
+    SELECT a.source AS src_a, b.source AS src_b
+    FROM (SELECT DISTINCT source FROM sketch) a
+    JOIN (SELECT DISTINCT source FROM sketch) b ON a.source < b.source
+),
+sides AS (
+    SELECT p.src_a, p.src_b, s.h,
+           count(DISTINCT s.source) AS n_sides
+    FROM pairs p JOIN sketch s ON s.source IN (p.src_a, p.src_b)
+    GROUP BY 1, 2, 3
+),
+est AS (
+    SELECT src_a, src_b,
+           CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both,
+           CAST(count(*) AS BIGINT) AS k_used
+    FROM (
+        SELECT src_a, src_b, n_sides,
+               row_number() OVER (PARTITION BY src_a, src_b
+                                  ORDER BY h) AS rk
+        FROM sides
+    ) WHERE rk <= {KMV_K}
+    GROUP BY 1, 2
+),
+sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM vocab GROUP BY source
+),
+common AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+),
+exact AS (
+    SELECT c.src_a, c.src_b,
+           CAST((c.n_common * 1000000) // (sa.n + sb.n - c.n_common)
+                AS BIGINT) AS jaccard_micro_exact
+    FROM common c
+    JOIN sizes sa ON sa.source = c.src_a
+    JOIN sizes sb ON sb.source = c.src_b
+)
+SELECT e.src_a, e.src_b,
+       CAST(coalesce(x.jaccard_micro_exact, 0) AS BIGINT)
+           AS jaccard_micro_exact,
+       CAST((e.n_both * 1000000) // e.k_used AS BIGINT)
+           AS kmv_jaccard_micro,
+       CAST(abs(coalesce(x.jaccard_micro_exact, 0)
+                - (e.n_both * 1000000) // e.k_used) AS BIGINT)
+           AS abs_err_micro,
+       e.k_used
+FROM est e
+LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+ORDER BY e.src_a, e.src_b
+"""
+
+
 SOURCE_VOCAB_OVERLAP_SQL = rf"""
 WITH vocab AS (
     SELECT DISTINCT source, t.tok

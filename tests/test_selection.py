@@ -323,3 +323,26 @@ def test_ccnet_buckets_are_language_tertiles(spark, sf_small):
         # cannot be fewer than a tail that the cutoffs would forbid
         n = sum(buckets[b].n_docs for b in buckets)
         assert buckets["head"].n_docs >= n // 3 - 1
+
+
+def test_source_vocab_kmv_jaccard_estimator_quality(spark, sf_small):
+    """The bottom-k sketch must earn its keep: with K=128 the
+    estimator's std error is ~1/sqrt(128) ≈ 0.042, so mean |err| stays
+    well under 1.5σ and the worst pair under ~3.5σ (measured at
+    sf0.001: mean 0.037, max 0.133 over 190 pairs on a 0.56-0.71
+    exact-Jaccard spread — a real signal, not the degenerate ≈1.0
+    unigram overlap)."""
+    from parquet_extractor_spark.operators.selection import (
+        KMV_K,
+        source_vocab_kmv_jaccard,
+    )
+
+    rows = source_vocab_kmv_jaccard(spark, sf_small).collect()
+    assert len(rows) > 1
+    assert all(r.k_used == KMV_K for r in rows)  # vocab >= K per source
+    errs = [r.abs_err_micro for r in rows]
+    assert sum(errs) / len(errs) <= 60_000
+    assert max(errs) <= 200_000
+    # the exact tier really does spread (the estimator had work to do)
+    exact = [r.jaccard_micro_exact for r in rows]
+    assert max(exact) - min(exact) > 50_000
