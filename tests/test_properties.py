@@ -352,3 +352,38 @@ def test_container_parsers_survive_truncation_and_mutation(cut, d):
         whole[pos] ^= 0xFF
         out = parse(bytes(whole))
         assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    arr=jpeg_arrays(),
+    rps=st.sampled_from([4, 8, 64]),
+    endian=st.sampled_from(["le", "be"]),
+)
+def test_tiff_oldstyle_jpeg_property(arr, rps, endian):
+    """Arbitrary dims/content/strip heights/byte orders: the old-style
+    §22 strip file decodes to pixels byte-identical to the new-style
+    TTN2 file of the same array (same per-strip entropy data, only
+    container layout differs), and encoding is deterministic."""
+    from parquet_extractor_spark.functions.tiff import (
+        TIFF_COMPRESSION_JPEG,
+        build_tiff_image,
+        build_tiff_oldstyle_jpeg,
+        decode_tiff,
+        is_tiff,
+    )
+
+    old = build_tiff_oldstyle_jpeg(arr, endian=endian, rows_per_strip=rps)
+    assert is_tiff(old)
+    assert old == build_tiff_oldstyle_jpeg(
+        arr, endian=endian, rows_per_strip=rps
+    )
+    new = build_tiff_image(
+        arr,
+        endian=endian,
+        compression=TIFF_COMPRESSION_JPEG,
+        rows_per_strip=rps,
+    )
+    d_old = decode_tiff(old)
+    assert d_old.shape == arr.shape and d_old.dtype == np.uint8
+    assert np.array_equal(d_old, decode_tiff(new))
