@@ -1032,12 +1032,22 @@ def source_vocab_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs_err_micro, k_used) ordered by pair.
     """
     from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
     docs = spread(load_table(spark, sf_dir, "documents"))
-    vocab = docs.select(
-        "source",
-        F.explode(word_ngrams(tokenize("text"), 2)).alias("tok"),
-    ).distinct()
+    # persist the distinct bigram vocabulary: the sketch path, the
+    # size table and BOTH sides of the exact grading join consume it
+    # (4 scans otherwise) — the ngram_jaccard_pairs postings pattern;
+    # bounded by |V_bigram| × |sources|, released by the caller's
+    # release_cached between queries
+    vocab = (
+        docs.select(
+            "source",
+            F.explode(word_ngrams(tokenize("text"), 2)).alias("tok"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hashed = vocab.select(
         "source", portable_hash64(F.col("tok")).alias("h")
     ).distinct()
