@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_hamming_recall": similarity.binary_hamming_recall,
         "pack_sequences_nosplit": training.pack_sequences_nosplit,
         "source_vocab_kmv_jaccard": selection.source_vocab_kmv_jaccard,
+        "readability_scores": quality.readability_scores,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_nosplit": training.PACK_SEQUENCES_NOSPLIT_SQL,
         "source_vocab_kmv_jaccard":
             selection.SOURCE_VOCAB_KMV_JACCARD_SQL,
+        "readability_scores": quality.READABILITY_SCORES_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

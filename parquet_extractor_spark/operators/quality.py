@@ -239,6 +239,94 @@ ORDER BY doc_id
 """
 
 
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per document — the classic
+    curation-side proxy for audience level (edu-quality filters bucket
+    on exactly this family of scores before any model-based scoring).
+
+    Heuristics, identical in both engines: sentences = runs of
+    [.!?] (clamped >= 1), words = whitespace tokens (clamped >= 1),
+    syllables = vowel-group runs [aeiouy]+ in the lowercased text,
+    clamped to >= words (every word has at least one syllable — the
+    standard heuristic's floor). Flesch reading-ease
+    206.835 - 1.015·(words/sentences) - 84.6·(syllables/words) is
+    computed entirely in integer micro-units with truncating division,
+    so no float sum can drift between engines; the grade bucket cuts
+    at the conventional 90/60/30 ease thresholds.
+
+    Plan shape: three regexp_count/size codegen expressions + integer
+    arithmetic — pure map-side projection, ZERO shuffles beyond the
+    output sort; at 100 TB this is scan-bandwidth-bound like
+    quality_scores.
+    Output: (doc_id, n_sentences, n_words, n_syllables, ease_micro,
+    ease_bucket).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sent = F.greatest(
+        F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    words = F.greatest(F.size(tokenize("text")), F.lit(1)).cast("bigint")
+    vg = F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        sent.alias("n_sentences"),
+        words.alias("n_words"),
+        F.greatest(vg, words).alias("n_syllables"),
+    )
+    scored = base.withColumn(
+        "ease_micro",
+        (
+            F.lit(206835000)
+            - F.expr("(1015 * ((n_words * 1000000) DIV n_sentences)) DIV 1000")
+            - F.expr("(84600 * ((n_syllables * 1000000) DIV n_words)) DIV 1000")
+        ).cast("bigint"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        "ease_micro",
+        F.when(F.col("ease_micro") >= 90_000_000, "very_easy")
+        .when(F.col("ease_micro") >= 60_000_000, "standard")
+        .when(F.col("ease_micro") >= 30_000_000, "difficult")
+        .otherwise("very_difficult")
+        .alias("ease_bucket"),
+    ).orderBy("doc_id")
+
+
+READABILITY_SCORES_SQL = rf"""
+WITH base AS (
+    SELECT doc_id,
+           greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                    AS BIGINT), 1) AS n_sentences,
+           greatest(CAST(len(list_filter(regexp_split_to_array(
+                regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+                x -> x != '')) AS BIGINT), 1) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_vg
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, n_sentences, n_words,
+           greatest(n_vg, n_words) AS n_syllables,
+           CAST(206835000
+                - (1015 * ((n_words * 1000000) // n_sentences)) // 1000
+                - (84600 * ((greatest(n_vg, n_words) * 1000000)
+                            // n_words)) // 1000
+                AS BIGINT) AS ease_micro
+    FROM base
+)
+SELECT doc_id, n_sentences, n_words, n_syllables, ease_micro,
+       CASE WHEN ease_micro >= 90000000 THEN 'very_easy'
+            WHEN ease_micro >= 60000000 THEN 'standard'
+            WHEN ease_micro >= 30000000 THEN 'difficult'
+            ELSE 'very_difficult' END AS ease_bucket
+FROM scored
+ORDER BY doc_id
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: min portable hash over char-8-gram
     shingles (the selection step of winnowing with w = doc length).

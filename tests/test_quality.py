@@ -302,3 +302,21 @@ def test_encoding_audit_ground_truth(spark):
         rows[8].n_mojibake == rows[8].n_replacement == rows[8].n_control == 1
     )
     assert all(rows[r].is_suspect for r in (2, 3, 4, 5, 6, 7, 8))
+
+
+def test_readability_scores_buckets_and_bounds(spark, sf_small):
+    from parquet_extractor_spark.operators.quality import readability_scores
+
+    rows = readability_scores(spark, sf_small).collect()
+    assert rows
+    buckets = {"very_easy", "standard", "difficult", "very_difficult"}
+    for r in rows:
+        assert r.n_sentences >= 1 and r.n_words >= 1
+        # the syllable heuristic's floor: every word has one
+        assert r.n_syllables >= r.n_words
+        assert r.ease_bucket in buckets
+        # ease is bounded above by the formula's constant (sentences
+        # and syllables only subtract)
+        assert r.ease_micro <= 206_835_000
+    # the fixture isn't degenerate: more than one bucket appears
+    assert len({r.ease_bucket for r in rows}) > 1
