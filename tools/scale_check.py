@@ -1,0 +1,102 @@
+"""Shifted-id scale spot-check: measure registry queries at sf0.1 and
+at a synthetic N× blow-up of the documents/embeddings tables.
+
+Methodology (the SCALE.md "100× spot check" recipe, now a committed
+tool instead of an inline script): the big fixture is the base table
+unioned N times with doc_id/vec_id shifted past the max id, so joins
+and groupings see N× rows with the SAME key-collision profile per
+copy; other tables are copied as-is. Every timing is the warm median
+of 3 (one discarded warm-up), with ``session.release_cached`` between
+runs so no persisted block leaks across measurements.
+
+Caveat to read with the numbers: copies do NOT grow the DISTINCT
+vocabulary, so distinct-reduced operators (e.g. the KMV sketch) face
+N× input rows into the distinct but an unchanged reduced tier —
+which matches how |V| actually grows under Heaps' law, slowly, but
+do not quote a blown-up fixture as evidence about |V|-scaling.
+
+Usage:
+    python tools/scale_check.py [--factor 10] query [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+STATIC_TABLES = (
+    "region nation customer supplier part orders lineitem events"
+).split()
+
+
+def build_big(spark, factor: int) -> str:
+    import pyspark.sql.functions as F
+
+    big = f"/tmp/spark-graft-scale-{factor}x"
+    marker = os.path.join(big, ".complete")
+    if os.path.exists(marker):
+        return big
+    if os.path.exists(big):
+        shutil.rmtree(big)
+    os.makedirs(big)
+    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        base = spark.read.parquet(f"{BASE}/{table}.parquet")
+        shift = base.agg(F.max(key)).collect()[0][0] + 1
+        u = None
+        for k in range(factor):
+            d = base.withColumn(key, F.col(key) + F.lit(k * shift))
+            u = d if u is None else u.unionByName(d)
+        u.write.mode("overwrite").parquet(f"{big}/{table}.parquet")
+    for t in STATIC_TABLES:
+        shutil.copy(f"{BASE}/{t}.parquet", f"{big}/{t}.parquet")
+    open(marker, "w").close()
+    return big
+
+
+def warm_median(spark, fn, sf_dir: str, runs: int = 4) -> float:
+    from parquet_extractor_spark.session import release_cached
+
+    times = []
+    for _ in range(runs):
+        release_cached(spark)
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        times.append(time.time() - t0)
+    return statistics.median(times[1:])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from parquet_extractor_spark.session import get_spark
+
+    registry = entry.queries()
+    unknown = [q for q in args.queries if q not in registry]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 1
+    spark = get_spark("scale-check")
+    big = build_big(spark, args.factor)
+    print(f"| query | sf0.1 | {args.factor}x | ratio |")
+    print("|---|---|---|---|")
+    for q in args.queries:
+        fn = registry[q]
+        a = warm_median(spark, fn, BASE)
+        b = warm_median(spark, fn, big)
+        print(f"| {q} | {a:.2f} s | {b:.2f} s | {b / a:.2f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
