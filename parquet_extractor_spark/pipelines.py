@@ -301,6 +301,18 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
         )
         .first()
     )
+    from parquet_extractor_spark.operators.quality import (
+        readability_scores,
+    )
+
+    readability = [
+        r.asDict()
+        for r in readability_scores(spark, sf_dir)
+        .groupBy("ease_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("ease_bucket")
+        .collect()
+    ]
     kl = {r.source: r.kl_divergence for r in source_token_kl(spark, sf_dir).collect()}
     ks = {r.source: r.ks_stat for r in source_length_ks(spark, sf_dir).collect()}
     drift = [
@@ -321,6 +333,7 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
         "drift_by_source": drift,
         "mixing_weights": mixing,
         "length_buckets": buckets,
+        "readability_buckets": readability,
         "benchmark_contamination": {
             "screen": "bloom(ngram)",
             "n_docs": int(decon.n_docs),

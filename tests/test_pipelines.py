@@ -191,9 +191,13 @@ def test_datacard_report(spark, sf_small):
         "drift_by_source",
         "mixing_weights",
         "length_buckets",
+        "readability_buckets",
         "benchmark_contamination",
     }
     assert card["mixing_weights"] and card["length_buckets"]
+    # readability buckets cover the corpus exactly once
+    rb_total = sum(r["n_docs"] for r in card["readability_buckets"])
+    assert rb_total == card["corpus"]["document_count"]
     shares = sum(r["temp_share"] for r in card["mixing_weights"])
     assert abs(shares - 1.0) < 1e-3
     for b in card["length_buckets"]:
