@@ -224,17 +224,9 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 3-group final aggregation.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    pct = portable_hash64(
-        F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))
-    ) % 100
-    split = (
-        F.when(pct < TRAIN_PCT, "train")
-        .when(pct < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-    )
     return (
         docs.select(
-            split.alias("split"),
+            _split_column().alias("split"),
             F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
         )
         .groupBy("split")
@@ -264,6 +256,122 @@ FROM assigned
 GROUP BY split
 ORDER BY split
 """
+
+
+def _split_column() -> F.Column:
+    """The train/val/test assignment as a reusable map-side expression
+    (the exact train_val_test_split rule — portable salted hash of
+    doc_id mod 100 against the 80/10 cut points)."""
+    pct = portable_hash64(
+        F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))
+    ) % 100
+    return (
+        F.when(pct < TRAIN_PCT, "train")
+        .when(pct < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across the train/val/test boundary —
+    the eval-hygiene hole a hash split cannot see: a random split is
+    clean at the DOCUMENT level by construction, but if two near-
+    identical documents land on opposite sides, the eval set is
+    contaminated anyway (the Lee et al. dedup paper's motivating
+    failure). This query joins the banded MinHash-LSH candidate
+    pairs (the shared dedup tier — computed once per session) with
+    the split assignment and counts pairs per ordered split
+    combination; any (train, val/test) row with n_pairs > 0 is
+    leakage the release notes must disclose — or dedup_canonical
+    must remove before splitting.
+
+    Plan shape: the pair tier is a bounded parquet scan; the split is
+    a map-side expression on the documents scan projected to
+    (doc_id, split); two doc_id-keyed joins attach both sides' splits
+    and a 6-group partial+final agg reports. Nothing here scales
+    beyond the candidate-pair tier at any corpus size.
+    Output: (split_lo, split_hi, n_pairs, is_leak) — is_leak marks
+    combinations that cross the train boundary.
+    """
+    from parquet_extractor_spark.operators.dedup import _lsh_pairs_tier
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    splits = docs.select("doc_id", _split_column().alias("split"))
+    pairs = _lsh_pairs_tier(spark, sf_dir)
+    tagged = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+    )
+    return (
+        tagged.groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (
+                (F.col("split_lo") != F.col("split_hi"))
+                & (
+                    (F.col("split_lo") == "train")
+                    | (F.col("split_hi") == "train")
+                )
+            ).alias("is_leak"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from parquet_extractor_spark.operators.dedup import MINHASH_LSH_SQL
+
+    pairs_sql = MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "").strip()
+    split_case = (
+        "CASE WHEN CAST(('0x' || substr(md5('"
+        + SPLIT_SALT
+        + "' || CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < "
+        + str(TRAIN_PCT)
+        + " THEN 'train' WHEN CAST(('0x' || substr(md5('"
+        + SPLIT_SALT
+        + "' || CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < "
+        + str(TRAIN_PCT + VAL_PCT)
+        + " THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH pairs AS ({pairs_sql}),
+tagged AS (
+    SELECT least({split_case.format(col='doc_a')},
+                 {split_case.format(col='doc_b')}) AS split_lo,
+           greatest({split_case.format(col='doc_a')},
+                    {split_case.format(col='doc_b')}) AS split_hi
+    FROM pairs
+)
+SELECT split_lo, split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       (split_lo != split_hi
+        AND (split_lo = 'train' OR split_hi = 'train')) AS is_leak
+FROM tagged
+GROUP BY split_lo, split_hi
+ORDER BY split_lo, split_hi
+"""
+
+
+SPLIT_LEAKAGE_AUDIT_SQL = _split_leakage_oracle()
 
 
 def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -304,3 +304,41 @@ def test_pack_sequences_nosplit_invariants(spark, sf_small):
     chunk = pack_sequences(spark, sf_small)
     n_straddle = chunk.filter(F.col("crosses_boundary")).count()
     assert n_straddle > 0  # the fixture does exercise the trade-off
+
+
+def test_split_leakage_audit_detects_and_dedup_closes(spark, sf_small):
+    """The audit finds cross-boundary near-dup pairs on the raw
+    fixture (the eval-contamination hole a hash split can't see),
+    and dedup-before-split provably closes it: every LSH candidate
+    pair lives inside one connected component, so keeping only
+    canonical exemplars leaves ZERO candidate pairs — on either side
+    of any boundary."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.operators.dedup import _lsh_pairs_tier
+    from parquet_extractor_spark.operators.training import (
+        dedup_canonical,
+        split_leakage_audit,
+    )
+
+    rows = split_leakage_audit(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        crosses_train = r.split_lo != r.split_hi and "train" in (
+            r.split_lo,
+            r.split_hi,
+        )
+        assert r.is_leak == crosses_train
+        assert r.n_pairs > 0  # empty combos don't emit rows
+    assert any(r.is_leak for r in rows)  # the fixture does leak
+    # the fix: dedup first, then split — no candidate pair survives
+    keeps = dedup_canonical(spark, sf_small).filter(F.col("keep")).select(
+        F.col("doc_id")
+    )
+    pairs = _lsh_pairs_tier(spark, sf_small)
+    survivors = (
+        pairs.join(keeps.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(keeps.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .count()
+    )
+    assert survivors == 0
