@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_kmv_jaccard": selection.source_vocab_kmv_jaccard,
         "readability_scores": quality.readability_scores,
         "split_leakage_audit": training.split_leakage_audit,
+        "dup_cluster_histogram": dedup.dup_cluster_histogram,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -442,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
             selection.SOURCE_VOCAB_KMV_JACCARD_SQL,
         "readability_scores": quality.READABILITY_SCORES_SQL,
         "split_leakage_audit": training.SPLIT_LEAKAGE_AUDIT_SQL,
+        "dup_cluster_histogram": dedup.DUP_CLUSTER_HISTOGRAM_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

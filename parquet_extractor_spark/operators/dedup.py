@@ -968,6 +968,86 @@ FROM counts
 LSH_QUALITY_EVAL_SQL = _lsh_quality_oracle()
 
 
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup clusters — the shape a
+    curator reads before trusting any reduction number: a corpus
+    whose duplication lives in two mega-clusters needs different
+    handling (template/boilerplate hubs, maybe a crawler bug) than
+    one with many pairs, even at the same overall dup rate.
+
+    Cluster sizes come from the shared components tier (computed once
+    per session); singletons are included, so the doc shares
+    partition the corpus. Buckets are powers of two, computed with
+    INTEGER arithmetic — bucket = 1 << (bit_length(size) - 1) via
+    ``length(bin(size))`` in both engines — so no libm log2 boundary
+    can ever disagree between Spark and DuckDB; shares are truncating
+    integer micro-units.
+
+    Plan shape: one component-keyed partial+final count over the
+    bounded tier scan, a map-side bucket expression, a second tiny
+    agg on ~log2(max cluster) groups, and a 1-row total broadcast.
+    Output: (cluster_size_bucket, n_clusters, n_docs, doc_share_micro).
+    """
+    labels = _components_tier(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    bucketed = sizes.select(
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), "
+            "length(bin(sz)) - 1) AS BIGINT)"
+        ).alias("cluster_size_bucket"),
+        "sz",
+    )
+    total = labels.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        bucketed.groupBy("cluster_size_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .join(F.broadcast(total), how="cross")
+        .select(
+            "cluster_size_bucket",
+            "n_clusters",
+            "n_docs",
+            F.expr("(n_docs * 1000000) DIV n_total")
+            .cast("bigint")
+            .alias("doc_share_micro"),
+        )
+        .orderBy("cluster_size_bucket")
+    )
+
+
+def _dup_cluster_histogram_oracle() -> str:
+    comp_sql = DEDUP_COMPONENTS_SQL.replace("ORDER BY doc_id", "").strip()
+    return f"""
+WITH labels AS ({comp_sql}),
+sizes AS (
+    SELECT component, CAST(count(*) AS BIGINT) AS sz
+    FROM labels GROUP BY component
+),
+bucketed AS (
+    SELECT CAST((CAST(1 AS BIGINT) << (length(bin(sz)) - 1)) AS BIGINT)
+               AS cluster_size_bucket,
+           sz
+    FROM sizes
+)
+SELECT cluster_size_bucket,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST((sum(sz) * 1000000)
+            // (SELECT count(*) FROM documents) AS BIGINT)
+           AS doc_share_micro
+FROM bucketed
+GROUP BY cluster_size_bucket
+ORDER BY cluster_size_bucket
+"""
+
+
+DUP_CLUSTER_HISTOGRAM_SQL = _dup_cluster_histogram_oracle()
+
+
 def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The headline number every dedup pipeline reports: corpus size
     (docs and tokens) before dedup, after exact dedup, and after

@@ -433,3 +433,111 @@ def run_pack_nosplit_stream(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+# ── stateful streaming KMV sketch maintenance ────────────────────────
+
+
+def _kmv_sketch_fn(key, pdf_iter, state):
+    """Per-source bottom-K sketch state machine: GroupState holds the
+    K smallest distinct bigram hashes seen so far. The KMV merge is
+    closed under truncation — bottom-K(state ∪ batch) = bottom-K of
+    everything seen, because any hash that belongs in the final
+    sketch is smaller than the current kth minimum and therefore
+    survives every intermediate truncation — so O(K) state per source
+    yields the exact batch sketch after any drain order.
+    """
+    import pandas as pd
+
+    from parquet_extractor_spark.operators.selection import KMV_K
+
+    if state.exists:
+        hashes, n_batches = state.get
+        seen = set(hashes)
+    else:
+        seen, n_batches = set(), 0
+    for pdf in pdf_iter:
+        seen.update(int(h) for h in pdf["h"])
+    sketch = sorted(seen)[:KMV_K]
+    n_batches += 1
+    state.update((sketch, n_batches))
+    if len(sketch) >= KMV_K:
+        # KMV cardinality estimator over the 60-bit hash space
+        est = ((KMV_K - 1) * (1 << 60)) // sketch[KMV_K - 1]
+    else:
+        # fewer distinct values than K: the sketch IS the exact set
+        est = len(sketch)
+    (source,) = key
+    yield pd.DataFrame(
+        {
+            "source": [source],
+            "sketch": [sketch],
+            "est_distinct": [int(est)],
+            "n_batches": [n_batches],
+        }
+    )
+
+
+def kmv_sketch_stream(stream_docs: DataFrame) -> DataFrame:
+    """Streaming twin of the KMV sketch inside
+    ``selection.source_vocab_kmv_jaccard``: maintain each source's
+    bottom-K bigram-hash signature incrementally as crawl files land,
+    instead of re-scanning the corpus — the way a production pipeline
+    keeps cardinality/overlap sketches fresh. Hashing is the same
+    stateless column chain as the batch path; state is K BIGINTs per
+    source."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from parquet_extractor_spark.functions.text import (
+        portable_hash64,
+        tokenize,
+        word_ngrams,
+    )
+
+    hashed = stream_docs.select(
+        "source",
+        F.explode(word_ngrams(tokenize("text"), 2)).alias("tok"),
+    ).select("source", portable_hash64(F.col("tok")).alias("h"))
+    return hashed.groupBy("source").applyInPandasWithState(
+        _kmv_sketch_fn,
+        outputStructType=(
+            "source string, sketch array<bigint>, est_distinct bigint, "
+            "n_batches bigint"
+        ),
+        stateStructType="hashes array<bigint>, n_batches bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_kmv_sketch_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+    table_name: str = "docs_kmv_sketch_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain a documents directory through the sketch maintainer;
+    the FINAL row per source (max n_batches) carries the drained
+    sketch, equal to the batch bottom-K regardless of how the files
+    were batched."""
+    reader = spark.readStream.schema(DOCS_SCHEMA).option(
+        "pathGlobFilter", glob
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = kmv_sketch_stream(reader.parquet(src_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, table_name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    return spark.table(table_name)

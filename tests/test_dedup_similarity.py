@@ -521,3 +521,25 @@ def test_reduction_report_monotone_and_consistent(spark, sf_small):
         > 0
     )
     assert rows["2_exact_dedup"].n_docs == exact_dedup(spark, sf_small).count()
+
+
+def test_dup_cluster_histogram_partitions_corpus(spark, sf_small):
+    from parquet_extractor_spark.operators.dedup import (
+        dup_cluster_histogram,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = dup_cluster_histogram(spark, sf_small).collect()
+    assert rows
+    n_docs_total = load_table(spark, sf_small, "documents").count()
+    # buckets are powers of two and partition the corpus exactly
+    assert all(
+        r.cluster_size_bucket & (r.cluster_size_bucket - 1) == 0
+        for r in rows
+    )
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    # shares are consistent with counts (truncating micro division)
+    for r in rows:
+        assert r.doc_share_micro == (r.n_docs * 1_000_000) // n_docs_total
+    # the fixture has real multi-doc clusters, not just singletons
+    assert any(r.cluster_size_bucket > 1 for r in rows)

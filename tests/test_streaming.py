@@ -788,3 +788,77 @@ def test_pack_nosplit_stream_state_carries_across_batches(
     # more than one micro-batch file, so an unseeded per-batch packer
     # (state reset to bin 1 each batch) could not produce these ids
     assert max(b for (_s, _n, b, _t) in got.values()) > 1
+
+
+def test_kmv_sketch_stream_equals_batch_bottom_k(spark, sf_small, tmp_path):
+    """The KMV merge is closed under truncation: drained one file per
+    micro-batch, the final per-source sketch equals the batch
+    bottom-K exactly — O(K) state reproduces the full-corpus
+    signature in any arrival order."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from parquet_extractor_spark.functions.text import (
+        portable_hash64,
+        tokenize,
+        word_ngrams,
+    )
+    from parquet_extractor_spark.operators.selection import KMV_K
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.documents import (
+        run_kmv_sketch_stream,
+    )
+
+    tbl = _pq.read_table(_os.path.join(sf_small, "documents.parquet"))
+    src = tmp_path / "docs_kmv"
+    src.mkdir()
+    n = tbl.num_rows
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for k in range(3):
+        path = src / f"documents-{k}.parquet"
+        _pq.write_table(tbl.slice(cuts[k], cuts[k + 1] - cuts[k]), path)
+        t = 1_700_000_000 + 100 * k
+        _os.utime(path, (t, t))
+    out = run_kmv_sketch_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt_kmv"),
+        glob="documents-*.parquet",
+        max_files_per_trigger=1,
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_batches"))
+    final = {
+        r.source: (list(r.sketch), r.est_distinct, r.n_batches)
+        for r in out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    # batch bottom-K over the same corpus
+    docs = load_table(spark, sf_small, "documents")
+    hashed = (
+        docs.select(
+            "source",
+            F.explode(word_ngrams(tokenize("text"), 2)).alias("tok"),
+        )
+        .select("source", portable_hash64(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    wk = Window.partitionBy("source").orderBy(F.asc("h"))
+    batch = {}
+    for r in (
+        hashed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+        .collect()
+    ):
+        batch[r.source] = list(r.sk)
+    assert set(final) == set(batch)
+    for s, (sk, est, nb) in final.items():
+        assert sk == batch[s]
+        assert nb > 1  # state really crossed micro-batches
+        if len(sk) >= KMV_K:
+            assert est == ((KMV_K - 1) * (1 << 60)) // sk[KMV_K - 1]
