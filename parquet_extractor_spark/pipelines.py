@@ -301,6 +301,19 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
         )
         .first()
     )
+    from parquet_extractor_spark.operators.dedup import (
+        dup_cluster_histogram,
+    )
+    from parquet_extractor_spark.operators.training import (
+        split_leakage_audit,
+    )
+
+    clusters = [
+        r.asDict() for r in dup_cluster_histogram(spark, sf_dir).collect()
+    ]
+    leakage = [
+        r.asDict() for r in split_leakage_audit(spark, sf_dir).collect()
+    ]
     from parquet_extractor_spark.operators.quality import (
         readability_scores,
     )
@@ -334,6 +347,8 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
         "mixing_weights": mixing,
         "length_buckets": buckets,
         "readability_buckets": readability,
+        "dup_cluster_histogram": clusters,
+        "split_leakage": leakage,
         "benchmark_contamination": {
             "screen": "bloom(ngram)",
             "n_docs": int(decon.n_docs),

@@ -192,8 +192,15 @@ def test_datacard_report(spark, sf_small):
         "mixing_weights",
         "length_buckets",
         "readability_buckets",
+        "dup_cluster_histogram",
+        "split_leakage",
         "benchmark_contamination",
     }
+    # cluster buckets partition the corpus; leakage rows carry flags
+    assert sum(r["n_docs"] for r in card["dup_cluster_histogram"]) == (
+        card["corpus"]["document_count"]
+    )
+    assert all("is_leak" in r for r in card["split_leakage"])
     assert card["mixing_weights"] and card["length_buckets"]
     # readability buckets cover the corpus exactly once
     rb_total = sum(r["n_docs"] for r in card["readability_buckets"])
