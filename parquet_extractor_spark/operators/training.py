@@ -110,6 +110,26 @@ ORDER BY doc_id
 """
 
 
+def nosplit_fold(
+    ns, budget: int = SEQ_BUDGET, bin_id: int = 1, fill: int = 0
+):
+    """The no-split greedy fold, shared by the batch packer and the
+    streaming state machine (streaming/documents.py): given clamped
+    token counts in packing order and the carried (bin_id, fill)
+    state, return (bin ids, final bin_id, final fill). Pure function
+    so the recurrence is property-testable without a SparkSession."""
+    import numpy as np
+
+    bins = np.empty(len(ns), dtype=np.int64)
+    for i, n in enumerate(ns):
+        if fill + n > budget and fill > 0:
+            bin_id += 1
+            fill = 0
+        bins[i] = bin_id
+        fill += int(n)
+    return bins, bin_id, fill
+
+
 def pack_sequences_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy NO-SPLIT sequence packing — the "fewer truncations"
     alternative to pack_sequences' concatenate-then-chunk: docs fill a
@@ -150,14 +170,7 @@ def pack_sequences_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("doc_id")
         raw = pdf["n_tokens"].to_numpy()
         ns = np.minimum(raw, SEQ_BUDGET)
-        bins = np.empty(len(ns), dtype=np.int64)
-        fill, b = 0, 1
-        for i, n in enumerate(ns):
-            if fill + n > SEQ_BUDGET and fill > 0:
-                b += 1
-                fill = 0
-            bins[i] = b
-            fill += int(n)
+        bins, _b, _fill = nosplit_fold(ns)
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),

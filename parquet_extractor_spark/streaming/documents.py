@@ -333,7 +333,10 @@ def _pack_nosplit_fn(key, pdf_iter, state):
     import numpy as np
     import pandas as pd
 
-    from parquet_extractor_spark.operators.training import SEQ_BUDGET
+    from parquet_extractor_spark.operators.training import (
+        SEQ_BUDGET,
+        nosplit_fold,
+    )
 
     if state.exists:
         b, fill = state.get
@@ -355,13 +358,7 @@ def _pack_nosplit_fn(key, pdf_iter, state):
     pdf = pd.concat(chunks).sort_values("doc_id")
     raw = pdf["n_tokens"].to_numpy()
     ns = np.minimum(raw, SEQ_BUDGET)
-    bins = np.empty(len(ns), dtype="int64")
-    for i, n in enumerate(ns):
-        if fill + n > SEQ_BUDGET and fill > 0:
-            b += 1
-            fill = 0
-        bins[i] = b
-        fill += int(n)
+    bins, b, fill = nosplit_fold(ns, bin_id=b, fill=fill)
     state.update((int(b), int(fill)))
     (source,) = key
     yield pd.DataFrame(

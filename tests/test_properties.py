@@ -387,3 +387,51 @@ def test_tiff_oldstyle_jpeg_property(arr, rps, endian):
     d_old = decode_tiff(old)
     assert d_old.shape == arr.shape and d_old.dtype == np.uint8
     assert np.array_equal(d_old, decode_tiff(new))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    ns=st.lists(st.integers(0, 256), max_size=60),
+    carried_fill=st.integers(0, 256),
+    carried_bin=st.integers(1, 5),
+)
+def test_nosplit_fold_property(ns, carried_fill, carried_bin):
+    """Invariants of the shared no-split greedy fold over arbitrary
+    length sequences and carried (bin, fill) state: no bin exceeds
+    the budget, bin ids never decrease or skip, every bin break is
+    justified (the doc would have overflowed), and composing two
+    folds through the carried state equals one fold over the
+    concatenation — the exact property the streaming packer's
+    cross-batch correctness rests on."""
+    from parquet_extractor_spark.operators.training import (
+        SEQ_BUDGET,
+        nosplit_fold,
+    )
+
+    bins, end_bin, end_fill = nosplit_fold(
+        ns, bin_id=carried_bin, fill=carried_fill
+    )
+    fills: dict[int, int] = {carried_bin: carried_fill}
+    prev = carried_bin
+    for b, n in zip(bins, ns):
+        assert b in (prev, prev + 1)  # never decreases, never skips
+        if b != prev:
+            # the break was necessary: the doc did not fit
+            assert fills[prev] + n > SEQ_BUDGET and fills[prev] > 0
+        fills[b] = fills.get(b, 0) + n
+        prev = b
+    # every bin's fill respects the budget (the carried bin may only
+    # exceed it if the CARRIED fill alone already did, which the
+    # strategy can't generate: carried_fill <= 256 = SEQ_BUDGET)
+    assert all(v <= SEQ_BUDGET for v in fills.values())
+    assert end_bin == prev and end_fill == fills[prev]
+    # composition: split anywhere, fold twice through the state
+    for cut in (0, len(ns) // 2, len(ns)):
+        b1, mid_bin, mid_fill = nosplit_fold(
+            ns[:cut], bin_id=carried_bin, fill=carried_fill
+        )
+        b2, e_bin, e_fill = nosplit_fold(
+            ns[cut:], bin_id=mid_bin, fill=mid_fill
+        )
+        assert list(b1) + list(b2) == list(bins)
+        assert (e_bin, e_fill) == (end_bin, end_fill)
