@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": quality.readability_scores,
         "split_leakage_audit": training.split_leakage_audit,
         "dup_cluster_histogram": dedup.dup_cluster_histogram,
+        "corpus_novelty_curve": analyze.corpus_novelty_curve,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "lm_bigram_surprisal": selection.lm_bigram_surprisal,
         "dedup_exact": dedup.exact_dedup,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_scores": quality.READABILITY_SCORES_SQL,
         "split_leakage_audit": training.SPLIT_LEAKAGE_AUDIT_SQL,
         "dup_cluster_histogram": dedup.DUP_CLUSTER_HISTOGRAM_SQL,
+        "corpus_novelty_curve": analyze.CORPUS_NOVELTY_CURVE_SQL,
         "inverted_index": corpus_index.INVERTED_INDEX_SQL,
         "pmi_top_pairs": corpus_index.PMI_TOP_PAIRS_SQL,
         "zipf_token_stats": corpus_index.ZIPF_TOKEN_STATS_SQL,

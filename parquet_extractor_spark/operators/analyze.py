@@ -760,6 +760,123 @@ FOOTER_KEYS = {
 }
 
 
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the crawl still adding information? Fraction of per-doc
+    distinct bigrams seen for the FIRST time, bucketed by corpus
+    order (doc_id deciles) — the saturation curve a data team reads
+    before paying for more of the same source: a flat-high curve
+    means new docs keep contributing novel phrasing, a collapsing
+    tail means the crawl is re-reading itself (and dedup alone won't
+    show it, because near-identical phrasing across distinct docs is
+    below the document-level radar).
+
+    Plan shape: per-doc DISTINCT bigrams fan out map-side; ONE
+    shuffle keyed by bigram finds each bigram's first-owner doc (a
+    min agg with map-side combine — never a self-join), one doc_id
+    shuffle rolls up per-doc counts, and the decile bucket is a
+    map-side integer expression against a broadcast 1-row min/max.
+    Novelty is a truncating integer micro-division, engine-exact.
+    Docs with fewer than two tokens carry no bigrams and drop out of
+    the curve in both engines.
+    Output: (decile, n_docs, n_bigrams, n_novel, novelty_micro).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokenize("text").alias("ts"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ts")),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i - 1), F.element_at("ts", i)
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    first = bi.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        bi.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    return (
+        per_doc.join(F.broadcast(bounds), how="cross")
+        .select(
+            F.expr(
+                "CAST(least(9, ((doc_id - lo) * 10) DIV (hi - lo + 1)) "
+                "AS BIGINT)"
+            ).alias("decile"),
+            "n_bigrams",
+            "n_novel",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.sum("n_novel").cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_bigrams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) DIV n_bigrams")
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+CORPUS_NOVELTY_CURVE_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS ts
+    FROM documents
+),
+bi AS (
+    SELECT DISTINCT doc_id, ts[i - 1] || ' ' || ts[i] AS g
+    FROM toks, unnest(range(2, len(ts) + 1)) AS u(i)
+),
+first AS (
+    SELECT g, min(doc_id) AS first_doc FROM bi GROUP BY g
+),
+per_doc AS (
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN f.first_doc = b.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel
+    FROM bi b JOIN first f ON f.g = b.g
+    GROUP BY b.doc_id
+),
+bounds AS (
+    SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+)
+SELECT CAST(least(9, ((p.doc_id - b.lo) * 10) // (b.hi - b.lo + 1))
+            AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+       CAST((sum(p.n_novel) * 1000000) // sum(p.n_bigrams) AS BIGINT)
+           AS novelty_micro
+FROM per_doc p CROSS JOIN bounds b
+GROUP BY 1
+ORDER BY decile
+"""
+
+
 def parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profile every table from parquet FOOTERS alone — row counts
     and key-column min/max read from row-group statistics without

@@ -366,3 +366,45 @@ def test_bpe_encode_corpus_invariants(spark, sf_small):
     assert sum(r.bpe_tokens for r in rows) < sum(
         base[r.lang][1] for r in rows
     )
+
+
+def test_corpus_novelty_curve_monotone_sanity(spark, sf_small):
+    """The curve's accounting invariants: deciles partition the
+    bigram-bearing docs, novel counts never exceed totals, the FIRST
+    decile has the highest novelty (nothing precedes it, so every
+    first occurrence lands there), and the total novel count equals
+    the corpus's distinct-bigram vocabulary (each distinct bigram is
+    novel exactly once)."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.analyze import (
+        corpus_novelty_curve,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = corpus_novelty_curve(spark, sf_small).collect()
+    assert rows and all(0 <= r.decile <= 9 for r in rows)
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_bigrams
+        assert r.novelty_micro == (r.n_novel * 1_000_000) // r.n_bigrams
+    by_decile = {r.decile: r for r in rows}
+    assert by_decile[0].novelty_micro == max(r.novelty_micro for r in rows)
+    # total novel == |distinct bigram vocabulary|
+    docs = load_table(spark, sf_small, "documents")
+    vocab = (
+        docs.select(tokenize("text").alias("ts"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("ts")),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ts", i - 1), F.element_at("ts", i)
+                    ),
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_novel for r in rows) == vocab
