@@ -13,7 +13,10 @@ plus PlanarConfiguration-2 per-plane strip groups, plus BOTH
 old-style JPEG (6) layouts: the interchange form (tags 513/514 point
 at one complete stream) and the deprecated §22 strip form (raw
 zigzag/BITS+values tables behind tags 519/520/521, bare entropy data
-in strips, headers rebuilt per strip). The CCITT fax family stays
+in strips, headers rebuilt per strip). TILED layout (tags 322-325 —
+the GeoTIFF/pyramid shape) decodes and encodes for every lossless
+compression plus TTN2 JPEG tiles, with spec-mandated padded edge
+tiles cropped on assembly. The CCITT fax family stays
 the declared Pillow boundary (its MH run-length code tables cannot
 be safely reproduced from memory — the JPEG-arithmetic QM-coder
 decision applied to fax); the header pass remains what a 100 TB
@@ -285,6 +288,133 @@ TIFF_COMPRESSION_DEFLATE_OLD = 32946
 TIFF_COMPRESSION_PACKBITS = 32773
 
 
+def _decompress_lossless(raw: bytes, expected: int, compression: int) -> bytes:
+    """The lossless strip/tile payload decoders, shared by the strip
+    and tile assembly paths."""
+    if compression == TIFF_COMPRESSION_PACKBITS:
+        return _packbits_decode(raw, expected)
+    if compression == TIFF_COMPRESSION_LZW:
+        return _lzw_decode(raw, expected)
+    if compression in (
+        TIFF_COMPRESSION_DEFLATE,
+        TIFF_COMPRESSION_DEFLATE_OLD,
+    ):
+        import zlib
+
+        try:
+            return zlib.decompress(raw)
+        except zlib.error as exc:
+            raise ValueError(f"bad TIFF deflate block: {exc}") from exc
+    return raw
+
+
+def _decode_tiled(data: bytes, tags: dict, w: int, h: int):
+    """Tiled TIFF (tags 322-325): the image is a grid of fixed-size
+    tiles, EVERY tile padded to full (tile_h, tile_w) — edge tiles
+    carry padding the assembly crops away. Pure layout on top of the
+    same per-block decoders as strips: uncompressed, PackBits, LZW,
+    Deflate (with Predictor 2 undone per tile row), and new-style
+    JPEG tiles (TTN2, shared JPEGTables spliced per tile).
+    PlanarConfiguration 2 stores all plane-0 tiles, then plane-1, …
+    with one sample per tile."""
+    import numpy as np
+
+    samples = tags.get(277, [1])[0]
+    compression = tags.get(259, [1])[0]
+    planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    tw = tags.get(322, [0])[0]
+    th = tags.get(323, [0])[0]
+    offsets = tags.get(324, [])
+    counts = tags.get(325, [])
+    if tw <= 0 or th <= 0:
+        raise ValueError("bad TIFF tile dimensions")
+    if compression == TIFF_COMPRESSION_JPEG_OLD:
+        raise NotImplementedError("old-style JPEG tiles need Pillow")
+    if compression not in (
+        TIFF_COMPRESSION_NONE,
+        TIFF_COMPRESSION_PACKBITS,
+        TIFF_COMPRESSION_LZW,
+        TIFF_COMPRESSION_DEFLATE,
+        TIFF_COMPRESSION_DEFLATE_OLD,
+        TIFF_COMPRESSION_JPEG,
+    ):
+        raise NotImplementedError(
+            f"TIFF compression {compression} (CCITT fax family) "
+            "needs Pillow"
+        )
+    jpeg_tables_body = b""
+    if compression == TIFF_COMPRESSION_JPEG:
+        if samples != 3:
+            raise NotImplementedError(
+                "JPEG-in-TIFF decodes as 3-sample YCbCr/RGB here"
+            )
+        if predictor == 2:
+            raise ValueError("predictor 2 is invalid for JPEG tiles")
+        if planar == 2:
+            raise NotImplementedError("planar JPEG tiles need Pillow")
+        tbl = bytes(tags.get(347, []))
+        if tbl:
+            if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
+                raise ValueError("bad JPEGTables stream")
+            jpeg_tables_body = tbl[2:-2]
+    across = (w + tw - 1) // tw
+    down = (h + th - 1) // th
+    n_grid = across * down
+    n_expected = n_grid * (samples if planar == 2 else 1)
+    if len(offsets) != len(counts) or len(offsets) != n_expected:
+        raise ValueError("TIFF tile offset/count mismatch")
+
+    def tile_pixels(o: int, c: int, spp: int):
+        if o + c > len(data):
+            raise ValueError("TIFF tile out of bounds")
+        raw = bytes(data[o : o + c])
+        expected = th * tw * spp
+        if compression == TIFF_COMPRESSION_JPEG:
+            from parquet_extractor_spark.functions.jpeg import decode_jpeg
+
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError("JPEG tile missing SOI")
+            stream = b"\xff\xd8" + jpeg_tables_body + raw[2:]
+            t = decode_jpeg(stream)
+            if t.shape[0] < th or t.shape[1] < tw:
+                raise ValueError(
+                    "JPEG tile dimensions disagree with the IFD"
+                )
+            return t[:th, :tw]
+        raw = _decompress_lossless(raw, expected, compression)
+        if len(raw) < expected:
+            raise ValueError("TIFF tile shorter than its grid cell")
+        raw = bytes(raw[:expected])
+        if predictor == 2:
+            raw = _undo_predictor2(raw, tw, spp)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(th, tw, spp)
+
+    def assemble(plane_offsets, plane_counts, spp: int):
+        canvas = np.zeros((down * th, across * tw, spp), dtype=np.uint8)
+        for idx, (o, c) in enumerate(zip(plane_offsets, plane_counts)):
+            ty, tx = divmod(idx, across)
+            canvas[
+                ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw
+            ] = tile_pixels(o, c, spp)
+        return canvas[:h, :w]
+
+    if planar == 2:
+        planes = [
+            assemble(
+                offsets[p * n_grid : (p + 1) * n_grid],
+                counts[p * n_grid : (p + 1) * n_grid],
+                1,
+            )[:, :, 0]
+            for p in range(samples)
+        ]
+        arr = np.stack(planes, axis=2)
+    else:
+        arr = assemble(offsets, counts, samples)
+    arr = _apply_orientation(arr, tags.get(274, [1])[0])
+    return arr[:, :, 0:1].repeat(3, axis=2) if samples == 1 else arr
+
+
 def decode_tiff(data: bytes):
     """Decode the FIRST page of an 8-bit chunky TIFF to an (H, W, C)
     uint8 array. Real pixels for uncompressed (1), PackBits (32773),
@@ -315,6 +445,7 @@ def decode_tiff(data: bytes):
         (tag,) = struct.unpack_from(endian + "H", data, off)
         if tag in (
             256, 257, 258, 259, 273, 274, 277, 278, 279, 284, 317, 347,
+            322, 323, 324, 325,
             512, 513, 514, 515, 519, 520, 521, 530,
         ):
             vals = _read_entry_values(data, off, endian)
@@ -347,7 +478,6 @@ def decode_tiff(data: bytes):
         return _apply_orientation(tile, tags.get(274, [1])[0])
     try:
         w, h = tags[256][0], tags[257][0]
-        offsets, counts = tags[273], tags[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from exc
     samples = tags.get(277, [1])[0]
@@ -361,6 +491,14 @@ def decode_tiff(data: bytes):
         )
     if planar not in (1, 2):
         raise ValueError(f"bad PlanarConfiguration {planar}")
+    if w * h > (1 << 26):  # decode-bomb guard, as in png/gif/vp8l
+        raise ValueError(f"TIFF image too large ({w}x{h})")
+    if 322 in tags or 324 in tags:
+        return _decode_tiled(data, tags, w, h)
+    try:
+        offsets, counts = tags[273], tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from exc
     oldstyle_prefix = None
     if compression == TIFF_COMPRESSION_JPEG_OLD:
         # old-style strip JPEG (TIFF 6.0 §22): strips hold RAW entropy
@@ -405,8 +543,6 @@ def decode_tiff(data: bytes):
             if tbl[:2] != b"\xff\xd8" or tbl[-2:] != b"\xff\xd9":
                 raise ValueError("bad JPEGTables stream")
             jpeg_tables_body = tbl[2:-2]
-    if w * h > (1 << 26):  # decode-bomb guard, as in png/gif/vp8l
-        raise ValueError(f"TIFF image too large ({w}x{h})")
     if len(offsets) != len(counts):
         raise ValueError("TIFF strip offset/count mismatch")
     def _strip_pixels(o: int, c: int, strip_rows: int, spp: int) -> bytes:
@@ -817,12 +953,15 @@ def build_tiff_image(
     jpeg_shared_tables: bool = False,
     planar: int = 1,
     orientation: int = 1,
+    tile_size: tuple | None = None,
 ) -> bytes:
-    """(H, W, 1|3|4) uint8 array -> real striped 8-bit TIFF
-    (uncompressed, PackBits, LZW, Deflate, or new-style JPEG-in-TIFF
-    with optional shared JPEGTables; optional horizontal-differencing
-    Predictor 2 for the lossless encodings; planar=2 writes
-    PlanarConfiguration-2 per-plane strip groups)."""
+    """(H, W, 1|3|4) uint8 array -> real 8-bit TIFF, striped or —
+    with ``tile_size=(tile_w, tile_h)`` — TILED (tags 322-325, every
+    tile padded to full size as the spec requires). Uncompressed,
+    PackBits, LZW, Deflate, or new-style JPEG-in-TIFF with optional
+    shared JPEGTables; optional horizontal-differencing Predictor 2
+    for the lossless encodings; planar=2 writes
+    PlanarConfiguration-2 per-plane strip/tile groups."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -839,9 +978,23 @@ def build_tiff_image(
             "JPEG-in-TIFF writes 3-sample chunky strips, no predictor"
         )
 
-    def _pack(raw: bytes, spp: int) -> bytes:
+    def _jpeg_block(block) -> bytes:
+        nonlocal jpeg_tables
+        from parquet_extractor_spark.functions.jpeg import encode_jpeg
+
+        stream = encode_jpeg(block, quality=jpeg_quality, subsample=False)
+        if jpeg_shared_tables:
+            # baseline tables depend only on quality (Annex-K Huffman
+            # + quality-scaled quant), so every block lifts the SAME
+            # segments — take them once
+            tbl, stream = _jpeg_strip_tables(stream)
+            if not jpeg_tables:
+                jpeg_tables = b"\xff\xd8" + tbl + b"\xff\xd9"
+        return stream
+
+    def _pack(raw: bytes, row_w: int, spp: int) -> bytes:
         if predictor == 2:
-            raw = _apply_predictor2(raw, w, spp)
+            raw = _apply_predictor2(raw, row_w, spp)
         if compression == TIFF_COMPRESSION_PACKBITS:
             return _packbits_encode(raw)
         if compression == TIFF_COMPRESSION_LZW:
@@ -856,35 +1009,52 @@ def build_tiff_image(
         return raw
 
     strips = []
-    if planar == 2:
+    if tile_size is not None:
+        tw, th = tile_size
+
+        def tile_block(src, ty: int, tx: int, spp: int):
+            block = np.zeros((th, tw, spp), dtype=np.uint8)
+            part = src[ty * th : ty * th + th, tx * tw : tx * tw + tw]
+            block[: part.shape[0], : part.shape[1]] = part
+            return block
+
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if planar == 2:
+            for p in range(c):
+                plane = np.ascontiguousarray(a[:, :, p : p + 1])
+                for ty in range(down):
+                    for tx in range(across):
+                        strips.append(
+                            _pack(
+                                tile_block(plane, ty, tx, 1).tobytes(),
+                                tw,
+                                1,
+                            )
+                        )
+        else:
+            for ty in range(down):
+                for tx in range(across):
+                    block = tile_block(a, ty, tx, c)
+                    if compression == TIFF_COMPRESSION_JPEG:
+                        strips.append(_jpeg_block(block))
+                    else:
+                        strips.append(_pack(block.tobytes(), tw, c))
+    elif planar == 2:
         for p in range(c):
             plane = np.ascontiguousarray(a[:, :, p])
             for y0 in range(0, h, rows_per_strip):
                 strips.append(
-                    _pack(plane[y0 : y0 + rows_per_strip].tobytes(), 1)
+                    _pack(plane[y0 : y0 + rows_per_strip].tobytes(), w, 1)
                 )
     else:
         for y0 in range(0, h, rows_per_strip):
             if compression == TIFF_COMPRESSION_JPEG:
-                from parquet_extractor_spark.functions.jpeg import (
-                    encode_jpeg,
-                )
-
-                stream = encode_jpeg(
-                    a[y0 : y0 + rows_per_strip],
-                    quality=jpeg_quality,
-                    subsample=False,
-                )
-                if jpeg_shared_tables:
-                    # baseline tables depend only on quality (Annex-K
-                    # Huffman + quality-scaled quant), so every strip
-                    # lifts the SAME segments — take them once
-                    tbl, stream = _jpeg_strip_tables(stream)
-                    if not jpeg_tables:
-                        jpeg_tables = b"\xff\xd8" + tbl + b"\xff\xd9"
-                strips.append(stream)
+                strips.append(_jpeg_block(a[y0 : y0 + rows_per_strip]))
                 continue
-            strips.append(_pack(a[y0 : y0 + rows_per_strip].tobytes(), c))
+            strips.append(
+                _pack(a[y0 : y0 + rows_per_strip].tobytes(), w, c)
+            )
     n_strips = len(strips)
     photometric = 1 if c == 1 else 2
     if compression == TIFF_COMPRESSION_JPEG:
@@ -895,12 +1065,23 @@ def build_tiff_image(
         (258, 3, c, [8] * c),
         (259, 3, 1, [compression]),
         (262, 3, 1, [photometric]),
-        (273, 4, n_strips, None),  # patched below
         (274, 3, 1, [orientation]),
         (277, 3, 1, [c]),
-        (278, 4, 1, [rows_per_strip]),
-        (279, 4, n_strips, [len(s) for s in strips]),
     ]
+    if tile_size is not None:
+        tags += [
+            (322, 4, 1, [tile_size[0]]),
+            (323, 4, 1, [tile_size[1]]),
+            (324, 4, n_strips, None),  # patched below
+            (325, 4, n_strips, [len(s) for s in strips]),
+        ]
+    else:
+        tags += [
+            (273, 4, n_strips, None),  # patched below
+            (278, 4, 1, [rows_per_strip]),
+            (279, 4, n_strips, [len(s) for s in strips]),
+        ]
+    tags.sort()
     if planar == 2:
         tags.append((284, 3, 1, [2]))
     if predictor == 2:
@@ -937,7 +1118,7 @@ def build_tiff_image(
                 offs.append(pos)
                 pos += len(s)
         for tag, typ, count, vals in entries:
-            if tag == 273:
+            if tag in (273, 324):
                 vals = offs if pass_no == 1 else [0] * count
             vb = value_bytes(typ, vals)
             if len(vb) <= 4:

@@ -548,12 +548,13 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 # noise rows, palette for the small-palette rows
                 data = build_webp_lossless(pixels)
             else:
-                # rotate compression by TIFF-row occurrence (rows land
-                # at i = 15, 33, 51): new-style JPEG with shared
+                # rotate layout by TIFF-row occurrence (rows land at
+                # i = 15, 33, 51): new-style JPEG with shared
                 # JPEGTables (the late-r06 boundary closure — pins the
                 # tables-splice decode path), OLD-style §22 strip JPEG
                 # (raw tables behind tags 519/520/521, headers rebuilt
-                # per strip), and LZW + Predictor 2; byte order still
+                # per strip), and TILED LZW + Predictor 2 (tags
+                # 322-325, padded edge tiles); byte order still
                 # alternates. Uncompressed/PackBits/Deflate strips
                 # stay unit-test-pinned (roundtrip tests cover all).
                 occ = (i - 15) // 18
@@ -567,6 +568,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                         compression=[7, None, 5][occ % 3],
                         predictor=2 if occ % 3 == 2 else 1,
                         jpeg_shared_tables=True,
+                        tile_size=(32, 16) if occ % 3 == 2 else None,
                     )
         elif kind == "audio":
             sr, dur = 8000, 0.25

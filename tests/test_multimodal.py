@@ -2024,3 +2024,65 @@ def test_media_neardup_eval_perfect_on_fixture(spark):
         # hashes, banding, or fixtures shows up here first
         assert r.precision == 1.0 and r.recall == 1.0, fam
         assert r.n_pairs == r.n_planted == r.true_positives
+
+
+def test_tiff_tiled_roundtrip_all_layouts():
+    """Tiled TIFF (tags 322-325): exact round-trip for every lossless
+    compression x predictor x planar x byte order over non-multiple
+    dimensions (edge tiles padded per spec, assembly crops), and
+    JPEG tiles with shared JPEGTables within lossy tolerance."""
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.tiff import (
+        build_tiff_image,
+        decode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (37, 29, (16, 16), 1, 1, 1, "le", 3),
+        (37, 29, (16, 16), 5, 2, 1, "be", 3),
+        (32, 48, (16, 32), 32773, 1, 2, "le", 3),
+        (20, 20, (16, 16), 8, 2, 1, "le", 1),
+        (64, 40, (32, 16), 5, 1, 2, "be", 4),
+    ]
+    for h, w, ts, comp, pred, planar, endian, chans in cases:
+        arr = rng.integers(0, 256, size=(h, w, chans), dtype=np.uint8)
+        t = build_tiff_image(
+            arr,
+            endian=endian,
+            compression=comp,
+            predictor=pred,
+            planar=planar,
+            tile_size=ts,
+        )
+        out = decode_tiff(t)
+        want = arr.repeat(3, axis=2) if chans == 1 else arr
+        assert np.array_equal(out, want), (h, w, comp, planar)
+    # JPEG tiles: lossy but shape-exact, shared-tables splice covered
+    arr = rng.integers(0, 256, size=(33, 17, 3), dtype=np.uint8)
+    t = build_tiff_image(
+        arr,
+        compression=7,
+        tile_size=(16, 16),
+        jpeg_shared_tables=True,
+    )
+    out = decode_tiff(t)
+    assert out.shape == arr.shape
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 30
+    # tile count mismatch raises cleanly
+    import struct as _struct
+
+    bad = bytearray(
+        build_tiff_image(
+            rng.integers(0, 256, (20, 20, 3), dtype=np.uint8),
+            tile_size=(16, 16),
+        )
+    )
+    n = _struct.unpack_from("<H", bad, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _struct.unpack_from("<H", bad, off)[0] == 322:
+            _struct.pack_into("<I", bad, off + 8, 64)  # lie about tile_w
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
