@@ -16,7 +16,10 @@ zigzag/BITS+values tables behind tags 519/520/521, bare entropy data
 in strips, headers rebuilt per strip). TILED layout (tags 322-325 —
 the GeoTIFF/pyramid shape) decodes and encodes for every lossless
 compression plus TTN2 JPEG tiles, with spec-mandated padded edge
-tiles cropped on assembly. The CCITT fax family stays
+tiles cropped on assembly. BigTIFF (magic 43, u64 offsets, 20-byte
+IFD entries, LONG8 types) reads through the same walks and writes
+via ``build_tiff_image(bigtiff=True)`` — both the pixel decoder and
+the header-only metadata pass. The CCITT fax family stays
 the declared Pillow boundary (its MH run-length code tables cannot
 be safely reproduced from memory — the JPEG-arithmetic QM-coder
 decision applied to fax); the header pass remains what a 100 TB
@@ -34,36 +37,65 @@ from __future__ import annotations
 
 import struct
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4}
+_TYPE_SIZES = {
+    1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1, 8: 2, 9: 4,
+    16: 8, 17: 8, 18: 8,  # BigTIFF LONG8 / SLONG8 / IFD8
+}
 _MAX_PAGES = 4096  # cycle guard on the next-IFD chain
 
 
 def is_tiff(data: bytes | None) -> bool:
+    """Classic TIFF (magic 42) or BigTIFF (magic 43), either order."""
     return (
         data is not None
         and len(data) >= 8
         and (
-            (data[:2] == b"II" and data[2:4] == b"\x2a\x00")
-            or (data[:2] == b"MM" and data[2:4] == b"\x00\x2a")
+            (data[:2] == b"II" and data[2:4] in (b"\x2a\x00", b"\x2b\x00"))
+            or (data[:2] == b"MM" and data[2:4] in (b"\x00\x2a", b"\x00\x2b"))
         )
     )
 
 
-def _read_entry_value(data: bytes, off: int, endian: str) -> int | None:
+def _header_geometry(data: bytes, endian: str) -> tuple[bool, int]:
+    """(is_bigtiff, first_ifd_offset). BigTIFF (magic 43) carries a
+    u16 offset size (must be 8) + u16 reserved zero, then a u64
+    first-IFD pointer; classic carries a u32 pointer at byte 4."""
+    (magic,) = struct.unpack_from(endian + "H", data, 2)
+    if magic == 42:
+        return False, struct.unpack_from(endian + "I", data, 4)[0]
+    if magic != 43:
+        raise ValueError(f"bad TIFF magic {magic}")
+    if len(data) < 16:
+        raise ValueError("truncated BigTIFF header")
+    osz, zero = struct.unpack_from(endian + "HH", data, 4)
+    if osz != 8 or zero != 0:
+        raise ValueError("bad BigTIFF offset geometry")
+    return True, struct.unpack_from(endian + "Q", data, 8)[0]
+
+
+def _read_entry_value(
+    data: bytes, off: int, endian: str, big: bool = False
+) -> int | None:
     """First value of one IFD entry for integer types (inline or via
-    offset)."""
-    typ, count = struct.unpack_from(endian + "HI", data, off + 2)
+    offset; BigTIFF entries carry u64 counts and 8-byte value slots)."""
+    cfmt, inline, vfmt = ("HQ", 8, "Q") if big else ("HI", 4, "I")
+    typ, count = struct.unpack_from(endian + cfmt, data, off + 2)
     size = _TYPE_SIZES.get(typ)
     if size is None or count < 1:
         return None
     total = size * count
-    if total <= 4:
-        voff = off + 8
+    if total <= inline:
+        voff = off + (12 if big else 8)
     else:
-        (voff,) = struct.unpack_from(endian + "I", data, off + 8)
+        (voff,) = struct.unpack_from(
+            endian + vfmt, data, off + (12 if big else 8)
+        )
     if voff + size > len(data):
         return None
-    fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i"}[typ]
+    fmt = {
+        1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
+        16: "Q", 17: "q", 18: "Q",
+    }[typ]
     return struct.unpack_from(endian + fmt, data, voff)[0]
 
 
@@ -74,7 +106,8 @@ def tiff_metadata(data: bytes) -> tuple[str, int, int, bool, int]:
     if not is_tiff(data):
         raise ValueError("not a TIFF stream")
     endian = "<" if data[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
+    big, ifd_off = _header_geometry(data, endian)
+    hsz, esz, nfmt, pfmt = (8, 20, "Q", "Q") if big else (2, 12, "H", "I")
     width = height = None
     has_alpha = False
     n_pages = 0
@@ -83,46 +116,58 @@ def tiff_metadata(data: bytes) -> tuple[str, int, int, bool, int]:
         if ifd_off in seen or n_pages >= _MAX_PAGES:
             raise ValueError("TIFF IFD chain cycles")
         seen.add(ifd_off)
-        if ifd_off + 2 > len(data):
+        if ifd_off + hsz > len(data):
             raise ValueError("truncated TIFF IFD")
-        (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
-        end = ifd_off + 2 + 12 * n_entries
-        if end + 4 > len(data):
+        (n_entries,) = struct.unpack_from(endian + nfmt, data, ifd_off)
+        if n_entries > 65535:
+            raise ValueError("implausible TIFF IFD entry count")
+        end = ifd_off + hsz + esz * n_entries
+        if end + struct.calcsize(pfmt) > len(data):
             raise ValueError("truncated TIFF IFD entries")
         samples = None
         for i in range(n_entries):
-            off = ifd_off + 2 + 12 * i
+            off = ifd_off + hsz + esz * i
             (tag,) = struct.unpack_from(endian + "H", data, off)
             if n_pages == 0 and tag == 256:
-                width = _read_entry_value(data, off, endian)
+                width = _read_entry_value(data, off, endian, big)
             elif n_pages == 0 and tag == 257:
-                height = _read_entry_value(data, off, endian)
+                height = _read_entry_value(data, off, endian, big)
             elif n_pages == 0 and tag == 277:
-                samples = _read_entry_value(data, off, endian)
+                samples = _read_entry_value(data, off, endian, big)
             elif n_pages == 0 and tag == 338:
                 has_alpha = True
         if n_pages == 0 and samples == 4:
             has_alpha = True
         n_pages += 1
-        (ifd_off,) = struct.unpack_from(endian + "I", data, end)
+        (ifd_off,) = struct.unpack_from(endian + pfmt, data, end)
     if width is None or height is None:
         raise ValueError("TIFF missing dimension tags")
     return ("le" if endian == "<" else "be", width, height, has_alpha, n_pages)
 
 
 def _read_entry_values(
-    data: bytes, off: int, endian: str
+    data: bytes, off: int, endian: str, big: bool = False
 ) -> list[int] | None:
-    """All values of one integer-typed IFD entry."""
-    typ, count = struct.unpack_from(endian + "HI", data, off + 2)
+    """All values of one integer-typed IFD entry (classic 12-byte or
+    BigTIFF 20-byte layout)."""
+    cfmt, inline, vfmt = ("HQ", 8, "Q") if big else ("HI", 4, "I")
+    typ, count = struct.unpack_from(endian + cfmt, data, off + 2)
     size = _TYPE_SIZES.get(typ)
-    if size is None or count < 1:
+    if size is None or count < 1 or count > 1_000_000:
         return None
     total = size * count
-    voff = off + 8 if total <= 4 else struct.unpack_from(endian + "I", data, off + 8)[0]
+    base = off + (12 if big else 8)
+    voff = (
+        base
+        if total <= inline
+        else struct.unpack_from(endian + vfmt, data, base)[0]
+    )
     if voff + total > len(data):
         return None
-    fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i"}[typ]
+    fmt = {
+        1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
+        16: "Q", 17: "q", 18: "Q",
+    }[typ]
     return list(struct.unpack_from(endian + fmt * count, data, voff))
 
 
@@ -433,22 +478,25 @@ def decode_tiff(data: bytes):
     if not is_tiff(data):
         raise ValueError("not a TIFF stream")
     endian = "<" if data[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(endian + "I", data, 4)
-    if ifd_off + 2 > len(data):
+    big, ifd_off = _header_geometry(data, endian)
+    hsz, esz, nfmt = (8, 20, "Q") if big else (2, 12, "H")
+    if ifd_off + hsz > len(data):
         raise ValueError("truncated TIFF IFD")
-    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
-    if ifd_off + 2 + 12 * n_entries + 4 > len(data):
+    (n_entries,) = struct.unpack_from(endian + nfmt, data, ifd_off)
+    if n_entries > 65535:
+        raise ValueError("implausible TIFF IFD entry count")
+    if ifd_off + hsz + esz * n_entries + 4 > len(data):
         raise ValueError("truncated TIFF IFD entries")
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
+        off = ifd_off + hsz + esz * i
         (tag,) = struct.unpack_from(endian + "H", data, off)
         if tag in (
             256, 257, 258, 259, 273, 274, 277, 278, 279, 284, 317, 347,
             322, 323, 324, 325,
             512, 513, 514, 515, 519, 520, 521, 530,
         ):
-            vals = _read_entry_values(data, off, endian)
+            vals = _read_entry_values(data, off, endian, big)
             if vals is None:
                 raise ValueError(f"bad TIFF entry for tag {tag}")
             tags[tag] = vals
@@ -954,6 +1002,7 @@ def build_tiff_image(
     planar: int = 1,
     orientation: int = 1,
     tile_size: tuple | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
     """(H, W, 1|3|4) uint8 array -> real 8-bit TIFF, striped or —
     with ``tile_size=(tile_w, tile_h)`` — TILED (tags 322-325, every
@@ -961,7 +1010,9 @@ def build_tiff_image(
     PackBits, LZW, Deflate, or new-style JPEG-in-TIFF with optional
     shared JPEGTables; optional horizontal-differencing Predictor 2
     for the lossless encodings; planar=2 writes
-    PlanarConfiguration-2 per-plane strip/tile groups."""
+    PlanarConfiguration-2 per-plane strip/tile groups.
+    ``bigtiff=True`` writes the BigTIFF container (magic 43, u64
+    offsets, 20-byte IFD entries) around the same payload."""
     import numpy as np
 
     a = np.ascontiguousarray(arr, dtype=np.uint8)
@@ -1081,19 +1132,33 @@ def build_tiff_image(
             (278, 4, 1, [rows_per_strip]),
             (279, 4, n_strips, [len(s) for s in strips]),
         ]
-    tags.sort()
     if planar == 2:
         tags.append((284, 3, 1, [2]))
     if predictor == 2:
         tags.append((317, 3, 1, [2]))
     if jpeg_tables:
         tags.append((347, 7, len(jpeg_tables), list(jpeg_tables)))
-    header = bytearray(bom + struct.pack(e + "I", 8))
-    ifd = bytearray(struct.pack(e + "H", len(tags)))
-    # layout: header(8) + IFD + next-ptr + overflow area + strips
-    ifd_size = 2 + 12 * len(tags) + 4
+    tags.sort()  # spec: IFD entries ascending by tag
+    if bigtiff:
+        # BigTIFF header: order + magic 43 + u16 offset size (8) +
+        # u16 zero + u64 first-IFD pointer (16)
+        bom = (b"II\x2b\x00" if endian == "le" else b"MM\x00\x2b")
+        header = bytearray(
+            bom + struct.pack(e + "HHQ", 8, 0, 16)
+        )
+        # nfmt: IFD entry-count field; efmt: per-entry value count
+        hdr_len, nfmt, efmt, ptr_fmt, inline = 16, "Q", "Q", "Q", 8
+    else:
+        header = bytearray(bom + struct.pack(e + "I", 8))
+        hdr_len, nfmt, efmt, ptr_fmt, inline = 8, "H", "I", "I", 4
+    # layout: header + IFD + next-ptr + overflow area + strips
+    ifd_size = (
+        struct.calcsize(nfmt)
+        + (12 if not bigtiff else 20) * len(tags)
+        + struct.calcsize(ptr_fmt)
+    )
     overflow = bytearray()
-    overflow_base = 8 + ifd_size
+    overflow_base = hdr_len + ifd_size
 
     def value_bytes(typ, vals):
         if typ in (1, 7):  # BYTE / UNDEFINED
@@ -1107,7 +1172,7 @@ def build_tiff_image(
     # strip offsets need the final layout; compute after overflow of
     # other tags is known — do two passes
     for pass_no in range(2):
-        ifd = bytearray(struct.pack(e + "H", len(tags)))
+        ifd = bytearray(struct.pack(e + nfmt, len(tags)))
         overflow = bytearray()
         data_base = None
         if pass_no == 1:
@@ -1121,13 +1186,17 @@ def build_tiff_image(
             if tag in (273, 324):
                 vals = offs if pass_no == 1 else [0] * count
             vb = value_bytes(typ, vals)
-            if len(vb) <= 4:
-                packed = vb + b"\x00" * (4 - len(vb))
+            if len(vb) <= inline:
+                packed = vb + b"\x00" * (inline - len(vb))
             else:
-                packed = struct.pack(e + "I", overflow_base + len(overflow))
+                packed = struct.pack(
+                    e + ptr_fmt, overflow_base + len(overflow)
+                )
                 overflow += vb
-            ifd += struct.pack(e + "HHI", tag, typ, count) + packed
-        ifd += struct.pack(e + "I", 0)  # no next IFD
+            ifd += (
+                struct.pack(e + "HH" + efmt, tag, typ, count) + packed
+            )
+        ifd += struct.pack(e + ptr_fmt, 0)  # no next IFD
         prev_overflow = overflow
     return bytes(header + ifd + overflow + b"".join(strips))
 

@@ -2086,3 +2086,59 @@ def test_tiff_tiled_roundtrip_all_layouts():
             _struct.pack_into("<I", bad, off + 8, 64)  # lie about tile_w
     with _pytest.raises(ValueError):
         decode_tiff(bytes(bad))
+
+
+def test_bigtiff_roundtrip_and_geometry():
+    """BigTIFF (magic 43): u64 offsets, 20-byte IFD entries, u64
+    entry counts. The same payloads decode identically to their
+    classic containers (strips, tiles, predictor, planar, JPEG), the
+    header-only metadata pass reads it, and a bad offset-size field
+    raises cleanly."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from parquet_extractor_spark.functions.tiff import (
+        build_tiff_image,
+        decode_tiff,
+        is_tiff,
+        tiff_metadata,
+    )
+
+    rng = np.random.default_rng(13)
+    cases = [
+        (24, 16, 1, 1, 1, "le", None),
+        (21, 10, 5, 2, 1, "be", None),
+        (20, 20, 32773, 1, 2, "le", None),
+        (37, 29, 5, 2, 1, "le", (16, 16)),
+    ]
+    for h, w, comp, pred, planar, endian, ts in cases:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        big = build_tiff_image(
+            arr, endian=endian, compression=comp, predictor=pred,
+            planar=planar, tile_size=ts, bigtiff=True,
+        )
+        assert is_tiff(big) and big[2:4] in (b"\x2b\x00", b"\x00\x2b")
+        variant, mw, mh, _alpha, pages = tiff_metadata(big)
+        assert (mw, mh, pages) == (w, h, 1) and variant == endian
+        assert np.array_equal(decode_tiff(big), arr)
+        classic = build_tiff_image(
+            arr, endian=endian, compression=comp, predictor=pred,
+            planar=planar, tile_size=ts,
+        )
+        assert np.array_equal(decode_tiff(big), decode_tiff(classic))
+    # JPEG strips inside BigTIFF: lossy-tolerant
+    arr = rng.integers(0, 256, size=(18, 18, 3), dtype=np.uint8)
+    big = build_tiff_image(
+        arr, compression=7, bigtiff=True, jpeg_shared_tables=True
+    )
+    out = decode_tiff(big)
+    assert out.shape == arr.shape
+    assert np.abs(out.astype(int) - arr.astype(int)).max() <= 30
+    # offset-size field must be 8
+    bad = bytearray(big)
+    _struct.pack_into("<H", bad, 4, 4)
+    with _pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+    with _pytest.raises(ValueError):
+        tiff_metadata(bytes(bad))
