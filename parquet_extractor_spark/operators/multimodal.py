@@ -553,8 +553,9 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                 # JPEGTables (the late-r06 boundary closure — pins the
                 # tables-splice decode path), OLD-style §22 strip JPEG
                 # (raw tables behind tags 519/520/521, headers rebuilt
-                # per strip), and TILED LZW + Predictor 2 (tags
-                # 322-325, padded edge tiles); byte order still
+                # per strip), and TILED LZW + Predictor 2 in a
+                # BIGTIFF container (tags 322-325, padded edge tiles,
+                # magic-43 u64 geometry); byte order still
                 # alternates. Uncompressed/PackBits/Deflate strips
                 # stay unit-test-pinned (roundtrip tests cover all).
                 occ = (i - 15) // 18
@@ -569,6 +570,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 42) -> list[tuple]:
                         predictor=2 if occ % 3 == 2 else 1,
                         jpeg_shared_tables=True,
                         tile_size=(32, 16) if occ % 3 == 2 else None,
+                        bigtiff=occ % 3 == 2,
                     )
         elif kind == "audio":
             sr, dur = 8000, 0.25
