@@ -5,14 +5,17 @@ Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
 the MEDIAN — bench noise on this host is ±50% across runs (r01
 verdict), so single samples aren't comparable round-to-round.
 
-Self-defense against capture truncation (three consecutive rounds of
-driver-side `parsed: null`): the full payload is ALSO written to
-BENCH_LOCAL.json in the repo root, a short summary JSON line is
-printed before the full one, and each query attempt runs under a
-cancellable Spark job group with a wall-clock timeout so one hung
-plan cannot starve the payload.
+Self-defense against capture truncation (r03-r06: four consecutive
+rounds of driver-side `parsed: null` because the full 176-query JSON
+line is ~5.5 KB and the driver keeps only a ~2 KB stdout tail): the
+FULL payload goes to BENCH_LOCAL.json in the repo root, and stdout's
+LAST line is a size-capped compact payload — same metric/value/unit/
+sf envelope, `queries` trimmed to as many entries (bench order) as
+fit under _COMPACT_LIMIT bytes, with `n`/`omitted` recording the
+trim. Each query attempt runs under a cancellable Spark job group
+with a wall-clock timeout so one hung plan cannot starve the payload.
 
-Prints a short line then ONE full JSON line:
+Prints a short line then ONE compact JSON line (the parse target):
   {"metric": "...", "value": N, "n": ...}
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
@@ -149,7 +152,33 @@ def _attempt(spark, name: str, fn, sf_dir: str, timeout_s: float) -> dict:
         # symptom
         result["err"] = f"Timeout: exceeded {timeout_s:.0f}s"
         result["timeout"] = True
+        # A slowly-cancelling group's tasks could still occupy
+        # executors while the NEXT query is being timed. Poll the
+        # status tracker until the group's jobs drain (bounded); if
+        # they don't, the caller marks the whole run's timings
+        # suspect.
+        result["drained"] = _drain_job_group(spark, group)
     return result
+
+
+def _drain_job_group(spark, group: str, wait_s: float = 30.0) -> bool:
+    """Wait (bounded) until no job in ``group`` is still RUNNING."""
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        deadline = time.time() + wait_s
+        while time.time() < deadline:
+            running = [
+                j
+                for j in tracker.getJobIdsForGroup(group)
+                if (info := tracker.getJobInfo(j)) is not None
+                and info.status == "RUNNING"
+            ]
+            if not running:
+                return True
+            time.sleep(0.5)
+    except Exception:
+        pass
+    return False
 
 
 def main() -> None:
@@ -200,6 +229,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     skipped: list[str] = []
+    suspect = False
     total = 0.0
     for name in bench_set:
         fn = qs[name]
@@ -215,6 +245,10 @@ def main() -> None:
             if not res.get("ok"):  # error or timeout: drop the query, keep the run
                 errors[name] = res.get("err", "unknown")
                 print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+                # an undrained cancelled group may still hold executors
+                # while later queries are timed — mark the run suspect
+                if res.get("timeout") and not res.get("drained"):
+                    suspect = True
                 samples = []
                 break
             samples.append(time.time() - t0)
@@ -250,9 +284,13 @@ def main() -> None:
         payload["errors"] = errors
     if skipped:
         payload["skipped"] = skipped
+    if suspect:
+        payload["timings_suspect"] = True
     # Self-defense against driver-side capture truncation: persist the
-    # full payload in-repo, and print a short always-parsable summary
-    # line BEFORE the full JSON line.
+    # full payload in-repo, print a short summary line, then print the
+    # size-capped compact payload as the LAST stdout line (the
+    # driver's parse target — the full 176-query line was ~5.5 KB and
+    # overflowed its ~2 KB tail buffer in r03-r06).
     local_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
@@ -273,7 +311,40 @@ def main() -> None:
             }
         )
     )
-    print(json.dumps(payload))
+    print(json.dumps(_compact(payload)))
+
+
+_COMPACT_LIMIT = 1400  # bytes; driver tail buffer observed ~2 KB
+
+
+def _compact(payload: dict) -> dict:
+    """Trim `queries` (bench order, so the curated headline set
+    survives) until the serialized line fits _COMPACT_LIMIT. The
+    envelope keeps the driver contract keys; `n`/`omitted` record the
+    trim; full per-query detail lives in BENCH_LOCAL.json."""
+    out = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n": len(payload["queries"]),
+        "omitted": 0,
+        "full": "BENCH_LOCAL.json",
+    }
+    if "errors" in payload:
+        out["errors"] = len(payload["errors"])
+    if "skipped" in payload:
+        out["skipped"] = len(payload["skipped"])
+    if payload.get("timings_suspect"):
+        out["timings_suspect"] = True
+    out["queries"] = {}
+    for name, dt in payload["queries"].items():
+        out["queries"][name] = dt
+        if len(json.dumps(out)) > _COMPACT_LIMIT:
+            del out["queries"][name]
+            break
+    out["omitted"] = out["n"] - len(out["queries"])
+    return out
 
 
 if __name__ == "__main__":
