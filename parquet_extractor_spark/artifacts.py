@@ -46,10 +46,34 @@ def _disabled() -> bool:
     return os.environ.get("SPARK_GRAFT_NO_TIER_CACHE", "") == "1"
 
 
+def dir_fingerprint(sf_dir: str) -> tuple:
+    """Cheap content component for cache keys: (file count, total
+    bytes, max mtime_ns) over the directory's parquet files. Without
+    it, a fixture rewritten in place mid-session would silently serve
+    a stale tier/artifact (the keys were previously path-only). One
+    listdir + one stat per table file — microseconds next to any
+    Spark job."""
+    try:
+        names = [n for n in os.listdir(sf_dir) if n.endswith(".parquet")]
+    except OSError:
+        return (0, 0, 0)
+    count, size, mtime = 0, 0, 0
+    for n in names:
+        try:
+            st = os.stat(os.path.join(sf_dir, n))
+        except OSError:
+            continue
+        count += 1
+        size += st.st_size
+        mtime = max(mtime, st.st_mtime_ns)
+    return (count, size, mtime)
+
+
 def _key(spark, sf_dir: str, name: tuple) -> tuple:
     return (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
+        dir_fingerprint(sf_dir),
     ) + name
 
 

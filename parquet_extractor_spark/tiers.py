@@ -25,9 +25,11 @@ consumer reads the files. Parquet, not ``persist()``, on purpose:
 * re-reading costs a columnar scan of a small table, not memory.
 
 Tiers live under a per-process temp directory removed at interpreter
-exit; keys include the SparkContext applicationId and the realpath
-of the data directory, so a different session or fixture never reads
-a stale tier. Builders are deterministic (same-seed MinHash, pinned
+exit; keys include the SparkContext applicationId, the realpath of
+the data directory, AND a cheap content fingerprint of its parquet
+files (count/bytes/max-mtime), so a different session, a different
+fixture, or the same fixture rewritten in place never reads a stale
+tier. Builders are deterministic (same-seed MinHash, pinned
 rounding), so a tier is a pure function of its key — reuse can never
 change a query's answer, only its cost. Row ORDER inside a tier is
 not part of the contract; every consumer joins or aggregates.
@@ -48,7 +50,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_extractor_spark.artifacts import _disabled
+from parquet_extractor_spark.artifacts import _disabled, dir_fingerprint
 
 _TIER_ROOT: str | None = None
 _BUILT: dict[tuple, str] = {}
@@ -66,9 +68,13 @@ def _root() -> str:
 
 
 def _key(spark: SparkSession, sf_dir: str, name: str) -> tuple:
+    # dir_fingerprint adds a content component (count/bytes/mtime of
+    # the parquet files) so an in-place fixture rewrite within one
+    # session can never serve a stale tier.
     return (
         spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
+        dir_fingerprint(sf_dir),
         name,
     )
 
