@@ -8,6 +8,8 @@ character classes used are identical under Java regex and RE2.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1201,4 +1203,86 @@ SELECT row_id, n_mojibake, n_replacement, n_control,
        (n_mojibake + n_replacement + n_control) > 0 AS is_suspect
 FROM counted
 ORDER BY row_id
+"""
+
+
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) —
+    the classic information-theoretic boilerplate/repetition screen: a
+    doc whose characters concentrate on few symbols (key-mash, ASCII
+    art, template spam) scores far below natural prose, and the score
+    needs no model, no vocabulary, and no second pass over the corpus.
+
+    Plan shape: ENTIRELY map-side — the char histogram is built per
+    row with higher-order array functions (split → array_distinct →
+    per-symbol count via filter), so there is no explode and no
+    shuffle; the per-row cost is O(distinct_chars × len), with
+    distinct_chars bounded by the alphabet (≲100 for natural text).
+    Entropy uses the factored form H = ln(N) − Σ c·ln(c)/N over exact
+    integer counts, one libm call per distinct symbol, rounded to 6
+    decimals like every float aggregate in this repo (the KL/PMI
+    precedent). At 100 TB this is scan-bandwidth-bound like
+    quality_scores — zero exchange before the output sort.
+
+    Output: (doc_id, lang, n_chars_counted, n_distinct_chars,
+    entropy_bits) for every non-empty document.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    staged = docs.select(
+        "doc_id", "lang", chars.alias("chars")
+    ).withColumn("n", F.size("chars").cast("bigint"))
+    counted = staged.where(F.col("n") > 0).select(
+        "doc_id",
+        "lang",
+        "n",
+        F.transform(
+            F.array_distinct("chars"),
+            lambda c: F.size(
+                F.filter(F.col("chars"), lambda x: x == c)
+            ).cast("double"),
+        ).alias("counts"),
+    )
+    clogc = F.aggregate(
+        "counts",
+        F.lit(0.0),
+        lambda acc, c: acc + c * F.log(c),
+    )
+    return counted.select(
+        "doc_id",
+        "lang",
+        F.col("n").alias("n_chars_counted"),
+        F.size("counts").cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            (F.log(F.col("n").cast("double")) - clogc / F.col("n"))
+            / math.log(2.0),
+            6,
+        ).alias("entropy_bits"),
+    ).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SCORES_SQL = r"""
+WITH chars AS (
+    SELECT doc_id, lang, unnest(string_split(text, '')) AS ch
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, lang, ch, count(*) AS c
+    FROM chars WHERE ch != ''
+    GROUP BY doc_id, lang, ch
+),
+per_doc AS (
+    SELECT doc_id, lang,
+           sum(c) AS n,
+           count(*) AS n_distinct,
+           sum(c * ln(c)) AS clogc
+    FROM counts
+    GROUP BY doc_id, lang
+)
+SELECT doc_id, lang,
+       CAST(n AS BIGINT) AS n_chars_counted,
+       CAST(n_distinct AS BIGINT) AS n_distinct_chars,
+       round((ln(n) - clogc / n) / ln(2), 6) AS entropy_bits
+FROM per_doc
+ORDER BY doc_id
 """

@@ -107,29 +107,49 @@ def test_events_approx_users_accuracy(spark, sf_small):
 
 def test_driver_window_composition():
     """Regression guard on the dict ORDER of queries(): the driver
-    only checks the first 50 entries, so the r06-priority queries
-    (the 8 that had never had a driver CORRECTNESS row before r06,
-    plus the r06-new declarative streak twin and the off-by-one
-    casualty q1_pricing_summary) must sit inside the window and the
-    registry must stay oracle-complete."""
+    only checks the first 50 entries, so the r07-priority queries —
+    the 31 registry queries that had never had a driver CORRECTNESS
+    row before r07 (24 earlier-r06 + 7 late-r06 additions) — must sit
+    inside the window and the registry must stay oracle-complete."""
     qs = list(entrymod.queries())
     window = set(qs[:50])
     must_be_in_window = {
-        # never had a driver CORRECTNESS row before r06
-        "semantic_decontamination",
-        "hard_negative_mining",
-        "bloom_decontamination",
-        "countmin_heavy_hitters",
-        "temperature_mixing_weights",
-        "length_bucketing_efficiency",
-        "pii_audit",
-        "decontamination_report",
-        # r06-new: needs its first driver row
-        "user_longest_streak_window",
-        # entry #51 of the r04/r05 window (the off-by-one), r02-stale
-        "q1_pricing_summary",
+        # earlier-r06 additions, never driver-checked before r07
+        "media_video_metadata",
+        "train_quality_classifier",
+        "trained_classifier_scores",
+        "doc_length_quantile_sketch",
+        "label_text_profile",
+        "surprisal_mixing_weights",
+        "source_vocab_overlap",
+        "dedup_graph_triangles",
+        "matryoshka_recall",
+        "unimax_mixing_budgets",
+        "k_anonymity_audit",
+        "ccnet_perplexity_buckets",
+        "curation_funnel",
+        "source_ngram_diversity",
+        "encoding_audit",
+        "media_phash",
+        "media_phash_near_dups",
+        "media_audio_fingerprint",
+        "media_audio_near_dups",
+        "media_animation_signatures",
+        "media_animation_near_dups",
+        "media_exif_gps_audit",
+        "media_neardup_eval",
+        "parquet_footer_stats",
+        # late-r06 additions, never driver-checked before r07
+        "binary_hamming_recall",
+        "pack_sequences_nosplit",
+        "source_vocab_kmv_jaccard",
+        "readability_scores",
+        "split_leakage_audit",
+        "dup_cluster_histogram",
+        "corpus_novelty_curve",
     }
     assert must_be_in_window <= window
+    assert len(window) == 50, "window must be exactly 50 distinct names"
     assert len(qs) == len(set(qs)) == len(entrymod.oracle_sql())
 
 
