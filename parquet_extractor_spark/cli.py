@@ -140,6 +140,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dc.add_argument("sf_dir", help="fixture dir containing the parquet tables")
 
+    pi = sub.add_parser(
+        "pdfingest",
+        help="extract text from a directory of PDFs (binaryFile scan "
+        "+ Arrow-batched extraction; malformed files keep their row "
+        "with an error column)",
+    )
+    pi.add_argument("directory", help="directory containing *.pdf files")
+    pi.add_argument("-o", "--output_dir", default=None,
+                    help="write the extracted rows as parquet instead "
+                    "of printing them")
+    pi.add_argument("--limit", type=int, default=20,
+                    help="max rows printed without -o (default 20)")
+
     tc = sub.add_parser(
         "train-classifier",
         help="train the quality classifier (integer-exact logistic GD) "
@@ -162,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
     known = {
         "parquet", "cisi", "analyze", "curate", "sql", "select",
         "dedup", "export", "search", "explain", "datacard",
-        "train-classifier",
+        "train-classifier", "pdfingest",
     }
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
@@ -264,6 +277,26 @@ def main(argv: list[str] | None = None) -> int:
             "output_dir": args.output_dir,
             "rows": n,
         }))
+        return 0
+
+    if args.command == "pdfingest":
+        from parquet_extractor_spark.sources.pdf import read_pdf_docs
+
+        docs = read_pdf_docs(spark, args.directory)
+        if args.output_dir:
+            docs.write.mode("overwrite").parquet(args.output_dir)
+            ok = docs.where(docs.error.isNull()).count()
+            bad = docs.where(docs.error.isNotNull()).count()
+            print(json.dumps(
+                {"output_dir": args.output_dir, "extracted": ok,
+                 "errors": bad}
+            ))
+            return 0
+        for row in docs.limit(args.limit).collect():
+            d = row.asDict()
+            if d.get("text"):
+                d["text"] = d["text"][:160]
+            print(json.dumps(d, default=str))
         return 0
 
     if args.command == "train-classifier":

@@ -288,3 +288,84 @@ def test_compact_dataset_preserves_content_exactly(spark, sf_small, tmp_path):
     back = spark.read.parquet(frag)
     assert back.exceptAll(docs).count() == 0
     assert docs.exceptAll(back).count() == 0
+
+
+def test_pdf_source_roundtrips_pdf_sink(spark, sf_small, tmp_path):
+    """The PDF source reads back what the PDF sink wrote: same text
+    modulo line wrapping (the writer wraps at WRAP_COLS; whitespace-
+    collapse both sides), one row per file, page counts >= 1, and a
+    corrupt file keeps its row with error set instead of failing the
+    job (the PERMISSIVE contract)."""
+    import re
+
+    from parquet_extractor_spark.sources.pdf import read_pdf_docs
+    from parquet_extractor_spark.sources.tables import load_table
+
+    out = str(tmp_path / "pdfs")
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .where(F.col("doc_id") < 5)
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id")).alias("title"),
+            F.col("doc_id"),
+            F.col("text").alias("content"),
+            F.concat(F.lit("d"), F.col("doc_id"), F.lit(".pdf")).alias(
+                "filename"
+            ),
+        )
+    )
+    res = write_pdfs(docs, out)
+    assert res == {"written": 5, "failed": 0}
+    # plant one corrupt file among the real ones
+    with open(os.path.join(out, "broken.pdf"), "wb") as fh:
+        fh.write(b"%PDF-1.4\nthis is not really a pdf")
+
+    got = {r.file_name: r for r in read_pdf_docs(spark, out).collect()}
+    assert len(got) == 6
+    assert got["broken.pdf"].error is not None
+    assert got["broken.pdf"].text is None
+
+    ws = lambda s: re.sub(r"\s+", " ", s).strip()
+    for row in docs.collect():
+        r = got[f"d{row.doc_id}.pdf"]
+        assert r.error is None and r.n_pages >= 1
+        expected = ws(
+            f"{row.title} Document ID: {row.doc_id} {row.content}"
+        )
+        assert ws(r.text) == expected
+
+
+def test_pdf_extractor_flate_and_page_order():
+    """Hand-built PDF: FlateDecode stream decodes, TJ arrays and
+    escape forms show, and pages come back in Kids order even when
+    object numbers are shuffled."""
+    import zlib
+
+    from parquet_extractor_spark.sources.pdf import extract_pdf_text
+
+    s1 = zlib.compress(b"BT (page one) Tj T* [(a) -120 (b)] TJ ET")
+    s2 = b"BT (second \\(escaped\\) page) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        # Kids order (7 then 3) must win over object-number order
+        2: b"<< /Type /Pages /Kids [7 0 R 3 0 R] /Count 2 >>",
+        7: b"<< /Type /Page /Parent 2 0 R /Contents 8 0 R >>",
+        8: b"<< /Length "
+        + str(len(s1)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + s1
+        + b"\nendstream",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length "
+        + str(len(s2)).encode()
+        + b" >>\nstream\n"
+        + s2
+        + b"\nendstream",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    for k in objs:
+        buf += f"{k} 0 obj\n".encode() + objs[k] + b"\nendobj\n"
+    buf += b"trailer << /Root 1 0 R >>\n%%EOF"
+    n_pages, text = extract_pdf_text(bytes(buf))
+    assert n_pages == 2
+    assert text == "page one\nab\nsecond (escaped) page"
