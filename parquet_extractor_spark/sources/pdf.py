@@ -341,19 +341,11 @@ PDF_DOCS_SCHEMA = (
 )
 
 
-def read_pdf_docs(
-    spark: SparkSession, directory: str, pattern: str = "*.pdf"
-) -> DataFrame:
-    """Distributed PDF ingestion: binaryFile scan → Arrow mapInPandas
-    extraction. One row per file; malformed files keep their row with
-    ``error`` set and NULL text (PERMISSIVE — a 100 TB crawl always
-    contains garbage and one bad file must not kill the job)."""
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", pattern)
-        .load(directory)
-        .select("path", "content")
-    )
+def extract_docs_frame(files: DataFrame) -> DataFrame:
+    """mapInPandas extraction over any (path, content) frame — batch
+    scan or streaming source alike (the extraction is stateless, so it
+    composes onto a streaming frame unchanged; streaming/pdf.py is the
+    continuous-ingest twin)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -380,3 +372,19 @@ def read_pdf_docs(
             )
 
     return files.mapInPandas(_extract, schema=PDF_DOCS_SCHEMA)
+
+
+def read_pdf_docs(
+    spark: SparkSession, directory: str, pattern: str = "*.pdf"
+) -> DataFrame:
+    """Distributed PDF ingestion: binaryFile scan → Arrow mapInPandas
+    extraction. One row per file; malformed files keep their row with
+    ``error`` set and NULL text (PERMISSIVE — a 100 TB crawl always
+    contains garbage and one bad file must not kill the job)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(directory)
+        .select("path", "content")
+    )
+    return extract_docs_frame(files)

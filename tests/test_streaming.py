@@ -862,3 +862,49 @@ def test_kmv_sketch_stream_equals_batch_bottom_k(spark, sf_small, tmp_path):
         assert nb > 1  # state really crossed micro-batches
         if len(sk) >= KMV_K:
             assert est == ((KMV_K - 1) * (1 << 60)) // sk[KMV_K - 1]
+
+
+def test_pdf_ingest_stream_equals_batch(spark, sf_small, tmp_path):
+    """Streaming PDF ingestion over a landing directory must produce
+    the same extracted rows as the batch source — same extractor body
+    (extract_docs_frame), two execution modes — including the
+    PERMISSIVE error row for a corrupt file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.sinks.pdf import write_pdfs
+    from parquet_extractor_spark.sources.pdf import read_pdf_docs
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.pdf import run_pdf_ingest_stream
+
+    landing = str(tmp_path / "pdf_landing")
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .where(F.col("doc_id") < 6)
+        .select(
+            F.concat(F.lit("t"), F.col("doc_id")).alias("title"),
+            F.col("doc_id"),
+            F.col("text").alias("content"),
+            F.concat(F.lit("d"), F.col("doc_id"), F.lit(".pdf")).alias(
+                "filename"
+            ),
+        )
+    )
+    assert write_pdfs(docs, landing)["written"] == 6
+    with open(os.path.join(landing, "broken.pdf"), "wb") as fh:
+        fh.write(b"%PDF-1.4\nnot a real pdf")
+
+    got = run_pdf_ingest_stream(
+        spark, landing, str(tmp_path / "ckpt_pdf"), str(tmp_path / "pdf_out")
+    )
+    want = read_pdf_docs(spark, landing)
+
+    def key(rows):
+        return {
+            (r.file_name, r.n_pages, r.text, r.error is None) for r in rows
+        }
+
+    assert key(got.collect()) == key(want.collect())
+    assert got.count() == 7
+    assert got.where("error is not null").count() == 1
