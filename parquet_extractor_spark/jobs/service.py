@@ -170,6 +170,8 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
     POST /api/extract/pdf            — S9 documents → per-doc PDFs
     POST /api/extract/cisi           — S3 CISI upload → markdown sink
                                        (api.py:106-165)
+    POST /api/ingest/pdftext         — beyond reference: PDF upload →
+                                       text extraction → parquet table
     POST /api/extract/wiki           — S6/S7 category crawl → PDF sink
                                        (api.py:849-979)
     GET  /api/files                  — S11 listing
@@ -446,6 +448,57 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
             return result
 
         job_id = submit_job(spark, "extract_pdf", _work, params)
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.post("/api/ingest/pdftext")
+    def ingest_pdftext():
+        """PDF ingestion face (beyond reference — the read side of the
+        S9 sink): one or more PDFs uploaded multipart, spooled to a
+        temp dir, extracted by sources/pdf.read_pdf_docs (PERMISSIVE —
+        malformed uploads become error rows), written as a parquet
+        document table under the outputs subdir. Same spool/cleanup
+        contract as the parquet/CISI uploads."""
+        ups = request.files.getlist("file")
+        if not ups or all(not u.filename for u in ups):
+            return jsonify({"error": "no file provided"}), 400
+        tmp = tempfile.mkdtemp(prefix="pdftext_")
+        for i, up in enumerate(ups):
+            up.save(os.path.join(tmp, up.filename or f"upload{i}.pdf"))
+        out_dir, err = _subdir_or_400(request.form.get("subdir", "pdf_docs"))
+        if err:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return err
+
+        def _work(job_id: str) -> dict[str, Any]:
+            from parquet_extractor_spark.sources.pdf import read_pdf_docs
+
+            try:
+                check_write_access(out_dir)
+                job_log(job_id, f"extracting {len(ups)} uploaded PDFs")
+                docs = read_pdf_docs(spark, tmp).persist()
+                try:
+                    docs.write.mode("overwrite").parquet(out_dir)
+                    ok = docs.where(docs.error.isNull()).count()
+                    bad = docs.where(docs.error.isNotNull()).count()
+                    errors = [
+                        {"file": r.file_name, "error": r.error}
+                        for r in docs.where(docs.error.isNotNull())
+                        .select("file_name", "error")
+                        .collect()
+                    ]
+                finally:
+                    docs.unpersist()
+                job_log(job_id, f"extracted {ok} PDFs, {bad} errors")
+                return {
+                    "output_dir": out_dir,
+                    "extracted": ok,
+                    "errors": bad,
+                    "error_files": errors,
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        job_id = submit_job(spark, "ingest_pdftext", _work, {})
         return jsonify({"job_id": job_id, "status": "running"}), 202
 
     @app.post("/api/extract/cisi")

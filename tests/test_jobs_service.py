@@ -351,3 +351,47 @@ def test_extract_wiki_without_adapters_503(client):
         pass
     resp = client.post("/api/extract/wiki", json={"limit": 3})
     assert resp.status_code == 503
+
+
+def test_ingest_pdftext_upload_roundtrip(client, spark, tmp_path):
+    """PDF ingestion REST face: multipart upload of two real PDFs and
+    one corrupt file → text-extraction job → parquet document table;
+    the corrupt upload becomes an error row, not a failed job."""
+    import io
+
+    from parquet_extractor_spark.sinks.pdfwriter import render_pdf
+
+    resp = client.post(
+        "/api/ingest/pdftext",
+        data={
+            "file": [
+                (
+                    io.BytesIO(render_pdf("T0", "0", ["alpha body " * 20])),
+                    "a.pdf",
+                ),
+                (
+                    io.BytesIO(render_pdf("T1", "1", ["beta body " * 20])),
+                    "b.pdf",
+                ),
+                (io.BytesIO(b"%PDF-1.4\nnot really"), "broken.pdf"),
+            ],
+            "subdir": "pdftext",
+        },
+        content_type="multipart/form-data",
+    )
+    assert resp.status_code == 202
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    res = job["result"]
+    assert res["extracted"] == 2 and res["errors"] == 1
+    assert res["error_files"][0]["file"] == "broken.pdf"
+
+    table = spark.read.parquet(res["output_dir"])
+    good = {r.file_name: r.text for r in table.where("error is null").collect()}
+    assert set(good) == {"a.pdf", "b.pdf"}
+    assert "alpha body" in good["a.pdf"] and "T1" in good["b.pdf"]
+
+
+def test_ingest_pdftext_requires_file(client):
+    resp = client.post("/api/ingest/pdftext", data={})
+    assert resp.status_code == 400
