@@ -953,3 +953,104 @@ PARQUET_FOOTER_STATS_SQL = "\nUNION ALL\n".join(
     f"       CAST(max({k}) AS BIGINT) AS key_max FROM {t}"
     for t, k in sorted(FOOTER_KEYS.items())
 ) + "\nORDER BY table_name"
+
+
+def source_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document template detection: the top-3 bigrams per source
+    by DOCUMENT frequency, with the share of the source's documents
+    containing each. A boilerplate header/footer/disclaimer shows up
+    as one n-gram present in most of a source's documents — the
+    cross-doc complement of repetition_scores (intra-doc) and
+    source_ngram_diversity (vocabulary collapse); CCNet/C4-style
+    pipelines run exactly this screen before line-level boilerplate
+    removal.
+
+    Plan shape: per-doc DISTINCT bigrams fan out map-side from the
+    token array (no self-join); ONE shuffle keyed (source, gram) with
+    partial aggregation (volume bounded by vocabulary x sources, not
+    corpus size — the distinct-per-doc cap means a gram counts once
+    per doc); per-source doc totals reaggregate from a skinny
+    projection and broadcast back; the top-3 is a window over the
+    per-source gram counts (each source's gram list is
+    vocabulary-bounded, so no skewed total sort). Ties break on the
+    gram string so both engines rank identically.
+    Output: (source, gram, n_docs_with, doc_share, rank).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", tokenize("text").alias("ts"))
+    # guard single-token docs: sequence(2, 1) would DESCEND into
+    # element_at(ts, 0), which is an index error, not an empty list
+    bigrams = F.when(
+        F.size("ts") >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(2), F.size("ts")),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i - 1), F.element_at("ts", i)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id", "source", F.explode(bigrams).alias("gram")
+    )
+    df_counts = grams.groupBy("source", "gram").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs_with").desc(), F.col("gram").asc()
+    )
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "gram",
+            F.col("n_docs_with").cast("bigint").alias("n_docs_with"),
+            F.round(F.col("n_docs_with") / F.col("n_docs"), 6).alias(
+                "doc_share"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+SOURCE_BOILERPLATE_NGRAMS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS ts
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(ts) - 1, 0) + 1),
+               i -> array_to_string(ts[i:i+1], ' ')))) AS gram
+    FROM toks
+),
+df_counts AS (
+    SELECT source, gram, count(*) AS n_docs_with
+    FROM grams GROUP BY source, gram
+),
+totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+ranked AS (
+    SELECT source, gram, n_docs_with,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_docs_with DESC, gram ASC) AS rank
+    FROM df_counts
+)
+SELECT r.source, r.gram,
+       CAST(r.n_docs_with AS BIGINT) AS n_docs_with,
+       round(r.n_docs_with / t.n_docs, 6) AS doc_share,
+       CAST(r.rank AS INTEGER) AS rank
+FROM ranked r JOIN totals t ON r.source = t.source
+WHERE r.rank <= 3
+ORDER BY r.source, r.rank
+"""
