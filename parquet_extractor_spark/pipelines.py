@@ -370,13 +370,18 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination, each reporting surviving docs, surviving tokens
     and the retained fraction of the raw corpus. Stage predicates are
     the SAME operators curate() composes (shared tier store, so a
-    sweep computes the dedup tiers once); each stage's survivor set
-    is doc_id-keyed and the six 1-row aggregates union at the end.
+    sweep computes the dedup tiers once).
 
-    Plan shape: one token-count scan reused by every stage, five
-    doc_id-keyed semi/anti joins (exact + components come from the
-    persisted tier store), six partial+final 1-row aggs — no shuffle
-    carries more than doc_id keys; report is O(stages).
+    Plan shape (r07 rewrite): each gate is evaluated ONCE and left-
+    joined onto the token frame as a boolean flag (every gate frame
+    is unique per doc_id, so the joins preserve cardinality), then
+    ALL six cumulative stage counts come out of ONE conditional
+    aggregate over the flags, unpivoted with ``stack``. The previous
+    union-of-cumulative-aggregates form re-executed each gate's full
+    lineage once per downstream stage (Spark does not share subplans
+    across union branches) — 13 scans and 34 broadcast joins for a
+    6-row report; this form is 5 gate evaluations + 1 pass + a 1-row
+    agg, and no shuffle carries more than doc_id keys.
     Output: (stage_idx, stage, n_docs, n_tokens, retained_frac).
     """
     from parquet_extractor_spark.functions.text import tokenize
@@ -413,35 +418,44 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contaminated = ngram_decontamination(spark, sf_dir).select("doc_id")
 
-    stages: list[tuple[int, str, DataFrame]] = []
-    surv = toks
-    stages.append((0, "raw", surv))
-    surv = surv.join(quality_keep, "doc_id", "left_semi")
-    stages.append((1, "quality_gate", surv))
-    surv = surv.join(cls_keep, "doc_id", "left_semi")
-    stages.append((2, "classifier_gate", surv))
-    surv = surv.join(exact_keep, "doc_id", "left_semi")
-    stages.append((3, "exact_dedup", surv))
-    surv = surv.join(canon_keep, "doc_id", "left_semi")
-    stages.append((4, "near_dedup", surv))
-    surv = surv.join(contaminated, "doc_id", "left_anti")
-    stages.append((5, "decontaminated", surv))
-
-    raw_total = toks.agg(F.count(F.lit(1)).alias("raw_docs"))
-    reports = [
-        df.agg(
-            F.lit(idx).cast("bigint").alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+    flags = (
+        toks.join(
+            quality_keep.withColumn("f_q", F.lit(True)), "doc_id", "left"
         )
-        for idx, name, df in stages
+        .join(cls_keep.withColumn("f_c", F.lit(True)), "doc_id", "left")
+        .join(exact_keep.withColumn("f_e", F.lit(True)), "doc_id", "left")
+        .join(canon_keep.withColumn("f_n", F.lit(True)), "doc_id", "left")
+        .join(contaminated.withColumn("f_x", F.lit(True)), "doc_id", "left")
+    )
+    s1 = F.coalesce(F.col("f_q"), F.lit(False))
+    s2 = s1 & F.coalesce(F.col("f_c"), F.lit(False))
+    s3 = s2 & F.coalesce(F.col("f_e"), F.lit(False))
+    s4 = s3 & F.coalesce(F.col("f_n"), F.lit(False))
+    s5 = s4 & F.col("f_x").isNull()  # anti: contaminated docs drop
+    names = [
+        "raw",
+        "quality_gate",
+        "classifier_gate",
+        "exact_dedup",
+        "near_dedup",
+        "decontaminated",
     ]
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
+    aggs = []
+    for i, cond in enumerate([F.lit(True), s1, s2, s3, s4, s5]):
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"d{i}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("n"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"t{i}")
+        )
+    row = flags.agg(*aggs)
+    stack = "stack(6, " + ", ".join(
+        f"CAST({i} AS BIGINT), '{names[i]}', d{i}, t{i}" for i in range(6)
+    ) + ") AS (stage_idx, stage, n_docs, n_tokens)"
     return (
-        out.join(F.broadcast(raw_total), how="cross")
+        row.select(F.expr(stack), F.col("d0").alias("raw_docs"))
         .select(
             "stage_idx",
             "stage",
