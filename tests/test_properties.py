@@ -435,3 +435,43 @@ def test_nosplit_fold_property(ns, carried_fill, carried_bin):
         )
         assert list(b1) + list(b2) == list(bins)
         assert (e_bin, e_fill) == (end_bin, end_fill)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # printable-ish Latin-1 plus the PDF string specials and
+            # whitespace escapes — the writer emits latin-1 with
+            # backslash escaping for ( ) \
+            st.characters(min_codepoint=9, max_codepoint=255),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pdf_text_roundtrips_through_writer_and_extractor(chunks):
+    """Any text the PDF writer can render comes back from the PDF
+    extractor with only line-wrapping differences: whitespace-collapse
+    equality between input and extracted output. Exercises the escape
+    forms (\\( \\) \\\\), balanced parens, and pagination together."""
+    import re
+
+    from parquet_extractor_spark.sinks.pdfwriter import render_pdf
+    from parquet_extractor_spark.sources.pdf import extract_pdf_text
+
+    title = chunks[0]
+    body_chunks = chunks[1:] or [""]
+    data = render_pdf(title, "p1", body_chunks)
+    n_pages, text = extract_pdf_text(data)
+    assert n_pages >= 1
+
+    def ws(s: str) -> str:
+        # the writer renders latin-1 with 'replace', so normalize the
+        # input the same way before comparing
+        s = s.encode("latin-1", "replace").decode("latin-1")
+        return re.sub(r"\s+", " ", s).strip()
+
+    expected = ws(" ".join([title, "Document ID: p1", *body_chunks]))
+    assert ws(text) == expected
