@@ -37,20 +37,50 @@ from parquet_extractor_spark.functions.text import portable_hash64
 from parquet_extractor_spark.sources.tables import load_table
 
 
-def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "h", portable_hash64(F.col("doc_id").cast("string"))
-    )
-    v1 = docs.where(F.col("h") % 10 != 0).select(
+def snapshot_v1(docs: DataFrame) -> DataFrame:
+    """First snapshot from any documents frame: (doc_id, source,
+    digest). Pure column expressions — stream-safe."""
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    return docs.where(h % 10 != 0).select(
         "doc_id", "source", F.md5("text").alias("digest")
     )
+
+
+def snapshot_v2(docs: DataFrame) -> DataFrame:
+    """Second snapshot: drops a different decile and revises the text
+    of hash-ids ≡ 0 (mod 7). Pure column expressions — stream-safe."""
+    h = portable_hash64(F.col("doc_id").cast("string"))
     revised = F.when(
-        F.col("h") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        h % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
     ).otherwise(F.col("text"))
-    v2 = docs.where(F.col("h") % 10 != 9).select(
+    return docs.where(h % 10 != 9).select(
         "doc_id", "source", F.md5(revised).alias("digest")
     )
-    return v1, v2
+
+
+def classify_v2_against_v1(v2: DataFrame, v1: DataFrame) -> DataFrame:
+    """Per-document changelog for the v2 side: added / modified /
+    unchanged, from a LEFT join of v2 against v1's digests. This is
+    the stream-safe half of the diff (a stream of arriving v2 docs
+    joined stream-static against the previous snapshot's digest
+    table); 'removed' is inherently invisible to an insert stream and
+    only the batch full-outer form reports it."""
+    j = v2.alias("v2").join(
+        v1.alias("v1"), F.col("v2.doc_id") == F.col("v1.doc_id"), "left"
+    )
+    return j.select(
+        F.col("v2.doc_id").alias("doc_id"),
+        F.col("v2.source").alias("source"),
+        F.when(F.col("v1.doc_id").isNull(), "added")
+        .when(F.col("v1.digest") != F.col("v2.digest"), "modified")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load_table(spark, sf_dir, "documents")
+    return snapshot_v1(docs), snapshot_v2(docs)
 
 
 def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

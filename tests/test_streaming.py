@@ -908,3 +908,37 @@ def test_pdf_ingest_stream_equals_batch(spark, sf_small, tmp_path):
     assert key(got.collect()) == key(want.collect())
     assert got.count() == 7
     assert got.where("error is not null").count() == 1
+
+
+def test_version_diff_stream_equals_batch(spark, sf_small, tmp_path):
+    """The streaming changelog (stream-static left join of arriving
+    v2 docs against v1 digests) must agree with the batch full-outer
+    corpus_version_diff on every class a stream can see — added /
+    modified / unchanged per source; 'removed' appears only in the
+    batch report (an insert stream cannot observe absence)."""
+    from parquet_extractor_spark.operators.versioning import (
+        corpus_version_diff,
+    )
+    from parquet_extractor_spark.streaming.versioning import (
+        run_version_diff_stream,
+    )
+
+    changelog = run_version_diff_stream(
+        spark, sf_small, str(tmp_path / "ckpt_vd"), str(tmp_path / "vd_out")
+    )
+    got = {
+        (r.source, r.change_type): r.n
+        for r in changelog.groupBy("source", "change_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    want = {
+        (r.source, r.change_type): r.n_docs
+        for r in corpus_version_diff(spark, sf_small).collect()
+        if r.change_type != "removed"
+    }
+    assert got == want
+    # the stream saw at least one of each observable class
+    seen = {ct for (_s, ct) in got}
+    assert seen == {"added", "modified", "unchanged"}
