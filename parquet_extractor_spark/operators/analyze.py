@@ -1054,3 +1054,103 @@ FROM ranked r JOIN totals t ON r.source = t.source
 WHERE r.rank <= 3
 ORDER BY r.source, r.rank
 """
+
+
+def corpus_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity release gate between the text corpus and
+    its embedding table (FIXTURES.md: embeddings.vec_id joins the
+    documents.doc_id domain): duplicate-id counts on each side, docs
+    without an embedding, embeddings without a doc, and the coverage
+    fraction. The check a pipeline runs BEFORE spending GPU time on a
+    corpus whose embedding pass silently dropped a shard — the
+    integrity sibling of k_anonymity_audit / decontamination_report.
+
+    Plan shape: distinct id sets full-outer-joined once, with ALL the
+    orphan/match counts from ONE conditional aggregate over the join
+    flags (the curation_funnel r07 pattern — no union of aggregates,
+    no repeated scans); per-side duplicate counts ride the same two
+    skinny scans as 1-row aggregates joined in. Shuffles carry bare
+    ids; output is one row.
+    """
+    doc_ids = (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    vec_ids = (
+        load_table(spark, sf_dir, "embeddings").select("vec_id")
+    )
+    d_stats = doc_ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_doc_ids"),
+    )
+    v_stats = vec_ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.countDistinct("vec_id").cast("bigint").alias("n_vec_ids"),
+    )
+    j = doc_ids.distinct().alias("d").join(
+        vec_ids.distinct().alias("v"),
+        F.col("d.doc_id") == F.col("v.vec_id"),
+        "full_outer",
+    )
+    matched = F.col("d.doc_id").isNotNull() & F.col("v.vec_id").isNotNull()
+    joined = j.agg(
+        F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias(
+            "n_matched"
+        ),
+        F.sum(F.when(F.col("v.vec_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_without_vec"),
+        F.sum(F.when(F.col("d.doc_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_vecs_without_doc"),
+    )
+    return (
+        d_stats.join(v_stats)
+        .join(joined)
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("n_doc_ids")).alias("n_dup_doc_ids"),
+            "n_vecs",
+            (F.col("n_vecs") - F.col("n_vec_ids")).alias("n_dup_vec_ids"),
+            "n_matched",
+            "n_docs_without_vec",
+            "n_vecs_without_doc",
+            F.round(F.col("n_matched") / F.col("n_doc_ids"), 6).alias(
+                "coverage_frac"
+            ),
+        )
+    )
+
+
+CORPUS_INTEGRITY_AUDIT_SQL = r"""
+WITH d_stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_doc_ids
+    FROM documents
+),
+v_stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vec_ids
+    FROM embeddings
+),
+joined AS (
+    SELECT CAST(sum(CASE WHEN d.doc_id IS NOT NULL
+                          AND v.vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN v.vec_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_without_vec,
+           CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_vecs_without_doc
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    FULL OUTER JOIN (SELECT DISTINCT vec_id FROM embeddings) v
+      ON d.doc_id = v.vec_id
+)
+SELECT n_docs,
+       n_docs - n_doc_ids AS n_dup_doc_ids,
+       n_vecs,
+       n_vecs - n_vec_ids AS n_dup_vec_ids,
+       n_matched,
+       n_docs_without_vec,
+       n_vecs_without_doc,
+       round(n_matched / CAST(n_doc_ids AS DOUBLE), 6) AS coverage_frac
+FROM d_stats CROSS JOIN v_stats CROSS JOIN joined
+"""
