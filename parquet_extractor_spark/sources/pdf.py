@@ -110,7 +110,10 @@ def _decode_stream(dict_part: bytes, stream: bytes) -> bytes:
     if b"/Filter" not in dict_part:
         return stream
     if b"/FlateDecode" in dict_part:
-        return zlib.decompress(stream)
+        try:
+            return zlib.decompress(stream)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt FlateDecode stream: {exc}") from exc
     raise ValueError("unsupported stream filter (only FlateDecode)")
 
 

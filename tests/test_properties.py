@@ -475,3 +475,21 @@ def test_pdf_text_roundtrips_through_writer_and_extractor(chunks):
 
     expected = ws(" ".join([title, "Document ID: p1", *body_chunks]))
     assert ws(text) == expected
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_extractor_never_hangs_or_crashes_on_garbage(data):
+    """Arbitrary bytes (with and without a %PDF- header grafted on)
+    must either extract or raise ValueError — never crash with an
+    unexpected exception type and never loop. This is the PERMISSIVE
+    contract's foundation: at corpus scale the error column absorbs
+    whatever a crawl drags in."""
+    from parquet_extractor_spark.sources.pdf import extract_pdf_text
+
+    for payload in (data, b"%PDF-1.4\n" + data):
+        try:
+            n_pages, text = extract_pdf_text(payload)
+            assert n_pages >= 1 and isinstance(text, str)
+        except ValueError:
+            pass  # the declared failure mode — anything else is a bug
