@@ -326,6 +326,18 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
         .orderBy("ease_bucket")
         .collect()
     ]
+    from parquet_extractor_spark.operators.analyze import (
+        corpus_integrity_audit,
+        source_boilerplate_ngrams,
+    )
+
+    integrity = corpus_integrity_audit(spark, sf_dir).first().asDict()
+    boilerplate = [
+        r.asDict()
+        for r in source_boilerplate_ngrams(spark, sf_dir)
+        .where(F.col("rank") == 1)
+        .collect()
+    ]
     kl = {r.source: r.kl_divergence for r in source_token_kl(spark, sf_dir).collect()}
     ks = {r.source: r.ks_stat for r in source_length_ks(spark, sf_dir).collect()}
     drift = [
@@ -349,6 +361,8 @@ def datacard(spark: SparkSession, sf_dir: str) -> dict:
         "readability_buckets": readability,
         "dup_cluster_histogram": clusters,
         "split_leakage": leakage,
+        "embedding_integrity": integrity,
+        "top_boilerplate_by_source": boilerplate,
         "benchmark_contamination": {
             "screen": "bloom(ngram)",
             "n_docs": int(decon.n_docs),

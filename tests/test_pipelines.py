@@ -194,8 +194,18 @@ def test_datacard_report(spark, sf_small):
         "readability_buckets",
         "dup_cluster_histogram",
         "split_leakage",
+        "embedding_integrity",
+        "top_boilerplate_by_source",
         "benchmark_contamination",
     }
+    # integrity gate: coverage over the fixture's full id overlap
+    assert card["embedding_integrity"]["coverage_frac"] == 1.0
+    assert card["embedding_integrity"]["n_docs_without_vec"] == 0
+    # one top-ranked boilerplate gram per source
+    assert len(card["top_boilerplate_by_source"]) == len(
+        card["quality_by_source"]
+    )
+    assert all(r["rank"] == 1 for r in card["top_boilerplate_by_source"])
     # cluster buckets partition the corpus; leakage rows carry flags
     assert sum(r["n_docs"] for r in card["dup_cluster_histogram"]) == (
         card["corpus"]["document_count"]
