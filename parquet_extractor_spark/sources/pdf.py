@@ -80,7 +80,10 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         s_idx = data.find(b"stream", start)
         e_idx = data.find(b"endobj", start)
         if e_idx >= 0 and (s_idx < 0 or e_idx < s_idx):
-            objs.setdefault(num, (data[start:e_idx], None))
+            # last definition wins: incremental updates APPEND a
+            # redefined object, and without parsing xref chains the
+            # newest body is the right pick
+            objs[num] = (data[start:e_idx], None)
             pos = e_idx + 6
             continue
         if s_idx < 0:
@@ -100,7 +103,7 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             stream = data[p:pe].rstrip(b"\r\n") if pe >= 0 else b""
         if pe < 0:
             break
-        objs.setdefault(num, (dict_part, stream))
+        objs[num] = (dict_part, stream)  # last definition wins (see above)
         e_idx = data.find(b"endobj", pe)
         pos = (e_idx + 6) if e_idx >= 0 else (pe + 9)
     return objs

@@ -407,3 +407,39 @@ def test_markdown_source_roundtrips_markdown_sink(spark, sf_small, tmp_path):
         assert r.meta["source"] == orig.source
         checked += 1
     assert checked == 10
+
+
+def test_pdf_extractor_incremental_update_last_wins():
+    """An incremental update (same object number appended later) must
+    shadow the original — the xref-less approximation of PDF update
+    semantics."""
+    from parquet_extractor_spark.sources.pdf import extract_pdf_text
+
+    def obj(num, body):
+        return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    s_old = b"BT (old text) Tj ET"
+    s_new = b"BT (new text) Tj ET"
+    buf = bytearray(b"%PDF-1.4\n")
+    buf += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    buf += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    buf += obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    buf += obj(
+        4,
+        b"<< /Length "
+        + str(len(s_old)).encode()
+        + b" >>\nstream\n"
+        + s_old
+        + b"\nendstream",
+    )
+    # incremental update: object 4 redefined at the end of the file
+    buf += obj(
+        4,
+        b"<< /Length "
+        + str(len(s_new)).encode()
+        + b" >>\nstream\n"
+        + s_new
+        + b"\nendstream",
+    )
+    n_pages, text = extract_pdf_text(bytes(buf))
+    assert (n_pages, text) == (1, "new text")
