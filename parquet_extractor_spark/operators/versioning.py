@@ -112,6 +112,147 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-duplicate candidates between a crawl DELTA and the prior
+    corpus' PERSISTED MinHash-LSH band index — the incremental form of
+    dedup a rolling pipeline actually runs: the daily delta is
+    shingled/hashed map-side and probed against the index built when
+    the previous snapshot was materialized; history is never
+    re-shingled (corpus-scale cousin of the reference's skip-existing
+    sink, reference api.py:248-254).
+
+    Membership reuses the snapshot split of corpus_version_diff: the
+    prior corpus is v1 (portable-hash decile != 0) and the delta is
+    the v2-added decile (hash ≡ 0 mod 10), so the two doc-id sets are
+    disjoint by construction. The v1 band index is materialized once
+    as a tier (``v1_band_index``: (doc_id, source, band, bucket) —
+    docs × NUM_BANDS skinny rows, the artifact a 100 TB pipeline
+    persists between crawls; bucket-partitioned on write it makes the
+    probe a co-located join). The delta side is a pure map-side
+    signature+banding projection, so per-crawl cost is
+    O(delta × bands) shuffle against a static table — never a rescan
+    of the corpus text, never an all-pairs product.
+
+    Output: (doc_new, source_new, doc_prior, source_prior) distinct
+    candidate pairs, ordered.
+    """
+    from parquet_extractor_spark.operators.dedup import (
+        _band_buckets,
+        band_join,
+        signature_frame,
+    )
+    from parquet_extractor_spark.tiers import ensure_tier
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    index_docs = docs.where(h % 10 != 0)
+    delta_docs = docs.where(h % 10 == 0)
+    index_buckets = ensure_tier(
+        spark,
+        sf_dir,
+        "v1_band_index",
+        lambda: _band_buckets(
+            signature_frame(index_docs, carry=("source",)),
+            carry=("source",),
+        ),
+    )
+    probe = _band_buckets(
+        signature_frame(delta_docs, carry=("source",)), carry=("source",)
+    )
+    return (
+        band_join(probe, index_buckets, F.lit(True))
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("a.source").alias("source_new"),
+            F.col("b.doc_id").alias("doc_prior"),
+            F.col("b.source").alias("source_prior"),
+        )
+        .distinct()
+        .orderBy("doc_new", "doc_prior")
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    """DuckDB oracle: the same snapshot split, MinHash, and banding,
+    with side ('index'/'delta') carried through one shared shingle →
+    signature pipeline and the bands unrolled as a UNION ALL."""
+    from parquet_extractor_spark.operators.dedup import (
+        MERSENNE_P,
+        NGRAM_N,
+        NUM_BANDS,
+        ROWS_PER_BAND,
+        _minhash_sql_exprs,
+    )
+
+    band_selects = []
+    for b in range(NUM_BANDS):
+        cols = " || '|' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT side, source, doc_id, {b} AS band,"
+            f" md5({cols}) AS bucket FROM sig"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return rf"""
+WITH hashed_ids AS (
+    SELECT doc_id, source, text,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS hid
+    FROM documents
+),
+corpus AS (
+    SELECT 'index' AS side, doc_id, source, text
+    FROM hashed_ids WHERE hid % 10 != 0
+    UNION ALL
+    SELECT 'delta' AS side, doc_id, source, text
+    FROM hashed_ids WHERE hid % 10 = 0
+),
+toks AS (
+    SELECT side, source, doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM corpus
+),
+shingled AS (
+    SELECT side, source, doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(tokens) - {NGRAM_N - 1}, 1) + 1),
+               i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' ')))
+               AS shingles
+    FROM toks
+),
+hashed AS (
+    SELECT side, source, doc_id,
+           CAST(('0x' || substr(md5(unnest(shingles)), 1, 15)) AS BIGINT)
+               % {MERSENNE_P} AS h0
+    FROM shingled
+),
+sig AS (
+    SELECT side, source, doc_id,
+           {_minhash_sql_exprs()}
+    FROM hashed
+    GROUP BY side, source, doc_id
+),
+buckets AS (
+{bands_union}
+)
+SELECT DISTINCT d.doc_id AS doc_new, d.source AS source_new,
+       i.doc_id AS doc_prior, i.source AS source_prior
+FROM buckets d JOIN buckets i
+  ON d.band = i.band AND d.bucket = i.bucket
+WHERE d.side = 'delta' AND i.side = 'index'
+ORDER BY doc_new, doc_prior
+"""
+
+
+INCREMENTAL_DEDUP_SQL = _incremental_dedup_oracle()
+
+
 CORPUS_VERSION_DIFF_SQL = r"""
 WITH hashed AS (
     SELECT doc_id, source, text,

@@ -543,3 +543,52 @@ def test_dup_cluster_histogram_partitions_corpus(spark, sf_small):
         assert r.doc_share_micro == (r.n_docs * 1_000_000) // n_docs_total
     # the fixture has real multi-doc clusters, not just singletons
     assert any(r.cluster_size_bucket > 1 for r in rows)
+
+
+def test_incremental_dedup_probes_delta_against_prior_index(
+    spark, sf_small
+):
+    """The delta/index doc-id sets are disjoint, planted exact
+    duplicates across the snapshot boundary are always recalled
+    (identical text → identical signature → same band buckets), and
+    the persisted v1_band_index tier answers a second run
+    identically."""
+    from parquet_extractor_spark.functions.text import portable_hash64
+    from parquet_extractor_spark.operators.versioning import (
+        incremental_dedup_candidates,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    pairs = incremental_dedup_candidates(spark, sf_small).collect()
+    assert pairs
+    news = {r.doc_new for r in pairs}
+    priors = {r.doc_prior for r in pairs}
+    assert news.isdisjoint(priors)
+
+    docs = load_table(spark, sf_small, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    sided = docs.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        (h % 10 == 0).alias("is_delta"),
+    )
+    planted = (
+        sided.where("is_delta")
+        .alias("d")
+        .join(
+            sided.where("NOT is_delta").alias("i"),
+            F.col("d.digest") == F.col("i.digest"),
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_new"),
+            F.col("i.doc_id").alias("doc_prior"),
+        )
+        .collect()
+    )
+    # sf0.001 plants no exact dup across the split; when any exists
+    # (sf0.01+) it MUST be recalled — identical text, identical bands.
+    found = {(r.doc_new, r.doc_prior) for r in pairs}
+    assert all((p.doc_new, p.doc_prior) in found for p in planted)
+
+    rerun = incremental_dedup_candidates(spark, sf_small).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, pairs))
