@@ -153,6 +153,19 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--limit", type=int, default=20,
                     help="max rows printed without -o (default 20)")
 
+    wi = sub.add_parser(
+        "warcingest",
+        help="parse a directory of WARC web archives (.warc/.warc.gz, "
+        "Common Crawl layout; binaryFile scan + Arrow-batched record "
+        "parsing; corrupt containers keep a row with an error column)",
+    )
+    wi.add_argument("directory", help="directory containing *.warc* files")
+    wi.add_argument("-o", "--output_dir", default=None,
+                    help="write the parsed records as parquet instead "
+                    "of printing them")
+    wi.add_argument("--limit", type=int, default=20,
+                    help="max rows printed without -o (default 20)")
+
     tc = sub.add_parser(
         "train-classifier",
         help="train the quality classifier (integer-exact logistic GD) "
@@ -175,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
     known = {
         "parquet", "cisi", "analyze", "curate", "sql", "select",
         "dedup", "export", "search", "explain", "datacard",
-        "train-classifier", "pdfingest",
+        "train-classifier", "pdfingest", "warcingest",
     }
     if argv and argv[0] not in known and not argv[0].startswith("-"):
         argv = ["parquet", *argv]
@@ -293,6 +306,27 @@ def main(argv: list[str] | None = None) -> int:
             ))
             return 0
         for row in docs.limit(args.limit).collect():
+            d = row.asDict()
+            if d.get("text"):
+                d["text"] = d["text"][:160]
+            print(json.dumps(d, default=str))
+        return 0
+
+    if args.command == "warcingest":
+        from parquet_extractor_spark.sources.warc import read_warc_docs
+
+        recs = read_warc_docs(spark, args.directory)
+        if args.output_dir:
+            recs.write.mode("overwrite").parquet(args.output_dir)
+            ok = recs.where(recs.error.isNull()).count()
+            bad = recs.where(recs.error.isNotNull()).count()
+            docs = recs.where(recs.text.isNotNull()).count()
+            print(json.dumps(
+                {"output_dir": args.output_dir, "records": ok,
+                 "documents": docs, "errors": bad}
+            ))
+            return 0
+        for row in recs.limit(args.limit).collect():
             d = row.asDict()
             if d.get("text"):
                 d["text"] = d["text"][:160]

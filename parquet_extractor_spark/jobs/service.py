@@ -172,6 +172,8 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
                                        (api.py:106-165)
     POST /api/ingest/pdftext         — beyond reference: PDF upload →
                                        text extraction → parquet table
+    POST /api/ingest/warc            — beyond reference: WARC upload →
+                                       record parse → parquet table
     POST /api/extract/wiki           — S6/S7 category crawl → PDF sink
                                        (api.py:849-979)
     GET  /api/files                  — S11 listing
@@ -499,6 +501,55 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
                 shutil.rmtree(tmp, ignore_errors=True)
 
         job_id = submit_job(spark, "ingest_pdftext", _work, {})
+        return jsonify({"job_id": job_id, "status": "running"}), 202
+
+    @app.post("/api/ingest/warc")
+    def ingest_warc():
+        """WARC ingestion face (beyond reference — the Common Crawl
+        input path): one or more .warc/.warc.gz files uploaded
+        multipart, spooled, parsed record-by-record by
+        sources/warc.read_warc_docs (PERMISSIVE — corrupt containers
+        and payloads become error rows), written as a parquet record
+        table under the outputs subdir."""
+        ups = request.files.getlist("file")
+        if not ups or all(not u.filename for u in ups):
+            return jsonify({"error": "no file provided"}), 400
+        tmp = tempfile.mkdtemp(prefix="warc_")
+        for i, up in enumerate(ups):
+            up.save(os.path.join(tmp, up.filename or f"upload{i}.warc"))
+        out_dir, err = _subdir_or_400(request.form.get("subdir", "warc_docs"))
+        if err:
+            shutil.rmtree(tmp, ignore_errors=True)
+            return err
+
+        def _work(job_id: str) -> dict[str, Any]:
+            from parquet_extractor_spark.sources.warc import read_warc_docs
+
+            try:
+                check_write_access(out_dir)
+                job_log(job_id, f"parsing {len(ups)} uploaded WARCs")
+                recs = read_warc_docs(spark, tmp).persist()
+                try:
+                    recs.write.mode("overwrite").parquet(out_dir)
+                    ok = recs.where(recs.error.isNull()).count()
+                    bad = recs.where(recs.error.isNotNull()).count()
+                    docs = recs.where(recs.text.isNotNull()).count()
+                finally:
+                    recs.unpersist()
+                job_log(
+                    job_id,
+                    f"parsed {ok} records ({docs} documents), {bad} errors",
+                )
+                return {
+                    "output_dir": out_dir,
+                    "records": ok,
+                    "documents": docs,
+                    "errors": bad,
+                }
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+
+        job_id = submit_job(spark, "ingest_warc", _work, {})
         return jsonify({"job_id": job_id, "status": "running"}), 202
 
     @app.post("/api/extract/cisi")

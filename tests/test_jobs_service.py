@@ -395,3 +395,54 @@ def test_ingest_pdftext_upload_roundtrip(client, spark, tmp_path):
 def test_ingest_pdftext_requires_file(client):
     resp = client.post("/api/ingest/pdftext", data={})
     assert resp.status_code == 400
+
+
+def test_ingest_warc_upload_roundtrip(client, spark, tmp_path):
+    """WARC ingestion REST face: multipart upload of one well-formed
+    .warc.gz and one corrupt file → record-parse job → parquet record
+    table; the corrupt container becomes an error row, not a failed
+    job."""
+    import io
+
+    from parquet_extractor_spark.sources.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+
+    rec = build_warc_record(
+        "response",
+        "0000-0001",
+        "2026-01-01T00:00:00Z",
+        build_http_response(b"<html><body><p>crawled text</p></body></html>"),
+        target_uri="http://example.com/page",
+        content_type="application/http;msgtype=response",
+    )
+    resp = client.post(
+        "/api/ingest/warc",
+        data={
+            "file": [
+                (io.BytesIO(build_warc([rec])), "seg.warc.gz"),
+                (io.BytesIO(b"\x1f\x8bgarbage"), "bad.warc.gz"),
+            ],
+            "subdir": "warc",
+        },
+        content_type="multipart/form-data",
+    )
+    assert resp.status_code == 202
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    res = job["result"]
+    assert res["records"] == 1 and res["documents"] == 1
+    assert res["errors"] == 1
+
+    table = spark.read.parquet(res["output_dir"])
+    good = table.where("error is null").collect()
+    assert len(good) == 1
+    assert good[0].text == "crawled text"
+    assert good[0].target_uri == "http://example.com/page"
+
+
+def test_ingest_warc_requires_file(client):
+    resp = client.post("/api/ingest/warc", data={})
+    assert resp.status_code == 400

@@ -1,0 +1,214 @@
+"""WARC source: pure-parser unit tests plus Spark batch/stream
+round-trips over generated fixtures."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from parquet_extractor_spark.sources.warc import (
+    build_http_response,
+    build_warc,
+    build_warc_record,
+    decode_charset,
+    html_to_text,
+    iter_gzip_members,
+    parse_warc,
+    read_warc_docs,
+    split_http_response,
+)
+
+HTML = (
+    b"<html><head><title>T</title><style>p{color:red}</style>"
+    b"<script>var x=1;</script></head>"
+    b"<body><!-- hidden --><h1>Header</h1><p>Hello &amp; "
+    b"<b>world</b>.</p><p>Line two</p></body></html>"
+)
+HTML_TEXT = "T\nHeader\nHello & world .\nLine two"
+
+
+def _record(
+    seq: int,
+    body: bytes = HTML,
+    chunked: bool = False,
+    content_encoding: str | None = None,
+    content_type: str = "text/html; charset=utf-8",
+    warc_type: str = "response",
+) -> bytes:
+    if warc_type == "response":
+        block = build_http_response(
+            body,
+            content_type=content_type,
+            chunked=chunked,
+            content_encoding=content_encoding,
+        )
+        ct = "application/http;msgtype=response"
+    else:
+        block, ct = body, content_type
+    return build_warc_record(
+        warc_type,
+        f"0000-{seq:04d}",
+        "2026-01-01T00:00:00Z",
+        block,
+        target_uri=f"http://example.com/{seq}",
+        content_type=ct,
+    )
+
+
+def test_parse_warc_all_three_compression_layouts():
+    recs = [_record(0), _record(1, warc_type="request", body=b"GET /")]
+    plain = build_warc(recs, per_record_gzip=False)
+    member_gz = build_warc(recs, per_record_gzip=True)
+    whole_gz = gzip.compress(plain, mtime=0)
+    for data in (plain, member_gz, whole_gz):
+        parsed = parse_warc(data)
+        assert [h["warc-type"] for _, h, _ in parsed] == [
+            "response",
+            "request",
+        ]
+        assert parsed[0][1]["warc-target-uri"] == "http://example.com/0"
+
+
+def test_gzip_member_iteration_rejects_corruption():
+    members = build_warc([_record(0), _record(1)])
+    assert len(list(iter_gzip_members(members))) == 2
+    with pytest.raises(ValueError):
+        # cutting the gzip trailer truncates the final member
+        list(iter_gzip_members(members[:-10]))
+    with pytest.raises(ValueError):
+        list(iter_gzip_members(b"\x1f\x8bjunk" + members))
+
+
+def test_http_dechunk_and_content_encodings():
+    body = b"x" * 1000 + b" tail"
+    for kwargs in (
+        {"chunked": True},
+        {"content_encoding": "gzip"},
+        {"content_encoding": "deflate"},
+        {"chunked": True, "content_encoding": "gzip"},
+    ):
+        wire = build_http_response(body, **kwargs)
+        status, headers, decoded = split_http_response(wire)
+        assert status == 200
+        assert decoded == body, kwargs
+
+
+def test_charset_parameter_and_fallbacks():
+    latin = "café".encode("iso-8859-1")
+    assert (
+        decode_charset(latin, "text/html; charset=ISO-8859-1") == "café"
+    )
+    # bogus charset name falls back to utf-8 with replacement
+    assert "caf" in decode_charset(latin, "text/html; charset=nope")
+    assert decode_charset("café".encode(), "") == "café"
+
+
+def test_html_to_text_strips_and_unescapes():
+    assert html_to_text(HTML.decode()) == HTML_TEXT
+
+
+def test_truncated_and_malformed_records_raise():
+    rec = _record(0)
+    with pytest.raises(ValueError):
+        parse_warc(rec[: len(rec) - 30])  # truncated block
+    with pytest.raises(ValueError):
+        parse_warc(b"WARC/1.0\r\nContent-Length: oops\r\n\r\n")
+    with pytest.raises(ValueError):
+        parse_warc(b"not a warc at all")
+
+
+def _write_fixture(d: str) -> None:
+    a = build_warc(
+        [
+            _record(0),
+            _record(1, warc_type="request", body=b"GET / HTTP/1.1"),
+            _record(2, body="resumé".encode("iso-8859-1"),
+                    content_type="text/plain; charset=iso-8859-1"),
+            _record(3, chunked=True, content_encoding="gzip"),
+            _record(4, body=b"\x89PNG not text",
+                    content_type="image/png"),
+        ]
+    )
+    b = build_warc(
+        [_record(5, warc_type="conversion", content_type="text/plain",
+                 body=b"already plain text")],
+        per_record_gzip=False,
+    )
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(a)
+    with open(os.path.join(d, "b.warc"), "wb") as f:
+        f.write(b)
+    with open(os.path.join(d, "c.warc.gz"), "wb") as f:
+        f.write(b"\x1f\x8btruncated garbage")
+
+
+def test_read_warc_docs_batch(spark, tmp_path):
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    _write_fixture(d)
+    rows = {
+        (r.path.rsplit("/", 1)[-1], r.record_seq): r
+        for r in read_warc_docs(spark, d).collect()
+    }
+    assert len(rows) == 7  # 5 records + 1 plain record + 1 error row
+    html_row = rows[("a.warc.gz", 0)]
+    assert html_row.warc_type == "response"
+    assert html_row.http_status == 200
+    assert html_row.text == HTML_TEXT
+    assert html_row.target_uri == "http://example.com/0"
+    # request record: typed but no document payload
+    req = rows[("a.warc.gz", 1)]
+    assert req.warc_type == "request" and req.text is None
+    # charset honored on plain-text payload
+    assert rows[("a.warc.gz", 2)].text == "resumé"
+    # chunked+gzip HTTP wire decodes to the same document text
+    assert rows[("a.warc.gz", 3)].text == HTML_TEXT
+    # binary payload: typed, no text, no error
+    png = rows[("a.warc.gz", 4)]
+    assert png.text is None and png.error is None
+    assert png.content_type.startswith("image/png")
+    # conversion record in a plain .warc
+    assert rows[("b.warc", 0)].text == "already plain text"
+    # corrupt container yields exactly one PERMISSIVE error row
+    err = rows[("c.warc.gz", None)]
+    assert err.error and "ValueError" in err.error
+
+
+def test_warc_stream_equals_batch(spark, tmp_path):
+    from parquet_extractor_spark.streaming.warc import (
+        run_warc_ingest_stream,
+    )
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    _write_fixture(d)
+    batch = read_warc_docs(spark, d)
+    streamed = run_warc_ingest_stream(
+        spark,
+        d,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    ).drop("epoch")
+    key = lambda r: (r["path"], r["record_seq"] is None, r["record_seq"])  # noqa: E731
+    a = sorted(map(lambda r: r.asDict(), batch.collect()), key=key)
+    b = sorted(map(lambda r: r.asDict(), streamed.collect()), key=key)
+    assert a == b
+
+
+def test_cli_warcingest(spark, tmp_path, capsys):
+    import json
+
+    from parquet_extractor_spark.cli import main as cli_main
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    _write_fixture(d)
+    out = str(tmp_path / "out")
+    rc = cli_main(["warcingest", d, "-o", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["records"] == 6 and summary["errors"] == 1
+    assert summary["documents"] == 4  # html, latin-1, chunked, plain
+    assert spark.read.parquet(out).count() == 7
