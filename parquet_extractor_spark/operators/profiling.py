@@ -1,0 +1,313 @@
+"""Deequ-style data-quality profiling and constraint verification.
+
+Two engine features a data platform runs before trusting any table
+(Schelter et al., "Automating Large-Scale Data Quality Verification",
+VLDB 2018 — the public Deequ recipe, re-expressed as plain Spark
+aggregates):
+
+* ``column_profile`` / ``events_profile`` — per-column completeness,
+  exact distinctness, typed min/max, and string length stats, ALL
+  from one scan: every per-column statistic is an expression inside a
+  single ``agg`` (count-distincts expand map-side; at 100 TB swap
+  ``approx_count_distinct`` in via the ``exact`` flag), producing ONE
+  wide row that is exploded into per-column rows — no per-column
+  scans, no driver loop.
+* ``orders_constraint_checks`` — a declarative constraint suite
+  (row-count, key uniqueness, non-null, value range, categorical
+  domain, cross-table referential integrity) evaluated as conditional
+  aggregates in one pass plus ONE anti-join for the foreign key; the
+  verdict table is (constraint, violations, passed), the shape a CI
+  gate consumes. Cross-engine determinism: all derived values are
+  integers (micro-units / epoch seconds), never engine-formatted
+  strings.
+
+Both are the corpus-independent cousins of ``corpus_integrity_audit``
+(which gates the docs↔embeddings pair specifically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_extractor_spark.sources.tables import load_table
+
+_MICRO = 1_000_000
+
+
+def _col_stats(df: DataFrame, name: str, exact: bool = True) -> list[Column]:
+    """The per-column statistic expressions for one column — all
+    usable inside a single agg over one scan."""
+    c = F.col(name)
+    dtype = dict(df.dtypes)[name]
+    if dtype in ("timestamp", "timestamp_ntz"):
+        cls, num = "timestamp", F.unix_timestamp(c) * _MICRO
+    elif dtype in ("bigint", "int", "smallint", "tinyint"):
+        cls, num = "int", c * _MICRO
+    elif dtype in ("double", "float"):
+        cls, num = "float", F.floor(c * _MICRO).cast("bigint")
+    else:
+        cls, num = "string", None
+    n_distinct = (
+        F.count_distinct(c) if exact else F.approx_count_distinct(c)
+    )
+    stats = [
+        F.count(F.lit(1)).cast("bigint").alias(f"{name}__n"),
+        (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
+            f"{name}__nulls"
+        ),
+        n_distinct.cast("bigint").alias(f"{name}__distinct"),
+    ]
+    if num is not None:
+        stats += [
+            F.min(num).cast("bigint").alias(f"{name}__min"),
+            F.max(num).cast("bigint").alias(f"{name}__max"),
+            F.lit(None).cast("bigint").alias(f"{name}__avglen"),
+        ]
+    else:
+        avglen = F.when(
+            F.count(c) > 0,
+            (F.sum(F.length(c)) * _MICRO).cast("bigint")
+            / F.count(c).cast("bigint"),
+        )
+        stats += [
+            F.lit(None).cast("bigint").alias(f"{name}__min"),
+            F.lit(None).cast("bigint").alias(f"{name}__max"),
+            F.floor(avglen).cast("bigint").alias(f"{name}__avglen"),
+        ]
+    return stats, cls
+
+
+def column_profile(df: DataFrame, exact: bool = True) -> DataFrame:
+    """Per-column quality profile of ANY DataFrame in one scan:
+    (column, dtype_class, n_rows, n_nulls, n_distinct, min_micro,
+    max_micro, avg_len_micro). Numeric/timestamp extrema are integer
+    micro-units (timestamps: epoch seconds × 1e6), strings profile
+    length instead — no engine-formatted value strings anywhere."""
+    exprs: list[Column] = []
+    classes: dict[str, str] = {}
+    for name in df.columns:
+        stats, cls = _col_stats(df, name, exact=exact)
+        exprs += stats
+        classes[name] = cls
+    wide = df.agg(*exprs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column"),
+                F.lit(classes[name]).alias("dtype_class"),
+                F.col(f"{name}__n").alias("n_rows"),
+                F.col(f"{name}__nulls").alias("n_nulls"),
+                F.col(f"{name}__distinct").alias("n_distinct"),
+                F.col(f"{name}__min").alias("min_micro"),
+                F.col(f"{name}__max").alias("max_micro"),
+                F.col(f"{name}__avglen").alias("avg_len_micro"),
+            )
+            for name in df.columns
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiling operator on the events table — one row per
+    column. Scale shape: ONE scan; every statistic is a partial+final
+    aggregate expression (the count-distincts are the only
+    cardinality-bearing state — swap exact=False for HLL at corpus
+    scale); the explode runs over a single 1-row frame."""
+    return column_profile(load_table(spark, sf_dir, "events"), exact=True)
+
+
+EVENTS_PROFILE_SQL = f"""
+WITH stats AS (
+    SELECT 'event_id' AS "column", 'int' AS dtype_class,
+           count(*) AS n_rows, count(*) - count(event_id) AS n_nulls,
+           count(DISTINCT event_id) AS n_distinct,
+           min(event_id) * {_MICRO} AS min_micro,
+           max(event_id) * {_MICRO} AS max_micro,
+           CAST(NULL AS BIGINT) AS avg_len_micro
+    FROM events
+    UNION ALL
+    SELECT 'ts', 'timestamp', count(*), count(*) - count(ts),
+           count(DISTINCT ts),
+           CAST(floor(epoch(min(ts))) AS BIGINT) * {_MICRO},
+           CAST(floor(epoch(max(ts))) AS BIGINT) * {_MICRO},
+           NULL
+    FROM events
+    UNION ALL
+    SELECT 'user_id', 'int', count(*), count(*) - count(user_id),
+           count(DISTINCT user_id),
+           min(user_id) * {_MICRO}, max(user_id) * {_MICRO}, NULL
+    FROM events
+    UNION ALL
+    SELECT 'event_type', 'string', count(*),
+           count(*) - count(event_type), count(DISTINCT event_type),
+           NULL, NULL,
+           CASE WHEN count(event_type) > 0 THEN
+               CAST(floor(CAST(sum(length(event_type)) * {_MICRO} AS DOUBLE)
+                    / count(event_type)) AS BIGINT) END
+    FROM events
+    UNION ALL
+    SELECT 'value', 'float', count(*), count(*) - count(value),
+           count(DISTINCT value),
+           min(CAST(floor(value * {_MICRO}) AS BIGINT)),
+           max(CAST(floor(value * {_MICRO}) AS BIGINT)), NULL
+    FROM events
+    UNION ALL
+    SELECT 'props', 'string', count(*), count(*) - count(props),
+           count(DISTINCT props), NULL, NULL,
+           CASE WHEN count(props) > 0 THEN
+               CAST(floor(CAST(sum(length(props)) * {_MICRO} AS DOUBLE)
+                    / count(props)) AS BIGINT) END
+    FROM events
+)
+SELECT "column", dtype_class,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(min_micro AS BIGINT) AS min_micro,
+       CAST(max_micro AS BIGINT) AS max_micro,
+       CAST(avg_len_micro AS BIGINT) AS avg_len_micro
+FROM stats
+ORDER BY "column"
+"""
+
+
+def orders_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite over orders: row count, primary
+    key uniqueness, non-null, positive range, categorical domain,
+    date window, and o_custkey → customer referential integrity.
+    Output: (constraint, violations, passed), ordered.
+
+    Scale shape: the six intra-table checks are conditional
+    aggregates in ONE scan (one partial+final agg, 1-row output); the
+    foreign-key check is ONE left-anti join on the key (AQE picks
+    broadcast when the dim fits, shuffle otherwise) reduced to a
+    count. The two 1-row frames cross-join (1×1) and explode into the
+    verdict table — nothing driver-side, nothing quadratic."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_cust"),
+        F.sum(F.when(~(F.col("o_totalprice") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_price"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderstatus").isin("O", "F", "P"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2002-01-01").cast("timestamp")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_date"),
+    )
+    orphans = (
+        orders.join(
+            customer,
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphans"))
+    )
+    wide = base.crossJoin(orphans)
+    checks = F.array(
+        F.struct(
+            F.lit("row_count_positive").alias("constraint"),
+            F.when(F.col("n") > 0, F.lit(0).cast("bigint"))
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("violations"),
+        ),
+        F.struct(
+            F.lit("unique_o_orderkey").alias("constraint"),
+            F.col("dup_keys").alias("violations"),
+        ),
+        F.struct(
+            F.lit("non_null_o_custkey").alias("constraint"),
+            F.col("null_cust").alias("violations"),
+        ),
+        F.struct(
+            F.lit("o_totalprice_positive").alias("constraint"),
+            F.col("bad_price").alias("violations"),
+        ),
+        F.struct(
+            F.lit("o_orderstatus_domain").alias("constraint"),
+            F.col("bad_status").alias("violations"),
+        ),
+        F.struct(
+            F.lit("o_orderdate_in_window").alias("constraint"),
+            F.col("bad_date").alias("violations"),
+        ),
+        F.struct(
+            F.lit("o_custkey_references_customer").alias("constraint"),
+            F.col("orphans").alias("violations"),
+        ),
+    )
+    return (
+        wide.select(F.explode(checks).alias("c"))
+        .select(
+            "c.constraint",
+            "c.violations",
+            (F.col("c.violations") == 0).alias("passed"),
+        )
+        .orderBy("constraint")
+    )
+
+
+ORDERS_CONSTRAINT_CHECKS_SQL = """
+WITH base AS (
+    SELECT count(*) AS n,
+           count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+           sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)
+               AS bad_price,
+           sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1
+                    ELSE 0 END) AS bad_status,
+           sum(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                      OR o_orderdate >= TIMESTAMP '2002-01-01'
+                    THEN 1 ELSE 0 END) AS bad_date
+    FROM orders
+),
+orph AS (
+    SELECT count(*) AS orphans
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+    )
+),
+checks AS (
+    SELECT 'row_count_positive' AS "constraint",
+           CASE WHEN n > 0 THEN 0 ELSE 1 END AS violations
+    FROM base
+    UNION ALL SELECT 'unique_o_orderkey', dup_keys FROM base
+    UNION ALL SELECT 'non_null_o_custkey', null_cust FROM base
+    UNION ALL SELECT 'o_totalprice_positive', bad_price FROM base
+    UNION ALL SELECT 'o_orderstatus_domain', bad_status FROM base
+    UNION ALL SELECT 'o_orderdate_in_window', bad_date FROM base
+    UNION ALL SELECT 'o_custkey_references_customer', orphans FROM orph
+)
+SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS passed
+FROM checks
+ORDER BY "constraint"
+"""
