@@ -212,3 +212,56 @@ def test_cli_warcingest(spark, tmp_path, capsys):
     assert summary["records"] == 6 and summary["errors"] == 1
     assert summary["documents"] == 4  # html, latin-1, chunked, plain
     assert spark.read.parquet(out).count() == 7
+
+
+def test_domain_stats_and_latest_capture(spark, tmp_path):
+    from parquet_extractor_spark.operators.crawl import (
+        domain_stats,
+        latest_capture_per_uri,
+        registrable_domain,
+    )
+
+    def resp(seq, uri, date, body=b"<p>hi</p>", status=200):
+        block = build_http_response(body, status=status)
+        return build_warc_record(
+            "response", f"11-{seq:04d}", date, block,
+            target_uri=uri,
+            content_type="application/http;msgtype=response",
+        )
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    recs = [
+        resp(0, "http://news.example.com/a", "2026-01-01T00:00:00Z"),
+        resp(1, "http://news.example.com/a", "2026-01-03T00:00:00Z",
+             body=b"<p>newer</p>"),
+        resp(2, "http://blog.example.com/b", "2026-01-02T00:00:00Z"),
+        resp(3, "http://other.org/x", "2026-01-02T00:00:00Z",
+             status=404),
+    ]
+    with open(os.path.join(d, "seg.warc.gz"), "wb") as f:
+        f.write(build_warc(recs))
+    frame = read_warc_docs(spark, d)
+
+    stats = {r.domain: r for r in domain_stats(frame).collect()}
+    assert set(stats) == {"example.com", "other.org"}
+    ex = stats["example.com"]
+    assert ex.pages == 3 and ex.uris == 2
+    assert ex.ok_rate_micro == 1_000_000
+    assert ex.docs_with_text == 3
+    assert stats["other.org"].ok_rate_micro == 0
+
+    latest = {r.target_uri: r for r in
+              latest_capture_per_uri(frame).collect()}
+    assert len(latest) == 3
+    assert latest["http://news.example.com/a"].text == "newer"
+
+    # registrable-domain edges: single-label host passes through,
+    # unparseable URI yields NULL domain
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [("http://localhost/x",), ("not a uri",)], "target_uri string"
+    ).select(registrable_domain().alias("d"))
+    vals = [r.d for r in edges.collect()]
+    assert vals[0] == "localhost" and vals[1] is None
