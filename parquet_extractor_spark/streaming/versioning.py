@@ -66,3 +66,45 @@ def run_version_diff_stream(
             f"version diff stream did not drain within {timeout_s}s"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def run_versioned_table_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    table_dir: str,
+    timeout_s: int = 120,
+) -> list[int]:
+    """Continuously commit a document stream into a snapshot-versioned
+    table (sinks/versioned.py): each micro-batch becomes ONE append
+    snapshot, tagged with its epoch id so an at-least-once foreachBatch
+    REPLAY is a no-op instead of a duplicate commit — exactly-once
+    table commits on top of an at-least-once sink contract. Returns
+    the committed snapshot ids."""
+    from parquet_extractor_spark.sinks.versioned import commit_snapshot
+
+    stream = read_documents_stream(spark, source_dir)
+    committed: list[int] = []
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        committed.append(
+            commit_snapshot(
+                batch, table_dir, mode="append", tag=f"epoch-{epoch}"
+            )
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, "versioned_table"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"versioned table stream did not drain within {timeout_s}s"
+        )
+    return committed

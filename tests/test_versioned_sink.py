@@ -1,0 +1,146 @@
+"""Snapshot-versioned dataset sink: time travel, isolation, commit
+atomicity under a simulated race, compaction, and GC reachability."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from parquet_extractor_spark.sinks.versioned import (
+    commit_snapshot,
+    compact_snapshot,
+    expire_snapshots,
+    read_snapshot,
+    snapshots,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "concat('doc-', id) AS name"
+    )
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = commit_snapshot(_df(spark, 0, 5), t)
+    v1 = commit_snapshot(_df(spark, 5, 8), t, mode="append")
+    v2 = commit_snapshot(_df(spark, 100, 102), t, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert _ids(read_snapshot(spark, t)) == [100, 101]
+    assert _ids(read_snapshot(spark, t, version=1)) == list(range(8))
+    assert _ids(read_snapshot(spark, t, version=0)) == list(range(5))
+    log = snapshots(t)
+    assert [m["operation"] for m in log] == [
+        "append", "append", "overwrite",
+    ]
+    assert log[1]["parent"] == 0 and log[0]["parent"] is None
+    assert all("bigint" in m["schema"] for m in log)
+
+
+def test_snapshot_isolation_across_later_commits(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 4), t)
+    frozen = read_snapshot(spark, t, version=0)
+    commit_snapshot(_df(spark, 50, 60), t, mode="overwrite")
+    compact_snapshot(spark, t)
+    # the v0 reader still sees exactly the v0 rows
+    assert _ids(frozen) == list(range(4))
+
+
+def test_commit_race_retries_to_next_version(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+    # another committer wins version 1 between log-read and link
+    blocker = os.path.join(t, "_versions", "v00000001.json")
+    with open(blocker, "w") as f:
+        json.dump(
+            {"snapshot": 1, "parent": 0, "operation": "overwrite",
+             "files": [], "n_files": 0, "schema": "struct<>"},
+            f,
+        )
+    v = commit_snapshot(_df(spark, 3, 6), t, mode="overwrite")
+    assert v == 2
+    assert _ids(read_snapshot(spark, t, version=2)) == [3, 4, 5]
+
+
+def test_compaction_reduces_files_preserves_rows_and_history(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 10).repartition(6), t)
+    before = snapshots(t)[-1]["n_files"]
+    assert before >= 6
+    v = compact_snapshot(spark, t, target_files=1)
+    log = snapshots(t)
+    assert log[-1]["snapshot"] == v and log[-1]["n_files"] == 1
+    assert _ids(read_snapshot(spark, t, version=v)) == list(range(10))
+    assert _ids(read_snapshot(spark, t, version=0)) == list(range(10))
+
+
+def test_expire_drops_manifests_and_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 5), t)
+    commit_snapshot(_df(spark, 5, 8), t, mode="append")
+    commit_snapshot(_df(spark, 90, 92), t, mode="overwrite")
+    res = expire_snapshots(t, keep_last=1)
+    assert res["expired_snapshots"] == 2 and res["live_snapshots"] == 1
+    # v0/v1 data dirs are unreferenced by v2 and must be gone
+    assert res["removed_files"] >= 2
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=0)
+    assert _ids(read_snapshot(spark, t)) == [90, 91]
+
+    # append-chain safety: expiring keep_last=1 after appends keeps
+    # every file the surviving manifest references
+    t2 = str(tmp_path / "tbl2")
+    commit_snapshot(_df(spark, 0, 3), t2)
+    commit_snapshot(_df(spark, 3, 6), t2, mode="append")
+    res2 = expire_snapshots(t2, keep_last=1)
+    assert res2["removed_files"] == 0  # v1 references v0's files too
+    assert _ids(read_snapshot(spark, t2)) == list(range(6))
+
+
+def test_read_errors(spark, tmp_path):
+    t = str(tmp_path / "empty")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t)
+    commit_snapshot(_df(spark, 0, 2), t)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, t, version=7)
+    with pytest.raises(ValueError):
+        commit_snapshot(_df(spark, 0, 1), t, mode="merge")
+
+
+def test_tagged_commit_is_idempotent(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v = commit_snapshot(_df(spark, 0, 3), t, tag="epoch-0")
+    again = commit_snapshot(_df(spark, 99, 104), t, tag="epoch-0")
+    assert again == v  # replay: no new snapshot, no new rows
+    assert len(snapshots(t)) == 1
+    assert _ids(read_snapshot(spark, t)) == [0, 1, 2]
+
+
+def test_versioned_table_stream_commits_epochs(spark, sf_small, tmp_path):
+    from parquet_extractor_spark.sinks.versioned import read_snapshot
+    from parquet_extractor_spark.sources.tables import load_table
+    from parquet_extractor_spark.streaming.versioning import (
+        run_versioned_table_stream,
+    )
+
+    t = str(tmp_path / "tbl")
+    committed = run_versioned_table_stream(
+        spark, sf_small, str(tmp_path / "ckpt"), t
+    )
+    assert committed
+    log = snapshots(t)
+    assert [m["snapshot"] for m in log] == committed
+    assert all(m["tag"].startswith("epoch-") for m in log)
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert read_snapshot(spark, t).count() == n_docs
