@@ -1238,6 +1238,157 @@ ORDER BY vec_id
 """
 
 
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-embedding consistency gate: split the vectors of each label
+    into two deterministic halves (portable vec_id hash — the stand-in
+    for "the previous embedding run" vs "this run"), compare the
+    halves' centroids and mean norms. A healthy, stationary embedding
+    space shows near-1 centroid cosine per label; a model swap,
+    tokenizer change, or normalization bug shows up as a cosine drop
+    or a norm shift — BEFORE any downstream ANN index is rebuilt
+    against mixed-vintage vectors.
+
+    Determinism across engines: per-dim means are rounded to integer
+    micro-units FIRST (the label_centroids half-up rule), so the
+    dot/norm arithmetic runs on identical bigint inputs in Spark and
+    DuckDB (64 products of ≤~1e6-scale ints stay exact in 53-bit
+    doubles); mean L2 norms use the embedding_norm_stats recipe.
+
+    Scale shape: one posexplode → ONE partial+final agg keyed
+    (label, run, dim) — shuffle bounded by labels × 2 × dim, never by
+    vector count; the halves join 1-row-per-(label,run) frames. The
+    norm pass is a zero-join map + tiny agg.
+
+    Output: (label, n_a, n_b, centroid_cos_micro, mean_norm_a_micro,
+    mean_norm_b_micro).
+    """
+    from parquet_extractor_spark.functions.text import portable_hash64
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    run = F.when(
+        portable_hash64(F.col("vec_id").cast("string")) % 2 == 0, "a"
+    ).otherwise("b")
+    base = emb.select("label", "embedding", run.alias("run"))
+    per_dim = (
+        base.select("label", "run", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "run", "dim")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    cent = per_dim.groupBy("label", "run").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "dim",
+                        F.floor(F.col("m") * F.lit(1e6) + F.lit(0.5))
+                        .cast("bigint")
+                        .alias("mi"),
+                    )
+                )
+            ),
+            lambda s: s["mi"],
+        ).alias("c"),
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731 — exact bigint fold
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    a, b = cent.where(F.col("run") == "a"), cent.where(F.col("run") == "b")
+    pair = a.alias("a").join(b.alias("b"), "label")
+    cos = dot(F.col("a.c"), F.col("b.c")).cast("double") / (
+        F.sqrt(dot(F.col("a.c"), F.col("a.c")).cast("double"))
+        * F.sqrt(dot(F.col("b.c"), F.col("b.c")).cast("double"))
+    )
+    cents = pair.select(
+        "label",
+        F.col("a.n_vecs").alias("n_a"),
+        F.col("b.n_vecs").alias("n_b"),
+        F.floor(cos * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("centroid_cos_micro"),
+    )
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norms = (
+        base.select("label", "run", _norm(vec).alias("l2"))
+        .groupBy("label", "run")
+        .agg(
+            F.floor(F.avg("l2") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("mn")
+        )
+    )
+    na = norms.where(F.col("run") == "a").select(
+        "label", F.col("mn").alias("mean_norm_a_micro")
+    )
+    nb = norms.where(F.col("run") == "b").select(
+        "label", F.col("mn").alias("mean_norm_b_micro")
+    )
+    return (
+        cents.join(na, "label").join(nb, "label").orderBy("label")
+    )
+
+
+EMBEDDING_DRIFT_AUDIT_SQL = r"""
+WITH base AS (
+    SELECT label, embedding,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 2 = 0
+                THEN 'a' ELSE 'b' END AS run
+    FROM embeddings
+),
+exploded AS (
+    SELECT label, run,
+           unnest(generate_series(0, len(embedding) - 1)) AS dim,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM base
+),
+per_dim AS (
+    SELECT label, run, dim, avg(v) AS m, count(*) AS n
+    FROM exploded GROUP BY 1, 2, 3
+),
+cent AS (
+    SELECT label, run, CAST(max(n) AS BIGINT) AS n_vecs,
+           list(CAST(floor(m * 1000000 + 0.5) AS BIGINT) ORDER BY dim) AS c
+    FROM per_dim GROUP BY 1, 2
+),
+pair AS (
+    SELECT a.label, a.n_vecs AS n_a, b.n_vecs AS n_b,
+           list_aggregate(list_transform(
+               range(1, len(a.c) + 1), i -> a.c[i] * b.c[i]), 'sum')
+               AS dab,
+           list_aggregate(list_transform(a.c, x -> x * x), 'sum') AS daa,
+           list_aggregate(list_transform(b.c, x -> x * x), 'sum') AS dbb
+    FROM cent a JOIN cent b ON a.label = b.label
+    WHERE a.run = 'a' AND b.run = 'b'
+),
+cents AS (
+    SELECT label, n_a, n_b,
+           CAST(floor(CAST(dab AS DOUBLE)
+                / (sqrt(CAST(daa AS DOUBLE)) * sqrt(CAST(dbb AS DOUBLE)))
+                * 1000000 + 0.5) AS BIGINT) AS centroid_cos_micro
+    FROM pair
+),
+norms AS (
+    SELECT label, run,
+           CAST(floor(avg(sqrt(list_aggregate(list_transform(
+                list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                x -> x * x), 'sum'))) * 1000000 + 0.5) AS BIGINT) AS mn
+    FROM base GROUP BY 1, 2
+)
+SELECT c.label, c.n_a, c.n_b, c.centroid_cos_micro,
+       na.mn AS mean_norm_a_micro, nb.mn AS mean_norm_b_micro
+FROM cents c
+JOIN norms na ON na.label = c.label AND na.run = 'a'
+JOIN norms nb ON nb.label = c.label AND nb.run = 'b'
+ORDER BY c.label
+"""
+
+
 def _sqdist_lit_sql_expr(a: str, vec: list[float]) -> str:
     """Σ (a_i-b_i)² against a literal vector — SQL-text twin of the
     zip_with/aggregate double fold (same tree, one F.expr call)."""
