@@ -174,6 +174,78 @@ def incremental_dedup_candidates(
     )
 
 
+def band_buckets_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, band, bucket) MinHash-LSH band rows for any
+    documents frame — the unit the persisted dedup index stores."""
+    from parquet_extractor_spark.operators.dedup import (
+        _band_buckets,
+        signature_frame,
+    )
+
+    return _band_buckets(
+        signature_frame(docs, carry=("source",)), carry=("source",)
+    )
+
+
+def band_index_init(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Materialize the prior corpus' (v1) band index as snapshot 0 of
+    a VERSIONED table (sinks/versioned.py) — the long-lived artifact
+    an incremental pipeline maintains across crawl cycles. Idempotent
+    via the commit tag."""
+    from parquet_extractor_spark.sinks.versioned import commit_snapshot
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    index_docs = docs.where(h % 10 != 0)
+    return commit_snapshot(
+        band_buckets_for(index_docs), table_dir, mode="overwrite",
+        tag="base",
+    )
+
+
+def band_index_probe(
+    spark: SparkSession, table_dir: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Probe a crawl delta against the CURRENT snapshot of the
+    versioned band index: map-side signature+banding of the delta,
+    one (band, bucket) join against the index files — O(delta×bands)
+    per crawl, history never re-shingled. Returns (doc_new,
+    source_new, doc_prior, source_prior) distinct pairs."""
+    from parquet_extractor_spark.operators.dedup import band_join
+    from parquet_extractor_spark.sinks.versioned import read_snapshot
+
+    index = read_snapshot(spark, table_dir)
+    probe = band_buckets_for(delta_docs)
+    return (
+        band_join(probe, index, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("a.source").alias("source_new"),
+            F.col("b.doc_id").alias("doc_prior"),
+            F.col("b.source").alias("source_prior"),
+        )
+        .distinct()
+        .orderBy("doc_new", "doc_prior")
+    )
+
+
+def band_index_append(
+    spark: SparkSession,
+    table_dir: str,
+    delta_docs: DataFrame,
+    tag: str,
+) -> int:
+    """After a delta is accepted into the corpus, append ITS band
+    rows to the index as a new snapshot (immutable data files; the
+    manifest union is the index update — no rewrite of history).
+    The tag makes re-runs of the same crawl cycle no-ops."""
+    from parquet_extractor_spark.sinks.versioned import commit_snapshot
+
+    return commit_snapshot(
+        band_buckets_for(delta_docs), table_dir, mode="append", tag=tag
+    )
+
+
 def _incremental_dedup_oracle() -> str:
     """DuckDB oracle: the same snapshot split, MinHash, and banding,
     with side ('index'/'delta') carried through one shared shingle →

@@ -144,3 +144,58 @@ def test_versioned_table_stream_commits_epochs(spark, sf_small, tmp_path):
     assert all(m["tag"].startswith("epoch-") for m in log)
     n_docs = load_table(spark, sf_small, "documents").count()
     assert read_snapshot(spark, t).count() == n_docs
+
+
+def test_band_index_lifecycle_matches_recompute(spark, sf_small, tmp_path):
+    """The versioned LSH band index supports the full crawl cycle:
+    init from the prior corpus, probe a delta (must equal the
+    one-shot incremental_dedup_candidates), append the delta, then a
+    SECOND crawl's probe sees both the original corpus and the first
+    delta."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.functions.text import portable_hash64
+    from parquet_extractor_spark.operators.versioning import (
+        band_index_append,
+        band_index_init,
+        band_index_probe,
+        incremental_dedup_candidates,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    t = str(tmp_path / "band_index")
+    assert band_index_init(spark, sf_small, t) == 0
+    assert band_index_init(spark, sf_small, t) == 0  # idempotent
+
+    docs = load_table(spark, sf_small, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    delta1 = docs.where(h % 10 == 0)
+    probe1 = band_index_probe(spark, t, delta1).collect()
+    oneshot = incremental_dedup_candidates(spark, sf_small).collect()
+    assert sorted(map(tuple, probe1)) == sorted(map(tuple, oneshot))
+
+    v = band_index_append(spark, t, delta1, tag="crawl-1")
+    assert v == 1
+    assert band_index_append(spark, t, delta1, tag="crawl-1") == 1
+
+    # second crawl: the decile v1 dropped — absent from both tiers
+    delta2 = docs.where(h % 10 == 9)
+    probe2 = band_index_probe(spark, t, delta2)
+    prior_ids = {r.doc_prior for r in probe2.collect()}
+    d1_ids = {r.doc_id for r in delta1.select("doc_id").collect()}
+    idx_ids = {
+        r.doc_id
+        for r in docs.where(h % 10 != 0).select("doc_id").collect()
+    }
+    assert prior_ids <= (d1_ids | idx_ids)
+    # the appended delta is genuinely probe-visible: an exact dup of
+    # a delta-1 doc planted as a fake second-crawl row must hit it
+    fake = delta1.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("recrawl").alias("source"),
+        "n_chars",
+    )
+    hits = band_index_probe(spark, t, fake).collect()
+    assert any(r.doc_prior in d1_ids for r in hits)
