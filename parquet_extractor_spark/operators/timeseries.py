@@ -776,6 +776,88 @@ ORDER BY event_type, day_epoch
 """
 
 
+def events_rolling_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU / trailing-7-day active users / stickiness per day — the
+    product-analytics staple that needs a rolling DISTINCT (a plain
+    window can't dedup users across days).
+
+    Shape: reduce once to the DISTINCT (day, user) table, then (a)
+    DAU is a count per day, and (b) each row fans out to the 7 days
+    it keeps its user "active" for (explode of a 7-element sequence,
+    map-side), so WAU7 is one count_distinct per target day — the
+    standard exact formulation. Shuffle is bounded by
+    active-(day,user) pairs × 7, never raw events. At 100 TB the
+    swap-in is a per-day HLL sketch union over the trailing window
+    (events_approx_users' sketch, merged 7-wise) — same plan shape,
+    constant state.
+
+    Output: (day_epoch, dau, wau7, stickiness_micro = ⌊dau·1e6/wau7⌋).
+    Only days observed in the data appear (inner join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch"),
+        "user_id",
+    ).distinct()
+    dau = du.groupBy("day_epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    fan = du.select(
+        "day_epoch",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    ).select(
+        (F.col("day_epoch") + F.col("o") * 86400).alias("day_epoch"),
+        "user_id",
+    )
+    wau = fan.groupBy("day_epoch").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau7")
+    )
+    return (
+        dau.join(wau, "day_epoch")
+        .select(
+            "day_epoch",
+            "dau",
+            "wau7",
+            F.floor(
+                F.col("dau") * F.lit(1_000_000).cast("double")
+                / F.col("wau7")
+            )
+            .cast("bigint")
+            .alias("stickiness_micro"),
+        )
+        .orderBy("day_epoch")
+    )
+
+
+EVENTS_ROLLING_ACTIVE_USERS_SQL = r"""
+WITH du AS (
+    SELECT DISTINCT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+           user_id
+    FROM events
+),
+dau AS (
+    SELECT day_epoch, CAST(count(*) AS BIGINT) AS dau
+    FROM du GROUP BY 1
+),
+fan AS (
+    SELECT day_epoch + o * 86400 AS day_epoch, user_id
+    FROM du, unnest(range(0, 7)) AS t(o)
+),
+wau AS (
+    SELECT day_epoch, CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+    FROM fan GROUP BY 1
+)
+SELECT d.day_epoch, d.dau, w.wau7,
+       CAST(floor(d.dau * 1000000.0 / w.wau7) AS BIGINT)
+           AS stickiness_micro
+FROM dau d JOIN wau w USING (day_epoch)
+ORDER BY day_epoch
+"""
+
+
 # Volume anomaly ranking: the days whose event count deviates most
 # from the trailing window's mean. Deviation is an integer micro-unit
 # ratio (floor(|n·trail_n − trail_sum|·1e6 / trail_sum) — every input
