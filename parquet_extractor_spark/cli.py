@@ -37,6 +37,18 @@ def build_parser() -> argparse.ArgumentParser:
     # optional doc cap, mirroring api.py:539-541
     an.add_argument("--limit", type=int, default=None)
 
+    pr = sub.add_parser(
+        "profile",
+        help="Deequ-style per-column quality profile of one table "
+        "(completeness, distinctness, typed min/max, length stats) "
+        "in a single scan",
+    )
+    pr.add_argument("sf_dir", help="fixture dir containing the parquet tables")
+    pr.add_argument("--table", default="events",
+                    help="table name (default events)")
+    pr.add_argument("--approx", action="store_true",
+                    help="HLL distinct counts (the corpus-scale mode)")
+
     cu = sub.add_parser(
         "curate", help="quality → dedup → chunk → partitioned parquet"
     )
@@ -186,7 +198,7 @@ def main(argv: list[str] | None = None) -> int:
     # legacy positional fallback (main.py:236-237): a bare FILE argument
     # is treated as `parquet FILE`
     known = {
-        "parquet", "cisi", "analyze", "curate", "sql", "select",
+        "parquet", "cisi", "analyze", "profile", "curate", "sql", "select",
         "dedup", "export", "search", "explain", "datacard",
         "train-classifier", "pdfingest", "warcingest",
     }
@@ -226,6 +238,17 @@ def main(argv: list[str] | None = None) -> int:
 
         row = corpus_stats(spark, args.sf_dir, limit=args.limit).first()
         print(json.dumps(row.asDict()))
+        return 0
+
+    if args.command == "profile":
+        from parquet_extractor_spark.operators.profiling import (
+            column_profile,
+        )
+        from parquet_extractor_spark.sources.tables import load_table
+
+        table = load_table(spark, args.sf_dir, args.table)
+        for row in column_profile(table, exact=not args.approx).collect():
+            print(json.dumps(row.asDict()))
         return 0
 
     if args.command == "select":

@@ -95,3 +95,19 @@ def test_orders_constraints_pass_on_fixture_and_catch_violations(
     assert v["o_orderdate_in_window"] == 2
     # null FK rows do not join customer: they are orphans too
     assert v["o_custkey_references_customer"] == 2
+
+
+def test_cli_profile(spark, sf_small, capsys):
+    import json
+
+    from parquet_extractor_spark.cli import main as cli_main
+
+    rc = cli_main(["profile", sf_small, "--table", "orders"])
+    assert rc == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["column"] for r in rows} == {
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    }
+    assert all(r["n_nulls"] == 0 for r in rows)
