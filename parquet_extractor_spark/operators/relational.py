@@ -853,3 +853,123 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name
 """
+
+
+def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (Agrawal &
+    Srikant's Apriori output shape at the pair level): for brand pairs
+    co-purchased in the same order, directional support / confidence /
+    lift. The retail cousin of pmi_top_pairs — co-occurrence lift over
+    transactions instead of token windows.
+
+    Scale shape: baskets are (order, brand) DISTINCT pairs — the part
+    dim joins in as a broadcast; pair generation is a self-join on
+    l_orderkey where each side of any order holds ≤ basket-size rows
+    (TPC-H: ≤ 13), so the join output is bounded by orders × B², never
+    a cross product. Counts roll up with partial aggs keyed by the
+    bounded brand² space; the total-orders and per-brand tables are
+    1-row / |brands|-row broadcasts. All three metrics are integer
+    micro-units computed with BIGINT division (`div`) so both engines
+    agree bit-for-bit — no float in the metric path.
+
+    Output: (antecedent, consequent, pair_orders, support_micro,
+    confidence_micro, lift_micro) for pairs seen in ≥ 3 orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    total = baskets.select(
+        F.count_distinct("l_orderkey").cast("bigint").alias("total_orders")
+    )
+    item = baskets.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("brand_orders")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") != F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("antecedent"),
+            F.col("b.brand").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_orders"))
+        .where(F.col("pair_orders") >= 3)
+    )
+    ant = item.select(
+        F.col("brand").alias("antecedent"),
+        F.col("brand_orders").alias("ant_orders"),
+    )
+    cons = item.select(
+        F.col("brand").alias("consequent"),
+        F.col("brand_orders").alias("cons_orders"),
+    )
+    return (
+        pairs.join(F.broadcast(ant), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_orders",
+            F.expr("pair_orders * 1000000 div total_orders")
+            .cast("bigint")
+            .alias("support_micro"),
+            F.expr("pair_orders * 1000000 div ant_orders")
+            .cast("bigint")
+            .alias("confidence_micro"),
+            F.expr(
+                "pair_orders * total_orders * 1000000"
+                " div (ant_orders * cons_orders)"
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+PART_AFFINITY_RULES_SQL = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, p_brand AS brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+total AS (
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total_orders
+    FROM baskets
+),
+item AS (
+    SELECT brand, CAST(count(*) AS BIGINT) AS brand_orders
+    FROM baskets GROUP BY brand
+),
+pairs AS (
+    SELECT a.brand AS antecedent, b.brand AS consequent,
+           CAST(count(*) AS BIGINT) AS pair_orders
+    FROM baskets a
+    JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                   AND a.brand != b.brand
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+)
+SELECT antecedent, consequent, pair_orders,
+       CAST(pair_orders * 1000000 // total_orders AS BIGINT)
+           AS support_micro,
+       CAST(pair_orders * 1000000 // ant.brand_orders AS BIGINT)
+           AS confidence_micro,
+       CAST(pair_orders * total_orders * 1000000
+            // (ant.brand_orders * cons.brand_orders) AS BIGINT)
+           AS lift_micro
+FROM pairs
+JOIN item ant ON ant.brand = antecedent
+JOIN item cons ON cons.brand = consequent
+CROSS JOIN total
+ORDER BY antecedent, consequent
+"""
