@@ -973,3 +973,121 @@ JOIN item cons ON cons.brand = consequent
 CROSS JOIN total
 ORDER BY antecedent, consequent
 """
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Hughes' recency/frequency/monetary recipe):
+    per-customer last-order epoch, order count, and lifetime spend,
+    each scored 1-4 against its own quartile cutoffs, plus a coarse
+    segment label.
+
+    Scale-safe scoring: a global ``ntile`` would total-sort customers
+    through one partition; instead the nine quartile cutoffs (3
+    metrics × 3 quantiles) are ONE broadcast 1-row aggregate and each
+    score is a map-side comparison (the curriculum_phases shape).
+    Spend folds to integer micro-units per row BEFORE summing so the
+    aggregate is order-independent and engine-exact.
+
+    Output: (o_custkey, last_order_epoch, n_orders, spend_micro,
+    r_score, f_score, m_score, segment), one row per customer with
+    orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate"))
+        .cast("bigint")
+        .alias("last_order_epoch"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_micro"),
+    )
+    metrics = ("last_order_epoch", "n_orders", "spend_micro")
+    cuts = per_cust.agg(
+        *[
+            F.percentile(F.col(m).cast("double"), F.lit(q)).alias(
+                f"{m}_c{int(q * 100)}"
+            )
+            for m in metrics
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(m: str) -> F.Column:
+        return (
+            F.lit(1)
+            + (F.col(m) > F.col(f"{m}_c25")).cast("int")
+            + (F.col(m) > F.col(f"{m}_c50")).cast("int")
+            + (F.col(m) > F.col(f"{m}_c75")).cast("int")
+        ).cast("bigint")
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        "last_order_epoch",
+        "n_orders",
+        "spend_micro",
+        score("last_order_epoch").alias("r_score"),
+        score("n_orders").alias("f_score"),
+        score("spend_micro").alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 3)
+            & (F.col("f_score") >= 3)
+            & (F.col("m_score") >= 3),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "recent")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", segment).orderBy("o_custkey")
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(floor(epoch(max(o_orderdate))) AS BIGINT)
+               AS last_order_epoch,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+               AS BIGINT) AS spend_micro
+    FROM orders
+    GROUP BY o_custkey
+),
+cuts AS (
+    SELECT
+      quantile_cont(CAST(last_order_epoch AS DOUBLE), 0.25) AS r_c25,
+      quantile_cont(CAST(last_order_epoch AS DOUBLE), 0.5)  AS r_c50,
+      quantile_cont(CAST(last_order_epoch AS DOUBLE), 0.75) AS r_c75,
+      quantile_cont(CAST(n_orders AS DOUBLE), 0.25) AS f_c25,
+      quantile_cont(CAST(n_orders AS DOUBLE), 0.5)  AS f_c50,
+      quantile_cont(CAST(n_orders AS DOUBLE), 0.75) AS f_c75,
+      quantile_cont(CAST(spend_micro AS DOUBLE), 0.25) AS m_c25,
+      quantile_cont(CAST(spend_micro AS DOUBLE), 0.5)  AS m_c50,
+      quantile_cont(CAST(spend_micro AS DOUBLE), 0.75) AS m_c75
+    FROM per_cust
+),
+scored AS (
+    SELECT o_custkey, last_order_epoch, n_orders, spend_micro,
+           CAST(1 + CAST(last_order_epoch > r_c25 AS INT)
+                  + CAST(last_order_epoch > r_c50 AS INT)
+                  + CAST(last_order_epoch > r_c75 AS INT) AS BIGINT)
+               AS r_score,
+           CAST(1 + CAST(n_orders > f_c25 AS INT)
+                  + CAST(n_orders > f_c50 AS INT)
+                  + CAST(n_orders > f_c75 AS INT) AS BIGINT) AS f_score,
+           CAST(1 + CAST(spend_micro > m_c25 AS INT)
+                  + CAST(spend_micro > m_c50 AS INT)
+                  + CAST(spend_micro > m_c75 AS INT) AS BIGINT) AS m_score
+    FROM per_cust, cuts
+)
+SELECT *,
+       CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+                THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score >= 3 AND f_score <= 2 THEN 'recent'
+            ELSE 'regular' END AS segment
+FROM scored
+ORDER BY o_custkey
+"""
