@@ -1023,3 +1023,90 @@ SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
 FROM counts
 ORDER BY prev_type, next_type
 """
+
+
+def events_rolling_active_users_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB form of events_rolling_active_users: per-day
+    Datasketches HLL sketches of the user set, UNIONED over the
+    trailing 7-day window — rolling distinct from constant-size
+    mergeable state instead of re-deduping users per window.
+
+    Plan: one agg builds a fixed-size sketch per day
+    (``hll_sketch_agg``, map-side partial merge); the |days|-row
+    sketch table fans out ×7 and ``hll_union_agg`` merges per target
+    day. Shuffle after the first agg is days × 7 sketch rows —
+    independent of user count, the property the exact form lacks.
+
+    Sketch estimates aren't bit-identical across engines, so (the
+    events_approx_users pattern) each engine computes its OWN
+    estimate next to the exact rolling distinct and emits the
+    deterministic verdict ``hll_within_5pct`` (Datasketches lgK=12
+    ≈ 1.6% rse; DuckDB's HLL is tighter) — exact count and verdict
+    hash-match while the sketch-merge path stays genuinely exercised.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_epoch")
+    du = ev.select(day, "user_id").distinct()
+    fan_exact = du.select(
+        "day_epoch", "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    ).select(
+        (F.col("day_epoch") + F.col("o") * 86400).alias("day_epoch"),
+        "user_id",
+    )
+    exact = fan_exact.groupBy("day_epoch").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau7")
+    )
+    daily_sk = ev.select(day, "user_id").groupBy("day_epoch").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    fan_sk = daily_sk.select(
+        "day_epoch", "sk",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    ).select(
+        (F.col("day_epoch") + F.col("o") * 86400).alias("day_epoch"),
+        "sk",
+    )
+    est = fan_sk.groupBy("day_epoch").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    observed = du.select("day_epoch").distinct()
+    return (
+        observed.join(exact, "day_epoch")
+        .join(est, "day_epoch")
+        .select(
+            "day_epoch",
+            "wau7",
+            (
+                F.abs(F.col("_est") - F.col("wau7"))
+                <= 0.05 * F.col("wau7")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("day_epoch")
+    )
+
+
+EVENTS_ROLLING_ACTIVE_USERS_HLL_SQL = r"""
+WITH du AS (
+    SELECT DISTINCT epoch(date_trunc('day', ts))::BIGINT AS day_epoch,
+           user_id
+    FROM events
+),
+fan AS (
+    SELECT day_epoch + o * 86400 AS day_epoch, user_id
+    FROM du, unnest(range(0, 7)) AS t(o)
+),
+rolled AS (
+    SELECT day_epoch,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau7,
+           approx_count_distinct(user_id) AS est
+    FROM fan GROUP BY 1
+)
+SELECT r.day_epoch, r.wau7,
+       abs(r.est - r.wau7) <= 0.05 * r.wau7 AS hll_within_5pct
+FROM rolled r
+JOIN (SELECT DISTINCT day_epoch FROM du) d USING (day_epoch)
+ORDER BY day_epoch
+"""
