@@ -174,6 +174,139 @@ def incremental_dedup_candidates(
     )
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history (Kimball's warehouse
+    recipe — the MERGE INTO semantics table formats provide, expressed
+    as one declarative plan with no table format): given two versions
+    of the customer dimension, emit the versioned history with
+    validity ranges and a current flag.
+
+    The two versions derive deterministically from the fixture (the
+    corpus_version_diff membership pattern, keyed on the portable
+    custkey hash): v2 drops hash-decile 9, adds decile 0, and revises
+    c_mktsegment where hash ≡ 0 (mod 7). History semantics per key:
+    unchanged → one row valid [1, ∞); modified → the v1 row closes at
+    2 and a v2 row opens at 2; added → a v2 row opens at 2; removed →
+    the v1 row closes at 2.
+
+    Scale shape: ONE full-outer join on the dimension key (AQE
+    re-plans skew), attributes reduced map-side to a digest for the
+    change test, and the history rows come from exploding at most two
+    version structs per key — output ≤ 2 rows/key, no window, no
+    second scan. At 100 TB this runs per snapshot pair exactly once
+    and appends to a versioned table (sinks/versioned.py).
+
+    Output: (c_custkey, version, c_mktsegment, acctbal_micro,
+    valid_from_version, valid_to_version (NULL = current),
+    is_current), ordered.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    h = portable_hash64(F.col("c_custkey").cast("string"))
+    acct = F.floor(F.col("c_acctbal") * 1_000_000).cast("bigint")
+    v1 = cust.where(h % 10 != 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        acct.alias("acct_micro"),
+    )
+    v2 = cust.where(h % 10 != 9).select(
+        "c_custkey",
+        F.when(h % 7 == 0, F.concat(F.col("c_mktsegment"), F.lit("_V2")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        acct.alias("acct_micro"),
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.c_custkey") == F.col("b.c_custkey"),
+        "full_outer",
+    )
+    in1 = F.col("a.c_custkey").isNotNull()
+    in2 = F.col("b.c_custkey").isNotNull()
+    changed = in1 & in2 & (F.col("a.seg") != F.col("b.seg"))
+
+    def vrow(version, seg, acct_c, vfrom, vto):
+        return F.struct(
+            F.lit(version).cast("bigint").alias("version"),
+            seg.alias("c_mktsegment"),
+            acct_c.alias("acctbal_micro"),
+            F.lit(vfrom).cast("bigint").alias("valid_from_version"),
+            (F.lit(vto).cast("bigint") if vto is not None
+             else F.lit(None).cast("bigint")).alias("valid_to_version"),
+        )
+
+    r1_closed = vrow(1, F.col("a.seg"), F.col("a.acct_micro"), 1, 2)
+    r1_open = vrow(1, F.col("a.seg"), F.col("a.acct_micro"), 1, None)
+    r2_open = vrow(2, F.col("b.seg"), F.col("b.acct_micro"), 2, None)
+    rows = (
+        F.when(changed, F.array(r1_closed, r2_open))
+        .when(in1 & in2, F.array(r1_open))           # unchanged
+        .when(in1 & ~in2, F.array(r1_closed))        # removed
+        .otherwise(F.array(r2_open))                 # added
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.c_custkey"), F.col("b.c_custkey")).alias(
+                "c_custkey"
+            ),
+            F.explode(rows).alias("r"),
+        )
+        .select(
+            "c_custkey",
+            "r.version",
+            "r.c_mktsegment",
+            "r.acctbal_micro",
+            "r.valid_from_version",
+            "r.valid_to_version",
+            F.col("r.valid_to_version").isNull().alias("is_current"),
+        )
+        .orderBy("c_custkey", "version")
+    )
+
+
+SCD2_CUSTOMER_HISTORY_SQL = """
+WITH hashed AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(floor(c_acctbal * 1000000) AS BIGINT) AS acct_micro,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+    FROM customer
+),
+v1 AS (
+    SELECT c_custkey, c_mktsegment AS seg, acct_micro
+    FROM hashed WHERE h % 10 != 0
+),
+v2 AS (
+    SELECT c_custkey,
+           CASE WHEN h % 7 = 0 THEN c_mktsegment || '_V2'
+                ELSE c_mktsegment END AS seg,
+           acct_micro
+    FROM hashed WHERE h % 10 != 9
+),
+j AS (
+    SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+           a.c_custkey IS NOT NULL AS in1,
+           b.c_custkey IS NOT NULL AS in2,
+           a.seg AS seg1, a.acct_micro AS acct1,
+           b.seg AS seg2, b.acct_micro AS acct2
+    FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+),
+hist AS (
+    -- v1 row: closed when changed or removed, open when unchanged
+    SELECT c_custkey, CAST(1 AS BIGINT) AS version, seg1 AS c_mktsegment,
+           acct1 AS acctbal_micro, CAST(1 AS BIGINT) AS valid_from_version,
+           CASE WHEN NOT in2 OR seg1 != seg2 THEN CAST(2 AS BIGINT) END
+               AS valid_to_version
+    FROM j WHERE in1
+    UNION ALL
+    -- v2 row: only when added or changed
+    SELECT c_custkey, 2, seg2, acct2, 2, NULL
+    FROM j WHERE in2 AND (NOT in1 OR seg1 != seg2)
+)
+SELECT *, valid_to_version IS NULL AS is_current
+FROM hist
+ORDER BY c_custkey, version
+"""
+
+
 def band_buckets_for(docs: DataFrame) -> DataFrame:
     """(doc_id, source, band, bucket) MinHash-LSH band rows for any
     documents frame — the unit the persisted dedup index stores."""
