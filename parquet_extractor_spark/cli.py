@@ -49,6 +49,25 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--approx", action="store_true",
                     help="HLL distinct counts (the corpus-scale mode)")
 
+    tb = sub.add_parser(
+        "table",
+        help="operate on a snapshot-versioned table (sinks/versioned.py)",
+    )
+    tb.add_argument(
+        "action", choices=["log", "read", "compact", "expire"],
+        help="log: print the snapshot manifests; read: print rows "
+        "(latest or --version K); compact: rewrite the latest "
+        "snapshot into fewer files as a new snapshot; expire: drop "
+        "all but --keep-last snapshots and GC unreferenced files",
+    )
+    tb.add_argument("table_dir", help="versioned table directory")
+    tb.add_argument("--version", type=int, default=None,
+                    help="snapshot id for read (default latest)")
+    tb.add_argument("--keep-last", type=int, default=1,
+                    help="snapshots to keep on expire (default 1)")
+    tb.add_argument("--limit", type=int, default=20,
+                    help="max rows printed by read (default 20)")
+
     cu = sub.add_parser(
         "curate", help="quality → dedup → chunk → partitioned parquet"
     )
@@ -198,7 +217,8 @@ def main(argv: list[str] | None = None) -> int:
     # legacy positional fallback (main.py:236-237): a bare FILE argument
     # is treated as `parquet FILE`
     known = {
-        "parquet", "cisi", "analyze", "profile", "curate", "sql", "select",
+        "parquet", "cisi", "analyze", "profile", "table", "curate",
+        "sql", "select",
         "dedup", "export", "search", "explain", "datacard",
         "train-classifier", "pdfingest", "warcingest",
     }
@@ -333,6 +353,33 @@ def main(argv: list[str] | None = None) -> int:
             if d.get("text"):
                 d["text"] = d["text"][:160]
             print(json.dumps(d, default=str))
+        return 0
+
+    if args.command == "table":
+        from parquet_extractor_spark.sinks import versioned
+
+        if args.action == "log":
+            for m in versioned.snapshots(args.table_dir):
+                print(json.dumps({k: v for k, v in m.items()
+                                  if k != "files"} | {
+                    "n_files": m["n_files"]}))
+            return 0
+        if args.action == "read":
+            df = versioned.read_snapshot(
+                spark, args.table_dir, version=args.version
+            )
+            for row in df.limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
+            return 0
+        if args.action == "compact":
+            v = versioned.compact_snapshot(spark, args.table_dir)
+            print(json.dumps({"committed_snapshot": v}))
+            return 0
+        print(json.dumps(
+            versioned.expire_snapshots(
+                args.table_dir, keep_last=args.keep_last
+            )
+        ))
         return 0
 
     if args.command == "warcingest":

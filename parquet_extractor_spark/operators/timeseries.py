@@ -1110,3 +1110,66 @@ FROM rolled r
 JOIN (SELECT DISTINCT day_epoch FROM du) d USING (day_epoch)
 ORDER BY day_epoch
 """
+
+
+def conversion_time_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """View→purchase conversion-latency distribution per purchase
+    day: how long after the last view the purchase happened — the
+    p25/p50/p75 report a growth team reads next to the funnel.
+
+    Builds on the as-of join (asof_view_before_purchase: ONE shuffle
+    on user_id, no range explosion); the day roll-up requests all
+    three exact interpolated quantiles as ONE percentile array (a
+    single per-group sorted buffer), rounded half-up to integer
+    micro-seconds so both engines hash identically.
+    """
+    pairs = asof_view_before_purchase(spark, sf_dir).where(
+        F.col("gap_seconds").isNotNull()
+    )
+    day = (
+        F.col("purchase_epoch") - F.col("purchase_epoch") % 86400
+    ).alias("day_epoch")
+    g = pairs.groupBy(day).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.percentile(
+            F.col("gap_seconds").cast("double"),
+            F.lit([0.25, 0.5, 0.75]),
+        ).alias("q"),
+    )
+    micro = lambda c: (  # noqa: E731 — shared half-up micro rule
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    )
+    return g.select(
+        "day_epoch",
+        "n_conversions",
+        micro(F.col("q")[0]).alias("p25_gap_micro"),
+        micro(F.col("q")[1]).alias("p50_gap_micro"),
+        micro(F.col("q")[2]).alias("p75_gap_micro"),
+    ).orderBy("day_epoch")
+
+
+def _conversion_quantiles_oracle() -> str:
+    base = ASOF_SQL.replace("ORDER BY event_id", "").strip()
+    return f"""
+WITH pairs AS ({base})
+SELECT day_epoch,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(floor(quantile_cont(CAST(gap_seconds AS DOUBLE), 0.25)
+            * 1000000 + 0.5) AS BIGINT) AS p25_gap_micro,
+       CAST(floor(quantile_cont(CAST(gap_seconds AS DOUBLE), 0.5)
+            * 1000000 + 0.5) AS BIGINT) AS p50_gap_micro,
+       CAST(floor(quantile_cont(CAST(gap_seconds AS DOUBLE), 0.75)
+            * 1000000 + 0.5) AS BIGINT) AS p75_gap_micro
+FROM (
+    SELECT purchase_epoch - purchase_epoch % 86400 AS day_epoch,
+           gap_seconds
+    FROM pairs WHERE gap_seconds IS NOT NULL
+)
+GROUP BY day_epoch
+ORDER BY day_epoch
+"""
+
+
+CONVERSION_TIME_QUANTILES_SQL = _conversion_quantiles_oracle()

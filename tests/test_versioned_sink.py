@@ -199,3 +199,32 @@ def test_band_index_lifecycle_matches_recompute(spark, sf_small, tmp_path):
     )
     hits = band_index_probe(spark, t, fake).collect()
     assert any(r.doc_prior in d1_ids for r in hits)
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    import json
+
+    from parquet_extractor_spark.cli import main as cli_main
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 6).repartition(4), t)
+    commit_snapshot(_df(spark, 6, 9), t, mode="append")
+
+    assert cli_main(["table", "log", t]) == 0
+    log = [json.loads(ln) for ln in
+           capsys.readouterr().out.strip().splitlines()]
+    assert [m["snapshot"] for m in log] == [0, 1]
+
+    assert cli_main(["table", "read", t, "--version", "0",
+                     "--limit", "100"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["id"] for r in rows) == list(range(6))
+
+    assert cli_main(["table", "compact", t]) == 0
+    assert json.loads(capsys.readouterr().out)["committed_snapshot"] == 2
+
+    assert cli_main(["table", "expire", t, "--keep-last", "1"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["expired_snapshots"] == 2
+    assert _ids(read_snapshot(spark, t)) == list(range(9))
