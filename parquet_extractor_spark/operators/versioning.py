@@ -379,6 +379,46 @@ def band_index_append(
     )
 
 
+def ingest_crawl_cycle(
+    spark: SparkSession,
+    delta_docs: DataFrame,
+    corpus_table: str,
+    index_table: str,
+    tag: str,
+) -> dict:
+    """One full incremental-ingest cycle of a rolling corpus pipeline,
+    composed from the pieces above: probe the crawl delta against the
+    versioned LSH band index, drop near-duplicates of anything already
+    in the corpus, append the NOVEL documents to the snapshot-versioned
+    corpus table, and append their band rows to the index — both
+    commits idempotent under ``tag``, so replaying a crashed cycle
+    cannot double-ingest.
+
+    Scale shape: the probe is O(delta × bands) against the static
+    index (see band_index_probe); the novelty filter is one left-anti
+    join on doc_id; the two commits are distributed parquet writes
+    plus KB-sized manifest links. Only the summary counts hop to the
+    driver. History (corpus and index alike) stays time-travelable.
+    """
+    from parquet_extractor_spark.sinks.versioned import commit_snapshot
+
+    pairs = band_index_probe(spark, index_table, delta_docs)
+    dup_ids = pairs.select(F.col("doc_new").alias("doc_id")).distinct()
+    novel = delta_docs.join(dup_ids, "doc_id", "left_anti")
+    n_delta = delta_docs.count()
+    n_novel = novel.count()
+    corpus_v = commit_snapshot(novel, corpus_table, mode="append", tag=tag)
+    index_v = band_index_append(spark, index_table, novel, tag=tag)
+    return {
+        "tag": tag,
+        "delta_docs": n_delta,
+        "novel_docs": n_novel,
+        "near_dup_docs": n_delta - n_novel,
+        "corpus_snapshot": corpus_v,
+        "index_snapshot": index_v,
+    }
+
+
 def _incremental_dedup_oracle() -> str:
     """DuckDB oracle: the same snapshot split, MinHash, and banding,
     with side ('index'/'delta') carried through one shared shingle →

@@ -228,3 +228,62 @@ def test_cli_table_lifecycle(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out)
     assert res["expired_snapshots"] == 2
     assert _ids(read_snapshot(spark, t)) == list(range(9))
+
+
+def test_ingest_crawl_cycle_end_to_end(spark, sf_small, tmp_path):
+    """Full rolling-pipeline cycle: near-dups of the existing corpus
+    are dropped, novel docs land in BOTH versioned tables, a replay
+    of the same tag is a no-op, and a later cycle sees the earlier
+    cycle's docs through the updated index."""
+    from pyspark.sql import functions as F
+
+    from parquet_extractor_spark.functions.text import portable_hash64
+    from parquet_extractor_spark.operators.versioning import (
+        band_index_init,
+        ingest_crawl_cycle,
+    )
+    from parquet_extractor_spark.sinks.versioned import (
+        commit_snapshot as commit,
+        read_snapshot as read,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    corpus_t = str(tmp_path / "corpus")
+    index_t = str(tmp_path / "index")
+    docs = load_table(spark, sf_small, "documents")
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    v1 = docs.where(h % 10 != 0)
+    commit(v1, corpus_t, mode="overwrite", tag="base")
+    band_index_init(spark, sf_small, index_t)
+    n_v1 = v1.count()
+
+    delta1 = docs.where(h % 10 == 0)
+    res1 = ingest_crawl_cycle(spark, delta1, corpus_t, index_t, "crawl-1")
+    assert res1["delta_docs"] == delta1.count()
+    assert res1["novel_docs"] + res1["near_dup_docs"] == res1["delta_docs"]
+    assert read(spark, corpus_t).count() == n_v1 + res1["novel_docs"]
+
+    # replay: identical snapshots, no double-ingest
+    res1b = ingest_crawl_cycle(spark, delta1, corpus_t, index_t, "crawl-1")
+    assert res1b["corpus_snapshot"] == res1["corpus_snapshot"]
+    assert res1b["index_snapshot"] == res1["index_snapshot"]
+    assert read(spark, corpus_t).count() == n_v1 + res1["novel_docs"]
+
+    # cycle 2: exact re-crawls of cycle-1 NOVEL docs must now be
+    # caught by the index that cycle 1 appended to
+    novel1 = delta1.join(
+        read(spark, corpus_t).select("doc_id"), "doc_id", "left_semi"
+    )
+    recrawl = novel1.limit(2).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        "text", "lang",
+        F.lit("recrawl").alias("source"),
+        "n_chars",
+    )
+    res2 = ingest_crawl_cycle(spark, recrawl, corpus_t, index_t, "crawl-2")
+    assert res2["near_dup_docs"] == res2["delta_docs"] == 2
+    assert res2["novel_docs"] == 0
+    # time travel: the pre-cycle-2 corpus is intact at its snapshot
+    assert read(
+        spark, corpus_t, version=res1["corpus_snapshot"]
+    ).count() == n_v1 + res1["novel_docs"]
