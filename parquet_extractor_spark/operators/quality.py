@@ -1286,3 +1286,61 @@ SELECT doc_id, lang,
 FROM per_doc
 ORDER BY doc_id
 """
+
+
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    fixture's ground-truth lang labels — the eval a pipeline runs
+    before trusting a classifier as a routing/filter signal (the
+    model-eval cousin of lsh_quality_eval and media_neardup_eval).
+
+    Rides language_id's map-side prediction; the matrix is one
+    partial+final agg on the (actual, predicted) pair — output
+    bounded by |langs|², with per-actual recall in integer
+    micro-units from a broadcast per-actual total.
+    """
+    preds = language_id(spark, sf_dir).select(
+        F.col("lang").alias("actual"), "pred_lang"
+    )
+    cells = preds.groupBy("actual", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = preds.groupBy("actual").agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual_total")
+    )
+    return (
+        cells.join(F.broadcast(totals), "actual")
+        .select(
+            "actual",
+            "pred_lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 div actual_total")
+            .cast("bigint")
+            .alias("share_of_actual_micro"),
+        )
+        .orderBy("actual", "pred_lang")
+    )
+
+
+def _language_id_confusion_oracle() -> str:
+    base = LANGUAGE_ID_SQL.replace("ORDER BY doc_id", "").strip()
+    return f"""
+WITH preds AS ({base}),
+cells AS (
+    SELECT lang AS actual, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM preds GROUP BY 1, 2
+),
+totals AS (
+    SELECT lang AS actual, CAST(count(*) AS BIGINT) AS actual_total
+    FROM preds GROUP BY 1
+)
+SELECT c.actual, c.pred_lang, c.n_docs,
+       CAST(c.n_docs * 1000000 // t.actual_total AS BIGINT)
+           AS share_of_actual_micro
+FROM cells c JOIN totals t ON c.actual = t.actual
+ORDER BY c.actual, c.pred_lang
+"""
+
+
+LANGUAGE_ID_CONFUSION_SQL = _language_id_confusion_oracle()

@@ -1091,3 +1091,75 @@ SELECT *,
 FROM scored
 ORDER BY o_custkey
 """
+
+
+def supplier_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-chain concentration: the Herfindahl–Hirschman index of
+    supplier quantity share per part type — the single-number "how
+    fragile is this part's supply" risk signal (HHI ≥ 2500 micro-scale
+    = concentrated, the DOJ threshold).
+
+    Exactness across engines: per-(type, supplier) quantity folds to
+    integer units map-side; shares are BIGINT `div` micro-units and
+    the HHI is Σ share² div 1e6 — pure integer arithmetic end to end.
+    Shape: two stacked partial+final aggs (supplier level, then type
+    level) with the part dim broadcast into the lineitem scan; no
+    windows, no self-joins. Output: one row per part type.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    per_supp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty")
+        )
+    )
+    return (
+        per_supp.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("qty").cast("bigint").alias("total_qty"),
+            F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("_sq"),
+        )
+        .select(
+            "p_type",
+            "n_suppliers",
+            "total_qty",
+            # Σ (1e6·q/T)² = 1e12·Σq² / T² ; stay integer throughout
+            F.expr(
+                "_sq * 1000000 div (total_qty * total_qty div 1000000)"
+            )
+            .cast("bigint")
+            .alias("hhi_micro"),
+        )
+        .orderBy("p_type")
+    )
+
+
+SUPPLIER_CONCENTRATION_HHI_SQL = """
+WITH per_supp AS (
+    SELECT p_type, l_suppkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+),
+per_type AS (
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(sum(qty * qty) AS BIGINT) AS sq
+    FROM per_supp GROUP BY 1
+)
+SELECT p_type, n_suppliers, total_qty,
+       CAST(sq * 1000000 // (total_qty * total_qty // 1000000) AS BIGINT)
+           AS hhi_micro
+FROM per_type
+ORDER BY p_type
+"""
