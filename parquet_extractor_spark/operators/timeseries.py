@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from parquet_extractor_spark.functions.windows import bounded_global_window
 from parquet_extractor_spark.sources.tables import load_table
 
 SESSION_GAP_MIN = 30
@@ -1173,3 +1174,74 @@ ORDER BY day_epoch
 
 
 CONVERSION_TIME_QUANTILES_SQL = _conversion_quantiles_oracle()
+
+
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume and revenue growth — the
+    seasonality report every revenue dashboard opens with.
+
+    Shape: ONE partial+final agg keyed by month reduces the fact
+    table to a months-bounded frame (≤ ~80 rows on this calendar);
+    the MoM lag runs over that reduction via bounded_global_window
+    (the sanctioned K-bounded global window — the window never sees
+    fact rows). Revenue folds to integer micro-units per row before
+    the order-independent sum; growth is BIGINT `div` per-mille-like
+    micro arithmetic, NULL for the first month.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias(
+            "month_epoch"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_micro"),
+    )
+    w = bounded_global_window("month_epoch")
+    lagged = monthly.select(
+        "month_epoch",
+        "n_orders",
+        "revenue_micro",
+        F.lag("n_orders").over(w).alias("prev_n"),
+        F.lag("revenue_micro").over(w).alias("prev_rev"),
+    )
+    return lagged.select(
+        "month_epoch",
+        "n_orders",
+        "revenue_micro",
+        F.expr("(n_orders - prev_n) * 1000000 div prev_n")
+        .cast("bigint")
+        .alias("orders_growth_micro"),
+        # growth on whole-unit revenue: micro-revenue × 1e6 would
+        # overflow BIGINT at realistic monthly volumes
+        F.expr(
+            "((revenue_micro div 1000000) - (prev_rev div 1000000))"
+            " * 1000000 div (prev_rev div 1000000)"
+        )
+        .cast("bigint")
+        .alias("revenue_growth_micro"),
+    ).orderBy("month_epoch")
+
+
+ORDERS_MONTHLY_GROWTH_SQL = """
+WITH monthly AS (
+    SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+               AS BIGINT) AS revenue_micro
+    FROM orders
+    GROUP BY 1
+)
+SELECT month_epoch, n_orders, revenue_micro,
+       CAST((n_orders - lag(n_orders) OVER w) * 1000000
+            // lag(n_orders) OVER w AS BIGINT) AS orders_growth_micro,
+       CAST(((revenue_micro // 1000000)
+             - (lag(revenue_micro) OVER w // 1000000)) * 1000000
+            // (lag(revenue_micro) OVER w // 1000000) AS BIGINT)
+           AS revenue_growth_micro
+FROM monthly
+WINDOW w AS (ORDER BY month_epoch)
+ORDER BY month_epoch
+"""
