@@ -1389,6 +1389,78 @@ ORDER BY c.label
 """
 
 
+def embedding_similarity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold-calibration histogram: the distribution of cosine
+    similarity between UNRELATED vector pairs — the number an ANN
+    operator reads before picking a near-dup cutoff (a threshold must
+    sit far right of this background distribution's mass; the planted
+    near-dup pairs live near 1.0).
+
+    Pairing is deterministic and shuffle-cheap: each vector pairs
+    with vec_id+1 (one equi-join on the id — adjacent ids carry no
+    semantic relation in the fixture, so the pairs sample the
+    background). Cosines bin at 0.05 width via half-up micro rounding
+    BEFORE the bin floor, so both engines bin identically even when a
+    cosine lands near a bin edge. Output: (bin_low_micro, n_pairs,
+    avg_cos_micro), one partial+final agg over ≤20 bins.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b, F.col("b.vec_id") == F.col("a.vec_id") + 1
+    ).select(
+        cosine(
+            F.col("a.embedding").cast("array<double>"),
+            F.col("b.embedding").cast("array<double>"),
+        ).alias("cos")
+    )
+    cos_micro = F.floor(F.col("cos") * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    binned = pairs.select(cos_micro.alias("cm")).select(
+        F.expr("(cm div 50000) * 50000").cast("bigint").alias(
+            "bin_micro"
+        ),
+        "cm",
+    )
+    return (
+        binned.groupBy("bin_micro")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("sum(cm) div count(1)").cast("bigint").alias(
+                "avg_cos_micro"
+            ),
+        )
+        .orderBy("bin_micro")
+    )
+
+
+EMBEDDING_SIMILARITY_HISTOGRAM_SQL = """
+WITH pairs AS (
+    SELECT CAST(floor(
+        list_aggregate(list_transform(
+            list_zip(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        / (sqrt(list_aggregate(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+        * 1000000 + 0.5) AS BIGINT) AS cm
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+)
+SELECT CAST((cm // 50000) * 50000 AS BIGINT) AS bin_micro,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(cm) // count(*) AS BIGINT) AS avg_cos_micro
+FROM pairs
+GROUP BY 1
+ORDER BY bin_micro
+"""
+
+
 def _sqdist_lit_sql_expr(a: str, vec: list[float]) -> str:
     """Σ (a_i-b_i)² against a literal vector — SQL-text twin of the
     zip_with/aggregate double fold (same tree, one F.expr call)."""
