@@ -1163,3 +1163,134 @@ SELECT p_type, n_suppliers, total_qty,
 FROM per_type
 ORDER BY p_type
 """
+
+
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by customer decile — the Pareto
+    ("what share of customers produce 80% of revenue") report.
+
+    Scale-safe shape: the naive form sorts every customer by revenue
+    through one partition for a cumulative share; here the nine
+    decile cutoffs come from ONE broadcast 1-row percentile aggregate
+    over the per-customer reduction, decile assignment is a map-side
+    comparison sum (the curriculum_phases / RFM decorrelation), and
+    the cumulative share runs over the 10-row decile aggregate via
+    the sanctioned bounded global window. Revenue folds to integer
+    micro-units per row; shares are BIGINT `div` micro arithmetic.
+
+    Output: (revenue_decile 1..10 ascending, n_customers,
+    revenue_micro, share_micro, cum_share_micro).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = per_cust.agg(
+        *[
+            F.percentile(F.col("rev").cast("double"), F.lit(q)).alias(
+                f"c{int(q * 100)}"
+            )
+            for q in qs
+        ]
+    )
+    decile = F.lit(1)
+    for q in qs:
+        decile = decile + (F.col("rev") > F.col(f"c{int(q * 100)}")).cast(
+            "int"
+        )
+    by_decile = (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select(decile.cast("bigint").alias("revenue_decile"), "rev")
+        .groupBy("revenue_decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev").cast("bigint").alias("revenue_micro"),
+        )
+    )
+    w = bounded_global_window("revenue_decile")
+    return (
+        by_decile.crossJoin(
+            F.broadcast(
+                per_cust.agg(
+                    F.sum(F.expr("rev div 1000000"))
+                    .cast("bigint")
+                    .alias("total_units")
+                )
+            )
+        )
+        .select(
+            "revenue_decile",
+            "n_customers",
+            "revenue_micro",
+            F.expr(
+                "(revenue_micro div 1000000) * 1000000 div total_units"
+            )
+            .cast("bigint")
+            .alias("share_micro"),
+            F.sum(F.expr("revenue_micro div 1000000"))
+            .over(w)
+            .alias("_cum_units"),
+            F.col("total_units"),
+        )
+        .select(
+            "revenue_decile",
+            "n_customers",
+            "revenue_micro",
+            "share_micro",
+            F.expr("_cum_units * 1000000 div total_units")
+            .cast("bigint")
+            .alias("cum_share_micro"),
+        )
+        .orderBy("revenue_decile")
+    )
+
+
+CUSTOMER_REVENUE_PARETO_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+               AS BIGINT) AS rev
+    FROM orders
+    GROUP BY o_custkey
+),
+cuts AS (
+    SELECT
+      quantile_cont(CAST(rev AS DOUBLE), 0.1) AS c10,
+      quantile_cont(CAST(rev AS DOUBLE), 0.2) AS c20,
+      quantile_cont(CAST(rev AS DOUBLE), 0.3) AS c30,
+      quantile_cont(CAST(rev AS DOUBLE), 0.4) AS c40,
+      quantile_cont(CAST(rev AS DOUBLE), 0.5) AS c50,
+      quantile_cont(CAST(rev AS DOUBLE), 0.6) AS c60,
+      quantile_cont(CAST(rev AS DOUBLE), 0.7) AS c70,
+      quantile_cont(CAST(rev AS DOUBLE), 0.8) AS c80,
+      quantile_cont(CAST(rev AS DOUBLE), 0.9) AS c90
+    FROM per_cust
+),
+total AS (
+    SELECT CAST(sum(rev // 1000000) AS BIGINT) AS total_units
+    FROM per_cust
+),
+by_decile AS (
+    SELECT CAST(1 + CAST(rev > c10 AS INT) + CAST(rev > c20 AS INT)
+              + CAST(rev > c30 AS INT) + CAST(rev > c40 AS INT)
+              + CAST(rev > c50 AS INT) + CAST(rev > c60 AS INT)
+              + CAST(rev > c70 AS INT) + CAST(rev > c80 AS INT)
+              + CAST(rev > c90 AS INT) AS BIGINT) AS revenue_decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS revenue_micro
+    FROM per_cust, cuts
+    GROUP BY 1
+)
+SELECT revenue_decile, n_customers, revenue_micro,
+       CAST((revenue_micro // 1000000) * 1000000 // total_units
+            AS BIGINT) AS share_micro,
+       CAST(sum(revenue_micro // 1000000) OVER (
+               ORDER BY revenue_decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000 // total_units AS BIGINT) AS cum_share_micro
+FROM by_decile, total
+ORDER BY revenue_decile
+"""
