@@ -224,6 +224,21 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
         except ValueError as exc:
             return None, (jsonify({"error": str(exc)}), 400)
 
+    def _spool(tmp: str, up, generated: str) -> str:
+        """Save an upload under a server-generated spool name.
+
+        Client-supplied multipart filenames are untrusted: a name like
+        ``../../x`` (or an absolute path, which os.path.join adopts
+        wholesale) would escape the spool dir, and duplicate names
+        would silently overwrite each other. The readers never key on
+        the name (parquet/CISI get explicit paths; WARC/PDF parsing is
+        content-sniffed), so the original name is kept only as job
+        metadata by the callers.
+        """
+        path = os.path.join(tmp, generated)
+        up.save(path)
+        return path
+
     @app.get("/api/health")
     def health():
         return jsonify({"status": "ok", "spark_version": spark.version})
@@ -388,8 +403,7 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
             return jsonify({"error": "no file provided"}), 400
         up = request.files["file"]
         tmp = tempfile.mkdtemp(prefix="upload_")
-        path = os.path.join(tmp, up.filename or "upload.parquet")
-        up.save(path)
+        path = _spool(tmp, up, "upload.parquet")
         # default batch 1000 (main.py:205), capped like every job input
         n = min(int(request.form.get("num_papers", 1000)), MAX_DOCS)
         seed = int(request.form.get("seed", 42))
@@ -464,8 +478,14 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
         if not ups or all(not u.filename for u in ups):
             return jsonify({"error": "no file provided"}), 400
         tmp = tempfile.mkdtemp(prefix="pdftext_")
+        # generated spool names; original client names survive only as
+        # display metadata, remapped into file_name after the read
+        names = {
+            f"upload{i}.pdf": (up.filename or f"upload{i}.pdf")
+            for i, up in enumerate(ups)
+        }
         for i, up in enumerate(ups):
-            up.save(os.path.join(tmp, up.filename or f"upload{i}.pdf"))
+            _spool(tmp, up, f"upload{i}.pdf")
         out_dir, err = _subdir_or_400(request.form.get("subdir", "pdf_docs"))
         if err:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -477,7 +497,19 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
             try:
                 check_write_access(out_dir)
                 job_log(job_id, f"extracting {len(ups)} uploaded PDFs")
-                docs = read_pdf_docs(spark, tmp).persist()
+                name_map = F.create_map(
+                    *[F.lit(x) for kv in names.items() for x in kv]
+                )
+                docs = (
+                    read_pdf_docs(spark, tmp)
+                    .withColumn(
+                        "file_name",
+                        F.coalesce(
+                            name_map[F.col("file_name")], F.col("file_name")
+                        ),
+                    )
+                    .persist()
+                )
                 try:
                     docs.write.mode("overwrite").parquet(out_dir)
                     ok = docs.where(docs.error.isNull()).count()
@@ -500,7 +532,12 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
 
-        job_id = submit_job(spark, "ingest_pdftext", _work, {})
+        job_id = submit_job(
+            spark,
+            "ingest_pdftext",
+            _work,
+            {"files": [u.filename for u in ups]},
+        )
         return jsonify({"job_id": job_id, "status": "running"}), 202
 
     @app.post("/api/ingest/warc")
@@ -515,8 +552,16 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
         if not ups or all(not u.filename for u in ups):
             return jsonify({"error": "no file provided"}), 400
         tmp = tempfile.mkdtemp(prefix="warc_")
+        # generated spool names: traversal-proof, collision-proof, and
+        # always matched by read_warc_docs' *.warc* glob (a client
+        # name like "segment.gz" would otherwise be silently skipped);
+        # originals survive as display metadata remapped into path
+        names = {
+            f"upload{i}.warc": (up.filename or f"upload{i}.warc")
+            for i, up in enumerate(ups)
+        }
         for i, up in enumerate(ups):
-            up.save(os.path.join(tmp, up.filename or f"upload{i}.warc"))
+            _spool(tmp, up, f"upload{i}.warc")
         out_dir, err = _subdir_or_400(request.form.get("subdir", "warc_docs"))
         if err:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -528,7 +573,20 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
             try:
                 check_write_access(out_dir)
                 job_log(job_id, f"parsing {len(ups)} uploaded WARCs")
-                recs = read_warc_docs(spark, tmp).persist()
+                name_map = F.create_map(
+                    *[F.lit(x) for kv in names.items() for x in kv]
+                )
+                spool_base = F.element_at(
+                    F.split(F.col("path"), "/"), -1
+                )
+                recs = (
+                    read_warc_docs(spark, tmp)
+                    .withColumn(
+                        "path",
+                        F.coalesce(name_map[spool_base], F.col("path")),
+                    )
+                    .persist()
+                )
                 try:
                     recs.write.mode("overwrite").parquet(out_dir)
                     ok = recs.where(recs.error.isNull()).count()
@@ -549,7 +607,12 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
 
-        job_id = submit_job(spark, "ingest_warc", _work, {})
+        job_id = submit_job(
+            spark,
+            "ingest_warc",
+            _work,
+            {"files": [u.filename for u in ups]},
+        )
         return jsonify({"job_id": job_id, "status": "running"}), 202
 
     @app.post("/api/extract/cisi")
@@ -564,8 +627,7 @@ def create_app(spark: SparkSession, output_root: str, wiki_adapters=None):
         if not up.filename:
             return jsonify({"error": "no file selected"}), 400
         tmp = tempfile.mkdtemp(prefix="cisi_")
-        path = os.path.join(tmp, up.filename)
-        up.save(path)
+        path = _spool(tmp, up, "upload.cisi")
         out_dir, err = _subdir_or_400(request.form.get("subdir", "cisi_papers"))
         if err:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -43,7 +43,10 @@ def _col_stats(df: DataFrame, name: str, exact: bool = True) -> list[Column]:
     if dtype in ("timestamp", "timestamp_ntz"):
         cls, num = "timestamp", F.unix_timestamp(c) * _MICRO
     elif dtype in ("bigint", "int", "smallint", "tinyint"):
-        cls, num = "int", c * _MICRO
+        # widen BEFORE scaling: int32 * 1e6 overflows the column's
+        # native type above ~2147 (the timestamp branch already
+        # computes in bigint via unix_timestamp)
+        cls, num = "int", c.cast("bigint") * _MICRO
     elif dtype in ("double", "float"):
         cls, num = "float", F.floor(c * _MICRO).cast("bigint")
     else:

@@ -1102,11 +1102,16 @@ def supplier_concentration_hhi(
     = concentrated, the DOJ threshold).
 
     Exactness across engines: per-(type, supplier) quantity folds to
-    integer units map-side; shares are BIGINT `div` micro-units and
-    the HHI is Σ share² div 1e6 — pure integer arithmetic end to end.
-    Shape: two stacked partial+final aggs (supplier level, then type
-    level) with the part dim broadcast into the lineitem scan; no
-    windows, no self-joins. Output: one row per part type.
+    integer units map-side; each supplier's share is a BIGINT `div`
+    micro-unit (qty·1e6 div total — total ≥ 1 always since
+    l_quantity ≥ 1, so the divisor can never be 0) and the HHI is
+    Σ share² div 1e6 — pure integer arithmetic end to end. Because
+    shares are bounded by 1e6, Σ share² ≤ 1e12 regardless of scale
+    factor: no intermediate can overflow BIGINT (the earlier
+    Σ qty²·1e6 form could, and NULLed out when total < 1000).
+    Shape: partial+final supplier agg, a window total over the
+    supplier-bounded type partition, then a final type agg; the part
+    dim broadcasts into the lineitem scan. Output: one row per type.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
@@ -1121,21 +1126,18 @@ def supplier_concentration_hhi(
             .alias("qty")
         )
     )
+    shares = per_supp.withColumn(
+        "total_qty",
+        F.sum("qty").over(Window.partitionBy("p_type")).cast("bigint"),
+    ).withColumn(
+        "share_micro", F.expr("qty * 1000000 div total_qty")
+    )
     return (
-        per_supp.groupBy("p_type")
+        shares.groupBy("p_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            F.sum("qty").cast("bigint").alias("total_qty"),
-            F.sum(F.col("qty") * F.col("qty")).cast("bigint").alias("_sq"),
-        )
-        .select(
-            "p_type",
-            "n_suppliers",
-            "total_qty",
-            # Σ (1e6·q/T)² = 1e12·Σq² / T² ; stay integer throughout
-            F.expr(
-                "_sq * 1000000 div (total_qty * total_qty div 1000000)"
-            )
+            F.max("total_qty").cast("bigint").alias("total_qty"),
+            F.expr("sum(share_micro * share_micro) div 1000000")
             .cast("bigint")
             .alias("hhi_micro"),
         )
@@ -1150,17 +1152,18 @@ WITH per_supp AS (
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1, 2
 ),
-per_type AS (
-    SELECT p_type,
-           CAST(count(*) AS BIGINT) AS n_suppliers,
-           CAST(sum(qty) AS BIGINT) AS total_qty,
-           CAST(sum(qty * qty) AS BIGINT) AS sq
-    FROM per_supp GROUP BY 1
+shares AS (
+    SELECT p_type, qty,
+           CAST(sum(qty) OVER (PARTITION BY p_type) AS BIGINT) AS total_qty
+    FROM per_supp
 )
-SELECT p_type, n_suppliers, total_qty,
-       CAST(sq * 1000000 // (total_qty * total_qty // 1000000) AS BIGINT)
-           AS hhi_micro
-FROM per_type
+SELECT p_type,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(max(total_qty) AS BIGINT) AS total_qty,
+       CAST(sum((qty * 1000000 // total_qty) * (qty * 1000000 // total_qty))
+            // 1000000 AS BIGINT) AS hhi_micro
+FROM shares
+GROUP BY p_type
 ORDER BY p_type
 """
 

@@ -103,7 +103,18 @@ def commit_snapshot(
     schema = df.schema.simpleString()
 
     for _ in range(_COMMIT_RETRIES):
-        parent = _latest_version(table_dir)
+        # re-check the tag EACH attempt, not just before the data
+        # write: two committers replaying the same epoch can both
+        # pass the first check; the loser of the link race must
+        # discover the winner's tag here rather than commit a
+        # duplicate snapshot under the next version number
+        log = snapshots(table_dir)
+        if tag is not None:
+            for m in log:
+                if m.get("tag") == tag:
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    return m["snapshot"]
+        parent = log[-1]["snapshot"] if log else None
         version = 0 if parent is None else parent + 1
         files = list(new_files)
         if mode == "append" and parent is not None:

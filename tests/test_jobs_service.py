@@ -446,3 +446,91 @@ def test_ingest_warc_upload_roundtrip(client, spark, tmp_path):
 def test_ingest_warc_requires_file(client):
     resp = client.post("/api/ingest/warc", data={})
     assert resp.status_code == 400
+
+
+def _one_record_warc():
+    from parquet_extractor_spark.sources.warc import (
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+
+    rec = build_warc_record(
+        "response",
+        "0000-0009",
+        "2026-01-01T00:00:00Z",
+        build_http_response(b"<html><body><p>spooled</p></body></html>"),
+        target_uri="http://example.com/x",
+        content_type="application/http;msgtype=response",
+    )
+    return build_warc([rec])
+
+
+def test_upload_filename_traversal_is_contained(client, spark):
+    """A multipart filename like ../evil.warc must NOT escape the
+    spool dir (the raw name would resolve to /tmp/evil.warc since
+    spool dirs live directly under /tmp). Uploads are saved under
+    server-generated names; the client name survives only as the
+    remapped path metadata."""
+    import io
+    import os
+
+    target = "/tmp/evil.warc"
+    if os.path.exists(target):
+        os.unlink(target)
+    resp = client.post(
+        "/api/ingest/warc",
+        data={
+            "file": [(io.BytesIO(_one_record_warc()), "../evil.warc")],
+            "subdir": "warctrav",
+        },
+        content_type="multipart/form-data",
+    )
+    assert resp.status_code == 202
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    assert not os.path.exists(target)
+    # parses fine AND the record row reports the client's name
+    assert job["result"]["records"] == 1
+    rows = spark.read.parquet(job["result"]["output_dir"]).collect()
+    assert rows[0].path == "../evil.warc"
+
+
+def test_warc_upload_name_without_warc_suffix_still_parses(client):
+    """Generated spool names always match the *.warc* glob: a client
+    name like segment.gz (previously silently skipped → 0 records)
+    parses normally because gzip is content-sniffed, not name-based."""
+    import io
+
+    resp = client.post(
+        "/api/ingest/warc",
+        data={
+            "file": [(io.BytesIO(_one_record_warc()), "segment.gz")],
+            "subdir": "warcgz",
+        },
+        content_type="multipart/form-data",
+    )
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    assert job["result"]["records"] == 1
+
+
+def test_warc_duplicate_upload_names_do_not_overwrite(client):
+    """Two uploads sharing one client filename both survive the spool
+    (generated names are collision-proof)."""
+    import io
+
+    resp = client.post(
+        "/api/ingest/warc",
+        data={
+            "file": [
+                (io.BytesIO(_one_record_warc()), "seg.warc"),
+                (io.BytesIO(_one_record_warc()), "seg.warc"),
+            ],
+            "subdir": "warcdup",
+        },
+        content_type="multipart/form-data",
+    )
+    job = _wait_for(client, resp.get_json()["job_id"])
+    assert job["status"] == "completed"
+    assert job["result"]["records"] == 2

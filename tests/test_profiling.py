@@ -37,6 +37,20 @@ def test_column_profile_planted_frame(spark):
     assert v.dtype_class == "float"
 
 
+def test_column_profile_int32_above_micro_overflow(spark):
+    """int/smallint columns widen to bigint BEFORE the ×1e6 micro
+    scaling: values above ~2147 overflowed 32-bit arithmetic (error
+    under ANSI, silent wrap otherwise)."""
+    df = spark.createDataFrame(
+        [(100000,), (3000,), (-50000,)], "n int"
+    )
+    p = {r.column: r for r in column_profile(df).collect()}
+    n = p["n"]
+    assert n.min_micro == -50_000_000_000
+    assert n.max_micro == 100_000_000_000
+    assert n.dtype_class == "int"
+
+
 def test_column_profile_is_single_scan(spark):
     df = spark.createDataFrame([(1, "x")], "a bigint, b string")
     plan = column_profile(df)._jdf.queryExecution().executedPlan().toString()

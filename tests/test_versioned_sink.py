@@ -70,6 +70,45 @@ def test_commit_race_retries_to_next_version(spark, tmp_path):
     assert _ids(read_snapshot(spark, t, version=2)) == [3, 4, 5]
 
 
+def test_tagged_commit_race_adopts_winner(spark, tmp_path, monkeypatch):
+    """Two committers replaying one epoch tag can both pass the
+    pre-write tag check; the link-race loser must adopt the winner's
+    snapshot (re-checking the tag inside the retry loop), not commit
+    a duplicate under the next version number."""
+    import parquet_extractor_spark.sinks.versioned as V
+
+    t = str(tmp_path / "tbl")
+    commit_snapshot(_df(spark, 0, 3), t)
+    real_link = os.link
+
+    def racing_link(src, dst, *a, **kw):
+        # the competitor lands the SAME tag at this version first;
+        # the real link then loses the race naturally
+        if not os.path.exists(dst):
+            with open(dst, "w") as f:
+                json.dump(
+                    {"snapshot": 1, "parent": 0, "operation": "append",
+                     "files": [], "n_files": 0, "schema": "struct<>",
+                     "tag": "epoch-7"},
+                    f,
+                )
+        return real_link(src, dst, *a, **kw)
+
+    monkeypatch.setattr(V.os, "link", racing_link)
+    v = commit_snapshot(_df(spark, 3, 6), t, mode="append", tag="epoch-7")
+    assert v == 1  # adopted the winner, did not mint version 2
+    log = snapshots(t)
+    assert [m["snapshot"] for m in log] == [0, 1]
+    assert sum(1 for m in log if m.get("tag") == "epoch-7") == 1
+    # the loser's freshly written (now unreferenced) data files are
+    # cleaned up rather than orphaned
+    referenced = {
+        p.split("/")[1] for m in log for p in m["files"]
+    }
+    on_disk = set(os.listdir(os.path.join(t, "data")))
+    assert on_disk == referenced
+
+
 def test_compaction_reduces_files_preserves_rows_and_history(
     spark, tmp_path
 ):
