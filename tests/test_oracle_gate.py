@@ -1,10 +1,10 @@
 """Mechanical full-registry oracle sweep (r03 verdict item 6).
 
-Runs the driver-gate replica (tools/check_oracle.run_gate) over ALL
-131 registry queries at sf0.001, so "every tail entry is re-verified
-locally each round" is a test, not a docstring promise. The driver's
-own 50-query window runs at sf0.01; this sweep is the cheap-scale
-guard for the other 81.
+Runs the driver-gate replica (tools/check_oracle.run_gate) over the
+ENTIRE registry — every `queries()` entry, however many there are —
+at sf0.001, so "every tail entry is re-verified locally each round"
+is a test, not a docstring promise. The driver's own 50-query window
+runs at sf0.01; this sweep is the cheap-scale guard for the rest.
 
 SPARK_GRAFT_GATE_SF overrides the fixture dir (e.g. sf0.01 for the
 exact driver replica — slower; the default keeps the suite fast).
@@ -32,6 +32,6 @@ def test_full_registry_matches_oracles(spark):
     import __spark_entry__ as entrymod
 
     registry = entrymod.queries()
-    assert len(registry) >= 131, "registry shrank"
+    assert len(registry) >= 195, "registry shrank"
     failures = run_gate(sf_dir=GATE_SF, spark=spark, quiet=False)
     assert not failures, f"oracle mismatches at {GATE_SF}: {failures}"

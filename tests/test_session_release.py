@@ -71,6 +71,52 @@ def test_bench_attempt_timeout_cancels_hung_query(spark, sf_small):
     assert res.get("timeout") is True
     assert "Timeout" in res.get("err", "")
     assert _time.time() - t0 < 60  # cancelled, not blocked for 300s
+    # the post-cancel drain verdict is always recorded so main() can
+    # flag the artifact when a slow cancel overlaps the next timing
+    assert "drained" in res
+
+
+def test_bench_drain_job_group_slow_and_stuck_cancels():
+    """_drain_job_group under a simulated slow cancel: jobs that stop
+    RUNNING within the wait drain True; jobs that never stop drain
+    False (the caller then sets timings_suspect in the artifact)."""
+    import bench
+
+    class _Info:
+        def __init__(self, status):
+            self.status = status
+
+    class _Tracker:
+        def __init__(self, running_polls):
+            self.polls = 0
+            self.running_polls = running_polls
+
+        def getJobIdsForGroup(self, group):
+            return [7]
+
+        def getJobInfo(self, job_id):
+            self.polls += 1
+            if self.polls <= self.running_polls:
+                return _Info("RUNNING")
+            return _Info("SUCCEEDED")
+
+    class _SC:
+        def __init__(self, tracker):
+            self._t = tracker
+
+        def statusTracker(self):
+            return self._t
+
+    class _Spark:
+        def __init__(self, tracker):
+            self.sparkContext = _SC(tracker)
+
+    # cancels after 2 polls (~1s) -> drains within the 10s budget
+    assert bench._drain_job_group(_Spark(_Tracker(2)), "g", wait_s=10)
+    # never cancels -> bounded False, not an unbounded wait
+    assert not bench._drain_job_group(
+        _Spark(_Tracker(10**9)), "g", wait_s=1
+    )
 
 
 def test_bench_attempt_ok_and_error_paths(spark, sf_small):

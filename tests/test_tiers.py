@@ -58,6 +58,43 @@ def test_tier_key_isolates_name_and_dir(spark, sf_small, tmp_path):
     assert len(calls) == 2
 
 
+def test_rewritten_fixture_invalidates_tier(spark, sf_small, tmp_path):
+    """An in-place fixture rewrite mid-session must serve FRESH tier
+    results, not the cached ones: the key's dir_fingerprint
+    (count/bytes/mtime of the dir's parquet files) changes with the
+    rewrite even though applicationId and realpath do not."""
+    import shutil
+
+    d = str(tmp_path / "fixture")
+    os.makedirs(d)
+    shutil.copy(
+        os.path.join(sf_small, "region.parquet"),
+        os.path.join(d, "docs.parquet"),
+    )
+
+    def build():
+        # derive from the CURRENT file so staleness is observable
+        return (
+            spark.read.parquet(os.path.join(d, "docs.parquet"))
+            .groupBy()
+            .count()
+        )
+
+    n0 = tiers.ensure_tier(spark, d, "t_fresh", build).collect()[0][0]
+
+    # rewrite the fixture in place with a different table
+    shutil.copy(
+        os.path.join(sf_small, "nation.parquet"),
+        os.path.join(d, "docs.parquet"),
+    )
+    # mtime_ns granularity is fine, but size also differs here; bump
+    # mtime explicitly so the test never depends on copy timing
+    os.utime(os.path.join(d, "docs.parquet"))
+
+    n1 = tiers.ensure_tier(spark, d, "t_fresh", build).collect()[0][0]
+    assert n0 != n1, "stale tier served after in-place fixture rewrite"
+
+
 def test_kill_switch_disables_both_layers(spark, sf_small, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_NO_TIER_CACHE", "1")
     calls = []
