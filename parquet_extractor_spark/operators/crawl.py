@@ -89,14 +89,26 @@ def domain_stats(records: DataFrame) -> DataFrame:
     )
 
 
-def latest_capture_per_uri(records: DataFrame) -> DataFrame:
+def latest_capture_per_uri(
+    records: DataFrame, canonicalize: bool = False
+) -> DataFrame:
     """Newest capture per URI across segments (re-fetch dedup): keeps
     one row per target_uri — max WARC-Date, ties broken by record_id
-    then (path, record_seq) so the survivor is deterministic."""
+    then (path, record_seq) so the survivor is deterministic.
+
+    ``canonicalize=True`` runs the URL-canonicalization pass first, so
+    scheme/host-case, fragment, default-port and tracking-param
+    variants of one page collapse to a single kept capture — the
+    production frontier-hygiene order (canonicalize, THEN dedup)."""
     resp = records.where(
         (F.col("warc_type") == "response") & F.col("target_uri").isNotNull()
     )
-    w = Window.partitionBy("target_uri").orderBy(
+    key = (
+        canonical_url(F.col("target_uri")) if canonicalize
+        else F.col("target_uri")
+    )
+    resp = resp.withColumn("_uri_key", key)
+    w = Window.partitionBy("_uri_key").orderBy(
         F.desc("warc_date"),
         F.desc("record_id"),
         F.desc("path"),
@@ -105,5 +117,349 @@ def latest_capture_per_uri(records: DataFrame) -> DataFrame:
     return (
         resp.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .drop("rn")
+        .drop("rn", "_uri_key")
     )
+
+
+# ── URL canonicalization (frontier hygiene ahead of capture dedup) ──
+#
+# A crawl frontier sees one page under many spellings: scheme/host
+# case, an explicit default port, a fragment, tracking parameters,
+# shuffled query order. Canonicalization is deliberately a CLOSED set
+# of string rewrites (the Common Crawl / Nutch normalizer core), each
+# expressible identically as JVM column expressions here and as ANSI
+# SQL in the DuckDB oracle — no Python in the per-row path:
+#
+#   1. trim surrounding whitespace
+#   2. drop the #fragment
+#   3. lowercase the scheme and authority (path/query case preserved)
+#   4. drop an explicit default port (:80 for http, :443 for https)
+#   5. '/' path when the authority has no path at all
+#   6. drop tracking parameters (utm_*, fbclid, gclid, msclkid)
+#   7. sort surviving query parameters bytewise ('?' dropped if none)
+#
+# Percent-encoding and dot-segment normalization are documented
+# non-goals at this layer (they need a real URL parser; the WARC
+# frame's URIs are already absolute per the spec).
+
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)"
+
+
+def canonical_url(col: F.Column) -> F.Column:
+    """The canonical spelling of an absolute http(s) URL as a column
+    expression (rules above). Non-URL junk passes through trimmed and
+    fragment-stripped — a frontier must never throw on a bad URI."""
+    u = F.regexp_replace(F.trim(col), "#.*$", "")
+    # scheme://authority is everything before the first '/' after ://
+    sa = F.regexp_extract(u, r"^([^:/?]+://[^/?]*)", 1)
+    rest_col = F.substring(u, F.length(sa) + F.lit(1), F.lit(1 << 30))
+    sa_lower = F.lower(sa)
+    sa_canon = (
+        F.when(
+            sa_lower.startswith("http://"),
+            F.regexp_replace(sa_lower, ":80$", ""),
+        )
+        .when(
+            sa_lower.startswith("https://"),
+            F.regexp_replace(sa_lower, ":443$", ""),
+        )
+        .otherwise(sa_lower)
+    )
+    # split path from query
+    q_at = F.instr(rest_col, "?")
+    path = F.when(q_at > 0, F.substring(rest_col, F.lit(1), q_at - 1)).otherwise(
+        rest_col
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        q_at > 0, F.substring(rest_col, q_at + 1, F.lit(1 << 30))
+    ).otherwise(F.lit(None).cast("string"))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: ~p.rlike(_TRACKING_PARAM_RE) & (p != ""),
+        )
+    )
+    canon_q = F.when(
+        query.isNotNull() & (F.size(kept) > 0),
+        F.concat(F.lit("?"), F.array_join(kept, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        sa == "", u  # no scheme://authority — junk passes through
+    ).otherwise(F.concat(sa_canon, path, canon_q))
+
+
+# ── planted canonicalization fixture ─────────────────────────────────
+#
+# Spelled once as Python literals and shared by BOTH the Spark query
+# (createDataFrame) and the DuckDB oracle (a generated VALUES clause),
+# so the fixture cannot drift between engines; only the
+# TRANSFORMATION is implemented twice, which is exactly what the
+# driver's hash compare should grade. Groups (by intended canonical):
+#   http://example.com/page?id=1      case/port/fragment/utm variants
+#   https://news.example.com/a/b?a=1&b=2   param order + tracking
+#   http://example.com/               bare-authority + query-all-dropped
+#   https://example.org/path/         gclid-only query
+#   ftp://host.com:80/X               non-http: port kept, case fixed
+#   junk rows                         pass through trimmed+defragged
+
+URL_FIXTURE_ROWS: list[tuple[int, str, str]] = [
+    (1, "http://Example.COM/page?utm_source=x&id=1#frag",
+     "2026-01-01T00:00:00Z"),
+    (2, "http://example.com:80/page?id=1", "2026-01-03T00:00:00Z"),
+    (3, "  http://example.com/page?id=1  ", "2026-01-02T00:00:00Z"),
+    (4, "https://News.Example.com:443/a/b?b=2&a=1",
+     "2026-02-01T00:00:00Z"),
+    (5, "https://news.example.com/a/b?a=1&b=2&utm_campaign=c&fbclid=z",
+     "2026-02-02T00:00:00Z"),
+    (6, "HTTP://EXAMPLE.com", "2026-03-01T00:00:00Z"),
+    (7, "http://example.com/", "2026-03-02T00:00:00Z"),
+    (8, "http://example.com?utm_source=a", "2026-03-03T00:00:00Z"),
+    (9, "https://example.org/path/?gclid=123", "2026-04-01T00:00:00Z"),
+    (10, "https://example.org/path/", "2026-04-02T00:00:00Z"),
+    (11, "ftp://Host.com:80/X", "2026-05-01T00:00:00Z"),
+    (12, "not a url", "2026-05-02T00:00:00Z"),
+    (13, "mailto:x@y.z#sig", "2026-05-03T00:00:00Z"),
+    (14, "http://example.com/p?a&b=2&utm_medium", "2026-06-01T00:00:00Z"),
+    (15, "http://example.com/p?b=2&a", "2026-06-02T00:00:00Z"),
+    (16, "https://example.com:8443/s?x=1", "2026-07-01T00:00:00Z"),
+    (17, "https://example.com:8443/s?x=1#top", "2026-07-02T00:00:00Z"),
+    (18, "http://example.com/page?id=1&utm_term=t", "2026-01-04T00:00:00Z"),
+]
+
+
+def url_canonical_dedup(spark, sf_dir: str) -> DataFrame:
+    """Frontier hygiene over the planted URL fixture: canonicalize
+    every captured spelling (rules in ``canonical_url``), then reduce
+    each canonical page to one row — capture count, distinct raw
+    spellings, and the newest capture's id (warc_date desc, capture_id
+    desc — deterministic). ``sf_dir`` unused: planted fixture, like
+    media_image_metadata. The same pass runs ahead of
+    ``latest_capture_per_uri(canonicalize=True)`` on real WARC frames.
+
+    Scale shape: canonicalization is pure map-side column expressions
+    (zero Python, zero regex in SQL strings); the reduction is one
+    hash aggregate keyed by canonical URL — partitions bounded by one
+    page's capture history, never a global sort."""
+    del sf_dir
+    raw = spark.createDataFrame(
+        URL_FIXTURE_ROWS, "capture_id bigint, uri string, warc_date string"
+    )
+    canon = raw.withColumn("canonical_url", canonical_url(F.col("uri")))
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc("warc_date"), F.desc("capture_id")
+    )
+    return (
+        canon.withColumn("rn", F.row_number().over(w))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_captures"),
+            F.count_distinct("uri").cast("bigint").alias("n_raw_spellings"),
+            F.max(F.when(F.col("rn") == 1, F.col("capture_id")))
+            .cast("bigint")
+            .alias("latest_capture_id"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+def _values_clause(rows: list[tuple]) -> str:
+    def _lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    return ",\n    ".join(
+        "(" + ", ".join(_lit(v) for v in row) + ")" for row in rows
+    )
+
+
+URL_CANONICAL_DEDUP_SQL = f"""
+WITH raw(capture_id, uri, warc_date) AS (VALUES
+    {_values_clause(URL_FIXTURE_ROWS)}
+),
+s1 AS (
+    SELECT capture_id, uri, warc_date,
+           regexp_replace(trim(uri), '#.*$', '') AS u
+    FROM raw
+),
+s2 AS (
+    SELECT *, regexp_extract(u, '^([^:/?]+://[^/?]*)', 1) AS sa,
+           substr(u, length(regexp_extract(u, '^([^:/?]+://[^/?]*)', 1)) + 1)
+               AS rest
+    FROM s1
+),
+s3 AS (
+    SELECT *,
+           CASE WHEN lower(sa) LIKE 'http://%'
+                    THEN regexp_replace(lower(sa), ':80$', '')
+                WHEN lower(sa) LIKE 'https://%'
+                    THEN regexp_replace(lower(sa), ':443$', '')
+                ELSE lower(sa) END AS sa_canon,
+           strpos(rest, '?') AS q_at
+    FROM s2
+),
+s4 AS (
+    SELECT *,
+           CASE WHEN q_at > 0 THEN substr(rest, 1, q_at - 1)
+                ELSE rest END AS path0,
+           CASE WHEN q_at > 0 THEN substr(rest, q_at + 1)
+                ELSE NULL END AS query
+    FROM s3
+),
+s5 AS (
+    SELECT *,
+           CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+           list_sort(list_filter(string_split(query, '&'),
+               p -> NOT regexp_matches(
+                        p, '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)')
+                    AND p <> '')) AS kept
+    FROM s4
+),
+canon AS (
+    SELECT capture_id, uri, warc_date,
+           CASE WHEN sa = '' THEN u
+                ELSE sa_canon || path ||
+                     CASE WHEN query IS NOT NULL AND len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END
+           END AS canonical_url
+    FROM s5
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY canonical_url
+               ORDER BY warc_date DESC, capture_id DESC) AS rn
+    FROM canon
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(count(DISTINCT uri) AS BIGINT) AS n_raw_spellings,
+       CAST(max(CASE WHEN rn = 1 THEN capture_id END) AS BIGINT)
+           AS latest_capture_id
+FROM ranked
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+# ── per-domain politeness / robots accounting ────────────────────────
+
+POLITENESS_FETCH_ROWS: list[tuple[int, str, str, int]] = [
+    # a.com: 200 ms gaps — impolite, one /private robots violation
+    (1, "a.com", "/", 1_000),
+    (2, "a.com", "/private/x", 1_200),
+    (3, "a.com", "/about", 1_400),
+    # b.com: 1.5 s gaps — polite, no violations
+    (4, "b.com", "/", 10_000),
+    (5, "b.com", "/p1", 11_500),
+    (6, "b.com", "/p2", 13_000),
+    # c.com: single fetch — trivially polite
+    (7, "c.com", "/only", 20_000),
+    # d.com: polite gaps but repeated robots violations
+    (8, "d.com", "/admin/panel", 30_000),
+    (9, "d.com", "/ok", 31_200),
+    (10, "d.com", "/tmp/cache", 32_400),
+    (11, "d.com", "/admin", 33_600),
+    # e.com: exactly at the 1000 ms threshold — polite (>=)
+    (12, "e.com", "/x", 40_000),
+    (13, "e.com", "/y", 41_000),
+]
+
+ROBOTS_RULES: list[tuple[str, str]] = [
+    ("a.com", "/private"),
+    ("d.com", "/admin"),
+    ("d.com", "/tmp"),
+    ("unvisited.com", "/all"),
+]
+
+POLITENESS_DELAY_MS = 1_000
+
+
+def crawl_politeness_audit(spark, sf_dir: str) -> DataFrame:
+    """Per-domain politeness and robots accounting over the planted
+    fetch log: fetch count, the minimum inter-fetch gap (lag window
+    per host over the fetch timeline), whether the host was crawled
+    politely (every gap >= 1000 ms; single-fetch hosts trivially
+    pass), and how many fetches violated a robots disallow prefix.
+    ``sf_dir`` unused: planted fixture.
+
+    Scale shape: the gap pass is one window keyed by host (partition
+    size = one host's fetch history); the robots check joins the
+    KB-sized broadcast rule table with a startswith predicate — at
+    100 TB the rule table is per-domain metadata that always
+    broadcasts, and nothing shuffles except the per-host reduction."""
+    del sf_dir
+    fetches = spark.createDataFrame(
+        POLITENESS_FETCH_ROWS,
+        "fetch_id bigint, host string, path string, ts_ms bigint",
+    )
+    rules = spark.createDataFrame(ROBOTS_RULES, "r_host string, prefix string")
+    w = Window.partitionBy("host").orderBy("ts_ms", "fetch_id")
+    gaps = fetches.withColumn(
+        "gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w)
+    )
+    per_host = gaps.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.min("gap_ms").cast("bigint").alias("min_gap_ms"),
+    )
+    viol = (
+        fetches.join(
+            F.broadcast(rules),
+            (F.col("host") == F.col("r_host"))
+            & F.col("path").startswith(F.col("prefix")),
+        )
+        .groupBy("host")
+        .agg(F.count_distinct("fetch_id").cast("bigint").alias("_v"))
+    )
+    return (
+        per_host.join(viol, "host", "left")
+        .select(
+            "host",
+            "n_fetches",
+            "min_gap_ms",
+            (
+                F.col("min_gap_ms").isNull()
+                | (F.col("min_gap_ms") >= POLITENESS_DELAY_MS)
+            ).alias("polite"),
+            F.coalesce(F.col("_v"), F.lit(0))
+            .cast("bigint")
+            .alias("robots_violations"),
+        )
+        .orderBy("host")
+    )
+
+
+CRAWL_POLITENESS_AUDIT_SQL = f"""
+WITH fetches(fetch_id, host, path, ts_ms) AS (VALUES
+    {_values_clause(POLITENESS_FETCH_ROWS)}
+),
+rules(r_host, prefix) AS (VALUES
+    {_values_clause(ROBOTS_RULES)}
+),
+gaps AS (
+    SELECT host,
+           ts_ms - lag(ts_ms) OVER (
+               PARTITION BY host ORDER BY ts_ms, fetch_id) AS gap_ms
+    FROM fetches
+),
+per_host AS (
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+    FROM gaps GROUP BY host
+),
+viol AS (
+    SELECT f.host, CAST(count(DISTINCT f.fetch_id) AS BIGINT) AS v
+    FROM fetches f JOIN rules r
+      ON f.host = r.r_host AND starts_with(f.path, r.prefix)
+    GROUP BY f.host
+)
+SELECT p.host, p.n_fetches, p.min_gap_ms,
+       (p.min_gap_ms IS NULL OR p.min_gap_ms >= {POLITENESS_DELAY_MS})
+           AS polite,
+       CAST(coalesce(v.v, 0) AS BIGINT) AS robots_violations
+FROM per_host p LEFT JOIN viol v ON p.host = v.host
+ORDER BY p.host
+"""

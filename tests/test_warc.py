@@ -265,3 +265,93 @@ def test_domain_stats_and_latest_capture(spark, tmp_path):
     ).select(registrable_domain().alias("d"))
     vals = [r.d for r in edges.collect()]
     assert vals[0] == "localhost" and vals[1] is None
+
+
+def test_canonical_url_rules(spark):
+    """Hand-derived expectations for every canonicalization rule —
+    independent of the DuckDB oracle (which shares only the FIXTURE,
+    not these expected strings)."""
+    from parquet_extractor_spark.operators.crawl import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (raw, expected canonical)
+        ("http://Example.COM/page?utm_source=x&id=1#frag",
+         "http://example.com/page?id=1"),
+        ("http://example.com:80/page?id=1", "http://example.com/page?id=1"),
+        ("  http://example.com/page?id=1  ", "http://example.com/page?id=1"),
+        ("https://News.Example.com:443/a/b?b=2&a=1",
+         "https://news.example.com/a/b?a=1&b=2"),
+        ("HTTP://EXAMPLE.com", "http://example.com/"),
+        ("http://example.com?utm_source=a", "http://example.com/"),
+        ("https://example.org/path/?gclid=123", "https://example.org/path/"),
+        ("ftp://Host.com:80/X", "ftp://host.com:80/X"),  # non-http port kept
+        ("https://example.com:8443/s?x=1#top",
+         "https://example.com:8443/s?x=1"),  # non-default port kept
+        ("http://example.com/p?a&b=2&utm_medium",
+         "http://example.com/p?a&b=2"),  # bare params; bare utm_* dropped
+        ("http://example.com/CaseSensitive/Path?Q=Mixed",
+         "http://example.com/CaseSensitive/Path?Q=Mixed"),  # path/query case kept
+        ("not a url", "not a url"),
+        ("mailto:x@y.z#sig", "mailto:x@y.z"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "uri string")
+    got = [r.c for r in
+           df.select(canonical_url(F.col("uri")).alias("c")).collect()]
+    for (raw, want), actual in zip(cases, got):
+        assert actual == want, f"{raw!r}: {actual!r} != {want!r}"
+
+
+def test_latest_capture_canonicalized_collapses_variants(spark, tmp_path):
+    """canonicalize=True folds spelling variants of one page into a
+    single kept capture (the newest), while the raw mode keeps them
+    apart."""
+    from parquet_extractor_spark.operators.crawl import (
+        latest_capture_per_uri,
+    )
+
+    def resp(seq, uri, date, body):
+        return build_warc_record(
+            "response", f"22-{seq:04d}", date,
+            build_http_response(body),
+            target_uri=uri,
+            content_type="application/http;msgtype=response",
+        )
+
+    d = str(tmp_path / "canon")
+    os.makedirs(d)
+    recs = [
+        resp(0, "http://Example.com/p?utm_source=x&id=1",
+             "2026-01-01T00:00:00Z", b"<p>old</p>"),
+        resp(1, "http://example.com:80/p?id=1#frag",
+             "2026-01-02T00:00:00Z", b"<p>new</p>"),
+        resp(2, "http://example.com/other", "2026-01-01T00:00:00Z",
+             b"<p>other</p>"),
+    ]
+    with open(os.path.join(d, "seg.warc"), "wb") as f:
+        f.write(build_warc(recs, per_record_gzip=False))
+    frame = read_warc_docs(spark, d)
+
+    assert latest_capture_per_uri(frame).count() == 3  # raw: no collapse
+    kept = latest_capture_per_uri(frame, canonicalize=True).collect()
+    assert len(kept) == 2
+    texts = {r.target_uri: r.text for r in kept}
+    assert texts["http://example.com:80/p?id=1#frag"] == "new"
+
+
+def test_politeness_audit_hand_checked(spark):
+    """Hand-derived politeness facts for the planted fetch log."""
+    from parquet_extractor_spark.operators.crawl import (
+        crawl_politeness_audit,
+    )
+
+    rows = {r.host: r for r in crawl_politeness_audit(spark, "").collect()}
+    assert set(rows) == {"a.com", "b.com", "c.com", "d.com", "e.com"}
+    a = rows["a.com"]
+    assert (a.n_fetches, a.min_gap_ms, a.polite, a.robots_violations) == (
+        3, 200, False, 1)
+    c = rows["c.com"]
+    assert c.min_gap_ms is None and c.polite  # single fetch
+    d = rows["d.com"]
+    assert d.polite and d.robots_violations == 3
+    assert rows["e.com"].polite  # exactly at the 1000 ms threshold
