@@ -452,3 +452,189 @@ SELECT n_docs, flagged_exact, flagged_bloom,
                  / (n_docs - flagged_exact)) AS BIGINT) END AS fp_rate_micro
 FROM bloom_agg CROSS JOIN exact_flagged
 """
+
+
+# ── cross-snapshot contamination gate ────────────────────────────────
+#
+# The incremental form of decontamination a rolling corpus runs: when
+# snapshot v2 lands, only the docs that ARRIVED or CHANGED since v1
+# (the added/modified delta from the version diff) need re-screening
+# against the benchmark — history was screened when it was ingested.
+# Composes versioning.snapshot_v1/v2's digest-diff semantics with the
+# n-gram broadcast probe above (VERDICT r07 stretch item).
+
+
+def snapshot_contamination_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(source, change_type) contamination report over the v1→v2
+    document delta: how many added/modified docs share word 4-grams
+    with the CURRENT snapshot's benchmark slice, the total shared-gram
+    volume, and the worst per-doc contamination fraction (micro).
+
+    Scale shape: the delta classification is one digest LEFT join
+    (map-side md5, the exchange ships 32-hex digests); gram screening
+    touches ONLY the delta — at 100 TB that is the day's crawl, not
+    the corpus; the benchmark gram set broadcasts exactly as in
+    ngram_decontamination; the rollup is a partial agg on
+    low-cardinality (source, change_type). cf. reference api.py's
+    skip-existing sink (api.py:248-254) for the only-new-work shape.
+    """
+    from parquet_extractor_spark.functions.text import portable_hash64
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    revised = F.when(
+        h % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    v2 = docs.where(h % 10 != 9).select(
+        "doc_id", "source", revised.alias("text")
+    )
+    v1 = docs.where(h % 10 != 0).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    delta = (
+        v2.join(v1, "doc_id", "left")
+        .withColumn(
+            "change_type",
+            F.when(F.col("digest").isNull(), "added")
+            .when(F.md5("text") != F.col("digest"), "modified")
+            .otherwise("unchanged"),
+        )
+        .where(
+            (F.col("change_type") != "unchanged")
+            & (F.col("doc_id") % BENCH_MOD != 0)
+        )
+    )
+    grams = delta.select(
+        "doc_id",
+        "source",
+        "change_type",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
+        ).alias("g"),
+    )
+    bench = (
+        v2.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(tokenize("text"), DECONTAM_NGRAM)
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    per_doc = grams.groupBy("doc_id", "source", "change_type").agg(
+        F.count("*").alias("n_grams")
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    doc_level = per_doc.join(hits, "doc_id", "left").na.fill(
+        0, ["n_shared"]
+    )
+    return (
+        doc_level.groupBy("source", "change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_shared") > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum("n_shared").cast("bigint").alias("shared_grams"),
+            F.max(F.expr("n_shared * 1000000 div n_grams"))
+            .cast("bigint")
+            .alias("max_contam_micro"),
+        )
+        .orderBy("source", "change_type")
+    )
+
+
+SNAPSHOT_CONTAMINATION_GATE_SQL = rf"""
+WITH hashed AS (
+    SELECT doc_id, source, text,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+    FROM documents
+),
+v2 AS (
+    SELECT doc_id, source,
+           CASE WHEN h % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM hashed WHERE h % 10 != 9
+),
+v1 AS (
+    SELECT doc_id, md5(text) AS digest FROM hashed WHERE h % 10 != 0
+),
+delta AS (
+    SELECT v2.doc_id, v2.source, v2.text,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN md5(v2.text) != v1.digest THEN 'modified'
+                ELSE 'unchanged' END AS change_type
+    FROM v2 LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+),
+screen AS (
+    SELECT * FROM delta
+    WHERE change_type != 'unchanged' AND doc_id % {BENCH_MOD} != 0
+),
+toks AS (
+    SELECT doc_id, source, change_type,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM screen
+),
+pos AS (
+    SELECT doc_id, source, change_type, tokens,
+           unnest(generate_series(
+               1, greatest(len(tokens) - {DECONTAM_NGRAM - 1}, 1))) AS i
+    FROM toks
+),
+grams AS (
+    SELECT DISTINCT doc_id, source, change_type,
+           array_to_string(tokens[i:i+{DECONTAM_NGRAM - 1}], ' ') AS g
+    FROM pos
+),
+btoks AS (
+    SELECT list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM v2 WHERE doc_id % {BENCH_MOD} = 0
+),
+bpos AS (
+    SELECT tokens,
+           unnest(generate_series(
+               1, greatest(len(tokens) - {DECONTAM_NGRAM - 1}, 1))) AS i
+    FROM btoks
+),
+bench AS (
+    SELECT DISTINCT array_to_string(tokens[i:i+{DECONTAM_NGRAM - 1}], ' ')
+        AS g
+    FROM bpos
+),
+per_doc AS (
+    SELECT doc_id, source, change_type, count(*) AS n_grams
+    FROM grams GROUP BY 1, 2, 3
+),
+hits AS (
+    SELECT doc_id, count(*) AS n_shared
+    FROM grams JOIN bench USING (g)
+    GROUP BY 1
+),
+doc_level AS (
+    SELECT p.doc_id, p.source, p.change_type, p.n_grams,
+           coalesce(h.n_shared, 0) AS n_shared
+    FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+)
+SELECT source, change_type,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       CAST(sum(n_shared) AS BIGINT) AS shared_grams,
+       CAST(max(n_shared * 1000000 // n_grams) AS BIGINT)
+           AS max_contam_micro
+FROM doc_level
+GROUP BY source, change_type
+ORDER BY source, change_type
+"""

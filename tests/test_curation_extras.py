@@ -209,3 +209,33 @@ def test_parquet_footer_stats_metadata_only(spark, sf_small):
         )
         assert rows[t].n_rows == want.n
         assert rows[t].key_min == want.mn and rows[t].key_max == want.mx
+
+
+def test_snapshot_contamination_gate_composition(spark, sf_small):
+    """The gate's per-(source, change_type) doc counts must agree with
+    the version diff it composes: every screened doc is an added or
+    modified v2 doc outside the benchmark slice, and contamination
+    counts are bounded by doc counts."""
+    from parquet_extractor_spark.operators.contamination import (
+        snapshot_contamination_gate,
+    )
+    from parquet_extractor_spark.operators.versioning import (
+        corpus_version_diff,
+    )
+
+    gate = snapshot_contamination_gate(spark, sf_small).collect()
+    assert gate, "empty gate output"
+    assert {r.change_type for r in gate} <= {"added", "modified"}
+    for r in gate:
+        assert 0 <= r.n_contaminated <= r.n_docs
+        assert (r.n_contaminated > 0) == (r.shared_grams > 0)
+        assert 0 <= r.max_contam_micro <= 1_000_000
+
+    # the gate screens a SUBSET of the diff's added+modified classes
+    # (benchmark docs and gramless docs are excluded by design)
+    diff = {
+        (r.source, r.change_type): r.n_docs
+        for r in corpus_version_diff(spark, sf_small).collect()
+    }
+    for r in gate:
+        assert r.n_docs <= diff[(r.source, r.change_type)]
