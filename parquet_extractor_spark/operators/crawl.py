@@ -463,3 +463,284 @@ SELECT p.host, p.n_fetches, p.min_gap_ms,
 FROM per_host p LEFT JOIN viol v ON p.host = v.host
 ORDER BY p.host
 """
+
+
+# ── robots.txt parsing (RFC 9309 core) ──────────────────────────────
+#
+# The parse the politeness audit's rule table actually comes from in
+# production: fetch each host's robots.txt, split into lines, strip
+# comments/blanks, group by User-agent blocks (CONSECUTIVE User-agent
+# lines share one group per RFC 9309 §2.1 — handled with a lag+cumsum
+# window pair), keep the groups addressed to '*', and emit their
+# Disallow/Allow/Crawl-delay records. Everything is line-level string
+# expressions + two host-partitioned windows — no Python per row, and
+# the parse output is KB-per-host metadata that always broadcasts.
+# Simplifications vs a full RFC matcher, documented: no % -decoding,
+# no $ / * wildcard path patterns, no longest-match Allow/Disallow
+# precedence (the audit treats any matching Disallow prefix as a
+# violation).
+
+ROBOTS_FIXTURE_ROWS: list[tuple[str, str]] = [
+    ("a.com",
+     "User-agent: *\nDisallow: /private\nCrawl-delay: 2"),
+    ("b.com",
+     "# robots for b.com\nUser-agent: fastbot\nDisallow:\n\n"
+     "User-agent: *\nAllow: /public\nDisallow: /"),
+    # consecutive UA lines: one group shared by fastbot AND *
+    ("c.com",
+     "User-agent: fastbot\nUser-agent: *\nDISALLOW: /tmp\n"
+     "Crawl-delay: 0.5"),
+    # star group with an empty Disallow (allow-all) and junk lines
+    ("d.com",
+     "not a field line\nUser-agent: *\nDisallow:\n# done"),
+    # no star group at all -> contributes nothing
+    ("e.com", "User-agent: otherbot\nDisallow: /"),
+]
+
+
+def parse_robots(robots: DataFrame) -> DataFrame:
+    """(host, body) -> (host, rule_type, value) for the '*' groups.
+    rule_type in {'disallow','allow','crawl-delay'}; empty values
+    (allow-all Disallow) are dropped."""
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("body"), "\n")).alias("pos", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    fields = (
+        lines.where(
+            (F.col("line") != "")
+            & (F.substring(F.col("line"), 1, 1) != "#")
+            & (F.instr(F.col("line"), ":") > 0)
+        )
+        .select(
+            "host",
+            "pos",
+            F.lower(
+                F.trim(
+                    F.substring(
+                        F.col("line"), F.lit(1), F.instr(F.col("line"), ":") - 1
+                    )
+                )
+            ).alias("k"),
+            F.trim(
+                F.substring(
+                    F.col("line"),
+                    F.instr(F.col("line"), ":") + 1,
+                    F.lit(1 << 30),
+                )
+            ).alias("v"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    starts = fields.withColumn(
+        "starts_group",
+        (
+            (F.col("k") == "user-agent")
+            & (F.coalesce(F.lag("k").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    )
+    grouped = starts.withColumn(
+        "grp",
+        F.sum("starts_group").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    star = (
+        grouped.where((F.col("k") == "user-agent") & (F.col("v") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.join(F.broadcast(star), ["host", "grp"])
+        .where(
+            F.col("k").isin("disallow", "allow", "crawl-delay")
+            & (F.col("v") != "")
+        )
+        .select("host", F.col("k").alias("rule_type"), F.col("v").alias("value"))
+    )
+
+
+def robots_rules_parsed(spark, sf_dir: str) -> DataFrame:
+    """Oracle-paired registry face of ``parse_robots`` over the
+    planted robots.txt fixture. ``sf_dir`` unused: planted fixture."""
+    del sf_dir
+    robots = spark.createDataFrame(
+        ROBOTS_FIXTURE_ROWS, "host string, body string"
+    )
+    return parse_robots(robots).orderBy("host", "rule_type", "value")
+
+
+ROBOTS_LINES_SQL_PREFIX = """
+lines AS (
+    SELECT host, i AS pos, trim(ln[i]) AS line
+    FROM (SELECT host, string_split(body, chr(10)) AS ln FROM robots),
+         unnest(generate_series(1, len(ln))) AS t(i)
+),
+fields AS (
+    SELECT host, pos,
+           lower(trim(substr(line, 1, strpos(line, ':') - 1))) AS k,
+           trim(substr(line, strpos(line, ':') + 1)) AS v
+    FROM lines
+    WHERE line != '' AND substr(line, 1, 1) != '#'
+      AND strpos(line, ':') > 0
+),
+starts AS (
+    SELECT *, CASE WHEN k = 'user-agent' AND
+                  coalesce(lag(k) OVER (PARTITION BY host ORDER BY pos),
+                           '') != 'user-agent'
+             THEN 1 ELSE 0 END AS starts_group
+    FROM fields
+),
+grouped AS (
+    SELECT *, sum(starts_group) OVER (
+        PARTITION BY host ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM starts
+),
+star AS (
+    SELECT DISTINCT host, grp FROM grouped
+    WHERE k = 'user-agent' AND v = '*'
+),
+rules AS (
+    SELECT g.host, g.k AS rule_type, g.v AS value
+    FROM grouped g JOIN star s ON g.host = s.host AND g.grp = s.grp
+    WHERE g.k IN ('disallow', 'allow', 'crawl-delay') AND g.v != ''
+)
+"""
+
+ROBOTS_RULES_PARSED_SQL = (
+    "WITH robots(host, body) AS (VALUES\n    "
+    + _values_clause(ROBOTS_FIXTURE_ROWS)
+    + "\n),"
+    + ROBOTS_LINES_SQL_PREFIX
+    + "SELECT host, rule_type, value FROM rules\n"
+    "ORDER BY host, rule_type, value"
+)
+
+
+def robots_compliance_audit(spark, sf_dir: str) -> DataFrame:
+    """The full parse→join compliance pipeline: robots.txt bodies are
+    parsed (not pre-tabulated), the '*' Disallow prefixes join the
+    fetch log by host+startswith, and each host's observed minimum
+    inter-fetch gap is compared against its PARSED Crawl-delay
+    (default 1000 ms when unset). Output per fetched host:
+    (n_fetches, min_gap_ms, required_delay_ms, delay_ok,
+    robots_violations). ``sf_dir`` unused: planted fixtures.
+
+    Scale shape: identical to crawl_politeness_audit (one lag window
+    over the fetch log + a broadcast rule join) with the parse stage
+    prepended — the parse output is per-host metadata, KB-scale, and
+    broadcast; the fetch log is scanned once."""
+    del sf_dir
+    fetches = spark.createDataFrame(
+        POLITENESS_FETCH_ROWS,
+        "fetch_id bigint, host string, path string, ts_ms bigint",
+    )
+    robots = spark.createDataFrame(
+        ROBOTS_FIXTURE_ROWS, "host string, body string"
+    )
+    rules = parse_robots(robots)
+    disallow = rules.where(F.col("rule_type") == "disallow").select(
+        F.col("host").alias("r_host"), F.col("value").alias("prefix")
+    )
+    delays = rules.where(F.col("rule_type") == "crawl-delay").select(
+        F.col("host").alias("d_host"),
+        F.floor(F.col("value").cast("double") * 1000)
+        .cast("bigint")
+        .alias("required_delay_ms"),
+    )
+    w = Window.partitionBy("host").orderBy("ts_ms", "fetch_id")
+    gaps = fetches.withColumn(
+        "gap_ms", F.col("ts_ms") - F.lag("ts_ms").over(w)
+    )
+    per_host = gaps.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+        F.min("gap_ms").cast("bigint").alias("min_gap_ms"),
+    )
+    viol = (
+        fetches.join(
+            F.broadcast(disallow),
+            (F.col("host") == F.col("r_host"))
+            & F.col("path").startswith(F.col("prefix")),
+        )
+        .groupBy("host")
+        .agg(F.count_distinct("fetch_id").cast("bigint").alias("_v"))
+    )
+    return (
+        per_host.join(F.broadcast(delays), per_host.host == delays.d_host, "left")
+        .join(viol, "host", "left")
+        .select(
+            "host",
+            "n_fetches",
+            "min_gap_ms",
+            F.coalesce(
+                F.col("required_delay_ms"),
+                F.lit(POLITENESS_DELAY_MS).cast("bigint"),
+            ).alias("required_delay_ms"),
+            (
+                F.col("min_gap_ms").isNull()
+                | (
+                    F.col("min_gap_ms")
+                    >= F.coalesce(
+                        F.col("required_delay_ms"),
+                        F.lit(POLITENESS_DELAY_MS).cast("bigint"),
+                    )
+                )
+            ).alias("delay_ok"),
+            F.coalesce(F.col("_v"), F.lit(0))
+            .cast("bigint")
+            .alias("robots_violations"),
+        )
+        .orderBy("host")
+    )
+
+
+ROBOTS_COMPLIANCE_AUDIT_SQL = (
+    "WITH robots(host, body) AS (VALUES\n    "
+    + _values_clause(ROBOTS_FIXTURE_ROWS)
+    + "\n),\nfetches(fetch_id, host, path, ts_ms) AS (VALUES\n    "
+    + _values_clause(POLITENESS_FETCH_ROWS)
+    + "\n),"
+    + ROBOTS_LINES_SQL_PREFIX
+    + f""",
+disallow AS (
+    SELECT host AS r_host, value AS prefix FROM rules
+    WHERE rule_type = 'disallow'
+),
+delays AS (
+    SELECT host AS d_host,
+           CAST(floor(CAST(value AS DOUBLE) * 1000) AS BIGINT)
+               AS required_delay_ms
+    FROM rules WHERE rule_type = 'crawl-delay'
+),
+gaps AS (
+    SELECT host,
+           ts_ms - lag(ts_ms) OVER (
+               PARTITION BY host ORDER BY ts_ms, fetch_id) AS gap_ms
+    FROM fetches
+),
+per_host AS (
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(min(gap_ms) AS BIGINT) AS min_gap_ms
+    FROM gaps GROUP BY host
+),
+viol AS (
+    SELECT f.host, CAST(count(DISTINCT f.fetch_id) AS BIGINT) AS v
+    FROM fetches f JOIN disallow r
+      ON f.host = r.r_host AND starts_with(f.path, r.prefix)
+    GROUP BY f.host
+)
+SELECT p.host, p.n_fetches, p.min_gap_ms,
+       CAST(coalesce(d.required_delay_ms, {POLITENESS_DELAY_MS})
+            AS BIGINT) AS required_delay_ms,
+       (p.min_gap_ms IS NULL OR p.min_gap_ms >=
+            coalesce(d.required_delay_ms, {POLITENESS_DELAY_MS}))
+           AS delay_ok,
+       CAST(coalesce(v.v, 0) AS BIGINT) AS robots_violations
+FROM per_host p
+LEFT JOIN delays d ON p.host = d.d_host
+LEFT JOIN viol v ON p.host = v.host
+ORDER BY p.host
+"""
+)

@@ -355,3 +355,49 @@ def test_politeness_audit_hand_checked(spark):
     d = rows["d.com"]
     assert d.polite and d.robots_violations == 3
     assert rows["e.com"].polite  # exactly at the 1000 ms threshold
+
+
+def test_parse_robots_rfc9309_grouping(spark):
+    """Consecutive User-agent lines share one group (RFC 9309 §2.1);
+    agent-specific groups are excluded; comments/blanks/junk lines and
+    empty Disallow values are dropped; keys are case-insensitive."""
+    from parquet_extractor_spark.operators.crawl import (
+        ROBOTS_FIXTURE_ROWS,
+        parse_robots,
+    )
+
+    robots = spark.createDataFrame(
+        ROBOTS_FIXTURE_ROWS, "host string, body string"
+    )
+    rules = {(r.host, r.rule_type, r.value)
+             for r in parse_robots(robots).collect()}
+    assert rules == {
+        ("a.com", "crawl-delay", "2"),
+        ("a.com", "disallow", "/private"),
+        ("b.com", "allow", "/public"),
+        ("b.com", "disallow", "/"),
+        # c.com: '*' rides the fastbot group; DISALLOW key lowercased
+        ("c.com", "disallow", "/tmp"),
+        ("c.com", "crawl-delay", "0.5"),
+        # d.com: empty Disallow dropped; e.com: no '*' group at all
+    }
+
+
+def test_robots_compliance_audit_hand_checked(spark):
+    """Parsed crawl-delays override the 1000 ms default; allow-all
+    robots (d.com) yields zero violations even for /admin fetches;
+    a host without a '*' group gets the default delay."""
+    from parquet_extractor_spark.operators.crawl import (
+        robots_compliance_audit,
+    )
+
+    rows = {r.host: r for r in robots_compliance_audit(spark, "").collect()}
+    a = rows["a.com"]
+    assert (a.required_delay_ms, a.delay_ok, a.robots_violations) == (
+        2000, False, 1)
+    b = rows["b.com"]  # Disallow: / hits all three fetches
+    assert (b.required_delay_ms, b.robots_violations) == (1000, 3)
+    c = rows["c.com"]  # fractional Crawl-delay: 0.5 -> 500 ms
+    assert c.required_delay_ms == 500 and c.delay_ok
+    assert rows["d.com"].robots_violations == 0  # allow-all robots
+    assert rows["e.com"].required_delay_ms == 1000  # no '*' group
