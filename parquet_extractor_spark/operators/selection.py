@@ -1441,3 +1441,126 @@ ORDER BY lang, bucket
 
 
 CCNET_PERPLEXITY_BUCKETS_SQL = _ccnet_oracle()
+
+
+# ── longest duplicated span per document (pow2 resolution) ──────────
+#
+# The per-document form of Lee et al.'s exact-substring signal that
+# duplicate_spans (fixed 8-token windows, global top-N) doesn't give:
+# "how LONG is the longest token span of THIS doc that also occurs
+# elsewhere in the corpus?" — the number a dedup policy thresholds on
+# (Lee et al. remove ≥50-token matches). Exact answers at every
+# length need a suffix array (sequential); the distributed form here
+# probes a geometric ladder of window sizes and reports the largest
+# power-of-two length with a corpus-wide repeat — a 2× lower bound on
+# the true maximum, which is exactly the precision a threshold policy
+# needs (any true span ≥ 2k has a duplicated k-window inside it, so
+# thresholding at k never misses a 2k span).
+
+DUP_SPAN_LEVELS = (2, 4, 8, 16, 32, 64)
+
+
+def longest_dup_span_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: token count and the largest k in DUP_SPAN_LEVELS such
+    that some k-token window of the doc occurs ≥2 times corpus-wide
+    (0 if none). Docs shorter than k don't participate at level k
+    (word_ngrams would otherwise emit a short catch-all shingle and
+    fabricate full-text matches at long levels).
+
+    Scale shape: per level, one map-side shingle fan-out hashed to
+    60-bit keys (shuffle ships (doc_id, hash), never span text), one
+    partial+final count keyed by hash, and one semi join back — all
+    linear in corpus tokens, no global sort anywhere; the ladder is
+    |levels| = 6 such passes over one persisted token frame. This is
+    the prefix-doubling cost profile without the cross-level joins
+    (regenerating k-grams map-side is cheaper on Spark than carrying
+    rank state through log(n) shuffles).
+    """
+    toks = (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", tokenize("text").alias("toks"))
+        .persist()
+    )
+    flagged = None
+    for k in DUP_SPAN_LEVELS:
+        grams = (
+            toks.where(F.size("toks") >= k)
+            .select(
+                "doc_id",
+                F.explode(word_ngrams(F.col("toks"), k)).alias("g"),
+            )
+            .select("doc_id", portable_hash64(F.col("g")).alias("gh"))
+        )
+        dup = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 2)
+            .select("gh")
+        )
+        lv = (
+            grams.join(dup, "gh", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("k", F.lit(k).cast("bigint"))
+        )
+        flagged = lv if flagged is None else flagged.unionByName(lv)
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.max("k").alias("longest_dup_pow2")
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("longest_dup_pow2"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_dup_pow2"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_span_oracle() -> str:
+    levels = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, {k} AS k
+FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(array_to_string(
+               tokens[i:i+{k - 1}], ' ')), 1, 15)) AS BIGINT) AS gh
+    FROM pos WHERE len(tokens) >= {k} AND i <= len(tokens) - {k - 1}
+)
+QUALIFY count(*) OVER (PARTITION BY gh) >= 2"""
+        for k in DUP_SPAN_LEVELS
+    )
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, tokens,
+           unnest(generate_series(1, len(tokens))) AS i
+    FROM toks
+),
+flagged AS (
+    SELECT DISTINCT doc_id, k FROM (
+{levels}
+    )
+),
+per_doc AS (
+    SELECT doc_id, max(k) AS longest_dup_pow2 FROM flagged GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.longest_dup_pow2, 0) AS BIGINT)
+           AS longest_dup_pow2
+FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+"""
+
+
+LONGEST_DUP_SPAN_POW2_SQL = _dup_span_oracle()

@@ -346,3 +346,44 @@ def test_source_vocab_kmv_jaccard_estimator_quality(spark, sf_small):
     # the exact tier really does spread (the estimator had work to do)
     exact = [r.jaccard_micro_exact for r in rows]
     assert max(exact) - min(exact) > 50_000
+
+
+def test_longest_dup_span_pow2_planted(spark, tmp_path):
+    """Planted corpus with hand-known span structure: the pow2 level
+    is a 2x lower bound on the true longest duplicated span (any true
+    span >= 2k contains a duplicated k-window)."""
+    import os
+
+    from parquet_extractor_spark.operators.selection import (
+        longest_dup_span_pow2,
+    )
+
+    base = "w%d"  # unique filler tokens -> no accidental repeats
+    shared16 = " ".join(f"s{i}" for i in range(16))
+    rows = [
+        # docs 1/2 share EXACTLY a 16-token run inside unique filler
+        (1, " ".join(base % i for i in range(100, 120))
+            + " " + shared16 + " "
+            + " ".join(base % i for i in range(200, 220)), "en", "srcA", 0),
+        (2, " ".join(base % i for i in range(300, 320))
+            + " " + shared16 + " "
+            + " ".join(base % i for i in range(400, 420)), "en", "srcA", 0),
+        # doc 3: all-unique tokens -> no duplicated window at any level
+        (3, " ".join(base % i for i in range(500, 560)), "en", "srcB", 0),
+        # docs 4/5: byte-identical 70-token text -> level 64 fires
+        (4, " ".join(f"t{i % 7}x{i}" for i in range(70)), "en", "srcC", 0),
+        (5, " ".join(f"t{i % 7}x{i}" for i in range(70)), "en", "srcC", 0),
+    ]
+    d = str(tmp_path / "mini")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.doc_id: r.longest_dup_pow2
+           for r in longest_dup_span_pow2(spark, d).collect()}
+    # true longest shared span is 16 -> level 16 fires, 32 cannot
+    assert got[1] == 16 and got[2] == 16
+    assert got[3] == 0
+    assert got[4] == 64 and got[5] == 64
