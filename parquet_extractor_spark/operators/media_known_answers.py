@@ -19,8 +19,9 @@ from the format specifications and never touch ``functions/*``:
 
 Corrupting any decoder therefore breaks a literal driver-gate row,
 not just a regenerated snapshot. The probes intentionally overlap the
-snapshot fixtures' codec families (PNG filters, GIF LZW, BMP layout,
-baseline JPEG entropy+IDCT, TIFF strip compressions, WAV PCM).
+snapshot fixtures' codec families (PNG filters, GIF LZW — sequential
+AND interlaced, BMP layout, baseline JPEG entropy+IDCT, TIFF strip
+compressions, WAV PCM and G.711 companding).
 """
 
 from __future__ import annotations
@@ -106,14 +107,16 @@ def build_png_probe() -> bytes:
 #
 # 4x1, 4-entry palette, pixel indices [0, 1, 1, 0].
 # min code size 2 -> clear=4, eoi=5, first dynamic=6, width starts 3.
+# Width schedule: the giflib convention — the code width bumps only
+# AFTER dictionary entry 2^width is added (entry 8 for width 3), so
+# the decoder (which lags the encoder by one entry) stays in sync.
 # Encoder walk (hand-derived):
 #   emit Clear(4);            cur=[0]
-#   [0,1] new -> emit 0, add #6, cur=[1]
-#   [1,1] new -> emit 1, add #7  (next add would be 8 -> width=4)
-#   [1,0] new -> emit 1, add #8, cur=[0]
-#   end       -> emit 0; emit EOI(5)
-# Codes and widths: 4@3, 0@3, 1@3, 1@4, 0@4, 5@4 = 21 bits.
-# LSB-first packing: byte0=0x44, byte1=0x02, byte2=0x0A.
+#   [0,1] new -> emit 0@3, add #6, cur=[1]
+#   [1,1] new -> emit 1@3, add #7, cur=[1]
+#   [1,0] new -> emit 1@3, add #8 -> width=4, cur=[0]
+#   end       -> emit 0@4; emit EOI 5@4
+# LSB-first packing: bytes 0x44 0x02 0x05.
 
 GIF_PALETTE = [(0, 0, 0), (255, 255, 255), (9, 9, 9), (200, 100, 50)]
 GIF_EXPECTED = np.array(
@@ -129,7 +132,7 @@ def build_gif_probe() -> bytes:
         out += bytes(rgb)
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 1, 0)
     out += bytes([2])  # LZW min code size
-    out += bytes([3, 0x44, 0x02, 0x0A])  # one 3-byte sub-block
+    out += bytes([3, 0x44, 0x02, 0x05])  # one 3-byte sub-block
     out += b"\x00\x3b"  # block terminator + trailer
     return bytes(out)
 
@@ -233,6 +236,69 @@ def build_wav_pcm8_probe() -> bytes:
     return _build_wav(1, 8, bytes([0, 128, 255]))
 
 
+# ── WAV: G.711 µ-law / A-law (ITU-T G.711 decode arithmetic) ────────
+#
+# Expected samples hand-derived from the spec formulas (the decoder's
+# 14/13-bit CCITT scale), NOT from the in-repo tables:
+#   µ-law: u = ~c; t = (((u&0x0F)<<3)+0x84) << ((u&0x70)>>4);
+#          result = 0x84-t if u&0x80 else t-0x84
+#     c=0xFF -> u=0x00 -> t=132        -> +0
+#     c=0x7F -> u=0x80 -> t=132, sign  -> 0   (negative zero)
+#     c=0x00 -> u=0xFF -> t=32256,sign -> -32124
+#     c=0x80 -> u=0x7F -> t=32256      -> +32124
+#   A-law: a = c^0x55; t=(a&0x0F)<<4; seg=(a&0x70)>>4;
+#          seg0: t+=8; seg1: t+=0x108; else (t+0x108)<<(seg-1);
+#          positive iff a&0x80
+#     c=0x55 -> a=0x00 -> 8,  neg -> -8
+#     c=0xD5 -> a=0x80 -> 8,  pos -> +8
+#     c=0x2A -> a=0x7F -> 32256, neg -> -32256
+#     c=0xAA -> a=0xFF -> 32256, pos -> +32256
+#     c=0xD4 -> a=0x81 -> 16+8=24, pos -> +24
+
+WAV_ULAW_CODES = bytes([0xFF, 0x7F, 0x00, 0x80])
+WAV_ULAW_EXPECTED = np.array([0, 0, -32124, 32124], dtype=np.int16)
+WAV_ALAW_CODES = bytes([0x55, 0xD5, 0x2A, 0xAA, 0xD4])
+WAV_ALAW_EXPECTED = np.array([-8, 8, -32256, 32256, 24], dtype=np.int16)
+
+
+def build_wav_ulaw_probe() -> bytes:
+    return _build_wav(7, 8, WAV_ULAW_CODES)  # WAVE_FORMAT_MULAW
+
+
+def build_wav_alaw_probe() -> bytes:
+    return _build_wav(6, 8, WAV_ALAW_CODES)  # WAVE_FORMAT_ALAW
+
+
+# ── GIF: interlaced image (GIF89a Appendix E four-pass layout) ──────
+#
+# 1x8, same 4-entry palette. DISPLAY rows top-to-bottom use palette
+# indices [0,1,2,3,0,1,2,3]; the STORED (interlaced) row order is
+# pass1 row0, pass2 row4, pass3 rows 2,6, pass4 rows 1,3,5,7, i.e.
+# stored indices [0,0,2,2,1,3,1,3]. Hand LZW (mcs 2, clear=4, eoi=5;
+# giflib width schedule — bump only after entry 2^width is added):
+#   Clear(4)@3; [0,0] new -> 0@3 add#6; [0,2] new -> 0@3 add#7;
+#   [2,2] new -> 2@3 add#8 -> width 4; [2,1] new -> 2@4 add#9;
+#   [1,3] new -> 1@4 add#10; [3,1] new -> 3@4 add#11;
+#   [1,3] hits #10 -> 10@4; EOI 5@4.
+#   LSB-first packing -> bytes 04 24 31 5A.
+
+GIF_INTERLACED_EXPECTED = np.array(
+    [[GIF_PALETTE[i]] for i in (0, 1, 2, 3, 0, 1, 2, 3)], dtype=np.uint8
+)
+
+
+def build_gif_interlaced_probe() -> bytes:
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 1, 8, 0x91, 0, 0)
+    for rgb in GIF_PALETTE:
+        out += bytes(rgb)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 8, 0x40)  # interlaced
+    out += bytes([2])
+    out += bytes([4, 0x04, 0x24, 0x31, 0x5A])
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 # ── JPEG: DC-only grayscale blocks (ITU-T T.81 §A.3.3, Annex K) ─────
 #
 # Two 8x8 blocks (16x8 image), flat quant table q=16, Annex K
@@ -320,6 +386,12 @@ PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
      WAV_PCM16_EXPECTED.tobytes(), (5,)),
     (8, "wav_pcm8_riff", build_wav_pcm8_probe(),
      WAV_PCM8_EXPECTED.tobytes(), (3,)),
+    (9, "wav_ulaw_g711", build_wav_ulaw_probe(),
+     WAV_ULAW_EXPECTED.tobytes(), (4,)),
+    (10, "wav_alaw_g711", build_wav_alaw_probe(),
+     WAV_ALAW_EXPECTED.tobytes(), (5,)),
+    (11, "gif_interlaced_appendix_e", build_gif_interlaced_probe(),
+     _canon_image(GIF_INTERLACED_EXPECTED), GIF_INTERLACED_EXPECTED.shape),
 ]
 
 

@@ -48,11 +48,14 @@ def test_corrupted_stream_cannot_match_the_pinned_row():
     # container trailers would be legitimately pixel-neutral)
     pixel_byte = {
         "gif_lzw_appendix_f": -5,   # first LZW data byte (0x44)
+        "gif_interlaced_appendix_e": -3,  # last LZW data byte (0x5A)
         "bmp_bottomup_bgr": -3,     # last green-channel byte
         "tiff_strip_raw": -1,       # last strip sample (11)
         "tiff_strip_packbits": -1,  # last literal sample (0x0B)
         "wav_pcm16_riff": -1,       # high byte of the last sample
         "wav_pcm8_riff": -1,        # last sample byte
+        "wav_ulaw_g711": -1,        # last G.711 code
+        "wav_alaw_g711": -1,        # last G.711 code
     }
     for pid, name, data, canon, _shape in M.PROBES:
         if name.startswith(("png", "jpeg")):
