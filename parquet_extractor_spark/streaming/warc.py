@@ -85,3 +85,69 @@ def run_warc_ingest_stream(
             f"warc ingest stream did not drain within {timeout_s}s"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def run_capture_dedup_stream(
+    spark: SparkSession,
+    warc_dir: str,
+    checkpoint_dir: str,
+    table_dir: str,
+    timeout_s: int = 120,
+) -> list[int]:
+    """The streaming crawl-hygiene path end to end: WARC segments
+    stream in, each micro-batch is canonicalize-then-deduped AGAINST
+    THE TABLE SO FAR (the previous snapshot unions with the batch and
+    the newest capture per canonical URL survives), and the merged
+    result commits as one OVERWRITE snapshot tagged with the epoch —
+    so an at-least-once foreachBatch replay is a no-op, and every
+    crawl cycle's frontier state stays time-travelable. Returns the
+    committed snapshot ids.
+
+    Scale shape: the merge is exactly the batch
+    ``latest_capture_per_uri(canonicalize=True)`` plan (map-side
+    canonicalization + one window keyed by canonical URL) over
+    previous-survivors ∪ batch; survivors are bounded by distinct
+    pages, so the union input stays proportional to the frontier, not
+    to crawl history. A 100 TB deployment swaps the overwrite commit
+    for a partition-scoped merge; the epoch-tag idempotency carries
+    over unchanged."""
+    from parquet_extractor_spark.operators.crawl import (
+        latest_capture_per_uri,
+    )
+    from parquet_extractor_spark.sinks.versioned import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    records = extract_warc_frame(read_warc_stream(spark, warc_dir))
+    committed: list[int] = []
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        try:
+            prev = read_snapshot(spark, table_dir)
+            merged_in = prev.unionByName(batch.select(*prev.columns))
+        except FileNotFoundError:
+            merged_in = batch
+        merged = latest_capture_per_uri(merged_in, canonicalize=True)
+        committed.append(
+            commit_snapshot(
+                merged, table_dir, mode="overwrite",
+                tag=f"capture-epoch-{epoch}",
+            )
+        )
+
+    query = (
+        records.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, "capture_dedup"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"capture dedup stream did not drain within {timeout_s}s"
+        )
+    return committed

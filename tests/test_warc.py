@@ -401,3 +401,75 @@ def test_robots_compliance_audit_hand_checked(spark):
     assert c.required_delay_ms == 500 and c.delay_ok
     assert rows["d.com"].robots_violations == 0  # allow-all robots
     assert rows["e.com"].required_delay_ms == 1000  # no '*' group
+
+
+def test_capture_dedup_stream_matches_batch_and_time_travels(
+    spark, tmp_path
+):
+    """Two crawl cycles through run_capture_dedup_stream: the final
+    snapshot equals the batch canonicalized latest-capture over ALL
+    segments; the first snapshot is time-travelable and shows only
+    cycle 1's survivors."""
+    from parquet_extractor_spark.operators.crawl import (
+        latest_capture_per_uri,
+    )
+    from parquet_extractor_spark.sinks.versioned import read_snapshot
+    from parquet_extractor_spark.streaming.warc import (
+        run_capture_dedup_stream,
+    )
+
+    def resp(seq, uri, date, body):
+        return build_warc_record(
+            "response", f"33-{seq:04d}", date,
+            build_http_response(body),
+            target_uri=uri,
+            content_type="application/http;msgtype=response",
+        )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "captures")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    # cycle 1: two spellings of page P + one other page
+    seg1 = [
+        resp(0, "http://Example.com/p?utm_source=x&id=1",
+             "2026-01-01T00:00:00Z", b"<p>old</p>"),
+        resp(1, "http://example.com:80/p?id=1",
+             "2026-01-02T00:00:00Z", b"<p>mid</p>"),
+        resp(2, "http://example.com/other",
+             "2026-01-01T00:00:00Z", b"<p>other</p>"),
+    ]
+    with open(os.path.join(landing, "seg1.warc.gz"), "wb") as f:
+        f.write(build_warc(seg1))
+    v1 = run_capture_dedup_stream(spark, landing, ckpt, table)
+    assert len(v1) == 1
+    first = {r.text for r in read_snapshot(spark, table).collect()}
+    assert first == {"mid", "other"}  # variants of P collapsed
+
+    # cycle 2: a NEWER capture of P + a new page
+    seg2 = [
+        resp(3, "http://example.com/p?id=1#frag",
+             "2026-02-01T00:00:00Z", b"<p>new</p>"),
+        resp(4, "http://example.com/fresh",
+             "2026-02-01T00:00:00Z", b"<p>fresh</p>"),
+    ]
+    with open(os.path.join(landing, "seg2.warc.gz"), "wb") as f:
+        f.write(build_warc(seg2))
+    run_capture_dedup_stream(spark, landing, ckpt, table)
+
+    latest = read_snapshot(spark, table)
+    assert {r.text for r in latest.collect()} == {"new", "other", "fresh"}
+
+    # equality with the one-shot batch plan over all segments
+    batch = latest_capture_per_uri(
+        read_warc_docs(spark, landing), canonicalize=True
+    )
+    key = lambda d: (d["record_id"],)  # noqa: E731
+    a = sorted((r.asDict() for r in latest.collect()), key=key)
+    b = sorted((r.asDict() for r in batch.collect()), key=key)
+    assert a == b
+
+    # time travel: cycle 1's frontier is still readable
+    assert {r.text for r in read_snapshot(spark, table, version=0)
+            .collect()} == {"mid", "other"}
