@@ -1344,3 +1344,146 @@ ORDER BY c.actual, c.pred_lang
 
 
 LANGUAGE_ID_CONFUSION_SQL = _language_id_confusion_oracle()
+
+
+# ── mixed-script / homoglyph audit ───────────────────────────────────
+#
+# Unicode homoglyph spoofing — Latin text with visually-identical
+# Cyrillic/Greek letters spliced in ("pаypаl" with U+0430) — is a
+# classic web-spam/phishing signature a training-data pipeline screens
+# for (and one that survives lowercasing, NFC, and most tokenizers).
+# Script classes are counted with the engines' native regex script
+# properties (Java \p{IsCyrillic} ≡ RE2 \p{Cyrillic} — parity pinned
+# by the shared planted fixture); a token mixing ≥2 scripts is the
+# per-token signal, and a document that is Latin-dominant yet
+# contains mixed-script tokens is flagged homoglyph-suspect.
+
+MIXED_SCRIPT_FIXTURE_ROWS: list[tuple[int, str]] = [
+    (1, "paypal account login"),                 # clean Latin
+    (2, "pаypаl аccount login"),  # Cyrillic а spliced in
+    (3, "привет мир"),  # pure Cyrillic
+    (4, "αλφα beta mixεd"),  # Greek + one mixed token
+    (5, "hello world 123!"),                     # digits/punct only extras
+    (6, "..."),                                  # no letters at all
+]
+
+
+def _script_count(col: F.Column, char_class: str) -> F.Column:
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+    ).cast("bigint")
+
+
+def mixed_script_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per planted doc: codepoint count, per-script letter counts,
+    whitespace-token count, tokens mixing ≥2 scripts, and the
+    homoglyph-suspect verdict (Latin-dominant + ≥1 mixed token).
+    ``sf_dir`` unused: planted fixture (the parquet documents are
+    ASCII-synthetic).
+
+    Scale shape: the script counts are map-side regex folds (codegen,
+    no Python); the token pass is one explode + partial-agg count
+    keyed by doc — linear, no joins wider than the per-doc reduction."""
+    del sf_dir
+    docs = spark.createDataFrame(
+        MIXED_SCRIPT_FIXTURE_ROWS, "doc_id bigint, text string"
+    )
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", r"\s+")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (
+                F.col("tok").rlike("[a-zA-Z]").cast("int")
+                + F.col("tok").rlike(r"\p{IsCyrillic}").cast("int")
+                + F.col("tok").rlike(r"\p{IsGreek}").cast("int")
+            ).alias("n_scripts"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum((F.col("n_scripts") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("mixed_script_tokens"),
+        )
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        _script_count(F.col("text"), "[a-zA-Z]").alias("n_latin"),
+        _script_count(F.col("text"), r"\p{IsCyrillic}").alias("n_cyrillic"),
+        _script_count(F.col("text"), r"\p{IsGreek}").alias("n_greek"),
+    )
+    return (
+        per_doc.join(toks, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_latin",
+            "n_cyrillic",
+            "n_greek",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce(F.col("mixed_script_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("mixed_script_tokens"),
+            (
+                (F.col("n_latin") > F.col("n_cyrillic") + F.col("n_greek"))
+                & (F.coalesce(F.col("mixed_script_tokens"), F.lit(0)) > 0)
+            ).alias("homoglyph_suspect"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _mixed_script_oracle() -> str:
+    from parquet_extractor_spark.operators.crawl import _values_clause
+
+    return (
+        "WITH docs(doc_id, text) AS (VALUES\n    "
+        + _values_clause(MIXED_SCRIPT_FIXTURE_ROWS)
+        + r"""
+),
+toks AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN
+                (CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(tok, '\p{Cyrillic}') THEN 1 ELSE 0 END
+               + CASE WHEN regexp_matches(tok, '\p{Greek}') THEN 1 ELSE 0 END)
+                >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS mixed_script_tokens
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM docs
+    )
+    WHERE tok != ''
+    GROUP BY doc_id
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+               AS BIGINT) AS n_latin,
+           CAST(length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g'))
+               AS BIGINT) AS n_cyrillic,
+           CAST(length(text) - length(regexp_replace(text, '\p{Greek}', '', 'g'))
+               AS BIGINT) AS n_greek
+    FROM docs
+)
+SELECT p.doc_id, p.n_chars, p.n_latin, p.n_cyrillic, p.n_greek,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.mixed_script_tokens, 0) AS BIGINT)
+           AS mixed_script_tokens,
+       (p.n_latin > p.n_cyrillic + p.n_greek
+            AND coalesce(t.mixed_script_tokens, 0) > 0)
+           AS homoglyph_suspect
+FROM per_doc p LEFT JOIN toks t ON p.doc_id = t.doc_id
+ORDER BY p.doc_id
+"""
+    )
+
+
+MIXED_SCRIPT_AUDIT_SQL = _mixed_script_oracle()

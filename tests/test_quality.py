@@ -320,3 +320,22 @@ def test_readability_scores_buckets_and_bounds(spark, sf_small):
         assert r.ease_micro <= 206_835_000
     # the fixture isn't degenerate: more than one bucket appears
     assert len({r.ease_bucket for r in rows}) > 1
+
+
+def test_mixed_script_audit_hand_checked(spark):
+    """Homoglyph fixture facts derived by hand: the Cyrillic-a spoof
+    and the Greek-epsilon spoof are flagged; clean Latin, pure
+    Cyrillic, and letterless docs are not."""
+    from parquet_extractor_spark.operators.quality import (
+        mixed_script_audit,
+    )
+
+    rows = {r.doc_id: r for r in mixed_script_audit(spark, "").collect()}
+    assert not rows[1].homoglyph_suspect  # clean latin
+    spoof = rows[2]  # "pаypаl аccount login" with three U+0430
+    assert (spoof.n_cyrillic, spoof.mixed_script_tokens) == (3, 2)
+    assert spoof.homoglyph_suspect
+    assert not rows[3].homoglyph_suspect  # pure Cyrillic is fine
+    eps = rows[4]  # "mixεd" Greek epsilon inside a Latin token
+    assert eps.mixed_script_tokens == 1 and eps.homoglyph_suspect
+    assert rows[6].n_tokens == 1 and not rows[6].homoglyph_suspect
