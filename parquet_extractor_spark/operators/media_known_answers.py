@@ -173,14 +173,16 @@ _TIFF_RAW = bytes([7, 7, 7, 9, 10, 11])
 _TIFF_PACKBITS = bytes([0xFE, 0x07, 0x02, 0x09, 0x0A, 0x0B])
 
 
-def _build_tiff(strip: bytes, compression: int) -> bytes:
-    # header + one IFD with the 10 baseline tags, strip appended after
+def _build_tiff(
+    strip: bytes, compression: int, predictor: int | None = None
+) -> bytes:
+    # header + one IFD with the baseline tags, strip appended after
     entries = []
 
     def tag(t, typ, count, value):
         entries.append(struct.pack("<HHI4s", t, typ, count, value))
 
-    n = 10
+    n = 10 + (1 if predictor is not None else 0)
     ifd_off = 8
     strip_off = ifd_off + 2 + n * 12 + 4
     short = lambda v: struct.pack("<HH", v, 0)  # noqa: E731
@@ -195,6 +197,8 @@ def _build_tiff(strip: bytes, compression: int) -> bytes:
     tag(278, 3, 1, short(2))            # RowsPerStrip
     tag(279, 4, 1, long_(len(strip)))   # StripByteCounts
     tag(284, 3, 1, short(1))            # PlanarConfig: chunky
+    if predictor is not None:
+        tag(317, 3, 1, short(predictor))  # Predictor
     ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
     return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + strip
 
@@ -205,6 +209,32 @@ def build_tiff_raw_probe() -> bytes:
 
 def build_tiff_packbits_probe() -> bytes:
     return _build_tiff(_TIFF_PACKBITS, 32773)
+
+
+# TIFF LZW (compression 5, TIFF 6.0 §13): MSB-first 9-bit codes,
+# Clear=256, EOI=257. Hand encoder walk over [7,7,7,9,10,11]:
+#   Clear(256); [7,7] new -> emit 7, add #258; then [7,7] hits #258
+#   with the 3rd 7 pending -> on 9: emit 258 (the decoder's KwKwK
+#   case: its table has only 257 entries when 258 arrives), add #259;
+#   [9,10] new -> emit 9, add #260; [10,11] new -> emit 10, add #261;
+#   end -> emit 11; EOI(257). All @9 bits (early-change bump is at
+#   table size 510, never reached). MSB-first packing of
+#   256,7,258,9,10,11,257 -> bytes 80 01 E0 40 90 50 2E 02.
+_TIFF_LZW = bytes([0x80, 0x01, 0xE0, 0x40, 0x90, 0x50, 0x2E, 0x02])
+
+# TIFF Predictor 2 (tag 317, horizontal differencing): stored bytes
+# are per-row left-deltas of the raw samples —
+#   [7,7,7]   -> [7,0,0]
+#   [9,10,11] -> [9,1,1]
+_TIFF_PRED2 = bytes([7, 0, 0, 9, 1, 1])
+
+
+def build_tiff_lzw_probe() -> bytes:
+    return _build_tiff(_TIFF_LZW, 5)
+
+
+def build_tiff_predictor2_probe() -> bytes:
+    return _build_tiff(_TIFF_PRED2, 1, predictor=2)
 
 
 # ── WAV: PCM16 + PCM8 (RFC 2361 / RIFF spec) ────────────────────────
@@ -392,6 +422,10 @@ PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
      WAV_ALAW_EXPECTED.tobytes(), (5,)),
     (11, "gif_interlaced_appendix_e", build_gif_interlaced_probe(),
      _canon_image(GIF_INTERLACED_EXPECTED), GIF_INTERLACED_EXPECTED.shape),
+    (12, "tiff_strip_lzw", build_tiff_lzw_probe(),
+     _canon_image(TIFF_EXPECTED), TIFF_EXPECTED.shape),
+    (13, "tiff_predictor2", build_tiff_predictor2_probe(),
+     _canon_image(TIFF_EXPECTED), TIFF_EXPECTED.shape),
 ]
 
 

@@ -56,6 +56,8 @@ def test_corrupted_stream_cannot_match_the_pinned_row():
         "wav_pcm8_riff": -1,        # last sample byte
         "wav_ulaw_g711": -1,        # last G.711 code
         "wav_alaw_g711": -1,        # last G.711 code
+        "tiff_strip_lzw": -2,       # inside the 11 and EOI codes
+        "tiff_predictor2": -1,      # last horizontal delta
     }
     for pid, name, data, canon, _shape in M.PROBES:
         if name.startswith(("png", "jpeg")):
