@@ -528,3 +528,93 @@ FROM classified
 GROUP BY source, change_type
 ORDER BY source, change_type
 """
+
+
+# ── point-in-time (temporal) dimension join ──────────────────────────
+
+
+def orders_point_in_time_dim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The warehouse-standard PIT join: each order joins the SCD2
+    customer-history row that was VALID at the order's epoch, never
+    the current row (the classic fact-to-Type-2-dimension lookup that
+    naive joins get wrong by attributing old facts to new attribute
+    values). Epochs map deterministically from o_orderdate: orders
+    before 1998 belong to dimension version epoch 1, later orders to
+    epoch 2 (the fixture spans 1995-2001, so both epochs are
+    populated) — so a segment revised in v2 splits its order history
+    across both spellings, and orders of customers REMOVED in v2 land
+    in an 'orphaned' bucket (NULL segment) instead of silently
+    matching stale attributes.
+
+    Scale shape: one equi-join on the dimension key with the validity
+    range as a residual condition (history ≤ 2 rows/key, so the join
+    fan-out is bounded); revenue folds to integer micro-units
+    map-side; the final rollup is a partial agg on (epoch, segment).
+    Output: (order_epoch, c_mktsegment — NULL = orphaned, n_orders,
+    revenue_micro), ordered.
+    """
+    hist = scd2_customer_history(spark, sf_dir).select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from_version",
+        "valid_to_version",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.year("o_orderdate") < 1998, F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("bigint")
+        .alias("order_epoch"),
+        F.floor(F.col("o_totalprice") * 1_000_000)
+        .cast("bigint")
+        .alias("price_micro"),
+    )
+    j = orders.join(
+        hist,
+        (orders.o_custkey == hist.c_custkey)
+        & (hist.valid_from_version <= orders.order_epoch)
+        & (
+            hist.valid_to_version.isNull()
+            | (orders.order_epoch < hist.valid_to_version)
+        ),
+        "left",
+    )
+    return (
+        j.groupBy("order_epoch", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price_micro").cast("bigint").alias("revenue_micro"),
+        )
+        .orderBy("order_epoch", "c_mktsegment")
+    )
+
+
+ORDERS_POINT_IN_TIME_DIM_SQL = (
+    SCD2_CUSTOMER_HISTORY_SQL.rsplit("SELECT *", 1)[0].rstrip()
+    + """,
+scd2 AS (
+    SELECT c_custkey, c_mktsegment, valid_from_version,
+           valid_to_version
+    FROM hist
+),
+facts AS (
+    SELECT o_custkey,
+           CAST(CASE WHEN year(o_orderdate) < 1998 THEN 1 ELSE 2 END
+               AS BIGINT) AS order_epoch,
+           CAST(floor(o_totalprice * 1000000) AS BIGINT) AS price_micro
+    FROM orders
+)
+SELECT f.order_epoch, s.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(f.price_micro) AS BIGINT) AS revenue_micro
+FROM facts f
+LEFT JOIN scd2 s
+  ON f.o_custkey = s.c_custkey
+ AND s.valid_from_version <= f.order_epoch
+ AND (s.valid_to_version IS NULL OR f.order_epoch < s.valid_to_version)
+GROUP BY f.order_epoch, s.c_mktsegment
+ORDER BY f.order_epoch, s.c_mktsegment
+"""
+)

@@ -326,3 +326,33 @@ def test_ingest_crawl_cycle_end_to_end(spark, sf_small, tmp_path):
     assert read(
         spark, corpus_t, version=res1["corpus_snapshot"]
     ).count() == n_v1 + res1["novel_docs"]
+
+
+def test_orders_point_in_time_dim_semantics(spark, sf_small):
+    """PIT-join invariants: epoch-1 orders never see _V2 segment
+    spellings (those open at version 2); orphaned orders exist only
+    where the dimension row is closed or absent for the epoch; totals
+    reconcile with the raw orders table."""
+    from parquet_extractor_spark.operators.versioning import (
+        orders_point_in_time_dim,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    rows = orders_point_in_time_dim(spark, sf_small).collect()
+    e1 = [r for r in rows if r.order_epoch == 1]
+    e2 = [r for r in rows if r.order_epoch == 2]
+    assert e1 and e2
+    # v2 respellings cannot be attributed to epoch-1 facts
+    assert not any(
+        (r.c_mktsegment or "").endswith("_V2") for r in e1
+    )
+    # epoch 2 sees both unchanged and revised spellings
+    assert any((r.c_mktsegment or "").endswith("_V2") for r in e2)
+    # every order lands exactly once (left join, history <= 1 valid
+    # row per key per epoch)
+    total = sum(r.n_orders for r in rows)
+    assert total == load_table(spark, sf_small, "orders").count()
+    # orphans (removed-in-v2 customers with epoch-2 orders, or
+    # added-in-v2 customers with epoch-1 orders) are reported, not
+    # silently matched
+    assert any(r.c_mktsegment is None for r in rows)
