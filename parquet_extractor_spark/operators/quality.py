@@ -1353,8 +1353,10 @@ LANGUAGE_ID_CONFUSION_SQL = _language_id_confusion_oracle()
 # classic web-spam/phishing signature a training-data pipeline screens
 # for (and one that survives lowercasing, NFC, and most tokenizers).
 # Script classes are counted with the engines' native regex script
-# properties (Java \p{IsCyrillic} ≡ RE2 \p{Cyrillic} — parity pinned
-# by the shared planted fixture); a token mixing ≥2 scripts is the
+# properties (Java \p{IsLatin}/\p{IsCyrillic} ≡ RE2 \p{Latin}/
+# \p{Cyrillic} — parity pinned by the shared planted fixture); Latin
+# uses the full Unicode script class so accented text (é, ü) counts
+# toward Latin dominance; a token mixing ≥2 scripts is the
 # per-token signal, and a document that is Latin-dominant yet
 # contains mixed-script tokens is flagged homoglyph-suspect.
 
@@ -1365,6 +1367,10 @@ MIXED_SCRIPT_FIXTURE_ROWS: list[tuple[int, str]] = [
     (4, "αλφα beta mixεd"),  # Greek + one mixed token
     (5, "hello world 123!"),                     # digits/punct only extras
     (6, "..."),                                  # no letters at all
+    (7, "café crème naïve"),     # accented Latin, clean
+    # accented-Latin doc with a Cyrillic-е homoglyph ("départеment"):
+    # only flagged if é/è count toward Latin dominance (\p{IsLatin})
+    (8, "départеment sécurité"),
 ]
 
 
@@ -1396,7 +1402,7 @@ def mixed_script_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (
-                F.col("tok").rlike("[a-zA-Z]").cast("int")
+                F.col("tok").rlike(r"\p{IsLatin}").cast("int")
                 + F.col("tok").rlike(r"\p{IsCyrillic}").cast("int")
                 + F.col("tok").rlike(r"\p{IsGreek}").cast("int")
             ).alias("n_scripts"),
@@ -1412,7 +1418,7 @@ def mixed_script_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars"),
-        _script_count(F.col("text"), "[a-zA-Z]").alias("n_latin"),
+        _script_count(F.col("text"), r"\p{IsLatin}").alias("n_latin"),
         _script_count(F.col("text"), r"\p{IsCyrillic}").alias("n_cyrillic"),
         _script_count(F.col("text"), r"\p{IsGreek}").alias("n_greek"),
     )
@@ -1451,7 +1457,7 @@ toks AS (
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(CASE WHEN
-                (CASE WHEN regexp_matches(tok, '[a-zA-Z]') THEN 1 ELSE 0 END
+                (CASE WHEN regexp_matches(tok, '\p{Latin}') THEN 1 ELSE 0 END
                + CASE WHEN regexp_matches(tok, '\p{Cyrillic}') THEN 1 ELSE 0 END
                + CASE WHEN regexp_matches(tok, '\p{Greek}') THEN 1 ELSE 0 END)
                 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS mixed_script_tokens
@@ -1465,7 +1471,7 @@ toks AS (
 per_doc AS (
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+           CAST(length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g'))
                AS BIGINT) AS n_latin,
            CAST(length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g'))
                AS BIGINT) AS n_cyrillic,

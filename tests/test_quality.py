@@ -339,3 +339,9 @@ def test_mixed_script_audit_hand_checked(spark):
     eps = rows[4]  # "mixεd" Greek epsilon inside a Latin token
     assert eps.mixed_script_tokens == 1 and eps.homoglyph_suspect
     assert rows[6].n_tokens == 1 and not rows[6].homoglyph_suspect
+    # accented Latin counts toward Latin dominance (\p{IsLatin}):
+    clean = rows[7]  # "café crème naïve" — all-Latin, clean
+    assert clean.n_latin == 14 and not clean.homoglyph_suspect
+    acc = rows[8]  # "départеment sécurité" with one Cyrillic е
+    assert (acc.n_latin, acc.n_cyrillic) == (18, 1)
+    assert acc.mixed_script_tokens == 1 and acc.homoglyph_suspect
