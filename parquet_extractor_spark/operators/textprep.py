@@ -683,6 +683,145 @@ ORDER BY lang
 BPE_ENCODE_CORPUS_SQL = _bpe_encode_sql()
 
 
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility / compression eval per language — the
+    standard multilingual-mix diagnostic (how many BPE tokens per
+    whitespace word, how many UTF-8 bytes each BPE token covers) that
+    feeds UniMax-style mixing decisions (training.unimax_mixing_
+    budgets): a language whose fertility is high pays more sequence
+    budget per word, so its token share under- represents its text
+    share. Metrics as integer micro-units (fp-exact cross-engine):
+
+      fertility_micro        = bpe_tokens * 1e6 div word_tokens
+      bytes_per_token_micro  = utf8_bytes * 1e6 div bpe_tokens
+      compression_micro      = utf8_bytes * 1e6 div word_tokens
+
+    Scale shape: the trainer is the |vocab|-bounded loop documented on
+    bpe_train_merges; the encode pass is the same map-side codegen
+    replace() chain as bpe_encode_corpus plus one octet_length column;
+    the only shuffle is the 5-row per-language partial+final agg. The
+    micro divisions happen AFTER aggregation on per-language BIGINT
+    totals (corpus bytes × 1e6 ≈ 1e20 would overflow at the 100 TB
+    scale if folded per-row first — divide-at-the-end also avoids the
+    r07 micro-overflow defect class).
+    """
+    merges = _run_bpe_training(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = tokenize("text")
+    word_seq = lambda w: F.array_join(  # noqa: E731 — HOF factory
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: w.substr(i, F.lit(1)),
+        ),
+        "  ",
+    )
+    seq = F.when(
+        F.size(toks) > 0,
+        F.concat(
+            F.lit("  "), F.array_join(F.transform(toks, word_seq), "    "), F.lit("  ")
+        ),
+    ).otherwise(F.lit(""))
+    for _rank, l, r, _cnt in merges:
+        seq = F.replace(seq, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    bpe_tokens = F.when(seq == "", F.lit(0)).otherwise(
+        F.size(F.split(F.btrim(seq), " {2,}"))
+    )
+    totals = (
+        docs.select(
+            "lang",
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+            F.size(toks).alias("word_tokens"),
+            bpe_tokens.alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.sum("n_bytes").cast("bigint").alias("utf8_bytes"),
+            F.sum("word_tokens").cast("bigint").alias("word_tokens"),
+            F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        )
+    )
+    return totals.select(
+        "lang",
+        "docs",
+        "utf8_bytes",
+        "word_tokens",
+        "bpe_tokens",
+        F.expr("bpe_tokens * 1000000 div nullif(word_tokens, 0)")
+        .cast("bigint")
+        .alias("fertility_micro"),
+        F.expr("utf8_bytes * 1000000 div nullif(bpe_tokens, 0)")
+        .cast("bigint")
+        .alias("bytes_per_token_micro"),
+        F.expr("utf8_bytes * 1000000 div nullif(word_tokens, 0)")
+        .cast("bigint")
+        .alias("compression_micro"),
+    ).orderBy("lang")
+
+
+def _tokenizer_fertility_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """DuckDB oracle: the trainer chain + the encode chain from
+    _bpe_encode_sql with UTF-8 byte counts (strlen) carried through,
+    micro divisions on the aggregated BIGINT totals (// == div here:
+    all operands non-negative)."""
+    ctes = _bpe_train_ctes(rounds)
+    ctes.append(
+        r"""e0 AS (
+    SELECT lang, strlen(text) AS n_bytes, len(toks) AS word_tokens,
+           CASE WHEN len(toks) = 0 THEN '' ELSE
+               '  ' || array_to_string(list_transform(toks,
+                   t -> array_to_string(list_transform(
+                       range(1, length(t) + 1), i -> t[i]), '  ')),
+                   '    ') || '  '
+           END AS seq
+    FROM (
+        SELECT lang, text, list_filter(regexp_split_to_array(
+            regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+            x -> x != '') AS toks
+        FROM documents
+    )
+)"""
+    )
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"e{k} AS (\n    SELECT e.lang, e.n_bytes, e.word_tokens,"
+            f" replace(e.seq, ' ' || b.l || '  ' || b.r || ' ',"
+            f" ' ' || b.l || b.r || ' ') AS seq\n"
+            f"    FROM e{k - 1} AS e, b{k} AS b\n)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+totals AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_bytes) AS BIGINT) AS utf8_bytes,
+           CAST(sum(word_tokens) AS BIGINT) AS word_tokens,
+           CAST(sum(CASE WHEN seq = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(seq), ' {{2,}}')) END)
+                AS BIGINT) AS bpe_tokens
+    FROM e{rounds}
+    GROUP BY lang
+)
+SELECT lang, docs, utf8_bytes, word_tokens, bpe_tokens,
+       CAST(bpe_tokens * 1000000 // nullif(word_tokens, 0) AS BIGINT)
+           AS fertility_micro,
+       CAST(utf8_bytes * 1000000 // nullif(bpe_tokens, 0) AS BIGINT)
+           AS bytes_per_token_micro,
+       CAST(utf8_bytes * 1000000 // nullif(word_tokens, 0) AS BIGINT)
+           AS compression_micro
+FROM totals
+ORDER BY lang
+"""
+    )
+
+
+TOKENIZER_FERTILITY_BY_LANG_SQL = _tokenizer_fertility_sql()
+
+
 def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at CHUNK granularity — the sequence-level pass a
     training pipeline runs after document-level dedup (boilerplate

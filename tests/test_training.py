@@ -342,3 +342,50 @@ def test_split_leakage_audit_detects_and_dedup_closes(spark, sf_small):
         .count()
     )
     assert survivors == 0
+
+
+def test_canonical_by_quality_planted_divergence(spark):
+    """Planted fixture where quality-keep and min-id-keep DIFFER:
+    cluster {1, 2, 3} has its best quality on doc 2 (not min id 1),
+    cluster {10, 11} ties on quality so min id 10 breaks it, and
+    singleton 20 keeps itself. Pins that dedup_canonical_by_quality
+    is not dedup_canonical under another name."""
+    from parquet_extractor_spark.operators.training import (
+        canonical_by_quality,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id bigint, component bigint",
+    )
+    quality = spark.createDataFrame(
+        [(1, 40), (2, 90), (3, 90), (10, 70), (11, 70), (20, 10)],
+        "doc_id bigint, quality_micro bigint",
+    )
+    rows = {r.doc_id: r for r in canonical_by_quality(labels, quality).collect()}
+    assert [d for d in sorted(rows) if rows[d].keep] == [2, 10, 20]
+    # min-id-keep would have kept 1 — the divergence the test plants
+    assert not rows[1].keep
+
+
+def test_dedup_canonical_by_quality_registry_face(spark, sf_small):
+    """Exactly one keeper per component; the keeper has the component
+    max quality; same component partition as dedup_canonical."""
+    from parquet_extractor_spark.operators.training import (
+        dedup_canonical_by_quality,
+    )
+
+    rows = dedup_canonical_by_quality(spark, sf_small).collect()
+    assert len(rows) == 500
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1
+        best = max(m.quality_micro for m in members)
+        assert keepers[0].quality_micro == best
+        # tie-break: min doc_id among the best-quality members
+        assert keepers[0].doc_id == min(
+            m.doc_id for m in members if m.quality_micro == best
+        )
