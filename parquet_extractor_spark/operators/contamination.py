@@ -464,36 +464,38 @@ FROM bloom_agg CROSS JOIN exact_flagged
 # n-gram broadcast probe above (VERDICT r07 stretch item).
 
 
-def snapshot_contamination_gate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-(source, change_type) contamination report over the v1→v2
-    document delta: how many added/modified docs share word 4-grams
-    with the CURRENT snapshot's benchmark slice, the total shared-gram
-    volume, and the worst per-doc contamination fraction (micro).
-
-    Scale shape: the delta classification is one digest LEFT join
-    (map-side md5, the exchange ships 32-hex digests); gram screening
-    touches ONLY the delta — at 100 TB that is the day's crawl, not
-    the corpus; the benchmark gram set broadcasts exactly as in
-    ngram_decontamination; the rollup is a partial agg on
-    low-cardinality (source, change_type). cf. reference api.py's
-    skip-existing sink (api.py:248-254) for the only-new-work shape.
-    """
+def contamination_v2_docs(docs: DataFrame) -> DataFrame:
+    """The v2-snapshot text projection (same hash-driven revision as
+    versioning.snapshot_v2, text retained). Pure column expressions —
+    stream-safe."""
     from parquet_extractor_spark.functions.text import portable_hash64
 
-    docs = spread(load_table(spark, sf_dir, "documents"))
     h = portable_hash64(F.col("doc_id").cast("string"))
     revised = F.when(
         h % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
     ).otherwise(F.col("text"))
-    v2 = docs.where(h % 10 != 9).select(
+    return docs.where(h % 10 != 9).select(
         "doc_id", "source", revised.alias("text")
     )
-    v1 = docs.where(h % 10 != 0).select(
+
+
+def contamination_v1_digests(docs: DataFrame) -> DataFrame:
+    """v1 digest table: (doc_id, digest) — the broadcastable static
+    side of the delta classification."""
+    from parquet_extractor_spark.functions.text import portable_hash64
+
+    h = portable_hash64(F.col("doc_id").cast("string"))
+    return docs.where(h % 10 != 0).select(
         "doc_id", F.md5("text").alias("digest")
     )
-    delta = (
+
+
+def contamination_delta(v2: DataFrame, v1: DataFrame) -> DataFrame:
+    """Classify arriving v2 docs against v1 digests and keep only the
+    re-screen candidates: added/modified, benchmark slice excluded.
+    Stateless join + filters — usable stream-static inside a
+    foreachBatch stage (streaming/versioning.py twin)."""
+    return (
         v2.join(v1, "doc_id", "left")
         .withColumn(
             "change_type",
@@ -506,15 +508,12 @@ def snapshot_contamination_gate(
             & (F.col("doc_id") % BENCH_MOD != 0)
         )
     )
-    grams = delta.select(
-        "doc_id",
-        "source",
-        "change_type",
-        F.explode(
-            F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
-        ).alias("g"),
-    )
-    bench = (
+
+
+def benchmark_grams(v2: DataFrame) -> DataFrame:
+    """Distinct word n-grams of the benchmark slice — the KB-scale
+    broadcast side of the screen."""
+    return (
         v2.where(F.col("doc_id") % BENCH_MOD == 0)
         .select(
             F.explode(
@@ -525,6 +524,24 @@ def snapshot_contamination_gate(
         )
         .distinct()
     )
+
+
+def contamination_doc_screen(
+    delta: DataFrame, bench: DataFrame
+) -> DataFrame:
+    """Per-doc screen of a delta against the broadcast benchmark
+    grams: (doc_id, source, change_type, n_grams, n_shared). Each doc
+    is screened independently — no cross-doc state — which is exactly
+    why the foreachBatch twin can run this per micro-batch and the
+    union of batch outputs equals the one-shot batch screen."""
+    grams = delta.select(
+        "doc_id",
+        "source",
+        "change_type",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize("text"), DECONTAM_NGRAM))
+        ).alias("g"),
+    )
     per_doc = grams.groupBy("doc_id", "source", "change_type").agg(
         F.count("*").alias("n_grams")
     )
@@ -533,9 +550,11 @@ def snapshot_contamination_gate(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
-    doc_level = per_doc.join(hits, "doc_id", "left").na.fill(
-        0, ["n_shared"]
-    )
+    return per_doc.join(hits, "doc_id", "left").na.fill(0, ["n_shared"])
+
+
+def contamination_rollup(doc_level: DataFrame) -> DataFrame:
+    """(source, change_type) report over doc-level screen rows."""
     return (
         doc_level.groupBy("source", "change_type")
         .agg(
@@ -550,6 +569,33 @@ def snapshot_contamination_gate(
         )
         .orderBy("source", "change_type")
     )
+
+
+def snapshot_contamination_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(source, change_type) contamination report over the v1→v2
+    document delta: how many added/modified docs share word 4-grams
+    with the CURRENT snapshot's benchmark slice, the total shared-gram
+    volume, and the worst per-doc contamination fraction (micro).
+    Composed from the stage functions above; the streaming twin
+    (streaming/versioning.run_contamination_gate_stream) runs the same
+    stages per micro-batch and is equality-tested against this form.
+
+    Scale shape: the delta classification is one digest LEFT join
+    (map-side md5, the exchange ships 32-hex digests); gram screening
+    touches ONLY the delta — at 100 TB that is the day's crawl, not
+    the corpus; the benchmark gram set broadcasts exactly as in
+    ngram_decontamination; the rollup is a partial agg on
+    low-cardinality (source, change_type). cf. reference api.py's
+    skip-existing sink (api.py:248-254) for the only-new-work shape.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    v2 = contamination_v2_docs(docs)
+    v1 = contamination_v1_digests(docs)
+    delta = contamination_delta(v2, v1)
+    bench = benchmark_grams(v2)
+    return contamination_rollup(contamination_doc_screen(delta, bench))
 
 
 SNAPSHOT_CONTAMINATION_GATE_SQL = rf"""

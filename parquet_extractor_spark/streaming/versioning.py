@@ -108,3 +108,63 @@ def run_versioned_table_stream(
             f"versioned table stream did not drain within {timeout_s}s"
         )
     return committed
+
+
+def run_contamination_gate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming twin of snapshot_contamination_gate: the delta-screen
+    runs as a foreachBatch stage of the rolling crawl ingest (VERDICT
+    r08 next-round #7). Arriving v2 docs are classified against the
+    static v1 digest table and gram-screened against the static
+    broadcast benchmark set PER MICRO-BATCH; each epoch writes its
+    doc-level screen rows to an epoch-keyed directory (idempotent
+    under replay, like every other streaming sink here). The per-doc
+    screen carries no cross-doc state, so the union of micro-batch
+    outputs is provably the batch screen — the equality test in
+    tests/test_streaming.py pins rollup(stream rows) == batch gate.
+
+    Scale shape: identical to the batch gate — the static sides
+    (digests, benchmark grams) are corpus metadata computed once per
+    cycle and broadcast; each micro-batch pays only for its own docs.
+    """
+    from parquet_extractor_spark.operators.contamination import (
+        benchmark_grams,
+        contamination_delta,
+        contamination_doc_screen,
+        contamination_v1_digests,
+        contamination_v2_docs,
+    )
+
+    base = load_table(spark, sf_dir, "documents")
+    v1 = contamination_v1_digests(base)
+    bench = benchmark_grams(contamination_v2_docs(base))
+    v2_stream = contamination_v2_docs(read_documents_stream(spark, sf_dir))
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        screened = contamination_doc_screen(
+            contamination_delta(batch, v1), bench
+        )
+        screened.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+
+    query = (
+        v2_stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, "contamination_gate"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"contamination gate stream did not drain within {timeout_s}s"
+        )
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -942,3 +942,37 @@ def test_version_diff_stream_equals_batch(spark, sf_small, tmp_path):
     # the stream saw at least one of each observable class
     seen = {ct for (_s, ct) in got}
     assert seen == {"added", "modified", "unchanged"}
+
+
+def test_contamination_gate_stream_equals_batch(spark, sf_small, tmp_path):
+    """The foreachBatch delta-screen twin: rolling up the streamed
+    doc-level screen rows reproduces snapshot_contamination_gate's
+    report exactly (the per-doc screen is stateless, so micro-batch
+    boundaries cannot change any row)."""
+    from parquet_extractor_spark.operators.contamination import (
+        contamination_rollup,
+        snapshot_contamination_gate,
+    )
+    from parquet_extractor_spark.streaming.versioning import (
+        run_contamination_gate_stream,
+    )
+
+    doc_rows = run_contamination_gate_stream(
+        spark,
+        sf_small,
+        str(tmp_path / "ckpt_cg"),
+        str(tmp_path / "cg_out"),
+    )
+    got = [
+        tuple(r)
+        for r in contamination_rollup(
+            doc_rows.select(
+                "doc_id", "source", "change_type", "n_grams", "n_shared"
+            )
+        ).collect()
+    ]
+    want = [tuple(r) for r in snapshot_contamination_gate(spark, sf_small).collect()]
+    assert got == want
+    assert len(want) > 0
+    # the screen saw both observable delta classes
+    assert {ct for (_s, ct, *_rest) in want} == {"added", "modified"}
