@@ -1154,3 +1154,136 @@ SELECT n_docs,
        round(n_matched / CAST(n_doc_ids AS DOUBLE), 6) AS coverage_frac
 FROM d_stats CROSS JOIN v_stats CROSS JOIN joined
 """
+
+
+# ── n-gram novelty profile (corpus ordering diagnostic) ──────────────
+
+NOVELTY_N = 3  # token n-gram width
+NOVELTY_DECILES = 10  # doc-order buckets in the output
+
+
+def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve over corpus order: for each doc-order decile, the
+    fraction of its documents' distinct token 3-grams that were never
+    seen in ANY earlier document (first-occurrence attribution by min
+    doc_id). A healthy fresh crawl shows a slowly decaying curve; a
+    curve that collapses toward zero means later ingest is re-crawling
+    what the corpus already holds — the standard "are we still adding
+    information?" diagnostic for incremental corpus growth (the
+    corpus-level complement of per-doc dedup).
+
+    Shape for scale: ONE shuffle keyed by the gram — per gram,
+    ``min(doc_id)`` attributes the gram to its introducing document
+    and the same aggregation's group count is the novel-gram count per
+    introducing doc. Per-doc distinct-gram totals come from the same
+    exploded frame (doc-keyed partial agg), joined to the novel counts
+    on doc_id. The decile is a pure map-side expression
+    ``floor(doc_id * 10 / max_id+1)`` using the 1-row max broadcast —
+    NO global ntile window (a single-partition sort would be the
+    scale-killer here). State is O(vocabulary of grams), the same
+    budget the dedup shingle tier already pays.
+
+    Output per decile: n_docs, total_grams (sum of per-doc distinct),
+    novel_grams, novelty_micro = floor(novel*1e6/total).
+    """
+    from parquet_extractor_spark.functions.text import word_ngrams
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize("text"), NOVELTY_N))
+        ).alias("gram"),
+    )
+    per_doc_total = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    novel_per_doc = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    bounds = docs.agg(F.max("doc_id").alias("max_id"))
+    per_doc = (
+        per_doc_total.join(novel_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+        .join(F.broadcast(bounds), how="cross")
+        .select(
+            F.floor(
+                F.col("doc_id")
+                * F.lit(NOVELTY_DECILES)
+                / (F.col("max_id") + 1)
+            ).cast("bigint").alias("decile"),
+            "n_grams",
+            "n_novel",
+        )
+    )
+    return (
+        per_doc.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_novel").cast("bigint").alias("novel_grams"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "total_grams",
+            "novel_grams",
+            F.floor(
+                F.col("novel_grams") * F.lit(1_000_000) / F.col("total_grams")
+            ).cast("bigint").alias("novelty_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+NGRAM_NOVELTY_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tokens) - {NOVELTY_N - 1}, 1) + 1),
+               i -> array_to_string(tokens[i:i+{NOVELTY_N - 1}], ' '))))
+           AS gram
+    FROM toks
+),
+per_doc_total AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+    FROM grams GROUP BY doc_id
+),
+novel_per_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+    FROM (SELECT gram, min(doc_id) AS doc_id FROM grams GROUP BY gram) f
+    GROUP BY doc_id
+),
+bounds AS (SELECT max(doc_id) AS max_id FROM documents),
+per_doc AS (
+    SELECT CAST(floor(t.doc_id * {NOVELTY_DECILES}
+                      / (b.max_id + 1.0)) AS BIGINT) AS decile,
+           t.n_grams,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel
+    FROM per_doc_total t
+    LEFT JOIN novel_per_doc n ON t.doc_id = n.doc_id
+    CROSS JOIN bounds b
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+       CAST(floor(sum(n_novel) * 1000000.0 / sum(n_grams)) AS BIGINT)
+           AS novelty_micro
+FROM per_doc
+GROUP BY decile
+ORDER BY decile
+"""

@@ -387,6 +387,259 @@ ORDER BY split_lo, split_hi
 SPLIT_LEAKAGE_AUDIT_SQL = _split_leakage_oracle()
 
 
+def _split_case_sql(col: str) -> str:
+    """DuckDB twin of :func:`_split_column` parameterized on the hash
+    key — the exact salted-md5 80/10/10 rule, so any engine assigns
+    the same doc (or cluster) to the same split."""
+    h = (
+        "CAST(('0x' || substr(md5('"
+        + SPLIT_SALT
+        + f"' || CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {h} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {h} < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — CLOSES the hole
+    :func:`split_leakage_audit` reports: the split is assigned by the
+    portable salted hash of the near-dup COMPONENT representative
+    (min-label over the MinHash-LSH candidate graph, dedup.py), not of
+    the document itself, so every near-duplicate cluster moves across
+    the split boundary as a unit and no candidate pair can straddle
+    train/eval (the Lee et al. eval-contamination failure is
+    impossible by construction, not merely detected after the fact).
+
+    Plan shape: the components tier is the shared session-memoized
+    labels frame (O(docs) state, see dedup_components); the split is a
+    map-side expression on the component column; accounting is one
+    partial+final agg keyed by split (3 groups). The leak check joins
+    the candidate-pair tier to the per-doc assignment twice on doc_id
+    and counts cross-split pairs per split — provably zero here, but
+    computed honestly from the data so a regression in the components
+    tier (a pair whose endpoints get different labels) fails the
+    oracle rather than being asserted away.
+
+    Output: (split, n_docs, n_clusters, n_tokens, n_leak_pairs),
+    ordered by split. Cites reference intent: the reference's
+    skip-existing write dedup (api.py:248-254) keeps one copy per
+    title; this is the split-hygiene generalization a training
+    pipeline needs at corpus scale.
+    """
+    from parquet_extractor_spark.operators.dedup import (
+        _components_tier,
+        _lsh_pairs_tier,
+    )
+
+    labels = _components_tier(spark, sf_dir)  # (doc_id, component)
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
+    )
+    comp_pct = portable_hash64(
+        F.concat(F.lit(SPLIT_SALT), F.col("component").cast("string"))
+    ) % 100
+    assigned = (
+        docs.join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            "n_tokens",
+            F.when(comp_pct < TRAIN_PCT, "train")
+            .when(comp_pct < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    acct = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("component").cast("bigint").alias("n_clusters"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    doc_split = assigned.select("doc_id", "split")
+    pairs = _lsh_pairs_tier(spark, sf_dir)
+    tagged = pairs.join(
+        doc_split.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+        ),
+        "doc_a",
+    ).join(
+        doc_split.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+        ),
+        "doc_b",
+    )
+    cross = tagged.filter(F.col("split_a") != F.col("split_b"))
+    leaks = (
+        cross.select(F.col("split_a").alias("split"))
+        .union(cross.select(F.col("split_b").alias("split")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leak_pairs"))
+    )
+    return (
+        acct.join(leaks, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_tokens",
+            F.coalesce("n_leak_pairs", F.lit(0)).cast("bigint").alias(
+                "n_leak_pairs"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def _leakage_safe_split_oracle() -> str:
+    from parquet_extractor_spark.operators.dedup import (
+        DEDUP_COMPONENTS_SQL,
+        MINHASH_LSH_SQL,
+    )
+
+    labels_sql = DEDUP_COMPONENTS_SQL.strip().replace("ORDER BY doc_id", "")
+    pairs_sql = MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "").strip()
+    return rf"""
+WITH labels AS (
+{labels_sql}
+),
+toks AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+assigned AS (
+    SELECT l.doc_id, l.component, t.n_tokens,
+           {_split_case_sql('l.component')} AS split
+    FROM labels l JOIN toks t ON l.doc_id = t.doc_id
+),
+acct AS (
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned GROUP BY split
+),
+pairs AS ({pairs_sql}),
+tagged AS (
+    SELECT a.split AS split_a, b.split AS split_b
+    FROM pairs p
+    JOIN assigned a ON p.doc_a = a.doc_id
+    JOIN assigned b ON p.doc_b = b.doc_id
+),
+cross_pairs AS (
+    SELECT split_a AS split FROM tagged WHERE split_a != split_b
+    UNION ALL
+    SELECT split_b AS split FROM tagged WHERE split_a != split_b
+),
+leaks AS (
+    SELECT split, CAST(count(*) AS BIGINT) AS n_leak_pairs
+    FROM cross_pairs GROUP BY split
+)
+SELECT acct.split, acct.n_docs, acct.n_clusters, acct.n_tokens,
+       CAST(coalesce(l.n_leak_pairs, 0) AS BIGINT) AS n_leak_pairs
+FROM acct LEFT JOIN leaks l ON acct.split = l.split
+ORDER BY acct.split
+"""
+
+
+LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_oracle()
+
+
+TRUNC_CONTEXTS = (32, 64, 128)  # context-window budgets to profile
+
+
+def truncation_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source truncation-waste profile: for each candidate context
+    length L, the tokens a train-time "truncate at L" policy would
+    discard — the standard diagnostic for choosing between truncation
+    and document chunking/packing per source (long-document sources
+    waste most of their tokens under naive truncation; short-document
+    sources lose nothing).
+
+    One map-side explode of the |TRUNC_CONTEXTS|=3 budget constants
+    per document row, then a single partial+final aggregation keyed by
+    (source, ctx) — the tripled pre-agg stream combines map-side, so
+    the shuffle carries |sources|×3 rows regardless of corpus size.
+
+    Output per (source, ctx): n_docs, n_docs_truncated, total_tokens,
+    kept_tokens, waste_micro = floor((total-kept)*1e6/total).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
+        "source", F.size(tokenize("text")).cast("bigint").alias("n_tokens")
+    )
+    exploded = docs.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.array(*[F.lit(c) for c in TRUNC_CONTEXTS])
+        ).alias("ctx"),
+    )
+    return (
+        exploded.groupBy("source", "ctx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_tokens") > F.col("ctx"), 1).otherwise(0)
+            ).cast("bigint").alias("n_docs_truncated"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.least(F.col("n_tokens"), F.col("ctx").cast("bigint")))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            F.col("ctx").cast("bigint").alias("ctx"),
+            "n_docs",
+            "n_docs_truncated",
+            "total_tokens",
+            "kept_tokens",
+            F.floor(
+                (F.col("total_tokens") - F.col("kept_tokens"))
+                * F.lit(1_000_000)
+                / F.col("total_tokens")
+            ).cast("bigint").alias("waste_micro"),
+        )
+        .orderBy("source", "ctx")
+    )
+
+
+def _truncation_waste_oracle() -> str:
+    ctxs = ", ".join(str(c) for c in TRUNC_CONTEXTS)
+    return rf"""
+WITH toks AS (
+    SELECT source,
+           CAST(len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+exploded AS (
+    SELECT source, n_tokens, CAST(ctx AS BIGINT) AS ctx
+    FROM toks CROSS JOIN (SELECT unnest([{ctxs}]) AS ctx) c
+),
+agg AS (
+    SELECT source, ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens > ctx THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_truncated,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(least(n_tokens, ctx)) AS BIGINT) AS kept_tokens
+    FROM exploded GROUP BY source, ctx
+)
+SELECT source, ctx, n_docs, n_docs_truncated, total_tokens, kept_tokens,
+       CAST(floor((total_tokens - kept_tokens) * 1000000.0
+                  / total_tokens) AS BIGINT) AS waste_micro
+FROM agg
+ORDER BY source, ctx
+"""
+
+
+TRUNCATION_WASTE_SQL = _truncation_waste_oracle()
+
+
 def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture table toward a UNIFORM target over sources: natural
     token share per source, target share, and the per-source sampling

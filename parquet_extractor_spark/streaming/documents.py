@@ -538,3 +538,116 @@ def run_kmv_sketch_stream(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+# ── incremental novelty (streaming twin of ngram_novelty_profile) ────
+
+
+def novelty_gram_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct 64-bit token-3-gram hashes of a document frame — the
+    unit of novelty state. Hashing (xxhash64, engine-internal: this
+    path has no SQL oracle, its contract is stream ≡ batch within one
+    engine) bounds a seen-gram state row to 8 bytes regardless of gram
+    text length; at 100 TB the state table is O(vocabulary) hashes,
+    the same budget every shingle tier already pays."""
+    from parquet_extractor_spark.functions.text import tokenize, word_ngrams
+    from parquet_extractor_spark.operators.analyze import NOVELTY_N
+
+    return (
+        docs.select(
+            F.explode(
+                F.array_distinct(word_ngrams(tokenize("text"), NOVELTY_N))
+            ).alias("gram")
+        )
+        .select(F.xxhash64("gram").alias("gram_hash"))
+        .distinct()
+    )
+
+
+def run_novelty_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_table_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Incremental corpus-novelty tracking: the streaming form of
+    ``analyze.ngram_novelty_profile`` at ingest-cycle granularity.
+    Each micro-batch (one arriving corpus file by default) is reduced
+    to its distinct gram hashes, anti-joined against the persistent
+    seen-gram table to count NEW grams this cycle, and the novel
+    hashes are appended to the state table as one epoch-tagged
+    snapshot (sinks/versioned.py) — so an at-least-once foreachBatch
+    replay is a detected no-op (the tag check runs BEFORE any
+    recompute: replaying after the state advanced must not re-screen
+    against newer state) and the state is time-travelable: "what was
+    known before cycle K" is ``read_snapshot(version=K-1)``.
+
+    Per epoch one report row (epoch, n_docs, batch_grams,
+    novel_grams) lands under ``out_dir/epoch=N`` (idempotent
+    overwrite). Returns the drained report frame.
+
+    Scale shape: per cycle, one gram-keyed distinct over the BATCH
+    (not the corpus) + one anti-join against the state table keyed by
+    the 8-byte hash; the state table grows by exactly the novel
+    grams, and cycle cost is proportional to the day's ingest, never
+    the corpus — the same incremental argument as
+    snapshot_contamination_gate.
+    """
+    from parquet_extractor_spark.sinks.versioned import (
+        commit_snapshot,
+        read_snapshot,
+        snapshots,
+    )
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        tag = f"epoch-{epoch}"
+        if any(m.get("tag") == tag for m in snapshots(state_table_dir)):
+            return  # replayed epoch: report + state already committed
+        grams = novelty_gram_hashes(batch).persist()
+        n_docs = batch.count()
+        n_grams = grams.count()
+        try:
+            seen = read_snapshot(spark, state_table_dir)
+            novel = grams.join(seen, "gram_hash", "left_anti")
+        except FileNotFoundError:
+            novel = grams
+        novel = novel.persist()
+        n_novel = novel.count()
+        report = spark.createDataFrame(
+            [(n_docs, n_grams, n_novel)],
+            "n_docs BIGINT, batch_grams BIGINT, novel_grams BIGINT",
+        )
+        # report first, tagged state commit last: a crash in between
+        # replays the whole epoch (report overwrite is idempotent); a
+        # commit implies the report already landed
+        report.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+        commit_snapshot(novel, state_table_dir, mode="append", tag=tag)
+        novel.unpersist()
+        grams.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "novelty")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"novelty stream did not drain within {timeout_s}s"
+        )
+    return spark.read.option("basePath", out_dir).parquet(out_dir)

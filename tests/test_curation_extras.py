@@ -239,3 +239,56 @@ def test_snapshot_contamination_gate_composition(spark, sf_small):
     }
     for r in gate:
         assert r.n_docs <= diff[(r.source, r.change_type)]
+
+
+def test_ngram_novelty_recomputed_locally(spark, sf_small):
+    """Novelty per decile recomputed in pure Python: first-occurrence
+    attribution by min doc_id over distinct token trigrams, deciles by
+    floor(doc_id*10/(max_id+1))."""
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from parquet_extractor_spark.operators.analyze import (
+        ngram_novelty_profile,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_small}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    doc_grams = {}
+    for doc_id, text in docs:
+        toks = [
+            t for t in re.sub(r"[^\w\s]", " ", text.lower()).split() if t
+        ]
+        if len(toks) <= 3:
+            grams = {" ".join(toks)}
+        else:
+            grams = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        doc_grams[doc_id] = grams
+    first = {}
+    for doc_id in sorted(doc_grams):
+        for g in doc_grams[doc_id]:
+            first.setdefault(g, doc_id)
+    max_id = max(doc_grams)
+    want = defaultdict(lambda: [0, 0, 0])
+    for doc_id, grams in doc_grams.items():
+        d = doc_id * 10 // (max_id + 1)
+        w = want[d]
+        w[0] += 1
+        w[1] += len(grams)
+        w[2] += sum(1 for g in grams if first[g] == doc_id)
+    got = ngram_novelty_profile(spark, sf_small).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n_docs, total, novel = want[r.decile]
+        assert (r.n_docs, r.total_grams, r.novel_grams) == (
+            n_docs, total, novel,
+        )
+        assert r.novelty_micro == novel * 1_000_000 // total
+    # decile 0 introduces everything it sees; novelty must not INCREASE
+    # monotonically (sanity: the curve is informative, not constant)
+    by_decile = sorted((r.decile, r.novelty_micro) for r in got)
+    assert by_decile[0][1] > by_decile[-1][1]

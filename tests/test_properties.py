@@ -493,3 +493,57 @@ def test_pdf_extractor_never_hangs_or_crashes_on_garbage(data):
             assert n_pages >= 1 and isinstance(text, str)
         except ValueError:
             pass  # the declared failure mode — anything else is a bug
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet="abc d,.", min_size=1, max_size=14),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_prefix_filter_candidates_superset_of_matches(names):
+    """The prefix-filter lemma as implemented in operators/entities.py
+    (frequency-ascending global gram order, p = n - ceil(t*n - eps) + 1):
+    for ANY record set, every pair with trigram Jaccard >= t must share
+    at least one PREFIX gram — i.e. the candidate join is a superset of
+    the true matches. A tiny alphabet forces heavy gram collisions and
+    near-threshold pairs; this is the pure-Python mirror of the exact
+    column expressions (same ceil, same epsilon, same micro rounding),
+    protecting the algebra the DuckDB-equality test can only check on
+    the fixed fixture."""
+    import math
+    import re
+    from collections import Counter
+    from itertools import combinations
+
+    T, T_MICRO, EPS = 0.45, 450_000, 1e-9
+
+    def norm(name: str) -> str:
+        toks = sorted(
+            t for t in re.sub(r"[^\w\s]", " ", name.lower()).split() if t
+        )
+        return " ".join(toks)
+
+    def grams(s: str) -> frozenset:
+        if len(s) <= 3:
+            return frozenset({s})
+        return frozenset(s[i:i + 3] for i in range(len(s) - 2))
+
+    recs = {i: grams(norm(n)) for i, n in enumerate(names)}
+    df = Counter(g for gs in recs.values() for g in gs)
+    prefixes = {}
+    for i, gs in recs.items():
+        n = len(gs)
+        p = n - math.ceil(T * n - EPS) + 1
+        prefixes[i] = set(sorted(gs, key=lambda g: (df[g], g))[:p])
+    for a, b in combinations(recs, 2):
+        inter = len(recs[a] & recs[b])
+        union = len(recs[a] | recs[b])
+        jacc_micro = math.floor(inter * 1_000_000.0 / union + 0.5)
+        if jacc_micro >= T_MICRO:
+            assert prefixes[a] & prefixes[b], (
+                f"match ({names[a]!r}, {names[b]!r}) j={jacc_micro} "
+                f"missed by prefix filter"
+            )

@@ -976,3 +976,85 @@ def test_contamination_gate_stream_equals_batch(spark, sf_small, tmp_path):
     assert len(want) > 0
     # the screen saw both observable delta classes
     assert {ct for (_s, ct, *_rest) in want} == {"added", "modified"}
+
+
+def test_novelty_stream_matches_cumulative_batch(spark, sf_small, tmp_path):
+    """Per-cycle novel-gram counts from the stream must equal a batch
+    recompute with cumulative anti-joins over the same file order, the
+    state table must end at exactly the corpus' distinct gram set, and
+    a full replay (fresh checkpoint, same state) must be a no-op."""
+    import os
+    import time
+
+    import duckdb
+
+    from parquet_extractor_spark.sinks.versioned import read_snapshot
+    from parquet_extractor_spark.streaming.documents import (
+        novelty_gram_hashes,
+        run_novelty_stream,
+    )
+
+    src = tmp_path / "novelty_src"
+    src.mkdir()
+    # three tertile files, strictly increasing mtimes => 3 ordered
+    # micro-batches under maxFilesPerTrigger=1
+    con = duckdb.connect()
+    now = time.time()
+    for i, (lo, hi) in enumerate([(0, 167), (167, 334), (334, 10_000)]):
+        path = src / f"cycle{i}.parquet"
+        con.execute(
+            f"COPY (SELECT * FROM '{sf_small}/documents.parquet' "
+            f"WHERE doc_id >= {lo} AND doc_id < {hi} ORDER BY doc_id) "
+            f"TO '{path}' (FORMAT PARQUET)"
+        )
+        os.utime(path, (now - 300 + i * 60, now - 300 + i * 60))
+
+    got = run_novelty_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt_nov"),
+        str(tmp_path / "nov_state"),
+        str(tmp_path / "nov_out"),
+    ).collect()
+    by_epoch = {r.epoch: r for r in got}
+    assert sorted(by_epoch) == [0, 1, 2]
+
+    # batch recompute: cumulative set difference per cycle
+    seen: set[int] = set()
+    expect = []
+    for i in range(3):
+        cycle = spark.read.parquet(str(src / f"cycle{i}.parquet"))
+        hashes = {
+            r.gram_hash for r in novelty_gram_hashes(cycle).collect()
+        }
+        expect.append((len(hashes), len(hashes - seen)))
+        seen |= hashes
+    for i, (n_grams, n_novel) in enumerate(expect):
+        assert by_epoch[i].batch_grams == n_grams
+        assert by_epoch[i].novel_grams == n_novel
+    assert sum(r.novel_grams for r in got) == len(seen)
+    assert by_epoch[0].novel_grams == by_epoch[0].batch_grams
+
+    # final state table == corpus distinct gram set
+    state = {
+        r.gram_hash
+        for r in read_snapshot(spark, str(tmp_path / "nov_state")).collect()
+    }
+    assert state == seen
+
+    # replay with a fresh checkpoint: tags short-circuit, nothing moves
+    replay = run_novelty_stream(
+        spark,
+        str(src),
+        str(tmp_path / "ckpt_nov2"),
+        str(tmp_path / "nov_state"),
+        str(tmp_path / "nov_out"),
+    ).collect()
+    assert {(r.epoch, r.novel_grams) for r in replay} == {
+        (r.epoch, r.novel_grams) for r in got
+    }
+    state2 = {
+        r.gram_hash
+        for r in read_snapshot(spark, str(tmp_path / "nov_state")).collect()
+    }
+    assert state2 == seen
