@@ -1493,3 +1493,108 @@ ORDER BY p.doc_id
 
 
 MIXED_SCRIPT_AUDIT_SQL = _mixed_script_oracle()
+
+
+def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ablation table over the four Gopher gate rules: for
+    EVERY subset of {words_ok, mean_len_ok, alpha_ok, stop_ok} (CUBE —
+    a NULL flag means "any"), the documents and tokens in that cell
+    and the cell's token share of the corpus. One table answers every
+    ablation question a curation review asks — "how many tokens does
+    the stopword rule alone cost?", "how much of the corpus fails
+    exactly one rule?", "what survives the full conjunction?" —
+    without re-running the filters per question (the standard
+    filter-ablation audit before committing a gate, cf. Gopher
+    Table A1 / FineWeb's per-rule ablations).
+
+    Shape: the four booleans are map-side column expressions shared
+    with gopher_quality_flags (_gopher_gate_columns — one definition,
+    three queries); CUBE expands each input row into 16 grouping
+    combinations MAP-SIDE into a partial agg, so the shuffle carries
+    at most 81 (3^4) groups regardless of corpus size. The corpus
+    total for the share column is the CUBE's own all-NULL row, joined
+    back as a 1-row broadcast — no second scan.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    g = _gopher_gate_columns()
+    flagged = docs.select(
+        g["words_ok"].alias("words_ok"),
+        g["mean_len_ok"].alias("mean_len_ok"),
+        g["alpha_ok"].alias("alpha_ok"),
+        g["stop_ok"].alias("stop_ok"),
+        F.size(tokenize("text")).cast("bigint").alias("n_tokens"),
+    )
+    cells = (
+        flagged.cube("words_ok", "mean_len_ok", "alpha_ok", "stop_ok")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = cells.filter(F.col("gid") == 15).select(
+        F.col("n_tokens").alias("corpus_tokens")
+    )
+    return (
+        cells.join(F.broadcast(total), how="cross")
+        .select(
+            "gid",
+            "words_ok",
+            "mean_len_ok",
+            "alpha_ok",
+            "stop_ok",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens") * F.lit(1_000_000) / F.col("corpus_tokens")
+            ).cast("bigint").alias("token_share_micro"),
+        )
+        .orderBy("gid", "words_ok", "mean_len_ok", "alpha_ok", "stop_ok")
+    )
+
+
+QUALITY_FILTER_ABLATION_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS ts
+    FROM documents
+),
+m AS (
+    SELECT doc_id, len(ts) AS n_words,
+           CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
+               / len(ts) AS mean_len,
+           CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
+                AS DOUBLE) / len(ts) AS alpha_frac,
+           len(list_filter(ts, t -> t IN ({_GOPHER_STOPLIST_SQL})))
+               AS stop_hits
+    FROM toks
+),
+flagged AS (
+    SELECT n_words >= {GOPHER_MIN_WORDS}
+               AND n_words <= {GOPHER_MAX_WORDS} AS words_ok,
+           mean_len >= {GOPHER_MIN_MEAN_LEN}
+               AND mean_len <= {GOPHER_MAX_MEAN_LEN} AS mean_len_ok,
+           alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS alpha_ok,
+           stop_hits >= {GOPHER_MIN_STOP_HITS} AS stop_ok,
+           CAST(n_words AS BIGINT) AS n_tokens
+    FROM m
+),
+cells AS (
+    SELECT CAST(GROUPING(words_ok, mean_len_ok, alpha_ok, stop_ok)
+                AS BIGINT) AS gid,
+           words_ok, mean_len_ok, alpha_ok, stop_ok,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM flagged
+    GROUP BY CUBE (words_ok, mean_len_ok, alpha_ok, stop_ok)
+),
+total AS (SELECT n_tokens AS corpus_tokens FROM cells WHERE gid = 15)
+SELECT gid, words_ok, mean_len_ok, alpha_ok, stop_ok, n_docs,
+       c.n_tokens,
+       CAST(floor(c.n_tokens * 1000000.0 / t.corpus_tokens) AS BIGINT)
+           AS token_share_micro
+FROM cells c CROSS JOIN total t
+ORDER BY gid, words_ok, mean_len_ok, alpha_ok, stop_ok
+"""

@@ -345,3 +345,50 @@ def test_mixed_script_audit_hand_checked(spark):
     acc = rows[8]  # "départеment sécurité" with one Cyrillic е
     assert (acc.n_latin, acc.n_cyrillic) == (18, 1)
     assert acc.mixed_script_tokens == 1 and acc.homoglyph_suspect
+
+
+def test_quality_filter_ablation_consistent_with_flags(spark, sf_small):
+    """Cross-query consistency: the ablation cube's fully-specified
+    cells (gid=0) must re-aggregate gopher_quality_flags exactly, the
+    all-NULL row must hold the corpus totals, and every flag's
+    marginal must sum to the total."""
+    from collections import Counter
+
+    from parquet_extractor_spark.operators.quality import (
+        gopher_quality_flags,
+        quality_filter_ablation,
+    )
+
+    flags = gopher_quality_flags(spark, sf_small).collect()
+    cube = quality_filter_ablation(spark, sf_small).collect()
+
+    combos = Counter(
+        (r.words_ok, r.mean_len_ok, r.alpha_ok, r.stop_ok) for r in flags
+    )
+    tokens = Counter()
+    for r in flags:
+        tokens[(r.words_ok, r.mean_len_ok, r.alpha_ok, r.stop_ok)] += (
+            r.n_words
+        )
+    full = {
+        (r.words_ok, r.mean_len_ok, r.alpha_ok, r.stop_ok): r
+        for r in cube
+        if r.gid == 0
+    }
+    assert set(full) == set(combos)
+    for k, r in full.items():
+        assert r.n_docs == combos[k] and r.n_tokens == tokens[k]
+
+    top = [r for r in cube if r.gid == 15]
+    assert len(top) == 1
+    assert top[0].n_docs == len(flags)
+    assert top[0].n_tokens == sum(tokens.values())
+    assert top[0].token_share_micro == 1_000_000
+
+    # one-flag marginals (gid with exactly one flag specified) sum to
+    # the corpus totals
+    for gid, col in [(7, "words_ok"), (11, "mean_len_ok"),
+                     (13, "alpha_ok"), (14, "stop_ok")]:
+        marg = [r for r in cube if r.gid == gid]
+        assert sum(r.n_docs for r in marg) == len(flags)
+        assert {getattr(r, col) for r in marg} <= {True, False}
