@@ -105,55 +105,59 @@ def _with_grams(records: DataFrame) -> DataFrame:
     )
 
 
-def _matched_pairs(grammed: DataFrame) -> DataFrame:
-    """Prefix-filtered candidates, exactly verified. Returns
-    (rec_a, rec_b, jacc_micro) with rec_a < rec_b."""
-    exploded = grammed.select(
-        "rec_id", F.explode("grams").alias("gram")
-    )
-    gram_df = exploded.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    # epsilon guards ceil() against float error when t*n is integral
-    # (0.45*20 = 9.000000000000002 must ceil to 9, not 10 — a too-
-    # short prefix could silently drop true matches)
-    prefix_len = (
+def _prefix_len_expr() -> F.Column:
+    """p = n - ceil(t*n - eps) + 1 over a ``grams`` column. The
+    epsilon guards ceil() against float error when t*n is integral
+    (0.45*20 = 9.000000000000002 must ceil to 9, not 10 — a too-short
+    prefix could silently drop true matches)."""
+    return (
         F.size("grams")
         - F.ceil(F.lit(ER_JACCARD_T) * F.size("grams") - F.lit(1e-9))
         + F.lit(1)
     )
-    ranked = (
-        exploded.join(gram_df, "gram")
-        .withColumn(
+
+
+def hash_prefix_grams(grammed: DataFrame) -> DataFrame:
+    """Prefix grams under the HASH total order (xxhash64, tie gram) —
+    the data-INDEPENDENT order the incremental/streaming form uses:
+    it never changes as the corpus grows, so prefixes computed at
+    insert time stay valid against every future batch (the prefix
+    lemma needs one common total order on both sides at compare
+    time). The batch form instead orders by global document frequency
+    (fewer candidates, PPJoin's optimization) — that order drifts
+    with the data, which is fine for a one-shot join and wrong for
+    persistent state. Returns (rec_id, gram) exploded prefixes."""
+    exploded = grammed.select("rec_id", F.explode("grams").alias("gram"))
+    return (
+        exploded.withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy("rec_id").orderBy("df", "gram")
+                Window.partitionBy("rec_id").orderBy(
+                    F.xxhash64("gram"), "gram"
+                )
             ),
         )
         .join(grammed.select("rec_id", "grams"), "rec_id")
-        .filter(F.col("rn") <= prefix_len)
+        .filter(F.col("rn") <= _prefix_len_expr())
         .select("rec_id", "gram")
     )
-    cands = (
-        ranked.alias("a")
-        .join(ranked.alias("b"), "gram")
-        .filter(F.col("a.rec_id") < F.col("b.rec_id"))
-        .select(
-            F.col("a.rec_id").alias("rec_a"),
-            F.col("b.rec_id").alias("rec_b"),
-        )
-        .distinct()
-    )
-    sides = grammed.select("rec_id", "grams")
+
+
+def verify_candidate_pairs(
+    cands: DataFrame, left_sides: DataFrame, right_sides: DataFrame
+) -> DataFrame:
+    """Exact trigram-Jaccard verification of (rec_a, rec_b) candidate
+    pairs against the carried gram arrays; keeps pairs at or above
+    the threshold. ``*_sides`` are (rec_id, grams) frames."""
     verified = (
         cands.join(
-            sides.select(
+            left_sides.select(
                 F.col("rec_id").alias("rec_a"), F.col("grams").alias("ga")
             ),
             "rec_a",
         )
         .join(
-            sides.select(
+            right_sides.select(
                 F.col("rec_id").alias("rec_b"), F.col("grams").alias("gb")
             ),
             "rec_b",
@@ -170,6 +174,41 @@ def _matched_pairs(grammed: DataFrame) -> DataFrame:
         )
     )
     return verified.filter(F.col("jacc_micro") >= ER_JACCARD_T_MICRO)
+
+
+def _matched_pairs(grammed: DataFrame) -> DataFrame:
+    """Prefix-filtered candidates, exactly verified. Returns
+    (rec_a, rec_b, jacc_micro) with rec_a < rec_b."""
+    exploded = grammed.select(
+        "rec_id", F.explode("grams").alias("gram")
+    )
+    gram_df = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ranked = (
+        exploded.join(gram_df, "gram")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("rec_id").orderBy("df", "gram")
+            ),
+        )
+        .join(grammed.select("rec_id", "grams"), "rec_id")
+        .filter(F.col("rn") <= _prefix_len_expr())
+        .select("rec_id", "gram")
+    )
+    cands = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), "gram")
+        .filter(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("rec_a"),
+            F.col("b.rec_id").alias("rec_b"),
+        )
+        .distinct()
+    )
+    sides = grammed.select("rec_id", "grams")
+    return verify_candidate_pairs(cands, sides, sides)
 
 
 def _min_label_components(
@@ -237,6 +276,14 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     labeled = records.join(labels, "rec_id")
+    return golden_report(labeled)
+
+
+def golden_report(labeled: DataFrame) -> DataFrame:
+    """(rec_id, name, cluster) → the full resolution report with the
+    golden record per cluster (longest raw name, tie min rec_id) via
+    a combinable max(struct(...)) agg — shared by the batch operator
+    and the streaming state reader."""
     winners = (
         labeled.groupBy("cluster")
         .agg(
@@ -254,7 +301,7 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
         )
     )
-    canon_names = records.select(
+    canon_names = labeled.select(
         F.col("rec_id").alias("canonical_id"),
         F.col("name").alias("canonical_name"),
     )

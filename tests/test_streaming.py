@@ -1058,3 +1058,108 @@ def test_novelty_stream_matches_cumulative_batch(spark, sf_small, tmp_path):
         for r in read_snapshot(spark, str(tmp_path / "nov_state")).collect()
     }
     assert state2 == seen
+
+
+def _write_entity_batches(tmp_path, splits):
+    """Write ENTITY_ROWS into ordered parquet files per the given
+    rec_id partition, mtimes strictly increasing."""
+    import os
+    import time
+
+    import duckdb
+
+    from parquet_extractor_spark.operators.entities import ENTITY_ROWS
+
+    src = tmp_path
+    src.mkdir(exist_ok=True)
+    con = duckdb.connect()
+    now = time.time()
+    for i, ids in enumerate(splits):
+        rows = [r for r in ENTITY_ROWS if r[0] in ids]
+        vals = ", ".join(
+            "(%d, '%s', '%s')" % (a, b.replace("'", "''"), c)
+            for a, b, c in rows
+        )
+        path = src / f"arrivals{i}.parquet"
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) "
+            f"t(rec_id, name, city)) TO '{path}' (FORMAT PARQUET)"
+        )
+        os.utime(path, (now - 600 + i * 60, now - 600 + i * 60))
+    return str(src)
+
+
+def test_entity_resolution_stream_equals_batch(spark, sf_small, tmp_path):
+    """Arrival order must not change the resolved entities: for two
+    different partitions of the fixture into ordered micro-batches —
+    including one that delivers cluster members across THREE separate
+    epochs and one that forces a cluster MERGE through a late-arriving
+    bridge record — the final state's clustering and golden records
+    equal the one-shot batch entity_resolution."""
+    from parquet_extractor_spark.operators.entities import (
+        entity_resolution,
+        golden_report,
+    )
+    from parquet_extractor_spark.streaming.entities import (
+        run_entity_resolution_stream,
+    )
+
+    want = sorted(
+        (r.rec_id, r.cluster, r.canonical_id, r.canonical_name,
+         r.cluster_size)
+        for r in entity_resolution(spark, sf_small).collect()
+    )
+
+    partitions = [
+        # interleaved: each planted cluster split across epochs; 16 is
+        # the bridge that merges 14 with 15 only after both exist
+        [{1, 4, 8, 14, 7, 12}, {2, 5, 9, 15, 10, 13, 17},
+         {3, 6, 16, 11, 18, 19, 20}],
+        # bulk-then-trickle: most records in one batch, stragglers after
+        [{1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 17, 18, 19, 20},
+         {15, 16}, {14, 7}],
+    ]
+    for pi, splits in enumerate(partitions):
+        src = _write_entity_batches(tmp_path / f"er_src{pi}", splits)
+        state = run_entity_resolution_stream(
+            spark,
+            src,
+            str(tmp_path / f"er_ckpt{pi}"),
+            str(tmp_path / f"er_state{pi}"),
+        )
+        got = sorted(
+            (r.rec_id, r.cluster, r.canonical_id, r.canonical_name,
+             r.cluster_size)
+            for r in golden_report(
+                state.select("rec_id", "name", "cluster")
+            ).collect()
+        )
+        assert got == want, f"partition {pi} diverged from batch ER"
+
+
+def test_entity_resolution_stream_replay_noop(spark, sf_small, tmp_path):
+    """A full replay (fresh checkpoint, same state table) must leave
+    the state byte-identical: epoch tags short-circuit before any
+    matching runs."""
+    from parquet_extractor_spark.sinks.versioned import snapshots
+    from parquet_extractor_spark.streaming.entities import (
+        run_entity_resolution_stream,
+    )
+
+    src = _write_entity_batches(
+        tmp_path / "er_src_rp",
+        [{1, 2, 4, 5, 14, 15}, {3, 6, 16, 7, 8, 9, 10, 11, 12, 13,
+                                17, 18, 19, 20}],
+    )
+    state_dir = str(tmp_path / "er_state_rp")
+    first = run_entity_resolution_stream(
+        spark, src, str(tmp_path / "er_ckpt_rp1"), state_dir
+    )
+    rows1 = sorted((r.rec_id, r.cluster) for r in first.collect())
+    n_snaps = len(snapshots(state_dir))
+    replay = run_entity_resolution_stream(
+        spark, src, str(tmp_path / "er_ckpt_rp2"), state_dir
+    )
+    rows2 = sorted((r.rec_id, r.cluster) for r in replay.collect())
+    assert rows1 == rows2
+    assert len(snapshots(state_dir)) == n_snaps
