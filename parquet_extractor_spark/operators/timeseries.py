@@ -1245,3 +1245,210 @@ FROM monthly
 WINDOW w AS (ORDER BY month_epoch)
 ORDER BY month_epoch
 """
+
+
+# ── ordered event funnel & cohort retention (product analytics) ──────
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED conversion funnel: a user reaches step k only
+    with an event of step k's type occurring strictly AFTER their
+    step-(k-1) arrival time (earliest such event becomes the step-k
+    arrival). This is the real funnel semantics — a purchase logged
+    before the signup does not convert — which a naive
+    per-type-existence count gets wrong.
+
+    Shape for scale: one user-keyed agg per step over a
+    filter-pruned scan (the step list is a query constant), each
+    chained through a user-keyed join — all shuffles on user_id, no
+    windows over raw events, no per-user sort. The final 3-row
+    step table takes a bounded global window for the step-over-step
+    conversion ratio.
+
+    Output per step: step_idx, step, n_users, conversion_micro (vs
+    previous step), overall_micro (vs step 1).
+    """
+    events = load_table(spark, sf_dir, "events")
+    reached = None
+    arrivals: DataFrame | None = None
+    for idx, step in enumerate(FUNNEL_STEPS, start=1):
+        typed = events.filter(F.col("event_type") == step).select(
+            "user_id", "ts"
+        )
+        if arrivals is None:
+            arr = typed.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            arr = (
+                typed.join(
+                    arrivals.select("user_id", F.col("t").alias("t_prev")),
+                    "user_id",
+                )
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        arrivals = arr
+        step_rows = arr.select(
+            F.lit(idx).cast("bigint").alias("step_idx"),
+            F.lit(step).alias("step"),
+            "user_id",
+        )
+        reached = step_rows if reached is None else reached.union(step_rows)
+    counts = (
+        reached.groupBy("step_idx", "step")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    w = bounded_global_window(F.asc("step_idx"))
+    return (
+        counts.select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.lag("n_users").over(w).alias("n_prev"),
+            F.first("n_users").over(w).alias("n_first"),
+        )
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.floor(
+                F.col("n_users")
+                * F.lit(1_000_000)
+                / F.coalesce("n_prev", F.col("n_users"))
+            ).cast("bigint").alias("conversion_micro"),
+            F.floor(
+                F.col("n_users") * F.lit(1_000_000) / F.col("n_first")
+            ).cast("bigint").alias("overall_micro"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+EVENTS_FUNNEL_ORDERED_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id
+),
+counts AS (
+    SELECT CAST(1 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+           CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', count(*) FROM s2
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', count(*) FROM s3
+)
+SELECT step_idx, step, n_users,
+       CAST(floor(n_users * 1000000.0
+            / coalesce(lag(n_users) OVER (ORDER BY step_idx), n_users))
+            AS BIGINT) AS conversion_micro,
+       CAST(floor(n_users * 1000000.0
+            / first_value(n_users) OVER (ORDER BY step_idx)) AS BIGINT)
+           AS overall_micro
+FROM counts
+ORDER BY step_idx
+"""
+
+
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix over orders: customers grouped
+    by first-order month (cohort), tracked by how many are active in
+    each subsequent month-offset — the standard warehouse retention
+    report.
+
+    Month arithmetic uses the integer month index year*12 + month
+    (identical in any engine — no months_between float semantics).
+    Shape: one customer-keyed agg for the cohort assignment, one join
+    back to orders on the customer key, one (cohort, offset) agg with
+    countDistinct, and a cohort-keyed join for the denominators. All
+    shuffles on ids; output is bounded by months² regardless of order
+    volume.
+
+    Output per (cohort_month yyyymm, month_offset): n_active,
+    cohort_size, retention_micro.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    midx = (
+        F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+    ).cast("bigint")
+    first = (
+        orders.select("o_custkey", midx.alias("m"))
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("m0"))
+    )
+    activity = (
+        orders.select("o_custkey", midx.alias("m"))
+        .join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "m0",
+            (F.col("m") - F.col("m0")).alias("month_offset"),
+        )
+        .distinct()
+    )
+    cells = activity.groupBy("m0", "month_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    sizes = first.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "m0")
+        .select(
+            (
+                F.floor((F.col("m0") - 1) / 12) * 100
+                + ((F.col("m0") - 1) % 12 + 1)
+            ).cast("bigint").alias("cohort_month"),
+            "month_offset",
+            "n_active",
+            "cohort_size",
+            F.floor(
+                F.col("n_active") * F.lit(1_000_000) / F.col("cohort_size")
+            ).cast("bigint").alias("retention_micro"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+ORDERS_COHORT_RETENTION_SQL = """
+WITH midx AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS m
+    FROM orders
+),
+first AS (
+    SELECT o_custkey, min(m) AS m0 FROM midx GROUP BY o_custkey
+),
+activity AS (
+    SELECT DISTINCT midx.o_custkey, first.m0, midx.m - first.m0
+               AS month_offset
+    FROM midx JOIN first ON midx.o_custkey = first.o_custkey
+),
+cells AS (
+    SELECT m0, month_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY m0, month_offset
+),
+sizes AS (
+    SELECT m0, CAST(count(*) AS BIGINT) AS cohort_size
+    FROM first GROUP BY m0
+)
+SELECT CAST(floor((c.m0 - 1) / 12) * 100
+            + ((c.m0 - 1) % 12 + 1) AS BIGINT) AS cohort_month,
+       c.month_offset, c.n_active, s.cohort_size,
+       CAST(floor(c.n_active * 1000000.0 / s.cohort_size) AS BIGINT)
+           AS retention_micro
+FROM cells c JOIN sizes s ON c.m0 = s.m0
+ORDER BY cohort_month, month_offset
+"""

@@ -292,3 +292,75 @@ def test_ngram_novelty_recomputed_locally(spark, sf_small):
     # monotonically (sanity: the curve is informative, not constant)
     by_decile = sorted((r.decile, r.novelty_micro) for r in got)
     assert by_decile[0][1] > by_decile[-1][1]
+
+
+def test_events_funnel_ordered_semantics(spark, sf_small):
+    """Python recompute of the strictly-ordered funnel, plus the
+    ordering property: every step's user set is a subset of the
+    previous step's, and a user whose purchase precedes their view
+    does not convert."""
+    import duckdb
+
+    from parquet_extractor_spark.operators.timeseries import (
+        FUNNEL_STEPS,
+        events_funnel_ordered,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, ts FROM "
+        f"'{sf_small}/events.parquet' ORDER BY ts"
+    ).fetchall()
+    arrivals = {}
+    reached = []
+    for step_i, step in enumerate(FUNNEL_STEPS):
+        cur = {}
+        for user, etype, ts in rows:
+            if etype != step:
+                continue
+            if step_i > 0:
+                prev = arrivals.get(user)
+                if prev is None or ts <= prev:
+                    continue
+            if user not in cur:
+                cur[user] = ts
+        arrivals = cur
+        reached.append(set(cur))
+    got = events_funnel_ordered(spark, sf_small).collect()
+    assert [r.n_users for r in got] == [len(s) for s in reached]
+    assert reached[2] <= reached[1] <= reached[0]
+    for r in got:
+        if r.step_idx == 1:
+            assert r.conversion_micro == 1_000_000
+            assert r.overall_micro == 1_000_000
+        else:
+            prev = got[r.step_idx - 2].n_users
+            assert r.conversion_micro == r.n_users * 1_000_000 // prev
+            assert (
+                r.overall_micro == r.n_users * 1_000_000 // got[0].n_users
+            )
+
+
+def test_orders_cohort_retention_semantics(spark, sf_small):
+    """Offset-0 cells must equal cohort sizes (every customer is
+    active in their first month), retention is monotone ≤ 1, and the
+    sum of cohort sizes is the distinct customer count."""
+    from parquet_extractor_spark.operators.timeseries import (
+        orders_cohort_retention,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    got = orders_cohort_retention(spark, sf_small).collect()
+    zero = {r.cohort_month: r for r in got if r.month_offset == 0}
+    for r in got:
+        assert r.month_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        assert r.retention_micro <= 1_000_000
+        assert zero[r.cohort_month].n_active == r.cohort_size
+        assert zero[r.cohort_month].retention_micro == 1_000_000
+    n_cust = (
+        load_table(spark, sf_small, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.cohort_size for r in zero.values()) == n_cust
