@@ -27,6 +27,7 @@ Why each knob exists at 100 TB:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_dataset(
@@ -179,3 +180,116 @@ def read_jsonl_dataset(spark, out_dir: str, schema=None) -> DataFrame:
         reader = reader.schema(schema)
     return reader.json(out_dir)
 
+
+
+# ── range clustering + file-pruning evidence ─────────────────────────
+
+
+def write_range_clustered(
+    df: DataFrame, out_dir: str, key: str, files: int
+) -> None:
+    """Range-cluster a dataset on ``key`` into ``files`` parquet files:
+    ``repartitionByRange`` gives each output file a DISJOINT key range
+    (Spark samples the key to build balanced range bounds), and the
+    within-partition sort makes every row group's min/max stats tight.
+    This is the layout decision that turns parquet min/max statistics
+    into actual file- and row-group-level pruning for range/point
+    queries — the single cheapest scan optimization a 100 TB table
+    owner controls. (Multi-dimensional variants — Z-order/Hilbert —
+    generalize the same idea to several keys; one key needs only a
+    range partition.)"""
+    (
+        df.repartitionByRange(files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("error")
+        .parquet(out_dir)
+    )
+
+
+def file_pruning_report(
+    spark, dataset_dir: str, key: str, probes: list[tuple[int, int]]
+) -> DataFrame:
+    """Quantify what a layout is worth: from parquet FOOTERS alone
+    (O(files), zero data pages — the parquet_footer_stats pattern),
+    compute for each closed probe range [lo, hi] how many files a
+    min/max-pruning reader must open. ``scan_fraction_micro`` is the
+    fraction of files hit — on a range-clustered layout it approaches
+    probe_selectivity, on an unsorted layout it pins at 1.0 because
+    every file's (min, max) spans the whole domain. The footer walk
+    runs executor-side (mapInPandas over the file list).
+
+    Output per probe: (probe_lo, probe_hi, n_files, n_files_hit,
+    scan_fraction_micro)."""
+    import os
+
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    paths = sorted(
+        os.path.join(dataset_dir, f)
+        for f in os.listdir(dataset_dir)
+        if f.endswith(".parquet")
+    )
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(1, min(len(paths), 32)))
+
+    schema = StructType(
+        [
+            StructField("file_min", LongType(), False),
+            StructField("file_max", LongType(), False),
+        ]
+    )
+
+    def _minmax(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            mins, maxs = [], []
+            for path in pdf["path"]:
+                md = _pq.ParquetFile(path).metadata
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                ki = names.index(key)
+                gmins, gmaxs = [], []
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ki).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(f"{path}: footer lacks stats")
+                    gmins.append(int(st.min))
+                    gmaxs.append(int(st.max))
+                mins.append(min(gmins))
+                maxs.append(max(gmaxs))
+            yield _pd.DataFrame({"file_min": mins, "file_max": maxs})
+
+    stats = files.mapInPandas(_minmax, schema)
+    probe_df = spark.createDataFrame(
+        list(probes), "probe_lo BIGINT, probe_hi BIGINT"
+    )
+    hit = (_F.col("file_min") <= _F.col("probe_hi")) & (
+        _F.col("file_max") >= _F.col("probe_lo")
+    )
+    return (
+        stats.crossJoin(_F.broadcast(probe_df))
+        .groupBy("probe_lo", "probe_hi")
+        .agg(
+            _F.count(_F.lit(1)).cast("bigint").alias("n_files"),
+            _F.sum(hit.cast("int")).cast("bigint").alias("n_files_hit"),
+        )
+        .select(
+            "probe_lo",
+            "probe_hi",
+            "n_files",
+            "n_files_hit",
+            _F.floor(
+                _F.col("n_files_hit") * _F.lit(1_000_000) / _F.col("n_files")
+            ).cast("bigint").alias("scan_fraction_micro"),
+        )
+        .orderBy("probe_lo", "probe_hi")
+    )
