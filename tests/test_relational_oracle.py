@@ -200,16 +200,17 @@ def test_coverage_doc_counts_match_registry():
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "COVERAGE.md")) as f:
-        doc = f.read()
-    counts = re.findall(
-        r"<!-- registry-count -->(\d+) queries<!-- /registry-count -->",
-        doc,
-    )
-    assert counts, "COVERAGE.md lost its registry-count markers"
     n = len(entrymod.queries())
-    for c in counts:
-        assert int(c) == n, (
-            f"COVERAGE.md says {c} queries, registry has {n} — update "
-            f"the <!-- registry-count --> literals"
+    for doc_name in ("COVERAGE.md", "README.md"):
+        with open(os.path.join(repo, doc_name)) as f:
+            doc = f.read()
+        counts = re.findall(
+            r"<!-- registry-count -->(\d+) queries<!-- /registry-count -->",
+            doc,
         )
+        assert counts, f"{doc_name} lost its registry-count markers"
+        for c in counts:
+            assert int(c) == n, (
+                f"{doc_name} says {c} queries, registry has {n} — update "
+                f"the <!-- registry-count --> literals"
+            )
