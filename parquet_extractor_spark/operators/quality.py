@@ -1598,3 +1598,123 @@ SELECT gid, words_ok, mean_len_ok, alpha_ok, stop_ok, n_docs,
 FROM cells c CROSS JOIN total t
 ORDER BY gid, words_ok, mean_len_ok, alpha_ok, stop_ok
 """
+
+
+# ── differentially-private release (seeded Laplace mechanism) ────────
+
+DP_EPSILON = 1.0
+DP_TOKEN_CLAMP = 128  # per-doc token contribution clamp (sensitivity)
+DP_SALT = "dp-v1"
+_DP_M = 2 ** 52  # uniform-draw resolution from the portable hash
+
+
+def dp_source_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-source statistics via the Laplace
+    mechanism with a SEEDED, portable noise draw: the uniform comes
+    from the salted md5 of the source key (same 60-bit portable hash
+    every dedup fingerprint uses), so the mechanism is exactly
+    reproducible in any engine — which is what makes it testable
+    (real deployments swap the salt for a secret per-release seed;
+    the mechanism, sensitivities and post-processing are unchanged).
+
+    Doc counts release with sensitivity 1 (one document added or
+    removed changes the count by 1); token sums release over
+    PER-DOCUMENT CLAMPED contributions min(tokens, DP_TOKEN_CLAMP) so
+    the sensitivity is the clamp, not the unbounded longest document —
+    the standard bounded-contribution trick. Laplace(b): u ∈
+    (−½, ½) from the hash, noise = −b·sign(u)·ln(1−2|u|), b =
+    sensitivity/ε. Released values floor(x+0.5), clamped at 0
+    (post-processing preserves DP).
+
+    One partial+final agg per source; the noise is a map-side
+    expression on the ~|sources| aggregated rows. ln() cross-engine
+    parity is the KL/PMI family's established contract.
+
+    Output per source: n_docs_true, n_docs_released, clamped_tokens
+    _true, tokens_released (true columns included because this is an
+    engine-correctness demo of the mechanism, not an actual privacy
+    boundary — a real release prints only the *_released columns).
+    """
+    from parquet_extractor_spark.functions.text import portable_hash64
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    per_source = (
+        docs.select(
+            "source",
+            F.least(
+                F.size(tokenize("text")).cast("bigint"),
+                F.lit(DP_TOKEN_CLAMP),
+            ).alias("clamped"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_true"),
+            F.sum("clamped").cast("bigint").alias("clamped_tokens_true"),
+        )
+    )
+
+    def lap(tag: str, sensitivity: int) -> F.Column:
+        h = portable_hash64(
+            F.concat(F.lit(DP_SALT), F.lit(tag), F.col("source"))
+        )
+        u = (
+            ((h % F.lit(_DP_M)) + F.lit(0.5)) / F.lit(float(_DP_M))
+        ) - F.lit(0.5)
+        b = F.lit(float(sensitivity) / DP_EPSILON)
+        return -b * F.signum(u) * F.log(F.lit(1.0) - 2 * F.abs(u))
+
+    def release(true_col: str, noise: F.Column) -> F.Column:
+        return F.greatest(
+            F.floor(F.col(true_col) + noise + F.lit(0.5)), F.lit(0)
+        ).cast("bigint")
+
+    return per_source.select(
+        "source",
+        "n_docs_true",
+        release("n_docs_true", lap("docs", 1)).alias("n_docs_released"),
+        "clamped_tokens_true",
+        release(
+            "clamped_tokens_true", lap("tokens", DP_TOKEN_CLAMP)
+        ).alias("tokens_released"),
+    ).orderBy("source")
+
+
+def _dp_release_oracle() -> str:
+    def lap_sql(tag: str, sensitivity: int) -> str:
+        h = (
+            "CAST(('0x' || substr(md5('"
+            + DP_SALT + tag
+            + "' || source), 1, 15)) AS BIGINT)"
+        )
+        u = f"((({h} % {_DP_M}) + 0.5) / {float(_DP_M)}) - 0.5"
+        b = float(sensitivity) / DP_EPSILON
+        return (
+            f"(-({b}) * sign({u}) * ln(1.0 - 2 * abs({u})))"
+        )
+
+    def rel(col: str, noise: str) -> str:
+        return (
+            f"CAST(greatest(floor({col} + {noise} + 0.5), 0) AS BIGINT)"
+        )
+
+    return rf"""
+WITH per_source AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_true,
+           CAST(sum(least(len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '')), {DP_TOKEN_CLAMP})) AS BIGINT)
+               AS clamped_tokens_true
+    FROM documents GROUP BY source
+)
+SELECT source, n_docs_true,
+       {rel('n_docs_true', lap_sql('docs', 1))} AS n_docs_released,
+       clamped_tokens_true,
+       {rel('clamped_tokens_true', lap_sql('tokens', DP_TOKEN_CLAMP))}
+           AS tokens_released
+FROM per_source
+ORDER BY source
+"""
+
+
+DP_SOURCE_RELEASE_SQL = _dp_release_oracle()

@@ -392,3 +392,68 @@ def test_quality_filter_ablation_consistent_with_flags(spark, sf_small):
         marg = [r for r in cube if r.gid == gid]
         assert sum(r.n_docs for r in marg) == len(flags)
         assert {getattr(r, col) for r in marg} <= {True, False}
+
+
+def test_dp_source_release_matches_pure_python(spark, sf_small):
+    """Third implementation: recompute the seeded Laplace mechanism in
+    pure Python (hashlib + math.log) — both engines must match it
+    exactly, and the noise must actually perturb at least one count."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from parquet_extractor_spark.operators.quality import (
+        DP_EPSILON,
+        DP_SALT,
+        DP_TOKEN_CLAMP,
+        _DP_M,
+        dp_source_release,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{sf_small}/documents.parquet'"
+    ).fetchall()
+    agg = {}
+    for source, text in docs:
+        toks = [
+            t for t in re.sub(r"[^\w\s]", " ", text.lower()).split() if t
+        ]
+        d = agg.setdefault(source, [0, 0])
+        d[0] += 1
+        d[1] += min(len(toks), DP_TOKEN_CLAMP)
+
+    def lap(tag, source, sensitivity):
+        h = int(
+            hashlib.md5(
+                (DP_SALT + tag + source).encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        u = ((h % _DP_M) + 0.5) / float(_DP_M) - 0.5
+        b = float(sensitivity) / DP_EPSILON
+        return -b * math.copysign(1.0, u) * math.log(1.0 - 2 * abs(u))
+
+    got = dp_source_release(spark, sf_small).collect()
+    assert len(got) == len(agg)
+    perturbed = 0
+    for r in got:
+        n_docs, tokens = agg[r.source]
+        assert r.n_docs_true == n_docs
+        assert r.clamped_tokens_true == tokens
+        want_docs = max(
+            0, math.floor(n_docs + lap("docs", r.source, 1) + 0.5)
+        )
+        want_tokens = max(
+            0,
+            math.floor(
+                tokens + lap("tokens", r.source, DP_TOKEN_CLAMP) + 0.5
+            ),
+        )
+        assert r.n_docs_released == want_docs, r.source
+        assert r.tokens_released == want_tokens, r.source
+        perturbed += int(r.n_docs_released != n_docs) + int(
+            r.tokens_released != tokens
+        )
+    assert perturbed > 0
