@@ -652,46 +652,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard for iterative DataFrame algorithms. State per round is one
     (doc_id, label) row per document: O(docs), never O(pairs).
     """
+    from parquet_extractor_spark.functions.graph import (
+        min_label_components,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = _lsh_pairs_tier(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .persist()
+    labels = min_label_components(
+        docs,
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+        id_col="doc_id",
+        label_col="component",
     )
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("component")
-    ).localCheckpoint()
-    while True:
-        neigh = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("component").alias("neigh_min"))
-        )
-        new_labels = (
-            labels.alias("l")
-            .join(neigh.alias("n"), "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("l.component"),
-                    F.coalesce(F.col("n.neigh_min"), F.col("l.component")),
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "doc_id")
-            .filter(F.col("a.component") != F.col("b.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
     return labels.orderBy("doc_id")
 
 

@@ -165,11 +165,16 @@ def verify_candidate_pairs(
         .select(
             "rec_a",
             "rec_b",
+            # floor WITHOUT the +0.5 half-up: the accept rule must be
+            # exactly J >= t (floor(J*1e6) >= t*1e6 <=> J >= t), never
+            # J >= t - 5e-7 — the prefix filter only guarantees a
+            # shared prefix gram for pairs AT OR ABOVE t, so a
+            # half-up rounding slack would admit pairs the candidate
+            # stage is allowed to drop, breaking losslessness
             F.floor(
                 F.size(F.array_intersect("ga", "gb"))
                 * F.lit(1_000_000.0)
                 / F.size(F.array_union("ga", "gb"))
-                + F.lit(0.5)
             ).cast("bigint").alias("jacc_micro"),
         )
     )
@@ -215,44 +220,16 @@ def _min_label_components(
     nodes: DataFrame, edges: DataFrame
 ) -> DataFrame:
     """Min-label propagation over (src, dst) edges; nodes is a
-    1-column (rec_id) frame. Same one-join-per-round iterative shape
-    as dedup_components (dedup.py:641): O(nodes) state, rounds =
-    cluster diameter, localCheckpoint truncates lineage."""
-    both = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = nodes.select(
-        "rec_id", F.col("rec_id").alias("cluster")
-    ).localCheckpoint()
-    while True:
-        neigh = (
-            both.join(labels, both.src == labels.rec_id)
-            .groupBy(F.col("dst").alias("rec_id"))
-            .agg(F.min("cluster").alias("neigh_min"))
-        )
-        new_labels = (
-            labels.alias("l")
-            .join(neigh.alias("n"), "rec_id", "left")
-            .select(
-                "rec_id",
-                F.least(
-                    F.col("l.cluster"),
-                    F.coalesce(F.col("n.neigh_min"), F.col("l.cluster")),
-                ).alias("cluster"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "rec_id")
-            .filter(F.col("a.cluster") != F.col("b.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    both.unpersist()
-    return labels
+    1-column (rec_id) frame. Delegates to the shared
+    functions.graph.min_label_components implementation (the same
+    loop dedup_components runs over documents)."""
+    from parquet_extractor_spark.functions.graph import (
+        min_label_components,
+    )
+
+    return min_label_components(
+        nodes, edges, id_col="rec_id", label_col="cluster"
+    )
 
 
 def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,7 +336,7 @@ pairs AS (
            CAST(floor(
                len(list_intersect(a.g, b.g)) * 1000000.0
                / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
-               + 0.5) AS BIGINT) AS jacc_micro
+               ) AS BIGINT) AS jacc_micro
     FROM grams a JOIN grams b ON a.rec_id < b.rec_id
 ),
 matched AS (

@@ -1549,7 +1549,17 @@ def quality_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_tokens") * F.lit(1_000_000) / F.col("corpus_tokens")
             ).cast("bigint").alias("token_share_micro"),
         )
-        .orderBy("gid", "words_ok", "mean_len_ok", "alpha_ok", "stop_ok")
+        # explicit NULLS LAST: Spark's ASC default is nulls-first,
+        # DuckDB's is nulls-last — a zero-token document makes
+        # mean_len/alpha_ok data-NULL inside gid=0 cells, and the two
+        # engines must then still print the same row order
+        .orderBy(
+            F.asc("gid"),
+            F.asc_nulls_last("words_ok"),
+            F.asc_nulls_last("mean_len_ok"),
+            F.asc_nulls_last("alpha_ok"),
+            F.asc_nulls_last("stop_ok"),
+        )
     )
 
 
@@ -1596,7 +1606,8 @@ SELECT gid, words_ok, mean_len_ok, alpha_ok, stop_ok, n_docs,
        CAST(floor(c.n_tokens * 1000000.0 / t.corpus_tokens) AS BIGINT)
            AS token_share_micro
 FROM cells c CROSS JOIN total t
-ORDER BY gid, words_ok, mean_len_ok, alpha_ok, stop_ok
+ORDER BY gid, words_ok NULLS LAST, mean_len_ok NULLS LAST,
+         alpha_ok NULLS LAST, stop_ok NULLS LAST
 """
 
 

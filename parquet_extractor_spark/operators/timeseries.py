@@ -1296,31 +1296,37 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
         )
         reached = step_rows if reached is None else reached.union(step_rows)
-    counts = (
-        reached.groupBy("step_idx", "step")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    # always emit one row per declared step — a step nobody reaches
+    # must report 0, not vanish (and must match the oracle's scalar
+    # per-step counts row for row)
+    steps = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(FUNNEL_STEPS, start=1)],
+        "step_idx BIGINT, step STRING",
+    )
+    counts = steps.join(
+        reached.groupBy("step_idx", "step").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached")
+        ),
+        ["step_idx", "step"],
+        "left",
+    ).select(
+        "step_idx",
+        "step",
+        F.coalesce("n_reached", F.lit(0)).cast("bigint").alias("n_users"),
     )
     w = bounded_global_window(F.asc("step_idx"))
+    prev = F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
+    first = F.first("n_users").over(w)
+    zero_safe = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * F.lit(1_000_000) / den)
+    ).otherwise(F.lit(0)).cast("bigint")
     return (
         counts.select(
             "step_idx",
             "step",
             "n_users",
-            F.lag("n_users").over(w).alias("n_prev"),
-            F.first("n_users").over(w).alias("n_first"),
-        )
-        .select(
-            "step_idx",
-            "step",
-            "n_users",
-            F.floor(
-                F.col("n_users")
-                * F.lit(1_000_000)
-                / F.coalesce("n_prev", F.col("n_users"))
-            ).cast("bigint").alias("conversion_micro"),
-            F.floor(
-                F.col("n_users") * F.lit(1_000_000) / F.col("n_first")
-            ).cast("bigint").alias("overall_micro"),
+            zero_safe(F.col("n_users"), prev).alias("conversion_micro"),
+            zero_safe(F.col("n_users"), first).alias("overall_micro"),
         )
         .orderBy("step_idx")
     )
@@ -1350,12 +1356,16 @@ counts AS (
     SELECT 3, '{FUNNEL_STEPS[2]}', count(*) FROM s3
 )
 SELECT step_idx, step, n_users,
-       CAST(floor(n_users * 1000000.0
-            / coalesce(lag(n_users) OVER (ORDER BY step_idx), n_users))
-            AS BIGINT) AS conversion_micro,
-       CAST(floor(n_users * 1000000.0
-            / first_value(n_users) OVER (ORDER BY step_idx)) AS BIGINT)
-           AS overall_micro
+       CAST(CASE WHEN coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                               n_users) > 0
+                 THEN floor(n_users * 1000000.0
+                      / coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                                 n_users))
+                 ELSE 0 END AS BIGINT) AS conversion_micro,
+       CAST(CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+                 THEN floor(n_users * 1000000.0
+                      / first_value(n_users) OVER (ORDER BY step_idx))
+                 ELSE 0 END AS BIGINT) AS overall_micro
 FROM counts
 ORDER BY step_idx
 """

@@ -76,7 +76,7 @@ def _grammed_with_prefix(records: DataFrame) -> DataFrame:
 
 
 def resolve_increment(
-    spark: SparkSession, state: DataFrame | None, batch: DataFrame
+    state: DataFrame | None, batch: DataFrame
 ) -> DataFrame:
     """One resolution step: link ``batch`` (rec_id, name) against
     ``state`` (STATE_SCHEMA rows or None) and return the NEW full
@@ -211,7 +211,7 @@ def run_entity_resolution_stream(
         except FileNotFoundError:
             state = None
         new_state = resolve_increment(
-            spark, state, batch.select("rec_id", "name")
+            state, batch.select("rec_id", "name")
         )
         commit_snapshot(
             new_state, state_table_dir, mode="overwrite", tag=tag
@@ -231,6 +231,4 @@ def run_entity_resolution_stream(
         raise TimeoutError(
             f"entity resolution stream did not drain within {timeout_s}s"
         )
-    from parquet_extractor_spark.sinks.versioned import read_snapshot as _rs
-
-    return _rs(spark, state_table_dir)
+    return read_snapshot(spark, state_table_dir)

@@ -541,7 +541,7 @@ def test_prefix_filter_candidates_superset_of_matches(names):
     for a, b in combinations(recs, 2):
         inter = len(recs[a] & recs[b])
         union = len(recs[a] | recs[b])
-        jacc_micro = math.floor(inter * 1_000_000.0 / union + 0.5)
+        jacc_micro = math.floor(inter * 1_000_000.0 / union)
         if jacc_micro >= T_MICRO:
             assert prefixes[a] & prefixes[b], (
                 f"match ({names[a]!r}, {names[b]!r}) j={jacc_micro} "
