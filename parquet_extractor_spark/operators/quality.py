@@ -519,9 +519,14 @@ def _gopher_gate_columns() -> dict:
     total_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
     )
-    mean_len = total_len.cast("double") / n
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    # try_divide: a ZERO-token document (punctuation-only text) must
+    # yield NULL ratios — matching DuckDB's divide-by-zero-is-NULL —
+    # not throw under Spark 4's default ANSI mode (plain `/` raises
+    # DIVIDE_BY_ZERO; regression pinned by the zero-token ablation
+    # parity test)
+    mean_len = F.try_divide(total_len.cast("double"), n)
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double"), n
     )
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
     words_ok = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)

@@ -364,3 +364,55 @@ def test_orders_cohort_retention_semantics(spark, sf_small):
         .count()
     )
     assert sum(r.cohort_size for r in zero.values()) == n_cust
+
+
+def test_events_funnel_emits_zero_rows_for_unreached_steps(
+    spark, tmp_path
+):
+    """Regression (r09 review): a funnel step nobody reaches must
+    appear as an explicit 0 row on BOTH engines — Spark must not drop
+    it, and the two engines must agree row for row on a corpus where
+    purchases only ever precede the signup."""
+    import duckdb
+
+    from parquet_extractor_spark.operators.timeseries import (
+        EVENTS_FUNNEL_ORDERED_SQL,
+        events_funnel_ordered,
+    )
+
+    fixture = tmp_path / "funnel_sf"
+    fixture.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (1, TIMESTAMP '2024-01-02 00:00:00', 1, 'signup', 0.0,
+                 ''),
+                (2, TIMESTAMP '2024-01-03 00:00:00', 1, 'view', 0.0, ''),
+                (3, TIMESTAMP '2024-01-01 00:00:00', 1, 'purchase', 1.0,
+                 ''),
+                (4, TIMESTAMP '2024-01-02 00:00:00', 2, 'signup', 0.0,
+                 '')
+            ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{fixture}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    got = events_funnel_ordered(spark, str(fixture)).collect()
+    assert [(r.step_idx, r.step, r.n_users) for r in got] == [
+        (1, "signup", 2),
+        (2, "view", 1),
+        (3, "purchase", 0),
+    ]
+    assert got[2].conversion_micro == 0 and got[2].overall_micro == 0
+
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{fixture}/events.parquet'"
+    )
+    want = con.execute(EVENTS_FUNNEL_ORDERED_SQL).fetchall()
+    assert [
+        (r.step_idx, r.step, r.n_users, r.conversion_micro,
+         r.overall_micro)
+        for r in got
+    ] == [tuple(w) for w in want]

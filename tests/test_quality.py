@@ -457,3 +457,49 @@ def test_dp_source_release_matches_pure_python(spark, sf_small):
             r.tokens_released != tokens
         )
     assert perturbed > 0
+
+
+def test_quality_filter_ablation_zero_token_doc_parity(spark, tmp_path):
+    """Regression (r09 review): a punctuation-only document tokenizes
+    to 0 words, making mean_len/alpha_frac (and their flags) data-NULL
+    inside fully-specified cube cells. Both engines must agree row for
+    row — including the NULLS LAST order — on such a corpus."""
+    import duckdb
+
+    from parquet_extractor_spark.operators.quality import (
+        QUALITY_FILTER_ABLATION_SQL,
+        quality_filter_ablation,
+    )
+
+    fixture = tmp_path / "ablate_sf"
+    fixture.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (0, '!!! ... ???', 'en', 'src0', 11),
+                (1, 'the data and the table have rows with the be to of
+                     and that have with more words here to pass the
+                     stopword and length gates for this document row ' ||
+                     repeat('word ', 40), 'en', 'src0', 300),
+                (2, 'short text', 'en', 'src1', 10)
+            ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{fixture}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    got = [
+        tuple(r)
+        for r in quality_filter_ablation(spark, str(fixture)).collect()
+    ]
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{fixture}/documents.parquet'"
+    )
+    want = [tuple(w) for w in con.execute(
+        QUALITY_FILTER_ABLATION_SQL
+    ).fetchall()]
+    assert got == want
+    # the zero-token doc really produced data-NULL flags in gid=0 cells
+    gid0 = [r for r in got if r[0] == 0]
+    assert any(r[2] is None for r in gid0), "expected a NULL mean_len_ok"
