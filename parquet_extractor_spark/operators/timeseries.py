@@ -1462,3 +1462,131 @@ SELECT CAST(floor((c.m0 - 1) / 12) * 100
 FROM cells c JOIN sizes s ON c.m0 = s.m0
 ORDER BY cohort_month, month_offset
 """
+
+
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint scan per event type: the day where
+    the cumulative sum of deviations from the series mean peaks in
+    magnitude — the classic level-shift detector (Page's CUSUM,
+    offline form), complementing event_volume_anomalies' single-day
+    spike scan with a "did the BASELINE move?" answer.
+
+    INTEGER-EXACT by construction: deviations are scaled by n_days
+    (D_t = n_t·n_days − total, an integer), so the running sum is
+    integer arithmetic and the argmax is immune to floating-point
+    accumulation-order differences between engines (a double running
+    sum would be engine-dependent — DuckDB's window aggregates may
+    re-associate additions; integers commute exactly). The reported
+    score normalizes at the end: floor(|CUSUM|·1e6 / (total·n_days))
+    — the peak's share of total volume, one bounded division per
+    type.
+
+    Shape for scale: one (event_type, day) partial+final agg over the
+    scan; per-type totals re-aggregate FROM the daily rows; the CUSUM
+    window partitions by event_type over day-count-bounded partitions
+    (≤ series length — never raw events); final argmax is a per-type
+    max(struct) — combinable, no sort.
+
+    Output per event_type: n_days, total_events, cp_day_epoch (the
+    peak day, earliest on ties), cp_cusum_scaled (signed, units
+    events×n_days), cp_score_micro.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts"))
+            .cast("bigint")
+            .alias("day_epoch"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(totals, "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("n") * F.col("n_days") - F.col("total")
+            ).over(w).cast("bigint"),
+        )
+    )
+    peak = (
+        cusum.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs("cusum").alias("mag"),
+                    (-F.col("day_epoch")).alias("neg_day"),
+                    F.col("cusum").alias("signed"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "event_type",
+            (-F.col("p.neg_day")).cast("bigint").alias("cp_day_epoch"),
+            F.col("p.signed").alias("cp_cusum_scaled"),
+        )
+    )
+    return (
+        peak.join(totals, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("total").alias("total_events"),
+            "cp_day_epoch",
+            "cp_cusum_scaled",
+            F.floor(
+                F.abs("cp_cusum_scaled")
+                * F.lit(1_000_000)
+                / (F.col("total") * F.col("n_days"))
+            ).cast("bigint").alias("cp_score_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CHANGEPOINT_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY event_type
+),
+cusum AS (
+    SELECT d.event_type, d.day_epoch, t.total, t.n_days,
+           CAST(sum(d.n * t.n_days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day_epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cusum
+    FROM daily d JOIN totals t ON d.event_type = t.event_type
+),
+ranked AS (
+    SELECT event_type, day_epoch, cusum, total, n_days,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day_epoch ASC
+           ) AS rn
+    FROM cusum
+)
+SELECT event_type, n_days, total AS total_events,
+       day_epoch AS cp_day_epoch,
+       cusum AS cp_cusum_scaled,
+       CAST(floor(abs(cusum) * 1000000.0 / (total * n_days)) AS BIGINT)
+           AS cp_score_micro
+FROM ranked WHERE rn = 1
+ORDER BY event_type
+"""

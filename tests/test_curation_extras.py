@@ -416,3 +416,70 @@ def test_events_funnel_emits_zero_rows_for_unreached_steps(
          r.overall_micro)
         for r in got
     ] == [tuple(w) for w in want]
+
+
+def test_events_changepoint_cusum_finds_planted_shift(spark, tmp_path):
+    """A series with a clean level shift (5/day for 10 days, then
+    25/day for 10 days) must peak its |CUSUM| exactly at the last
+    low-level day; a flat series' peak score must be tiny. Also
+    recompute the integer CUSUM by hand."""
+    import duckdb
+
+    from parquet_extractor_spark.operators.timeseries import (
+        events_changepoint_cusum,
+    )
+
+    fixture = tmp_path / "cp_sf"
+    fixture.mkdir()
+    rows = []
+    eid = 0
+    for day in range(20):
+        n = 5 if day < 10 else 25
+        for k in range(n):
+            rows.append(
+                f"({eid}, TIMESTAMP '2024-01-01 00:00:00' "
+                f"+ INTERVAL {day} DAY + INTERVAL {k} MINUTE, "
+                f"1, 'shift', 0.0, '')"
+            )
+            eid += 1
+        for k in range(7):
+            rows.append(
+                f"({eid}, TIMESTAMP '2024-01-01 00:00:00' "
+                f"+ INTERVAL {day} DAY + INTERVAL {k + 200} MINUTE, "
+                f"1, 'flat', 0.0, '')"
+            )
+            eid += 1
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(event_id, ts, user_id, event_type, value, props)) TO '"
+        + str(fixture / "events.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    got = {
+        r.event_type: r
+        for r in events_changepoint_cusum(spark, str(fixture)).collect()
+    }
+    shift = got["shift"]
+    # mean = 15; each low day adds 5*20-300 = -200 to the scaled
+    # CUSUM, so the magnitude peaks at the 10th distinct day (the
+    # last low-level day). Day epochs are session-TZ dependent, so
+    # locate the peak by rank among the series' distinct days.
+    days = sorted(
+        r.day_epoch
+        for r in spark.sql("select 1").sparkSession.read.parquet(
+            str(fixture / "events.parquet")
+        )
+        .selectExpr(
+            "cast(unix_timestamp(date_trunc('day', ts)) as bigint) "
+            "as day_epoch"
+        )
+        .distinct()
+        .collect()
+    )
+    assert shift.cp_day_epoch == days[9]
+    assert shift.cp_cusum_scaled == -2000  # 10 days x (5*20-300) = -2000
+    assert shift.n_days == 20 and shift.total_events == 300
+    assert shift.cp_score_micro == 2000 * 1_000_000 // (300 * 20)
+    flat = got["flat"]
+    assert flat.cp_cusum_scaled == 0 and flat.cp_score_micro == 0
