@@ -520,10 +520,12 @@ def _gopher_gate_columns() -> dict:
         F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
     )
     # try_divide: a ZERO-token document (punctuation-only text) must
-    # yield NULL ratios — matching DuckDB's divide-by-zero-is-NULL —
-    # not throw under Spark 4's default ANSI mode (plain `/` raises
-    # DIVIDE_BY_ZERO; regression pinned by the zero-token ablation
-    # parity test)
+    # yield NULL ratios, not throw under Spark 4's default ANSI mode
+    # (plain `/` raises DIVIDE_BY_ZERO). The oracle side divides by
+    # nullif(len, 0) so the NULL is explicit there too — independent
+    # of the DuckDB version's divide-by-zero setting
+    # (ieee_floating_point_ops flips 1.1+ to NaN). Regression pinned
+    # by the zero-token ablation parity test.
     mean_len = F.try_divide(total_len.cast("double"), n)
     alpha_frac = F.try_divide(
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double"), n
@@ -589,9 +591,9 @@ m AS (
     SELECT doc_id,
            len(ts) AS n_words,
            CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
-               / len(ts) AS mean_len,
+               / nullif(len(ts), 0) AS mean_len,
            CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
-                AS DOUBLE) / len(ts) AS alpha_frac,
+                AS DOUBLE) / nullif(len(ts), 0) AS alpha_frac,
            len(list_filter(ts, t -> t IN ({_GOPHER_STOPLIST_SQL})))
                AS stop_hits
     FROM toks
@@ -727,9 +729,9 @@ m AS (
     SELECT source,
            len(ts) AS n_words,
            CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
-               / len(ts) AS mean_len,
+               / nullif(len(ts), 0) AS mean_len,
            CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
-                AS DOUBLE) / len(ts) AS alpha_frac,
+                AS DOUBLE) / nullif(len(ts), 0) AS alpha_frac,
            len(list_filter(ts, t -> t IN ({_GOPHER_STOPLIST_SQL})))
                AS stop_hits
     FROM toks
@@ -1579,9 +1581,9 @@ WITH toks AS (
 m AS (
     SELECT doc_id, len(ts) AS n_words,
            CAST(list_sum(list_transform(ts, t -> len(t))) AS DOUBLE)
-               / len(ts) AS mean_len,
+               / nullif(len(ts), 0) AS mean_len,
            CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-z]')))
-                AS DOUBLE) / len(ts) AS alpha_frac,
+                AS DOUBLE) / nullif(len(ts), 0) AS alpha_frac,
            len(list_filter(ts, t -> t IN ({_GOPHER_STOPLIST_SQL})))
                AS stop_hits
     FROM toks

@@ -1471,28 +1471,34 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline form), complementing event_volume_anomalies' single-day
     spike scan with a "did the BASELINE move?" answer.
 
+    The per-type series is DENSIFIED onto the full day grid between
+    the type's first and last active day (a sequence of fixed 86400 s
+    epochs; zero-event days count as 0) — without this, a volume
+    collapse to zero is invisible because absent days never enter the
+    deviations (r09 review finding).
+
     INTEGER-EXACT by construction: deviations are scaled by n_days
-    (D_t = n_t·n_days − total, an integer), so the running sum is
-    integer arithmetic and the argmax is immune to floating-point
-    accumulation-order differences between engines (a double running
-    sum would be engine-dependent — DuckDB's window aggregates may
-    re-associate additions; integers commute exactly). The reported
-    score normalizes at the end: floor(|CUSUM|·1e6 / (total·n_days))
-    — the peak's share of total volume, one bounded division per
-    type.
+    (D_t = n_t·n_days − total, an integer), the running sum is
+    integer arithmetic (immune to engines re-associating a float
+    window sum), and the reported score is an INTEGER division
+    ``|CUSUM|·1e6 div (total·n_days)`` — the micro-unit convention
+    the HHI/affinity metrics use; exact while total·n_days < 9.2e12
+    (beyond that Spark's ANSI bigint multiply fails loudly rather
+    than silently diverging from the oracle).
 
     Shape for scale: one (event_type, day) partial+final agg over the
-    scan; per-type totals re-aggregate FROM the daily rows; the CUSUM
-    window partitions by event_type over day-count-bounded partitions
-    (≤ series length — never raw events); final argmax is a per-type
-    max(struct) — combinable, no sort.
+    scan; the day grid explodes from one (min, max) row per type; the
+    CUSUM window partitions by event_type over series-length-bounded
+    partitions (never raw events); the final argmax is a combinable
+    per-type max(struct) that carries total/n_days along — no second
+    aggregation of the daily rows.
 
     Output per event_type: n_days, total_events, cp_day_epoch (the
     peak day, earliest on ties), cp_cusum_scaled (signed, units
     events×n_days), cp_score_micro.
     """
     events = load_table(spark, sf_dir, "events")
-    daily = (
+    active = (
         events.groupBy(
             "event_type",
             F.unix_timestamp(F.date_trunc("day", "ts"))
@@ -1500,6 +1506,21 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_epoch"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = (
+        active.groupBy("event_type")
+        .agg(F.min("day_epoch").alias("d0"), F.max("day_epoch").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.lit(86_400))
+            ).alias("day_epoch"),
+        )
+    )
+    daily = grid.join(active, ["event_type", "day_epoch"], "left").select(
+        "event_type",
+        "day_epoch",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
     )
     totals = daily.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("total"),
@@ -1529,37 +1550,40 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cusum").alias("signed"),
                 )
             ).alias("p"),
-        )
-        .select(
-            "event_type",
-            (-F.col("p.neg_day")).cast("bigint").alias("cp_day_epoch"),
-            F.col("p.signed").alias("cp_cusum_scaled"),
+            F.first("total").alias("total"),
+            F.first("n_days").alias("n_days"),
         )
     )
-    return (
-        peak.join(totals, "event_type")
-        .select(
-            "event_type",
-            "n_days",
-            F.col("total").alias("total_events"),
-            "cp_day_epoch",
-            "cp_cusum_scaled",
-            F.floor(
-                F.abs("cp_cusum_scaled")
-                * F.lit(1_000_000)
-                / (F.col("total") * F.col("n_days"))
-            ).cast("bigint").alias("cp_score_micro"),
-        )
-        .orderBy("event_type")
-    )
+    return peak.select(
+        "event_type",
+        "n_days",
+        F.col("total").alias("total_events"),
+        (-F.col("p.neg_day")).cast("bigint").alias("cp_day_epoch"),
+        F.col("p.signed").alias("cp_cusum_scaled"),
+        F.expr(
+            "CAST(abs(p.signed) * 1000000L div (total * n_days) AS BIGINT)"
+        ).alias("cp_score_micro"),
+    ).orderBy("event_type")
 
 
 EVENTS_CHANGEPOINT_CUSUM_SQL = """
-WITH daily AS (
+WITH active AS (
     SELECT event_type,
            CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT event_type, CAST(unnest(generate_series(d0, d1, 86400))
+               AS BIGINT) AS day_epoch
+    FROM (SELECT event_type, min(day_epoch) AS d0, max(day_epoch) AS d1
+          FROM active GROUP BY event_type)
+),
+daily AS (
+    SELECT g.event_type, g.day_epoch,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN active a
+      ON g.event_type = a.event_type AND g.day_epoch = a.day_epoch
 ),
 totals AS (
     SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
@@ -1585,8 +1609,8 @@ ranked AS (
 SELECT event_type, n_days, total AS total_events,
        day_epoch AS cp_day_epoch,
        cusum AS cp_cusum_scaled,
-       CAST(floor(abs(cusum) * 1000000.0 / (total * n_days)) AS BIGINT)
-           AS cp_score_micro
+       CAST((CAST(abs(cusum) AS BIGINT) * 1000000)
+            // (total * n_days) AS BIGINT) AS cp_score_micro
 FROM ranked WHERE rn = 1
 ORDER BY event_type
 """

@@ -483,3 +483,61 @@ def test_events_changepoint_cusum_finds_planted_shift(spark, tmp_path):
     assert shift.cp_score_micro == 2000 * 1_000_000 // (300 * 20)
     flat = got["flat"]
     assert flat.cp_cusum_scaled == 0 and flat.cp_score_micro == 0
+    # all-tie series: the earliest-day tie-break must pick day 1 on
+    # BOTH engines (the one place Spark's max(struct(mag, -day)) and
+    # the oracle's ORDER BY abs DESC, day ASC could diverge)
+    assert flat.cp_day_epoch == days[0]
+
+    # row-for-row engine parity on the planted fixture (like the
+    # funnel and ablation regression tests)
+    from parquet_extractor_spark.operators.timeseries import (
+        EVENTS_CHANGEPOINT_CUSUM_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{fixture}/events.parquet'"
+    )
+    want = [tuple(w) for w in con.execute(
+        EVENTS_CHANGEPOINT_CUSUM_SQL
+    ).fetchall()]
+    have = sorted(
+        (r.event_type, r.n_days, r.total_events, r.cp_day_epoch,
+         r.cp_cusum_scaled, r.cp_score_micro)
+        for r in got.values()
+    )
+    assert have == want
+
+    # drop-to-zero collapse is detectable thanks to the dense day
+    # grid: a type active days 1-10 then silent must peak at the last
+    # active day with a large score, not report 0
+    import os
+
+    fixture2 = os.path.join(os.path.dirname(str(fixture)), "cp_sf2")
+    os.makedirs(fixture2, exist_ok=True)
+    rows2 = []
+    eid2 = 0
+    for day in range(10):
+        for k in range(100):
+            rows2.append(
+                f"({eid2}, TIMESTAMP '2024-01-01 00:00:00' "
+                f"+ INTERVAL {day} DAY + INTERVAL {k} MINUTE, "
+                f"1, 'collapse', 0.0, '')"
+            )
+            eid2 += 1
+    # one trailing marker event on day 99 extends the active range
+    rows2.append(
+        f"({eid2}, TIMESTAMP '2024-01-01 00:00:00' "
+        f"+ INTERVAL 99 DAY, 1, 'collapse', 0.0, '')"
+    )
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(rows2)
+        + ") t(event_id, ts, user_id, event_type, value, props)) TO '"
+        + fixture2
+        + "/events.parquet' (FORMAT PARQUET)"
+    )
+    collapse = events_changepoint_cusum(spark, fixture2).collect()[0]
+    assert collapse.n_days == 100  # densified: 90 zero days included
+    assert collapse.cp_score_micro > 800_000  # massive baseline move
