@@ -1614,3 +1614,125 @@ SELECT event_type, n_days, total AS total_events,
 FROM ranked WHERE rn = 1
 ORDER BY event_type
 """
+
+
+def customer_repurchase_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete-time survival analysis of repurchase behavior: the
+    life table over inter-order gaps — for each observed gap length g
+    (days), how many spells were still at risk at g, how many ended
+    in a repurchase exactly at g, how many were censored at g (a
+    customer's LAST order, observed only until the dataset's end),
+    and the discrete hazard d/n. This is the exact input the
+    Kaplan-Meier estimator consumes; the hazard column is the
+    actionable per-day repurchase propensity a retention model
+    calibrates against. Censoring is what distinguishes this from a
+    naive gap histogram: ignoring open-ended last gaps biases
+    "time to next order" low (the classic survival-analysis error).
+
+    INTEGER-EXACT throughout: spells are (gap_days, is_event) rows;
+    per-gap event/censor counts are one agg; n_at_risk(g) = spells
+    with gap >= g is a reverse cumulative sum of INTEGER counts over
+    the distinct-gap rows (bounded by the dataset's day span — a
+    domain constant, not a data volume), via bounded_global_window;
+    hazard_micro = d·1e6 div n — one integer division per row, no
+    float accumulation anywhere, so the engines cannot diverge.
+
+    Shape for scale: gaps come from one lead() window partitioned by
+    customer (each partition = one customer's order history); the
+    global max date is a 1-row broadcast; everything after the spell
+    frame is aggregation over ≤ day-span rows.
+
+    Output per gap_days: n_at_risk, n_events, n_censored,
+    hazard_micro, ordered by gap_days.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    horizon = orders.agg(F.max("d").alias("end_date"))
+    spells = (
+        orders.withColumn("next_d", F.lead("d").over(w))
+        .join(F.broadcast(horizon), how="cross")
+        .select(
+            F.when(
+                F.col("next_d").isNotNull(),
+                F.datediff("next_d", "d"),
+            )
+            .otherwise(F.datediff("end_date", "d"))
+            .cast("bigint")
+            .alias("gap_days"),
+            F.col("next_d").isNotNull().alias("is_event"),
+        )
+    )
+    per_gap = spells.groupBy("gap_days").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    wrev = bounded_global_window(F.desc("gap_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_gap.withColumn(
+            "n_at_risk",
+            F.sum(F.col("n_events") + F.col("n_censored"))
+            .over(wrev)
+            .cast("bigint"),
+        )
+        .select(
+            "gap_days",
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.expr(
+                "CAST(n_events * 1000000L div n_at_risk AS BIGINT)"
+            ).alias("hazard_micro"),
+        )
+        .orderBy("gap_days")
+    )
+
+
+CUSTOMER_REPURCHASE_HAZARD_SQL = """
+WITH od AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+),
+horizon AS (SELECT max(d) AS end_date FROM od),
+spells AS (
+    SELECT CAST(CASE WHEN next_d IS NOT NULL
+                     THEN date_diff('day', d, next_d)
+                     ELSE date_diff('day', d, h.end_date)
+                END AS BIGINT) AS gap_days,
+           next_d IS NOT NULL AS is_event
+    FROM (
+        SELECT o_custkey, d,
+               lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS next_d
+        FROM od
+    ) CROSS JOIN horizon h
+),
+per_gap AS (
+    SELECT gap_days,
+           CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events,
+           CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_censored
+    FROM spells GROUP BY gap_days
+)
+SELECT gap_days,
+       CAST(sum(n_events + n_censored) OVER (
+           ORDER BY gap_days DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_at_risk,
+       n_events, n_censored,
+       CAST((n_events * 1000000)
+            // sum(n_events + n_censored) OVER (
+                ORDER BY gap_days DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hazard_micro
+FROM per_gap
+ORDER BY gap_days
+"""

@@ -541,3 +541,49 @@ def test_events_changepoint_cusum_finds_planted_shift(spark, tmp_path):
     collapse = events_changepoint_cusum(spark, fixture2).collect()[0]
     assert collapse.n_days == 100  # densified: 90 zero days included
     assert collapse.cp_score_micro > 800_000  # massive baseline move
+
+
+def test_customer_repurchase_hazard_life_table(spark, sf_small):
+    """Python recompute of the life table: spells from per-customer
+    consecutive order gaps with the last order censored at the global
+    max date; per-gap at-risk/event/censor counts and integer hazard.
+    Censoring must account for every customer exactly once."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from parquet_extractor_spark.operators.timeseries import (
+        customer_repurchase_hazard,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT o_custkey, CAST(o_orderdate AS DATE) FROM "
+        f"'{sf_small}/orders.parquet' ORDER BY o_custkey, 2"
+    ).fetchall()
+    by_cust = defaultdict(list)
+    for ck, d in rows:
+        by_cust[ck].append(d)
+    end = max(d for _, d in rows)
+    events = defaultdict(lambda: [0, 0])  # gap -> [n_events, n_censored]
+    for ds in by_cust.values():
+        for a, b in zip(ds, ds[1:]):
+            events[(b - a).days][0] += 1
+        events[(end - ds[-1]).days][1] += 1
+
+    got = customer_repurchase_hazard(spark, sf_small).collect()
+    assert len(got) == len(events)
+    at_risk = 0
+    prev_at_risk = None
+    for r in sorted(got, key=lambda r: -r.gap_days):
+        ne, nc = events[r.gap_days]
+        at_risk += ne + nc
+        assert (r.n_events, r.n_censored, r.n_at_risk) == (ne, nc, at_risk)
+        assert r.hazard_micro == ne * 1_000_000 // at_risk
+        if prev_at_risk is not None:
+            assert r.n_at_risk > prev_at_risk  # monotone toward gap 0
+        prev_at_risk = r.n_at_risk
+    # every customer censored exactly once; every non-final order is
+    # an event
+    n_orders = len(rows)
+    assert sum(r.n_censored for r in got) == len(by_cust)
+    assert sum(r.n_events for r in got) == n_orders - len(by_cust)
