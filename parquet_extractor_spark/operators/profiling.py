@@ -314,3 +314,111 @@ SELECT "constraint", CAST(violations AS BIGINT) AS violations,
 FROM checks
 ORDER BY "constraint"
 """
+
+
+# ── Benford first-digit audit (data-quality / fraud screen) ──────────
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — plan-time constants
+# (they sum to exactly 1,000,000), so the runtime never touches a
+# transcendental and the two engines cannot disagree on the expected
+# distribution.
+BENFORD_MICRO = (
+    301_030, 176_091, 124_939, 96_910, 79_181,
+    66_947, 57_992, 51_153, 45_757,
+)
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: the distribution of
+    first significant digits against log10(1 + 1/d) — the standard
+    fabricated-data / broken-generator screen for financial columns
+    (naturally-grown multiplicative amounts follow Benford; uniform
+    or hand-picked ones don't).
+
+    Digit extraction is INTEGER-ONLY: the amount becomes integer
+    cents (round(x·100)), and the leading digit is
+    ``cents div 10^(len(str(cents)) − 1)`` — integer-to-string
+    formatting is engine-stable (unlike double formatting) and no
+    log10 runs at runtime, so there is no libm edge at powers of ten.
+    Expected shares are the BENFORD_MICRO plan literals. One map-side
+    projection + a 9-group agg; the total joins back as a 1-row
+    broadcast.
+
+    Output per digit 1-9: n_amounts, obs_share_micro (n·1e6 div
+    total), benford_micro, abs_diff_micro; the total-variation
+    distance is sum(abs_diff)/2 — left to the reader since the
+    9-row table carries it exactly.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    digit = F.expr(
+        "CAST(cents div CAST(pow(10, length(CAST(cents AS STRING)) - 1)"
+        " AS BIGINT) AS BIGINT)"
+    )
+    digits = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(cents.alias("cents"))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_amounts"))
+    )
+    total = digits.agg(F.sum("n_amounts").alias("total"))
+    bench = spark.createDataFrame(
+        [(d + 1, m) for d, m in enumerate(BENFORD_MICRO)],
+        "digit BIGINT, benford_micro BIGINT",
+    )
+    return (
+        bench.join(digits, "digit", "left")
+        .join(F.broadcast(total), how="cross")
+        .select(
+            "digit",
+            F.coalesce("n_amounts", F.lit(0)).cast("bigint").alias(
+                "n_amounts"
+            ),
+            F.expr(
+                "CAST(coalesce(n_amounts, 0) * 1000000L div total "
+                "AS BIGINT)"
+            ).alias("obs_share_micro"),
+            "benford_micro",
+            F.expr(
+                "CAST(abs(coalesce(n_amounts, 0) * 1000000L div total "
+                "- benford_micro) AS BIGINT)"
+            ).alias("abs_diff_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_oracle() -> str:
+    bench_rows = ",\n    ".join(
+        f"({d + 1}, {m})" for d, m in enumerate(BENFORD_MICRO)
+    )
+    return f"""
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+    SELECT CAST(c // CAST(pow(10, length(CAST(c AS VARCHAR)) - 1)
+               AS BIGINT) AS BIGINT) AS digit,
+           CAST(count(*) AS BIGINT) AS n_amounts
+    FROM cents GROUP BY 1
+),
+total AS (SELECT sum(n_amounts) AS total FROM digits),
+bench(digit, benford_micro) AS (VALUES
+    {bench_rows}
+)
+SELECT b.digit,
+       CAST(coalesce(d.n_amounts, 0) AS BIGINT) AS n_amounts,
+       CAST(coalesce(d.n_amounts, 0) * 1000000 // t.total AS BIGINT)
+           AS obs_share_micro,
+       CAST(b.benford_micro AS BIGINT) AS benford_micro,
+       CAST(abs(coalesce(d.n_amounts, 0) * 1000000 // t.total
+                - b.benford_micro) AS BIGINT) AS abs_diff_micro
+FROM bench b LEFT JOIN digits d ON b.digit = d.digit
+CROSS JOIN total t
+ORDER BY b.digit
+"""
+
+
+ORDERS_BENFORD_AUDIT_SQL = _benford_oracle()

@@ -125,3 +125,37 @@ def test_cli_profile(spark, sf_small, capsys):
         "o_orderdate", "o_orderpriority",
     }
     assert all(r["n_nulls"] == 0 for r in rows)
+
+
+def test_orders_benford_audit_recomputed_locally(spark, sf_small):
+    """Python recompute of the first-digit counts from integer cents;
+    the Benford constants must sum to exactly 1e6 and shares to
+    ~1e6."""
+    import duckdb
+
+    from parquet_extractor_spark.operators.profiling import (
+        BENFORD_MICRO,
+        orders_benford_audit,
+    )
+
+    assert sum(BENFORD_MICRO) == 1_000_000
+    amounts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT o_totalprice FROM '{sf_small}/orders.parquet' "
+            "WHERE o_totalprice > 0"
+        ).fetchall()
+    ]
+    from collections import Counter
+
+    want = Counter(int(str(round(a * 100))[0]) for a in amounts)
+    got = orders_benford_audit(spark, sf_small).collect()
+    assert [r.digit for r in got] == list(range(1, 10))
+    total = sum(want.values())
+    for r in got:
+        assert r.n_amounts == want.get(r.digit, 0)
+        assert r.obs_share_micro == r.n_amounts * 1_000_000 // total
+        assert r.abs_diff_micro == abs(
+            r.obs_share_micro - r.benford_micro
+        )
+    assert sum(r.n_amounts for r in got) == total
