@@ -1736,3 +1736,165 @@ SELECT gap_days,
 FROM per_gap
 ORDER BY gap_days
 """
+
+
+ACF_MAX_LAG = 7  # report lags 1..7 (weekly structure)
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily event volume per event type at lags
+    1..{ACF_MAX_LAG} — the standard periodicity probe (a weekly
+    cadence shows as a lag-7 peak) and the companion diagnostic to
+    the CUSUM level-shift scan. Series are densified onto the full
+    day grid exactly like events_changepoint_cusum, so silent days
+    count as real zeros.
+
+    INTEGER-EXACT like the CUSUM: with D_t = n_t·n_days − total (an
+    integer multiple of the mean-centered deviation), the ACF at lag
+    k is Σ D_t·D_{t+k} / Σ D_t² — both sums are integer arithmetic
+    (order-independent), and the single division at the end is the
+    micro-unit integer div. A constant series (all D_t = 0) reports
+    0 by convention. Exact while |D|²·n_days·1e6 stays inside int64 —
+    the same documented micro-convention bound as the CUSUM score.
+
+    Shape for scale: one window pass per type computes all
+    {ACF_MAX_LAG} lead columns (series-length-bounded partitions),
+    one agg produces the denominator and every numerator, and a
+    stack() unpivots to (event_type, lag) rows — no per-lag re-scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    active = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts"))
+            .cast("bigint")
+            .alias("day_epoch"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = (
+        active.groupBy("event_type")
+        .agg(F.min("day_epoch").alias("d0"), F.max("day_epoch").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.lit(86_400))).alias(
+                "day_epoch"
+            ),
+        )
+    )
+    daily = grid.join(active, ["event_type", "day_epoch"], "left").select(
+        "event_type",
+        "day_epoch",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_epoch")
+    dev = (
+        daily.join(totals, "event_type")
+        .withColumn(
+            "d", F.col("n") * F.col("n_days") - F.col("total")
+        )
+    )
+    for k in range(1, ACF_MAX_LAG + 1):
+        dev = dev.withColumn(f"d{k}", F.lead("d", k).over(w))
+    aggs = [
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("den"),
+        F.first("n_days").alias("n_days"),
+    ]
+    for k in range(1, ACF_MAX_LAG + 1):
+        aggs.append(
+            F.sum(F.col("d") * F.col(f"d{k}")).cast("bigint").alias(
+                f"num{k}"
+            )
+        )
+    wide = dev.groupBy("event_type").agg(*aggs)
+    stack_expr = ", ".join(
+        f"{k}L, num{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return (
+        wide.selectExpr(
+            "event_type",
+            "n_days",
+            "den",
+            f"stack({ACF_MAX_LAG}, {stack_expr}) AS (lag, num)",
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(lag AS BIGINT) AS lag",
+            "n_days",
+            "CAST(CASE WHEN den > 0 AND num IS NOT NULL "
+            "THEN num * 1000000L div den ELSE 0 END AS BIGINT) "
+            "AS acf_micro",
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def _events_autocorrelation_oracle() -> str:
+    leads = ",\n           ".join(
+        f"lead(d, {k}) OVER (PARTITION BY dy.event_type"
+        f" ORDER BY dy.day_epoch) AS d{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    nums = ",\n           ".join(
+        f"CAST(sum(d * d{k}) AS BIGINT) AS num{k}"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    lag_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT event_type, CAST({k} AS BIGINT) AS lag, n_days,"
+        f" den, num{k} AS num FROM wide"
+        for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return f"""
+WITH active AS (
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT event_type, CAST(unnest(generate_series(d0, d1, 86400))
+               AS BIGINT) AS day_epoch
+    FROM (SELECT event_type, min(day_epoch) AS d0, max(day_epoch) AS d1
+          FROM active GROUP BY event_type)
+),
+daily AS (
+    SELECT g.event_type, g.day_epoch,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN active a
+      ON g.event_type = a.event_type AND g.day_epoch = a.day_epoch
+),
+totals AS (
+    SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY event_type
+),
+dev AS (
+    SELECT dy.event_type, dy.day_epoch, t.n_days,
+           dy.n * t.n_days - t.total AS d,
+           {leads}
+    FROM daily dy JOIN totals t ON dy.event_type = t.event_type
+),
+wide AS (
+    SELECT event_type,
+           CAST(sum(d * d) AS BIGINT) AS den,
+           CAST(min(n_days) AS BIGINT) AS n_days,
+           {nums}
+    FROM dev GROUP BY event_type
+),
+stacked AS (
+    {lag_rows}
+)
+SELECT event_type, lag, n_days,
+       CAST(CASE WHEN den > 0 AND num IS NOT NULL
+                 THEN (num * 1000000) // den ELSE 0 END AS BIGINT)
+           AS acf_micro
+FROM stacked
+ORDER BY event_type, lag
+"""
+
+
+EVENTS_AUTOCORRELATION_SQL = _events_autocorrelation_oracle()

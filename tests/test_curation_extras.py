@@ -587,3 +587,58 @@ def test_customer_repurchase_hazard_life_table(spark, sf_small):
     n_orders = len(rows)
     assert sum(r.n_censored for r in got) == len(by_cust)
     assert sum(r.n_events for r in got) == n_orders - len(by_cust)
+
+
+def test_events_autocorrelation_weekly_period(spark, tmp_path):
+    """A planted 7-day periodic series must peak its ACF at lag 7
+    (strongly positive) with negative mid-cycle lags; recompute the
+    integer ACF by hand from the daily counts."""
+    import duckdb
+
+    from parquet_extractor_spark.operators.timeseries import (
+        ACF_MAX_LAG,
+        events_autocorrelation,
+    )
+
+    fixture = tmp_path / "acf_sf"
+    fixture.mkdir()
+    rows = []
+    eid = 0
+    for day in range(28):  # 4 full weeks
+        n = 20 if day % 7 == 0 else 2
+        for k in range(n):
+            rows.append(
+                f"({eid}, TIMESTAMP '2024-01-01 00:00:00' "
+                f"+ INTERVAL {day} DAY + INTERVAL {k} MINUTE, "
+                f"1, 'weekly', 0.0, '')"
+            )
+            eid += 1
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(event_id, ts, user_id, event_type, value, props)) TO '"
+        + str(fixture / "events.parquet")
+        + "' (FORMAT PARQUET)"
+    )
+    got = {
+        r.lag: r
+        for r in events_autocorrelation(spark, str(fixture)).collect()
+    }
+    assert sorted(got) == list(range(1, ACF_MAX_LAG + 1))
+
+    counts = [20 if d % 7 == 0 else 2 for d in range(28)]
+    n_days = len(counts)
+    total = sum(counts)
+    dev = [c * n_days - total for c in counts]
+    den = sum(x * x for x in dev)
+    for k in range(1, ACF_MAX_LAG + 1):
+        num = sum(
+            dev[t] * dev[t + k] for t in range(n_days - k)
+        )
+        # Spark div / DuckDB // both truncate toward zero
+        q = num * 1_000_000
+        want = q // den if q >= 0 else -((-q) // den)
+        assert got[k].acf_micro == want, k
+        assert got[k].n_days == n_days
+    assert got[7].acf_micro > 500_000  # strong weekly peak
+    assert got[3].acf_micro < 0  # mid-cycle anticorrelation
