@@ -342,6 +342,129 @@ ORDER BY source
 """
 
 
+def source_length_mannwhitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U between every pair of sources
+    on document length (n_chars) — the rank-based companion to
+    source_length_ks: KS flags ANY distribution change, U/AUC answers
+    the directional question "does source A write longer documents
+    than source B, and by how much" (AUC = P(len_a > len_b) + ½
+    P(tie), the common-language effect size). A pipeline uses this to
+    rank sources by length profile before mixing or truncation-budget
+    decisions (cf. the reference's per-corpus length stats,
+    api.py:515-533, generalized to pairwise tests).
+
+    INTEGER-EXACT: everything is computed on the doubled statistic
+    u2 = 2·U = Σ_x c_a(x)·(2·below_b(x) + c_b(x)), which is integer
+    arithmetic over histogram counts (ties contribute the exact ½ via
+    the +c_b term). The single division at the end is the micro-unit
+    integer div: auc_micro = u2·1e6 div (2·n_a·n_b). Exact while
+    2·n_a·n_b·1e6 fits int64 — up to ~2.1e6 docs per source; beyond
+    that the documented micro-convention bound applies (promote the
+    final div to DECIMAL as in source_length_ks).
+
+    Shape for scale: identical skeleton to source_length_ks — lengths
+    pre-aggregate to (source, x) counts, so the largest shuffle
+    carries |sources|×|support| histogram rows, NOT documents; the
+    pairwise comparison is an EQUI-join on x (each x bucket holds
+    |sources| rows per side — bounded fan-out, no cartesian, no
+    broadcast of anything document-sized). Adding sources grows the
+    join quadratically in |sources| only, which is the tiny dimension.
+    Output: one row per unordered pair (source_a < source_b).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cs = (
+        docs.groupBy("source", F.col("n_chars").alias("x"))
+        .agg(F.count("*").alias("c"))
+    )
+    support = cs.select("x").distinct()
+    sources = cs.select("source").distinct()
+    grid = support.crossJoin(F.broadcast(sources))
+    filled = grid.join(cs, ["source", "x"], "left").select(
+        "source", "x", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+    )
+    w_run = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = filled.select(
+        "source",
+        "x",
+        "c",
+        (F.sum("c").over(w_run) - F.col("c")).alias("below"),
+        F.sum("c").over(w_src).alias("n"),
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.x") == F.col("b.x"))
+        & (F.col("a.source") < F.col("b.source")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.max("a.n").cast("bigint").alias("n_a"),
+            F.max("b.n").cast("bigint").alias("n_b"),
+            F.sum(
+                F.col("a.c") * (F.lit(2) * F.col("b.below") + F.col("b.c"))
+            ).cast("bigint").alias("u2_a"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "u2_a",
+            F.expr(
+                "CAST(u2_a * 1000000L div (2L * n_a * n_b) AS BIGINT)"
+            ).alias("auc_micro"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_LENGTH_MANNWHITNEY_SQL = r"""
+WITH cs AS (
+    SELECT source, n_chars AS x, count(*) AS c
+    FROM documents GROUP BY 1, 2
+),
+grid AS (
+    SELECT s.source, p.x
+    FROM (SELECT DISTINCT x FROM cs) p
+    CROSS JOIN (SELECT DISTINCT source FROM cs) s
+),
+filled AS (
+    SELECT g.source, g.x, CAST(coalesce(cs.c, 0) AS BIGINT) AS c
+    FROM grid g LEFT JOIN cs ON cs.source = g.source AND cs.x = g.x
+),
+cum AS (
+    SELECT source, x, c,
+           sum(c) OVER (PARTITION BY source ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - c AS below,
+           sum(c) OVER (PARTITION BY source) AS n
+    FROM filled
+)
+SELECT a.source AS source_a,
+       b.source AS source_b,
+       CAST(max(a.n) AS BIGINT) AS n_a,
+       CAST(max(b.n) AS BIGINT) AS n_b,
+       CAST(sum(a.c * (2 * b.below + b.c)) AS BIGINT) AS u2_a,
+       CAST(CAST(sum(a.c * (2 * b.below + b.c)) AS BIGINT) * 1000000
+            // (2 * CAST(max(a.n) AS BIGINT) * max(b.n)) AS BIGINT)
+           AS auc_micro
+FROM cum a JOIN cum b ON a.x = b.x AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 LOG_ODDS_PRIOR = 1000.0  # Dirichlet prior pseudo-token mass (a0)
 LOG_ODDS_TOP = 5  # distinguishing terms kept per source
 

@@ -1297,3 +1297,98 @@ SELECT revenue_decile, n_customers, revenue_micro,
 FROM by_decile, total
 ORDER BY revenue_decile
 """
+
+
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue within each market
+    segment — the single-number inequality complement to
+    customer_revenue_pareto's decile curve (a segment whose Gini
+    climbs between snapshots is concentrating into whales; a
+    training-data pipeline runs the identical statistic over
+    per-source token budgets to audit mixing skew).
+
+    EXACT via the rank formula on ascending-sorted revenue x_1..x_n:
+        G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x)
+    The rank products are summed in DECIMAL(38,0) (DuckDB HUGEINT) —
+    Σ i·x reaches n²·x̄, which wraps int64 near ~30M customers — and
+    the single final division is the micro-unit integer div, so both
+    engines agree bit for bit (same DECIMAL↔HUGEINT pairing as
+    source_length_ks). Equal revenues: any permutation of tied x
+    leaves Σ i·x unchanged, so the custkey tiebreak is determinism
+    only, not a semantic choice.
+
+    Shape for scale: one partial+final agg reduces orders to
+    per-customer revenue; the segment join is key-partitioned; the
+    rank is a window partitioned BY SEGMENT (bounded by the largest
+    segment, never a global sort); the final agg emits |segments|
+    rows. Revenue folds to whole currency units before ranking so the
+    DECIMAL products stay far from the 1e38 ceiling.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1_000_000).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_micro")
+    )
+    seg = per_cust.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        per_cust.o_custkey == customer.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("mktsegment"),
+        "o_custkey",
+        F.expr("rev_micro div 1000000").cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("mktsegment").orderBy("x", "o_custkey")
+    ranked = seg.withColumn("i", F.row_number().over(w).cast("bigint"))
+    dec = "decimal(38,0)"
+    return (
+        ranked.groupBy("mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("x").cast("bigint").alias("revenue_units"),
+            F.sum(F.col("i").cast(dec) * F.col("x").cast(dec)).alias("_six"),
+        )
+        .select(
+            "mktsegment",
+            "n_customers",
+            "revenue_units",
+            F.expr(
+                "CAST(CASE WHEN revenue_units > 0 THEN "
+                "(2 * _six - (CAST(n_customers AS decimal(38,0)) + 1)"
+                " * revenue_units) * 1000000 "
+                "div (CAST(n_customers AS decimal(38,0)) * revenue_units) "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("gini_micro"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+CUSTOMER_REVENUE_GINI_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT))
+               AS BIGINT) // 1000000 AS x
+    FROM orders
+    GROUP BY o_custkey
+),
+ranked AS (
+    SELECT c.c_mktsegment AS mktsegment, p.x,
+           CAST(row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY p.x, p.o_custkey) AS BIGINT) AS i
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+)
+SELECT mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(x) AS BIGINT) AS revenue_units,
+       CAST(CASE WHEN sum(x) > 0 THEN
+            (2 * sum(CAST(i AS HUGEINT) * x)
+             - (CAST(count(*) AS HUGEINT) + 1) * sum(x)) * 1000000
+            // (CAST(count(*) AS HUGEINT) * sum(x))
+            ELSE 0 END AS BIGINT) AS gini_micro
+FROM ranked
+GROUP BY mktsegment
+ORDER BY mktsegment
+"""

@@ -1898,3 +1898,185 @@ ORDER BY event_type, lag
 
 
 EVENTS_AUTOCORRELATION_SQL = _events_autocorrelation_oracle()
+
+
+def events_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type with the exact
+    chi-square uniformity statistic — the weekly companion to
+    events_hourly (hour profile) and events_autocorrelation (which
+    detects a weekly cadence; this localizes it to weekdays). A type
+    whose chisq collapses between snapshots lost its weekly rhythm —
+    a bot signature or an ingestion change.
+
+    The dow grid is DENSIFIED: a type that never fires on Sundays
+    still carries the (type, 0) row, because that absence is exactly
+    what the statistic must count ((0−E)²/E = total/7, the largest
+    possible per-cell surprise). dow is 0=Sunday..6 in both engines
+    (Spark dayofweek()−1 ≡ DuckDB dayofweek()).
+
+    INTEGER-EXACT: with dev = 7·n_dow − total (7× the mean-centered
+    deviation), chisq = Σ dev² / (7·total); dev² sums in
+    DECIMAL(38,0) (DuckDB HUGEINT — dev can reach ~total, whose
+    square wraps int64 past ~3e6 events/type) and the one division at
+    the end is the micro-unit integer div. share_micro is the same
+    convention per cell.
+
+    Shape for scale: one partial+final agg to (type, dow) — 7·|types|
+    rows regardless of event count — then windows over the tiny
+    aggregate. The only document-sized pass is the first agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            (F.dayofweek("ts") - F.lit(1)).cast("bigint").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    types = counts.select("event_type").distinct()
+    grid = types.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.sequence(F.lit(0), F.lit(6))).alias("dow")
+            )
+        ).select(F.col("dow").cast("bigint").alias("dow"))
+    )
+    filled = grid.join(counts, ["event_type", "dow"], "left").select(
+        "event_type",
+        "dow",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    w_t = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    return (
+        filled.withColumn("total", F.sum("n").over(w_t))
+        .withColumn("dev", F.lit(7) * F.col("n") - F.col("total"))
+        .withColumn(
+            "chisq_micro",
+            F.expr(
+                f"CAST(sum(CAST(dev AS {dec}) * CAST(dev AS {dec})) "
+                "OVER (PARTITION BY event_type) * 1000000 "
+                f"div (7 * CAST(total AS {dec})) AS BIGINT)"
+            ),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            F.expr("CAST(n * 1000000L div total AS BIGINT)").alias(
+                "share_micro"
+            ),
+            "chisq_micro",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+EVENTS_DOW_CHISQ_SQL = r"""
+WITH counts AS (
+    SELECT event_type,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT t.event_type, CAST(d.dow AS BIGINT) AS dow
+    FROM (SELECT DISTINCT event_type FROM counts) t
+    CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS dow) d
+),
+filled AS (
+    SELECT g.event_type, g.dow, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN counts c
+      ON g.event_type = c.event_type AND g.dow = c.dow
+),
+dev AS (
+    SELECT event_type, dow, n,
+           sum(n) OVER (PARTITION BY event_type) AS total,
+           7 * n - sum(n) OVER (PARTITION BY event_type) AS d
+    FROM filled
+)
+SELECT event_type, dow, n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+       CAST(sum(CAST(d AS HUGEINT) * d) OVER (PARTITION BY event_type)
+            * 1000000 // (7 * CAST(total AS HUGEINT)) AS BIGINT)
+           AS chisq_micro
+FROM dev
+ORDER BY event_type, dow
+"""
+
+
+def event_trigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order sequential patterns: every (a → b → c) trigram of
+    consecutive event types within a user stream, with the lift of
+    the second-order model over the first-order Markov chain —
+    lift = P(c | a,b) / P(c | b). Lift far from 1 means the
+    two-step history genuinely changes the next-action distribution,
+    i.e. where event_markov_transitions' first-order view is wrong.
+
+    All four counts derive from the SAME trigram table (marginals via
+    windows), so boundary effects cancel by construction:
+        lift = n_abc · n_·b· / (n_ab· · n_·bc)
+    INTEGER-EXACT: products of exact BIGINT counts; the one division
+    is the micro-unit integer div. n_abc·n_b stays in int64 up to
+    ~3e9 trigrams per middle type (documented bound).
+
+    Shape for scale: one shuffle on user_id orders each stream (two
+    lags of carried state per row), one partial+final agg to the
+    trigram matrix — at most |types|³ rows regardless of corpus size —
+    and three windows over that tiny matrix. Ordering ties break on
+    event_id in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("prev2"),
+            F.lag("event_type", 1).over(w).alias("prev1"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev1", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_ab = Window.partitionBy("prev2", "prev1")
+    w_bc = Window.partitionBy("prev1", "next_type")
+    w_b = Window.partitionBy("prev1")
+    return (
+        tri.withColumn("n_ab", F.sum("n").over(w_ab))
+        .withColumn("n_bc", F.sum("n").over(w_bc))
+        .withColumn("n_b", F.sum("n").over(w_b))
+        .select(
+            "prev2",
+            "prev1",
+            "next_type",
+            "n",
+            F.expr(
+                "CAST(n * n_b * 1000000L div (n_ab * n_bc) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("prev2", "prev1", "next_type")
+    )
+
+
+EVENT_TRIGRAM_LIFT_SQL = r"""
+WITH tri AS (
+    SELECT prev2, prev1, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT lag(event_type, 2) OVER w AS prev2,
+               lag(event_type, 1) OVER w AS prev1,
+               event_type AS next_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE prev2 IS NOT NULL
+    GROUP BY 1, 2, 3
+)
+SELECT prev2, prev1, next_type, n,
+       CAST(n * sum(n) OVER (PARTITION BY prev1) * 1000000
+            // (sum(n) OVER (PARTITION BY prev2, prev1)
+                * sum(n) OVER (PARTITION BY prev1, next_type))
+            AS BIGINT) AS lift_micro
+FROM tri
+ORDER BY prev2, prev1, next_type
+"""

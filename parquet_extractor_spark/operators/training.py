@@ -1454,3 +1454,149 @@ SELECT source,
 FROM flagged CROSS JOIN fills
 ORDER BY source
 """
+
+
+RESHARD_FROM = 8  # shard count before the resize
+RESHARD_TO = 10  # shard count after
+RESHARD_SALT = "hrw-v1"  # versioned: changing it redraws placements
+# HRW weights fold to 55 bits so weight*16+shard stays inside int64
+_HRW_CAP = 1 << 55
+
+
+def reshard_movement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of the corpus moves when the shard count scales
+    RESHARD_FROM → RESHARD_TO, under two placement strategies:
+
+    - ``mod``: shard = hash(doc) % N. Simple, but resizing remaps
+      almost everything (for 8→10, exactly the residues r<8 of
+      r mod 40 stay — an expected ~80% of documents move).
+    - ``rendezvous``: highest-random-weight hashing — each doc goes
+      to argmax_s hash(doc, s). Resizing N→M only moves docs whose
+      argmax lands in the new shards: expected movement 1 − N/M
+      (20% for 8→10), the minimum any consistent placement achieves.
+
+    This is the standard justification for consistent placement of
+    training shards / cache keys; the report makes the gap measurable
+    on the actual corpus rather than asserted.
+
+    INTEGER-EXACT: placements come from the portable 60-bit md5 hash;
+    the HRW argmax is max over wkey = (weight mod 2^55)·16 + shard
+    (shard < 16, so the composite is collision-free and fits int64);
+    the movement share is the micro-unit integer div.
+
+    Shape for scale: the mod path is a pure map + 1-row agg. The HRW
+    path fans each doc_id out ×RESHARD_TO via an in-row explode (no
+    join), and ONE partial+final agg per doc computes both argmaxes
+    (old = max over shard<FROM, new = max over all) — the shuffle
+    carries doc_id-keyed partials, and the final strategy agg is
+    2 rows. Only doc_id is scanned (column-pruned).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    h_mod = portable_hash64(
+        F.concat(F.lit("mod-v1:"), F.col("doc_id").cast("string"))
+    )
+    mod = docs.select(
+        F.lit("mod").alias("strategy"),
+        (
+            F.pmod(h_mod, F.lit(RESHARD_FROM))
+            != F.pmod(h_mod, F.lit(RESHARD_TO))
+        ).cast("int").alias("moved"),
+    )
+    hrw = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(RESHARD_TO - 1))
+            ).alias("shard"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            (
+                F.pmod(
+                    portable_hash64(
+                        F.concat(
+                            F.lit(RESHARD_SALT + ":"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("shard").cast("string"),
+                        )
+                    ),
+                    F.lit(_HRW_CAP),
+                )
+                * F.lit(16)
+                + F.col("shard")
+            ).alias("wkey"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("shard") < RESHARD_FROM, F.col("wkey"))
+            ).alias("old_key"),
+            F.max("wkey").alias("new_key"),
+        )
+        .select(
+            F.lit("rendezvous").alias("strategy"),
+            (
+                F.pmod(F.col("old_key"), F.lit(16))
+                != F.pmod(F.col("new_key"), F.lit(16))
+            ).cast("int").alias("moved"),
+        )
+    )
+    return (
+        mod.unionByName(hrw)
+        .groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("moved").cast("bigint").alias("n_moved"),
+        )
+        .select(
+            "strategy",
+            "n_docs",
+            "n_moved",
+            F.expr("CAST(n_moved * 1000000L div n_docs AS BIGINT)").alias(
+                "moved_share_micro"
+            ),
+        )
+        .orderBy("strategy")
+    )
+
+
+RESHARD_MOVEMENT_REPORT_SQL = rf"""
+WITH mod_moves AS (
+    SELECT 'mod' AS strategy,
+           CAST(h % {RESHARD_FROM} != h % {RESHARD_TO} AS INT) AS moved
+    FROM (
+        SELECT CAST(('0x' || substr(md5('mod-v1:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents
+    )
+),
+hrw_keys AS (
+    SELECT doc_id, shard,
+           (CAST(('0x' || substr(md5('{RESHARD_SALT}:' ||
+                CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(shard AS VARCHAR)), 1, 15)) AS BIGINT)
+            % {_HRW_CAP}) * 16 + shard AS wkey
+    FROM documents,
+         (SELECT unnest(generate_series(0, {RESHARD_TO - 1})) AS shard)
+),
+hrw_moves AS (
+    SELECT 'rendezvous' AS strategy,
+           CAST(max(CASE WHEN shard < {RESHARD_FROM} THEN wkey END) % 16
+                != max(wkey) % 16 AS INT) AS moved
+    FROM hrw_keys
+    GROUP BY doc_id
+),
+all_moves AS (
+    SELECT * FROM mod_moves UNION ALL SELECT * FROM hrw_moves
+)
+SELECT strategy,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(moved) AS BIGINT) AS n_moved,
+       CAST(sum(moved) * 1000000 // count(*) AS BIGINT)
+           AS moved_share_micro
+FROM all_moves
+GROUP BY strategy
+ORDER BY strategy
+"""

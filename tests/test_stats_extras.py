@@ -1,0 +1,259 @@
+"""Planted-fixture tests for the r09 statistics additions:
+Mann-Whitney source comparison, revenue Gini, day-of-week chi-square,
+trigram lift, and the reshard movement report."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+
+def _write_parquet(path, select_sql):
+    duckdb.sql(f"COPY ({select_sql}) TO '{path}' (FORMAT PARQUET)")
+
+
+def _docs_fixture(tmp_path, rows):
+    """rows: list of (doc_id, source, n_chars)."""
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    values = ", ".join(
+        f"({i}, 'txt', 'en', '{s}', {n})" for i, s, n in rows
+    )
+    _write_parquet(
+        fixture / "documents.parquet",
+        f"SELECT * FROM (VALUES {values}) "
+        "t(doc_id, text, lang, source, n_chars)",
+    )
+    return fixture
+
+
+def test_source_length_mannwhitney_hand_computed(spark, tmp_path):
+    """Three sources with known lengths; 2U and AUC recomputed by
+    hand, including the tie between alpha's 2 and beta's 2."""
+    from parquet_extractor_spark.operators.analyze import (
+        source_length_mannwhitney,
+    )
+
+    lengths = {"alpha": [1, 2, 3], "beta": [2, 4], "gamma": [5]}
+    rows = []
+    i = 0
+    for s, ls in lengths.items():
+        for n in ls:
+            rows.append((i, s, n))
+            i += 1
+    fixture = _docs_fixture(tmp_path, rows)
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_length_mannwhitney(spark, str(fixture)).collect()
+    }
+    assert set(got) == {
+        ("alpha", "beta"),
+        ("alpha", "gamma"),
+        ("beta", "gamma"),
+    }
+    for (sa, sb), r in got.items():
+        la, lb = lengths[sa], lengths[sb]
+        u2 = sum(
+            2 * sum(1 for y in lb if y < x) + sum(1 for y in lb if y == x)
+            for x in la
+        )
+        assert (r.n_a, r.n_b, r.u2_a) == (len(la), len(lb), u2)
+        assert r.auc_micro == u2 * 1_000_000 // (2 * len(la) * len(lb))
+    # alpha vs beta: a={1,2,3}, b={2,4}: 2U = 0 + (0*2+1) + 2 = 3
+    assert got[("alpha", "beta")].u2_a == 3
+    assert got[("alpha", "beta")].auc_micro == 250_000
+    # gamma is longer than everything -> AUC against it is 0
+    assert got[("alpha", "gamma")].auc_micro == 0
+    assert got[("beta", "gamma")].u2_a == 0
+
+
+def test_customer_revenue_gini_equal_and_skewed(spark, tmp_path):
+    """Equal revenues -> Gini 0; a planted 100/100/400 segment ->
+    exactly 1/3 (333333 micro)."""
+    from parquet_extractor_spark.operators.relational import (
+        customer_revenue_gini,
+    )
+
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    custs = [
+        (1, "EQ"), (2, "EQ"), (3, "EQ"),
+        (4, "SKEW"), (5, "SKEW"), (6, "SKEW"),
+    ]
+    _write_parquet(
+        fixture / "customer.parquet",
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, 'c{k}', 0, 0.0, '{seg}')" for k, seg in custs)
+        + ") t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)",
+    )
+    revenue = {1: 100.0, 2: 100.0, 3: 100.0, 4: 100.0, 5: 100.0, 6: 400.0}
+    _write_parquet(
+        fixture / "orders.parquet",
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({k}, {k}, 'O', {v}, TIMESTAMP '2024-01-01', 'LOW')"
+            for k, v in revenue.items()
+        )
+        + ") t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " o_orderdate, o_orderpriority)",
+    )
+    got = {
+        r.mktsegment: r
+        for r in customer_revenue_gini(spark, str(fixture)).collect()
+    }
+    assert got["EQ"].gini_micro == 0
+    assert got["EQ"].n_customers == 3
+    assert got["EQ"].revenue_units == 300
+    # sorted x = [100,100,400]: G = (2*1500 - 4*600)/(3*600) = 1/3
+    assert got["SKEW"].gini_micro == 333_333
+
+
+def test_events_dow_chisq_flat_vs_spike(spark, tmp_path):
+    """A uniform 7-day series scores chisq 0; a one-day spike of n
+    events scores exactly 6n (micro 6n*1e6), with densified zero
+    cells for the other six weekdays."""
+    from parquet_extractor_spark.operators.timeseries import (
+        events_dow_chisq,
+    )
+
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    rows = []
+    eid = 0
+    # 'flat': 2024-01-07 is a Sunday; 3 events each day for 7 days
+    for day in range(7):
+        for k in range(3):
+            rows.append(
+                f"({eid}, TIMESTAMP '2024-01-07' + INTERVAL {day} DAY"
+                f" + INTERVAL {k} MINUTE, 1, 'flat', 0.0, '')"
+            )
+            eid += 1
+    # 'spike': 10 events, all on Monday 2024-01-01
+    for k in range(10):
+        rows.append(
+            f"({eid}, TIMESTAMP '2024-01-01' + INTERVAL {k} MINUTE,"
+            " 1, 'spike', 0.0, '')"
+        )
+        eid += 1
+    _write_parquet(
+        fixture / "events.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    got = events_dow_chisq(spark, str(fixture)).collect()
+    by_type = defaultdict(dict)
+    for r in got:
+        by_type[r.event_type][r.dow] = r
+    # densified: every type carries all 7 dows
+    assert sorted(by_type["flat"]) == list(range(7))
+    assert sorted(by_type["spike"]) == list(range(7))
+    for dow, r in by_type["flat"].items():
+        assert (r.n, r.share_micro, r.chisq_micro) == (3, 142_857, 0)
+    for dow, r in by_type["spike"].items():
+        assert r.chisq_micro == 6 * 10 * 1_000_000
+        if dow == 1:  # Monday
+            assert (r.n, r.share_micro) == (10, 1_000_000)
+        else:
+            assert (r.n, r.share_micro) == (0, 0)
+
+
+def test_event_trigram_lift_hand_computed(spark, tmp_path):
+    """One user stream view,view,click,view,view,click — every
+    trigram count and lift recomputed by hand from the sequence."""
+    from parquet_extractor_spark.operators.timeseries import (
+        event_trigram_lift,
+    )
+
+    seq = ["view", "view", "click", "view", "view", "click"]
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "events.parquet",
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, TIMESTAMP '2024-01-01' + INTERVAL {i} MINUTE,"
+            f" 1, '{t}', 0.0, '')"
+            for i, t in enumerate(seq)
+        )
+        + ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    tri = Counter(zip(seq, seq[1:], seq[2:]))
+    n_ab = Counter()
+    n_bc = Counter()
+    n_b = Counter()
+    for (a, b, c), n in tri.items():
+        n_ab[(a, b)] += n
+        n_bc[(b, c)] += n
+        n_b[b] += n
+    got = event_trigram_lift(spark, str(fixture)).collect()
+    assert len(got) == len(tri)
+    for r in got:
+        key = (r.prev2, r.prev1, r.next_type)
+        assert r.n == tri[key]
+        want = (
+            tri[key] * n_b[key[1]] * 1_000_000
+            // (n_ab[(key[0], key[1])] * n_bc[(key[1], key[2])])
+        )
+        assert r.lift_micro == want
+    lifts = {(r.prev2, r.prev1, r.next_type): r.lift_micro for r in got}
+    # knowing the second 'view' was preceded by 'view' makes 'click'
+    # more likely than P(click|view) alone
+    assert lifts[("view", "view", "click")] == 1_500_000
+    assert lifts[("view", "click", "view")] == 1_000_000
+    assert lifts[("click", "view", "view")] == 3_000_000
+
+
+def _phash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_reshard_movement_matches_python_and_theory(spark, sf_small):
+    """Recompute both strategies' movement with hashlib over the real
+    sf0.001 doc_ids; rendezvous must move far less than mod."""
+    from parquet_extractor_spark.operators.training import (
+        _HRW_CAP,
+        RESHARD_FROM,
+        RESHARD_SALT,
+        RESHARD_TO,
+        reshard_movement_report,
+    )
+
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_small}/documents.parquet'"
+        ).fetchall()
+    ]
+    want = {}
+    mod_moved = sum(
+        1
+        for d in doc_ids
+        if _phash(f"mod-v1:{d}") % RESHARD_FROM
+        != _phash(f"mod-v1:{d}") % RESHARD_TO
+    )
+    want["mod"] = (len(doc_ids), mod_moved)
+    hrw_moved = 0
+    for d in doc_ids:
+        keys = [
+            (_phash(f"{RESHARD_SALT}:{d}:{s}") % _HRW_CAP) * 16 + s
+            for s in range(RESHARD_TO)
+        ]
+        old = max(keys[:RESHARD_FROM]) % 16
+        new = max(keys) % 16
+        hrw_moved += old != new
+    want["rendezvous"] = (len(doc_ids), hrw_moved)
+
+    got = {
+        r.strategy: r
+        for r in reshard_movement_report(spark, sf_small).collect()
+    }
+    for strat, (n, moved) in want.items():
+        assert (got[strat].n_docs, got[strat].n_moved) == (n, moved)
+        assert got[strat].moved_share_micro == moved * 1_000_000 // n
+    # consistent placement: rendezvous ~= 1 - FROM/TO (20%), mod ~80%
+    assert got["rendezvous"].n_moved < got["mod"].n_moved
+    assert got["rendezvous"].moved_share_micro < 350_000
+    assert got["mod"].moved_share_micro > 650_000
