@@ -1410,3 +1410,94 @@ FROM per_doc
 GROUP BY decile
 ORDER BY decile
 """
+
+
+def source_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source — the vocabulary-richness
+    triple a corpus datasheet reports next to the Zipf fit:
+
+    - type-token ratio V/N (vocabulary size over token count),
+    - hapax share H/V (terms occurring exactly once — the Heaps'-law
+      frontier; a source whose hapax share collapses is template spam),
+    - Simpson repeat probability Σ n_i(n_i−1) / (N(N−1)) — the chance
+      two random tokens are the same type (higher = more repetitive).
+
+    INTEGER-EXACT: all three are ratios of exact counts with one
+    micro-div each; Σ n_i(n_i−1) and N(N−1) run in DECIMAL(38,0)
+    (DuckDB HUGEINT) since they square token counts.
+
+    Shape for scale: one tokenize+explode pass into a (source, term)
+    partial+final agg (the same vocabulary-bounded shuffle every
+    vocab operator pays); per-source reduction re-aggregates those
+    group rows — no second pass over tokens, no distinct on the raw
+    stream. Output: |sources| rows.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("source", F.explode(tokenize("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    dec = "decimal(38,0)"
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+            F.sum((F.col("n") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("hapax_count"),
+            F.sum(
+                F.col("n").cast(dec) * (F.col("n") - 1).cast(dec)
+            ).alias("_rep"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            "hapax_count",
+            F.expr(
+                "CAST(vocab_size * 1000000L div n_tokens AS BIGINT)"
+            ).alias("ttr_micro"),
+            F.expr(
+                "CAST(hapax_count * 1000000L div vocab_size AS BIGINT)"
+            ).alias("hapax_share_micro"),
+            F.expr(
+                "CAST(CASE WHEN n_tokens > 1 THEN _rep * 1000000 div "
+                "(CAST(n_tokens AS decimal(38,0)) * (n_tokens - 1)) "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("simpson_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_LEXICAL_DIVERSITY_SQL = r"""
+WITH tf AS (
+    SELECT source, tok AS term, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT source, unnest(list_filter(regexp_split_to_array(
+            regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+            x -> x != '')) AS tok
+        FROM documents
+    )
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CAST(n = 1 AS BIGINT)) AS BIGINT) AS hapax_count,
+           sum(CAST(n AS HUGEINT) * (n - 1)) AS rep
+    FROM tf GROUP BY source
+)
+SELECT source, n_tokens, vocab_size, hapax_count,
+       CAST(vocab_size * 1000000 // n_tokens AS BIGINT) AS ttr_micro,
+       CAST(hapax_count * 1000000 // vocab_size AS BIGINT)
+           AS hapax_share_micro,
+       CAST(CASE WHEN n_tokens > 1 THEN rep * 1000000
+                 // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                 ELSE 0 END AS BIGINT) AS simpson_micro
+FROM agg
+ORDER BY source
+"""

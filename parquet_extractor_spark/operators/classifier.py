@@ -42,6 +42,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parquet_extractor_spark.functions.text import tokenize
 from parquet_extractor_spark.sources.tables import load_table
@@ -312,3 +313,115 @@ consts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
 
 TRAIN_QUALITY_CLASSIFIER_SQL = _logreg_oracle()
 TRAINED_CLASSIFIER_SCORES_SQL = _logreg_oracle(scoring=True)
+
+
+CALIBRATION_BINS = 10
+
+
+def classifier_calibration_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) of the
+    trained quality classifier — the standard "are the probabilities
+    honest" eval that accompanies any learned gate before its scores
+    are used for sampling temperatures or acceptance thresholds
+    (Guo et al. 2017). Bins the predicted probability into
+    CALIBRATION_BINS equal-width buckets and compares mean predicted
+    confidence to the observed positive rate per bin.
+
+    Determinism: p is derived from the SAME integer logit_micro both
+    engines already agree on (one exp per row, snapped to round(9)
+    then floored to p_micro), so every downstream quantity is integer
+    arithmetic. Per bin, n·|acc − conf| = |1e6·Σy − Σp_micro| exactly,
+    so ece_micro = Σ_bins |1e6·Σy − Σp_micro| div N with no float
+    accumulation. Empty bins carry no ECE mass and are omitted (the
+    ECE definition sums over occupied bins only).
+
+    Shape for scale: scoring is the map-side projection
+    trained_classifier_scores already is (weights are plan literals);
+    the report adds one ≤CALIBRATION_BINS-group partial+final agg and
+    a window over that tiny aggregate. Training cost is the same
+    fixed-epoch GD the other classifier queries pay.
+    """
+    scores = trained_classifier_scores(spark, sf_dir)
+    p = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("logit_micro") / F.lit(1e6)))),
+        9,
+    )
+    p_micro = F.floor(p * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    bin_width = int(1e6 // CALIBRATION_BINS)
+    pm = scores.select(
+        p_micro.alias("p_micro"), F.col("y").cast("bigint").alias("y")
+    )
+    binned = pm.select(
+        F.least(
+            F.expr(f"p_micro div {bin_width}"),
+            F.lit(CALIBRATION_BINS - 1).cast("bigint"),
+        ).cast("bigint").alias("bin"),
+        "p_micro",
+        "y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p_micro").cast("bigint").alias("_sum_p"),
+        F.sum("y").cast("bigint").alias("_sum_y"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        per_bin.withColumn(
+            "_gap_mass", F.abs(F.lit(1_000_000) * F.col("_sum_y") - F.col("_sum_p"))
+        )
+        .withColumn("_n_total", F.sum("n_docs").over(w_all))
+        .withColumn("_gap_total", F.sum("_gap_mass").over(w_all))
+        .select(
+            "bin",
+            "n_docs",
+            F.expr("CAST(_sum_p div n_docs AS BIGINT)").alias("conf_micro"),
+            F.expr(
+                "CAST(_sum_y * 1000000L div n_docs AS BIGINT)"
+            ).alias("acc_micro"),
+            F.expr("CAST(_gap_mass div n_docs AS BIGINT)").alias(
+                "gap_micro"
+            ),
+            F.expr("CAST(_gap_total div _n_total AS BIGINT)").alias(
+                "ece_micro"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def _calibration_oracle() -> str:
+    head, _, _tail = TRAINED_CLASSIFIER_SCORES_SQL.strip().rpartition(
+        "ORDER BY"
+    )
+    bin_width = int(1e6 // CALIBRATION_BINS)
+    return f"""
+WITH scores AS ({head.strip()}),
+pm AS (
+    SELECT CAST(floor(round(1.0 / (1.0 + exp(-(logit_micro / 1000000.0))),
+                      9) * 1000000.0 + 0.5) AS BIGINT) AS p_micro,
+           CAST(y AS BIGINT) AS y
+    FROM scores
+),
+per_bin AS (
+    SELECT least(p_micro // {bin_width}, {CALIBRATION_BINS - 1}) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p_micro) AS BIGINT) AS sum_p,
+           CAST(sum(y) AS BIGINT) AS sum_y
+    FROM pm GROUP BY 1
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs,
+       CAST(sum_p // n_docs AS BIGINT) AS conf_micro,
+       CAST(sum_y * 1000000 // n_docs AS BIGINT) AS acc_micro,
+       CAST(abs(1000000 * sum_y - sum_p) // n_docs AS BIGINT)
+           AS gap_micro,
+       CAST(sum(abs(1000000 * sum_y - sum_p)) OVER ()
+            // sum(n_docs) OVER () AS BIGINT) AS ece_micro
+FROM per_bin
+ORDER BY bin
+"""
+
+
+CLASSIFIER_CALIBRATION_SQL = _calibration_oracle()

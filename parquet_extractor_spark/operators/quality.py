@@ -1736,3 +1736,135 @@ ORDER BY source
 
 
 DP_SOURCE_RELEASE_SQL = _dp_release_oracle()
+
+
+# ≡ pipelines.MIN_QUALITY (kept equal by test_quality_gate_kappa_*;
+# not imported to avoid the pipelines→quality import cycle)
+KAPPA_MIN_QUALITY = 0.3
+
+
+def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between the two independent heuristic
+    quality gates — the composite-score gate (quality_score ≥
+    MIN_QUALITY, the curate() entry gate) and the Gopher rule
+    conjunction — as Cohen's kappa: agreement corrected for the
+    agreement two gates with these marginal keep-rates would produce
+    by chance. kappa ≈ 1 means one gate is redundant; kappa near 0
+    means the gates disagree about WHICH docs are bad and stacking
+    them actually tightens the filter (the question
+    quality_filter_ablation answers by volume, answered here by
+    chance-corrected overlap).
+
+    INTEGER-EXACT: the 2×2 contingency counts are exact; with
+    agree = n11 + n00, a1/b1 the keep marginals,
+        kappa = (N·agree − a1·b1 − a0·b0) / (N² − a1·b1 − a0·b0)
+    computed in DECIMAL(38,0) ↔ HUGEINT (N² wraps int64 past ~3e9
+    docs) with one trailing micro-div; po/pe the same way.
+
+    Shape for scale: both gates are map-side column expressions over
+    ONE scan (no join — the frame carries both verdicts per row), and
+    the whole query reduces through a single 1-row partial+final agg.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = quality_columns()
+    g = _gopher_gate_columns()
+    flags = docs.select(
+        (F.round(q["quality_score"], 2) >= F.lit(KAPPA_MIN_QUALITY))
+        .cast("bigint")
+        .alias("a"),
+        g["keep"].cast("bigint").alias("b"),
+    )
+    dec = "decimal(38,0)"
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n_both"),
+        F.sum(F.col("a") * (1 - F.col("b")))
+        .cast("bigint")
+        .alias("n_score_only"),
+        F.sum((1 - F.col("a")) * F.col("b"))
+        .cast("bigint")
+        .alias("n_gopher_only"),
+    ).withColumn(
+        "n_neither",
+        F.expr(
+            "CAST(n_docs - n_both - n_score_only - n_gopher_only"
+            " AS BIGINT)"
+        ),
+    )
+    staged = (
+        counts.withColumn("_agree", F.expr("n_both + n_neither"))
+        .withColumn(
+            "_chance",
+            F.expr(
+                f"CAST(n_both + n_score_only AS {dec})"
+                " * (n_both + n_gopher_only)"
+                f" + CAST(n_neither + n_gopher_only AS {dec})"
+                " * (n_neither + n_score_only)"
+            ),
+        )
+        .withColumn("_nsq", F.expr(f"CAST(n_docs AS {dec}) * n_docs"))
+    )
+    return staged.select(
+        "n_docs",
+        "n_both",
+        "n_score_only",
+        "n_gopher_only",
+        "n_neither",
+        F.expr("CAST(_agree * 1000000L div n_docs AS BIGINT)").alias(
+            "po_micro"
+        ),
+        F.expr("CAST(_chance * 1000000 div _nsq AS BIGINT)").alias(
+            "pe_micro"
+        ),
+        F.expr(
+            "CAST(CASE WHEN _nsq = _chance THEN 1000000 ELSE "
+            f"(CAST(n_docs AS {dec}) * _agree - _chance) * 1000000 "
+            "div (_nsq - _chance) END AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+def _quality_gate_kappa_oracle() -> str:
+    def body(sql: str) -> str:
+        head, _, _tail = sql.strip().rpartition("ORDER BY")
+        return head.strip()
+
+    return f"""
+WITH qual AS ({body(QUALITY_SCORES_SQL)}),
+goph AS ({body(GOPHER_QUALITY_FLAGS_SQL)}),
+flags AS (
+    SELECT CAST(q.quality_score >= {KAPPA_MIN_QUALITY} AS BIGINT) AS a,
+           CAST(g.gopher_keep AS BIGINT) AS b
+    FROM qual q JOIN goph g ON q.doc_id = g.doc_id
+),
+c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(a * b) AS BIGINT) AS n_both,
+           CAST(sum(a * (1 - b)) AS BIGINT) AS n_score_only,
+           CAST(sum((1 - a) * b) AS BIGINT) AS n_gopher_only
+    FROM flags
+),
+staged AS (
+    SELECT *,
+           CAST(n_docs - n_both - n_score_only - n_gopher_only AS BIGINT)
+               AS n_neither,
+           CAST(n_both + (n_docs - n_both - n_score_only - n_gopher_only)
+               AS BIGINT) AS agree,
+           CAST(n_both + n_score_only AS HUGEINT)
+               * (n_both + n_gopher_only)
+           + CAST(n_docs - n_both - n_score_only AS HUGEINT)
+               * (n_docs - n_both - n_gopher_only) AS chance,
+           CAST(n_docs AS HUGEINT) * n_docs AS nsq
+    FROM c
+)
+SELECT n_docs, n_both, n_score_only, n_gopher_only, n_neither,
+       CAST(agree * 1000000 // n_docs AS BIGINT) AS po_micro,
+       CAST(chance * 1000000 // nsq AS BIGINT) AS pe_micro,
+       CAST(CASE WHEN nsq = chance THEN 1000000 ELSE
+            (CAST(n_docs AS HUGEINT) * agree - chance) * 1000000
+            // (nsq - chance) END AS BIGINT) AS kappa_micro
+FROM staged
+"""
+
+
+QUALITY_GATE_KAPPA_SQL = _quality_gate_kappa_oracle()

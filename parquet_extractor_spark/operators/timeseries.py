@@ -2080,3 +2080,144 @@ SELECT prev2, prev1, next_type, n,
 FROM tri
 ORDER BY prev2, prev1, next_type
 """
+
+
+def brand_price_rank_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank association between part size and retail price per brand,
+    by the two standard robust (outlier-immune) estimators the OLS
+    fit in brand_price_regression cannot provide:
+
+    - Goodman-Kruskal gamma = (C − D) / (C + D) over concordant /
+      discordant part pairs — the tie-aware rank correlation (ties in
+      either variable simply drop out of the denominator).
+    - Theil-Sen slope: the median over all pairwise slopes
+      Δprice/Δsize — the 29%-breakdown-point regression line. The
+      LOWER median (rank ⌈k/2⌉) is used so both engines select the
+      same element with no interpolation float.
+
+    INTEGER-EXACT: prices fold to cents, slopes to truncated
+    micro-cents-per-size; C, D and the median rank are exact counts.
+
+    Shape for scale: the pair generator is a SELF-EQUI-JOIN ON BRAND
+    over the part DIMENSION (never a fact table) with p1.key < p2.key
+    — quadratic only in parts-per-brand, which is catalog-bounded.
+    At a catalog where brands reach millions of parts, the documented
+    scale path is the standard Theil-Sen estimator over a per-part
+    hash-sampled pair subset (same join, a salted filter) — the
+    estimator is defined to degrade gracefully under pair sampling;
+    gamma likewise. The median is a per-brand row_number over the
+    pair frame, partition-bounded by pairs-per-brand.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("size"),
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    a, b = part.alias("a"), part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        (F.col("b.size") - F.col("a.size")).alias("ds"),
+        (F.col("b.cents") - F.col("a.cents")).alias("dc"),
+    )
+    counts = pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(
+            ((F.col("ds") > 0) & (F.col("dc") > 0)
+             | (F.col("ds") < 0) & (F.col("dc") < 0)).cast("bigint")
+        ).cast("bigint").alias("concordant"),
+        F.sum(
+            ((F.col("ds") > 0) & (F.col("dc") < 0)
+             | (F.col("ds") < 0) & (F.col("dc") > 0)).cast("bigint")
+        ).cast("bigint").alias("discordant"),
+    )
+    slopes = pairs.filter(F.col("ds") != 0).select(
+        "p_brand",
+        F.expr(
+            "CAST(CASE WHEN ds < 0 THEN (-dc) * 1000000L div (-ds) "
+            "ELSE dc * 1000000L div ds END AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("slope_micro")
+    w_n = Window.partitionBy("p_brand")
+    median = (
+        slopes.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_n))
+        .filter(F.expr("rn = (cnt + 1) div 2"))
+        .select(
+            "p_brand", F.col("slope_micro").alias("theilsen_slope_micro")
+        )
+    )
+    return (
+        counts.join(median, "p_brand", "left")
+        .select(
+            "p_brand",
+            "n_pairs",
+            "concordant",
+            "discordant",
+            F.expr(
+                "CAST(CASE WHEN concordant + discordant > 0 THEN "
+                "(concordant - discordant) * 1000000L "
+                "div (concordant + discordant) ELSE 0 END AS BIGINT)"
+            ).alias("gamma_micro"),
+            F.coalesce("theilsen_slope_micro", F.lit(0))
+            .cast("bigint")
+            .alias("theilsen_slope_micro"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+BRAND_PRICE_RANK_ASSOC_SQL = r"""
+WITH part_c AS (
+    SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS size,
+           CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM part
+),
+pairs AS (
+    SELECT a.p_brand, b.size - a.size AS ds, b.cents - a.cents AS dc
+    FROM part_c a JOIN part_c b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+),
+counts AS (
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST((ds > 0 AND dc > 0) OR (ds < 0 AND dc < 0)
+                AS BIGINT)) AS BIGINT) AS concordant,
+           CAST(sum(CAST((ds > 0 AND dc < 0) OR (ds < 0 AND dc > 0)
+                AS BIGINT)) AS BIGINT) AS discordant
+    FROM pairs GROUP BY p_brand
+),
+slopes AS (
+    SELECT p_brand,
+           CAST(CASE WHEN ds < 0 THEN (-dc) * 1000000 // (-ds)
+                ELSE dc * 1000000 // ds END AS BIGINT) AS slope_micro
+    FROM pairs WHERE ds != 0
+),
+med AS (
+    SELECT p_brand, slope_micro AS theilsen_slope_micro
+    FROM (
+        SELECT p_brand, slope_micro,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY slope_micro) AS rn,
+               count(*) OVER (PARTITION BY p_brand) AS cnt
+        FROM slopes
+    )
+    WHERE rn = (cnt + 1) // 2
+)
+SELECT c.p_brand, c.n_pairs, c.concordant, c.discordant,
+       CAST(CASE WHEN c.concordant + c.discordant > 0 THEN
+            (c.concordant - c.discordant) * 1000000
+            // (c.concordant + c.discordant) ELSE 0 END AS BIGINT)
+           AS gamma_micro,
+       CAST(coalesce(m.theilsen_slope_micro, 0) AS BIGINT)
+           AS theilsen_slope_micro
+FROM counts c LEFT JOIN med m ON c.p_brand = m.p_brand
+ORDER BY c.p_brand
+"""

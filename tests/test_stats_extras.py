@@ -257,3 +257,170 @@ def test_reshard_movement_matches_python_and_theory(spark, sf_small):
     assert got["rendezvous"].n_moved < got["mod"].n_moved
     assert got["rendezvous"].moved_share_micro < 350_000
     assert got["mod"].moved_share_micro > 650_000
+
+
+def test_brand_price_rank_assoc_hand_computed(spark, tmp_path):
+    """Monotone brand pins gamma = 1; a planted brand with a reversal
+    and a size tie is recomputed pair-by-pair in Python."""
+    from parquet_extractor_spark.operators.timeseries import (
+        brand_price_rank_assoc,
+    )
+
+    parts = {
+        "B1": [(1, 1.00), (2, 2.00), (3, 3.00)],
+        "B2": [(1, 3.00), (2, 1.00), (3, 2.00), (3, 1.50)],
+    }
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    rows = []
+    pk = 1
+    for brand, ps in parts.items():
+        for size, price in ps:
+            rows.append(f"({pk}, 'p{pk}', '{brand}', 't', {size}, {price})")
+            pk += 1
+    _write_parquet(
+        fixture / "part.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)",
+    )
+    got = {
+        r.p_brand: r
+        for r in brand_price_rank_assoc(spark, str(fixture)).collect()
+    }
+    for brand, ps in parts.items():
+        cents = [(s, round(p * 100)) for s, p in ps]
+
+        # truncation toward zero, both operand signs
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b > 0) else -q
+
+        C = D = 0
+        slopes = []
+        for i in range(len(cents)):
+            for j in range(i + 1, len(cents)):
+                ds = cents[j][0] - cents[i][0]
+                dc = cents[j][1] - cents[i][1]
+                if ds * dc > 0:
+                    C += 1
+                elif ds != 0 and dc != 0:
+                    D += 1
+                if ds:
+                    slopes.append(tdiv(dc * 1_000_000, ds))
+        slopes.sort()
+        r = got[brand]
+        n = len(cents)
+        assert r.n_pairs == n * (n - 1) // 2
+        assert (r.concordant, r.discordant) == (C, D)
+        assert r.gamma_micro == tdiv((C - D) * 1_000_000, C + D)
+        assert r.theilsen_slope_micro == slopes[(len(slopes) + 1) // 2 - 1]
+    assert got["B1"].gamma_micro == 1_000_000
+    assert got["B1"].theilsen_slope_micro == 100_000_000
+    assert got["B2"].gamma_micro == -200_000
+    assert got["B2"].theilsen_slope_micro == -50_000_000
+
+
+def test_source_lexical_diversity_hand_computed(spark, tmp_path):
+    """'x x y' pins TTR 2/3, hapax 1/2, Simpson 2/6 exactly."""
+    from parquet_extractor_spark.operators.analyze import (
+        source_lexical_diversity,
+    )
+
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "documents.parquet",
+        "SELECT * FROM (VALUES "
+        "(1, 'x x y', 'en', 'a', 5), "
+        "(2, 'w w w w', 'en', 'b', 7)"
+        ") t(doc_id, text, lang, source, n_chars)",
+    )
+    got = {
+        r.source: r
+        for r in source_lexical_diversity(spark, str(fixture)).collect()
+    }
+    a = got["a"]
+    assert (a.n_tokens, a.vocab_size, a.hapax_count) == (3, 2, 1)
+    assert a.ttr_micro == 2 * 1_000_000 // 3
+    assert a.hapax_share_micro == 500_000
+    assert a.simpson_micro == 2 * 1_000_000 // 6
+    b = got["b"]
+    assert (b.n_tokens, b.vocab_size, b.hapax_count) == (4, 1, 0)
+    assert b.simpson_micro == 12 * 1_000_000 // 12  # certainty: 1.0
+
+
+def test_classifier_calibration_recomputed(spark, sf_small):
+    """Recompute every calibration column in Python from the already
+    oracle-checked per-doc scores (same HALF_UP round chain)."""
+    import math
+
+    from parquet_extractor_spark.operators.classifier import (
+        CALIBRATION_BINS,
+        classifier_calibration_report,
+        trained_classifier_scores,
+    )
+
+    scores = trained_classifier_scores(spark, sf_small).collect()
+    bins = defaultdict(lambda: [0, 0, 0])  # n, sum_p_micro, sum_y
+    width = 1_000_000 // CALIBRATION_BINS
+    for r in scores:
+        p = 1.0 / (1.0 + math.exp(-(r.logit_micro / 1e6)))
+        p9 = math.floor(p * 1e9 + 0.5) / 1e9
+        p_micro = math.floor(p9 * 1e6 + 0.5)
+        b = min(p_micro // width, CALIBRATION_BINS - 1)
+        bins[b][0] += 1
+        bins[b][1] += p_micro
+        bins[b][2] += r.y
+    gap_total = sum(abs(1_000_000 * y - sp) for _, sp, y in bins.values())
+    n_total = len(scores)
+    got = classifier_calibration_report(spark, sf_small).collect()
+    assert {r.bin for r in got} == set(bins)
+    for r in got:
+        n, sp, sy = bins[r.bin]
+        assert r.n_docs == n
+        assert r.conf_micro == sp // n
+        assert r.acc_micro == sy * 1_000_000 // n
+        assert r.gap_micro == abs(1_000_000 * sy - sp) // n
+        assert r.ece_micro == gap_total // n_total
+    assert sum(r.n_docs for r in got) == n_total
+
+
+def test_quality_gate_kappa_recomputed(spark, sf_small):
+    """Kappa recomputed from the two independently oracle-checked
+    gate queries; the threshold constant must match the pipeline's."""
+    from parquet_extractor_spark import pipelines
+    from parquet_extractor_spark.operators.quality import (
+        KAPPA_MIN_QUALITY,
+        gopher_quality_flags,
+        quality_gate_kappa,
+        quality_scores,
+    )
+
+    assert KAPPA_MIN_QUALITY == pipelines.MIN_QUALITY
+
+    qs = {r.doc_id: r.quality_score for r in quality_scores(spark, sf_small).collect()}
+    gk = {
+        r.doc_id: r.gopher_keep
+        for r in gopher_quality_flags(spark, sf_small).collect()
+    }
+    assert set(qs) == set(gk)
+    n = len(qs)
+    n11 = sum(1 for d in qs if qs[d] >= KAPPA_MIN_QUALITY and gk[d])
+    n10 = sum(1 for d in qs if qs[d] >= KAPPA_MIN_QUALITY and not gk[d])
+    n01 = sum(1 for d in qs if qs[d] < KAPPA_MIN_QUALITY and gk[d])
+    n00 = n - n11 - n10 - n01
+    agree = n11 + n00
+    chance = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+    r = quality_gate_kappa(spark, sf_small).collect()[0]
+    assert (r.n_docs, r.n_both, r.n_score_only, r.n_gopher_only,
+            r.n_neither) == (n, n11, n10, n01, n00)
+    assert r.po_micro == agree * 1_000_000 // n
+    assert r.pe_micro == chance * 1_000_000 // (n * n)
+    want_kappa = (
+        1_000_000
+        if n * n == chance
+        else (n * agree - chance) * 1_000_000 // (n * n - chance)
+    )
+    assert r.kappa_micro == want_kappa
+    # the two heuristics must genuinely disagree somewhere at sf0.001
+    assert r.n_score_only + r.n_gopher_only > 0
