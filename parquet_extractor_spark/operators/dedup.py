@@ -1208,3 +1208,96 @@ ORDER BY p.n_triangles DESC, p.doc_id
 
 
 DEDUP_GRAPH_TRIANGLES_SQL = _triangles_oracle()
+
+
+def cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity of every multi-document near-dup cluster — the
+    audit that catches a dedup pipeline conflating translations or
+    code-switched boilerplate with true duplicates: a shingle-based
+    LSH should produce language-pure clusters, so a component whose
+    purity drops below 1.0 is either a translation pair (which a
+    crawl dedup must NOT collapse — that is content the model needs
+    once per language) or a tokenizer artifact worth inspecting.
+
+    Per component of size ≥ 2: member count, distinct languages, the
+    majority language and its count (ties broken to the
+    lexicographically largest language, identically in both engines
+    via max-over-equal-count rather than an unspecified arg_max), and
+    purity = top_count/size in exact micro units.
+
+    Shape for scale: reuses the session-memoized component labels
+    (state O(docs)); the lang join is doc-keyed; the rollup is a
+    (component, lang) partial+final agg — output bounded by clusters
+    × languages, and the two windows run over that reduction, never
+    over documents.
+    """
+    comps = dedup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per_lang = (
+        comps.join(docs, "doc_id")
+        .groupBy("component", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w_c = Window.partitionBy("component")
+    return (
+        per_lang.withColumn("n_docs", F.sum("cnt").over(w_c))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_c))
+        .withColumn("top_count", F.max("cnt").over(w_c))
+        .withColumn(
+            "top_lang",
+            F.max(
+                F.when(F.col("cnt") == F.col("top_count"), F.col("lang"))
+            ).over(w_c),
+        )
+        .filter(
+            (F.col("n_docs") >= 2) & (F.col("lang") == F.col("top_lang"))
+        )
+        .select(
+            F.col("component").cast("bigint").alias("component"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_langs").cast("bigint").alias("n_langs"),
+            "top_lang",
+            F.col("top_count").cast("bigint").alias("top_count"),
+            F.expr("CAST(top_count * 1000000L div n_docs AS BIGINT)").alias(
+                "purity_micro"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+def _cluster_lang_purity_oracle() -> str:
+    head, _, _tail = DEDUP_COMPONENTS_SQL.strip().rpartition("ORDER BY")
+    return f"""
+WITH comps AS ({head.strip()}),
+per_lang AS (
+    SELECT c.component, d.lang, CAST(count(*) AS BIGINT) AS cnt
+    FROM comps c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY 1, 2
+),
+rolled AS (
+    SELECT component, lang, cnt,
+           sum(cnt) OVER (PARTITION BY component) AS n_docs,
+           count(*) OVER (PARTITION BY component) AS n_langs,
+           max(cnt) OVER (PARTITION BY component) AS top_count
+    FROM per_lang
+),
+topped AS (
+    SELECT *,
+           max(CASE WHEN cnt = top_count THEN lang END)
+               OVER (PARTITION BY component) AS top_lang
+    FROM rolled
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       top_lang,
+       CAST(top_count AS BIGINT) AS top_count,
+       CAST(top_count * 1000000 // n_docs AS BIGINT) AS purity_micro
+FROM topped
+WHERE n_docs >= 2 AND lang = top_lang
+ORDER BY component
+"""
+
+
+CLUSTER_LANG_PURITY_SQL = _cluster_lang_purity_oracle()

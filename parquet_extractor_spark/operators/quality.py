@@ -12,6 +12,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parquet_extractor_spark.functions.text import (
     char_ngrams,
@@ -1868,3 +1869,130 @@ FROM staged
 
 
 QUALITY_GATE_KAPPA_SQL = _quality_gate_kappa_oracle()
+
+
+# budget-matched curation quota: keep the top half of every source
+QUOTA_KEEP_MICRO = 500_000
+
+
+def per_source_quality_cutoffs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budget-matched per-source quality cutoffs — quota curation.
+    A single global threshold (pipelines.MIN_QUALITY) keeps whatever
+    fraction each source happens to clear, silently skewing the mix
+    toward sources whose style flatters the heuristic; the quota
+    variant instead finds, per source, the score cutoff that keeps
+    the SAME target fraction (QUOTA_KEEP_MICRO) of every source — the
+    per-slice threshold calibration step real curation recipes run
+    before mixing (cf. per-language thresholds in CCNet-style
+    pipelines).
+
+    Exact selection, no interpolation: the cutoff is the k-th highest
+    rounded score in the source (k = max(1, n·quota div 1e6), ties
+    broken by doc_id for a total order), and n_kept counts docs with
+    score ≥ cutoff — so n_kept ≥ k exactly when the cutoff value is
+    tied, which the report exposes rather than hides (quota overshoot
+    from score granularity is real and a pipeline must see it).
+
+    Shape for scale: the rank is a window partitioned BY SOURCE over
+    (source, score, doc_id) — bounded by the largest source slice;
+    the ≤|sources|-row cutoff table broadcasts back onto the scored
+    frame for the ≥-count. Two passes over the scored projection,
+    both column-pruned to (source, score).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = quality_columns()
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.round(q["quality_score"], 2).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_s = Window.partitionBy("source")
+    cutoffs = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_s))
+        .filter(
+            F.expr(
+                f"rn = greatest(1L, cnt * {QUOTA_KEEP_MICRO} div 1000000)"
+            )
+        )
+        .select(
+            "source",
+            F.col("cnt").cast("bigint").alias("n_docs"),
+            F.expr(
+                f"CAST(greatest(1L, cnt * {QUOTA_KEEP_MICRO} div 1000000)"
+                " AS BIGINT)"
+            ).alias("target_keep"),
+            F.col("score").alias("cutoff_score"),
+        )
+    )
+    kept = (
+        scored.join(F.broadcast(cutoffs), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("target_keep").alias("target_keep"),
+            F.first("cutoff_score").alias("cutoff_score"),
+            F.sum(
+                (F.col("score") >= F.col("cutoff_score")).cast("bigint")
+            ).cast("bigint").alias("n_kept"),
+        )
+    )
+    return kept.select(
+        "source",
+        "n_docs",
+        "target_keep",
+        "cutoff_score",
+        "n_kept",
+        F.expr("CAST(n_kept * 1000000L div n_docs AS BIGINT)").alias(
+            "kept_share_micro"
+        ),
+    ).orderBy("source")
+
+
+def _per_source_quality_cutoffs_oracle() -> str:
+    def body(sql: str) -> str:
+        head, _, _tail = sql.strip().rpartition("ORDER BY")
+        return head.strip()
+
+    return f"""
+WITH qual AS ({body(QUALITY_SCORES_SQL)}),
+scored AS (
+    SELECT d.source, q.doc_id, q.quality_score AS score
+    FROM qual q JOIN documents d ON q.doc_id = d.doc_id
+),
+ranked AS (
+    SELECT source, score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY score DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY source) AS cnt
+    FROM scored
+),
+cutoffs AS (
+    SELECT source,
+           CAST(cnt AS BIGINT) AS n_docs,
+           CAST(greatest(1, cnt * {QUOTA_KEEP_MICRO} // 1000000)
+               AS BIGINT) AS target_keep,
+           score AS cutoff_score
+    FROM ranked
+    WHERE rn = greatest(1, cnt * {QUOTA_KEEP_MICRO} // 1000000)
+)
+SELECT s.source,
+       CAST(min(c.n_docs) AS BIGINT) AS n_docs,
+       CAST(min(c.target_keep) AS BIGINT) AS target_keep,
+       min(c.cutoff_score) AS cutoff_score,
+       CAST(sum(CAST(s.score >= c.cutoff_score AS BIGINT)) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CAST(s.score >= c.cutoff_score AS BIGINT)) * 1000000
+            // min(c.n_docs) AS BIGINT) AS kept_share_micro
+FROM scored s JOIN cutoffs c ON s.source = c.source
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+PER_SOURCE_QUALITY_CUTOFFS_SQL = _per_source_quality_cutoffs_oracle()

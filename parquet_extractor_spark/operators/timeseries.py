@@ -2221,3 +2221,150 @@ SELECT c.p_brand, c.n_pairs, c.concordant, c.discordant,
 FROM counts c LEFT JOIN med m ON c.p_brand = m.p_brand
 ORDER BY c.p_brand
 """
+
+
+def orders_seasonal_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of monthly order revenue into
+    trend + month-of-year seasonal + residual — the structure report
+    behind orders_monthly_growth's raw deltas (is December big
+    because of trend or season?).
+
+    INTEGER-EXACT throughout: the centered 12-month moving average
+    (the even-window half-weight form) is computed ×24 —
+        trend24_t = x_{t−6} + 2·Σ_{k=−5..+5} x_{t+k} + x_{t+6}
+    — pure integer sums over revenue in whole currency units; the
+    seasonal index is the mean of the detrended series per
+    month-of-year, seasonal_micro = Σ(24·x − trend24)·1e6 div
+    (24·cnt); trend_micro = trend24·1e6 div 24; and the residual is
+    defined against the EMITTED truncated values (x·1e6 − trend_micro
+    − seasonal_micro) so all three columns add back to revenue
+    exactly by construction. The seasonal indices are left uncentered
+    (the grand-mean centering constant is absorbed into trend
+    interpretation), which keeps every quantity a ratio of integer
+    sums. Months inside the half-window margins (first/last 6) have
+    no defined trend and are excluded, as in any centered-MA
+    decomposition.
+
+    Shape for scale: ONE partial+final agg reduces orders to the
+    ≤~80-row dense month grid (gaps zero-filled via the day-grid
+    explode pattern, so a silent month counts as revenue 0); every
+    window runs over that bounded reduction via
+    bounded_global_window; the 12-row seasonal table broadcasts back.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        ).cast("bigint").alias("midx")
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(o_totalprice * 1000000) AS BIGINT)"
+                " div 1000000"
+            )
+        ).cast("bigint").alias("x")
+    )
+    grid = monthly.agg(
+        F.min("midx").alias("m0"), F.max("midx").alias("m1")
+    ).select(F.explode(F.sequence("m0", "m1")).alias("midx"))
+    dense = grid.join(monthly, "midx", "left").select(
+        "midx", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+    )
+    w = bounded_global_window("midx")
+    trended = dense.select(
+        "midx",
+        "x",
+        (
+            F.lag("x", 6).over(w)
+            + F.lead("x", 6).over(w)
+            + F.lit(2)
+            * F.sum("x").over(
+                bounded_global_window("midx").rowsBetween(-5, 5)
+            )
+        ).alias("trend24"),
+    ).withColumn("detr24", F.lit(24) * F.col("x") - F.col("trend24"))
+    seasonal = (
+        trended.filter(F.col("trend24").isNotNull())
+        .groupBy((F.col("midx") % 12).alias("moy"))
+        .agg(
+            F.sum("detr24").cast("bigint").alias("s_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("s_cnt"),
+        )
+        .select(
+            "moy",
+            F.expr("CAST(s_sum * 1000000L div (24 * s_cnt) AS BIGINT)")
+            .alias("seasonal_micro"),
+        )
+    )
+    return (
+        trended.filter(F.col("trend24").isNotNull())
+        .withColumn("moy", F.col("midx") % 12)
+        .join(F.broadcast(seasonal), "moy")
+        .select(
+            "midx",
+            F.expr("midx div 12").cast("bigint").alias("year"),
+            (F.col("moy") + 1).cast("bigint").alias("month"),
+            F.col("x").alias("revenue_units"),
+            F.expr("CAST(trend24 * 1000000L div 24 AS BIGINT)").alias(
+                "trend_micro"
+            ),
+            "seasonal_micro",
+            F.expr(
+                "CAST(x * 1000000L - (trend24 * 1000000L div 24)"
+                " - seasonal_micro AS BIGINT)"
+            ).alias("residual_micro"),
+        )
+        .orderBy("midx")
+    )
+
+
+ORDERS_SEASONAL_DECOMPOSITION_SQL = r"""
+WITH monthly AS (
+    SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+               AS BIGINT) AS midx,
+           CAST(sum(CAST(floor(o_totalprice * 1000000) AS BIGINT)
+                    // 1000000) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+grid AS (
+    SELECT CAST(unnest(generate_series(m0, m1)) AS BIGINT) AS midx
+    FROM (SELECT min(midx) AS m0, max(midx) AS m1 FROM monthly)
+),
+dense AS (
+    SELECT g.midx, CAST(coalesce(m.x, 0) AS BIGINT) AS x
+    FROM grid g LEFT JOIN monthly m ON g.midx = m.midx
+),
+trended AS (
+    SELECT midx, x,
+           lag(x, 6) OVER w + lead(x, 6) OVER w
+             + 2 * sum(x) OVER (ORDER BY midx
+                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS trend24,
+           24 * x - (lag(x, 6) OVER w + lead(x, 6) OVER w
+             + 2 * sum(x) OVER (ORDER BY midx
+                 ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS detr24
+    FROM dense
+    WINDOW w AS (ORDER BY midx)
+),
+seasonal AS (
+    SELECT midx % 12 AS moy,
+           CAST(sum(detr24) * 1000000 // (24 * count(*)) AS BIGINT)
+               AS seasonal_micro
+    FROM trended WHERE trend24 IS NOT NULL
+    GROUP BY 1
+)
+SELECT t.midx,
+       CAST(t.midx // 12 AS BIGINT) AS year,
+       CAST(t.midx % 12 + 1 AS BIGINT) AS month,
+       t.x AS revenue_units,
+       CAST(t.trend24 * 1000000 // 24 AS BIGINT) AS trend_micro,
+       s.seasonal_micro,
+       CAST(t.x * 1000000 - (t.trend24 * 1000000 // 24)
+            - s.seasonal_micro AS BIGINT) AS residual_micro
+FROM trended t JOIN seasonal s ON t.midx % 12 = s.moy
+WHERE t.trend24 IS NOT NULL
+ORDER BY t.midx
+"""

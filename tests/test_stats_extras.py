@@ -424,3 +424,134 @@ def test_quality_gate_kappa_recomputed(spark, sf_small):
     assert r.kappa_micro == want_kappa
     # the two heuristics must genuinely disagree somewhere at sf0.001
     assert r.n_score_only + r.n_gopher_only > 0
+
+
+def test_per_source_quality_cutoffs_recomputed(spark, sf_small):
+    """Quota cutoffs recomputed from the oracle-checked per-doc
+    scores: k-th highest score per source, tie-inclusive keep count."""
+    from parquet_extractor_spark.operators.quality import (
+        QUOTA_KEEP_MICRO,
+        per_source_quality_cutoffs,
+        quality_scores,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    by_src = defaultdict(list)
+    for r in quality_scores(spark, sf_small).collect():
+        by_src[src[r.doc_id]].append((r.quality_score, r.doc_id))
+    got = {
+        r.source: r
+        for r in per_source_quality_cutoffs(spark, sf_small).collect()
+    }
+    assert set(got) == set(by_src)
+    for s, scored in by_src.items():
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        n = len(scored)
+        k = max(1, n * QUOTA_KEEP_MICRO // 1_000_000)
+        cutoff = scored[k - 1][0]
+        kept = sum(1 for sc, _ in scored if sc >= cutoff)
+        r = got[s]
+        assert (r.n_docs, r.target_keep) == (n, k)
+        assert abs(r.cutoff_score - cutoff) < 1e-9
+        assert r.n_kept == kept
+        assert r.kept_share_micro == kept * 1_000_000 // n
+        assert r.n_kept >= r.target_keep  # quota met, overshoot visible
+
+
+def test_cluster_lang_purity_recomputed(spark, sf_small):
+    """Purity rollup recomputed from the independently-verified
+    component labels + document languages."""
+    from parquet_extractor_spark.operators.dedup import (
+        cluster_lang_purity,
+        dedup_components,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    lang = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    comp_members = defaultdict(list)
+    for r in dedup_components(spark, sf_small).collect():
+        comp_members[r.component].append(lang[r.doc_id])
+    want = {}
+    for c, langs in comp_members.items():
+        if len(langs) < 2:
+            continue
+        cnt = Counter(langs)
+        top_count = max(cnt.values())
+        top_lang = max(l for l, n in cnt.items() if n == top_count)
+        want[c] = (len(langs), len(cnt), top_lang, top_count)
+    got = {r.component: r for r in cluster_lang_purity(spark, sf_small).collect()}
+    assert set(got) == set(want)
+    for c, (n, nl, tl, tc) in want.items():
+        r = got[c]
+        assert (r.n_docs, r.n_langs, r.top_lang, r.top_count) == (
+            n, nl, tl, tc,
+        )
+        assert r.purity_micro == tc * 1_000_000 // n
+    assert want, "fixture must contain multi-doc clusters"
+
+
+def test_orders_seasonal_decomposition_recomputed(spark, sf_small):
+    """Trend/seasonal/residual recomputed from the raw monthly sums;
+    the three emitted columns must add back to revenue exactly."""
+    from parquet_extractor_spark.operators.timeseries import (
+        orders_seasonal_decomposition,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT CAST(year(o_orderdate)*12 + month(o_orderdate) - 1"
+        f" AS BIGINT),"
+        f" CAST(sum(CAST(floor(o_totalprice*1000000) AS BIGINT)"
+        f" // 1000000) AS BIGINT)"
+        f" FROM '{sf_small}/orders.parquet' GROUP BY 1"
+    ).fetchall()
+    monthly = dict(rows)
+    m0, m1 = min(monthly), max(monthly)
+    xs = {m: monthly.get(m, 0) for m in range(m0, m1 + 1)}
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    trend24 = {}
+    for m in range(m0 + 6, m1 - 5):
+        trend24[m] = (
+            xs[m - 6] + xs[m + 6]
+            + 2 * sum(xs[k] for k in range(m - 5, m + 6))
+        )
+    s_acc = defaultdict(lambda: [0, 0])
+    for m, t in trend24.items():
+        s_acc[m % 12][0] += 24 * xs[m] - t
+        s_acc[m % 12][1] += 1
+    seasonal = {
+        moy: tdiv(sm * 1_000_000, 24 * cnt)
+        for moy, (sm, cnt) in s_acc.items()
+    }
+    got = {
+        r.midx: r
+        for r in orders_seasonal_decomposition(spark, sf_small).collect()
+    }
+    assert set(got) == set(trend24)
+    for m, r in got.items():
+        tm = tdiv(trend24[m] * 1_000_000, 24)
+        sm = seasonal[m % 12]
+        assert r.revenue_units == xs[m]
+        assert (r.year, r.month) == (m // 12, m % 12 + 1)
+        assert r.trend_micro == tm
+        assert r.seasonal_micro == sm
+        assert r.residual_micro == xs[m] * 1_000_000 - tm - sm
+        # exact additive reconstruction by construction
+        assert (
+            r.trend_micro + r.seasonal_micro + r.residual_micro
+            == r.revenue_units * 1_000_000
+        )
