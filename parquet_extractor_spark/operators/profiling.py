@@ -422,3 +422,122 @@ ORDER BY b.digit
 
 
 ORDERS_BENFORD_AUDIT_SQL = _benford_oracle()
+
+
+# (relationship name, child table, child key, parent table, parent key)
+FK_RELATIONSHIPS = (
+    ("orders.custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+)
+
+
+def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every declared foreign key in
+    the warehouse star schema — the cross-TABLE completion of the
+    per-column Deequ-style checks (events_profile,
+    orders_constraint_checks) and the relational twin of
+    corpus_integrity_audit's docs↔embeddings gate. One row per
+    relationship: child rows, distinct child keys, NULL keys (counted
+    separately — a NULL FK is a modeling decision, not an orphan),
+    orphan rows/keys (child keys with no parent), and the orphan
+    share. A loader regression that drops a dimension partition shows
+    up here before any join silently loses fact rows downstream.
+
+    Shape for scale: per relationship, the child reduces FIRST to
+    (key, row_count) — so the anti-join against the parent key set is
+    keyed on DISTINCT child keys, never fact rows; dimension parents
+    broadcast, the two fact-sized parents (orders in rel 2) hash-join
+    on the key both sides are already reduced to. The 7 one-row
+    summaries union into a 7-row result; each relationship's plan is
+    independent (no shared state), so the audit parallelizes across
+    its relationships.
+    """
+    frames = []
+    for name, child_t, child_k, parent_t, parent_k in FK_RELATIONSHIPS:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(
+            F.col(parent_k).alias("_pk")
+        ).distinct()
+        keyed = (
+            child.select(F.col(child_k).alias("_ck"))
+            .groupBy("_ck")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_rows"))
+        )
+        nn = keyed.filter(F.col("_ck").isNotNull())
+        orphans = nn.join(parent, nn._ck == parent._pk, "left_anti")
+        totals = keyed.agg(
+            F.sum("_rows").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("_ck").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keys"),
+            F.sum(
+                F.when(F.col("_ck").isNull(), F.col("_rows")).otherwise(0)
+            ).cast("bigint").alias("n_null_rows"),
+        )
+        orphan_tot = orphans.agg(
+            F.coalesce(F.sum("_rows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
+        )
+        frames.append(
+            totals.crossJoin(F.broadcast(orphan_tot)).select(
+                F.lit(name).alias("relationship"),
+                "n_rows",
+                "n_keys",
+                "n_null_rows",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                F.expr(
+                    "CAST(n_orphan_rows * 1000000L div n_rows AS BIGINT)"
+                ).alias("orphan_share_micro"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("relationship")
+
+
+def _warehouse_fk_audit_oracle() -> str:
+    parts = []
+    for name, child_t, child_k, parent_t, parent_k in FK_RELATIONSHIPS:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+       CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_keys,
+       CAST(sum(CASE WHEN ck IS NULL THEN rows_ ELSE 0 END) AS BIGINT)
+           AS n_null_rows,
+       CAST(sum(CASE WHEN ck IS NOT NULL AND ck NOT IN
+                (SELECT {parent_k} FROM {parent_t}
+                 WHERE {parent_k} IS NOT NULL)
+                THEN rows_ ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+       CAST(sum(CASE WHEN ck IS NOT NULL AND ck NOT IN
+                (SELECT {parent_k} FROM {parent_t}
+                 WHERE {parent_k} IS NOT NULL)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+       CAST(sum(CASE WHEN ck IS NOT NULL AND ck NOT IN
+                (SELECT {parent_k} FROM {parent_t}
+                 WHERE {parent_k} IS NOT NULL)
+                THEN rows_ ELSE 0 END) * 1000000 // sum(rows_)
+            AS BIGINT) AS orphan_share_micro
+FROM (SELECT {child_k} AS ck, count(*) AS rows_
+      FROM {child_t} GROUP BY 1)""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) u ORDER BY relationship"
+
+
+WAREHOUSE_FK_AUDIT_SQL = _warehouse_fk_audit_oracle()

@@ -2368,3 +2368,144 @@ FROM trended t JOIN seasonal s ON t.midx % 12 = s.moy
 WHERE t.trend24 IS NOT NULL
 ORDER BY t.midx
 """
+
+
+# XmR individuals-chart constant: UCL/LCL = x̄ ± 2.66·mR̄ (the 3σ
+# estimate d2=1.128 for n=2 folded in), as integer micro units.
+XMR_LIMIT_MICRO = 2_660_000
+
+
+def events_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals & moving-range) control chart over daily
+    event volume per type — the SPC standard for "is this day's
+    volume within the process's own historical variation", the
+    moving-range-based complement to event_volume_anomalies' stddev
+    z-score (mR̄ is robust to the variance inflation a single huge
+    spike causes, which is exactly when the z-score chart goes blind).
+
+    INTEGER-EXACT: the center line is total·1e6 div T; the limit arm
+    is XMR_LIMIT_MICRO·ΣmR div (T−1) with mR the absolute day-to-day
+    difference (an exact integer); LCL clamps at 0 (volumes are
+    counts). A day is flagged iff its exact count·1e6 falls outside
+    [lcl, ucl]. Single-day types have no moving range: limits
+    degenerate to the center and flag 0 by convention.
+
+    Shape for scale: the day grid is the same dense zero-filled
+    reduction every events time-series query uses — one partial+final
+    agg to (type, day), windows partitioned per type over
+    day-count-bounded partitions, and the per-type limit aggregate
+    joins back onto the same reduction (types-row broadcast).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    active = (
+        ev.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("day", "ts"))
+            .cast("bigint")
+            .alias("day_epoch"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    grid = (
+        active.groupBy("event_type")
+        .agg(F.min("day_epoch").alias("d0"), F.max("day_epoch").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1", F.lit(86_400))).alias(
+                "day_epoch"
+            ),
+        )
+    )
+    daily = grid.join(active, ["event_type", "day_epoch"], "left").select(
+        "event_type",
+        "day_epoch",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day_epoch")
+    ranged = daily.withColumn(
+        "mr", F.abs(F.col("n") - F.lag("n").over(w))
+    )
+    limits = ranged.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("t_days"),
+        F.coalesce(F.sum("mr"), F.lit(0)).cast("bigint").alias("mr_sum"),
+    ).select(
+        "event_type",
+        "t_days",
+        F.expr("CAST(total * 1000000L div t_days AS BIGINT)").alias(
+            "center_micro"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN t_days > 1 THEN {XMR_LIMIT_MICRO}L * mr_sum"
+            " div (t_days - 1) ELSE 0 END AS BIGINT)"
+        ).alias("arm_micro"),
+    )
+    return (
+        ranged.join(F.broadcast(limits), "event_type")
+        .select(
+            "event_type",
+            "day_epoch",
+            "n",
+            "center_micro",
+            F.expr("CAST(center_micro + arm_micro AS BIGINT)").alias(
+                "ucl_micro"
+            ),
+            F.expr(
+                "CAST(greatest(0L, center_micro - arm_micro) AS BIGINT)"
+            ).alias("lcl_micro"),
+            F.expr(
+                "CAST(CASE WHEN n * 1000000L > center_micro + arm_micro"
+                " OR n * 1000000L < greatest(0L, center_micro - arm_micro)"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("out_of_control"),
+        )
+        .orderBy("event_type", "day_epoch")
+    )
+
+
+EVENTS_XMR_CONTROL_SQL = rf"""
+WITH active AS (
+    SELECT event_type,
+           CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT event_type, CAST(unnest(generate_series(d0, d1, 86400))
+               AS BIGINT) AS day_epoch
+    FROM (SELECT event_type, min(day_epoch) AS d0, max(day_epoch) AS d1
+          FROM active GROUP BY event_type)
+),
+daily AS (
+    SELECT g.event_type, g.day_epoch,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN active a
+      ON g.event_type = a.event_type AND g.day_epoch = a.day_epoch
+),
+ranged AS (
+    SELECT event_type, day_epoch, n,
+           abs(n - lag(n) OVER (PARTITION BY event_type
+                                ORDER BY day_epoch)) AS mr
+    FROM daily
+),
+limits AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS t_days,
+           CAST(sum(n) * 1000000 // count(*) AS BIGINT) AS center_micro,
+           CAST(CASE WHEN count(*) > 1 THEN
+                {XMR_LIMIT_MICRO} * coalesce(sum(mr), 0) // (count(*) - 1)
+                ELSE 0 END AS BIGINT) AS arm_micro
+    FROM ranged GROUP BY event_type
+)
+SELECT r.event_type, r.day_epoch, r.n,
+       l.center_micro,
+       CAST(l.center_micro + l.arm_micro AS BIGINT) AS ucl_micro,
+       CAST(greatest(0, l.center_micro - l.arm_micro) AS BIGINT)
+           AS lcl_micro,
+       CAST(CASE WHEN r.n * 1000000 > l.center_micro + l.arm_micro
+                 OR r.n * 1000000 < greatest(0, l.center_micro
+                                                - l.arm_micro)
+                 THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+FROM ranged r JOIN limits l ON r.event_type = l.event_type
+ORDER BY r.event_type, r.day_epoch
+"""

@@ -555,3 +555,105 @@ def test_orders_seasonal_decomposition_recomputed(spark, sf_small):
             r.trend_micro + r.seasonal_micro + r.residual_micro
             == r.revenue_units * 1_000_000
         )
+
+
+def test_warehouse_fk_audit_planted_orphans(spark, sf_small, tmp_path):
+    """Copy the consistent sf0.001 warehouse, then inject one orphan
+    o_custkey (2 rows) and one NULL o_custkey; the audit must count
+    exactly those, keep every other relationship clean, and the
+    orders->customer share must be the exact micro ratio."""
+    from parquet_extractor_spark.operators.profiling import (
+        FK_RELATIONSHIPS,
+        warehouse_fk_audit,
+    )
+
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem"):
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{sf_small}/{t}.parquet') TO "
+            f"'{fixture}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    duckdb.sql(
+        f"""COPY (
+            SELECT * FROM '{sf_small}/orders.parquet'
+            UNION ALL SELECT 900001, 999999, 'O', 1.0,
+                TIMESTAMP '2024-01-01', 'LOW'
+            UNION ALL SELECT 900002, 999999, 'O', 1.0,
+                TIMESTAMP '2024-01-01', 'LOW'
+            UNION ALL SELECT 900003, NULL, 'O', 1.0,
+                TIMESTAMP '2024-01-01', 'LOW'
+        ) TO '{fixture}/orders.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        r.relationship: r
+        for r in warehouse_fk_audit(spark, str(fixture)).collect()
+    }
+    assert set(got) == {rel[0] for rel in FK_RELATIONSHIPS}
+    base_orders = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_small}/orders.parquet'"
+    ).fetchone()[0]
+    oc = got["orders.custkey->customer"]
+    assert oc.n_rows == base_orders + 3
+    assert oc.n_null_rows == 1
+    assert (oc.n_orphan_rows, oc.n_orphan_keys) == (2, 1)
+    assert oc.orphan_share_micro == 2 * 1_000_000 // (base_orders + 3)
+    for name, r in got.items():
+        if name == "orders.custkey->customer":
+            continue
+        assert (r.n_orphan_rows, r.n_orphan_keys, r.n_null_rows) == (
+            0, 0, 0,
+        ), name
+    # lineitem->orders gained no orphans: the injected orders are
+    # parents, not children, there
+    assert got["lineitem.orderkey->orders"].n_orphan_rows == 0
+
+
+def test_events_xmr_control_hand_computed(spark, tmp_path):
+    """Stable series with a single huge spike: limits recomputed by
+    hand from the moving ranges; exactly the spike day flags."""
+    from parquet_extractor_spark.operators.timeseries import (
+        XMR_LIMIT_MICRO,
+        events_xmr_control,
+    )
+
+    counts = [5, 5, 6, 5, 4, 5, 5, 50, 5, 5]
+    rows = []
+    eid = 0
+    for day, n in enumerate(counts):
+        for k in range(n):
+            rows.append(
+                f"({eid}, TIMESTAMP '2024-03-01' + INTERVAL {day} DAY"
+                f" + INTERVAL {k} MINUTE, 1, 'metric', 0.0, '')"
+            )
+            eid += 1
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "events.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    got = sorted(
+        events_xmr_control(spark, str(fixture)).collect(),
+        key=lambda r: r.day_epoch,
+    )
+    assert len(got) == len(counts)
+    total = sum(counts)
+    t = len(counts)
+    mr_sum = sum(abs(a - b) for a, b in zip(counts[1:], counts))
+    center = total * 1_000_000 // t
+    arm = XMR_LIMIT_MICRO * mr_sum // (t - 1)
+    for day, r in enumerate(got):
+        assert r.n == counts[day]
+        assert r.center_micro == center
+        assert r.ucl_micro == center + arm
+        assert r.lcl_micro == max(0, center - arm)
+        want_flag = int(
+            counts[day] * 1_000_000 > center + arm
+            or counts[day] * 1_000_000 < max(0, center - arm)
+        )
+        assert r.out_of_control == want_flag
+    flagged = [i for i, r in enumerate(got) if r.out_of_control]
+    assert flagged == [7]  # exactly the spike day
