@@ -1996,3 +1996,126 @@ ORDER BY s.source
 
 
 PER_SOURCE_QUALITY_CUTOFFS_SQL = _per_source_quality_cutoffs_oracle()
+
+
+def source_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's quality-score
+    distribution against the corpus blend — the standard model-risk
+    drift metric (PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 broken)
+    applied to the curation gate's input: a source whose PSI spikes
+    between crawls changed the SHAPE of its quality mix, even if its
+    mean score (source_quality_summary) held still. Completes the
+    drift triptych: KL on vocabulary, KS/U on lengths, PSI on scores.
+
+    Buckets are the discrete rounded score values themselves (the
+    composite takes ~dozens of values), densified per source so an
+    absent bucket is a real observation; both sides are
+    Laplace-smoothed (+1 per bucket — PSI is undefined on empty
+    cells). Counts and totals are exact integers; one ln per bucket
+    on identically-derived doubles, summed over the ≤|buckets| rows
+    and rounded to 6 (the source_token_kl convention).
+
+    Shape for scale: identical skeleton to source_length_ks — one
+    partial+final agg to (source, score) histogram rows; the corpus
+    marginals re-aggregate from the per-source counts via a window
+    over the score value; everything after the first agg is
+    |sources|×|buckets| rows.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = quality_columns()
+    scored = docs.select(
+        "source", F.round(q["quality_score"], 2).alias("score")
+    )
+    hist = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    support = hist.select("score").distinct()
+    sources = hist.select("source").distinct()
+    grid = support.crossJoin(F.broadcast(sources))
+    filled = grid.join(hist, ["source", "score"], "left").select(
+        "source",
+        "score",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+    )
+    w_src = Window.partitionBy("source")
+    w_score = Window.partitionBy("score")
+    enriched = filled.select(
+        "source",
+        "score",
+        "c",
+        F.sum("c").over(w_src).alias("n_s"),
+        F.sum("c").over(w_score).alias("c_all"),
+        F.sum(F.lit(1)).over(w_src).alias("n_buckets"),
+    ).withColumn("n_all", F.sum("c").over(Window.partitionBy()))
+    term = (
+        (
+            (F.col("c") + 1) / (F.col("n_s") + F.col("n_buckets"))
+            - (F.col("c_all") + 1) / (F.col("n_all") + F.col("n_buckets"))
+        )
+        * F.log(
+            ((F.col("c") + 1) / (F.col("n_s") + F.col("n_buckets")))
+            / (
+                (F.col("c_all") + 1)
+                / (F.col("n_all") + F.col("n_buckets"))
+            )
+        )
+    )
+    return (
+        enriched.select("source", "n_s", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_quality_psi_oracle() -> str:
+    def body(sql: str) -> str:
+        head, _, _tail = sql.strip().rpartition("ORDER BY")
+        return head.strip()
+
+    return f"""
+WITH qual AS ({body(QUALITY_SCORES_SQL)}),
+scored AS (
+    SELECT d.source, q.quality_score AS score
+    FROM qual q JOIN documents d ON q.doc_id = d.doc_id
+),
+hist AS (
+    SELECT source, score, CAST(count(*) AS BIGINT) AS c
+    FROM scored GROUP BY 1, 2
+),
+grid AS (
+    SELECT s.source, p.score
+    FROM (SELECT DISTINCT score FROM hist) p
+    CROSS JOIN (SELECT DISTINCT source FROM hist) s
+),
+filled AS (
+    SELECT g.source, g.score, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+    FROM grid g LEFT JOIN hist h
+      ON g.source = h.source AND g.score = h.score
+),
+enriched AS (
+    SELECT source, score, c,
+           sum(c) OVER (PARTITION BY source) AS n_s,
+           sum(c) OVER (PARTITION BY score) AS c_all,
+           count(*) OVER (PARTITION BY source) AS n_buckets,
+           sum(c) OVER () AS n_all
+    FROM filled
+)
+SELECT source,
+       CAST(max(n_s) AS BIGINT) AS n_docs,
+       round(sum(
+           ((c + 1) / CAST(n_s + n_buckets AS DOUBLE)
+            - (c_all + 1) / CAST(n_all + n_buckets AS DOUBLE))
+           * ln(((c + 1) / CAST(n_s + n_buckets AS DOUBLE))
+                / ((c_all + 1) / CAST(n_all + n_buckets AS DOUBLE)))
+       ), 6) AS psi
+FROM enriched
+GROUP BY source
+ORDER BY source
+"""
+
+
+SOURCE_QUALITY_PSI_SQL = _source_quality_psi_oracle()

@@ -2509,3 +2509,253 @@ SELECT r.event_type, r.day_epoch, r.n,
 FROM ranged r JOIN limits l ON r.event_type = l.event_type
 ORDER BY r.event_type, r.day_epoch
 """
+
+
+FUNNEL_DEADLINE_S = 7 * 86_400  # convert within 7 days of step 1
+
+
+def events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel under a conversion DEADLINE: step k counts
+    only if it occurs strictly after the step-(k−1) arrival AND
+    within FUNNEL_DEADLINE_S of the user's step-1 arrival — the
+    "converted within 7 days of signup" semantics every growth report
+    actually uses (events_funnel_ordered answers "ever converted";
+    this answers "converted in the window", and the gap between the
+    two IS the slow-conversion mass).
+
+    Same scale shape as the ordered funnel: one user-keyed agg per
+    step over a type-pruned scan, chained through user-keyed joins
+    (the step-1 arrival rides along as a carried column, so the
+    deadline check is a map-side filter, not an extra join); the
+    3-row result takes the bounded global window for ratios.
+    """
+    events = load_table(spark, sf_dir, "events")
+    reached = None
+    arrivals: DataFrame | None = None
+    for idx, step in enumerate(FUNNEL_STEPS, start=1):
+        typed = events.filter(F.col("event_type") == step).select(
+            "user_id", "ts"
+        )
+        if arrivals is None:
+            arr = (
+                typed.groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+                .withColumn("t1", F.col("t"))
+            )
+        else:
+            arr = (
+                typed.join(
+                    arrivals.select(
+                        "user_id", F.col("t").alias("t_prev"), "t1"
+                    ),
+                    "user_id",
+                )
+                .filter(
+                    (F.col("ts") > F.col("t_prev"))
+                    & (
+                        F.unix_timestamp("ts")
+                        <= F.unix_timestamp("t1") + F.lit(FUNNEL_DEADLINE_S)
+                    )
+                )
+                .groupBy("user_id", "t1")
+                .agg(F.min("ts").alias("t"))
+            )
+        arrivals = arr
+        step_rows = arr.select(
+            F.lit(idx).cast("bigint").alias("step_idx"),
+            F.lit(step).alias("step"),
+            "user_id",
+        )
+        reached = step_rows if reached is None else reached.union(step_rows)
+    steps = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(FUNNEL_STEPS, start=1)],
+        "step_idx BIGINT, step STRING",
+    )
+    counts = steps.join(
+        reached.groupBy("step_idx", "step").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached")
+        ),
+        ["step_idx", "step"],
+        "left",
+    ).select(
+        "step_idx",
+        "step",
+        F.coalesce("n_reached", F.lit(0)).cast("bigint").alias("n_users"),
+    )
+    w = bounded_global_window("step_idx")
+    return counts.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.expr(
+            "CAST(CASE WHEN coalesce(lag(n_users) OVER "
+            "(ORDER BY step_idx), n_users) > 0 THEN "
+            "floor(n_users * 1000000.0 / coalesce(lag(n_users) OVER "
+            "(ORDER BY step_idx), n_users)) ELSE 0 END AS BIGINT)"
+        ).alias("conversion_micro"),
+        F.expr(
+            "CAST(CASE WHEN first_value(n_users) OVER "
+            "(ORDER BY step_idx) > 0 THEN floor(n_users * 1000000.0 / "
+            "first_value(n_users) OVER (ORDER BY step_idx)) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("overall_micro"),
+    ).orderBy("step_idx")
+
+
+EVENTS_FUNNEL_DEADLINE_SQL = f"""
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM events
+    WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, s1.t1, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+     AND epoch(e.ts) <= epoch(s1.t1) + {FUNNEL_DEADLINE_S}
+    WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY e.user_id, s1.t1
+),
+s3 AS (
+    SELECT e.user_id, s2.t1, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+     AND epoch(e.ts) <= epoch(s2.t1) + {FUNNEL_DEADLINE_S}
+    WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY e.user_id, s2.t1
+),
+counts AS (
+    SELECT CAST(1 AS BIGINT) AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+           CAST(count(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', count(*) FROM s2
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', count(*) FROM s3
+)
+SELECT step_idx, step, n_users,
+       CAST(CASE WHEN coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                               n_users) > 0
+                 THEN floor(n_users * 1000000.0
+                      / coalesce(lag(n_users) OVER (ORDER BY step_idx),
+                                 n_users))
+                 ELSE 0 END AS BIGINT) AS conversion_micro,
+       CAST(CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+                 THEN floor(n_users * 1000000.0
+                      / first_value(n_users) OVER (ORDER BY step_idx))
+                 ELSE 0 END AS BIGINT) AS overall_micro
+FROM counts
+ORDER BY step_idx
+"""
+
+
+def orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog per day — how many orders were placed but
+    not yet fully shipped on each calendar day. This is the interval
+    problem (count intervals covering each point) solved the
+    scale-correct way: each order folds to TWO delta events (+1 at
+    the order day, −1 the day after its LAST lineitem ships) and the
+    backlog is the running sum of deltas over the dense day grid —
+    no per-day interval join, no fact-table window.
+
+    INTEGER-EXACT trivially (counts). Orders with no lineitems are
+    excluded by the inner join (they have no ship side — the fixture
+    generator always emits lines; a production variant reports them
+    as a separate never-shipped bucket).
+
+    Shape for scale: lineitem reduces to (orderkey, last_ship_day) in
+    one partial+final agg; the delta union is 2 rows per order,
+    re-aggregated to ≤2 rows per day BEFORE the running sum, which
+    then runs over the days-bounded dense grid via the sanctioned
+    bounded global window (a calendar century is ~36k rows).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.unix_timestamp(F.date_trunc("day", "o_orderdate"))
+        .cast("bigint")
+        .alias("start_day"),
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.unix_timestamp(F.date_trunc("day", F.max("l_shipdate")))
+            .cast("bigint")
+            .alias("last_ship_day")
+        )
+    )
+    spans = orders.join(
+        last_ship, orders.o_orderkey == last_ship.l_orderkey
+    ).select("start_day", (F.col("last_ship_day") + 86_400).alias("end_day"))
+    opened = spans.groupBy(F.col("start_day").alias("day_epoch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_opened")
+    )
+    closed = spans.groupBy(F.col("end_day").alias("day_epoch")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_closed")
+    )
+    bounds = spans.agg(
+        F.min("start_day").alias("d0"), F.max("end_day").alias("d1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.lit(86_400))).alias("day_epoch")
+    )
+    daily = (
+        grid.join(opened, "day_epoch", "left")
+        .join(closed, "day_epoch", "left")
+        .select(
+            "day_epoch",
+            F.coalesce("n_opened", F.lit(0)).cast("bigint").alias(
+                "n_opened"
+            ),
+            F.coalesce("n_closed", F.lit(0)).cast("bigint").alias(
+                "n_closed"
+            ),
+        )
+    )
+    w = bounded_global_window("day_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn(
+            "open_orders",
+            F.sum(F.col("n_opened") - F.col("n_closed")).over(w)
+            .cast("bigint"),
+        )
+        .orderBy("day_epoch")
+    )
+
+
+ORDERS_BACKLOG_TIMELINE_SQL = r"""
+WITH spans AS (
+    SELECT CAST(epoch(date_trunc('day', o.o_orderdate)) AS BIGINT)
+               AS start_day,
+           CAST(epoch(date_trunc('day', ls.last_ship)) AS BIGINT)
+               + 86400 AS end_day
+    FROM orders o
+    JOIN (SELECT l_orderkey, max(l_shipdate) AS last_ship
+          FROM lineitem GROUP BY l_orderkey) ls
+      ON o.o_orderkey = ls.l_orderkey
+),
+opened AS (
+    SELECT start_day AS day_epoch, CAST(count(*) AS BIGINT) AS n_opened
+    FROM spans GROUP BY 1
+),
+closed AS (
+    SELECT end_day AS day_epoch, CAST(count(*) AS BIGINT) AS n_closed
+    FROM spans GROUP BY 1
+),
+grid AS (
+    SELECT CAST(unnest(generate_series(d0, d1, 86400)) AS BIGINT)
+               AS day_epoch
+    FROM (SELECT min(start_day) AS d0, max(end_day) AS d1 FROM spans)
+),
+daily AS (
+    SELECT g.day_epoch,
+           CAST(coalesce(o.n_opened, 0) AS BIGINT) AS n_opened,
+           CAST(coalesce(c.n_closed, 0) AS BIGINT) AS n_closed
+    FROM grid g
+    LEFT JOIN opened o ON g.day_epoch = o.day_epoch
+    LEFT JOIN closed c ON g.day_epoch = c.day_epoch
+)
+SELECT day_epoch, n_opened, n_closed,
+       CAST(sum(n_opened - n_closed) OVER (
+           ORDER BY day_epoch
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS open_orders
+FROM daily
+ORDER BY day_epoch
+"""

@@ -657,3 +657,132 @@ def test_events_xmr_control_hand_computed(spark, tmp_path):
         assert r.out_of_control == want_flag
     flagged = [i for i, r in enumerate(got) if r.out_of_control]
     assert flagged == [7]  # exactly the spike day
+
+
+def test_events_funnel_deadline_vs_ordered(spark, tmp_path):
+    """A slow converter (purchase 10 days after signup) counts in the
+    ordered funnel but NOT in the 7-day deadline funnel; a fast
+    converter counts in both; out-of-order events count in neither."""
+    from parquet_extractor_spark.operators.timeseries import (
+        events_funnel_deadline,
+        events_funnel_ordered,
+    )
+
+    rows = []
+    eid = 0
+
+    def ev(user, typ, minutes):
+        nonlocal eid
+        rows.append(
+            f"({eid}, TIMESTAMP '2024-01-01' + INTERVAL {minutes} MINUTE,"
+            f" {user}, '{typ}', 0.0, '')"
+        )
+        eid += 1
+
+    # user 1: fast full funnel (within hours)
+    ev(1, "signup", 0); ev(1, "view", 60); ev(1, "purchase", 120)
+    # user 2: view quickly, purchase after 10 days (past deadline)
+    ev(2, "signup", 0); ev(2, "view", 60)
+    ev(2, "purchase", 10 * 24 * 60)
+    # user 3: view BEFORE signup — never reaches step 2
+    ev(3, "view", 0); ev(3, "signup", 60)
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "events.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    dead = {r.step: r for r in events_funnel_deadline(spark, str(fixture)).collect()}
+    full = {r.step: r for r in events_funnel_ordered(spark, str(fixture)).collect()}
+    assert dead["signup"].n_users == 3
+    assert dead["view"].n_users == 2
+    assert dead["purchase"].n_users == 1  # only the fast converter
+    assert full["purchase"].n_users == 2  # ordered funnel keeps user 2
+    assert dead["purchase"].overall_micro == 1_000_000 // 3
+    assert dead["purchase"].conversion_micro == 500_000
+
+
+def test_orders_backlog_timeline_hand_computed(spark, tmp_path):
+    """Two planted orders with known ship spans; the running backlog
+    and open/close deltas are checked day by day."""
+    from parquet_extractor_spark.operators.timeseries import (
+        orders_backlog_timeline,
+    )
+
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "orders.parquet",
+        "SELECT * FROM (VALUES "
+        "(1, 10, 'O', 5.0, TIMESTAMP '2024-01-01', 'LOW'), "
+        "(2, 11, 'O', 6.0, TIMESTAMP '2024-01-02', 'LOW')"
+        ") t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " o_orderdate, o_orderpriority)",
+    )
+    # order 1 ships lines on Jan 2 and Jan 3 (open Jan 1-3);
+    # order 2 ships its only line same-day (open Jan 2 only)
+    _write_parquet(
+        fixture / "lineitem.parquet",
+        "SELECT * FROM (VALUES "
+        "(1, 100, 200, 1, 1.0, 1.0, 0.0, 0.0, 'N', 'O',"
+        " TIMESTAMP '2024-01-02'), "
+        "(1, 101, 201, 2, 1.0, 1.0, 0.0, 0.0, 'N', 'O',"
+        " TIMESTAMP '2024-01-03'), "
+        "(2, 102, 202, 1, 1.0, 1.0, 0.0, 0.0, 'N', 'O',"
+        " TIMESTAMP '2024-01-02')"
+        ") t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,"
+        " l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,"
+        " l_shipdate)",
+    )
+    got = orders_backlog_timeline(spark, str(fixture)).collect()
+    days = [(r.n_opened, r.n_closed, r.open_orders) for r in got]
+    # grid: Jan1 .. Jan4 (order 1's end day = Jan3 + 1)
+    assert days == [
+        (1, 0, 1),  # Jan 1: order 1 opens
+        (1, 0, 2),  # Jan 2: order 2 opens (and ships same day)
+        (0, 1, 1),  # Jan 3: order 2 closed; order 1 still shipping
+        (0, 1, 0),  # Jan 4: order 1 closed
+    ]
+    assert got[0].day_epoch % 86_400 == 0
+
+
+def test_source_quality_psi_recomputed(spark, sf_small):
+    """PSI recomputed in Python from the oracle-checked per-doc
+    scores over the same smoothed, densified buckets."""
+    import math
+
+    from parquet_extractor_spark.operators.quality import (
+        quality_scores,
+        source_quality_psi,
+    )
+    from parquet_extractor_spark.sources.tables import load_table
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    hist = defaultdict(Counter)
+    for r in quality_scores(spark, sf_small).collect():
+        hist[src[r.doc_id]][r.quality_score] += 1
+    buckets = sorted({s for c in hist.values() for s in c})
+    B = len(buckets)
+    n_all = sum(sum(c.values()) for c in hist.values())
+    c_all = Counter()
+    for c in hist.values():
+        c_all.update(c)
+    got = {r.source: r for r in source_quality_psi(spark, sf_small).collect()}
+    assert set(got) == set(hist)
+    for s, c in hist.items():
+        n_s = sum(c.values())
+        psi = 0.0
+        for b in buckets:
+            p = (c.get(b, 0) + 1) / (n_s + B)
+            q = (c_all[b] + 1) / (n_all + B)
+            psi += (p - q) * math.log(p / q)
+        r = got[s]
+        assert r.n_docs == n_s
+        assert abs(r.psi - psi) < 2e-6
+        assert r.psi >= 0  # every PSI term is non-negative
