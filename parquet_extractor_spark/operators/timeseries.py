@@ -2406,6 +2406,20 @@ def events_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    return xmr_control_from_active(active)
+
+
+def xmr_control_from_active(active: DataFrame) -> DataFrame:
+    """XmR chart over any (event_type, day_epoch, n) active-day frame
+    — shared by the batch operator above and the streaming twin
+    (streaming/events.py drains its watermarked daily agg into this
+    same computation, so stream ≡ batch is structural, and the
+    equality test only has to pin that the DRAINED COUNTS agree).
+
+    Callers whose `active` is a leaf the analyzer cannot
+    self-join-dedup (the streaming memory sink's MemoryPlan) must
+    break lineage first — run_xmr_control_stream localCheckpoints the
+    drained aggregate (bounded: days × types rows) before calling."""
     grid = (
         active.groupBy("event_type")
         .agg(F.min("day_epoch").alias("d0"), F.max("day_epoch").alias("d1"))

@@ -443,3 +443,61 @@ def run_dedup_stream(
     )
     query.awaitTermination(timeout_s)
     return spark.table(table_name)
+
+
+def daily_volume_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 1-day tumbling count per event type — the
+    streaming half of the XmR control chart: the stream maintains
+    only the per-(type, day) counts (constant state per open window);
+    the limit arithmetic runs over the drained aggregate, where the
+    whole day axis is ≤ days×types rows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("win.start"))
+            .cast("bigint")
+            .alias("day_epoch"),
+            "n",
+        )
+    )
+
+
+def run_xmr_control_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "events_xmr_stream",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Streaming twin of operators.timeseries.events_xmr_control:
+    drain the daily-volume stream (availableNow, complete mode — file
+    sources never drop the final windows), then run the SAME
+    xmr_control_from_active computation over the drained counts. The
+    stream carries only the windowed counts; densification and limits
+    are post-drain batch arithmetic on the bounded day axis."""
+    from parquet_extractor_spark.operators.timeseries import (
+        xmr_control_from_active,
+    )
+
+    stream = daily_volume_agg(read_events_stream(spark, sf_dir))
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, table_name)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_s)
+    # localCheckpoint: the memory-sink view is one physical leaf, so
+    # the helper's grid↔active self-join cannot be attribute-deduped
+    # by the analyzer; checkpointing the (days × types)-bounded
+    # aggregate gives it fresh attributes (and is the natural
+    # stream→batch hand-off point anyway).
+    drained = spark.table(table_name).localCheckpoint(eager=True)
+    return xmr_control_from_active(drained)

@@ -547,3 +547,126 @@ def test_prefix_filter_candidates_superset_of_matches(names):
                 f"match ({names[a]!r}, {names[b]!r}) j={jacc_micro} "
                 f"missed by prefix filter"
             )
+
+
+# ── formula properties for the r09 statistics operators ─────────────
+# The Spark and DuckDB implementations are equality-tested against
+# each other by the oracle gate; these pin the FORMULAS themselves
+# against their naive definitions on adversarial inputs (exact
+# rational arithmetic — no float tolerance).
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+    b=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+)
+def test_mannwhitney_histogram_formula_property(a, b):
+    """The histogram form used by source_length_mannwhitney
+    (2U = Σ_x c_a(x)·(2·below_b(x) + c_b(x))) must equal the naive
+    pairwise definition including half-counted ties."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    support = sorted(set(ca) | set(cb))
+    below_b = 0
+    u2_hist = 0
+    for x in support:
+        u2_hist += ca.get(x, 0) * (2 * below_b + cb.get(x, 0))
+        below_b += cb.get(x, 0)
+    u2_naive = sum(
+        2 if x > y else (1 if x == y else 0) for x in a for y in b
+    )
+    assert u2_hist == u2_naive
+    # complement identity: U_a + U_b = n_a · n_b
+    u2_b = sum(2 if y > x else (1 if x == y else 0) for x in a for y in b)
+    assert u2_hist + u2_b == 2 * len(a) * len(b)
+
+
+@settings(max_examples=80, deadline=None)
+@given(xs=st.lists(st.integers(0, 10_000), min_size=1, max_size=40))
+def test_gini_rank_formula_property(xs):
+    """customer_revenue_gini's rank formula must equal the
+    mean-absolute-difference definition G = Σ|xi−xj| / (2n·Σx),
+    exactly (Fractions), whenever Σx > 0."""
+    from fractions import Fraction
+
+    if sum(xs) == 0:
+        return
+    n = len(xs)
+    s = sorted(xs)
+    rank_form = Fraction(
+        2 * sum((i + 1) * x for i, x in enumerate(s)) - (n + 1) * sum(s),
+        n * sum(s),
+    )
+    mad_form = Fraction(
+        sum(abs(x - y) for x in xs for y in xs), 2 * n * sum(xs)
+    )
+    assert rank_form == mad_form
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seq=st.lists(st.sampled_from("abc"), min_size=3, max_size=60),
+)
+def test_trigram_lift_marginal_property(seq):
+    """event_trigram_lift derives all marginals from the trigram
+    matrix; the implied conditionals must be proper distributions:
+    Σ_c P(c|ab) = 1 and Σ_c P(c|b) = 1 over trigram-supported mass
+    (exact Fractions)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    tri = Counter(zip(seq, seq[1:], seq[2:]))
+    n_ab = Counter()
+    n_bc = Counter()
+    n_b = Counter()
+    for (a, b, c), n in tri.items():
+        n_ab[(a, b)] += n
+        n_bc[(b, c)] += n
+        n_b[b] += n
+    for (a, b) in n_ab:
+        total = sum(
+            Fraction(tri[(a, b, c)], n_ab[(a, b)])
+            for c in "abc"
+            if (a, b, c) in tri
+        )
+        assert total == 1
+    for b in n_b:
+        total = sum(
+            Fraction(n_bc[(b, c)], n_b[b]) for c in "abc" if (b, c) in n_bc
+        )
+        assert total == 1
+    # lift numerator/denominator consistency: lift = P(c|ab)/P(c|b)
+    for (a, b, c), n in tri.items():
+        lift = Fraction(n * n_b[b], n_ab[(a, b)] * n_bc[(b, c)])
+        assert lift == (
+            Fraction(n, n_ab[(a, b)]) / Fraction(n_bc[(b, c)], n_b[b])
+        )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_psi_nonnegative_property(counts):
+    """PSI with the +1 Laplace smoothing source_quality_psi uses is a
+    sum of (p−q)·ln(p/q) terms, each ≥ 0 — for ANY pair of
+    histograms over the same buckets."""
+    import math
+
+    B = len(counts)
+    n_s = sum(c for c, _ in counts)
+    n_all = sum(c for _, c in counts)
+    psi = 0.0
+    for cs, ca in counts:
+        p = (cs + 1) / (n_s + B)
+        q = (ca + 1) / (n_all + B)
+        term = (p - q) * math.log(p / q)
+        assert term >= -1e-15
+        psi += term
+    assert psi >= -1e-12

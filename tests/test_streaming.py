@@ -1163,3 +1163,34 @@ def test_entity_resolution_stream_replay_noop(spark, sf_small, tmp_path):
     rows2 = sorted((r.rec_id, r.cluster) for r in replay.collect())
     assert rows1 == rows2
     assert len(snapshots(state_dir)) == n_snaps
+
+
+def test_xmr_control_stream_equals_batch(spark, sf_small, tmp_path):
+    """The streaming XmR twin (watermarked daily counts drained into
+    the shared xmr_control_from_active computation) must reproduce
+    the batch chart row for row — counts, limits, and flags."""
+    from parquet_extractor_spark.operators.timeseries import (
+        events_xmr_control,
+    )
+    from parquet_extractor_spark.streaming.events import (
+        run_xmr_control_stream,
+    )
+
+    got = run_xmr_control_stream(spark, sf_small, str(tmp_path / "ckpt_x"))
+
+    def key(rows):
+        return sorted(
+            (
+                r.event_type,
+                r.day_epoch,
+                r.n,
+                r.center_micro,
+                r.ucl_micro,
+                r.lcl_micro,
+                r.out_of_control,
+            )
+            for r in rows
+        )
+
+    want = events_xmr_control(spark, sf_small)
+    assert key(got.collect()) == key(want.collect())
