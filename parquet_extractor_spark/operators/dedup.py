@@ -93,44 +93,11 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by word-3-gram Jaccard similarity.
-
-    Plan shape: explode distinct shingles → pre-aggregate shingle
-    document frequency (map-side partial count, so this first shuffle
-    carries (shingle, count) partials, not the exploded rows) →
-    anti-join out the HOT set (df > MAX_SHINGLE_DF — the skew guard:
-    hot shingles produce quadratic pairs and carry no near-dup signal)
-    BEFORE collecting doc lists → group the
-    surviving rows by shingle into bounded doc-id lists → generate
-    same-shingle doc pairs MAP-SIDE → count shared shingles per pair
-    → jaccard from |A|,|B|,|A∩B|.
-
-    Versus the textbook self-equi-join on shingle, this shuffles the
-    exploded (doc_id, shingle) rows ONCE (the groupBy) instead of
-    twice (both join sides), and the pair explosion is a codegen'd
-    array transform bounded by MAX_SHINGLE_DF² per shingle. The
-    pre-count means no executor ever materializes a ubiquitous
-    shingle's full doc list (r01 verdict item 6): per-group state is
-    bounded by MAX_SHINGLE_DF by construction. The hot-set anti-join
-    carries no broadcast hint: AQE broadcasts it while it fits and
-    plans a shuffle anti-join when the Zipf head of a 100 TB crawl
-    outgrows memory — or use the MinHash tier, whose shuffle volume
-    is independent of document frequency.
-
-    Jaccard denominators need each doc's surviving-shingle count.
-    That is a SIZES table — one row per doc, derived by re-exploding
-    the PERSISTED grouped postings (no second corpus scan) — joined
-    onto the (much smaller, threshold-filtered) pair table twice,
-    UNHINTED: AQE broadcasts it while it fits executor memory and
-    falls back to a shuffle join beyond, which is the whole point of
-    leaving the hint off (r02/r03 lesson — the r03 attempt to make
-    the count "ride along" via Window.partitionBy(doc_id) added a
-    full shuffle+sort of every exploded (doc_id, shingle) row and
-    benched 2.6× slower). The joins are keyed on doc_id against a
-    table whose cardinality is n_docs, not n_shingles, so they stay
-    cheap at any scale.
-    """
+def _pair_overlap_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_shared, na, nb) for every pair of documents
+    sharing ≥1 rare shingle — the exact-overlap tier behind BOTH the
+    symmetric Jaccard query and the asymmetric containment query.
+    Plan shape documented on ngram_jaccard_pairs (unchanged)."""
     all_sh = _doc_shingles(spark, sf_dir)
     hot = (
         all_sh.groupBy("shingle")
@@ -138,15 +105,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > MAX_SHINGLE_DF)
         .select("shingle")
     )
-    # hot set = Zipf head above the DF cap: small at fixture scale but
-    # it GROWS with vocabulary, so no forced hint — AQE broadcasts the
-    # anti-join side while it fits and shuffle-joins beyond (same
-    # policy as the marginal tables; see SCALE.md).
     from pyspark import StorageLevel
 
-    # persist the grouped postings: BOTH the sizes table (explode of
-    # the bounded doc lists — no second documents scan) and the pair
-    # stage read it, so the explode + anti-join runs exactly once.
     grouped = (
         all_sh.join(hot, "shingle", "left_anti")
         .groupBy("shingle")
@@ -186,7 +146,51 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
         )
-        .select(
+    )
+
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard similarity.
+
+    Plan shape: explode distinct shingles → pre-aggregate shingle
+    document frequency (map-side partial count, so this first shuffle
+    carries (shingle, count) partials, not the exploded rows) →
+    anti-join out the HOT set (df > MAX_SHINGLE_DF — the skew guard:
+    hot shingles produce quadratic pairs and carry no near-dup signal)
+    BEFORE collecting doc lists → group the
+    surviving rows by shingle into bounded doc-id lists → generate
+    same-shingle doc pairs MAP-SIDE → count shared shingles per pair
+    → jaccard from |A|,|B|,|A∩B|.
+
+    Versus the textbook self-equi-join on shingle, this shuffles the
+    exploded (doc_id, shingle) rows ONCE (the groupBy) instead of
+    twice (both join sides), and the pair explosion is a codegen'd
+    array transform bounded by MAX_SHINGLE_DF² per shingle. The
+    pre-count means no executor ever materializes a ubiquitous
+    shingle's full doc list (r01 verdict item 6): per-group state is
+    bounded by MAX_SHINGLE_DF by construction. The hot-set anti-join
+    carries no broadcast hint: AQE broadcasts it while it fits and
+    plans a shuffle anti-join when the Zipf head of a 100 TB crawl
+    outgrows memory — or use the MinHash tier, whose shuffle volume
+    is independent of document frequency.
+
+    Jaccard denominators need each doc's surviving-shingle count.
+    That is a SIZES table — one row per doc, derived by re-exploding
+    the PERSISTED grouped postings (no second corpus scan) — joined
+    onto the (much smaller, threshold-filtered) pair table twice,
+    UNHINTED: AQE broadcasts it while it fits executor memory and
+    falls back to a shuffle join beyond, which is the whole point of
+    leaving the hint off (r02/r03 lesson — the r03 attempt to make
+    the count "ride along" via Window.partitionBy(doc_id) added a
+    full shuffle+sort of every exploded (doc_id, shingle) row and
+    benched 2.6× slower). The joins are keyed on doc_id against a
+    table whose cardinality is n_docs, not n_shingles, so they stay
+    cheap at any scale.
+    """
+    t = _pair_overlap_tier(spark, sf_dir)
+    return (
+        t.select(
             "doc_a",
             "doc_b",
             F.round(
@@ -1301,3 +1305,127 @@ ORDER BY component
 
 
 CLUSTER_LANG_PURITY_SQL = _cluster_lang_purity_oracle()
+
+
+CONTAINMENT_THRESHOLD_MICRO = 800_000  # flag pairs with C(A,B) ≥ 0.8
+
+
+def dedup_containment_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for overlapping document pairs
+    — C(A,B) = |A∩B|/|A| — the quote/embedding detector symmetric
+    Jaccard is blind to: a short doc fully quoted inside a long one
+    has C ≈ 1 but Jaccard ≈ |A|/|B|, far below any near-dup
+    threshold (Broder's original resemblance/containment pairing).
+    Pairs where max(C_ab, C_ba) clears CONTAINMENT_THRESHOLD_MICRO
+    are reported with both directions plus the symmetric Jaccard;
+    ``asymmetric`` marks exactly the pairs the Jaccard query
+    (threshold {JACCARD_THRESHOLD}) would ALSO have surfaced or not.
+
+    INTEGER-EXACT: shared/size counts are exact; the three ratios are
+    micro-unit integer divs.
+
+    Shape for scale: the same _pair_overlap_tier the Jaccard query
+    uses (DF-capped postings, map-side pair explosion bounded by
+    MAX_SHINGLE_DF² per shingle — see ngram_jaccard_pairs) plus pure
+    map-side arithmetic; no new shuffle.
+    """
+    t = _pair_overlap_tier(spark, sf_dir)
+    return (
+        t.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.expr("CAST(n_shared * 1000000L div na AS BIGINT)").alias(
+                "containment_a_micro"
+            ),
+            F.expr("CAST(n_shared * 1000000L div nb AS BIGINT)").alias(
+                "containment_b_micro"
+            ),
+            F.expr(
+                "CAST(n_shared * 1000000L div (na + nb - n_shared)"
+                " AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .filter(
+            F.expr(
+                "greatest(containment_a_micro, containment_b_micro)"
+                f" >= {CONTAINMENT_THRESHOLD_MICRO}"
+            )
+        )
+        .withColumn(
+            "asymmetric",
+            F.expr(
+                f"CAST(jaccard_micro < {int(JACCARD_THRESHOLD * 1e6)}"
+                " AS BIGINT)"
+            ),
+        )
+        .orderBy(
+            F.desc(
+                F.greatest("containment_a_micro", "containment_b_micro")
+            ),
+            "doc_a",
+            "doc_b",
+        )
+    )
+
+
+DEDUP_CONTAINMENT_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(
+               regexp_replace(lower(text), '[^\w\s]', ' ', 'g'), '\s+'),
+               x -> x != '') AS tokens
+    FROM documents
+),
+shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(tokens) - {NGRAM_N - 1}, 1) + 1),
+               i -> array_to_string(tokens[i:i+{NGRAM_N - 1}], ' '))) AS shingles
+    FROM toks
+),
+exploded_all AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+),
+rare AS (
+    SELECT shingle FROM exploded_all
+    GROUP BY shingle HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+exploded AS (
+    SELECT doc_id, e.shingle
+    FROM exploded_all e JOIN rare USING (shingle)
+),
+sizes AS (
+    SELECT doc_id, count(*) AS n FROM exploded GROUP BY doc_id
+),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM exploded a JOIN exploded b ON a.shingle = b.shingle
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+    SELECT doc_a, doc_b, n_shared,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_shared * 1000000 // sa.n AS BIGINT)
+               AS containment_a_micro,
+           CAST(n_shared * 1000000 // sb.n AS BIGINT)
+               AS containment_b_micro,
+           CAST(n_shared * 1000000 // (sa.n + sb.n - n_shared)
+               AS BIGINT) AS jaccard_micro
+    FROM shared
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT *, CAST(jaccard_micro < {int(JACCARD_THRESHOLD * 1e6)} AS BIGINT)
+           AS asymmetric
+FROM scored
+WHERE greatest(containment_a_micro, containment_b_micro)
+      >= {CONTAINMENT_THRESHOLD_MICRO}
+ORDER BY greatest(containment_a_micro, containment_b_micro) DESC,
+         doc_a, doc_b
+"""

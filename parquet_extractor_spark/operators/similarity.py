@@ -45,7 +45,7 @@ from pyspark.sql.window import Window
 
 from parquet_extractor_spark.functions.windows import bounded_global_window
 
-from parquet_extractor_spark.sources.tables import load_table
+from parquet_extractor_spark.sources.tables import load_table, spread
 
 TOP_K = 5
 N_QUERIES = 5  # the first 5 vectors by vec_id are the query set
@@ -3000,4 +3000,104 @@ SELECT s.stage,
 FROM staged s
 GROUP BY s.stage
 ORDER BY s.stage
+"""
+
+
+COV_HEAD_DIMS = 16  # covariance over the matryoshka head prefix
+# embedding components fold to integer micro units before any product
+_COV_SCALE = 1_000_000
+
+
+def embedding_covariance_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Covariance matrix of the first COV_HEAD_DIMS embedding
+    coordinates — the PCA-input profile behind every head-dim
+    decision in this family (matryoshka_recall measures recall of
+    truncating to the head; this measures WHY it works: how much
+    variance the head dims carry and how correlated they are; a
+    whitening / OPQ rotation for the PQ coders starts from exactly
+    this matrix).
+
+    INTEGER-EXACT: components snap to integer micro units first, so
+    the per-pair accumulation Σ e_i·e_j and the centering
+    n·Σab − Σa·Σb are exact integer arithmetic (DECIMAL↔HUGEINT — the
+    products reach n²·1e12); cov is reported in micro² units via one
+    trailing integer div by n². No float ever enters an aggregation.
+
+    Shape for scale: one posexplode to (vec_id, i, e_i) rows limited
+    to the head dims, a vec_id-keyed self-join with i ≤ j (fan-out
+    d(d+1)/2 = 136 per vector — a constant), and ONE partial+final
+    agg to the 136-row triangle. At a billion vectors the shuffle
+    carries map-side-combined (i, j) partials, never row pairs.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    comps = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, COV_HEAD_DIMS)).alias(
+            "i", "x"
+        ),
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.floor(F.col("x").cast("double") * _COV_SCALE)
+        .cast("bigint")
+        .alias("e"),
+    )
+    a, b = comps.alias("a"), comps.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") == F.col("b.vec_id"))
+        & (F.col("a.i") <= F.col("b.i")),
+    ).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        F.col("a.e").alias("ea"),
+        F.col("b.e").alias("eb"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("ea").cast(dec) * F.col("eb").cast(dec)).alias(
+                "_sab"
+            ),
+            F.sum("ea").cast("bigint").alias("_sa"),
+            F.sum("eb").cast("bigint").alias("_sb"),
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            F.expr(
+                f"CAST((CAST(n AS {dec}) * _sab"
+                f" - CAST(_sa AS {dec}) * _sb)"
+                f" div (CAST(n AS {dec}) * n) AS BIGINT)"
+            ).alias("cov_micro2"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_COVARIANCE_PROFILE_SQL = rf"""
+WITH comps AS (
+    SELECT vec_id,
+           CAST(d.i - 1 AS BIGINT) AS i,
+           CAST(floor(CAST(embedding[d.i] AS DOUBLE) * {_COV_SCALE})
+               AS BIGINT) AS e
+    FROM embeddings,
+         (SELECT unnest(generate_series(1, {COV_HEAD_DIMS})) AS i) d
+)
+SELECT a.i, b.i AS j,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST((CAST(count(*) AS HUGEINT)
+               * sum(CAST(a.e AS HUGEINT) * b.e)
+             - CAST(sum(a.e) AS HUGEINT) * sum(b.e))
+            // (CAST(count(*) AS HUGEINT) * count(*)) AS BIGINT)
+           AS cov_micro2
+FROM comps a JOIN comps b
+  ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+ORDER BY a.i, b.i
 """

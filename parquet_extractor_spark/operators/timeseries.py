@@ -2773,3 +2773,228 @@ SELECT day_epoch, n_opened, n_closed,
 FROM daily
 ORDER BY day_epoch
 """
+
+
+SESSION_PATH_LEN = 4  # leading events that define a session's path
+
+
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census of session OPENINGS: the path of each session's first
+    {SESSION_PATH_LEN} events (same gap-based sessions as
+    events_sessionized), counted across all sessions — the
+    product-analytics "how do sessions start" report that the
+    per-transition Markov matrix cannot answer (it has no positional
+    anchor; this is anchored at the session start).
+
+    Determinism: events order by (ts, event_id) everywhere; the path
+    string is built from a SORTED (rank, type) struct array — never
+    from collect_list order, which Spark does not guarantee.
+
+    Shape for scale: the two session windows every sessionization
+    pays (user-keyed, partition bounded by per-user activity), a
+    rank filter that keeps ≤{SESSION_PATH_LEN} rows per session
+    BEFORE the per-session array agg, one (path) partial+final agg,
+    and the share over a 1-row broadcast total. Output bounded by
+    |types|^{SESSION_PATH_LEN}, independent of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    sessioned = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
+    )
+    heads = (
+        sessioned.withColumn("rn", F.row_number().over(w_sess))
+        .filter(F.col("rn") <= SESSION_PATH_LEN)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rn").alias("rn"),
+                                F.col("event_type").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = heads.groupBy("path").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    total = counts.agg(
+        F.sum("n_sessions").cast("bigint").alias("total_sessions")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_sessions",
+            F.expr(
+                "CAST(n_sessions * 1000000L div total_sessions AS BIGINT)"
+            ).alias("share_micro"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+    )
+
+
+SESSION_TOP_PATHS_SQL = rf"""
+WITH sessioned AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(CASE WHEN prev_ts IS NULL
+                    OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_MIN} * 60
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    )
+),
+ranked AS (
+    SELECT user_id, session_seq, event_type,
+           row_number() OVER (PARTITION BY user_id, session_seq
+                              ORDER BY ts, event_id) AS rn
+    FROM sessioned
+),
+heads AS (
+    SELECT user_id, session_seq,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= {SESSION_PATH_LEN}
+    GROUP BY user_id, session_seq
+),
+counts AS (
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM heads GROUP BY path
+)
+SELECT path, n_sessions,
+       CAST(n_sessions * 1000000
+            // (SELECT sum(n_sessions) FROM counts) AS BIGINT)
+           AS share_micro
+FROM counts
+ORDER BY n_sessions DESC, path
+"""
+
+
+def events_type_audience_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audience overlap between every pair of event types — which
+    behaviors share users (|users(A)∩users(B)| with Jaccard and both
+    directional containments). The user-set view of the product: the
+    Markov matrix says what follows what WITHIN a stream; this says
+    which behaviors co-occur in the same PEOPLE at all — the report
+    a growth team reads before bundling features, and structurally
+    the audience twin of dedup's containment scores.
+
+    INTEGER-EXACT: distinct-user counts and pair intersections are
+    exact; ratios are micro divs.
+
+    Shape for scale: events reduce to DISTINCT (type, user) rows in
+    one partial+final agg; the pair intersection is a self-equi-join
+    ON USER (fan-out bounded by |types|² per user — a constant), then
+    one agg to the ≤|types|²/2 matrix; type totals broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        both.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_users").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_users").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000L div (n_a + n_b - n_both)"
+                " AS BIGINT)"
+            ).alias("jaccard_micro"),
+            F.expr("CAST(n_both * 1000000L div n_a AS BIGINT)").alias(
+                "containment_a_micro"
+            ),
+            F.expr("CAST(n_both * 1000000L div n_b AS BIGINT)").alias(
+                "containment_b_micro"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EVENTS_TYPE_AUDIENCE_OVERLAP_SQL = r"""
+WITH ut AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+sizes AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM ut GROUP BY event_type
+),
+both_t AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+       CAST(n_both * 1000000 // (sa.n_users + sb.n_users - n_both)
+           AS BIGINT) AS jaccard_micro,
+       CAST(n_both * 1000000 // sa.n_users AS BIGINT)
+           AS containment_a_micro,
+       CAST(n_both * 1000000 // sb.n_users AS BIGINT)
+           AS containment_b_micro
+FROM both_t
+JOIN sizes sa ON type_a = sa.event_type
+JOIN sizes sb ON type_b = sb.event_type
+ORDER BY type_a, type_b
+"""

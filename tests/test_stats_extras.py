@@ -786,3 +786,172 @@ def test_source_quality_psi_recomputed(spark, sf_small):
         assert r.n_docs == n_s
         assert abs(r.psi - psi) < 2e-6
         assert r.psi >= 0  # every PSI term is non-negative
+
+
+def test_session_top_paths_planted(spark, tmp_path):
+    """Planted sessions with known openings: a 5-event session is
+    truncated to its first 4 events; a 30-minute gap splits a user
+    into two sessions with their own paths."""
+    from parquet_extractor_spark.operators.timeseries import (
+        session_top_paths,
+    )
+
+    rows = []
+    eid = 0
+
+    def ev(user, typ, minutes):
+        nonlocal eid
+        rows.append(
+            f"({eid}, TIMESTAMP '2024-01-01' + INTERVAL {minutes} MINUTE,"
+            f" {user}, '{typ}', 0.0, '')"
+        )
+        eid += 1
+
+    for i, t in enumerate(["a", "b", "c", "d", "e"]):
+        ev(1, t, i)  # one session, path truncates to a>b>c>d
+    ev(2, "a", 0)  # session 1 of user 2
+    ev(2, "b", 100)  # >30 min later: session 2
+    ev(2, "c", 101)
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "events.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    got = {r.path: r for r in session_top_paths(spark, str(fixture)).collect()}
+    assert set(got) == {"a>b>c>d", "a", "b>c"}
+    for path, r in got.items():
+        assert r.n_sessions == 1
+        assert r.share_micro == 1_000_000 // 3
+
+
+def test_embedding_covariance_profile_recomputed(spark, sf_small):
+    """Exact integer covariance recomputed in Python over the real
+    vectors; diagonal non-negative, full triangle present."""
+    import math
+
+    from parquet_extractor_spark.operators.similarity import (
+        _COV_SCALE,
+        COV_HEAD_DIMS,
+        embedding_covariance_profile,
+    )
+
+    vecs = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT embedding FROM '{sf_small}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    n = len(vecs)
+    e = [
+        [math.floor(float(v[i]) * _COV_SCALE) for i in range(COV_HEAD_DIMS)]
+        for v in vecs
+    ]
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    got = {
+        (r.i, r.j): r
+        for r in embedding_covariance_profile(spark, sf_small).collect()
+    }
+    assert set(got) == {
+        (i, j)
+        for i in range(COV_HEAD_DIMS)
+        for j in range(COV_HEAD_DIMS)
+        if i <= j
+    }
+    for (i, j), r in got.items():
+        sab = sum(row[i] * row[j] for row in e)
+        sa = sum(row[i] for row in e)
+        sb = sum(row[j] for row in e)
+        want = tdiv(n * sab - sa * sb, n * n)
+        assert r.n == n
+        assert r.cov_micro2 == want
+        if i == j:
+            assert r.cov_micro2 >= 0
+
+
+def test_dedup_containment_scores_planted(spark, tmp_path):
+    """A short doc fully embedded in a long one: containment hits 1.0
+    while Jaccard stays far below the near-dup threshold — the
+    asymmetric flag fires; an identical pair scores 1.0 everywhere
+    with the flag off."""
+    from parquet_extractor_spark.operators.dedup import (
+        dedup_containment_scores,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    # host doc large enough that jaccard = 6/(6 + nb - 6) sinks below
+    # the 0.1 near-dup threshold while containment stays 1.0
+    long = short + " " + " ".join(f"tok{i}" for i in range(70))
+    twin = "red orange yellow green blue indigo violet"
+    docs = [
+        (1, short), (2, long), (3, twin), (4, twin),
+    ]
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "documents.parquet",
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'en', 's', {len(t)})" for i, t in docs
+        )
+        + ") t(doc_id, text, lang, source, n_chars)",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup_containment_scores(spark, str(fixture)).collect()
+    }
+    emb = got[(1, 2)]
+    # all 6 of the short doc's 3-gram shingles appear in the long doc
+    assert emb.n_shared == emb.n_a == 6
+    assert emb.containment_a_micro == 1_000_000
+    assert emb.jaccard_micro < 100_000  # below JACCARD_THRESHOLD
+    assert emb.asymmetric == 1
+    tw = got[(3, 4)]
+    assert tw.containment_a_micro == tw.containment_b_micro == 1_000_000
+    assert tw.jaccard_micro == 1_000_000
+    assert tw.asymmetric == 0
+
+
+def test_events_type_audience_overlap_planted(spark, tmp_path):
+    """Three planted audiences: shared users count once (distinct),
+    zero-overlap pairs are absent, directional containments exact."""
+    from parquet_extractor_spark.operators.timeseries import (
+        events_type_audience_overlap,
+    )
+
+    rows = []
+    eid = 0
+    for user, typ in [
+        (1, "a"), (2, "a"), (2, "a"),  # duplicate event: distinct users
+        (2, "b"), (3, "b"),
+        (3, "c"),
+    ]:
+        rows.append(
+            f"({eid}, TIMESTAMP '2024-01-01' + INTERVAL {eid} MINUTE,"
+            f" {user}, '{typ}', 0.0, '')"
+        )
+        eid += 1
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "events.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(event_id, ts, user_id, event_type, value, props)",
+    )
+    got = {
+        (r.type_a, r.type_b): r
+        for r in events_type_audience_overlap(spark, str(fixture)).collect()
+    }
+    assert set(got) == {("a", "b"), ("b", "c")}  # (a,c) never co-occur
+    ab = got[("a", "b")]
+    assert (ab.n_a, ab.n_b, ab.n_both) == (2, 2, 1)
+    assert ab.jaccard_micro == 1_000_000 // 3
+    assert ab.containment_a_micro == 500_000
+    bc = got[("b", "c")]
+    assert (bc.n_a, bc.n_b, bc.n_both) == (2, 1, 1)
+    assert bc.containment_b_micro == 1_000_000
