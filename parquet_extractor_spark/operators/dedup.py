@@ -1429,3 +1429,79 @@ WHERE greatest(containment_a_micro, containment_b_micro)
 ORDER BY greatest(containment_a_micro, containment_b_micro) DESC,
          doc_a, doc_b
 """
+
+
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-balance diagnostic of the SimHash family: per bit
+    position, the share of documents with that bit set. An unbiased
+    hash keeps every bit near 0.5; a skewed bit makes every
+    Hamming-ball bucket it feeds lopsided, degrading
+    simhash-LSH recall/cost guarantees — this is the eval you run
+    BEFORE trusting simhash buckets at scale (the lsh_quality_eval
+    pattern applied to the hash itself rather than the candidates).
+
+    INTEGER-EXACT: bit extraction and counts are integer; the share
+    and the deviation from the ideal 500000 are micro divs.
+
+    Shape for scale: rides the simhash tier (one scan + one agg —
+    see simhash_fingerprints), then an in-row explode of the
+    SIMHASH_BITS positions into a partial+final agg with exactly
+    SIMHASH_BITS output groups.
+    """
+    sig = simhash_fingerprints(spark, sf_dir)
+    bits = sig.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+        ).alias("bit"),
+        "simhash",
+    ).select(
+        F.col("bit").cast("bigint").alias("bit"),
+        F.expr(
+            "CAST(shiftright(simhash, CAST(bit AS INT)) & 1 AS BIGINT)"
+        ).alias("is_set"),
+    )
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_set").cast("bigint").alias("n_set"),
+        )
+        .select(
+            "bit",
+            "n_docs",
+            "n_set",
+            F.expr("CAST(n_set * 1000000L div n_docs AS BIGINT)").alias(
+                "share_micro"
+            ),
+            F.expr(
+                "CAST(abs(n_set * 1000000L div n_docs - 500000)"
+                " AS BIGINT)"
+            ).alias("bias_micro"),
+        )
+        .orderBy("bit")
+    )
+
+
+def _simhash_bit_balance_oracle() -> str:
+    head, _, _tail = SIMHASH_SQL.strip().rpartition("ORDER BY")
+    return f"""
+WITH sig AS ({head.strip()}),
+bits AS (
+    SELECT CAST(b.bit AS BIGINT) AS bit,
+           CAST((simhash >> b.bit) & 1 AS BIGINT) AS is_set
+    FROM sig,
+         (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+)
+SELECT bit,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_set) AS BIGINT) AS n_set,
+       CAST(sum(is_set) * 1000000 // count(*) AS BIGINT) AS share_micro,
+       CAST(abs(sum(is_set) * 1000000 // count(*) - 500000) AS BIGINT)
+           AS bias_micro
+FROM bits
+GROUP BY bit
+ORDER BY bit
+"""
+
+
+SIMHASH_BIT_BALANCE_SQL = _simhash_bit_balance_oracle()

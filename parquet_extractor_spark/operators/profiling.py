@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from parquet_extractor_spark.sources.tables import load_table
 
@@ -541,3 +542,134 @@ FROM (SELECT {child_k} AS ck, count(*) AS rows_
 
 
 WAREHOUSE_FK_AUDIT_SQL = _warehouse_fk_audit_oracle()
+
+
+MAD_K = 5  # flag |x − median| > MAD_K · MAD (≈ 3.4σ for normal data)
+
+
+def lineitem_price_mad_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust price-outlier screen per brand: median / MAD (median
+    absolute deviation) instead of mean / stddev — the estimator pair
+    with a 50% breakdown point, so a cluster of corrupt prices cannot
+    mask itself by inflating the spread (exactly the failure mode of
+    brand_price_stats' stddev and the z-score anomaly family). The
+    row-level rule |x − med| > MAD_K·MAD is the standard "Hampel
+    identifier".
+
+    EXACT: prices fold to cents; both medians are LOWER medians
+    (rank ⌈n/2⌉ — no interpolation float, same convention as
+    brand_price_rank_assoc); the flag compare is pure integers. The
+    MAD = 0 degenerate (>50% of a brand at one price) flags every
+    deviating row, the documented Hampel behavior.
+
+    Shape for scale: two ranking windows partitioned BY BRAND (each
+    bounded by the brand's line count), one broadcast-joined median
+    table between them, and a final per-brand agg. The part dim
+    broadcasts onto the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    priced = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        "p_brand",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("cents")
+    w_b = Window.partitionBy("p_brand")
+    med = (
+        priced.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_b))
+        .filter(F.expr("rn = (cnt + 1) div 2"))
+        .select("p_brand", F.col("cents").alias("med_cents"))
+    )
+    dev = priced.join(F.broadcast(med), "p_brand").select(
+        "p_brand",
+        "cents",
+        "med_cents",
+        F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+    )
+    w_d = Window.partitionBy("p_brand").orderBy("adev")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(w_d))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_b))
+        .filter(F.expr("rn = (cnt + 1) div 2"))
+        .select("p_brand", F.col("adev").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.first("med_cents").cast("bigint").alias("median_cents"),
+            F.first("mad_cents").cast("bigint").alias("mad_cents"),
+            F.sum(
+                (F.col("adev") > F.lit(MAD_K) * F.col("mad_cents"))
+                .cast("bigint")
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "p_brand",
+            "n_items",
+            "median_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr(
+                "CAST(n_outliers * 1000000L div n_items AS BIGINT)"
+            ).alias("outlier_share_micro"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+LINEITEM_PRICE_MAD_OUTLIERS_SQL = rf"""
+WITH priced AS (
+    SELECT p.p_brand,
+           CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+med AS (
+    SELECT p_brand, cents AS med_cents
+    FROM (
+        SELECT p_brand, cents,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY p_brand) AS cnt
+        FROM priced
+    )
+    WHERE rn = (cnt + 1) // 2
+),
+dev AS (
+    SELECT pr.p_brand, pr.cents, m.med_cents,
+           abs(pr.cents - m.med_cents) AS adev
+    FROM priced pr JOIN med m ON pr.p_brand = m.p_brand
+),
+mad AS (
+    SELECT p_brand, adev AS mad_cents
+    FROM (
+        SELECT p_brand, adev,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY adev) AS rn,
+               count(*) OVER (PARTITION BY p_brand) AS cnt
+        FROM dev
+    )
+    WHERE rn = (cnt + 1) // 2
+)
+SELECT d.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(min(d.med_cents) AS BIGINT) AS median_cents,
+       CAST(min(md.mad_cents) AS BIGINT) AS mad_cents,
+       CAST(sum(CAST(d.adev > {MAD_K} * md.mad_cents AS BIGINT))
+           AS BIGINT) AS n_outliers,
+       CAST(sum(CAST(d.adev > {MAD_K} * md.mad_cents AS BIGINT))
+            * 1000000 // count(*) AS BIGINT) AS outlier_share_micro
+FROM dev d JOIN mad md ON d.p_brand = md.p_brand
+GROUP BY d.p_brand
+ORDER BY d.p_brand
+"""

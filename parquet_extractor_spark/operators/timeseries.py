@@ -2998,3 +2998,75 @@ JOIN sizes sa ON type_a = sa.event_type
 JOIN sizes sb ON type_b = sb.event_type
 ORDER BY type_a, type_b
 """
+
+
+def user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail diagnostic of per-user activity: the histogram of
+    users by event count and the log-log OLS fit of n_users(k) vs k —
+    the zipf_token_stats recipe applied to the join key every
+    user-partitioned window in this repo shuffles on. A slope near −2
+    or shallower means whale users dominate and the salting /
+    AQE-skew machinery (join_key_skew) is load-bearing; a steep slope
+    means user-keyed partitions are naturally balanced.
+
+    The histogram rows are exact integers; only the final fit is
+    floating point, computed with the same covar_pop/var_pop
+    aggregates both engines implement identically over the
+    ≤|distinct k| histogram rows (round(6), the zipf convention).
+
+    Shape for scale: two nested partial+final aggs (events → per-user
+    counts → histogram of counts); the fit runs over the
+    activity-level histogram, whose size is bounded by the most
+    active user's event count, not by users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    hist = per_user.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    logs = hist.select(
+        "k",
+        "n_users",
+        F.log(F.col("k").cast("double")).alias("lx"),
+        F.log(F.col("n_users").cast("double")).alias("ly"),
+    )
+    return logs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_levels"),
+        F.sum("n_users").cast("bigint").alias("n_users"),
+        F.max("k").cast("bigint").alias("max_events_per_user"),
+        F.round(
+            F.covar_pop("lx", "ly") / F.var_pop("lx"), 6
+        ).alias("slope"),
+        F.round(
+            F.avg("ly")
+            - (F.covar_pop("lx", "ly") / F.var_pop("lx")) * F.avg("lx"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+USER_ACTIVITY_POWERLAW_SQL = r"""
+WITH per_user AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS k
+    FROM events GROUP BY user_id
+),
+hist AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY k
+),
+logs AS (
+    SELECT k, n_users,
+           ln(CAST(k AS DOUBLE)) AS lx,
+           ln(CAST(n_users AS DOUBLE)) AS ly
+    FROM hist
+)
+SELECT CAST(count(*) AS BIGINT) AS n_levels,
+       CAST(sum(n_users) AS BIGINT) AS n_users,
+       CAST(max(k) AS BIGINT) AS max_events_per_user,
+       round(covar_pop(lx, ly) / var_pop(lx), 6) AS slope,
+       round(avg(ly) - (covar_pop(lx, ly) / var_pop(lx)) * avg(lx), 6)
+           AS intercept
+FROM logs
+"""

@@ -955,3 +955,105 @@ def test_events_type_audience_overlap_planted(spark, tmp_path):
     bc = got[("b", "c")]
     assert (bc.n_a, bc.n_b, bc.n_both) == (2, 1, 1)
     assert bc.containment_b_micro == 1_000_000
+
+
+def test_simhash_bit_balance_recomputed(spark, sf_small):
+    """Bit shares recomputed from the oracle-checked fingerprints;
+    every one of the 32 positions present with consistent counts."""
+    from parquet_extractor_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_bit_balance,
+        simhash_fingerprints,
+    )
+
+    sigs = [r.simhash for r in simhash_fingerprints(spark, sf_small).collect()]
+    got = {r.bit: r for r in simhash_bit_balance(spark, sf_small).collect()}
+    assert sorted(got) == list(range(SIMHASH_BITS))
+    n = len(sigs)
+    for b, r in got.items():
+        n_set = sum((s >> b) & 1 for s in sigs)
+        assert (r.n_docs, r.n_set) == (n, n_set)
+        share = n_set * 1_000_000 // n
+        assert r.share_micro == share
+        assert r.bias_micro == abs(share - 500_000)
+
+
+def test_lineitem_price_mad_outliers_planted(spark, tmp_path):
+    """One brand with a known median/MAD and a single monster price:
+    the Hampel rule flags exactly that row; an all-identical brand
+    hits the MAD=0 degenerate and flags only deviators."""
+    from parquet_extractor_spark.operators.profiling import (
+        MAD_K,
+        lineitem_price_mad_outliers,
+    )
+
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    parts = [(1, "B1"), (2, "B2")]
+    _write_parquet(
+        fixture / "part.parquet",
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({k}, 'p{k}', '{b}', 't', 1, 1.0)" for k, b in parts)
+        + ") t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)",
+    )
+    # B1 prices: 10,11,12,13,1000 -> med 12, adevs 2,1,0,1,988 ->
+    # MAD (lower median of 0,1,1,2,988) = 1 -> outlier iff adev > 5
+    b1 = [10.0, 11.0, 12.0, 13.0, 1000.0]
+    # B2: all 50 except one 51 -> med 50, MAD 0 -> the 51 row flags
+    b2 = [50.0, 50.0, 50.0, 51.0]
+    rows = []
+    ln = 0
+    for pk, prices in ((1, b1), (2, b2)):
+        for p in prices:
+            ln += 1
+            rows.append(
+                f"({ln}, {pk}, 7, 1, 1.0, {p}, 0.0, 0.0, 'N', 'O',"
+                " TIMESTAMP '2024-01-01')"
+            )
+    _write_parquet(
+        fixture / "lineitem.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate)",
+    )
+    got = {
+        r.p_brand: r
+        for r in lineitem_price_mad_outliers(spark, str(fixture)).collect()
+    }
+    r1 = got["B1"]
+    assert (r1.median_cents, r1.mad_cents) == (1200, 100)
+    assert r1.n_outliers == 1  # only the 1000.00 row: 98800 > 5*100
+    r2 = got["B2"]
+    assert (r2.median_cents, r2.mad_cents) == (5000, 0)
+    assert r2.n_outliers == 1  # MAD=0 degenerate: any deviation flags
+    assert MAD_K == 5
+
+
+def test_user_activity_powerlaw_recomputed(spark, sf_small):
+    """Histogram and OLS fit recomputed in Python from the raw
+    per-user counts (population covariance over log-log points)."""
+    import math
+
+    from parquet_extractor_spark.operators.timeseries import (
+        user_activity_powerlaw,
+    )
+
+    counts = Counter(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT user_id FROM '{sf_small}/events.parquet'"
+        ).fetchall()
+    )
+    hist = Counter(counts.values())
+    pts = [(math.log(k), math.log(n)) for k, n in hist.items()]
+    mx = sum(x for x, _ in pts) / len(pts)
+    my = sum(y for _, y in pts) / len(pts)
+    cov = sum((x - mx) * (y - my) for x, y in pts) / len(pts)
+    var = sum((x - mx) ** 2 for x, _ in pts) / len(pts)
+    r = user_activity_powerlaw(spark, sf_small).collect()[0]
+    assert r.n_levels == len(hist)
+    assert r.n_users == len(counts)
+    assert r.max_events_per_user == max(hist)
+    assert abs(r.slope - cov / var) < 1e-5
+    assert abs(r.intercept - (my - (cov / var) * mx)) < 1e-5
