@@ -425,3 +425,135 @@ ORDER BY bin
 
 
 CLASSIFIER_CALIBRATION_SQL = _calibration_oracle()
+
+
+LIFT_DECILES = 10
+
+
+def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table of the trained quality classifier — the
+    rank-based companion to classifier_calibration_report (which bins
+    by score VALUE; a classifier can be miscalibrated yet still rank
+    well, and ranking is what a top-k selection pipeline actually
+    consumes). Docs sort into score deciles via percentile cuts;
+    each decile reports its positive rate, lift over the base rate,
+    and the cumulative share of all positives captured from the top.
+
+    Decile assignment uses the broadcast percentile-cut recipe
+    (customer_revenue_pareto) — a map-side comparison sum against 9
+    plan literals, never a global sort. Counts are exact; every ratio
+    is a micro-unit integer div; the cumulative capture runs over the
+    10-row decile table via the bounded global window.
+
+    NOTE: the synthetic fixture corpus is LABEL-DEGENERATE at every
+    SF (its small generator vocabulary keeps token diversity < 0.7,
+    so y = 0 corpus-wide) — here lift/capture report the guarded 0
+    and the table is a structure check; the planted-fixture pytest
+    (separable docs with real positives) exercises the ranking path.
+    """
+    from parquet_extractor_spark.functions.windows import (
+        bounded_global_window,
+    )
+
+    scores = trained_classifier_scores(spark, sf_dir).select(
+        "logit_micro", F.col("y").cast("bigint").alias("y")
+    )
+    qs = [i / LIFT_DECILES for i in range(1, LIFT_DECILES)]
+    cuts = scores.agg(
+        *[
+            F.percentile(F.col("logit_micro").cast("double"), F.lit(q)).alias(
+                f"c{int(q * 100)}"
+            )
+            for q in qs
+        ]
+    )
+    decile = F.lit(1)
+    for q in qs:
+        decile = decile + (
+            F.col("logit_micro") > F.col(f"c{int(q * 100)}")
+        ).cast("int")
+    by_decile = (
+        scores.crossJoin(F.broadcast(cuts))
+        .select(decile.cast("bigint").alias("decile"), "y")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    totals = by_decile.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("n_pos").cast("bigint").alias("pos_total"),
+    )
+    w_top = bounded_global_window(F.desc("decile")).rowsBetween(
+        -1_000_000, 0
+    )
+    return (
+        by_decile.crossJoin(F.broadcast(totals))
+        .withColumn("_cum_pos", F.sum("n_pos").over(w_top))
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            F.expr("CAST(n_pos * 1000000L div n_docs AS BIGINT)").alias(
+                "pos_rate_micro"
+            ),
+            F.expr(
+                "CAST(CASE WHEN pos_total > 0 THEN "
+                "n_pos * n_total * 1000000L div (n_docs * pos_total) "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("lift_micro"),
+            F.expr(
+                "CAST(CASE WHEN pos_total > 0 THEN "
+                "_cum_pos * 1000000L div pos_total ELSE 0 END AS BIGINT)"
+            ).alias("capture_from_top_micro"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _decile_lift_oracle() -> str:
+    head, _, _tail = TRAINED_CLASSIFIER_SCORES_SQL.strip().rpartition(
+        "ORDER BY"
+    )
+    qs = [i / LIFT_DECILES for i in range(1, LIFT_DECILES)]
+    cut_cols = ",\n      ".join(
+        f"quantile_cont(CAST(logit_micro AS DOUBLE), {q}) AS c{int(q*100)}"
+        for q in qs
+    )
+    decile = " + ".join(
+        f"CAST(logit_micro > c{int(q*100)} AS INT)" for q in qs
+    )
+    return f"""
+WITH scores AS ({head.strip()}),
+cuts AS (
+    SELECT {cut_cols} FROM scores
+),
+by_decile AS (
+    SELECT CAST(1 + {decile} AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos
+    FROM scores, cuts
+    GROUP BY 1
+),
+totals AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+           CAST(sum(n_pos) AS BIGINT) AS pos_total
+    FROM by_decile
+)
+SELECT decile, n_docs, n_pos,
+       CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_rate_micro,
+       CAST(CASE WHEN pos_total > 0 THEN
+            n_pos * n_total * 1000000 // (n_docs * pos_total)
+            ELSE 0 END AS BIGINT) AS lift_micro,
+       CAST(CASE WHEN pos_total > 0 THEN
+            sum(n_pos) OVER (ORDER BY decile DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000 // pos_total ELSE 0 END AS BIGINT)
+           AS capture_from_top_micro
+FROM by_decile, totals
+ORDER BY decile
+"""
+
+
+CLASSIFIER_DECILE_LIFT_SQL = _decile_lift_oracle()

@@ -3101,3 +3101,125 @@ FROM comps a JOIN comps b
 GROUP BY a.i, b.i
 ORDER BY a.i, b.i
 """
+
+
+def source_centroid_separation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise cosine between SOURCE centroids in embedding space —
+    are two sources semantically distinct populations or the same
+    corpus wearing two names? The source-level companion to
+    label_centroids (classes) and embedding_drift_audit (time): a
+    pair at cos ≈ 1 is a candidate for merged mixing weights, a pair
+    far apart justifies separate curation thresholds.
+
+    Determinism: components snap to integer micro units, so the
+    per-(source, dim) SUMS are exact integers (no float accumulation
+    order anywhere); the cosine of the two integer-sum vectors (the n
+    denominators cancel) divides two exact DECIMAL↔HUGEINT dot
+    products inside ONE pointwise double expression, round(6).
+
+    Shape for scale: the doc→embedding join is id-keyed; one
+    partial+final agg to (source, dim) sums — |sources|×64 rows — and
+    the pairwise stage is an EQUI-join on dim over that reduction
+    (each dim bucket holds |sources| rows per side), the
+    source_length_mannwhitney shape in embedding space.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", "embedding"
+    )
+    comps = joined.select(
+        "source", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "source",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("x").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("e"),
+    )
+    sums = comps.groupBy("source", "dim").agg(
+        F.sum("e").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    dec = "decimal(38,0)"
+    a, b = sums.alias("a"), sums.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.s").alias("sa"),
+        F.col("b.s").alias("sb"),
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum(F.col("sa").cast(dec) * F.col("sb").cast(dec)).alias(
+                "_dot"
+            ),
+            F.sum(F.col("sa").cast(dec) * F.col("sa").cast(dec)).alias(
+                "_na2"
+            ),
+            F.sum(F.col("sb").cast(dec) * F.col("sb").cast(dec)).alias(
+                "_nb2"
+            ),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_na2").cast("double"))
+                    * F.sqrt(F.col("_nb2").cast("double"))
+                ),
+                6,
+            ).alias("cos_centroid"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_CENTROID_SEPARATION_SQL = r"""
+WITH joined AS (
+    SELECT d.source, e.embedding
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+comps AS (
+    SELECT source,
+           CAST(di.i - 1 AS BIGINT) AS dim,
+           CAST(floor(CAST(embedding[di.i] AS DOUBLE) * 1000000)
+               AS BIGINT) AS e
+    FROM joined,
+         (SELECT unnest(generate_series(1, len_e)) AS i
+          FROM (SELECT max(len(embedding)) AS len_e FROM embeddings)) di
+),
+sums AS (
+    SELECT source, dim,
+           CAST(sum(e) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM comps GROUP BY 1, 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(max(a.n) AS BIGINT) AS n_a,
+       CAST(max(b.n) AS BIGINT) AS n_b,
+       round(CAST(sum(CAST(a.s AS HUGEINT) * b.s) AS DOUBLE)
+             / (sqrt(CAST(sum(CAST(a.s AS HUGEINT) * a.s) AS DOUBLE))
+                * sqrt(CAST(sum(CAST(b.s AS HUGEINT) * b.s) AS DOUBLE))),
+             6) AS cos_centroid
+FROM sums a JOIN sums b ON a.dim = b.dim AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY a.source, b.source
+"""

@@ -1057,3 +1057,138 @@ def test_user_activity_powerlaw_recomputed(spark, sf_small):
     assert r.max_events_per_user == max(hist)
     assert abs(r.slope - cov / var) < 1e-5
     assert abs(r.intercept - (my - (cov / var) * mx)) < 1e-5
+
+
+def test_classifier_decile_lift_recomputed(spark, sf_small):
+    """Lift table recomputed from the oracle-checked per-doc scores
+    with the same interpolated decile cuts; invariants: docs
+    conserved, capture reaches 1.0 and is monotone from the top."""
+    from parquet_extractor_spark.operators.classifier import (
+        LIFT_DECILES,
+        classifier_decile_lift,
+        trained_classifier_scores,
+    )
+
+    scores = trained_classifier_scores(spark, sf_small).collect()
+    logits = sorted(r.logit_micro for r in scores)
+
+    def quantile_cont(p):
+        idx = p * (len(logits) - 1)
+        lo = int(idx)
+        frac = idx - lo
+        hi = min(lo + 1, len(logits) - 1)
+        return logits[lo] + frac * (logits[hi] - logits[lo])
+
+    cuts = [quantile_cont(i / LIFT_DECILES) for i in range(1, LIFT_DECILES)]
+    by_dec = defaultdict(lambda: [0, 0])
+    for r in scores:
+        d = 1 + sum(1 for c in cuts if r.logit_micro > c)
+        by_dec[d][0] += 1
+        by_dec[d][1] += r.y
+    n_total = len(scores)
+    pos_total = sum(r.y for r in scores)
+    got = classifier_decile_lift(spark, sf_small).collect()
+    assert {r.decile for r in got} == set(by_dec)
+    cum = 0
+    for r in sorted(got, key=lambda r: -r.decile):
+        n, pos = by_dec[r.decile]
+        cum += pos
+        assert (r.n_docs, r.n_pos) == (n, pos)
+        assert r.pos_rate_micro == pos * 1_000_000 // n
+        if pos_total > 0:
+            assert r.lift_micro == (
+                pos * n_total * 1_000_000 // (n * pos_total)
+            )
+            assert r.capture_from_top_micro == (
+                cum * 1_000_000 // pos_total
+            )
+        else:  # degenerate no-positives corpus: guarded zeros
+            assert (r.lift_micro, r.capture_from_top_micro) == (0, 0)
+    assert sum(r.n_docs for r in got) == n_total
+    assert cum == pos_total
+    if pos_total > 0:
+        # ranking quality: the top decile must beat the base rate
+        top = max(got, key=lambda r: r.decile)
+        assert top.lift_micro >= 1_000_000
+
+
+def test_source_centroid_separation_recomputed(spark, sf_small):
+    """Centroid cosines recomputed in Python from micro-snapped
+    integer component sums; all 190 pairs present, cos in [-1, 1]."""
+    import math
+
+    from parquet_extractor_spark.operators.similarity import (
+        source_centroid_separation,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT d.source, e.embedding"
+        f" FROM '{sf_small}/embeddings.parquet' e"
+        f" JOIN '{sf_small}/documents.parquet' d ON e.vec_id = d.doc_id"
+    ).fetchall()
+    sums = defaultdict(lambda: None)
+    ns = Counter()
+    for src, emb in rows:
+        vec = [math.floor(float(x) * 1_000_000) for x in emb]
+        ns[src] += 1
+        if sums[src] is None:
+            sums[src] = vec
+        else:
+            sums[src] = [a + b for a, b in zip(sums[src], vec)]
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_centroid_separation(spark, sf_small).collect()
+    }
+    srcs = sorted(ns)
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for (a, b), r in got.items():
+        dot = sum(x * y for x, y in zip(sums[a], sums[b]))
+        na = math.sqrt(sum(x * x for x in sums[a]))
+        nb = math.sqrt(sum(x * x for x in sums[b]))
+        want = dot / (na * nb)
+        assert (r.n_a, r.n_b) == (ns[a], ns[b])
+        assert abs(r.cos_centroid - want) < 2e-6
+        assert -1.000001 <= r.cos_centroid <= 1.000001
+
+
+def test_classifier_decile_lift_planted_positives(spark, tmp_path):
+    """The fixture corpus is label-degenerate (no positives), so this
+    planted corpus provides real separable labels: long diverse docs
+    (y=1) vs short repetitive ones (y=0). After training, the top
+    decile must capture the positives with lift > 1."""
+    from parquet_extractor_spark.operators.classifier import (
+        classifier_decile_lift,
+    )
+
+    rows = []
+    did = 0
+    # 10 positives: 45 DISTINCT tokens (diversity 1.0, length >= 40)
+    for d in range(10):
+        text = " ".join(f"w{d}x{i}" for i in range(45))
+        rows.append(f"({did}, '{text}', 'en', 's', {len(text)})")
+        did += 1
+    # 30 negatives: 12 repetitive tokens
+    for d in range(30):
+        text = " ".join("spam" for _ in range(12))
+        rows.append(f"({did}, '{text}', 'en', 's', {len(text)})")
+        did += 1
+    fixture = tmp_path / "sf"
+    fixture.mkdir()
+    _write_parquet(
+        fixture / "documents.parquet",
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") t(doc_id, text, lang, source, n_chars)",
+    )
+    got = sorted(
+        classifier_decile_lift(spark, str(fixture)).collect(),
+        key=lambda r: r.decile,
+    )
+    assert sum(r.n_docs for r in got) == 40
+    assert sum(r.n_pos for r in got) == 10
+    top = got[-1]
+    # separable features: the highest decile is all positives
+    assert top.n_pos == top.n_docs
+    assert top.lift_micro == 40 * 1_000_000 // 10  # 4x the base rate
+    assert top.capture_from_top_micro >= top.n_pos * 1_000_000 // 10
+    bottom = got[0]
+    assert bottom.n_pos == 0 and bottom.lift_micro == 0
