@@ -97,56 +97,86 @@ def _pair_overlap_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_shared, na, nb) for every pair of documents
     sharing ≥1 rare shingle — the exact-overlap tier behind BOTH the
     symmetric Jaccard query and the asymmetric containment query.
-    Plan shape documented on ngram_jaccard_pairs (unchanged)."""
-    all_sh = _doc_shingles(spark, sf_dir)
-    hot = (
-        all_sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    from pyspark import StorageLevel
+    Plan shape documented on ngram_jaccard_pairs (unchanged).
 
-    grouped = (
-        all_sh.join(hot, "shingle", "left_anti")
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sizes = (
-        grouped.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            "ds",
-            lambda a: F.transform(
+    MATERIALIZED via tiers.ensure_tier so the two registry consumers
+    (ngram_jaccard_pairs, dedup_containment_scores — plus
+    lsh_quality_eval through _ngram_pairs_tier) share ONE derivation;
+    the grouped-postings persist that feeds the build is dropped as
+    soon as the tier's parquet write completes, so a full-registry
+    sweep no longer carries session-lifetime cached postings copies.
+    """
+    from parquet_extractor_spark.artifacts import _disabled
+    from parquet_extractor_spark.tiers import ensure_tier
+
+    to_unpersist: list[DataFrame] = []
+
+    def build() -> DataFrame:
+        all_sh = _doc_shingles(spark, sf_dir)
+        hot = (
+            all_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > MAX_SHINGLE_DF)
+            .select("shingle")
+        )
+        from pyspark import StorageLevel
+
+        grouped = (
+            all_sh.join(hot, "shingle", "left_anti")
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        to_unpersist.append(grouped)
+        sizes = (
+            grouped.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        pair_arr = F.flatten(
+            F.transform(
                 "ds",
-                lambda b: F.struct(
-                    a.alias("doc_a"),
-                    b.alias("doc_b"),
+                lambda a: F.transform(
+                    "ds",
+                    lambda b: F.struct(
+                        a.alias("doc_a"),
+                        b.alias("doc_b"),
+                    ),
                 ),
-            ),
+            )
         )
-    )
-    shared = (
-        grouped.select(
-            F.explode(F.filter(pair_arr, lambda p: p.doc_a < p.doc_b)).alias("p")
+        shared = (
+            grouped.select(
+                F.explode(
+                    F.filter(pair_arr, lambda p: p.doc_a < p.doc_b)
+                ).alias("p")
+            )
+            .groupBy("p.doc_a", "p.doc_b")
+            .agg(F.count("*").alias("n_shared"))
         )
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count("*").alias("n_shared"))
-    )
-    return (
-        shared.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
+        return (
+            shared.join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+                ),
+                "doc_a",
+            )
+            .join(
+                sizes.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+                ),
+                "doc_b",
+            )
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-    )
+
+    out = ensure_tier(spark, sf_dir, "pair_overlap", build)
+    # With the tier layer disabled the plan is returned lazily and the
+    # persist must survive for its consumers (the pre-tier behavior);
+    # otherwise the write inside ensure_tier already materialized it.
+    if not _disabled():
+        for df in to_unpersist:
+            df.unpersist()
+    return out
 
 
 

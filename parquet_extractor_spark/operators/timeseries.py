@@ -2017,9 +2017,12 @@ def event_trigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     All four counts derive from the SAME trigram table (marginals via
     windows), so boundary effects cancel by construction:
         lift = n_abc · n_·b· / (n_ab· · n_·bc)
-    INTEGER-EXACT: products of exact BIGINT counts; the one division
-    is the micro-unit integer div. n_abc·n_b stays in int64 up to
-    ~3e9 trigrams per middle type (documented bound).
+    INTEGER-EXACT: products of exact BIGINT counts, widened through
+    DECIMAL(38,0) (DuckDB HUGEINT — the events_dow_chisq pairing) so
+    n_abc·n_b·1e6 stays exact at any corpus size instead of silently
+    wrapping int64 past ~3e9 trigrams per middle type; the one
+    division is the micro-unit integer div, result cast back to
+    BIGINT (the ratio is bounded by 1e6 · |types|).
 
     Shape for scale: one shuffle on user_id orders each stream (two
     lags of carried state per row), one partial+final agg to the
@@ -2052,7 +2055,8 @@ def event_trigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_type",
             "n",
             F.expr(
-                "CAST(n * n_b * 1000000L div (n_ab * n_bc) AS BIGINT)"
+                "CAST(CAST(n AS DECIMAL(38,0)) * n_b * 1000000 "
+                "div (CAST(n_ab AS DECIMAL(38,0)) * n_bc) AS BIGINT)"
             ).alias("lift_micro"),
         )
         .orderBy("prev2", "prev1", "next_type")
@@ -2073,13 +2077,22 @@ WITH tri AS (
     GROUP BY 1, 2, 3
 )
 SELECT prev2, prev1, next_type, n,
-       CAST(n * sum(n) OVER (PARTITION BY prev1) * 1000000
-            // (sum(n) OVER (PARTITION BY prev2, prev1)
+       CAST(CAST(n AS HUGEINT) * sum(n) OVER (PARTITION BY prev1)
+            * 1000000
+            // (CAST(sum(n) OVER (PARTITION BY prev2, prev1)
+                     AS HUGEINT)
                 * sum(n) OVER (PARTITION BY prev1, next_type))
             AS BIGINT) AS lift_micro
 FROM tri
 ORDER BY prev2, prev1, next_type
 """
+
+
+# Target parts per sampling bucket for brand_price_rank_assoc's pair
+# generator: each brand's parts hash into max(1, n div 16) buckets and
+# only same-bucket pairs are enumerated, capping expected pairs per
+# part at (PAIR_BUCKET_SIZE - 1) / 2 regardless of catalog size.
+PAIR_BUCKET_SIZE = 16
 
 
 def brand_price_rank_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2098,15 +2111,29 @@ def brand_price_rank_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER-EXACT: prices fold to cents, slopes to truncated
     micro-cents-per-size; C, D and the median rank are exact counts.
 
-    Shape for scale: the pair generator is a SELF-EQUI-JOIN ON BRAND
-    over the part DIMENSION (never a fact table) with p1.key < p2.key
-    — quadratic only in parts-per-brand, which is catalog-bounded.
-    At a catalog where brands reach millions of parts, the documented
-    scale path is the standard Theil-Sen estimator over a per-part
-    hash-sampled pair subset (same join, a salted filter) — the
-    estimator is defined to degrade gracefully under pair sampling;
-    gamma likewise. The median is a per-brand row_number over the
-    pair frame, partition-bounded by pairs-per-brand.
+    PAIR SAMPLING (the scale contract): both estimators are defined
+    to degrade gracefully under uniform pair subsampling, and a full
+    all-pairs generator is quadratic in parts-per-brand — dead at
+    catalog scale (sf10 ≈ 80G pairs). So pairs are drawn WITHIN HASH
+    BUCKETS: each part lands in one of max(1, n_parts_in_brand div
+    PAIR_BUCKET_SIZE) buckets via a Knuth multiplicative hash on
+    p_partkey (deterministic, mirrored verbatim by the oracle), and
+    only same-bucket pairs are enumerated. Bucket membership is
+    independent of size/price, so same-bucket pairs are an unbiased
+    uniform pair sample; expected pairs per brand ≈ n_parts ×
+    (PAIR_BUCKET_SIZE−1)/2 — LINEAR in catalog size. Brands with
+    fewer than 2·PAIR_BUCKET_SIZE parts keep one bucket = the exact
+    all-pairs estimator.
+
+    Shape for scale: one partial+final count to the ≤|brands| row
+    brand-size table (broadcast back), then a SELF-EQUI-JOIN ON
+    (BRAND, BUCKET) over the part DIMENSION with p1.key < p2.key —
+    enumeration is bucket-local, never quadratic in the catalog.
+    Counts, concordance and the Theil-Sen median all come from ONE
+    window pass over the sampled pair frame (partitioned by brand —
+    no second derivation of the pairs, no persist needed); the
+    LOWER-median row_number orders NULLS LAST so ds=0 pairs count in
+    n_pairs but drop out of the slope median in both engines.
     """
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey",
@@ -2116,46 +2143,74 @@ def brand_price_rank_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
-    a, b = part.alias("a"), part.alias("b")
-    pairs = a.join(
+    brand_n = part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    # Knuth multiplicative hash, exact in int64 for keys < 3.4e9
+    # (sf1000's part table is ~2e9 rows); both engines evaluate the
+    # identical expression, so the sampled pair set is shared.
+    bucketed = part.join(F.broadcast(brand_n), "p_brand").select(
+        "p_partkey",
+        "p_brand",
+        "size",
+        "cents",
+        F.expr(
+            "(p_partkey * 2654435761L % 4294967296L) "
+            f"% greatest(1L, n_parts div {PAIR_BUCKET_SIZE}L)"
+        ).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    scored = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey")),
     ).select(
         F.col("a.p_brand").alias("p_brand"),
         (F.col("b.size") - F.col("a.size")).alias("ds"),
         (F.col("b.cents") - F.col("a.cents")).alias("dc"),
-    )
-    counts = pairs.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(
-            ((F.col("ds") > 0) & (F.col("dc") > 0)
-             | (F.col("ds") < 0) & (F.col("dc") < 0)).cast("bigint")
-        ).cast("bigint").alias("concordant"),
-        F.sum(
-            ((F.col("ds") > 0) & (F.col("dc") < 0)
-             | (F.col("ds") < 0) & (F.col("dc") > 0)).cast("bigint")
-        ).cast("bigint").alias("discordant"),
-    )
-    slopes = pairs.filter(F.col("ds") != 0).select(
+    ).select(
         "p_brand",
+        "ds",
+        "dc",
         F.expr(
+            "CASE WHEN ds = 0 THEN NULL ELSE "
             "CAST(CASE WHEN ds < 0 THEN (-dc) * 1000000L div (-ds) "
-            "ELSE dc * 1000000L div ds END AS BIGINT)"
+            "ELSE dc * 1000000L div ds END AS BIGINT) END"
         ).alias("slope_micro"),
     )
-    w = Window.partitionBy("p_brand").orderBy("slope_micro")
-    w_n = Window.partitionBy("p_brand")
-    median = (
-        slopes.withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count(F.lit(1)).over(w_n))
-        .filter(F.expr("rn = (cnt + 1) div 2"))
-        .select(
-            "p_brand", F.col("slope_micro").alias("theilsen_slope_micro")
-        )
+    w_b = Window.partitionBy("p_brand")
+    w_ord = Window.partitionBy("p_brand").orderBy(
+        F.col("slope_micro").asc_nulls_last()
     )
     return (
-        counts.join(median, "p_brand", "left")
+        scored.withColumn(
+            "n_pairs", F.count(F.lit(1)).over(w_b).cast("bigint")
+        )
+        .withColumn(
+            "concordant",
+            F.sum(
+                ((F.col("ds") > 0) & (F.col("dc") > 0)
+                 | (F.col("ds") < 0) & (F.col("dc") < 0)).cast("bigint")
+            ).over(w_b).cast("bigint"),
+        )
+        .withColumn(
+            "discordant",
+            F.sum(
+                ((F.col("ds") > 0) & (F.col("dc") < 0)
+                 | (F.col("ds") < 0) & (F.col("dc") > 0)).cast("bigint")
+            ).over(w_b).cast("bigint"),
+        )
+        .withColumn(
+            "cnt_slopes", F.count("slope_micro").over(w_b).cast("bigint")
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+        .filter(
+            F.expr(
+                "(cnt_slopes > 0 AND rn = (cnt_slopes + 1) div 2) "
+                "OR (cnt_slopes = 0 AND rn = 1)"
+            )
+        )
         .select(
             "p_brand",
             "n_pairs",
@@ -2166,7 +2221,7 @@ def brand_price_rank_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(concordant - discordant) * 1000000L "
                 "div (concordant + discordant) ELSE 0 END AS BIGINT)"
             ).alias("gamma_micro"),
-            F.coalesce("theilsen_slope_micro", F.lit(0))
+            F.coalesce("slope_micro", F.lit(0))
             .cast("bigint")
             .alias("theilsen_slope_micro"),
         )
@@ -2174,52 +2229,64 @@ def brand_price_rank_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BRAND_PRICE_RANK_ASSOC_SQL = r"""
+BRAND_PRICE_RANK_ASSOC_SQL = rf"""
 WITH part_c AS (
     SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS size,
            CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
     FROM part
 ),
-pairs AS (
-    SELECT a.p_brand, b.size - a.size AS ds, b.cents - a.cents AS dc
-    FROM part_c a JOIN part_c b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+brand_n AS (
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+    FROM part_c GROUP BY p_brand
 ),
-counts AS (
+bucketed AS (
+    SELECT p.p_partkey, p.p_brand, p.size, p.cents,
+           (p.p_partkey * 2654435761 % 4294967296)
+               % greatest(1, n.n_parts // {PAIR_BUCKET_SIZE})
+               AS bucket
+    FROM part_c p JOIN brand_n n ON p.p_brand = n.p_brand
+),
+scored AS (
+    SELECT a.p_brand,
+           b.size - a.size AS ds,
+           b.cents - a.cents AS dc,
+           CASE WHEN b.size - a.size = 0 THEN NULL ELSE
+             CAST(CASE WHEN b.size - a.size < 0
+                  THEN (-(b.cents - a.cents)) * 1000000
+                       // (-(b.size - a.size))
+                  ELSE (b.cents - a.cents) * 1000000
+                       // (b.size - a.size) END AS BIGINT) END
+               AS slope_micro
+    FROM bucketed a JOIN bucketed b
+      ON a.p_brand = b.p_brand AND a.bucket = b.bucket
+     AND a.p_partkey < b.p_partkey
+),
+win AS (
     SELECT p_brand,
-           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) OVER wb AS BIGINT) AS n_pairs,
            CAST(sum(CAST((ds > 0 AND dc > 0) OR (ds < 0 AND dc < 0)
-                AS BIGINT)) AS BIGINT) AS concordant,
+                AS BIGINT)) OVER wb AS BIGINT) AS concordant,
            CAST(sum(CAST((ds > 0 AND dc < 0) OR (ds < 0 AND dc > 0)
-                AS BIGINT)) AS BIGINT) AS discordant
-    FROM pairs GROUP BY p_brand
-),
-slopes AS (
-    SELECT p_brand,
-           CAST(CASE WHEN ds < 0 THEN (-dc) * 1000000 // (-ds)
-                ELSE dc * 1000000 // ds END AS BIGINT) AS slope_micro
-    FROM pairs WHERE ds != 0
-),
-med AS (
-    SELECT p_brand, slope_micro AS theilsen_slope_micro
-    FROM (
-        SELECT p_brand, slope_micro,
-               row_number() OVER (PARTITION BY p_brand
-                                  ORDER BY slope_micro) AS rn,
-               count(*) OVER (PARTITION BY p_brand) AS cnt
-        FROM slopes
-    )
-    WHERE rn = (cnt + 1) // 2
+                AS BIGINT)) OVER wb AS BIGINT) AS discordant,
+           CAST(count(slope_micro) OVER wb AS BIGINT) AS cnt_slopes,
+           row_number() OVER (PARTITION BY p_brand
+                              ORDER BY slope_micro ASC NULLS LAST)
+               AS rn,
+           slope_micro
+    FROM scored
+    WINDOW wb AS (PARTITION BY p_brand)
 )
-SELECT c.p_brand, c.n_pairs, c.concordant, c.discordant,
-       CAST(CASE WHEN c.concordant + c.discordant > 0 THEN
-            (c.concordant - c.discordant) * 1000000
-            // (c.concordant + c.discordant) ELSE 0 END AS BIGINT)
+SELECT p_brand, n_pairs, concordant, discordant,
+       CAST(CASE WHEN concordant + discordant > 0 THEN
+            (concordant - discordant) * 1000000
+            // (concordant + discordant) ELSE 0 END AS BIGINT)
            AS gamma_micro,
-       CAST(coalesce(m.theilsen_slope_micro, 0) AS BIGINT)
+       CAST(coalesce(slope_micro, 0) AS BIGINT)
            AS theilsen_slope_micro
-FROM counts c LEFT JOIN med m ON c.p_brand = m.p_brand
-ORDER BY c.p_brand
+FROM win
+WHERE (cnt_slopes > 0 AND rn = (cnt_slopes + 1) // 2)
+   OR (cnt_slopes = 0 AND rn = 1)
+ORDER BY p_brand
 """
 
 
@@ -2597,22 +2664,20 @@ def events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_reached", F.lit(0)).cast("bigint").alias("n_users"),
     )
     w = bounded_global_window("step_idx")
+    prev = F.coalesce(F.lag("n_users").over(w), F.col("n_users"))
+    first = F.first("n_users").over(w)
     return counts.select(
         "step_idx",
         "step",
         "n_users",
-        F.expr(
-            "CAST(CASE WHEN coalesce(lag(n_users) OVER "
-            "(ORDER BY step_idx), n_users) > 0 THEN "
-            "floor(n_users * 1000000.0 / coalesce(lag(n_users) OVER "
-            "(ORDER BY step_idx), n_users)) ELSE 0 END AS BIGINT)"
-        ).alias("conversion_micro"),
-        F.expr(
-            "CAST(CASE WHEN first_value(n_users) OVER "
-            "(ORDER BY step_idx) > 0 THEN floor(n_users * 1000000.0 / "
-            "first_value(n_users) OVER (ORDER BY step_idx)) "
-            "ELSE 0 END AS BIGINT)"
-        ).alias("overall_micro"),
+        F.when(
+            prev > 0,
+            F.floor(F.col("n_users") * F.lit(1000000.0) / prev),
+        ).otherwise(F.lit(0)).cast("bigint").alias("conversion_micro"),
+        F.when(
+            first > 0,
+            F.floor(F.col("n_users") * F.lit(1000000.0) / first),
+        ).otherwise(F.lit(0)).cast("bigint").alias("overall_micro"),
     ).orderBy("step_idx")
 
 
@@ -3032,18 +3097,29 @@ def user_activity_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("k").cast("double")).alias("lx"),
         F.log(F.col("n_users").cast("double")).alias("ly"),
     )
+    # n_levels = 1 makes var_pop(lx) exactly 0 (one histogram level):
+    # Spark would emit NULL but DuckDB (ieee_floating_point_ops) emits
+    # NaN/inf, so the degenerate fit is pinned to NULL in BOTH engines
+    # (k values are distinct, so n_levels > 1 ⟺ var_pop(lx) > 0).
+    fit_ok = F.count(F.lit(1)) > 1
+    null_d = F.lit(None).cast("double")
     return logs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_levels"),
         F.sum("n_users").cast("bigint").alias("n_users"),
         F.max("k").cast("bigint").alias("max_events_per_user"),
-        F.round(
-            F.covar_pop("lx", "ly") / F.var_pop("lx"), 6
-        ).alias("slope"),
-        F.round(
-            F.avg("ly")
-            - (F.covar_pop("lx", "ly") / F.var_pop("lx")) * F.avg("lx"),
-            6,
-        ).alias("intercept"),
+        F.when(
+            fit_ok,
+            F.round(F.covar_pop("lx", "ly") / F.var_pop("lx"), 6),
+        ).otherwise(null_d).alias("slope"),
+        F.when(
+            fit_ok,
+            F.round(
+                F.avg("ly")
+                - (F.covar_pop("lx", "ly") / F.var_pop("lx"))
+                * F.avg("lx"),
+                6,
+            ),
+        ).otherwise(null_d).alias("intercept"),
     )
 
 
@@ -3065,8 +3141,12 @@ logs AS (
 SELECT CAST(count(*) AS BIGINT) AS n_levels,
        CAST(sum(n_users) AS BIGINT) AS n_users,
        CAST(max(k) AS BIGINT) AS max_events_per_user,
-       round(covar_pop(lx, ly) / var_pop(lx), 6) AS slope,
-       round(avg(ly) - (covar_pop(lx, ly) / var_pop(lx)) * avg(lx), 6)
-           AS intercept
+       CASE WHEN count(*) > 1
+            THEN round(covar_pop(lx, ly) / var_pop(lx), 6)
+            ELSE CAST(NULL AS DOUBLE) END AS slope,
+       CASE WHEN count(*) > 1
+            THEN round(avg(ly) - (covar_pop(lx, ly) / var_pop(lx))
+                       * avg(lx), 6)
+            ELSE CAST(NULL AS DOUBLE) END AS intercept
 FROM logs
 """

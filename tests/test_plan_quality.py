@@ -122,9 +122,13 @@ def test_events_cube_single_scan_partial_agg(spark, sf_small):
     assert len(scans) == 1
 
 
-def test_ngram_jaccard_partial_agg(spark, sf_small):
+def test_ngram_jaccard_partial_agg(spark, sf_small, monkeypatch):
+    """Cold-path plan (tier layer disabled): the pair-overlap build
+    itself must partial-aggregate; the warm path is a parquet scan of
+    the materialized tier (exercised by test_tiers)."""
     from parquet_extractor_spark.operators import dedup
 
+    monkeypatch.setenv("SPARK_GRAFT_NO_TIER_CACHE", "1")
     assert has_partial_aggregation(dedup.ngram_jaccard_pairs(spark, sf_small))
 
 
