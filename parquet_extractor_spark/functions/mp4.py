@@ -106,11 +106,71 @@ def _parse_hdlr(data: bytes, start: int, end: int):
     return data[start + 8:start + 12]
 
 
+def _parse_mdhd(data: bytes, start: int, end: int):
+    """Media timescale from a MediaHeaderBox (v0 u32 fields / v1 u64
+    times), or None."""
+    if start + 4 > end:
+        return None
+    version = data[start]
+    ts_off = start + 4 + (16 if version == 1 else 8)
+    if ts_off + 4 > end:
+        return None
+    (timescale,) = struct.unpack(">I", data[ts_off:ts_off + 4])
+    return timescale or None
+
+
+def _parse_stts(data: bytes, start: int, end: int):
+    """(n_samples, media_duration) from a TimeToSampleBox: the entry
+    table is run-length (sample_count, sample_delta) pairs (ISO/IEC
+    14496-12 §8.6.1.2) — multi-entry tables are the variable-frame-
+    duration case single-entry fixtures never exercise."""
+    if start + 8 > end:
+        return None
+    (n_entries,) = struct.unpack(">I", data[start + 4:start + 8])
+    if n_entries > (end - start - 8) // 8:
+        return None  # truncated table
+    n_samples = 0
+    duration = 0
+    off = start + 8
+    for _ in range(n_entries):
+        count, delta = struct.unpack(">II", data[off:off + 8])
+        n_samples += count
+        duration += count * delta
+        off += 8
+    return n_samples, duration
+
+
+def _parse_ctts(data: bytes, start: int, end: int):
+    """(min_offset, max_offset) over a CompositionOffsetBox's
+    run-length (sample_count, offset) table — offsets are unsigned in
+    v0, SIGNED in v1 (§8.6.1.3); the signed form is how B-frame
+    reorder leads earlier than the decode timeline."""
+    if start + 8 > end:
+        return None
+    version = data[start]
+    (n_entries,) = struct.unpack(">I", data[start + 4:start + 8])
+    if n_entries == 0 or n_entries > (end - start - 8) // 8:
+        return None
+    fmt = ">Ii" if version == 1 else ">II"
+    lo = hi = None
+    off = start + 8
+    for _ in range(n_entries):
+        _count, coff = struct.unpack(fmt, data[off:off + 8])
+        lo = coff if lo is None else min(lo, coff)
+        hi = coff if hi is None else max(hi, coff)
+        off += 8
+    return lo, hi
+
+
 def parse_mp4_metadata(data: bytes | None) -> dict | None:
     """Container metadata from the box tree, or None when the bytes
     are not ISO BMFF. Keys: brand, duration_ms, n_tracks, width,
     height (largest video track's display size), has_video,
-    has_audio."""
+    has_audio — plus, when the selected video track carries a sample
+    table: n_frames / media_timescale / media_duration (stts run-
+    length sums), fps_milli (frames·timescale·1000 div duration) and
+    cts_offset_min/max (ctts composition-offset extremes, signed in
+    v1 — the B-frame reorder signature)."""
     if not is_mp4(data):
         return None
     brand = None
@@ -118,6 +178,7 @@ def parse_mp4_metadata(data: bytes | None) -> dict | None:
     n_tracks = 0
     width = height = None
     has_video = has_audio = False
+    video_timing = None
     for fourcc, body, box_end in _walk_boxes(data, 0, len(data)):
         if fourcc == b"ftyp":
             brand = data[body:body + 4].decode("latin-1")
@@ -129,6 +190,8 @@ def parse_mp4_metadata(data: bytes | None) -> dict | None:
                     n_tracks += 1
                     wh = None
                     handler = None
+                    media_ts = None
+                    stts = ctts = None
                     for cc3, b3, e3 in _walk_boxes(data, b2, e2):
                         if cc3 == b"tkhd":
                             wh = _parse_tkhd(data, b3, e3)
@@ -136,17 +199,39 @@ def parse_mp4_metadata(data: bytes | None) -> dict | None:
                             for cc4, b4, e4 in _walk_boxes(data, b3, e3):
                                 if cc4 == b"hdlr":
                                     handler = _parse_hdlr(data, b4, e4)
+                                elif cc4 == b"mdhd":
+                                    media_ts = _parse_mdhd(data, b4, e4)
+                                elif cc4 == b"minf":
+                                    for cc5, b5, e5 in _walk_boxes(
+                                        data, b4, e4
+                                    ):
+                                        if cc5 != b"stbl":
+                                            continue
+                                        for cc6, b6, e6 in _walk_boxes(
+                                            data, b5, e5
+                                        ):
+                                            if cc6 == b"stts":
+                                                stts = _parse_stts(
+                                                    data, b6, e6
+                                                )
+                                            elif cc6 == b"ctts":
+                                                ctts = _parse_ctts(
+                                                    data, b6, e6
+                                                )
                     if handler == b"vide":
                         has_video = True
                         if wh and (width is None or wh[0] > width):
                             width, height = wh
+                            video_timing = (media_ts, stts, ctts)
+                        elif video_timing is None:
+                            video_timing = (media_ts, stts, ctts)
                     elif handler == b"soun":
                         has_audio = True
     duration_ms = None
     if timescale_duration:
         ts, dur = timescale_duration
         duration_ms = dur * 1000 // ts
-    return {
+    meta = {
         "container": "mp4",
         "brand": brand,
         "duration_ms": duration_ms,
@@ -155,7 +240,27 @@ def parse_mp4_metadata(data: bytes | None) -> dict | None:
         "height": height,
         "has_video": has_video,
         "has_audio": has_audio,
+        "n_frames": None,
+        "media_timescale": None,
+        "media_duration": None,
+        "fps_milli": None,
+        "cts_offset_min": None,
+        "cts_offset_max": None,
     }
+    if video_timing:
+        media_ts, stts, ctts = video_timing
+        meta["media_timescale"] = media_ts
+        if stts:
+            n_frames, media_dur = stts
+            meta["n_frames"] = n_frames
+            meta["media_duration"] = media_dur
+            if media_ts and media_dur:
+                meta["fps_milli"] = (
+                    n_frames * media_ts * 1000 // media_dur
+                )
+        if ctts:
+            meta["cts_offset_min"], meta["cts_offset_max"] = ctts
+    return meta
 
 
 def decode_video_frames(data: bytes):  # pragma: no cover - boundary
@@ -218,9 +323,44 @@ def _hdlr(handler: bytes) -> bytes:
                                b"fixture\x00"))
 
 
+def _mdhd(timescale: int) -> bytes:
+    # v0: u32 ctime/mtime, u32 timescale, u32 duration, lang+predef
+    return _box(b"mdhd", _full(0, struct.pack(">IIII", 0, 0, timescale, 0)
+                               + struct.pack(">HH", 0x55C4, 0)))
+
+
+def _stts(entries: list[tuple[int, int]]) -> bytes:
+    body = struct.pack(">I", len(entries)) + b"".join(
+        struct.pack(">II", c, d) for c, d in entries
+    )
+    return _box(b"stts", _full(0, body))
+
+
+def _ctts(entries: list[tuple[int, int]], version: int = 1) -> bytes:
+    fmt = ">Ii" if version == 1 else ">II"
+    body = struct.pack(">I", len(entries)) + b"".join(
+        struct.pack(fmt, c, o) for c, o in entries
+    )
+    return _box(b"ctts", _full(version, body))
+
+
 def _trak(track_id: int, duration: int, handler: bytes,
-          width: int = 0, height: int = 0, tkhd_version: int = 0) -> bytes:
-    mdia = _box(b"mdia", _hdlr(handler))
+          width: int = 0, height: int = 0, tkhd_version: int = 0,
+          media_timescale: int | None = None,
+          stts_entries: list[tuple[int, int]] | None = None,
+          ctts_entries: list[tuple[int, int]] | None = None,
+          ctts_version: int = 1) -> bytes:
+    mdia_body = _hdlr(handler)
+    if media_timescale is not None:
+        mdia_body = _mdhd(media_timescale) + mdia_body
+    if stts_entries is not None or ctts_entries is not None:
+        stbl = b""
+        if stts_entries is not None:
+            stbl += _stts(stts_entries)
+        if ctts_entries is not None:
+            stbl += _ctts(ctts_entries, ctts_version)
+        mdia_body += _box(b"minf", _box(b"stbl", stbl))
+    mdia = _box(b"mdia", mdia_body)
     return _box(
         b"trak",
         _tkhd(track_id, duration, width, height, tkhd_version) + mdia,
@@ -236,15 +376,26 @@ def build_mp4(
     mvhd_version: int = 0,
     mdat_bytes: int = 64,
     large_mdat: bool = False,
+    media_timescale: int | None = None,
+    stts_entries: list[tuple[int, int]] | None = None,
+    ctts_entries: list[tuple[int, int]] | None = None,
+    ctts_version: int = 1,
 ) -> bytes:
-    """Spec-valid minimal MP4: ftyp + moov(mvhd + traks) + mdat."""
+    """Spec-valid minimal MP4: ftyp + moov(mvhd + traks) + mdat; the
+    optional media_timescale/stts/ctts args attach a sample table to
+    the video track (multi-entry run-length timing, signed v1
+    composition offsets)."""
     ftyp = _box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) +
                 b"isom" + b"mp42")
     traks = b""
     tid = 1
     if video_size is not None:
         traks += _trak(tid, duration, b"vide", video_size[0], video_size[1],
-                       tkhd_version=mvhd_version)
+                       tkhd_version=mvhd_version,
+                       media_timescale=media_timescale,
+                       stts_entries=stts_entries,
+                       ctts_entries=ctts_entries,
+                       ctts_version=ctts_version)
         tid += 1
     if audio:
         traks += _trak(tid, duration, b"soun")

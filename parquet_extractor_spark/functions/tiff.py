@@ -461,11 +461,14 @@ def _decode_tiled(data: bytes, tags: dict, w: int, h: int):
 
 
 def decode_tiff(data: bytes):
-    """Decode the FIRST page of an 8-bit chunky TIFF to an (H, W, C)
-    uint8 array. Real pixels for uncompressed (1), PackBits (32773),
+    """Decode the FIRST page of an 8- or 16-bit TIFF to an (H, W, C)
+    uint8 array (16-bit samples fold to their high byte after
+    predictor undo, the Pillow I;16→L convention). Real pixels for
+    uncompressed (1), PackBits (32773),
     LZW (5, with the spec's early-change width schedule), Deflate
     (8 and legacy 32946) strips — with Predictor 2 (horizontal
-    differencing) undone when tagged — and, since late r06, new-style
+    differencing) undone when tagged, in 16-bit sample space for
+    16-bit strips — and, since late r06, new-style
     JPEG-in-TIFF (7, TTN2): each strip is a JPEG stream decoded by
     functions/jpeg.py, with a shared JPEGTables tag (347) spliced
     after each strip's SOI when present. Old-style JPEG (6) decodes
@@ -533,15 +536,26 @@ def decode_tiff(data: bytes):
     compression = tags.get(259, [1])[0]
     planar = tags.get(284, [1])[0]
     rows_per_strip = tags.get(278, [h])[0] or h
-    if any(b != 8 for b in bits) or samples not in (1, 3, 4):
+    bit_depth = bits[0] if bits else 8
+    if (
+        any(b != bit_depth for b in bits)
+        or bit_depth not in (8, 16)
+        or samples not in (1, 3, 4)
+    ):
         raise NotImplementedError(
-            "only 8-bit grayscale/RGB/RGBA TIFF decodes here"
+            "only 8/16-bit grayscale/RGB/RGBA TIFF decodes here"
         )
     if planar not in (1, 2):
         raise ValueError(f"bad PlanarConfiguration {planar}")
     if w * h > (1 << 26):  # decode-bomb guard, as in png/gif/vp8l
         raise ValueError(f"TIFF image too large ({w}x{h})")
+    if bit_depth == 16 and compression in (
+        TIFF_COMPRESSION_JPEG, TIFF_COMPRESSION_JPEG_OLD,
+    ):
+        raise NotImplementedError("16-bit JPEG-in-TIFF needs Pillow")
     if 322 in tags or 324 in tags:
+        if bit_depth != 8:
+            raise NotImplementedError("16-bit tiled TIFF needs Pillow")
         return _decode_tiled(data, tags, w, h)
     try:
         offsets, counts = tags[273], tags[279]
@@ -594,12 +608,15 @@ def decode_tiff(data: bytes):
     if len(offsets) != len(counts):
         raise ValueError("TIFF strip offset/count mismatch")
     def _strip_pixels(o: int, c: int, strip_rows: int, spp: int) -> bytes:
-        """Decompress one strip to exactly strip_rows×w×spp bytes
-        (spp = samples carried by the strip: all of them for chunky,
-        one for planar)."""
+        """Decompress one strip to exactly strip_rows×w×spp OUTPUT
+        bytes (spp = samples carried by the strip: all of them for
+        chunky, one for planar). 16-bit strips are predictor-undone in
+        16-bit sample space (TIFF 6.0 §14: differencing applies to
+        sample VALUES, stored in file byte order) and folded to their
+        high byte, so everything downstream stays 8-bit."""
         if o + c > len(data):
             raise ValueError("TIFF strip out of bounds")
-        expected = strip_rows * w * spp
+        expected = strip_rows * w * spp * (2 if bit_depth == 16 else 1)
         raw = data[o : o + c]
         if compression == TIFF_COMPRESSION_PACKBITS:
             raw = _packbits_decode(raw, expected)
@@ -640,6 +657,13 @@ def decode_tiff(data: bytes):
         if len(raw) < expected:
             raise ValueError("TIFF strip shorter than its rows")
         raw = bytes(raw[:expected])
+        if bit_depth == 16:
+            a = np.frombuffer(raw, dtype=endian + "u2").reshape(
+                -1, w, spp
+            )
+            if predictor == 2:
+                a = np.cumsum(a, axis=1, dtype=np.uint16)
+            return (a >> 8).astype(np.uint8).tobytes()
         if predictor == 2:
             raw = _undo_predictor2(raw, w, spp)
         return raw

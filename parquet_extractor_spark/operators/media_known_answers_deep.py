@@ -299,6 +299,118 @@ def build_bigtiff_probe() -> bytes:
     return header + ifd + _BIGTIFF_STRIP
 
 
+# ── TIFF 16-bit + Predictor 2: differencing in SAMPLE space ─────────
+#
+# 3x2 grayscale, BitsPerSample 16, Deflate strips, Predictor 2
+# (TIFF 6.0 §14: horizontal differencing applies to 16-bit sample
+# VALUES in file byte order — a byte-wise cumsum corrupts every carry
+# and even the row geometry). Stored deltas (little-endian u16):
+#   row0: 0102 0202 0604  -> values 0102, 0304, 0908
+#   row1: FFEE 0023 7FEF  -> values FFEE, 0011 (wraps 2^16), 8000
+# Decoded output folds to the high byte (the I;16 -> L convention):
+#   row0: 01 03 09   row1: FF 00 80  — each replicated to 3 channels.
+# The row-1 chain exercises the mod-2^16 wrap (FFEE + 0023 = 0011)
+# and the final 8000 whose high byte only emerges AFTER the 16-bit
+# cumsum; decoding byte-wise or big-endian flips every expectation.
+
+TIFF16_EXPECTED = np.repeat(
+    np.array([[0x01, 0x03, 0x09], [0xFF, 0x00, 0x80]],
+             dtype=np.uint8)[:, :, None],
+    3,
+    axis=2,
+)
+_TIFF16_DELTAS = struct.pack(
+    "<6H", 0x0102, 0x0202, 0x0604, 0xFFEE, 0x0023, 0x7FEF
+)
+
+
+def build_tiff16_predictor_probe() -> bytes:
+    strip = zlib.compress(_TIFF16_DELTAS)
+    entries = []
+
+    def tag(t: int, typ: int, count: int, value4: bytes) -> None:
+        entries.append(
+            struct.pack("<HHI", t, typ, count) + value4.ljust(4, b"\x00")
+        )
+
+    short = lambda v: struct.pack("<H", v)  # noqa: E731
+    long4 = lambda v: struct.pack("<I", v)  # noqa: E731
+    n = 11
+    ifd_off = 8
+    strip_off = ifd_off + 2 + n * 12 + 4
+    tag(256, 3, 1, short(3))             # ImageWidth
+    tag(257, 3, 1, short(2))             # ImageLength
+    tag(258, 3, 1, short(16))            # BitsPerSample: 16
+    tag(259, 3, 1, short(8))             # Compression: Deflate
+    tag(262, 3, 1, short(1))             # Photometric: BlackIsZero
+    tag(273, 4, 1, long4(strip_off))     # StripOffsets
+    tag(277, 3, 1, short(1))             # SamplesPerPixel
+    tag(278, 3, 1, short(2))             # RowsPerStrip
+    tag(279, 4, 1, long4(len(strip)))    # StripByteCounts
+    tag(284, 3, 1, short(1))             # PlanarConfig: chunky
+    tag(317, 3, 1, short(2))             # Predictor: horizontal diff
+    ifd = struct.pack("<H", n) + b"".join(entries) + struct.pack("<I", 0)
+    header = b"II" + struct.pack("<HI", 42, ifd_off)
+    return header + ifd + strip
+
+
+# ── MP4 stts/ctts: multi-entry durations + signed v1 offsets ────────
+#
+# ISO/IEC 14496-12 §8.6.1.2/.3: stts is run-length (count, delta)
+# pairs; ctts v1 offsets are SIGNED. Hand-packed box tree:
+# ftyp + moov(mvhd ts=1000 dur=800 + trak(tkhd 64x48 + mdia(mdhd
+# ts=600 + hdlr vide + minf(stbl(stts [(3,100),(2,250)] + ctts v1
+# [(2,0),(1,-50),(2,100)]))))). Hand-derived expectations:
+#   n_frames        = 3 + 2                  = 5
+#   media_duration  = 3·100 + 2·250          = 800 (media ticks)
+#   fps_milli       = 5·600·1000 div 800     = 3750  (3.75 fps)
+#   cts offsets     : min −50, max 100 (v0 parsing would read −50 as
+#                     4294967246 and a single-entry stts reader sums
+#                     only the first run: n=3, dur=300, fps 6250)
+# Canonical bytes: the six values packed big-endian i64, so any
+# parser drift flips the digest.
+
+_MP4_TIMING_EXPECTED = (5, 600, 800, 3750, -50, 100)
+MP4_TIMING_CANON = struct.pack(">6q", *_MP4_TIMING_EXPECTED)
+
+
+def build_mp4_stts_ctts_probe() -> bytes:
+    def box(fourcc: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+    def full(version: int, payload: bytes) -> bytes:
+        return bytes([version, 0, 0, 0]) + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = box(b"mvhd", full(0, struct.pack(">III", 0, 0, 1000)
+                             + struct.pack(">I", 800))
+               + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+               + b"\x00" * 10 + b"\x00" * 36 + b"\x00" * 24
+               + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", full(0, struct.pack(">III", 0, 0, 1)
+                             + b"\x00" * 4 + struct.pack(">I", 800))
+               + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+               + b"\x00" * 36 + struct.pack(">II", 64 << 16, 48 << 16))
+    mdhd = box(b"mdhd", full(0, struct.pack(">IIII", 0, 0, 600, 800)
+                             + struct.pack(">HH", 0x55C4, 0)))
+    hdlr = box(b"hdlr", full(0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                             + b"probe\x00"))
+    stts = box(b"stts", full(0, struct.pack(">I", 2)
+                             + struct.pack(">II", 3, 100)
+                             + struct.pack(">II", 2, 250)))
+    ctts = box(b"ctts", full(1, struct.pack(">I", 3)
+                             + struct.pack(">Ii", 2, 0)
+                             + struct.pack(">Ii", 1, -50)
+                             + struct.pack(">Ii", 2, 100)))
+    stbl = box(b"stbl", stts + ctts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat = box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat
+
+
 # ── probe registry ──────────────────────────────────────────────────
 
 DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
@@ -310,6 +422,10 @@ DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
      APNG_OVER_EXPECTED.tobytes(), APNG_OVER_EXPECTED.shape),
     (4, "bigtiff_strip_raw", build_bigtiff_probe(),
      BIGTIFF_EXPECTED.tobytes(), BIGTIFF_EXPECTED.shape),
+    (5, "tiff16_predictor2_deflate", build_tiff16_predictor_probe(),
+     TIFF16_EXPECTED.tobytes(), TIFF16_EXPECTED.shape),
+    (6, "mp4_stts_ctts_timing", build_mp4_stts_ctts_probe(),
+     MP4_TIMING_CANON, (6,)),
 ]
 
 
@@ -329,10 +445,23 @@ def _decode_canonical_deep(name: str, data: bytes) -> tuple[bytes, tuple]:
 
         frames = decode_apng_frames(data)
         arr = np.stack([canvas for _delay, canvas in frames])
-    elif name.startswith("bigtiff"):
+    elif name.startswith(("bigtiff", "tiff16")):
         from parquet_extractor_spark.functions.tiff import decode_tiff
 
         arr = decode_tiff(data)
+    elif name.startswith("mp4"):
+        from parquet_extractor_spark.functions.mp4 import (
+            parse_mp4_metadata,
+        )
+
+        m = parse_mp4_metadata(data)
+        vals = (
+            m["n_frames"], m["media_timescale"], m["media_duration"],
+            m["fps_milli"], m["cts_offset_min"], m["cts_offset_max"],
+        )
+        if any(v is None for v in vals):
+            raise ValueError(f"mp4 probe parsed incomplete timing {m}")
+        return struct.pack(">6q", *vals), (6,)
     else:  # pragma: no cover - registry is closed
         raise ValueError(f"unknown deep probe family {name}")
     arr = np.asarray(arr).astype(np.uint8)

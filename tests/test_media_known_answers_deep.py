@@ -1,6 +1,7 @@
 """Deep spec-derived known-answer probes (media_known_answers_deep):
 VP8L subtract-green + color cache, progressive-JPEG AC refinement,
-APNG OP_OVER compositing, BigTIFF geometry. Same contract as
+APNG OP_OVER compositing, BigTIFF geometry, 16-bit Predictor-2 TIFF,
+MP4 stts/ctts sample timing. Same contract as
 test_media_known_answers: expectations are hand-derived literals and
 the gate must have teeth against corruption."""
 
@@ -79,6 +80,10 @@ def test_corrupted_deep_stream_cannot_match_the_pinned_row():
         "apng_blend_over": -20,
         # last strip sample (11)
         "bigtiff_strip_raw": -1,
+        # inside the deflate-compressed 16-bit delta strip
+        "tiff16_predictor2_deflate": -1,
+        # last ctts offset byte (100 -> flipped)
+        "mp4_stts_ctts_timing": -25,
     }
     for pid, name, data, canon, _shape in D.DEEP_PROBES:
         mutated = bytearray(data)
@@ -88,6 +93,52 @@ def test_corrupted_deep_stream_cannot_match_the_pinned_row():
         except Exception:
             continue
         assert got != canon, f"{name}: corrupted stream still matched"
+
+
+def test_tiff16_predictor_runs_in_sample_space():
+    """Predictor 2 on 16-bit samples must cumsum u16 VALUES: the
+    row-1 chain FFEE + 0023 wraps mod 2^16 to 0011 (high byte 0x00)
+    and lands on 8000 (high byte 0x80) — a byte-wise or big-endian
+    undo cannot produce this row."""
+    from parquet_extractor_spark.functions.tiff import decode_tiff
+
+    arr = decode_tiff(D.build_tiff16_predictor_probe())
+    assert arr.shape == (2, 3, 3)
+    assert list(arr[1, :, 0]) == [0xFF, 0x00, 0x80]
+
+
+def test_mp4_multi_entry_stts_and_signed_ctts():
+    """The fixture builder's stbl path and the parser agree with the
+    hand-packed probe: run-length stts sums across BOTH entries and
+    v1 ctts offsets stay signed."""
+    from parquet_extractor_spark.functions.mp4 import (
+        build_mp4,
+        parse_mp4_metadata,
+    )
+
+    data = build_mp4(
+        media_timescale=600,
+        stts_entries=[(3, 100), (2, 250)],
+        ctts_entries=[(2, 0), (1, -50), (2, 100)],
+    )
+    m = parse_mp4_metadata(data)
+    assert m["n_frames"] == 5
+    assert m["media_duration"] == 800
+    assert m["media_timescale"] == 600
+    assert m["fps_milli"] == 3750
+    assert (m["cts_offset_min"], m["cts_offset_max"]) == (-50, 100)
+    # v0 ctts: the same -50 pattern is out of spec; unsigned parse
+    # must surface it as the huge positive value, proving the version
+    # dispatch is real
+    data0 = build_mp4(
+        media_timescale=600,
+        stts_entries=[(5, 160)],
+        ctts_entries=[(5, 25)],
+        ctts_version=0,
+    )
+    m0 = parse_mp4_metadata(data0)
+    assert (m0["cts_offset_min"], m0["cts_offset_max"]) == (25, 25)
+    assert m0["fps_milli"] == 3750
 
 
 def test_oracle_values_derive_from_expected_literals_only():
