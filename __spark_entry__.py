@@ -48,67 +48,149 @@ def entry(spark: SparkSession) -> DataFrame:
     return analyze.corpus_stats(spark, "/root/testdata/sf0.001")
 
 
+# The declared round-10 driver window (exactly the first 50 keys of
+# queries(), asserted by tests/test_relational_oracle.py): 1 addition
+# + 3 semantics-changed re-checks + the 46-query r05-green cohort.
+R10_WINDOW: tuple[str, ...] = (
+    "customer_entity_resolution",
+    "brand_price_rank_assoc",
+    "media_known_answer_probes_deep",
+    "user_activity_powerlaw",
+    "hybrid_search_rrf",
+    "join_key_skew",
+    "media_audio_metadata",
+    "dedup_ngram_jaccard",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "simhash_fingerprints",
+    "dedup_components",
+    "knn_bruteforce",
+    "ann_sign_lsh",
+    "ann_sign_lsh_multiprobe",
+    "ann_ivf",
+    "media_resize_checksums",
+    "lm_bigram_surprisal",
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "dedup_canonical",
+    "corpus_stats",
+    "extract_plan",
+    "span_scrubbed_docs",
+    "curriculum_phases",
+    "phrase_search",
+    "source_log_odds_terms",
+    "source_length_ks",
+    "q11_important_part_values",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+    "token_budget_sample",
+    "event_markov_transitions",
+    "q2_min_price_supplier",
+    "q4_order_priority_checking",
+    "quality_classifier_scores",
+    "event_volume_anomalies",
+    "gopher_quality_flags",
+    "winnowing_fingerprints",
+    "source_quality_summary",
+    "chunk_dedup",
+    "nfc_normalized_hashes",
+    "ann_ivf_pq_refined",
+    "bpe_merge_candidates",
+    "embedding_outliers",
+    "semdedup_keep",
+    "ann_ivf_pq",
+    "dedup_reduction_report",
+    "ann_random_projection",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver's correctness gate checks the
     FIRST 50 entries (exactly 50). After r07 every registry query has
     at least one green driver row, so from r08 on the window policy is
     pure staleness rotation: (1) every query added this round (never
-    driver-checked) goes first; (2) the remaining slots go to the
-    queries whose NEWEST green driver row is oldest. Round 9 window =
-    the 16 r09 additions (media_known_answer_probes_deep,
-    dedup_canonical_by_quality, tokenizer_fertility_by_lang,
-    entity_resolution, leakage_safe_split, ngram_novelty_profile,
-    truncation_waste_report, quality_filter_ablation,
-    events_funnel_ordered, orders_cohort_retention, release_manifest,
-    dp_source_release, events_changepoint_cusum,
-    customer_repurchase_hazard, orders_benford_audit,
-    events_autocorrelation, source_length_mannwhitney,
-    customer_revenue_gini, events_dow_chisq, event_trigram_lift,
-    reshard_movement_report, brand_price_rank_assoc,
-    source_lexical_diversity, classifier_calibration_report,
-    quality_gate_kappa, per_source_quality_cutoffs,
-    cluster_lang_purity, orders_seasonal_decomposition,
-    warehouse_fk_audit, events_xmr_control, events_funnel_deadline,
-    orders_backlog_timeline, source_quality_psi, session_top_paths,
-    embedding_covariance_profile, dedup_containment_scores,
-    events_type_audience_overlap, simhash_bit_balance,
-    lineitem_price_mad_outliers, user_activity_powerlaw,
-    classifier_decile_lift, source_centroid_separation) + the six r03
-    holdovers (top_order_per_customer, top_brands_by_revenue,
-    top_docs_by_tokens, tokens_per_lang, source_token_kl,
-    segment_stats_rollup — the stalest driver evidence) + 2 of the 48
-    queries whose newest row is r05 (dedup_graph_pagerank,
-    lsh_quality_eval); the forty-six displaced r05
-    entries (hybrid_search_rrf, join_key_skew, media_audio_metadata,
-    dedup_ngram_jaccard, dedup_exact, minhash_signatures,
-    minhash_lsh_candidates, simhash_fingerprints,
-    dedup_components, knn_bruteforce, ann_sign_lsh,
-    ann_sign_lsh_multiprobe, ann_ivf, media_resize_checksums,
-    lm_bigram_surprisal, embedding_near_dup_pairs,
-    embedding_norm_stats, dedup_canonical, corpus_stats, extract_plan,
-    span_scrubbed_docs, curriculum_phases, phrase_search,
-    source_log_odds_terms, source_length_ks,
-    q11_important_part_values, q16_supplier_part_counts,
-    q20_excess_shippers, token_budget_sample,
-    event_markov_transitions, q2_min_price_supplier,
-    q4_order_priority_checking, quality_classifier_scores,
-    event_volume_anomalies, gopher_quality_flags,
-    winnowing_fingerprints, source_quality_summary, chunk_dedup,
-    nfc_normalized_hashes, ann_ivf_pq_refined, bpe_merge_candidates,
-    embedding_outliers, semdedup_keep, ann_ivf_pq,
-    dedup_reduction_report, ann_random_projection)
-    head the r10 queue — corpus_stats and extract_plan also
-    get per-round coverage via the entry() smoke and the local gate.
+    driver-checked) goes first; (2) queries whose SEMANTICS changed
+    this round go next (their old driver evidence no longer certifies
+    the current code); (3) the remaining slots go to the queries whose
+    NEWEST green driver row is oldest. The round-10 window is the
+    ``R10_WINDOW`` tuple below — kept as DATA, not prose, so the
+    composition is machine-checked (test_driver_window_matches_
+    declared_tuple) instead of hand-counted: 1 r10 addition
+    (customer_entity_resolution) + 3 r10-changed queries
+    (brand_price_rank_assoc — sampled pair generator;
+    media_known_answer_probes_deep — two new probe rows;
+    user_activity_powerlaw — degenerate-fit guard) + the 46-query
+    r05-green cohort displaced by the r09 additions (stalest driver
+    evidence). event_trigram_lift also changed in r10 but only by a
+    value-identical DECIMAL widening, re-proved by the local gate; it
+    heads the r11 queue, then the r09-green block.
     Every tail entry is re-verified locally each round via
     tools/check_oracle.py at sf0.001/0.01/0.1 (one command:
     ``python -m pytest tests/test_oracle_gate.py``; see COVERAGE.md).
     """
     return {
-        # ——— driver window (first 50, exactly): the 16 r09 additions
-        #     (never driver-checked) + the six r03 holdovers + 28 of
-        #     the 48 queries whose newest driver row is r05 ———
+        # ——— driver window (first 50, exactly — R10_WINDOW): the r10
+        #     addition + the three r10-changed queries + the 46-query
+        #     r05-green cohort ———
+        "customer_entity_resolution": entities.customer_entity_resolution,
+        "brand_price_rank_assoc": timeseries.brand_price_rank_assoc,
         "media_known_answer_probes_deep":
             media_known_answers_deep.media_known_answer_probes_deep,
+        "user_activity_powerlaw": timeseries.user_activity_powerlaw,
+        # — the 46-query r05-green cohort (stalest driver evidence) —
+        "hybrid_search_rrf": selection.hybrid_search_rrf,
+        "join_key_skew": skew.join_key_skew,
+        "media_audio_metadata": multimodal.media_audio_metadata,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_exact": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "dedup_components": dedup.dedup_components,
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "ann_sign_lsh": similarity.ann_sign_lsh,
+        "ann_sign_lsh_multiprobe": similarity.ann_sign_lsh_multiprobe,
+        "ann_ivf": similarity.ann_ivf,
+        "media_resize_checksums": multimodal.media_resize_checksums,
+        "lm_bigram_surprisal": selection.lm_bigram_surprisal,
+        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
+        "embedding_norm_stats": similarity.embedding_norm_stats,
+        "dedup_canonical": training.dedup_canonical,
+        "corpus_stats": analyze.corpus_stats,
+        "extract_plan": extract.extract_plan,
+        "span_scrubbed_docs": selection.span_scrubbed_docs,
+        "curriculum_phases": selection.curriculum_phases,
+        "phrase_search": corpus_index.phrase_search,
+        "source_log_odds_terms": analyze.source_log_odds_terms,
+        "source_length_ks": analyze.source_length_ks,
+        "q11_important_part_values": tpch.q11_important_part_values,
+        "q16_supplier_part_counts": tpch.q16_supplier_part_counts,
+        "q20_excess_shippers": tpch.q20_excess_shippers,
+        "token_budget_sample": training.token_budget_sample,
+        "event_markov_transitions": timeseries.event_markov_transitions,
+        "q2_min_price_supplier": tpch.q2_min_price_supplier,
+        "q4_order_priority_checking": tpch.q4_order_priority_checking,
+        "quality_classifier_scores": quality.quality_classifier_scores,
+        "event_volume_anomalies": timeseries.event_volume_anomalies,
+        "gopher_quality_flags": quality.gopher_quality_flags,
+        "winnowing_fingerprints": quality.winnowing_fingerprints,
+        "source_quality_summary": quality.source_quality_summary,
+        "chunk_dedup": textprep.chunk_dedup,
+        "nfc_normalized_hashes": textprep.nfc_normalized_hashes,
+        "ann_ivf_pq_refined": similarity.ann_ivf_pq_refined,
+        "bpe_merge_candidates": textprep.bpe_merge_candidates,
+        "embedding_outliers": similarity.embedding_outliers,
+        "semdedup_keep": similarity.semdedup_keep,
+        "ann_ivf_pq": similarity.ann_ivf_pq,
+        "dedup_reduction_report": dedup.dedup_reduction_report,
+        "ann_random_projection": similarity.ann_random_projection,
+        # ——— tail (driver-green r03-r09; re-verified locally each
+        #     round via tools/check_oracle.py — see COVERAGE.md) ———
+        # — r09-green, displaced from the r10 window; r11 queue head
+        #   (event_trigram_lift first: its r10 DECIMAL widening is
+        #   value-identical, re-proved by the local gate) —
+        "event_trigram_lift": timeseries.event_trigram_lift,
         "dedup_canonical_by_quality": training.dedup_canonical_by_quality,
         "tokenizer_fertility_by_lang": textprep.tokenizer_fertility_by_lang,
         "entity_resolution": entities.entity_resolution,
@@ -128,9 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_length_mannwhitney": analyze.source_length_mannwhitney,
         "customer_revenue_gini": relational.customer_revenue_gini,
         "events_dow_chisq": timeseries.events_dow_chisq,
-        "event_trigram_lift": timeseries.event_trigram_lift,
         "reshard_movement_report": training.reshard_movement_report,
-        "brand_price_rank_assoc": timeseries.brand_price_rank_assoc,
         "source_lexical_diversity": analyze.source_lexical_diversity,
         "classifier_calibration_report":
             classifier.classifier_calibration_report,
@@ -153,64 +233,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_bit_balance": dedup.simhash_bit_balance,
         "lineitem_price_mad_outliers":
             profiling.lineitem_price_mad_outliers,
-        "user_activity_powerlaw": timeseries.user_activity_powerlaw,
         "classifier_decile_lift": classifier.classifier_decile_lift,
         "source_centroid_separation":
             similarity.source_centroid_separation,
-        # — r03 holdovers —
+        # — r09-green r03-holdover + r05-cohort refreshes —
         "top_order_per_customer": relational.top_order_per_customer,
         "top_brands_by_revenue": relational.top_brands_by_revenue,
         "top_docs_by_tokens": analyze.top_docs_by_tokens,
         "tokens_per_lang": analyze.tokens_per_lang,
         "source_token_kl": analyze.source_token_kl,
         "segment_stats_rollup": relational.segment_stats_rollup,
-        # — r05 cohort refresh —
         "dedup_graph_pagerank": dedup.dedup_graph_pagerank,
         "lsh_quality_eval": dedup.lsh_quality_eval,
-        # ——— tail (driver-green r03-r08; re-verified locally each
-        #     round via tools/check_oracle.py — see COVERAGE.md) ———
-        # — r05-green, displaced from the r09 window by the
-        #   thirty-nine mid-round r09 additions; they head the r10
-        #   queue —
-        "dedup_reduction_report": dedup.dedup_reduction_report,
-        "ann_random_projection": similarity.ann_random_projection,
-        "embedding_outliers": similarity.embedding_outliers,
-        "semdedup_keep": similarity.semdedup_keep,
-        "ann_ivf_pq": similarity.ann_ivf_pq,
-        "ann_ivf_pq_refined": similarity.ann_ivf_pq_refined,
-        "bpe_merge_candidates": textprep.bpe_merge_candidates,
-        "chunk_dedup": textprep.chunk_dedup,
-        "nfc_normalized_hashes": textprep.nfc_normalized_hashes,
-        "gopher_quality_flags": quality.gopher_quality_flags,
-        "winnowing_fingerprints": quality.winnowing_fingerprints,
-        "source_quality_summary": quality.source_quality_summary,
-        "quality_classifier_scores": quality.quality_classifier_scores,
-        "event_volume_anomalies": timeseries.event_volume_anomalies,
-        "event_markov_transitions": timeseries.event_markov_transitions,
-        "q2_min_price_supplier": tpch.q2_min_price_supplier,
-        "q4_order_priority_checking": tpch.q4_order_priority_checking,
-        "q11_important_part_values": tpch.q11_important_part_values,
-        "q16_supplier_part_counts": tpch.q16_supplier_part_counts,
-        "q20_excess_shippers": tpch.q20_excess_shippers,
-        "token_budget_sample": training.token_budget_sample,
-        "span_scrubbed_docs": selection.span_scrubbed_docs,
-        "curriculum_phases": selection.curriculum_phases,
-        "phrase_search": corpus_index.phrase_search,
-        "source_log_odds_terms": analyze.source_log_odds_terms,
-        "source_length_ks": analyze.source_length_ks,
-        "hybrid_search_rrf": selection.hybrid_search_rrf,
-        "join_key_skew": skew.join_key_skew,
-        "media_audio_metadata": multimodal.media_audio_metadata,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_exact": dedup.exact_dedup,
-        "minhash_signatures": dedup.minhash_signatures,
-        "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
-        "dedup_components": dedup.dedup_components,
-        "knn_bruteforce": similarity.knn_bruteforce,
-        "ann_sign_lsh": similarity.ann_sign_lsh,
-        "ann_sign_lsh_multiprobe": similarity.ann_sign_lsh_multiprobe,
-        "ann_ivf": similarity.ann_ivf,
         # — r08-green —
         "url_canonical_dedup": crawl.url_canonical_dedup,
         "crawl_politeness_audit": crawl.crawl_politeness_audit,
@@ -373,16 +407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_approx_users": relational.events_approx_users,
         "pq_codes": similarity.pq_codes,
         "media_feature_checksums": multimodal.media_feature_checksums,
-        # — r05-green, displaced from the r09 window by the three r09
-        #     additions (r10 queue head, media_resize_checksums
-        #     first) —
-        "media_resize_checksums": multimodal.media_resize_checksums,
-        "lm_bigram_surprisal": selection.lm_bigram_surprisal,
-        "embedding_near_dup_pairs": similarity.embedding_near_dup_pairs,
-        "embedding_norm_stats": similarity.embedding_norm_stats,
-        "dedup_canonical": training.dedup_canonical,
-        "corpus_stats": analyze.corpus_stats,
-        "extract_plan": extract.extract_plan,
     }
 
 
@@ -404,6 +428,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility_by_lang":
             textprep.TOKENIZER_FERTILITY_BY_LANG_SQL,
         "entity_resolution": entities.ENTITY_RESOLUTION_SQL,
+        "customer_entity_resolution":
+            entities.CUSTOMER_ENTITY_RESOLUTION_SQL,
         "leakage_safe_split": training.LEAKAGE_SAFE_SPLIT_SQL,
         "ngram_novelty_profile": analyze.NGRAM_NOVELTY_SQL,
         "truncation_waste_report": training.TRUNCATION_WASTE_SQL,

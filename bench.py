@@ -18,6 +18,22 @@ with a wall-clock timeout so one hung plan cannot starve the payload.
 Prints a short line then ONE compact JSON line (the parse target):
   {"metric": "...", "value": N, "n": ...}
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+ISOLATION PROTOCOL (the adjudication rule for apparent regressions —
+r08/r09 verdicts accepted it twice): a ~250-query sweep accumulates
+catalog/codegen/GC pressure that inflates IN-SUITE medians up to ~5x
+over a query's true cost (r09: corpus_stats 3.35 s in-suite vs
+0.59 s alone), and driver hosts vary ~1.4-2x uniformly. So before
+bisecting any "regressed" query, re-measure it ALONE on an idle
+host — ``SPARK_GRAFT_BENCH_ONLY=<name> python bench.py`` — and
+compare against its historical band times the host factor (read the
+factor off stable trivial queries in the same sweep). A BENCH_ONLY
+run OVERWRITES BENCH_LOCAL.json: ``git checkout BENCH_LOCAL.json``
+afterwards. In-suite hygiene between queries: release_cached() after
+every query (DataFrame cache + localCheckpoint blocks; r04 measured
+2.6 s -> 6.9 s drift without it) plus a JVM+Python GC breather every
+_GC_EVERY queries (soft-reference/codegen-cache pressure the block
+drops don't touch).
 """
 
 from __future__ import annotations
@@ -32,6 +48,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+# GC breather cadence (queries between JVM System.gc() calls); a full
+# GC per query would cost more than it saves on a 250-query sweep.
+_GC_EVERY = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "20")))
 
 # Legacy curated set (r01-r03), kept for metric continuity: the
 # driver's headline_queries_total compares round-to-round, so the
@@ -231,6 +250,7 @@ def main() -> None:
     skipped: list[str] = []
     suspect = False
     total = 0.0
+    done = 0
     for name in bench_set:
         fn = qs[name]
         elapsed = time.time() - bench_t0
@@ -257,6 +277,20 @@ def main() -> None:
         # r04 measured dedup_canonical 2.6s->6.9s by sweep position
         # ~60 purely from accumulated blocks.
         release_cached(spark)
+        # Periodic GC breather (header: isolation protocol): block
+        # drops don't relieve JVM soft-reference/codegen-cache growth
+        # or py4j handle backlog, which r09 measured inflating
+        # in-suite medians up to 5x by sweep position ~700.
+        done += 1
+        if done % _GC_EVERY == 0:
+            import gc
+
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
+            time.sleep(0.2)
         if not samples:
             continue
         dt = statistics.median(samples)

@@ -135,6 +135,16 @@ def test_driver_window_composition():
     assert len(qs) == len(set(qs)) == len(entrymod.oracle_sql())
 
 
+def test_driver_window_matches_declared_tuple():
+    """The docstring's window composition lives as DATA
+    (R10_WINDOW) so the audit trail cannot drift from the dict order:
+    the declared tuple must be exactly the first 50 keys of
+    queries(), in order, with no duplicates."""
+    declared = entrymod.R10_WINDOW
+    assert len(declared) == len(set(declared)) == 50
+    assert tuple(list(entrymod.queries())[:50]) == declared
+
+
 def test_event_volume_anomalies_recomputed_locally(spark, sf_small):
     """Top-K deviation ranking recomputed in Python over the daily
     counts: same flagged days, same integer deviation scores, spike/
