@@ -651,3 +651,144 @@ def run_novelty_stream(
             f"novelty stream did not drain within {timeout_s}s"
         )
     return spark.read.option("basePath", out_dir).parquet(out_dir)
+
+
+def release_manifest_ledger_stream(
+    stream_docs: DataFrame, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document release-LEDGER rows for arriving documents — the
+    streaming half of ``pipelines.release_manifest``: every gate of
+    the shipping manifest applied as documents land instead of in a
+    nightly batch.
+
+    Gate placement is the production split between stream and state:
+
+    * STATELESS gates ride the stream map-side — the heuristic
+      quality score and the classifier logit are pure column
+      expressions (literal weights), exactly as ``curate_stream``
+      composes them.
+    * CORPUS-STATE gates are stream-STATIC joins against the shared
+      batch tiers — the exact-dup keep set and the near-dup component
+      canonicals (the "dedup index the nightly job maintains, the
+      ingest stream consumes") — plus a left-anti against the
+      decontamination hit list (broadcast benchmark grams). Stream-
+      static semi/anti joins hold no watermark state: each micro-batch
+      probes the static side and moves on.
+
+    Output per surviving doc: (doc_id, source, n tokens, split) —
+    the ledger the manifest aggregates; split is the same portable
+    doc-hash rule the batch manifest uses, so the streamed ledger
+    aggregates to EXACTLY the batch manifest (asserted by
+    test_streaming's equivalence test).
+    """
+    from parquet_extractor_spark.functions.text import tokenize
+    from parquet_extractor_spark.operators.contamination import (
+        ngram_decontamination,
+    )
+    from parquet_extractor_spark.operators.dedup import (
+        _components_tier,
+        _exact_keep_tier,
+    )
+    from parquet_extractor_spark.operators.quality import (
+        CLS_LOGIT_BOUND_SQL,
+    )
+    from parquet_extractor_spark.operators.training import _split_column
+
+    c = quality_columns()
+    gated = (
+        stream_docs.withColumn(
+            "quality_score", F.round(c["quality_score"], 2)
+        )
+        .filter(F.col("quality_score") >= MIN_QUALITY)
+        .withColumn("toks", tokenize("text"))
+        .filter(F.expr(CLS_LOGIT_BOUND_SQL) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size("toks").cast("bigint").alias("n"),
+        )
+    )
+    exact_keep = _exact_keep_tier(spark, sf_dir)
+    canon_keep = (
+        _components_tier(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+    contaminated = ngram_decontamination(spark, sf_dir).select("doc_id")
+    return (
+        gated.join(exact_keep, "doc_id", "left_semi")
+        .join(canon_keep, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n", _split_column().alias("split"))
+    )
+
+
+def manifest_from_ledger(ledger: DataFrame) -> DataFrame:
+    """Aggregate a (doc_id, source, n, split) ledger to the release
+    manifest — the same (split, source) cells + split-token-share
+    arithmetic as ``pipelines.release_manifest``'s final stage, shared
+    by the stream runner so the equivalence test compares identical
+    shapes."""
+    cells = ledger.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    split_totals = cells.groupBy("split").agg(
+        F.sum("n_tokens").alias("split_tokens")
+    )
+    return (
+        cells.join(F.broadcast(split_totals), "split")
+        .select(
+            "split",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(
+                F.col("n_tokens") * F.lit(1_000_000) / F.col("split_tokens")
+            ).cast("bigint").alias("split_token_share_micro"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def run_release_manifest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drain the documents source once (availableNow) through the
+    release-ledger stream into per-epoch parquet directories (the
+    idempotent at-least-once sink every streaming module here uses:
+    a replayed epoch overwrites its own output), then aggregate the
+    landed ledger to the manifest. Returns the manifest frame."""
+    _clear_epoch_dirs(out_dir)
+    ledger = release_manifest_ledger_stream(
+        read_documents_stream(spark, sf_dir), spark, sf_dir
+    )
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+
+    query = (
+        ledger.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, "release_manifest"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"release-manifest stream did not drain within {timeout_s}s; "
+            "partial output discarded"
+        )
+    landed = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return manifest_from_ledger(
+        landed.select("doc_id", "source", "n", "split")
+    )

@@ -1194,3 +1194,35 @@ def test_xmr_control_stream_equals_batch(spark, sf_small, tmp_path):
 
     want = events_xmr_control(spark, sf_small)
     assert key(got.collect()) == key(want.collect())
+
+
+def test_release_manifest_stream_equals_batch(spark, sf_small, tmp_path):
+    """The streamed release ledger (stateless gates map-side,
+    corpus-state gates as stream-static tier joins) must aggregate to
+    EXACTLY the batch release_manifest — same cells, same counts,
+    same token shares."""
+    from parquet_extractor_spark import pipelines
+    from parquet_extractor_spark.streaming.documents import (
+        run_release_manifest_stream,
+    )
+
+    stream_df = run_release_manifest_stream(
+        spark,
+        sf_small,
+        str(tmp_path / "ckpt_manifest"),
+        str(tmp_path / "manifest_out"),
+    )
+    stream = {
+        (r.split, r.source): (
+            r.n_docs, r.n_tokens, r.split_token_share_micro
+        )
+        for r in stream_df.collect()
+    }
+    batch = {
+        (r.split, r.source): (
+            r.n_docs, r.n_tokens, r.split_token_share_micro
+        )
+        for r in pipelines.release_manifest(spark, sf_small).collect()
+    }
+    assert stream == batch
+    assert stream  # non-vacuous: some documents survive all gates
