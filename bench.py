@@ -200,24 +200,52 @@ def _drain_job_group(spark, group: str, wait_s: float = 30.0) -> bool:
     return False
 
 
-def main() -> None:
-    import __spark_entry__ as entrymod
-    from parquet_extractor_spark.session import get_spark, release_cached
-
-    spark = get_spark("bench")
-    qs = entrymod.queries()
-
-    # Registry-complete: curated order first, then every remaining
-    # registry query. SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run
-    # (local iteration); SPARK_GRAFT_BENCH_CURATED=1 runs just the
-    # legacy curated set.
-    bench_set = list(HEADLINE)
+def _bench_set(qs) -> list[str]:
+    """Registry-complete bench order: curated HEADLINE first, then
+    every remaining registry query alphabetically.
+    SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (local iteration);
+    SPARK_GRAFT_BENCH_CURATED=1 runs just the legacy curated set."""
+    out = list(HEADLINE)
     if not os.environ.get("SPARK_GRAFT_BENCH_CURATED"):
-        bench_set += sorted(k for k in qs if k not in HEADLINE)
+        out += sorted(k for k in qs if k not in HEADLINE)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         wanted = [w.strip() for w in only.split(",") if w.strip()]
-        bench_set = [n for n in bench_set if n in wanted]
+        out = [n for n in out if n in wanted]
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    bench_set = _bench_set(qs)
+
+    # Chunked mode (OPT-IN diagnostic, SPARK_GRAFT_BENCH_CHUNK=n): a
+    # ~250-query sweep in ONE JVM accumulates state that inflates a
+    # handful of late heavy queries up to ~10x over isolation (r10
+    # measured doc_fingerprints 15.9s in-suite vs 1.2s in a fresh
+    # chunk), and the orchestrator runs the set in fresh-JVM child
+    # processes and merges their payloads. It stays OFF by default
+    # because the per-chunk JVM/warmup/tier overhead (~60-120s across
+    # 5 chunks) overflows the driver's hard wall budget and SKIPS
+    # queries — a missing row is worse than an inflated one; the
+    # isolation protocol (header) is the sanctioned adjudication for
+    # individual outliers. Children (and explicit BENCH_ONLY
+    # iteration runs) take the single-session path below.
+    chunk = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "0"))
+    if (
+        chunk > 0
+        and len(bench_set) > chunk
+        and os.environ.get("SPARK_GRAFT_BENCH_CHILD") != "1"
+        and not os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    ):
+        _orchestrate(bench_set, chunk)
+        return
+
+    from parquet_extractor_spark.session import get_spark, release_cached
+
+    spark = get_spark("bench")
 
     # Warm the JVM, codegen, and EVERY table's parquet footers so
     # per-query numbers measure the plans, not session bring-up —
@@ -249,7 +277,6 @@ def main() -> None:
     errors: dict[str, str] = {}
     skipped: list[str] = []
     suspect = False
-    total = 0.0
     done = 0
     for name in bench_set:
         fn = qs[name]
@@ -295,13 +322,122 @@ def main() -> None:
             continue
         dt = statistics.median(samples)
         timings[name] = round(dt, 3)
-        total += dt
         print(
             f"# {name}: median {dt:.2f}s of "
             f"{[round(s, 2) for s in samples]}",
             file=sys.stderr,
         )
 
+    _emit_payload(timings, errors, skipped, suspect)
+
+
+def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
+    """Run the bench set in fresh-JVM child processes of
+    ``chunk_size`` queries each and merge their BENCH_LOCAL.json
+    payloads into one (ordered) payload + stdout contract.
+
+    Each child is a plain ``python bench.py`` with
+    SPARK_GRAFT_BENCH_ONLY pinned to its chunk — a brand-new JVM, so
+    codegen/metaspace/listener accumulation resets at every chunk
+    boundary and per-query medians track their isolation values. The
+    global wall budget is threaded through: children receive the
+    REMAINING budget/hard allowance, and once the soft budget is
+    spent later chunks drop to one run per query (same graceful
+    degradation as the single-session path). Shared-tier rebuilds per
+    chunk are the accepted cost (a few seconds; tiers are
+    parquet-materialized per session)."""
+    import subprocess
+
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+    hard_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_S", "900"))
+    t0 = time.time()
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    skipped: list[str] = []
+    suspect = False
+    chunks = [
+        bench_set[i : i + chunk_size]
+        for i in range(0, len(bench_set), chunk_size)
+    ]
+    for idx, chunk in enumerate(chunks):
+        elapsed = time.time() - t0
+        if elapsed > hard_s:
+            skipped += chunk
+            continue
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(chunk)
+        env["SPARK_GRAFT_BENCH_BUDGET_S"] = str(
+            max(30.0, budget_s - elapsed)
+        )
+        env["SPARK_GRAFT_BENCH_HARD_S"] = str(max(60.0, hard_s - elapsed))
+        if elapsed > budget_s:
+            env["SPARK_GRAFT_BENCH_RUNS"] = "1"
+        print(
+            f"# chunk {idx + 1}/{len(chunks)}: {len(chunk)} queries "
+            f"in a fresh JVM ({elapsed:.0f}s elapsed)",
+            file=sys.stderr,
+        )
+        try:  # a crashed child must not leave a stale payload behind
+            os.remove(_local_json_path())
+        except OSError:
+            pass
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=max(120.0, hard_s - elapsed + 120.0),
+            )
+            sys.stderr.write(proc.stderr)
+        except subprocess.TimeoutExpired:
+            for n in chunk:
+                errors[n] = "chunk subprocess timeout"
+            suspect = True
+            continue
+        try:
+            with open(_local_json_path()) as fh:
+                part = json.load(fh)
+        except (OSError, ValueError):
+            for n in chunk:
+                errors[n] = (
+                    f"chunk produced no payload (rc={proc.returncode})"
+                )
+            continue
+        part_q = part.get("queries", {})
+        timings.update(part_q)
+        errors.update(part.get("errors", {}))
+        skipped += part.get("skipped", [])
+        suspect = suspect or part.get("timings_suspect", False)
+        accounted = (
+            set(part_q) | set(part.get("errors", {}))
+            | set(part.get("skipped", []))
+        )
+        for n in chunk:
+            if n not in accounted:
+                errors[n] = "missing from chunk payload"
+    # re-impose bench order on the merged timings
+    ordered = {n: timings[n] for n in bench_set if n in timings}
+    _emit_payload(ordered, errors, skipped, suspect)
+
+
+def _local_json_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+
+
+def _emit_payload(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    skipped: list[str],
+    suspect: bool,
+) -> None:
+    """Write BENCH_LOCAL.json and print the two stdout lines (short
+    summary + size-capped compact payload, the driver's parse target).
+    Shared by the single-session path and the chunked orchestrator."""
+    total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -309,7 +445,7 @@ def main() -> None:
         sf_val = sf
     payload = {
         "metric": "headline_queries_total",
-        "value": round(total, 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -325,11 +461,8 @@ def main() -> None:
     # size-capped compact payload as the LAST stdout line (the
     # driver's parse target — the full 176-query line was ~5.5 KB and
     # overflowed its ~2 KB tail buffer in r03-r06).
-    local_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
     try:
-        with open(local_path, "w") as fh:
+        with open(_local_json_path(), "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
     except OSError as exc:
@@ -338,7 +471,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 3),
+                "value": total,
                 "n": len(timings),
                 "errors": len(errors),
                 "skipped": len(skipped),

@@ -207,7 +207,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Jaccard denominators need each doc's surviving-shingle count.
     That is a SIZES table — one row per doc, derived by re-exploding
-    the PERSISTED grouped postings (no second corpus scan) — joined
+    the grouped postings (persisted only for the duration of the
+    tier build — see _pair_overlap_tier — so there is no second
+    corpus scan and no session-lifetime cache) — joined
     onto the (much smaller, threshold-filtered) pair table twice,
     UNHINTED: AQE broadcasts it while it fits executor memory and
     falls back to a shuffle join beyond, which is the whole point of
