@@ -670,3 +670,37 @@ def test_psi_nonnegative_property(counts):
         assert term >= -1e-15
         psi += term
     assert psi >= -1e-12
+
+
+@given(
+    keys=st.lists(
+        st.integers(1, 3_400_000_000), min_size=1, max_size=40, unique=True
+    ),
+    n_parts=st.integers(1, 100_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_pair_bucket_hash_cross_engine_property(keys, n_parts):
+    """brand_price_rank_assoc's pair-sampling bucket — the Knuth
+    multiplicative hash both engines must mirror — stays exact in
+    int64 for keys < 3.4e9 and agrees between a pure-Python
+    evaluation and DuckDB's integer semantics (the same %-on-positive
+    arithmetic Spark's expression uses)."""
+    import duckdb
+
+    from parquet_extractor_spark.operators.timeseries import (
+        PAIR_BUCKET_SIZE,
+    )
+
+    b = max(1, n_parts // PAIR_BUCKET_SIZE)
+    py = [(k * 2654435761 % 4294967296) % b for k in keys]
+    assert all(0 <= v < b for v in py)
+    assert all(
+        k * 2654435761 < 2**63 for k in keys
+    ), "int64 overflow bound violated"
+    rows = duckdb.sql(
+        "SELECT (k * 2654435761 % 4294967296) % "
+        f"greatest(1, {n_parts} // {PAIR_BUCKET_SIZE}) "
+        "FROM (SELECT unnest(?::BIGINT[]) AS k)",
+        params=[keys],
+    ).fetchall()
+    assert [r[0] for r in rows] == py

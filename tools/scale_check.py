@@ -36,25 +36,41 @@ STATIC_TABLES = (
 ).split()
 
 
-def build_big(spark, factor: int) -> str:
+def build_big(spark, factor: int, grow_customer: bool = False) -> str:
     import pyspark.sql.functions as F
 
-    big = f"/tmp/spark-graft-scale-{factor}x"
+    suffix = "-cust" if grow_customer else ""
+    big = f"/tmp/spark-graft-scale-{factor}x{suffix}"
     marker = os.path.join(big, ".complete")
     if os.path.exists(marker):
         return big
     if os.path.exists(big):
         shutil.rmtree(big)
     os.makedirs(big)
-    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+    blown = [("documents", "doc_id"), ("embeddings", "vec_id")]
+    if grow_customer:
+        # customer rows must REBUILD c_name from the shifted key
+        # (names are 'Customer#%09d'): a bare key shift would leave
+        # identical names across copies and multiply block sizes by
+        # the factor, distorting the per-block collision profile the
+        # methodology promises to preserve.
+        blown.append(("customer", "c_custkey"))
+    for table, key in blown:
         base = spark.read.parquet(f"{BASE}/{table}.parquet")
         shift = base.agg(F.max(key)).collect()[0][0] + 1
         u = None
         for k in range(factor):
             d = base.withColumn(key, F.col(key) + F.lit(k * shift))
+            if table == "customer":
+                d = d.withColumn(
+                    "c_name",
+                    F.format_string("Customer#%09d", F.col(key)),
+                )
             u = d if u is None else u.unionByName(d)
         u.write.mode("overwrite").parquet(f"{big}/{table}.parquet")
     for t in STATIC_TABLES:
+        if grow_customer and t == "customer":
+            continue
         shutil.copy(f"{BASE}/{t}.parquet", f"{big}/{t}.parquet")
     open(marker, "w").close()
     return big
@@ -75,6 +91,13 @@ def warm_median(spark, fn, sf_dir: str, runs: int = 4) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--grow-customer",
+        action="store_true",
+        help="also blow up the customer table (keys shifted, names "
+        "rebuilt from the shifted key) — for entity-resolution "
+        "scaling; uses a separate fixture dir",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -87,7 +110,7 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 1
     spark = get_spark("scale-check")
-    big = build_big(spark, args.factor)
+    big = build_big(spark, args.factor, grow_customer=args.grow_customer)
     print(f"| query | sf0.1 | {args.factor}x | ratio |")
     print("|---|---|---|---|")
     for q in args.queries:
