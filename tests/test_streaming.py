@@ -1226,3 +1226,26 @@ def test_release_manifest_stream_equals_batch(spark, sf_small, tmp_path):
     }
     assert stream == batch
     assert stream  # non-vacuous: some documents survive all gates
+
+
+def test_release_manifest_stream_rerun_is_idempotent(
+    spark, sf_small, tmp_path
+):
+    """Re-draining into the SAME output dir with a fresh checkpoint
+    (the at-least-once replay case) must produce the identical
+    manifest: _clear_epoch_dirs drops the previous run's epochs so
+    restarted epoch numbering cannot union stale ledger rows in."""
+    from parquet_extractor_spark.streaming.documents import (
+        run_release_manifest_stream,
+    )
+
+    out = str(tmp_path / "manifest_rp")
+    first = run_release_manifest_stream(
+        spark, sf_small, str(tmp_path / "ck_rp1"), out
+    )
+    rows1 = sorted(tuple(r) for r in first.collect())
+    rerun = run_release_manifest_stream(
+        spark, sf_small, str(tmp_path / "ck_rp2"), out
+    )
+    rows2 = sorted(tuple(r) for r in rerun.collect())
+    assert rows1 == rows2
