@@ -328,3 +328,25 @@ def test_no_direct_unpartitioned_windows_in_source():
     assert not offenders, (
         f"use bounded_global_window (functions/windows.py): {offenders}"
     )
+
+
+def test_brand_price_rank_assoc_pair_join_is_bucketed(spark, sf_small):
+    """The r10 scale contract for the pair generator: the self-join
+    must key on (brand, bucket), not brand alone — a brand-only
+    equi-join is quadratic in parts-per-brand (the 58.6s r09 shape).
+    The bucket expression must appear among the join keys in the
+    physical plan."""
+    from parquet_extractor_spark.operators.timeseries import (
+        brand_price_rank_assoc,
+    )
+    from parquet_extractor_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(brand_price_rank_assoc(spark, sf_small))
+    key_lines = [
+        ln for ln in plan.splitlines()
+        if "keys" in ln and "p_brand" in ln
+    ]
+    assert key_lines, "pair self-join keys missing from the plan"
+    assert all("bucket" in ln for ln in key_lines), (
+        "pair join lost its bucket key — quadratic shape reintroduced"
+    )
