@@ -342,11 +342,20 @@ def test_brand_price_rank_assoc_pair_join_is_bucketed(spark, sf_small):
     from parquet_extractor_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(brand_price_rank_assoc(spark, sf_small))
-    key_lines = [
-        ln for ln in plan.splitlines()
-        if "keys" in ln and "p_brand" in ln
+    lines = plan.splitlines()
+    # the brand_n count table joins on p_brand alone (fine — a
+    # ≤|brands|-row broadcast); the PAIR self-join must carry the
+    # bucket as a second equi-key
+    pair_keys = [
+        ln for ln in lines
+        if "keys" in ln and "p_brand" in ln and "bucket" in ln
     ]
-    assert key_lines, "pair self-join keys missing from the plan"
-    assert all("bucket" in ln for ln in key_lines), (
+    assert pair_keys, (
         "pair join lost its bucket key — quadratic shape reintroduced"
+    )
+    # and the inequality (p1 < p2) must be a post-join condition of a
+    # keyed join, not the join itself
+    assert any(
+        "Join condition" in ln and "p_partkey" in ln and "<" in ln
+        for ln in lines
     )
