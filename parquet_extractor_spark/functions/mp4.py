@@ -220,11 +220,20 @@ def parse_mp4_metadata(data: bytes | None) -> dict | None:
                                                 )
                     if handler == b"vide":
                         has_video = True
+                        timing = (media_ts, stts, ctts)
                         if wh and (width is None or wh[0] > width):
                             width, height = wh
-                            video_timing = (media_ts, stts, ctts)
+                            # timing follows the display-size winner,
+                            # but a wider track with no stbl/mdhd must
+                            # not null out timing already parsed from
+                            # an earlier track
+                            if (
+                                any(t is not None for t in timing)
+                                or video_timing is None
+                            ):
+                                video_timing = timing
                         elif video_timing is None:
-                            video_timing = (media_ts, stts, ctts)
+                            video_timing = timing
                     elif handler == b"soun":
                         has_audio = True
     duration_ms = None

@@ -169,13 +169,17 @@ def _pair_overlap_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    out = ensure_tier(spark, sf_dir, "pair_overlap", build)
-    # With the tier layer disabled the plan is returned lazily and the
-    # persist must survive for its consumers (the pre-tier behavior);
-    # otherwise the write inside ensure_tier already materialized it.
-    if not _disabled():
-        for df in to_unpersist:
-            df.unpersist()
+    try:
+        out = ensure_tier(spark, sf_dir, "pair_overlap", build)
+    finally:
+        # With the tier layer disabled the plan is returned lazily and
+        # the persist must survive for its consumers (the pre-tier
+        # behavior); otherwise the write inside ensure_tier already
+        # materialized it — and a failed build/write must not leak the
+        # MEMORY_AND_DISK postings for the rest of the session.
+        if not _disabled():
+            for df in to_unpersist:
+                df.unpersist()
     return out
 
 

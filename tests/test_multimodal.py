@@ -677,6 +677,27 @@ def test_mp4_box_walk_parses_built_container():
     assert m["n_tracks"] == 2 and m["has_video"] and m["has_audio"]
 
 
+def test_mp4_wider_stbl_less_track_keeps_parsed_timing():
+    # r10 ADVICE (mp4.py:226): a later, WIDER video track with no
+    # stbl/mdhd selects for display size but must not null out timing
+    # already parsed from a narrower track.
+    from parquet_extractor_spark.functions import mp4 as m4
+
+    narrow = m4._trak(
+        1, 1800, b"vide", 640, 360,
+        media_timescale=600, stts_entries=[(30, 20)],
+    )
+    wide = m4._trak(2, 1800, b"vide", 1920, 1080)  # no mdhd/stbl
+    moov = m4._box(b"moov", m4._mvhd(600, 1800, 0) + narrow + wide)
+    ftyp = m4._box(
+        b"ftyp", b"isom" + b"\x00\x00\x00\x00" + b"isom" + b"mp42"
+    )
+    meta = m4.parse_mp4_metadata(ftyp + moov + m4._box(b"mdat", b"\x00"))
+    assert (meta["width"], meta["height"]) == (1920, 1080)
+    assert meta["n_frames"] == 30 and meta["media_timescale"] == 600
+    assert meta["media_duration"] == 600  # 30 samples x 20 ticks
+
+
 def test_mp4_v1_and_largesize_paths():
     from parquet_extractor_spark.functions.mp4 import (
         build_mp4,
