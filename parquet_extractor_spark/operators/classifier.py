@@ -93,7 +93,7 @@ def _train(
 ) -> tuple[list[tuple], list[int]]:
     """Run the GD epochs; return (per-epoch rows, final micro
     weights). Shared by the training-curve query and the scoring
-    query — and memoized per (session, data dir): the gradient
+    query — and persisted per (data dir, code version): the gradient
     descent is integer-deterministic, so the curve query and the
     scoring query in one sweep train the model once between them
     (artifacts.memo_artifact)."""

@@ -175,7 +175,7 @@ def build_bloom_bitset(
     is a fixed artifact) — then folded into words driver-side.
     ``grams`` reuses a caller-persisted (doc_id, g) frame.
 
-    Memoized per (session, data dir, fast): the bitset is a pure
+    Persisted per (data dir, code version, fast): the bitset is a pure
     function of the benchmark slice, so bloom_decontamination, the
     streaming probe and decontamination_report share one build. The
     ``grams`` frame only matters on a cold build — a warm memo

@@ -1075,7 +1075,8 @@ def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact-keep set and component labels come from the
     MATERIALIZED tier store (tiers.py) — derived from the corpus at
-    most once per session across every dedup consumer. The two
+    most once per dataset + code version across every dedup consumer
+    (persistent tier store). The two
     per-query intermediates (per_doc token counts, exact survivors)
     stay persist()ed: per_doc feeds all three stages and the
     survivor frame feeds two, and both die with this query (released

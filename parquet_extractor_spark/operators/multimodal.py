@@ -1513,7 +1513,7 @@ def image_phashes(media: DataFrame) -> DataFrame:
 # are pure functions of the builders (sf_dir never enters), so one
 # constant key shares each decoded-hash table across media_phash, the
 # near-dup join, and media_neardup_eval — the decode+hash mapInPandas
-# pass (the only Python in the family) runs once per session instead
+# pass (the only Python in the family) runs once per dataset instead
 # of once per consumer, the dedup.py tier lesson applied to media.
 _MEDIA_TIER_DIR = "/fixtures/media-neardup"
 

@@ -1253,7 +1253,7 @@ def lm_count_arrays(
 ) -> tuple[list[int], list[int]]:
     """The hashed bigram LM's two count tables as dense LM_BUCKETS
     arrays — the "frozen reference model" artifact a scoring job
-    loads at start. Memoized per (session, data dir) like the Bloom
+    loads at start. Persisted per (data dir, code version) like the Bloom
     bitset; bounded by construction (2 x LM_BUCKETS ints)."""
     from parquet_extractor_spark.artifacts import memo_artifact
 

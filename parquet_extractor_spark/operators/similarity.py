@@ -465,7 +465,7 @@ def _centroid_vectors(
     (robust to non-contiguous / non-zero-based id spaces; the oracles
     mirror with ORDER BY vec_id LIMIT k).
 
-    Memoized per (session, data dir, k) — every IVF-family query
+    Persisted per (data dir, code version, k) — every IVF-family query
     shares one coarse quantizer, so a sweep trains it once
     (artifacts.memo_artifact)."""
     from parquet_extractor_spark.artifacts import memo_artifact
@@ -1541,7 +1541,8 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the iteration-1 centroids are a deterministic training product
     # (seeded assignment, rounded means) — memoized so the refined
-    # quantizer is trained once per session, not once per query
+    # quantizer is trained once per dataset + code version (disk-
+    # persisted), not once per query or JVM
     from parquet_extractor_spark.artifacts import memo_artifact
 
     cents1 = memo_artifact(
@@ -1753,8 +1754,8 @@ ORDER BY vec_id
 def _head_vectors(spark: SparkSession, sf_dir: str, k: int) -> list:
     """One driver collect serving centroids, PQ seeds, AND the query
     set: the first k rows by vec_id (all three are prefixes of the
-    same ordering, so one job covers them). Memoized per (session,
-    data dir, k) — shared across the whole PQ/IVF query family."""
+    same ordering, so one job covers them). Persisted per (data dir,
+    code version, k) — shared across the whole PQ/IVF query family."""
     from parquet_extractor_spark.artifacts import memo_artifact
 
     def build() -> list:
@@ -1838,7 +1839,7 @@ def refined_pq_books(
     same way label_centroids accepts rounded averages.
 
     The default-seeded training (seed_books=None) is memoized per
-    (session, data dir): ann_ivf_pq_refined and its consumers share
+    (data dir, code version): ann_ivf_pq_refined and its consumers share
     one trained codebook instead of re-running the Lloyd pass per
     query. An explicit seed bypasses the memo (the caller is doing
     its own training experiment)."""
@@ -2519,7 +2520,7 @@ def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # per-dimension ranges are the trained SQ8 "model": memoized per
-    # (session, data dir) like the IVF centroids and PQ codebooks
+    # (data dir, code version) like the IVF centroids and PQ codebooks
     from parquet_extractor_spark.artifacts import memo_artifact
 
     mins, maxs = memo_artifact(

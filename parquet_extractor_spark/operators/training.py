@@ -292,7 +292,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical documents land on opposite sides, the eval set is
     contaminated anyway (the Lee et al. dedup paper's motivating
     failure). This query joins the banded MinHash-LSH candidate
-    pairs (the shared dedup tier — computed once per session) with
+    pairs (the shared dedup tier — computed once per dataset) with
     the split assignment and counts pairs per ordered split
     combination; any (train, val/test) row with n_pairs > 0 is
     leakage the release notes must disclose — or dedup_canonical

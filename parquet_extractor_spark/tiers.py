@@ -24,59 +24,81 @@ consumer reads the files. Parquet, not ``persist()``, on purpose:
   and the index must be shared across *jobs*, not stages;
 * re-reading costs a columnar scan of a small table, not memory.
 
-Tiers live under a per-process temp directory removed at interpreter
-exit; keys include the SparkContext applicationId, the realpath of
-the data directory, AND a cheap content fingerprint of its parquet
-files (count/bytes/max-mtime), so a different session, a different
-fixture, or the same fixture rewritten in place never reads a stale
-tier. Builders are deterministic (same-seed MinHash, pinned
-rounding), so a tier is a pure function of its key — reuse can never
-change a query's answer, only its cost. Row ORDER inside a tier is
-not part of the contract; every consumer joins or aggregates.
+Tiers live under the PERSISTENT store root shared with
+artifacts.py (r11; previously a per-process temp directory keyed by
+applicationId). Per-process tiers made the bench trend self-noisy:
+whichever query ran first in a fresh JVM paid the tier build and
+booked it as its own latency (r10 adjudicated minhash_lsh_candidates
+14.2 s cold-isolated vs 2.3 s warm — all tier attribution). Keys
+include the realpath of the data directory, a cheap content
+fingerprint of its parquet files (count/bytes/max-mtime), and a
+fingerprint of the package's own source code, so a different
+fixture, the same fixture rewritten in place, or ANY code change
+never serves a stale tier. Builders are deterministic (same-seed
+MinHash, pinned rounding), so a tier is a pure function of its key —
+reuse can never change a query's answer, only its cost. Row ORDER
+inside a tier is not part of the contract; every consumer joins or
+aggregates.
+
+Writes are atomic: the build lands in a process-private temp dir
+that is ``os.rename``d into place, so a concurrent process either
+sees the complete tier or builds its own copy (first rename wins,
+the loser reads the winner's files).
 
 ``SPARK_GRAFT_NO_TIER_CACHE=1`` disables the layer (consumers build
 their tiers inline, the pre-round-6 plans) — used by plan-audit
-tests that want the raw lineage.
+tests that want the raw lineage. ``SPARK_GRAFT_ARTIFACT_DIR``
+relocates the store (test isolation).
 """
 
 from __future__ import annotations
 
-import atexit
+import hashlib
 import os
 import shutil
-import tempfile
 import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from parquet_extractor_spark.artifacts import _disabled, dir_fingerprint
+from parquet_extractor_spark.artifacts import (
+    _disabled,
+    code_fingerprint,
+    dir_fingerprint,
+    store_root,
+)
 
-_TIER_ROOT: str | None = None
-_BUILT: dict[tuple, str] = {}
+_KNOWN: dict[tuple, str] = {}
 # reentrant: a tier builder may itself consume a lower tier (the
 # components tier builds on the lsh_pairs tier)
 _LOCK = threading.RLock()
 
 
-def _root() -> str:
-    global _TIER_ROOT
-    if _TIER_ROOT is None:
-        _TIER_ROOT = tempfile.mkdtemp(prefix="pes-tiers-")
-        atexit.register(shutil.rmtree, _TIER_ROOT, ignore_errors=True)
-    return _TIER_ROOT
+def _tiers_root() -> str:
+    d = os.path.join(store_root(), "tiers")
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
-def _key(spark: SparkSession, sf_dir: str, name: str) -> tuple:
+def _key(sf_dir: str, name: str) -> tuple:
     # dir_fingerprint adds a content component (count/bytes/mtime of
-    # the parquet files) so an in-place fixture rewrite within one
-    # session can never serve a stale tier.
+    # the parquet files) so an in-place fixture rewrite can never
+    # serve a stale tier; code_fingerprint invalidates every tier on
+    # any package source change.
     return (
-        spark.sparkContext.applicationId,
         os.path.realpath(sf_dir),
         dir_fingerprint(sf_dir),
+        code_fingerprint(),
         name,
     )
+
+
+def _tier_path(k: tuple) -> str:
+    digest = hashlib.sha256(repr(k).encode()).hexdigest()[:24]
+    slug = "".join(
+        c if c.isalnum() or c in "-_" else "-" for c in k[3]
+    )[:40]
+    return os.path.join(_tiers_root(), f"{slug}-{digest}")
 
 
 def ensure_tier(
@@ -85,7 +107,8 @@ def ensure_tier(
     name: str,
     build: Callable[[], DataFrame],
 ) -> DataFrame:
-    """Return the tier as a DataFrame, materializing it on first use.
+    """Return the tier as a DataFrame, materializing it on first use
+    (per dataset + code version, across processes).
 
     The build-and-write happens under a coarse lock so two
     job-service threads cannot write the same tier concurrently; the
@@ -94,22 +117,38 @@ def ensure_tier(
     """
     if _disabled():
         return build()
-    k = _key(spark, sf_dir, name)
+    k = _key(sf_dir, name)
     with _LOCK:
-        path = _BUILT.get(k)
+        path = _KNOWN.get(k)
         if path is None:
-            path = os.path.join(_root(), f"t{len(_BUILT)}-{name}")
-            build().write.mode("overwrite").parquet(path)
-            _BUILT[k] = path
+            path = _tier_path(k)
+            if not os.path.isdir(path):
+                tmp = f"{path}.tmp.{os.getpid()}"
+                build().write.mode("overwrite").parquet(tmp)
+                try:
+                    os.rename(tmp, path)
+                except OSError:
+                    # lost the cross-process race: the winner's tier
+                    # is complete (rename is atomic) — read theirs
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    if not os.path.isdir(path):
+                        raise
+            _KNOWN[k] = path
     return spark.read.parquet(path)
 
 
 def clear_tiers() -> None:
-    """Forget every materialized tier and memoized artifact (test
-    hook). Files are left for atexit cleanup — a reader created
-    before the clear may still be mid-scan."""
+    """Forget every materialized tier and memoized artifact, disk
+    included (test hook)."""
     from parquet_extractor_spark.artifacts import clear_artifact_memo
 
     with _LOCK:
-        _BUILT.clear()
+        _KNOWN.clear()
+        root = _tiers_root()
+        try:
+            names = os.listdir(root)
+        except OSError:
+            names = []
+        for n in names:
+            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
     clear_artifact_memo()

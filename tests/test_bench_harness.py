@@ -19,6 +19,7 @@ def test_compact_payload_fits_limit_and_records_trim():
         "metric": "headline_queries_total",
         "value": 493.6,
         "unit": "sec",
+        "mode": "inprocess",
         "queries": queries,
         "sf": 0.1,
     }
@@ -27,20 +28,45 @@ def test_compact_payload_fits_limit_and_records_trim():
     assert out["n"] == 400
     assert out["omitted"] == 400 - len(out["queries"])
     assert out["omitted"] > 0
+    assert out["mode"] == "inprocess"
     # bench order preserved: the surviving entries are the head
     assert list(out["queries"]) == list(queries)[: len(out["queries"])]
 
 
+def test_compact_payload_carries_heavy_tail():
+    """The ten most expensive queries must reach the driver even when
+    the bench-order trim would drop them (r10 verdict item 7)."""
+    queries = {f"q{i:03d}": 0.5 for i in range(400)}
+    queries["q399"] = 99.9  # dead last in bench order
+    queries["q250"] = 42.0
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 341.4,
+        "unit": "sec",
+        "mode": "inprocess",
+        "queries": queries,
+        "sf": 0.1,
+    }
+    out = bench._compact(payload)
+    assert len(json.dumps(out)) <= bench._COMPACT_LIMIT
+    assert list(out["slowest"])[:2] == ["q399", "q250"]
+    assert len(out["slowest"]) == 10
+    assert out["slowest"]["q399"] == 99.9
+
+
 def test_orchestrator_merges_chunk_payloads(monkeypatch, tmp_path, capsys):
-    """Each mocked child writes its chunk's payload to
-    BENCH_LOCAL.json; the orchestrator must merge timings in bench
-    order, propagate errors/skips, and flag chunk members missing
-    from a child payload instead of silently dropping them."""
+    """Each mocked child writes its chunk's payload to the TEMP path
+    the orchestrator hands it (SPARK_GRAFT_BENCH_PAYLOAD — never the
+    git-tracked BENCH_LOCAL.json, r10 advice); the orchestrator must
+    merge timings in bench order, propagate errors/skips, flag chunk
+    members missing from a child payload instead of silently dropping
+    them, and label the merged payload mode=chunked."""
     local = tmp_path / "BENCH_LOCAL.json"
     monkeypatch.setattr(bench, "_local_json_path", lambda: str(local))
 
     bench_set = [f"q{i}" for i in range(6)]
     calls = []
+    child_paths = []
 
     class FakeProc:
         returncode = 0
@@ -49,13 +75,18 @@ def test_orchestrator_merges_chunk_payloads(monkeypatch, tmp_path, capsys):
     def fake_run(cmd, env=None, capture_output=True, text=True, timeout=0):
         chunk = env["SPARK_GRAFT_BENCH_ONLY"].split(",")
         calls.append(chunk)
+        child_paths.append(env["SPARK_GRAFT_BENCH_PAYLOAD"])
+        # the committed artifact must not exist mid-run (children
+        # never touch it; the orchestrator writes it once at the end)
+        assert not local.exists()
         part = {
             "queries": {n: 1.0 for n in chunk if n != "q4"},
             "sf": 0.1,
+            "mode": "inprocess",
         }
         if "q4" in chunk:
             part["errors"] = {"q4": "boom"}
-        with open(local, "w") as fh:
+        with open(env["SPARK_GRAFT_BENCH_PAYLOAD"], "w") as fh:
             json.dump(part, fh)
         return FakeProc()
 
@@ -67,12 +98,17 @@ def test_orchestrator_merges_chunk_payloads(monkeypatch, tmp_path, capsys):
     captured = capsys.readouterr()
     payload = json.loads(open(local).read())
     assert calls == [bench_set[:3], bench_set[3:]]
+    assert all(p != str(local) for p in child_paths)
     assert list(payload["queries"]) == ["q0", "q1", "q2", "q3", "q5"]
     assert payload["errors"] == {"q4": "boom"}
+    assert payload["mode"] == "chunked"
     assert "skipped" not in payload
+    # the child temp payload is cleaned up after the merge
+    assert not os.path.exists(child_paths[0])
     last = captured.out.strip().splitlines()[-1]
     compact = json.loads(last)
     assert compact["n"] == 5 and compact["errors"] == 1
+    assert compact["mode"] == "chunked"
 
 
 def test_orchestrator_flags_missing_and_stale_payload(
@@ -80,10 +116,12 @@ def test_orchestrator_flags_missing_and_stale_payload(
 ):
     """A child that crashes before writing a payload must surface
     every chunk member as an error (the pre-launch payload delete
-    prevents a stale read)."""
+    prevents a stale read) — and a PRE-EXISTING committed
+    BENCH_LOCAL.json survives untouched until the final merge write
+    (r10 advice: a dead orchestrator must not leave it deleted)."""
     local = tmp_path / "BENCH_LOCAL.json"
     monkeypatch.setattr(bench, "_local_json_path", lambda: str(local))
-    # stale payload from some previous run
+    # committed artifact from some previous run
     with open(local, "w") as fh:
         json.dump({"queries": {"zz": 9.9}}, fh)
 
@@ -92,6 +130,8 @@ def test_orchestrator_flags_missing_and_stale_payload(
         stderr = ""
 
     def fake_run(cmd, env=None, capture_output=True, text=True, timeout=0):
+        # mid-run, the previous committed artifact is still intact
+        assert json.loads(open(local).read())["queries"] == {"zz": 9.9}
         return FakeProc()  # writes nothing
 
     import subprocess
@@ -103,3 +143,10 @@ def test_orchestrator_flags_missing_and_stale_payload(
     assert payload["queries"] == {}
     assert set(payload["errors"]) == {"a", "b"}
     assert "stale" not in json.dumps(payload)
+
+
+def test_child_payload_path_env_routing(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PAYLOAD", raising=False)
+    assert bench._child_payload_path() == bench._local_json_path()
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PAYLOAD", "/tmp/x.json")
+    assert bench._child_payload_path() == "/tmp/x.json"

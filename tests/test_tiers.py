@@ -139,6 +139,81 @@ def test_memo_artifact_builds_once_and_isolates_keys(spark, sf_small):
     assert len(calls) == 2
 
 
+def test_tier_survives_process_restart_simulated(spark, sf_small):
+    """r11: tiers persist across PROCESSES (keyed by dataset + code
+    fingerprint, not applicationId). Simulate a fresh JVM by clearing
+    only the in-memory registry: the disk layer must serve without a
+    rebuild."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).select(F.col("id").alias("n"))
+
+    tiers.ensure_tier(spark, sf_small, "t_persist", build)
+    tiers._KNOWN.clear()  # what a new process starts with
+    out = tiers.ensure_tier(spark, sf_small, "t_persist", build)
+    assert len(calls) == 1
+    assert sorted(r.n for r in out.collect()) == [0, 1, 2]
+
+
+def test_artifact_survives_process_restart_simulated(spark, sf_small):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return [[1.5, -2.25], [0.0, 3.0]]
+
+    a = artifacts.memo_artifact(spark, sf_small, ("m_persist",), build)
+    artifacts._MEMO.clear()  # what a new process starts with
+    b = artifacts.memo_artifact(spark, sf_small, ("m_persist",), build)
+    assert len(calls) == 1
+    assert a == b == [[1.5, -2.25], [0.0, 3.0]]
+
+
+def test_artifact_codec_roundtrips_tuples_and_rows(spark, sf_small):
+    """The disk layer must reproduce the builder's value EXACTLY —
+    tuples stay tuples, pyspark Rows keep field access, floats
+    round-trip bit-exact (similarity.py memoizes Row lists and
+    (mins, maxs) tuples)."""
+    from pyspark.sql import Row
+
+    val = (
+        [Row(vec_id=7, embedding=[0.1, -2.5e-17]), Row(vec_id=9, embedding=[])],
+        (1, 2, 3),
+        [0.3333333333333333],
+    )
+    artifacts.memo_artifact(spark, sf_small, ("m_codec",), lambda: val)
+    artifacts._MEMO.clear()
+    got = artifacts.memo_artifact(
+        spark, sf_small, ("m_codec",), lambda: (_ for _ in ()).throw(
+            AssertionError("disk layer missed")
+        )
+    )
+    rows, tup, fl = got
+    assert isinstance(tup, tuple) and tup == (1, 2, 3)
+    assert fl == [0.3333333333333333]
+    assert rows[0].vec_id == 7 and rows[0].embedding == [0.1, -2.5e-17]
+    assert rows[1].embedding == []
+
+
+def test_code_change_invalidates_persisted_layers(spark, sf_small, monkeypatch):
+    """Any package source change must bust disk-persisted tiers and
+    artifacts: a stored value must never outlive the code that built
+    it."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return [1]
+
+    artifacts.memo_artifact(spark, sf_small, ("m_code",), build)
+    artifacts._MEMO.clear()
+    monkeypatch.setattr(artifacts, "_CODE_FP", "deadbeefdeadbeefdead")
+    artifacts.memo_artifact(spark, sf_small, ("m_code",), build)
+    assert len(calls) == 2
+
+
 def test_warm_dedup_consumer_equals_cold(spark, sf_small, monkeypatch):
     """dedup_canonical cold (no tier layer) vs warm (tiers built by a
     prior consumer) — row-identical output, the guarantee that reuse
