@@ -1,8 +1,11 @@
 """Spec-derived known-answer probes, round 2: the decode-only codec
 families the r08 gate left to pytest round-trips (VERDICT r08 "What's
 missing" #2): VP8L (subtract-green + color cache), progressive JPEG
-with a DC+AC refinement scan script, APNG OP_OVER compositing, and a
-BigTIFF strip.
+with a DC+AC refinement scan script, APNG OP_OVER compositing, a
+BigTIFF strip, 16-bit Predictor-2 TIFF and MP4 stts/ctts timing
+(r10), and — r11 — IMA/MS-ADPCM WAV block decodes plus both
+old-style JPEG-in-TIFF layouts (interchange tags 513/514 and the
+TIFF 6.0 §22 strip layout behind table tags 519/520/521).
 
 Same contract as ``media_known_answers``: every byte stream below is
 hand-packed from the public format specification (RFC 9649 §3 for
@@ -411,6 +414,228 @@ def build_mp4_stts_ctts_probe() -> bytes:
     return ftyp + moov + mdat
 
 
+# ── IMA ADPCM WAV: block headers, step-table walk, clamps ───────────
+#
+# Mono IMA/DVI ADPCM (format tag 0x11), block_align 8 -> 4-byte
+# header (predictor i16 LE, step index, reserved) + 4 data bytes =
+# 8 nibbles, LOW nibble first; 9 samples/block (header sample + 8).
+# Two blocks, hand-walked through the public IMA step table
+# (step[i], diff = step>>3 (+step>>2|step>>1|step per bits 0-2),
+# sign bit 8, index += {-1,-1,-1,-1,2,4,6,8}[n&7], clamp [0,88] and
+# [-32768,32767]):
+#   Block 1: pred=100 idx=4 (step 11), nibbles 7,3,15,0,8,2,1,4:
+#     7: +19 ->119 (idx 12)   3: +18 ->137 (11)   15: -38 -> 99 (19)
+#     0: + 5 ->104 (18)       8: - 5 -> 99 (17)    2: +22 ->121 (16)
+#     1: +12 ->133 (15)       4: +34 ->167 (17)
+#   Block 2: pred=-32760 idx=0 (step 7), nibbles 15,0,9,0,0,0,0,0:
+#     15: -11 -> clamp -32768 (idx 8)   0: +2 -> -32766 (7)
+#      9: - 4 -> clamp -32768 (6)       0: +1 -> -32767 (5)
+#     then +1 each: -32766, -32765, -32764 (and -32763, truncated)
+# fact chunk n_frames = 17 cuts the padded 18th sample — a decoder
+# ignoring fact, the sign bit, either clamp, or nibble order flips
+# the literal. Canonical bytes: rate i32 + 17 samples i16, big-endian.
+
+_WAV_IMA_EXPECTED = (
+    100, 119, 137, 99, 104, 99, 121, 133, 167,
+    -32760, -32768, -32766, -32768, -32767, -32766, -32765, -32764,
+)
+WAV_IMA_CANON = struct.pack(">i17h", 8000, *_WAV_IMA_EXPECTED)
+
+
+def _riff(fmt_body: bytes, fact_frames: int, payload: bytes) -> bytes:
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"fact" + struct.pack("<II", 4, fact_frames)
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def build_wav_ima_adpcm_probe() -> bytes:
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, 8000, 4000, 8, 4, 2, 9)
+    blocks = (
+        struct.pack("<hBB", 100, 4, 0) + bytes([0x37, 0x0F, 0x28, 0x41])
+        + struct.pack("<hBB", -32760, 0, 0) + bytes([0x0F, 0x09, 0, 0])
+    )
+    return _riff(fmt, 17, blocks)
+
+
+# ── MS-ADPCM WAV: 2-tap predictor + delta adaptation ────────────────
+#
+# Mono MS-ADPCM (tag 0x02), block_align 10 -> 7-byte header
+# (predictor index, delta i16, sample1 i16, sample2 i16) + 3 data
+# bytes = 6 nibbles, HIGH nibble first; 8 samples/block. Predictor 1
+# = coefs (512, -256); header delta 32, s1 300, s2 100 (outputs lead
+# with sample2 then sample1). Hand walk (pred = (s1*512 - s2*256)>>8,
+# sample = clamp(pred + signed*delta), delta = max(16,
+# (ADAPT[nib]*delta)>>8)):
+#   nib 2: pred 500,  s 564,  delta 230*32>>8  = 28
+#   nib15: pred 828,  s 800,  delta 230*28>>8  = 25   (signed -1)
+#   nib 8: pred 1036, s 836,  delta 768*25>>8  = 75   (signed -8)
+#   nib 0: pred 872,  s 872,  delta 230*75>>8  = 67
+#   nib 7: pred 908,  s 1377, delta 614*67>>8  = 160
+#   nib 9: pred 1882, s 762                         (signed -7)
+# A decoder with a wrong coefficient pair, >>8 vs /256 rounding on
+# negatives, a mis-ordered s1/s2 lead-in, or a broken adaptation
+# table flips the literal. Canonical: rate i32 + 8 samples i16, BE.
+
+_WAV_MS_EXPECTED = (100, 300, 564, 800, 836, 872, 1377, 762)
+WAV_MS_CANON = struct.pack(">i8h", 8000, *_WAV_MS_EXPECTED)
+
+
+def build_wav_ms_adpcm_probe() -> bytes:
+    fmt = struct.pack("<HHIIHHHH", 0x0002, 1, 8000, 8000, 10, 4, 2, 8)
+    block = (
+        bytes([1])
+        + struct.pack("<hhh", 32, 300, 100)
+        + bytes([0x2F, 0x80, 0x79])
+    )
+    return _riff(fmt, 8, block)
+
+
+# ── old-style JPEG-in-TIFF, interchange layout (tags 513/514) ───────
+#
+# TIFF 6.0 compression 6 in its one sane layout: JPEGInterchangeFormat
+# (513) / -Length (514) point at a COMPLETE interchange stream for the
+# whole image; such files often omit strip tags entirely (this probe
+# does). The embedded stream is the hand-derived DC-only baseline
+# probe from media_known_answers (two 8x8 blocks: DC diffs +16 / -8
+# over flat q=16 -> flat 160 / 144), so the expectation literal is
+# the same 16x8 gray split. The IFD width/height must agree with the
+# stream (the decoder cross-checks).
+
+TIFF_OLDJPEG_513_EXPECTED = np.zeros((8, 16, 3), dtype=np.uint8)
+TIFF_OLDJPEG_513_EXPECTED[:, :8, :] = 160
+TIFF_OLDJPEG_513_EXPECTED[:, 8:, :] = 144
+
+
+def _classic_ifd(entries_spec, ifd_off: int = 8) -> bytes:
+    """Little-endian classic-TIFF IFD from (tag, type, count, value8)
+    4-byte-value entries, already externally laid out by the caller."""
+    entries = b"".join(
+        struct.pack("<HHI", t, typ, count) + v4.ljust(4, b"\x00")
+        for t, typ, count, v4 in entries_spec
+    )
+    return (
+        struct.pack("<H", len(entries_spec))
+        + entries
+        + struct.pack("<I", 0)
+    )
+
+
+def build_tiff_oldjpeg_interchange_probe() -> bytes:
+    from parquet_extractor_spark.operators.media_known_answers import (
+        build_jpeg_probe,
+    )
+
+    jpeg = build_jpeg_probe()
+    n = 5
+    ifd_off = 8
+    jpeg_off = ifd_off + 2 + n * 12 + 4
+    short = lambda v: struct.pack("<H", v)  # noqa: E731
+    long4 = lambda v: struct.pack("<I", v)  # noqa: E731
+    ifd = _classic_ifd(
+        [
+            (256, 3, 1, short(16)),          # ImageWidth
+            (257, 3, 1, short(8)),           # ImageLength
+            (259, 3, 1, short(6)),           # Compression: old JPEG
+            (513, 4, 1, long4(jpeg_off)),    # JPEGInterchangeFormat
+            (514, 4, 1, long4(len(jpeg))),   # ...Length
+        ]
+    )
+    return b"II" + struct.pack("<HI", 42, ifd_off) + ifd + jpeg
+
+
+# ── old-style JPEG-in-TIFF, §22 strip layout (tags 519/520/521) ─────
+#
+# TIFF 6.0 §22: strips hold RAW entropy data (no markers); the tables
+# live behind per-sample pointer tags — JPEGQTables (519) at raw
+# 64-byte zigzag tables, JPEGDCTables (520) / JPEGACTables (521) at
+# raw BITS(16)+values Huffman tables — and the interchange headers
+# are rebuilt per strip. 8x8, 3 components, YCbCrSubSampling (530) =
+# [1,1] (no subsampling), one strip, all three components sharing one
+# offset per table tag (shared table id 0). DC-only blocks over flat
+# q=16 with the Annex K luminance tables:
+#   Y : diff +16 (cat5 '110'+'10000') -> 160
+#   Cb: diff  -8 (cat4 '101'+'0111')  -> 112  (cb-128 = -16)
+#   Cr: diff  +8 (cat4 '101'+'1000')  -> 144  (cr-128 = +16)
+# each followed by AC EOB '1010'; 34 bits pad to D0 AA F5 62 BF.
+# Color convert (BT.601, round-half-even then clip):
+#   R = 160 + 1.402*16            = 182.432 -> 182
+#   G = 160 + 0.344136*16 - 0.714136*16 = 154.08 -> 154
+#   B = 160 - 1.772*16            = 131.648 -> 132
+# A decoder that drops a table pointer, misassigns shared ids, skips
+# the rebuilt SOF/SOS, or botches the YCbCr inverse flips the flat
+# (182, 154, 132) literal.
+
+TIFF_OLDJPEG_519_EXPECTED = np.tile(
+    np.array([182, 154, 132], dtype=np.uint8), (8, 8, 1)
+)
+
+
+def build_tiff_oldjpeg_tables_probe() -> bytes:
+    from parquet_extractor_spark.operators.media_known_answers import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+    )
+
+    qtab = bytes([16] * 64)
+    dct = bytes(_DC_BITS) + bytes(_DC_VALS)
+    act = bytes(_AC_BITS) + bytes(_AC_VALS)
+    entropy = bytes([0xD0, 0xAA, 0xF5, 0x62, 0xBF])
+    n = 13
+    ifd_off = 8
+    pos = ifd_off + 2 + n * 12 + 4
+    bits_off = pos          # 258: three SHORTs (6 bytes, external)
+    pos += 6
+    q_off = pos
+    pos += len(qtab)
+    dc_off = pos
+    pos += len(dct)
+    ac_off = pos
+    pos += len(act)
+    ptr_q_off = pos         # 519/520/521: three LONGs each, external
+    pos += 12
+    ptr_dc_off = pos
+    pos += 12
+    ptr_ac_off = pos
+    pos += 12
+    strip_off = pos
+    short = lambda v: struct.pack("<H", v)  # noqa: E731
+    long4 = lambda v: struct.pack("<I", v)  # noqa: E731
+    ifd = _classic_ifd(
+        [
+            (256, 3, 1, short(8)),            # ImageWidth
+            (257, 3, 1, short(8)),            # ImageLength
+            (258, 3, 3, long4(bits_off)),     # BitsPerSample 8,8,8
+            (259, 3, 1, short(6)),            # Compression: old JPEG
+            (273, 4, 1, long4(strip_off)),    # StripOffsets
+            (277, 3, 1, short(3)),            # SamplesPerPixel
+            (278, 3, 1, short(8)),            # RowsPerStrip
+            (279, 4, 1, long4(len(entropy))),  # StripByteCounts
+            (512, 3, 1, short(1)),            # JPEGProc: baseline
+            (519, 4, 3, long4(ptr_q_off)),    # JPEGQTables
+            (520, 4, 3, long4(ptr_dc_off)),   # JPEGDCTables
+            (521, 4, 3, long4(ptr_ac_off)),   # JPEGACTables
+            (530, 3, 2, short(1) + short(1)),  # YCbCrSubSampling 1,1
+        ]
+    )
+    body = (
+        struct.pack("<3H", 8, 8, 8)
+        + qtab + dct + act
+        + struct.pack("<3I", q_off, q_off, q_off)
+        + struct.pack("<3I", dc_off, dc_off, dc_off)
+        + struct.pack("<3I", ac_off, ac_off, ac_off)
+        + entropy
+    )
+    header = b"II" + struct.pack("<HI", 42, ifd_off)
+    out = header + ifd + body
+    assert len(out) == strip_off + len(entropy)
+    return out
+
+
 # ── probe registry ──────────────────────────────────────────────────
 
 DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
@@ -426,6 +651,17 @@ DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
      TIFF16_EXPECTED.tobytes(), TIFF16_EXPECTED.shape),
     (6, "mp4_stts_ctts_timing", build_mp4_stts_ctts_probe(),
      MP4_TIMING_CANON, (6,)),
+    # r11 additions: the two ADPCM WAV families (previously only
+    # generator-checked) and both old-style JPEG-in-TIFF layouts
+    (7, "wav_ima_adpcm_blocks", build_wav_ima_adpcm_probe(),
+     WAV_IMA_CANON, (17,)),
+    (8, "wav_ms_adpcm_predictor", build_wav_ms_adpcm_probe(),
+     WAV_MS_CANON, (8,)),
+    (9, "tiff_oldjpeg_interchange_513",
+     build_tiff_oldjpeg_interchange_probe(),
+     TIFF_OLDJPEG_513_EXPECTED.tobytes(), TIFF_OLDJPEG_513_EXPECTED.shape),
+    (10, "tiff_oldjpeg_tables_519", build_tiff_oldjpeg_tables_probe(),
+     TIFF_OLDJPEG_519_EXPECTED.tobytes(), TIFF_OLDJPEG_519_EXPECTED.shape),
 ]
 
 
@@ -445,10 +681,19 @@ def _decode_canonical_deep(name: str, data: bytes) -> tuple[bytes, tuple]:
 
         frames = decode_apng_frames(data)
         arr = np.stack([canvas for _delay, canvas in frames])
-    elif name.startswith(("bigtiff", "tiff16")):
+    elif name.startswith(("bigtiff", "tiff16", "tiff_oldjpeg")):
         from parquet_extractor_spark.functions.tiff import decode_tiff
 
         arr = decode_tiff(data)
+    elif name.startswith("wav_"):
+        from parquet_extractor_spark.functions.wav import decode_wav
+
+        samples, rate = decode_wav(data)
+        samples = np.asarray(samples, dtype=np.int64).ravel()
+        return (
+            struct.pack(f">i{samples.size}h", rate, *samples.tolist()),
+            (samples.size,),
+        )
     elif name.startswith("mp4"):
         from parquet_extractor_spark.functions.mp4 import (
             parse_mp4_metadata,
@@ -469,7 +714,7 @@ def _decode_canonical_deep(name: str, data: bytes) -> tuple[bytes, tuple]:
 
 
 def media_known_answer_probes_deep(spark, sf_dir: str) -> DataFrame:
-    """Driver-gate query: decode the four hand-built probe streams
+    """Driver-gate query: decode the hand-built probe streams
     through the REAL decoders via Arrow mapInPandas and report
     (digest, n_bytes, shape). The oracle pins the HAND-DERIVED
     expectations (module docstring), independent of ``functions/*``.

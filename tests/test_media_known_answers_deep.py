@@ -1,7 +1,9 @@
 """Deep spec-derived known-answer probes (media_known_answers_deep):
 VP8L subtract-green + color cache, progressive-JPEG AC refinement,
 APNG OP_OVER compositing, BigTIFF geometry, 16-bit Predictor-2 TIFF,
-MP4 stts/ctts sample timing. Same contract as
+MP4 stts/ctts sample timing, IMA/MS-ADPCM WAV block decodes, and both
+old-style JPEG-in-TIFF layouts (interchange 513/514 and §22 table
+tags 519/520/521). Same contract as
 test_media_known_answers: expectations are hand-derived literals and
 the gate must have teeth against corruption."""
 
@@ -84,6 +86,15 @@ def test_corrupted_deep_stream_cannot_match_the_pinned_row():
         "tiff16_predictor2_deflate": -1,
         # last ctts offset byte (100 -> flipped)
         "mp4_stts_ctts_timing": -25,
+        # block-2 nibble byte (samples 16-17; 17 survives fact cut)
+        "wav_ima_adpcm_blocks": -1,
+        # last nibble byte (samples 7-8)
+        "wav_ms_adpcm_predictor": -1,
+        # block-2 DC value bits of the embedded interchange stream
+        # (entropy ...F5 FF 00 + FFD9 trailer)
+        "tiff_oldjpeg_interchange_513": -5,
+        # Cr DC value bits of the raw §22 entropy strip (0x62)
+        "tiff_oldjpeg_tables_519": -2,
     }
     for pid, name, data, canon, _shape in D.DEEP_PROBES:
         mutated = bytearray(data)
@@ -152,3 +163,35 @@ def test_oracle_values_derive_from_expected_literals_only():
     for pid, name, _data, canon, shape in D.DEEP_PROBES:
         assert by_id[pid][3] == D._md5_int(canon)
         assert by_id[pid][2] == len(canon)
+
+
+def test_ima_adpcm_fact_truncation_and_clamps():
+    """The fact chunk (17) must cut the padded 18th sample, and both
+    saturation clamps must engage (block 2 drives the predictor below
+    -32768 twice)."""
+    from parquet_extractor_spark.functions.wav import decode_wav
+
+    data = bytearray(D.build_wav_ima_adpcm_probe())
+    samples, rate = decode_wav(bytes(data))
+    assert rate == 8000 and samples.shape == (17,)
+    assert int(samples.min()) == -32768
+    # raise fact to 18: the padded tail sample (-32763, derived in the
+    # module comment) reappears
+    fact_off = data.index(b"fact") + 8
+    data[fact_off:fact_off + 4] = (18).to_bytes(4, "little")
+    samples18, _ = decode_wav(bytes(data))
+    assert samples18.shape == (18,) and int(samples18[-1]) == -32763
+    assert samples18[:17].tolist() == samples.tolist()
+
+
+def test_oldjpeg_tables_layout_requires_all_three_table_tags():
+    """§22 decoding must fail loudly (NotImplementedError boundary),
+    not guess, when a table pointer tag is missing."""
+    from parquet_extractor_spark.functions.tiff import decode_tiff
+
+    data = bytearray(D.build_tiff_oldjpeg_tables_probe())
+    # retag JPEGACTables (521) to a tag the reader ignores
+    idx = data.index((521).to_bytes(2, "little"), 8)
+    data[idx:idx + 2] = (5210).to_bytes(2, "little")
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_tiff(bytes(data))
