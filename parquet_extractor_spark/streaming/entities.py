@@ -175,6 +175,211 @@ def resolve_increment(
     return old_relabeled.unionByName(new_labeled)
 
 
+# ── incremental customer ER: the sf-SCALED blocked twin ─────────────
+#
+# operators/entities.customer_entity_resolution resolves the full
+# customer table one-shot: block on name-minus-last-2, edge =
+# levenshtein ≤ CUSTOMER_ER_MAX_DIST within a block, min-label CC,
+# golden-record survivorship. The incremental twin below applies the
+# SAME predicate as customers arrive in micro-batches, carrying a
+# persistent (customer rows + cluster label) state through
+# epoch-tagged OVERWRITE snapshots exactly like the trigram ER stream
+# above: batch×state candidate generation is an equi-join on the
+# blocking key (never batch × master), state clusters act as
+# supernodes in the per-batch component step, and replayed epochs
+# short-circuit on their tag. Equality contract (pinned in
+# tests/test_streaming.py): after draining ANY partition of the
+# customer table into ordered batches, customer_golden_records(state)
+# row-equals the one-shot batch query.
+#
+# Correctness note mirroring the module docstring: the state is
+# transitively closed under the edge predicate after every epoch
+# (every historical pair within one block was evaluated when its
+# later member arrived), so per-batch linking only ever needs
+# batch-batch and batch-state edges.
+
+CUSTOMER_STATE_SCHEMA = (
+    "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, "
+    "cents BIGINT, block STRING, cluster BIGINT"
+)
+
+
+def _customers_blocked(batch: DataFrame) -> DataFrame:
+    """Arriving customer rows with the survivorship columns and the
+    blocking key precomputed (identical expressions to the batch
+    query, operators/entities.py)."""
+    return batch.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("block"),
+    )
+
+
+def resolve_customers_increment(
+    state: DataFrame | None, batch: DataFrame
+) -> DataFrame:
+    """One customer-ER step: link arriving customer rows against the
+    persistent state and return the NEW full state frame
+    (CUSTOMER_STATE_SCHEMA). Pure DataFrame logic."""
+    from parquet_extractor_spark.functions.graph import (
+        min_label_components,
+    )
+    from parquet_extractor_spark.operators.entities import (
+        CUSTOMER_ER_MAX_DIST,
+    )
+
+    new = _customers_blocked(batch)
+    a, b = new.alias("a"), new.alias("b")
+    within_edges = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            <= CUSTOMER_ER_MAX_DIST
+        )
+        .select(
+            F.col("a.c_custkey").alias("src"),
+            F.col("b.c_custkey").alias("dst"),
+        )
+    )
+    if state is None:
+        nodes = new.select("c_custkey")
+        edges = within_edges
+    else:
+        s = state.alias("s")
+        cross_edges = (
+            new.alias("n")
+            .join(s, F.col("n.block") == F.col("s.block"))
+            .filter(
+                F.levenshtein(F.col("n.c_name"), F.col("s.c_name"))
+                <= CUSTOMER_ER_MAX_DIST
+            )
+            # state records collapse to their cluster supernode
+            .select(
+                F.col("n.c_custkey").alias("src"),
+                F.col("s.cluster").alias("dst"),
+            )
+            .distinct()
+        )
+        touched = cross_edges.select(
+            F.col("dst").alias("c_custkey")
+        ).distinct()
+        nodes = new.select("c_custkey").union(touched)
+        edges = within_edges.union(cross_edges)
+
+    labels = min_label_components(
+        nodes, edges, id_col="c_custkey", label_col="cluster"
+    )
+    new_labeled = new.join(labels, "c_custkey").select(
+        "c_custkey", "c_name", "c_nationkey", "cents", "block", "cluster"
+    )
+    if state is None:
+        return new_labeled
+    remap = labels.select(
+        F.col("c_custkey").alias("cluster"),
+        F.col("cluster").alias("new_cluster"),
+    )
+    old_relabeled = state.join(remap, "cluster", "left").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "cents",
+        "block",
+        F.coalesce("new_cluster", "cluster").alias("cluster"),
+    )
+    return old_relabeled.unionByName(new_labeled)
+
+
+def customer_golden_records(state: DataFrame) -> DataFrame:
+    """Golden records from the resolved state — the same survivorship
+    aggregation (and column names) as the batch
+    customer_entity_resolution query."""
+    return (
+        state.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("c_name").alias("canonical_name"),
+            F.sum("cents").cast("bigint").alias("total_acctbal_cents"),
+            F.countDistinct("c_nationkey")
+            .cast("bigint")
+            .alias("n_nations"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("component"),
+            "n_members",
+            "canonical_name",
+            "total_acctbal_cents",
+            "n_nations",
+        )
+        .orderBy("component")
+    )
+
+
+def run_customer_er_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_table_dir: str,
+    timeout_s: int = 180,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain a customer-arrivals landing directory (parquet files of
+    (c_custkey, c_name, c_nationkey, c_acctbal)) into the persistent
+    cluster state, one epoch-tagged OVERWRITE snapshot per
+    micro-batch. Returns the final state frame."""
+    from parquet_extractor_spark.sinks.versioned import (
+        commit_snapshot,
+        read_snapshot,
+        snapshots,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, "
+            "c_acctbal DOUBLE"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        tag = f"epoch-{epoch}"
+        if any(m.get("tag") == tag for m in snapshots(state_table_dir)):
+            return  # replay: resolving against advanced state mis-links
+        try:
+            state = read_snapshot(spark, state_table_dir)
+        except FileNotFoundError:
+            state = None
+        new_state = resolve_customers_increment(state, batch)
+        commit_snapshot(
+            new_state, state_table_dir, mode="overwrite", tag=tag
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, "customer_er"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"customer ER stream did not drain within {timeout_s}s"
+        )
+    return read_snapshot(spark, state_table_dir)
+
+
 def run_entity_resolution_stream(
     spark: SparkSession,
     source_dir: str,

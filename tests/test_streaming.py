@@ -1,3 +1,5 @@
+import os
+
 from pyspark.sql import functions as F
 
 from parquet_extractor_spark.operators.relational import events_hourly
@@ -1249,3 +1251,109 @@ def test_release_manifest_stream_rerun_is_idempotent(
     )
     rows2 = sorted(tuple(r) for r in rerun.collect())
     assert rows1 == rows2
+
+
+def _write_customer_batches(src_dir, spark, sf_dir, key_splits):
+    """Split the fixture customer table into ordered parquet arrival
+    files (one per split, mtimes staggered so the file source drains
+    them in order)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_extractor_spark.sources.tables import load_table
+
+    os.makedirs(src_dir, exist_ok=True)
+    rows = (
+        load_table(spark, str(sf_dir), "customer")
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .collect()
+    )
+    now = _time.time()
+    for i, pred in enumerate(key_splits):
+        part = [r for r in rows if pred(int(r.c_custkey))]
+        assert part, f"empty customer split {i}"
+        tbl = pa.table(
+            {
+                "c_custkey": pa.array(
+                    [int(r.c_custkey) for r in part], pa.int64()
+                ),
+                "c_name": pa.array([r.c_name for r in part]),
+                "c_nationkey": pa.array(
+                    [int(r.c_nationkey) for r in part], pa.int64()
+                ),
+                "c_acctbal": pa.array(
+                    [float(r.c_acctbal) for r in part], pa.float64()
+                ),
+            }
+        )
+        path = os.path.join(str(src_dir), f"arrivals{i}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (now - 600 + i * 60, now - 600 + i * 60))
+    return str(src_dir)
+
+
+def test_customer_er_stream_equals_batch(spark, sf_small, tmp_path):
+    """The incremental customer-ER twin must resolve the SAME golden
+    records as the one-shot blocked batch query, for two different
+    arrival orders — interleaved (block members split across three
+    epochs, late bridges merging established clusters) and
+    bulk-then-trickle."""
+    from parquet_extractor_spark.operators.entities import (
+        customer_entity_resolution,
+    )
+    from parquet_extractor_spark.streaming.entities import (
+        customer_golden_records,
+        run_customer_er_stream,
+    )
+
+    want = [
+        tuple(r)
+        for r in customer_entity_resolution(spark, sf_small).collect()
+    ]
+    partitions = [
+        [lambda k: k % 3 == 1, lambda k: k % 3 == 2, lambda k: k % 3 == 0],
+        [lambda k: k > 20, lambda k: 10 < k <= 20, lambda k: k <= 10],
+    ]
+    for pi, splits in enumerate(partitions):
+        src = _write_customer_batches(
+            tmp_path / f"cer_src{pi}", spark, sf_small, splits
+        )
+        state = run_customer_er_stream(
+            spark,
+            src,
+            str(tmp_path / f"cer_ckpt{pi}"),
+            str(tmp_path / f"cer_state{pi}"),
+        )
+        got = [tuple(r) for r in customer_golden_records(state).collect()]
+        assert got == want, f"partition {pi} diverged from batch ER"
+
+
+def test_customer_er_stream_replay_noop(spark, sf_small, tmp_path):
+    """A full replay against the already-advanced state table must be
+    an epoch-tag no-op: identical state, no extra snapshots."""
+    from parquet_extractor_spark.sinks.versioned import snapshots
+    from parquet_extractor_spark.streaming.entities import (
+        run_customer_er_stream,
+    )
+
+    src = _write_customer_batches(
+        tmp_path / "cer_src_rp", spark, sf_small,
+        [lambda k: k % 2 == 1, lambda k: k % 2 == 0],
+    )
+    state_dir = str(tmp_path / "cer_state_rp")
+    first = run_customer_er_stream(
+        spark, src, str(tmp_path / "cer_ckpt_rp1"), state_dir
+    )
+    rows1 = sorted((r.c_custkey, r.cluster) for r in first.collect())
+    n_snaps = len(snapshots(state_dir))
+    replay = run_customer_er_stream(
+        spark, src, str(tmp_path / "cer_ckpt_rp2"), state_dir
+    )
+    rows2 = sorted((r.c_custkey, r.cluster) for r in replay.collect())
+    assert rows1 == rows2
+    assert len(snapshots(state_dir)) == n_snaps
