@@ -36,10 +36,19 @@ STATIC_TABLES = (
 ).split()
 
 
-def build_big(spark, factor: int, grow_customer: bool = False) -> str:
+def build_big(
+    spark,
+    factor: int,
+    grow_customer: bool = False,
+    grow_events: bool = False,
+) -> str:
     import pyspark.sql.functions as F
 
-    suffix = "-cust" if grow_customer else ""
+    from parquet_extractor_spark.sources.tables import load_table
+
+    suffix = ("-cust" if grow_customer else "") + (
+        "-ev" if grow_events else ""
+    )
     big = f"/tmp/spark-graft-scale-{factor}x{suffix}"
     marker = os.path.join(big, ".complete")
     if os.path.exists(marker):
@@ -55,9 +64,21 @@ def build_big(spark, factor: int, grow_customer: bool = False) -> str:
         # the factor, distorting the per-block collision profile the
         # methodology promises to preserve.
         blown.append(("customer", "c_custkey"))
+    if grow_events:
+        # events shift BOTH event_id and user_id: the procedural
+        # per-group operators (user_longest_streak, sessionization,
+        # funnels) scale with GROUP COUNT, so copies must mint new
+        # users with the same per-user activity profile — a bare
+        # event_id shift would only deepen existing groups.
+        blown.append(("events", "event_id"))
     for table, key in blown:
-        base = spark.read.parquet(f"{BASE}/{table}.parquet")
+        base = load_table(spark, BASE, table)
         shift = base.agg(F.max(key)).collect()[0][0] + 1
+        user_shift = (
+            base.agg(F.max("user_id")).collect()[0][0] + 1
+            if table == "events"
+            else 0
+        )
         u = None
         for k in range(factor):
             d = base.withColumn(key, F.col(key) + F.lit(k * shift))
@@ -66,10 +87,16 @@ def build_big(spark, factor: int, grow_customer: bool = False) -> str:
                     "c_name",
                     F.format_string("Customer#%09d", F.col(key)),
                 )
+            elif table == "events":
+                d = d.withColumn(
+                    "user_id", F.col("user_id") + F.lit(k * user_shift)
+                )
             u = d if u is None else u.unionByName(d)
         u.write.mode("overwrite").parquet(f"{big}/{table}.parquet")
     for t in STATIC_TABLES:
-        if grow_customer and t == "customer":
+        if (grow_customer and t == "customer") or (
+            grow_events and t == "events"
+        ):
             continue
         shutil.copy(f"{BASE}/{t}.parquet", f"{big}/{t}.parquet")
     open(marker, "w").close()
@@ -98,6 +125,15 @@ def main() -> int:
         "rebuilt from the shifted key) — for entity-resolution "
         "scaling; uses a separate fixture dir",
     )
+    ap.add_argument(
+        "--grow-events",
+        action="store_true",
+        help="also blow up the events table (event_id AND user_id "
+        "shifted, so copies mint new users with the same per-user "
+        "profile) — for the procedural per-group family "
+        "(user_longest_streak, sessionization, funnels); uses a "
+        "separate fixture dir",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -110,7 +146,12 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 1
     spark = get_spark("scale-check")
-    big = build_big(spark, args.factor, grow_customer=args.grow_customer)
+    big = build_big(
+        spark,
+        args.factor,
+        grow_customer=args.grow_customer,
+        grow_events=args.grow_events,
+    )
     print(f"| query | sf0.1 | {args.factor}x | ratio |")
     print("|---|---|---|---|")
     for q in args.queries:
