@@ -40,8 +40,8 @@ bisecting any "regressed" query, re-measure it ALONE on an idle
 host — ``SPARK_GRAFT_BENCH_ONLY=<name> python bench.py`` — and
 compare against its historical band times the host factor (read the
 factor off stable trivial queries in the same sweep). A BENCH_ONLY
-run OVERWRITES BENCH_LOCAL.json: ``git checkout BENCH_LOCAL.json``
-afterwards. In-suite hygiene between queries: release_cached() after
+run writes its payload to a temp sidecar, never to the committed
+BENCH_LOCAL.json. In-suite hygiene between queries: release_cached() after
 every query (DataFrame cache + localCheckpoint blocks; r04 measured
 2.6 s -> 6.9 s drift without it) plus a JVM+Python GC breather every
 _GC_EVERY queries (soft-reference/codegen-cache pressure the block
@@ -457,9 +457,21 @@ def _local_json_path() -> str:
 
 def _child_payload_path() -> str:
     """Where THIS process writes its payload: chunk children get a
-    temp path via SPARK_GRAFT_BENCH_PAYLOAD so the git-tracked
-    BENCH_LOCAL.json is only written by the top-level process."""
-    return os.environ.get("SPARK_GRAFT_BENCH_PAYLOAD") or _local_json_path()
+    temp path via SPARK_GRAFT_BENCH_PAYLOAD, and BENCH_ONLY
+    adjudication runs get a temp sidecar — only a full top-level run
+    writes the git-tracked BENCH_LOCAL.json (r10 hygiene: isolated
+    re-measures used to clobber the committed artifact and needed a
+    git checkout afterwards)."""
+    p = os.environ.get("SPARK_GRAFT_BENCH_PAYLOAD")
+    if p:
+        return p
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        import tempfile
+
+        return os.path.join(
+            tempfile.gettempdir(), "spark-graft-bench-only.json"
+        )
+    return _local_json_path()
 
 
 def _emit_payload(

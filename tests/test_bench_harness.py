@@ -147,6 +147,12 @@ def test_orchestrator_flags_missing_and_stale_payload(
 
 def test_child_payload_path_env_routing(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_PAYLOAD", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
     assert bench._child_payload_path() == bench._local_json_path()
+    # BENCH_ONLY adjudication runs must not clobber the committed
+    # artifact: payload goes to a temp sidecar
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "corpus_stats")
+    assert bench._child_payload_path() != bench._local_json_path()
+    # an explicit payload path (chunk children) wins over both
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PAYLOAD", "/tmp/x.json")
     assert bench._child_payload_path() == "/tmp/x.json"
