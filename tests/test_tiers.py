@@ -17,10 +17,14 @@ from parquet_extractor_spark import artifacts, tiers
 
 
 @pytest.fixture(autouse=True)
-def _fresh_registry():
-    """Each test starts and ends with empty tier/memo registries so
-    cross-test order never matters (other test modules build tiers
-    via the dedup consumers)."""
+def _fresh_registry(tmp_path, monkeypatch):
+    """Each test starts and ends with empty tier/memo registries AND
+    a private disk store, so cross-test order never matters and the
+    clear_tiers() purges here cannot wipe the SHARED persistent store
+    other test modules (and a later bench) rely on."""
+    monkeypatch.setenv(
+        "SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "tier-store")
+    )
     tiers.clear_tiers()
     yield
     tiers.clear_tiers()
@@ -248,3 +252,39 @@ def test_tier_survives_release_cached(spark, sf_small):
     df = tiers.ensure_tier(spark, sf_small, "lsh_pairs", poisoned_build)
     assert df.count() == first
     assert not calls
+
+
+def test_corrupted_artifact_file_rebuilds_silently(spark, sf_small):
+    """A torn/corrupted on-disk artifact must be treated as a miss
+    (rebuild), never crash or serve garbage."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return [7, 8]
+
+    artifacts.memo_artifact(spark, sf_small, ("m_corrupt",), build)
+    k = artifacts._key(sf_small, ("m_corrupt",))
+    path = artifacts._artifact_path(k)
+    with open(path, "w") as fh:
+        fh.write('{"__tuple__": [1,')  # torn write
+    artifacts._MEMO.clear()
+    got = artifacts.memo_artifact(spark, sf_small, ("m_corrupt",), build)
+    assert got == [7, 8] and len(calls) == 2
+
+
+def test_orphaned_tier_tmp_dir_is_ignored(spark, sf_small):
+    """A crashed process's .tmp tier directory must not be read as a
+    tier and must not block a fresh build + rename."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).select(F.col("id").alias("n"))
+
+    k = tiers._key(sf_small, "t_orphan")
+    path = tiers._tier_path(k)
+    os.makedirs(f"{path}.tmp.99999")  # orphan from a dead pid
+    out = tiers.ensure_tier(spark, sf_small, "t_orphan", build)
+    assert sorted(r.n for r in out.collect()) == [0, 1]
+    assert len(calls) == 1 and os.path.isdir(path)
