@@ -5,7 +5,8 @@ with a DC+AC refinement scan script, APNG OP_OVER compositing, a
 BigTIFF strip, 16-bit Predictor-2 TIFF and MP4 stts/ctts timing
 (r10), and — r11 — IMA/MS-ADPCM WAV block decodes plus both
 old-style JPEG-in-TIFF layouts (interchange tags 513/514 and the
-TIFF 6.0 §22 strip layout behind table tags 519/520/521).
+TIFF 6.0 §22 strip layout behind table tags 519/520/521, including
+the multi-strip DC-reset and DRI/RST restart forms).
 
 Same contract as ``media_known_answers``: every byte stream below is
 hand-packed from the public format specification (RFC 9649 §3 for
@@ -573,7 +574,18 @@ TIFF_OLDJPEG_519_EXPECTED = np.tile(
 )
 
 
-def build_tiff_oldjpeg_tables_probe() -> bytes:
+def _build_oldstyle_tables_tiff(
+    w: int,
+    h: int,
+    rows_per_strip: int,
+    strips: list[bytes],
+    restart_interval: int = 0,
+) -> bytes:
+    """General TIFF 6.0 §22 container: raw entropy strips + table
+    pointer tags 519/520/521 (all three components sharing one offset
+    per tag), YCbCrSubSampling [1,1], optional JPEGRestartInterval
+    (515). Strip offsets/counts spill to external LONG arrays when
+    there is more than one strip."""
     from parquet_extractor_spark.operators.media_known_answers import (
         _AC_BITS,
         _AC_VALS,
@@ -584,8 +596,8 @@ def build_tiff_oldjpeg_tables_probe() -> bytes:
     qtab = bytes([16] * 64)
     dct = bytes(_DC_BITS) + bytes(_DC_VALS)
     act = bytes(_AC_BITS) + bytes(_AC_VALS)
-    entropy = bytes([0xD0, 0xAA, 0xF5, 0x62, 0xBF])
-    n = 13
+    ns = len(strips)
+    n = 13 + (1 if restart_interval else 0)
     ifd_off = 8
     pos = ifd_off + 2 + n * 12 + 4
     bits_off = pos          # 258: three SHORTs (6 bytes, external)
@@ -602,38 +614,122 @@ def build_tiff_oldjpeg_tables_probe() -> bytes:
     pos += 12
     ptr_ac_off = pos
     pos += 12
-    strip_off = pos
+    soff_off = pos          # 273/279 external arrays (multi-strip)
+    if ns > 1:
+        pos += 4 * ns
+        scnt_off = pos
+        pos += 4 * ns
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s)
     short = lambda v: struct.pack("<H", v)  # noqa: E731
     long4 = lambda v: struct.pack("<I", v)  # noqa: E731
-    ifd = _classic_ifd(
-        [
-            (256, 3, 1, short(8)),            # ImageWidth
-            (257, 3, 1, short(8)),            # ImageLength
-            (258, 3, 3, long4(bits_off)),     # BitsPerSample 8,8,8
-            (259, 3, 1, short(6)),            # Compression: old JPEG
-            (273, 4, 1, long4(strip_off)),    # StripOffsets
-            (277, 3, 1, short(3)),            # SamplesPerPixel
-            (278, 3, 1, short(8)),            # RowsPerStrip
-            (279, 4, 1, long4(len(entropy))),  # StripByteCounts
-            (512, 3, 1, short(1)),            # JPEGProc: baseline
-            (519, 4, 3, long4(ptr_q_off)),    # JPEGQTables
-            (520, 4, 3, long4(ptr_dc_off)),   # JPEGDCTables
-            (521, 4, 3, long4(ptr_ac_off)),   # JPEGACTables
-            (530, 3, 2, short(1) + short(1)),  # YCbCrSubSampling 1,1
-        ]
-    )
+    entries = [
+        (256, 3, 1, short(w)),            # ImageWidth
+        (257, 3, 1, short(h)),            # ImageLength
+        (258, 3, 3, long4(bits_off)),     # BitsPerSample 8,8,8
+        (259, 3, 1, short(6)),            # Compression: old JPEG
+        (
+            273, 4, ns,
+            long4(strip_offs[0] if ns == 1 else soff_off),
+        ),                                # StripOffsets
+        (277, 3, 1, short(3)),            # SamplesPerPixel
+        (278, 3, 1, short(rows_per_strip)),  # RowsPerStrip
+        (
+            279, 4, ns,
+            long4(len(strips[0]) if ns == 1 else scnt_off),
+        ),                                # StripByteCounts
+        (512, 3, 1, short(1)),            # JPEGProc: baseline
+        (519, 4, 3, long4(ptr_q_off)),    # JPEGQTables
+        (520, 4, 3, long4(ptr_dc_off)),   # JPEGDCTables
+        (521, 4, 3, long4(ptr_ac_off)),   # JPEGACTables
+        (530, 3, 2, short(1) + short(1)),  # YCbCrSubSampling 1,1
+    ]
+    if restart_interval:
+        entries.insert(9, (515, 3, 1, short(restart_interval)))
+    ifd = _classic_ifd(entries)
     body = (
         struct.pack("<3H", 8, 8, 8)
         + qtab + dct + act
         + struct.pack("<3I", q_off, q_off, q_off)
         + struct.pack("<3I", dc_off, dc_off, dc_off)
         + struct.pack("<3I", ac_off, ac_off, ac_off)
-        + entropy
     )
+    if ns > 1:
+        body += struct.pack(f"<{ns}I", *strip_offs)
+        body += struct.pack(f"<{ns}I", *(len(s) for s in strips))
+    body += b"".join(strips)
     header = b"II" + struct.pack("<HI", 42, ifd_off)
     out = header + ifd + body
-    assert len(out) == strip_off + len(entropy)
+    assert len(out) == strip_offs[-1] + len(strips[-1])
     return out
+
+
+# Entropy blocks used by the three §22 probes (derivations above and
+# below): block A = Y+16/Cb-8/Cr+8 -> flat (182,154,132); block B =
+# Y+8/Cb+8/Cr-8 -> flat (122,150,172):
+#   B bits: Y '101'+'1000'+'1010', Cb same, Cr '101'+'0111'+'1010'
+#   = 33 bits -> B1 56 2A BD 7F (pad 1s).
+_OLDJPEG_BLOCK_A = bytes([0xD0, 0xAA, 0xF5, 0x62, 0xBF])
+_OLDJPEG_BLOCK_B = bytes([0xB1, 0x56, 0x2A, 0xBD, 0x7F])
+
+
+def build_tiff_oldjpeg_tables_probe() -> bytes:
+    return _build_oldstyle_tables_tiff(8, 8, 8, [_OLDJPEG_BLOCK_A])
+
+
+# ── §22 multi-strip: DC predictors reset per strip ──────────────────
+#
+# 8x16, RowsPerStrip 8 -> two strips, each an INDEPENDENT rebuilt
+# scan, so the DC predictors reset at the strip boundary. Strip 1 =
+# block A; strip 2 = block B with Y diff +8 meaning DC **8** (reset),
+# not 24 (carried): decoded on paper Y=8*16/8+128=144, Cb diff +8 ->
+# 144 (cb-128=+16), Cr diff -8 -> 112 (cr-128=-16), BT.601:
+#   R = 144 - 1.402*16            = 121.568 -> 122
+#   G = 144 - 0.344136*16 + 0.714136*16 = 149.92 -> 150
+#   B = 144 + 1.772*16            = 172.352 -> 172
+# A decoder concatenating strip streams (predictor carry-over) or
+# feeding the wrong per-strip SOF height flips rows 8-15.
+
+TIFF_OLDJPEG_MULTISTRIP_EXPECTED = np.concatenate(
+    [
+        np.tile(np.array([182, 154, 132], dtype=np.uint8), (8, 8, 1)),
+        np.tile(np.array([122, 150, 172], dtype=np.uint8), (8, 8, 1)),
+    ]
+)
+
+
+def build_tiff_oldjpeg_multistrip_probe() -> bytes:
+    return _build_oldstyle_tables_tiff(
+        8, 16, 8, [_OLDJPEG_BLOCK_A, _OLDJPEG_BLOCK_B]
+    )
+
+
+# ── §22 restart interval: DRI from tag 515, RST resync mid-scan ─────
+#
+# 16x8, ONE strip of two MCUs, JPEGRestartInterval (515) = 1: the
+# rebuilt header carries a DRI segment and the entropy stream an RST0
+# marker between the MCUs — at the marker the decoder must byte-align
+# and reset every DC predictor, so MCU 2 is block B (DC 8, not 24).
+# Left half (182,154,132), right half (122,150,172); a decoder that
+# ignores tag 515, fails to byte-align, or carries predictors through
+# the marker flips the right half.
+
+TIFF_OLDJPEG_DRI_EXPECTED = np.concatenate(
+    [
+        np.tile(np.array([182, 154, 132], dtype=np.uint8), (8, 8, 1)),
+        np.tile(np.array([122, 150, 172], dtype=np.uint8), (8, 8, 1)),
+    ],
+    axis=1,
+)
+
+
+def build_tiff_oldjpeg_dri_probe() -> bytes:
+    strip = _OLDJPEG_BLOCK_A + b"\xff\xd0" + _OLDJPEG_BLOCK_B
+    return _build_oldstyle_tables_tiff(
+        16, 8, 8, [strip], restart_interval=1
+    )
 
 
 # ── probe registry ──────────────────────────────────────────────────
@@ -662,6 +758,12 @@ DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
      TIFF_OLDJPEG_513_EXPECTED.tobytes(), TIFF_OLDJPEG_513_EXPECTED.shape),
     (10, "tiff_oldjpeg_tables_519", build_tiff_oldjpeg_tables_probe(),
      TIFF_OLDJPEG_519_EXPECTED.tobytes(), TIFF_OLDJPEG_519_EXPECTED.shape),
+    (11, "tiff_oldjpeg_multistrip_dc_reset",
+     build_tiff_oldjpeg_multistrip_probe(),
+     TIFF_OLDJPEG_MULTISTRIP_EXPECTED.tobytes(),
+     TIFF_OLDJPEG_MULTISTRIP_EXPECTED.shape),
+    (12, "tiff_oldjpeg_dri_restart", build_tiff_oldjpeg_dri_probe(),
+     TIFF_OLDJPEG_DRI_EXPECTED.tobytes(), TIFF_OLDJPEG_DRI_EXPECTED.shape),
 ]
 
 

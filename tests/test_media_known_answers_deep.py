@@ -95,6 +95,10 @@ def test_corrupted_deep_stream_cannot_match_the_pinned_row():
         "tiff_oldjpeg_interchange_513": -5,
         # Cr DC value bits of the raw §22 entropy strip (0x62)
         "tiff_oldjpeg_tables_519": -2,
+        # strip-2 Cr value bits (0xBD) — the DC-reset-dependent half
+        "tiff_oldjpeg_multistrip_dc_reset": -2,
+        # post-RST MCU's Cr value bits (0xBD)
+        "tiff_oldjpeg_dri_restart": -2,
     }
     for pid, name, data, canon, _shape in D.DEEP_PROBES:
         mutated = bytearray(data)
@@ -195,3 +199,20 @@ def test_oldjpeg_tables_layout_requires_all_three_table_tags():
     data[idx:idx + 2] = (5210).to_bytes(2, "little")
     with pytest.raises((NotImplementedError, ValueError)):
         decode_tiff(bytes(data))
+
+
+def test_oldjpeg_multistrip_dc_reset_equals_fresh_scan():
+    """Strip 2 must decode exactly as a FRESH standalone scan of the
+    same entropy block (DC predictors reset at the strip boundary) —
+    and differently from strip 1, so the equality is not vacuous. A
+    decoder carrying strip 1's predictors would give strip 2 a Y DC
+    of 24 (pixel base 176), not 8 (base 144)."""
+    from parquet_extractor_spark.functions.tiff import decode_tiff
+
+    multi = decode_tiff(D.build_tiff_oldjpeg_multistrip_probe())
+    fresh = decode_tiff(
+        D._build_oldstyle_tables_tiff(8, 8, 8, [D._OLDJPEG_BLOCK_B])
+    )
+    assert multi.shape == (16, 8, 3) and fresh.shape == (8, 8, 3)
+    assert (multi[8:] == fresh).all()
+    assert (multi[:8] != fresh).any()
