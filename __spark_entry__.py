@@ -50,12 +50,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The declared round-11 driver window (exactly the first 50 keys of
 # queries(), asserted by tests/test_relational_oracle.py):
-# 1 semantics-changed re-check (media_known_answer_probes_deep — four
-# new probe rows this round) + the 48-query r09-green cohort
-# (event_trigram_lift first, per the r10 queue declaration) + 2
-# r08-green refreshes (url_canonical_dedup, crawl_politeness_audit —
-# the stalest remaining driver evidence).
+# 1 r11 addition (ivf_pq_recall_eval — never driver-checked) + 1
+# semantics-changed re-check (media_known_answer_probes_deep — six
+# new probe rows this round) + the 47-query head of the r09-green
+# cohort (event_trigram_lift first, per the r10 queue declaration) +
+# 1 r08-green refresh (url_canonical_dedup, the stalest remaining
+# driver evidence).
 R11_WINDOW: tuple[str, ...] = (
+    "ivf_pq_recall_eval",
     "media_known_answer_probes_deep",
     "event_trigram_lift",
     "dedup_canonical_by_quality",
@@ -105,7 +107,6 @@ R11_WINDOW: tuple[str, ...] = (
     "dedup_graph_pagerank",
     "lsh_quality_eval",
     "url_canonical_dedup",
-    "crawl_politeness_audit",
 )
 
 
@@ -120,29 +121,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     NEWEST green driver row is oldest. The round-11 window is the
     ``R11_WINDOW`` tuple below — kept as DATA, not prose, so the
     composition is machine-checked (test_driver_window_matches_
-    declared_tuple) instead of hand-counted: no r11 registry
-    additions (the round's new surfaces — the customer-ER streaming
-    twin and four deep-KAT probe rows — live inside pytest and the
-    probes_deep query); 1 r11-changed query
-    (media_known_answer_probes_deep — four new probe rows: IMA and
-    MS ADPCM WAV, both old-style JPEG-in-TIFF layouts) + the
-    48-query r09-green cohort per the r10 queue declaration
-    (event_trigram_lift first: its r10 DECIMAL widening awaited this
-    driver re-check) + 2 r08-green refreshes (url_canonical_dedup,
-    crawl_politeness_audit). The artifact/tier store persistence
+    declared_tuple) instead of hand-counted: 1 r11 addition
+    (ivf_pq_recall_eval — recall@k of both IVF-PQ variants vs exact
+    integer-micro L2) + 1 r11-changed query
+    (media_known_answer_probes_deep — six new probe rows: IMA and
+    MS ADPCM WAV, old-style JPEG-in-TIFF in four forms) + the
+    47-query head of the r09-green cohort per the r10 queue
+    declaration (event_trigram_lift first: its r10 DECIMAL widening
+    awaited this driver re-check) + 1 r08-green refresh
+    (url_canonical_dedup). The customer-ER streaming twin lives in
+    pytest (stream≡batch). The artifact/tier store persistence
     added this round changes WHERE trained literals are cached, not
     their values, so no other query re-enters; the local 247-query
     gate re-proves every tail entry each round regardless.
-    r12 queue: the remaining r08-green block, then the r10-green
-    displaced cohort.
+    r12 queue: the r09-green remainder (crawl_politeness_audit and
+    the r08-green block), then the r10-green displaced cohort.
     Every tail entry is re-verified locally each round via
     tools/check_oracle.py at sf0.001/0.01/0.1 (one command:
     ``python -m pytest tests/test_oracle_gate.py``; see COVERAGE.md).
     """
     return {
-        # ——— driver window (first 50, exactly — R11_WINDOW): the one
-        #     r11 semantics-changed query + the 48-query r09-green
-        #     cohort + two r08-green refreshes ———
+        # ——— driver window (first 50, exactly — R11_WINDOW): the r11
+        #     addition + the r11 semantics-changed query + the 47-query
+        #     r09-green cohort head + one r08-green refresh ———
+        "ivf_pq_recall_eval": similarity.ivf_pq_recall_eval,
         "media_known_answer_probes_deep":
             media_known_answers_deep.media_known_answer_probes_deep,
         # — r09-green cohort (stalest driver evidence; trigram first
@@ -201,9 +203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats_rollup": relational.segment_stats_rollup,
         "dedup_graph_pagerank": dedup.dedup_graph_pagerank,
         "lsh_quality_eval": dedup.lsh_quality_eval,
-        # — r08-green refreshes —
+        # — r08-green refresh —
         "url_canonical_dedup": crawl.url_canonical_dedup,
-        "crawl_politeness_audit": crawl.crawl_politeness_audit,
         # ——— tail (driver-green r03-r10; re-verified locally each
         #     round via tools/check_oracle.py — see COVERAGE.md) ———
         # — r10-green, displaced from the r10 window (freshest driver
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_reduction_report": dedup.dedup_reduction_report,
         "ann_random_projection": similarity.ann_random_projection,
         # — r08-green —
+        "crawl_politeness_audit": crawl.crawl_politeness_audit,
         "robots_rules_parsed": crawl.robots_rules_parsed,
         "robots_compliance_audit": crawl.robots_compliance_audit,
         "snapshot_contamination_gate":
@@ -616,6 +618,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": similarity.EMBEDDING_NEAR_DUP_SQL,
         "semdedup_keep": similarity.SEMDEDUP_KEEP_SQL,
         "ann_ivf_pq": similarity.ANN_IVF_PQ_SQL,
+        "ivf_pq_recall_eval": similarity.IVF_PQ_RECALL_EVAL_SQL,
         "ann_ivf_pq_refined": similarity.ANN_IVF_PQ_REFINED_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "kmeans_refine": similarity.KMEANS_REFINE_SQL,

@@ -3224,3 +3224,168 @@ FROM sums a JOIN sums b ON a.dim = b.dim AND a.source < b.source
 GROUP BY a.source, b.source
 ORDER BY a.source, b.source
 """
+
+
+# ── IVF-PQ recall eval: the quality gate for the compressed index ───
+#
+# lsh_quality_eval grades banded LSH against exact Jaccard;
+# binary_hamming_recall grades the 1-bit quantizer; matryoshka_recall
+# grades truncated dims. This closes the symmetry for the flagship
+# scale path: recall@TOP_K of ann_ivf_pq (bootstrap codebook) AND
+# ann_ivf_pq_refined (one Lloyd pass) against EXACT L2 top-k — the
+# measured 0.2 -> 0.28 gap the ann_ivf_pq docstring documents, now a
+# driver-checkable table instead of a pytest-only pin.
+#
+# Determinism across engines: the exact side snaps per-dimension
+# squared differences to integer micro-units with the SAME
+# floor(round(pow(diff,2),9)*1e6+0.5) formula the ADC uses, and ranks
+# by (distance, neighbor_id) — no float comparisons survive into the
+# hashed output. recall_micro = n_hits*1e6 div TOP_K (truncating
+# integer division in both engines).
+
+
+def _l2_micro_spark_sql(a: str, b: str) -> str:
+    """Column-vs-column exact L2 distance in integer micro-units as
+    ONE Spark SQL string (the pq_codes py4j-round-trip lesson): each
+    dimension's squared difference is rounded then floored to micro
+    BEFORE summation, so the total is exact and order-independent."""
+    terms = " + ".join(
+        f"CAST(floor(round(pow(CAST(element_at({a}, {i}) AS DOUBLE) - "
+        f"CAST(element_at({b}, {i}) AS DOUBLE), 2), 9) * 1000000 + 0.5) "
+        "AS BIGINT)"
+        for i in range(1, EMB_DIM + 1)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id): the exact integer-micro L2 top-TOP_K
+    for each query vector. Broadcast the N_QUERIES query rows, one
+    codegen'd scoring pass over the corpus, TakeOrdered per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _query_rows(emb).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pairs = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_l2_micro_spark_sql("q_emb", "embedding")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@TOP_K of both IVF-PQ variants vs exact L2:
+    (codebook, query_id, k, n_hits, recall_micro), one row per
+    (variant, query).
+
+    Plan shape: the exact tier is one broadcast-join scoring pass +
+    per-query top-k (N_QUERIES bounded); each variant's hit count is
+    an equi-join of two ≤ N_QUERIES·TOP_K-row frames. At 100 TB the
+    exact side is the only corpus-sized stage and it is the SAME
+    brute-force pass knn_bruteforce already runs (eval-tier only —
+    production grades on a sampled query set exactly like this
+    fixture's N_QUERIES=5)."""
+    exact = _exact_l2_topk(spark, sf_dir)
+    out: DataFrame | None = None
+    for name, fn in (
+        ("bootstrap", ann_ivf_pq),
+        ("refined", ann_ivf_pq_refined),
+    ):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per_q = (
+            exact.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("codebook"),
+                F.col("query_id").cast("bigint").alias("query_id"),
+                F.lit(TOP_K).cast("bigint").alias("k"),
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+        )
+        out = per_q if out is None else out.unionByName(per_q)
+    return (
+        out.withColumn(
+            "recall_micro",
+            F.expr(f"CAST(n_hits * 1000000 div {TOP_K} AS BIGINT)"),
+        )
+        .orderBy("codebook", "query_id")
+    )
+
+
+def _l2_micro_duck_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> "
+        f"CAST(floor(round(pow(CAST({a}[i] AS DOUBLE) - "
+        f"CAST({b}[i] AS DOUBLE), 2), 9) * 1000000 + 0.5) AS BIGINT))) "
+        "AS BIGINT)"
+    )
+
+
+IVF_PQ_RECALL_EVAL_SQL = rf"""
+WITH pq_boot AS (
+    SELECT query_id, neighbor_id FROM ({ANN_IVF_PQ_SQL}) t
+),
+pq_ref AS (
+    SELECT query_id, neighbor_id FROM ({ANN_IVF_PQ_REFINED_SQL}) t
+),
+exact_d AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           {_l2_micro_duck_sql('q.embedding', 'e.embedding')} AS d
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                ORDER BY vec_id LIMIT {N_QUERIES}) q
+    WHERE e.vec_id != q.vec_id
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d ASC, neighbor_id ASC) AS rk
+        FROM exact_d
+    ) r WHERE rk <= {TOP_K}
+),
+variants AS (
+    SELECT 'bootstrap' AS codebook, query_id, neighbor_id FROM pq_boot
+    UNION ALL
+    SELECT 'refined' AS codebook, query_id, neighbor_id FROM pq_ref
+),
+hits AS (
+    SELECT v.codebook, v.query_id, count(*) AS n_hits
+    FROM variants v
+    JOIN exact x ON x.query_id = v.query_id
+               AND x.neighbor_id = v.neighbor_id
+    GROUP BY 1, 2
+)
+SELECT c.codebook AS codebook,
+       CAST(q.query_id AS BIGINT) AS query_id,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000000 // {TOP_K} AS BIGINT)
+           AS recall_micro
+FROM (SELECT DISTINCT query_id FROM exact) q
+CROSS JOIN (SELECT 'bootstrap' AS codebook
+            UNION ALL SELECT 'refined') c
+LEFT JOIN hits h ON h.codebook = c.codebook AND h.query_id = q.query_id
+ORDER BY c.codebook, q.query_id
+"""

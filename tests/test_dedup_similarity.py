@@ -592,3 +592,29 @@ def test_incremental_dedup_probes_delta_against_prior_index(
 
     rerun = incremental_dedup_candidates(spark, sf_small).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, pairs))
+
+
+def test_ivf_pq_recall_eval_matches_pinned_recalls(spark, sf_small):
+    """The registry recall table must agree with this module's pinned
+    recall floors: refined >= bootstrap on average, every recall in
+    [0, 1e6] micro, exactly TOP_K as k, one row per (variant, query),
+    and n_hits consistent with recall_micro."""
+    from parquet_extractor_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ivf_pq_recall_eval,
+    )
+
+    rows = ivf_pq_recall_eval(spark, sf_small).collect()
+    assert len(rows) == 2 * N_QUERIES
+    by_cb = {}
+    for r in rows:
+        assert r.k == TOP_K
+        assert 0 <= r.n_hits <= TOP_K
+        assert r.recall_micro == r.n_hits * 1_000_000 // TOP_K
+        by_cb.setdefault(r.codebook, []).append(r.n_hits)
+    assert set(by_cb) == {"bootstrap", "refined"}
+    assert len(by_cb["bootstrap"]) == len(by_cb["refined"]) == N_QUERIES
+    assert sum(by_cb["refined"]) >= sum(by_cb["bootstrap"])
+    # the documented floor: bootstrap recall >= 0.1 on the fixture
+    assert sum(by_cb["bootstrap"]) / (N_QUERIES * TOP_K) >= 0.1
