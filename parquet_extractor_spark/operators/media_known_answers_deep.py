@@ -3,7 +3,8 @@ families the r08 gate left to pytest round-trips (VERDICT r08 "What's
 missing" #2): VP8L (subtract-green + color cache), progressive JPEG
 with a DC+AC refinement scan script, APNG OP_OVER compositing, a
 BigTIFF strip, 16-bit Predictor-2 TIFF and MP4 stts/ctts timing
-(r10), and — r11 — IMA/MS-ADPCM WAV block decodes plus both
+(r10), and — r11 — IMA/MS-ADPCM WAV block decodes (mono + stereo
+word-interleave) plus both
 old-style JPEG-in-TIFF layouts (interchange tags 513/514 and the
 TIFF 6.0 §22 strip layout behind table tags 519/520/521, including
 the multi-strip DC-reset and DRI/RST restart forms).
@@ -461,6 +462,36 @@ def build_wav_ima_adpcm_probe() -> bytes:
     return _riff(fmt, 17, blocks)
 
 
+# ── stereo IMA ADPCM: per-channel headers + 4-byte word interleave ──
+#
+# One STEREO block (block_align 16): two 4-byte channel headers, then
+# channel-ALTERNATING 4-byte nibble words (word k belongs to channel
+# k mod 2) — the classic interleave bug site. Channel 0 reuses the
+# mono probe's block-1 walk (pred 100 idx 4 -> 100, 119, 137, 99,
+# 104, 99, 121, 133, 167), channel 1 its block-2 walk (pred -32760
+# idx 0 -> -32760, -32768, -32766, -32768, -32767, -32766, -32765,
+# -32764, -32763); fact = 8 FRAMES truncates the 9th sample of BOTH
+# channels. A decoder with swapped header offsets, byte- (not word-)
+# interleave, or per-sample interleave flips the frame-major literal.
+
+_WAV_IMA_STEREO_EXPECTED = (
+    100, -32760, 119, -32768, 137, -32766, 99, -32768,
+    104, -32767, 99, -32766, 121, -32765, 133, -32764,
+)
+WAV_IMA_STEREO_CANON = struct.pack(">i16h", 8000, *_WAV_IMA_STEREO_EXPECTED)
+
+
+def build_wav_ima_stereo_probe() -> bytes:
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 2, 8000, 8000, 16, 4, 2, 9)
+    block = (
+        struct.pack("<hBB", 100, 4, 0)
+        + struct.pack("<hBB", -32760, 0, 0)
+        + bytes([0x37, 0x0F, 0x28, 0x41])   # word 0 -> channel 0
+        + bytes([0x0F, 0x09, 0, 0])         # word 1 -> channel 1
+    )
+    return _riff(fmt, 8, block)
+
+
 # ── MS-ADPCM WAV: 2-tap predictor + delta adaptation ────────────────
 #
 # Mono MS-ADPCM (tag 0x02), block_align 10 -> 7-byte header
@@ -764,6 +795,8 @@ DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
      TIFF_OLDJPEG_MULTISTRIP_EXPECTED.shape),
     (12, "tiff_oldjpeg_dri_restart", build_tiff_oldjpeg_dri_probe(),
      TIFF_OLDJPEG_DRI_EXPECTED.tobytes(), TIFF_OLDJPEG_DRI_EXPECTED.shape),
+    (13, "wav_ima_stereo_interleave", build_wav_ima_stereo_probe(),
+     WAV_IMA_STEREO_CANON, (16,)),
 ]
 
 

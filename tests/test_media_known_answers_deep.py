@@ -99,6 +99,8 @@ def test_corrupted_deep_stream_cannot_match_the_pinned_row():
         "tiff_oldjpeg_multistrip_dc_reset": -2,
         # post-RST MCU's Cr value bits (0xBD)
         "tiff_oldjpeg_dri_restart": -2,
+        # channel-1 nibble word byte (frames 2-3 of the right channel)
+        "wav_ima_stereo_interleave": -3,
     }
     for pid, name, data, canon, _shape in D.DEEP_PROBES:
         mutated = bytearray(data)
