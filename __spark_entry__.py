@@ -51,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The declared round-11 driver window (exactly the first 50 keys of
 # queries(), asserted by tests/test_relational_oracle.py):
 # 1 r11 addition (ivf_pq_recall_eval — never driver-checked) + 1
-# semantics-changed re-check (media_known_answer_probes_deep — six
+# semantics-changed re-check (media_known_answer_probes_deep — seven
 # new probe rows this round) + the 47-query head of the r09-green
 # cohort (event_trigram_lift first, per the r10 queue declaration) +
 # 1 r08-green refresh (url_canonical_dedup, the stalest remaining
@@ -124,8 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     declared_tuple) instead of hand-counted: 1 r11 addition
     (ivf_pq_recall_eval — recall@k of both IVF-PQ variants vs exact
     integer-micro L2) + 1 r11-changed query
-    (media_known_answer_probes_deep — six new probe rows: IMA and
-    MS ADPCM WAV, old-style JPEG-in-TIFF in four forms) + the
+    (media_known_answer_probes_deep — seven new probe rows: IMA
+    mono/stereo and MS ADPCM WAV, old-style JPEG-in-TIFF in four
+    forms) + the
     47-query head of the r09-green cohort per the r10 queue
     declaration (event_trigram_lift first: its r10 DECIMAL widening
     awaited this driver re-check) + 1 r08-green refresh
