@@ -133,7 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (url_canonical_dedup). The customer-ER streaming twin lives in
     pytest (stream≡batch). The artifact/tier store persistence
     added this round changes WHERE trained literals are cached, not
-    their values, so no other query re-enters; the local 247-query
+    their values, so no other query re-enters; the local 248-query
     gate re-proves every tail entry each round regardless.
     r12 queue: the r09-green remainder (crawl_politeness_audit and
     the r08-green block), then the r10-green displaced cohort.
