@@ -24,13 +24,13 @@ measured on the fixture and pinned as regression floors in tests):
 - **IVF** (0.96) — inverted file over coarse centroid cells with
   map-side assignment and nprobe probing; see ann_ivf.
 
-- **IVF-PQ** (0.2 bootstrap / 0.28 Lloyd-refined, vs exact L2) — the
-  memory tier: candidates ranked by asymmetric distance over 8-byte
-  PQ codes without reading full vectors (ann_ivf_pq,
+- **IVF-PQ** (0.2 bootstrap / 0.36 Lloyd-refined-16, vs exact L2) —
+  the memory tier: candidates ranked by asymmetric distance over
+  8-byte PQ codes without reading full vectors (ann_ivf_pq,
   ann_ivf_pq_refined, pq_codes, refined_pq_books). Recall here is
-  codebook-limited by the deterministic PQ_K=8 books the oracle can
-  replicate; production trains PQ_K=256 per-subspace k-means through
-  the same expressions.
+  codebook-limited by the deterministic PQ_K=8 / PQ_K_REFINED=16
+  books the oracle can replicate; production trains PQ_K=256
+  per-subspace k-means through the same expressions.
 
 All arithmetic is cast to double BEFORE summation in both engines so
 the oracle compares bit-identical left-to-right folds (or exact
@@ -1620,6 +1620,11 @@ ORDER BY cluster
 PQ_M = 8  # subspaces
 PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
 PQ_K = 8  # codewords per subspace (seeded from vec_id < PQ_K)
+# The TRAINED variant quantizes finer: 16 codewords per subspace
+# (production PQ uses 256; the fixture's 500 vectors support 16
+# without starving cells). Bootstrap queries stay at PQ_K=8 so the
+# recall_eval comparison isolates training+capacity vs the seeds.
+PQ_K_REFINED = 16
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1773,13 +1778,13 @@ def _head_vectors(spark: SparkSession, sf_dir: str, k: int) -> list:
     return memo_artifact(spark, sf_dir, ("head_vectors", k), build)
 
 
-def _books_from_rows(rows: list) -> list[list[list[float]]]:
+def _books_from_rows(rows: list, k: int = PQ_K) -> list[list[list[float]]]:
     """Subspace codebooks from seed rows: books[s][k] = seed k's
     subvector for subspace s."""
     return [
         [
             [float(x) for x in r.embedding[s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]]
-            for r in rows[:PQ_K]
+            for r in rows[:k]
         ]
         for s in range(PQ_M)
     ]
@@ -1827,8 +1832,12 @@ def refined_pq_books(
     subvectors to the nearest bootstrap codeword (map-side integer
     argmin), recompute each codeword as the mean of its assigned
     subvectors (partial+final agg; the collect is the constant-size
-    PQ_M x PQ_K x PQ_SUBDIM grid of micro-quantized means), falling
-    back to the micro-quantized seed for any empty cell.
+    PQ_M x PQ_K_REFINED x PQ_SUBDIM grid of micro-quantized means),
+    falling back to the micro-quantized seed for any empty cell. The
+    default seeds are the first PQ_K_REFINED vectors' subvectors —
+    twice the bootstrap capacity; the r11 recall_eval showed the 8-
+    codeword trained book plateaued at 0.28 and the capacity, not the
+    single Lloyd step, was the binding constraint (0.36 with 16).
 
     Micro quantization (floor(mean*1e6+0.5)/1e6) pins the trained
     codebook to 1e-6 resolution in both engines; the residual caveat
@@ -1849,7 +1858,7 @@ def refined_pq_books(
         return memo_artifact(
             spark,
             sf_dir,
-            ("refined_pq_books",),
+            ("refined_pq_books", PQ_K_REFINED),
             lambda: _refined_pq_books_uncached(spark, sf_dir, None),
         )
     return _refined_pq_books_uncached(spark, sf_dir, seed_books)
@@ -1861,7 +1870,7 @@ def _refined_pq_books_uncached(
     seed_books: list[list[list[float]]] | None,
 ) -> list[list[list[float]]]:
     books = seed_books or _books_from_rows(
-        _head_vectors(spark, sf_dir, PQ_K)
+        _head_vectors(spark, sf_dir, PQ_K_REFINED), PQ_K_REFINED
     )
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -2080,20 +2089,20 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ search over a TRAINED codebook — the same search as
-    ann_ivf_pq with one distributed Lloyd refinement of the bootstrap
-    codewords (refined_pq_books), closing the documented
-    codebook-training gap: recall@5 vs exact L2 improves 0.2 -> 0.28
-    on the fixture (pinned in tests) with zero change to the search
-    plan — the refined books are still plan-time literals.
+    ann_ivf_pq with a PQ_K_REFINED=16-codeword book (one distributed
+    Lloyd refinement of the first-16-vector seeds, refined_pq_books),
+    closing the documented codebook gap on both axes the r11 eval
+    exposed: capacity (8 -> 16 codewords) and training. Recall@5 vs
+    exact L2 improves 0.2 -> 0.36 on the fixture (pinned in tests)
+    with zero change to the search plan — the refined books are still
+    plan-time literals and the ADC is still PQ_M table lookups.
     Output: (query_id, neighbor_id, adc_dist_micro, rank).
     """
     head = _head_vectors(
-        spark, sf_dir, max(NUM_CENTROIDS, PQ_K, N_QUERIES)
+        spark, sf_dir, max(NUM_CENTROIDS, PQ_K_REFINED, N_QUERIES)
     )
     cents = [[float(x) for x in r.embedding] for r in head[:NUM_CENTROIDS]]
-    books = refined_pq_books(
-        spark, sf_dir, seed_books=_books_from_rows(head)
-    )
+    books = refined_pq_books(spark, sf_dir)
     return _ivf_pq_search(spark, sf_dir, cents, books, head[:N_QUERIES])
 
 
@@ -2186,9 +2195,9 @@ WITH cent AS (
 cw AS (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding AS c
     FROM (SELECT vec_id, embedding FROM embeddings
-          ORDER BY vec_id LIMIT {PQ_K})
+          ORDER BY vec_id LIMIT {PQ_K_REFINED})
 ),
--- bootstrap assignment (integer micro distances, ties -> lower k)
+-- seed assignment (integer micro distances, ties -> lower k)
 subdist0 AS (
     SELECT e.vec_id, s.s, c.k,
            CAST(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), i ->
@@ -2227,7 +2236,7 @@ refined AS (
                    * 1000000 + 0.5) AS BIGINT)) / 1000000.0 AS m
     FROM (SELECT s.s, k.k, d.i AS dim
           FROM (SELECT unnest(range(0, {PQ_M})) AS s) s
-          CROSS JOIN (SELECT unnest(range(0, {PQ_K})) AS k) k
+          CROSS JOIN (SELECT unnest(range(0, {PQ_K_REFINED})) AS k) k
           CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM} + 1)) AS i) d) g
     JOIN cw ON cw.k = g.k
     LEFT JOIN refined_means rm
@@ -3232,9 +3241,11 @@ ORDER BY a.source, b.source
 # binary_hamming_recall grades the 1-bit quantizer; matryoshka_recall
 # grades truncated dims. This closes the symmetry for the flagship
 # scale path: recall@TOP_K of ann_ivf_pq (bootstrap codebook) AND
-# ann_ivf_pq_refined (one Lloyd pass) against EXACT L2 top-k — the
-# measured 0.2 -> 0.28 gap the ann_ivf_pq docstring documents, now a
-# driver-checkable table instead of a pytest-only pin.
+# ann_ivf_pq_refined (trained 16-codeword book) against EXACT L2
+# top-k — the measured 0.2 -> 0.36 gap the ann_ivf_pq docstring
+# documents, now a driver-checkable table instead of a pytest-only
+# pin. (The r11 edition of this eval graded the 8-codeword trained
+# book at 0.28 and thereby motivated the r12 capacity bump.)
 #
 # Determinism across engines: the exact side snaps per-dimension
 # squared differences to integer micro-units with the SAME

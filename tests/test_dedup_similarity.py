@@ -368,9 +368,10 @@ def test_ann_ivf_pq_recall_floor_and_shape(spark, sf_small):
 
 
 def test_refined_codebook_beats_bootstrap_recall(spark, sf_small):
-    """One distributed Lloyd refinement of the PQ codebook must not
-    lose recall vs the bootstrap seeds, and measurably gains on the
-    fixture (0.2 -> 0.28 measured; pinned as >=)."""
+    """The trained codebook (PQ_K_REFINED=16 codewords, one
+    distributed Lloyd step) must not lose recall vs the 8-codeword
+    bootstrap seeds, and measurably gains on the fixture
+    (0.2 -> 0.36 measured; pinned as >=)."""
     import numpy as np
 
     from parquet_extractor_spark.operators.similarity import (
@@ -404,7 +405,7 @@ def test_refined_codebook_beats_bootstrap_recall(spark, sf_small):
     r_boot = recall(ann_ivf_pq)
     r_ref = recall(ann_ivf_pq_refined)
     assert r_ref >= r_boot
-    assert r_ref >= 0.25
+    assert r_ref >= 0.35
 
 
 def test_random_projection_knn_shape_and_recall(spark, sf_small):
