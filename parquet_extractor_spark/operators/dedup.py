@@ -606,10 +606,25 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document SimHash: sign-sum of token-hash bits.
 
     Formulated as explode → hash once per token → ONE aggregation pass
-    with SIMHASH_BITS cheap bit-vote sums (partial aggregation runs
-    map-side, so the shuffle carries SIMHASH_BITS ints per doc, never
-    the tokens). Documents with no tokens get simhash 0 via the left
-    join. Near-dup pairs differ in few bits (xor+popcount downstream).
+    (partial aggregation runs map-side, so the shuffle carries a few
+    ints per doc, never the tokens). Documents with no tokens get
+    simhash 0. Near-dup pairs differ in few bits (xor+popcount
+    downstream).
+
+    The vote algebra: with n hashed tokens and set_b = count of
+    tokens with bit b set, the classic ±1 vote sum is
+    v_b = set_b − (n − set_b) = 2·set_b − n, so bit b of the
+    fingerprint is set iff 2·set_b > n. That identity lets the agg
+    carry BIT COUNTS instead of signed votes, and bit counts pack:
+    each of 16 lanes sums bit b in its low 32 bits and bit b+16 in
+    the high 32 (no cross-lane carry — a doc's distinct-token count
+    can't reach 2^32). The agg is therefore 16 branch-free bitwise
+    sums + one count, not SIMHASH_BITS conditional sums — the
+    previous 32-wide sum(when) form was the repo's heaviest
+    whole-stage-codegen unit and its most inflation-prone query in
+    long driver sweeps (r10/r11 adjudications). Values are identical
+    (2·set_b > n ⟺ v_b > 0 for all integers), so the oracle and
+    every downstream consumer are unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
     # explode_outer keeps token-less documents as one NULL-token row,
@@ -620,22 +635,34 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(F.array_distinct(tokenize("text"))).alias("token"),
     )
     hashed = tok.select("doc_id", portable_hash64(F.col("token")).alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").isNull(), 0)
-                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    bit_terms = [
-        F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("bigint")
-        for b in range(SIMHASH_BITS)
+    # NULL h (token-less doc) is skipped by sum() and count("h") alike.
+    lanes = [
+        F.sum(
+            F.expr(
+                f"(shiftright(h, {b}) & 1) | "
+                f"shiftleft(shiftright(h, {b + 16}) & 1, 32)"
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS // 2)
     ]
-    simhash = sum(bit_terms[1:], bit_terms[0])
-    return votes.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    counts = hashed.groupBy("doc_id").agg(
+        F.count("h").alias("n"), *lanes
+    )
+    sums = ",".join(
+        f"coalesce(s{b}, CAST(0 AS BIGINT))"
+        for b in range(SIMHASH_BITS // 2)
+    )
+    simhash = F.expr(
+        f"aggregate(zip_with(array({sums}), "
+        f"sequence(0, {SIMHASH_BITS // 2 - 1}), (s, i) -> "
+        "(CASE WHEN 2 * (s & 4294967295) > n "
+        " THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END) "
+        "+ (CASE WHEN 2 * shiftright(s, 32) > n "
+        " THEN shiftleft(CAST(1 AS BIGINT), i + 16) "
+        " ELSE CAST(0 AS BIGINT) END)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return counts.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 def _simhash_oracle() -> str:
