@@ -117,15 +117,56 @@ def _parse_frame_header(data: bytes, off: int) -> dict | None:
     }
 
 
+def _parse_xing(data: bytes, off: int, hdr: dict, version_bits: int) -> dict:
+    """Xing/Info VBR header inside the frame starting at ``off``.
+
+    The de-facto Xing spec places the tag right after the side-info
+    block of the first frame: side-info length is 32 (MPEG-1 stereo) /
+    17 (MPEG-1 mono) / 17 (MPEG-2/2.5 stereo) / 9 (MPEG-2/2.5 mono),
+    plus 2 bytes when the header's protection bit signals a CRC.
+    Magic is ``Xing`` (VBR) or ``Info`` (CBR), then a 4-byte BE flag
+    word: bit0 = frame count present, bit1 = byte count present
+    (bit2 TOC and bit3 quality are skipped). Returns
+    ``{xing_tag, xing_frames, xing_bytes}`` with Nones when absent.
+    """
+    out = {"xing_tag": None, "xing_frames": None, "xing_bytes": None}
+    mono = hdr["channels"] == 1
+    if version_bits == 3:  # MPEG-1
+        side = 17 if mono else 32
+    else:  # MPEG-2 / 2.5 (lsf)
+        side = 9 if mono else 17
+    crc = 0 if (data[off + 1] & 0x1) else 2  # protection bit 0 => CRC
+    pos = off + 4 + crc + side
+    if pos + 8 > len(data) or pos + 8 > off + hdr["frame_len"]:
+        return out
+    magic = data[pos:pos + 4]
+    if magic not in (b"Xing", b"Info"):
+        return out
+    out["xing_tag"] = magic.decode("ascii")
+    flags = int.from_bytes(data[pos + 4:pos + 8], "big")
+    p = pos + 8
+    if flags & 1 and p + 4 <= len(data):
+        out["xing_frames"] = int.from_bytes(data[p:p + 4], "big")
+        p += 4
+    if flags & 2 and p + 4 <= len(data):
+        out["xing_bytes"] = int.from_bytes(data[p:p + 4], "big")
+    return out
+
+
 def parse_mp3_metadata(data: bytes | None) -> dict | None:
     """Walk the frame chain and aggregate stream metadata.
 
     Returns ``{version, layer, sample_rate, channels, n_frames,
-    bitrate_kbps, vbr, duration_ms}`` or None when no valid frame
-    chain starts at the head (after any ID3v2 tag). bitrate_kbps is
-    the per-frame average (== the constant rate for CBR); duration is
+    bitrate_kbps, vbr, duration_ms, xing_tag, xing_frames,
+    xing_bytes}`` or None when no valid frame chain starts at the
+    head (after any ID3v2 tag). bitrate_kbps is the per-frame
+    average (== the constant rate for CBR); duration is
     Σ samples_per_frame / sample_rate over parsed frames — the exact
-    header-walk duration, not the header-count estimate.
+    header-walk duration, not the header-count estimate. The xing_*
+    keys report the first frame's Xing/Info tag verbatim (Nones when
+    absent) — the walk's own counts stay authoritative, the tag is
+    surfaced so a caller can cross-check a stream whose tail was
+    truncated.
     """
     if not data:
         return None
@@ -134,6 +175,7 @@ def parse_mp3_metadata(data: bytes | None) -> dict | None:
     bitrate_sum = 0
     duration_num = 0  # Σ samples_per_frame (sample_rate fixed per stream)
     first = None
+    xing = {"xing_tag": None, "xing_frames": None, "xing_bytes": None}
     while off + 4 <= len(data):
         hdr = _parse_frame_header(data, off)
         if hdr is None:
@@ -142,6 +184,9 @@ def parse_mp3_metadata(data: bytes | None) -> dict | None:
             break  # truncated final frame: count only complete frames
         if first is None:
             first = hdr
+            xing = _parse_xing(
+                data, off, hdr, (data[off + 1] >> 3) & 0x3
+            )
         elif (
             hdr["sample_rate"] != first["sample_rate"]
             or hdr["layer"] != first["layer"]
@@ -162,6 +207,7 @@ def parse_mp3_metadata(data: bytes | None) -> dict | None:
         "bitrate_kbps": bitrate_sum // n_frames,
         "vbr": bitrate_sum != first["bitrate_kbps"] * n_frames,
         "duration_ms": duration_num * 1000 // first["sample_rate"],
+        **xing,
     }
 
 

@@ -3,11 +3,16 @@ families the r08 gate left to pytest round-trips (VERDICT r08 "What's
 missing" #2): VP8L (subtract-green + color cache), progressive JPEG
 with a DC+AC refinement scan script, APNG OP_OVER compositing, a
 BigTIFF strip, 16-bit Predictor-2 TIFF and MP4 stts/ctts timing
-(r10), and — r11 — IMA/MS-ADPCM WAV block decodes (mono + stereo
+(r10), r11's IMA/MS-ADPCM WAV block decodes (mono + stereo
 word-interleave) plus both
 old-style JPEG-in-TIFF layouts (interchange tags 513/514 and the
 TIFF 6.0 §22 strip layout behind table tags 519/520/521, including
-the multi-strip DC-reset and DRI/RST restart forms).
+the multi-strip DC-reset and DRI/RST restart forms), and — r12 —
+the final two generator-only families: the MP3 frame-header
+bitrate/samplerate table walk with a Xing VBR tag
+(ISO/IEC 11172-3 + the de-facto Xing spec) and the WebM/EBML varint
+walk (RFC 8794: non-minimal sizes, unknown-size Segment, unknown-
+element skip).
 
 Same contract as ``media_known_answers``: every byte stream below is
 hand-packed from the public format specification (RFC 9649 §3 for
@@ -763,6 +768,122 @@ def build_tiff_oldjpeg_dri_probe() -> bytes:
     )
 
 
+# ── MP3 frame-header walk (ISO/IEC 11172-3 §2.4.1.3 + Xing tag) ─────
+#
+# r12: the last two media families without a hand-derived row were
+# MP3 and WebM (r11 verdict "missing" #2). Probe 1 is an ID3v2.4-
+# tagged MPEG-1 Layer III VBR chain whose every byte offset is a
+# table-walk exercise: frame lengths are 144·kbps·1000 // 44100
+# (+padding), so frames at 128/160/96+pad/112 kbps occupy
+# 417/522/314/365 bytes — a parser with a wrong bitrate table row,
+# wrong samples-per-frame, or an off-by-one padding lands mid-frame
+# and loses sync. The first frame carries a Xing VBR tag at
+# header+4+32 (MPEG-1 stereo side-info length) declaring
+# frames=4 / bytes=1618 (= 417+522+314+365, the true chain length).
+# A fifth 128 kbps header with only 10 payload bytes pins the
+# truncated-final-frame discard. Hand-derived expectations:
+#   version 1, layer 3, sr 44100, ch 2 (mode 00 = stereo)
+#   n_frames 4 (truncated 5th discarded)
+#   bitrate_kbps (128+160+96+112)//4 = 124
+#   vbr: 496 != 128·4 -> True
+#   duration_ms 4·1152·1000 // 44100 = 104
+# Header bytes (no CRC): FF FB 90 00 / FF FB A0 00 / FF FB 72 00
+# (96 kbps idx 7, padding bit) / FF FB 80 00.
+#
+# Probe 2 walks the OTHER table corner: MPEG-2.5 (version bits 00,
+# the de-facto extension) Layer III mono at 8 kbps / 8000 Hz — lsf
+# halves samples-per-frame to 576, so frame_len = 72·8000 // 8000 =
+# 72 (header FF E3 18 C0: bitrate idx 1 of the MPEG-2 table, sr idx
+# 2, mode 11 = mono). Three full frames, then a VALID full frame at
+# 11025 Hz (FF E3 10 C0, 52 bytes) that the clean-prefix rule must
+# refuse to count (mid-stream parameter change). Expectations:
+#   version 2.5, layer 3, sr 8000, ch 1, n_frames 3, kbps 8,
+#   vbr False, duration_ms 3·576·1000 // 8000 = 216, no Xing.
+
+MP3_VBR_XING_CANON = (
+    b"v=1;layer=3;sr=44100;ch=2;frames=4;kbps=124;vbr=1;ms=104;"
+    b"xing=Xing:4:1618"
+)
+MP3_MPEG25_STOP_CANON = (
+    b"v=2.5;layer=3;sr=8000;ch=1;frames=3;kbps=8;vbr=0;ms=216;"
+    b"xing=none"
+)
+
+
+def build_mp3_vbr_xing_probe() -> bytes:
+    out = bytearray()
+    out += b"ID3\x04\x00\x00" + bytes([0, 0, 0, 16]) + b"0123456789abcdef"
+    frame_a = bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 413)  # 417 total
+    frame_a[36:48] = (
+        b"Xing" + (3).to_bytes(4, "big")
+        + (4).to_bytes(4, "big")
+    )
+    frame_a[48:52] = (1618).to_bytes(4, "big")
+    out += frame_a
+    out += b"\xff\xfb\xa0\x00" + b"\x00" * 518  # 160 kbps, 522
+    out += b"\xff\xfb\x72\x00" + b"\x00" * 310  # 96 kbps + padding, 314
+    out += b"\xff\xfb\x80\x00" + b"\x00" * 361  # 112 kbps, 365
+    out += b"\xff\xfb\x90\x00" + b"\x00" * 10  # truncated: discarded
+    return bytes(out)
+
+
+def build_mp3_mpeg25_stop_probe() -> bytes:
+    out = bytearray()
+    for _ in range(3):
+        out += b"\xff\xe3\x18\xc0" + b"\x00" * 68  # 8 kbps @ 8000, 72
+    out += b"\xff\xe3\x10\xc0" + b"\x00" * 48  # 11025 Hz: not counted
+    return bytes(out)
+
+
+# ── WebM/EBML walk (RFC 8794 varints + Matroska registry) ───────────
+#
+# One hand-packed tree that forces every varint/scoping branch of the
+# EBML walker at once:
+#   - Segment size = 0xFF (1-byte ALL-ONES descriptor = unknown size,
+#     must scope to end-of-buffer, RFC 8794 §4);
+#   - Info size deliberately NON-minimal (2-byte 0x40 0x0E for 14 —
+#     legal per spec, breaks a parser that assumes minimal encoding);
+#   - an unknown element (Void 0xEC, 3 junk bytes) that must be
+#     skipped by size, not parsed;
+#   - TimecodeScale 500000 ns (3-byte uint 0x07A120) with a 4-BYTE
+#     FLOAT Duration 3000.0 (45 3B 80 00 — the f32 branch; the
+#     fixture generator always emits f64), so
+#     duration_ms = 3000 · 500000 // 1e6 = 1500;
+#   - THREE TrackEntries: video 640x480, video 1920x1080, audio 6ch —
+#     the widest-video rule must report 1920x1080 and n_tracks 3 with
+#     both has_video and has_audio set.
+# Every length byte below is hand-computed (entry payloads 13/13/8,
+# Tracks payload 40 = 0xA8 minimal vint, header payload 7 = 0x87).
+
+WEBM_EBML_WALK_CANON = (
+    b"brand=webm;ms=1500;tracks=3;w=1920;h=1080;video=1;audio=1"
+)
+
+
+def build_webm_ebml_walk_probe() -> bytes:
+    header = b"\x1a\x45\xdf\xa3\x87" + b"\x42\x82\x84webm"
+    void = b"\xec\x83\xaa\xbb\xcc"
+    info = (
+        b"\x15\x49\xa9\x66\x40\x0e"  # Info, NON-minimal 2-byte size 14
+        + b"\x2a\xd7\xb1\x83\x07\xa1\x20"  # TimecodeScale 500000
+        + b"\x44\x89\x84\x45\x3b\x80\x00"  # Duration f32 3000.0
+    )
+    video1 = (
+        b"\xae\x8d" + b"\x83\x81\x01"
+        + b"\xe0\x88" + b"\xb0\x82\x02\x80" + b"\xba\x82\x01\xe0"
+    )
+    video2 = (
+        b"\xae\x8d" + b"\x83\x81\x01"
+        + b"\xe0\x88" + b"\xb0\x82\x07\x80" + b"\xba\x82\x04\x38"
+    )
+    audio = (
+        b"\xae\x88" + b"\x83\x81\x02" + b"\xe1\x83" + b"\x9f\x81\x06"
+    )
+    tracks = b"\x16\x54\xae\x6b\xa8" + video1 + video2 + audio
+    segment = b"\x18\x53\x80\x67\xff" + void + info + tracks
+    return header + segment
+
+
 # ── probe registry ──────────────────────────────────────────────────
 
 DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
@@ -797,6 +918,15 @@ DEEP_PROBES: list[tuple[int, str, bytes, bytes, tuple[int, ...]]] = [
      TIFF_OLDJPEG_DRI_EXPECTED.tobytes(), TIFF_OLDJPEG_DRI_EXPECTED.shape),
     (13, "wav_ima_stereo_interleave", build_wav_ima_stereo_probe(),
      WAV_IMA_STEREO_CANON, (16,)),
+    # r12 additions: the last two generator-only media families get
+    # hand-derived rows — MP3 frame-header table walk (+ Xing) and
+    # the WebM/EBML varint walk
+    (14, "mp3_vbr_xing_walk", build_mp3_vbr_xing_probe(),
+     MP3_VBR_XING_CANON, (4,)),
+    (15, "mp3_mpeg25_param_stop", build_mp3_mpeg25_stop_probe(),
+     MP3_MPEG25_STOP_CANON, (3,)),
+    (16, "webm_ebml_walk", build_webm_ebml_walk_probe(),
+     WEBM_EBML_WALK_CANON, (3,)),
 ]
 
 
@@ -829,6 +959,40 @@ def _decode_canonical_deep(name: str, data: bytes) -> tuple[bytes, tuple]:
             struct.pack(f">i{samples.size}h", rate, *samples.tolist()),
             (samples.size,),
         )
+    elif name.startswith("mp3"):
+        from parquet_extractor_spark.functions.mp3 import (
+            parse_mp3_metadata,
+        )
+
+        m = parse_mp3_metadata(data)
+        if m is None:
+            raise ValueError("mp3 probe did not parse")
+        xing = (
+            "none"
+            if m["xing_tag"] is None
+            else f"{m['xing_tag']}:{m['xing_frames']}:{m['xing_bytes']}"
+        )
+        canon = (
+            f"v={m['version']};layer={m['layer']};sr={m['sample_rate']};"
+            f"ch={m['channels']};frames={m['n_frames']};"
+            f"kbps={m['bitrate_kbps']};vbr={int(m['vbr'])};"
+            f"ms={m['duration_ms']};xing={xing}"
+        ).encode("ascii")
+        return canon, (m["n_frames"],)
+    elif name.startswith("webm"):
+        from parquet_extractor_spark.functions.webm import (
+            parse_webm_metadata,
+        )
+
+        m = parse_webm_metadata(data)
+        if m is None:
+            raise ValueError("webm probe did not parse")
+        canon = (
+            f"brand={m['brand']};ms={m['duration_ms']};"
+            f"tracks={m['n_tracks']};w={m['width']};h={m['height']};"
+            f"video={int(m['has_video'])};audio={int(m['has_audio'])}"
+        ).encode("ascii")
+        return canon, (m["n_tracks"],)
     elif name.startswith("mp4"):
         from parquet_extractor_spark.functions.mp4 import (
             parse_mp4_metadata,

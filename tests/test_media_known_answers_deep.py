@@ -1,9 +1,10 @@
 """Deep spec-derived known-answer probes (media_known_answers_deep):
 VP8L subtract-green + color cache, progressive-JPEG AC refinement,
 APNG OP_OVER compositing, BigTIFF geometry, 16-bit Predictor-2 TIFF,
-MP4 stts/ctts sample timing, IMA/MS-ADPCM WAV block decodes, and both
+MP4 stts/ctts sample timing, IMA/MS-ADPCM WAV block decodes, both
 old-style JPEG-in-TIFF layouts (interchange 513/514 and §22 table
-tags 519/520/521). Same contract as
+tags 519/520/521), the MP3 frame-header table walk (+ Xing tag), and
+the WebM/EBML varint walk. Same contract as
 test_media_known_answers: expectations are hand-derived literals and
 the gate must have teeth against corruption."""
 
@@ -101,6 +102,15 @@ def test_corrupted_deep_stream_cannot_match_the_pinned_row():
         "tiff_oldjpeg_dri_restart": -2,
         # channel-1 nibble word byte (frames 2-3 of the right channel)
         "wav_ima_stereo_interleave": -3,
+        # Xing frame-count low byte (tag at ID3 26 + header 4 +
+        # side-info 32 + magic/flags 8 + count bytes 3)
+        "mp3_vbr_xing_walk": 73,
+        # third frame's bitrate/samplerate byte (2*72 + 2): the walk
+        # must stop there, shrinking n_frames and duration
+        "mp3_mpeg25_param_stop": 146,
+        # second video track's PixelWidth high byte (1920 -> 63616):
+        # the widest-video rule must report the flip
+        "webm_ebml_walk": 71,
     }
     for pid, name, data, canon, _shape in D.DEEP_PROBES:
         mutated = bytearray(data)

@@ -547,6 +547,10 @@ def test_mp3_header_walk_cbr_and_tables():
         "vbr": False,
         # 38 frames × 1152 samples / 44100 Hz = 992.6 ms (floor)
         "duration_ms": 992,
+        # zero-payload frames carry no Xing/Info tag
+        "xing_tag": None,
+        "xing_frames": None,
+        "xing_bytes": None,
     }
     # layer I uses 384 samples/frame and the ×4 slot size
     m1 = parse_mp3_metadata(
@@ -599,6 +603,52 @@ def test_mp3_id3_skip_vbr_and_garbage():
                          sample_rate=44100)[:-10]
     )
     assert trunc["n_frames"] == 2
+
+
+def test_mp3_xing_tag_parse_offsets_and_flags():
+    """Xing/Info tag surfaced from the first frame: side-info offset
+    per (version, mode), flag-gated fields, Info magic, and absent-tag
+    Nones."""
+    from parquet_extractor_spark.functions.mp3 import (
+        build_mp3_stream,
+        parse_mp3_metadata,
+    )
+
+    def plant(stream: bytes, off: int, tag: bytes, flags: int,
+              fields: tuple[int, ...]) -> bytes:
+        body = tag + flags.to_bytes(4, "big") + b"".join(
+            f.to_bytes(4, "big") for f in fields
+        )
+        out = bytearray(stream)
+        out[off:off + len(body)] = body
+        return bytes(out)
+
+    # MPEG-1 stereo: side info 32 -> tag at 36
+    s = build_mp3_stream(3, version="1", layer=3, bitrate_kbps=128,
+                         sample_rate=44100)
+    m = parse_mp3_metadata(plant(s, 36, b"Xing", 0x3, (3, 1254)))
+    assert (m["xing_tag"], m["xing_frames"], m["xing_bytes"]) == (
+        "Xing", 3, 1254
+    )
+    # frames-only flag word leaves bytes None; Info magic accepted
+    m = parse_mp3_metadata(plant(s, 36, b"Info", 0x1, (3,)))
+    assert (m["xing_tag"], m["xing_frames"], m["xing_bytes"]) == (
+        "Info", 3, None
+    )
+    # MPEG-1 mono: side info 17 -> tag at 21 (the stereo offset must
+    # NOT match)
+    mono = build_mp3_stream(3, version="1", layer=3, bitrate_kbps=128,
+                            sample_rate=44100, mono=True)
+    m = parse_mp3_metadata(plant(mono, 21, b"Xing", 0x1, (3,)))
+    assert (m["xing_tag"], m["xing_frames"]) == ("Xing", 3)
+    assert parse_mp3_metadata(
+        plant(mono, 36, b"Xing", 0x1, (3,))
+    )["xing_tag"] is None
+    # MPEG-2 mono (lsf): side info 9 -> tag at 13
+    lsf = build_mp3_stream(3, version="2", layer=3, bitrate_kbps=64,
+                           sample_rate=22050, mono=True)
+    m = parse_mp3_metadata(plant(lsf, 13, b"Xing", 0x1, (3,)))
+    assert (m["xing_tag"], m["xing_frames"]) == ("Xing", 3)
 
 
 def test_mp3_pcm_decode_is_declared_boundary():
