@@ -519,8 +519,17 @@ def _child_payload_path() -> str:
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
         import tempfile
 
+        try:
+            uid = os.getuid()
+        except AttributeError:
+            uid = 0
+        # uid+pid in the name: two users (or two concurrent
+        # adjudication runs) never collide on a fixed shared-tmp
+        # filename, and a planted symlink at a predictable path is
+        # never followed (r11 advice)
         return os.path.join(
-            tempfile.gettempdir(), "spark-graft-bench-only.json"
+            tempfile.gettempdir(),
+            f"spark-graft-bench-only-{uid}-{os.getpid()}.json",
         )
     return _local_json_path()
 

@@ -54,8 +54,11 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
+import stat
 import tempfile
 import threading
+import time
 from typing import Any, Callable
 
 from pyspark.sql import Row
@@ -101,23 +104,127 @@ def code_fingerprint() -> str:
     return _CODE_FP
 
 
+_STORE_ROOT: str | None = None
+_GC_DONE = False
+_TMP_MAX_AGE_S = 3600.0  # orphaned .tmp.<pid> from crashed builds
+_ENTRY_MAX_AGE_S = 7 * 86400.0  # stale code-fp generations
+
+
+def _verify_private(d: str, uid: int | None) -> bool:
+    """True when ``d`` is a real directory (not a symlink) owned by
+    ``uid`` with no group/other permission bits. A pre-created
+    directory in a world-writable temp root that fails this check is
+    an attacker-substitutable store: artifact JSON and tier parquet
+    fold into query plans as trusted literals, so the root must be
+    provably ours (r11 advice). ``uid`` None (non-POSIX) skips the
+    ownership/mode checks — there is no shared temp root to defend
+    there."""
+    try:
+        st = os.lstat(d)
+    except OSError:
+        return False
+    if not stat.S_ISDIR(st.st_mode):  # symlink or file
+        return False
+    if uid is None:
+        return True
+    if st.st_uid != uid:
+        return False
+    if st.st_mode & 0o077:
+        # makedirs(exist_ok=True) applies the mode only on creation;
+        # tighten a pre-existing loose dir, fail if we cannot
+        try:
+            os.chmod(d, 0o700)
+            st = os.lstat(d)
+        except OSError:
+            return False
+        if st.st_mode & 0o077:
+            return False
+    return True
+
+
+def _gc_store(root: str) -> None:
+    """Once per process: sweep orphaned ``.tmp.<pid>`` build debris
+    older than an hour and evict entries not touched in
+    ``_ENTRY_MAX_AGE_S`` (reads ``os.utime`` their entry, so a hot
+    artifact/tier never ages out; stale code-fingerprint generations
+    do — the store previously grew forever, r11 advice)."""
+    global _GC_DONE
+    if _GC_DONE:
+        return
+    _GC_DONE = True
+    now = time.time()
+    for sub in ("artifacts", "tiers"):
+        d = os.path.join(root, sub)
+        try:
+            names = os.listdir(d)
+        except OSError:
+            continue
+        for n in names:
+            p = os.path.join(d, n)
+            try:
+                age = now - os.lstat(p).st_mtime
+            except OSError:
+                continue
+            if (".tmp." in n and age > _TMP_MAX_AGE_S) or (
+                age > _ENTRY_MAX_AGE_S
+            ):
+                if os.path.isdir(p) and not os.path.islink(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+
+
 def store_root() -> str:
     """Shared on-disk store root (artifacts + tiers), stable across
-    processes: $SPARK_GRAFT_ARTIFACT_DIR or a per-uid directory under
-    the system temp dir. Created 0700 — it is a private cache, and
-    nothing in it is ever executed or unpickled (JSON + parquet
-    only)."""
+    processes: $SPARK_GRAFT_ARTIFACT_DIR, else a per-user cache dir —
+    $XDG_CACHE_HOME/spark-graft-store (or ~/.cache/...), falling back
+    to a per-uid directory under the system temp dir. Created 0700
+    and lstat-verified to be a real directory owned by this uid with
+    no group/other access (a pre-planted dir in world-writable /tmp
+    must not be trusted — nothing in the store is executed or
+    unpickled, but its JSON/parquet DO become plan literals). The
+    default roots are also garbage-collected once per process (see
+    ``_gc_store``)."""
     d = os.environ.get("SPARK_GRAFT_ARTIFACT_DIR")
-    if not d:
-        try:
-            uid = os.getuid()
-        except AttributeError:  # non-POSIX
-            uid = 0
-        d = os.path.join(
-            tempfile.gettempdir(), f"spark-graft-store-{uid}"
+    if d:
+        # explicit override (tests, operators): caller owns placement
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        return d
+    global _STORE_ROOT
+    if _STORE_ROOT is not None:
+        return _STORE_ROOT
+    try:
+        uid: int | None = os.getuid()
+    except AttributeError:  # non-POSIX
+        uid = None
+    candidates = []
+    cache_home = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    if not cache_home.startswith("~"):  # expanduser resolved
+        candidates.append(os.path.join(cache_home, "spark-graft-store"))
+    candidates.append(
+        os.path.join(
+            tempfile.gettempdir(), f"spark-graft-store-{uid or 0}"
         )
-    os.makedirs(d, mode=0o700, exist_ok=True)
-    return d
+    )
+    for d in candidates:
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+        except OSError:
+            continue
+        if _verify_private(d, uid):
+            _STORE_ROOT = d
+            _gc_store(d)
+            return d
+    raise RuntimeError(
+        "no private artifact store root available (candidates failed "
+        f"ownership/mode verification: {candidates}); set "
+        "SPARK_GRAFT_ARTIFACT_DIR to a directory you own"
+    )
 
 
 def dir_fingerprint(sf_dir: str) -> tuple:
@@ -203,9 +310,14 @@ def _decode(v: Any) -> Any:
 def _load_disk(path: str) -> Any:
     try:
         with open(path) as fh:
-            return _decode(json.load(fh))
+            v = _decode(json.load(fh))
     except (OSError, ValueError, TypeError):
         return None
+    try:  # keep hot entries out of the age-based GC's reach
+        os.utime(path)
+    except OSError:
+        pass
+    return v
 
 
 def _save_disk(path: str, value: Any) -> None:
@@ -251,11 +363,16 @@ def memo_artifact(
 
 
 def clear_artifact_memo() -> None:
-    """Drop every memoized artifact — in-process AND the disk layer
-    (test hook; also called by tiers.clear_tiers so one reset clears
-    both layers)."""
+    """Drop every memoized artifact — in-process always, the disk
+    layer ONLY when $SPARK_GRAFT_ARTIFACT_DIR points the store at an
+    isolated directory (test hook; also called by tiers.clear_tiers
+    so one reset clears both layers). The shared default root is
+    never purged from here: other live processes hold paths into it,
+    and a concurrent bench relies on its warm state (r11 advice)."""
     with _LOCK:
         _MEMO.clear()
+        if not os.environ.get("SPARK_GRAFT_ARTIFACT_DIR"):
+            return
         d = os.path.join(store_root(), "artifacts")
         try:
             names = os.listdir(d)

@@ -120,6 +120,12 @@ def ensure_tier(
     k = _key(sf_dir, name)
     with _LOCK:
         path = _KNOWN.get(k)
+        # a remembered path may have vanished under us (another
+        # process's isolated clear, the age-based GC): re-check and
+        # rebuild instead of handing Spark a dead scan path
+        if path is not None and not os.path.isdir(path):
+            _KNOWN.pop(k, None)
+            path = None
         if path is None:
             path = _tier_path(k)
             if not os.path.isdir(path):
@@ -133,22 +139,33 @@ def ensure_tier(
                     shutil.rmtree(tmp, ignore_errors=True)
                     if not os.path.isdir(path):
                         raise
+            else:
+                try:  # keep hot tiers out of the age-based GC
+                    os.utime(path)
+                except OSError:
+                    pass
             _KNOWN[k] = path
     return spark.read.parquet(path)
 
 
 def clear_tiers() -> None:
-    """Forget every materialized tier and memoized artifact, disk
-    included (test hook)."""
+    """Forget every materialized tier and memoized artifact —
+    in-process always, disk ONLY under an isolated
+    $SPARK_GRAFT_ARTIFACT_DIR store (test hook). The shared default
+    root is deliberately left alone: other live processes keep their
+    ``_KNOWN`` paths into it and concurrent benches rely on its warm
+    state, so a destructive purge there would strand them on vanished
+    scan paths (r11 advice)."""
     from parquet_extractor_spark.artifacts import clear_artifact_memo
 
     with _LOCK:
         _KNOWN.clear()
-        root = _tiers_root()
-        try:
-            names = os.listdir(root)
-        except OSError:
-            names = []
-        for n in names:
-            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        if os.environ.get("SPARK_GRAFT_ARTIFACT_DIR"):
+            root = _tiers_root()
+            try:
+                names = os.listdir(root)
+            except OSError:
+                names = []
+            for n in names:
+                shutil.rmtree(os.path.join(root, n), ignore_errors=True)
     clear_artifact_memo()

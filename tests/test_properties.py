@@ -704,3 +704,91 @@ def test_pair_bucket_hash_cross_engine_property(keys, n_parts):
         params=[keys],
     ).fetchall()
     assert [r[0] for r in rows] == py
+
+
+# ── artifact JSON codec round-trip (artifacts.py) ───────────────────
+#
+# The persistent store serializes trained artifacts through a tagged
+# JSON codec; a value it cannot faithfully round-trip must either be
+# refused by _encode (TypeError -> memo-only fallback) or come back
+# structurally identical. Adversarial axes: NaN/Inf floats (legal
+# JSON output of Python's json module, equality-hostile), deep tuple
+# nesting, Rows with arbitrary field payloads, -0.0, huge ints.
+
+
+@st.composite
+def artifact_values(draw, depth=0):
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        st.floats(allow_nan=True, allow_infinity=True),
+        st.text(max_size=20),
+    )
+    if depth >= 3:
+        return draw(scalars)
+    children = st.deferred(lambda: artifact_values(depth=depth + 1))
+    return draw(
+        st.one_of(
+            scalars,
+            st.lists(children, max_size=4),
+            st.tuples(children, children),
+            st.tuples(children),
+        )
+    )
+
+
+def _same(a, b) -> bool:
+    import math
+
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _same(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            _same(x, y) for x, y in zip(a, b)
+        )
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return type(a) is type(b) and a == b
+
+
+@settings(max_examples=80, deadline=None)
+@given(v=artifact_values())
+def test_artifact_codec_roundtrip_property(v):
+    import json as _json
+
+    from parquet_extractor_spark.artifacts import _decode, _encode
+
+    got = _decode(_json.loads(_json.dumps(_encode(v))))
+    assert _same(got, v)
+
+
+@settings(max_examples=30, deadline=None)
+@given(v=artifact_values())
+def test_artifact_codec_roundtrip_rows(v):
+    from pyspark.sql import Row
+
+    import json as _json
+
+    from parquet_extractor_spark.artifacts import _decode, _encode
+
+    row = Row(a=v, b=[v])
+    got = _decode(_json.loads(_json.dumps(_encode(row))))
+    assert isinstance(got, Row)
+    assert list(got.__fields__) == ["a", "b"]
+    assert _same(got.a, v) and _same(got.b, [v])
+
+
+def test_artifact_codec_refuses_unexpressible():
+    """dicts/sets/bytes are NOT part of the artifact contract: the
+    encoder must raise (memo-only fallback), never emit something
+    that would decode into a different shape."""
+    import pytest as _pytest
+
+    from parquet_extractor_spark.artifacts import _encode
+
+    for bad in ({"k": 1}, {1, 2}, b"bytes", object()):
+        with _pytest.raises(TypeError):
+            _encode(bad)

@@ -288,3 +288,119 @@ def test_orphaned_tier_tmp_dir_is_ignored(spark, sf_small):
     out = tiers.ensure_tier(spark, sf_small, "t_orphan", build)
     assert sorted(r.n for r in out.collect()) == [0, 1]
     assert len(calls) == 1 and os.path.isdir(path)
+
+
+# ── r12 hardening: private-root verification, GC, scoped clears ─────
+
+
+def test_verify_private_rejects_symlink_foreign_and_loose(tmp_path):
+    """The store root must be a real directory owned by this uid with
+    mode 0700 — a pre-planted symlink or group/other-accessible dir
+    in shared tmp is attacker-substitutable (its JSON/parquet become
+    plan literals)."""
+    uid = os.getuid()
+    real = tmp_path / "real"
+    real.mkdir(mode=0o700)
+    assert artifacts._verify_private(str(real), uid)
+    link = tmp_path / "link"
+    link.symlink_to(real)
+    assert not artifacts._verify_private(str(link), uid)
+    assert not artifacts._verify_private(str(tmp_path / "absent"), uid)
+    f = tmp_path / "file"
+    f.write_text("x")
+    assert not artifacts._verify_private(str(f), uid)
+    # a loose pre-existing dir gets tightened in place
+    loose = tmp_path / "loose"
+    loose.mkdir(mode=0o755)
+    assert artifacts._verify_private(str(loose), uid)
+    assert (os.lstat(loose).st_mode & 0o777) == 0o700
+    assert not artifacts._verify_private(str(real), uid + 1)
+
+
+def test_store_gc_sweeps_orphans_and_expired_entries(tmp_path):
+    """GC removes .tmp build debris older than an hour and entries
+    past the age ceiling, but keeps fresh entries and fresh tmps."""
+    root = tmp_path / "gcroot"
+    for sub in ("artifacts", "tiers"):
+        (root / sub).mkdir(parents=True)
+    old = artifacts.time.time() - artifacts._ENTRY_MAX_AGE_S - 10
+    tmp_old = artifacts.time.time() - artifacts._TMP_MAX_AGE_S - 10
+    a = root / "artifacts"
+    (a / "keep-fresh.json").write_text("{}")
+    (a / "evict-old.json").write_text("{}")
+    os.utime(a / "evict-old.json", (old, old))
+    (a / "orphan.json.tmp.1234").write_text("{")
+    os.utime(a / "orphan.json.tmp.1234", (tmp_old, tmp_old))
+    (a / "fresh.json.tmp.5678").write_text("{")
+    t = root / "tiers"
+    (t / "tier-old").mkdir()
+    os.utime(t / "tier-old", (old, old))
+    (t / "tier-fresh").mkdir()
+    (t / "tier-x.tmp.999").mkdir()
+    os.utime(t / "tier-x.tmp.999", (tmp_old, tmp_old))
+    artifacts._GC_DONE = False
+    try:
+        artifacts._gc_store(str(root))
+    finally:
+        artifacts._GC_DONE = False
+    assert sorted(os.listdir(a)) == [
+        "fresh.json.tmp.5678", "keep-fresh.json",
+    ]
+    assert sorted(os.listdir(t)) == ["tier-fresh"]
+
+
+def test_clear_without_isolated_dir_keeps_disk(
+    spark, sf_small, monkeypatch, tmp_path
+):
+    """clear_tiers()/clear_artifact_memo() without an isolated
+    $SPARK_GRAFT_ARTIFACT_DIR must forget in-process state ONLY —
+    the shared on-disk store (which other live processes scan) stays
+    intact, and a re-request rereads it without rebuilding."""
+    store = tmp_path / "shared-store"
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(store))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).select(F.col("id").alias("n"))
+
+    tiers.ensure_tier(spark, sf_small, "t_keepdisk", build)
+    artifacts.memo_artifact(
+        spark, sf_small, ("a_keepdisk",), lambda: [1, 2]
+    )
+    n_tiers = len(os.listdir(store / "tiers"))
+    n_arts = len(os.listdir(store / "artifacts"))
+    assert n_tiers == 1 and n_arts == 1
+    # simulate the shared-default-root situation: same store on disk,
+    # but no isolating env var -> disk must survive the clear
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACT_DIR")
+    monkeypatch.setattr(artifacts, "_STORE_ROOT", str(store))
+    tiers.clear_tiers()
+    assert len(os.listdir(store / "tiers")) == n_tiers
+    assert len(os.listdir(store / "artifacts")) == n_arts
+    assert not tiers._KNOWN and not artifacts._MEMO
+    # and with the isolated dir back, the clear IS destructive
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(store))
+    tiers.clear_tiers()
+    assert not os.listdir(store / "tiers")
+    assert not os.listdir(store / "artifacts")
+
+
+def test_vanished_tier_path_rebuilds(spark, sf_small):
+    """A _KNOWN path whose directory was removed behind our back
+    (another process's clear, GC eviction) must rebuild, not hand
+    Spark a dead scan path."""
+    import shutil as _sh
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).select(F.col("id").alias("n"))
+
+    tiers.ensure_tier(spark, sf_small, "t_vanish", build)
+    k = tiers._key(sf_small, "t_vanish")
+    _sh.rmtree(tiers._KNOWN[k])
+    out = tiers.ensure_tier(spark, sf_small, "t_vanish", build)
+    assert sorted(r.n for r in out.collect()) == [0, 1]
+    assert len(calls) == 2
