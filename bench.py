@@ -8,7 +8,12 @@ verdict), so single samples aren't comparable round-to-round.
 Self-defense against capture truncation (r03-r06: four consecutive
 rounds of driver-side `parsed: null` because the full 176-query JSON
 line is ~5.5 KB and the driver keeps only a ~2 KB stdout tail): the
-FULL payload goes to BENCH_LOCAL.json in the repo root, and stdout's
+FULL payload goes to a tracked file in the repo root —
+BENCH_DRIVER.json for a default run (the per-round driver sweep;
+its committed history is the driver-protocol record), or
+BENCH_LOCAL.json when SPARK_GRAFT_BENCH_CANONICAL=1 marks the
+builder's deliberate warm-store canonical run (r11 verdict item 5:
+the two protocols used to fight over one file) — and stdout's
 LAST line is a size-capped compact payload — same metric/value/unit/
 sf envelope, `queries` trimmed to as many entries (bench order) as
 fit under _COMPACT_LIMIT bytes, with `n`/`omitted` recording the
@@ -501,8 +506,24 @@ def _orchestrate(bench_set: list[str], chunk_size: int) -> None:
 
 
 def _local_json_path() -> str:
+    """Full-payload destination for a top-level run. Two tracked
+    protocols (r11 verdict item 5 — a driver round used to overwrite
+    the canonical warm-host artifact in place):
+
+    * default -> BENCH_DRIVER.json: whatever host/process runs the
+      bench unannounced (the per-round driver sweep) lands here, so
+      its committed history IS the driver-protocol record;
+    * SPARK_GRAFT_BENCH_CANONICAL=1 -> BENCH_LOCAL.json: the
+      builder's deliberate warm-store canonical runs, the trend line
+      SCALE.md adjudicates against.
+    """
+    name = (
+        "BENCH_LOCAL.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_CANONICAL") == "1"
+        else "BENCH_DRIVER.json"
+    )
     return os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        os.path.dirname(os.path.abspath(__file__)), name
     )
 
 
@@ -610,7 +631,7 @@ def _compact(payload: dict) -> dict:
         "sf": payload["sf"],
         "n": len(payload["queries"]),
         "omitted": 0,
-        "full": "BENCH_LOCAL.json",
+        "full": os.path.basename(_child_payload_path()),
     }
     if "errors" in payload:
         out["errors"] = len(payload["errors"])
