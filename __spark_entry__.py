@@ -48,65 +48,69 @@ def entry(spark: SparkSession) -> DataFrame:
     return analyze.corpus_stats(spark, "/root/testdata/sf0.001")
 
 
-# The declared round-11 driver window (exactly the first 50 keys of
+# The declared round-12 driver window (exactly the first 50 keys of
 # queries(), asserted by tests/test_relational_oracle.py):
-# 1 r11 addition (ivf_pq_recall_eval — never driver-checked) + 1
-# semantics-changed re-check (media_known_answer_probes_deep — seven
-# new probe rows this round) + the 47-query head of the r09-green
-# cohort (event_trigram_lift first, per the r10 queue declaration) +
-# 1 r08-green refresh (url_canonical_dedup, the stalest remaining
-# driver evidence).
-R11_WINDOW: tuple[str, ...] = (
+# 3 semantics-changed re-checks (ivf_pq_recall_eval and
+# ann_ivf_pq_refined — the trained PQ codebook grew to
+# PQ_K_REFINED=16 codewords this round, so their r11 driver evidence
+# no longer certifies the current values; media_known_answer_probes_
+# deep — three new probe rows: MP3 VBR walk + Xing, MPEG-2.5
+# parameter-stop, WebM/EBML walk) + the 47-query head of the
+# r06-green cohort, the stalest driver evidence in the registry
+# (the r11 verdict's item 1). The cohort's 3-entry remainder
+# (events_approx_users, pq_codes, media_feature_checksums) leads the
+# r13 queue.
+R12_WINDOW: tuple[str, ...] = (
     "ivf_pq_recall_eval",
     "media_known_answer_probes_deep",
-    "event_trigram_lift",
-    "dedup_canonical_by_quality",
-    "tokenizer_fertility_by_lang",
-    "entity_resolution",
-    "leakage_safe_split",
-    "ngram_novelty_profile",
-    "truncation_waste_report",
-    "quality_filter_ablation",
-    "events_funnel_ordered",
-    "orders_cohort_retention",
-    "release_manifest",
-    "dp_source_release",
-    "events_changepoint_cusum",
-    "customer_repurchase_hazard",
-    "orders_benford_audit",
-    "events_autocorrelation",
-    "source_length_mannwhitney",
-    "customer_revenue_gini",
-    "events_dow_chisq",
-    "reshard_movement_report",
-    "source_lexical_diversity",
-    "classifier_calibration_report",
-    "quality_gate_kappa",
-    "per_source_quality_cutoffs",
-    "cluster_lang_purity",
-    "orders_seasonal_decomposition",
-    "warehouse_fk_audit",
-    "events_xmr_control",
-    "events_funnel_deadline",
-    "orders_backlog_timeline",
-    "source_quality_psi",
-    "session_top_paths",
-    "embedding_covariance_profile",
-    "dedup_containment_scores",
-    "events_type_audience_overlap",
-    "simhash_bit_balance",
-    "lineitem_price_mad_outliers",
-    "classifier_decile_lift",
-    "source_centroid_separation",
-    "top_order_per_customer",
-    "top_brands_by_revenue",
-    "top_docs_by_tokens",
-    "tokens_per_lang",
-    "source_token_kl",
-    "segment_stats_rollup",
-    "dedup_graph_pagerank",
-    "lsh_quality_eval",
-    "url_canonical_dedup",
+    "ann_ivf_pq_refined",
+    "semantic_decontamination",
+    "hard_negative_mining",
+    "bloom_decontamination",
+    "countmin_heavy_hitters",
+    "temperature_mixing_weights",
+    "length_bucketing_efficiency",
+    "pii_audit",
+    "decontamination_report",
+    "user_longest_streak_window",
+    "bpe_train_merges",
+    "bpe_encode_corpus",
+    "media_image_metadata",
+    "media_gif_frame_checksums",
+    "media_apng_frame_checksums",
+    "sq8_codes",
+    "q1_pricing_summary",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "stratified_sample_by_lang",
+    "weighted_sample_by_lang",
+    "fuzzy_name_pairs",
+    "language_id",
+    "quality_scores",
+    "bpe_token_counts",
+    "doc_fingerprints",
+    "repetition_scores",
+    "pii_redaction",
+    "ngram_decontamination",
+    "entity_union_directory",
+    "user_longest_streak",
+    "user_retention_cohorts",
+    "events_hourly_gapfilled",
+    "session_funnel",
+    "q12_late_lines_by_status",
+    "events_distinct_users",
+    "pack_sequences",
+    "train_val_test_split",
+    "source_mixing_weights",
+    "kmeans_refine",
+    "dsir_importance_weights",
+    "bm25_doc_scores",
+    "inverted_index",
+    "pmi_top_pairs",
+    "zipf_token_stats",
+    "shard_assignments",
+    "cross_source_dedup_candidates",
+    "doc_length_quantiles",
 )
 
 
@@ -118,38 +122,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-checked) goes first; (2) queries whose SEMANTICS changed
     this round go next (their old driver evidence no longer certifies
     the current code); (3) the remaining slots go to the queries whose
-    NEWEST green driver row is oldest. The round-11 window is the
-    ``R11_WINDOW`` tuple below — kept as DATA, not prose, so the
+    NEWEST green driver row is oldest. The round-12 window is the
+    ``R12_WINDOW`` tuple below — kept as DATA, not prose, so the
     composition is machine-checked (test_driver_window_matches_
-    declared_tuple) instead of hand-counted: 1 r11 addition
-    (ivf_pq_recall_eval — recall@k of both IVF-PQ variants vs exact
-    integer-micro L2) + 1 r11-changed query
-    (media_known_answer_probes_deep — seven new probe rows: IMA
-    mono/stereo and MS ADPCM WAV, old-style JPEG-in-TIFF in four
-    forms) + the
-    47-query head of the r09-green cohort per the r10 queue
-    declaration (event_trigram_lift first: its r10 DECIMAL widening
-    awaited this driver re-check) + 1 r08-green refresh
-    (url_canonical_dedup). The customer-ER streaming twin lives in
-    pytest (stream≡batch). The artifact/tier store persistence
-    added this round changes WHERE trained literals are cached, not
-    their values, so no other query re-enters; the local 248-query
-    gate re-proves every tail entry each round regardless.
-    r12 queue: the r09-green remainder (crawl_politeness_audit and
-    the r08-green block), then the r10-green displaced cohort.
+    declared_tuple) instead of hand-counted: no new queries this
+    round; 3 r12-changed queries (ivf_pq_recall_eval and
+    ann_ivf_pq_refined re-enter because the trained codebook grew to
+    16 codewords — new values; media_known_answer_probes_deep because
+    of the three new MP3/WebM probe rows) + the 47-query head of the
+    r06-green cohort, the registry's stalest driver evidence. The
+    r12 simhash_fingerprints aggregation fold is value-identical
+    (oracle hash unchanged at sf0.001/0.01), so per the
+    value-identical-refactor rule it stays in the tail with this
+    note. r13 queue: the r06-green remainder (events_approx_users,
+    pq_codes, media_feature_checksums), then the r07-green cohort.
     Every tail entry is re-verified locally each round via
     tools/check_oracle.py at sf0.001/0.01/0.1 (one command:
     ``python -m pytest tests/test_oracle_gate.py``; see COVERAGE.md).
     """
     return {
-        # ——— driver window (first 50, exactly — R11_WINDOW): the r11
-        #     addition + the r11 semantics-changed query + the 47-query
-        #     r09-green cohort head + one r08-green refresh ———
+        # ——— driver window (first 50, exactly — R12_WINDOW): the 3
+        #     r12 semantics-changed queries + the 47-query head of
+        #     the r06-green cohort (stalest driver evidence) ———
         "ivf_pq_recall_eval": similarity.ivf_pq_recall_eval,
         "media_known_answer_probes_deep":
             media_known_answers_deep.media_known_answer_probes_deep,
-        # — r09-green cohort (stalest driver evidence; trigram first
-        #   per the r10 queue declaration) —
+        "ann_ivf_pq_refined": similarity.ann_ivf_pq_refined,
+        # — r06-green cohort head —
+        "semantic_decontamination": similarity.semantic_decontamination,
+        "hard_negative_mining": similarity.hard_negative_mining,
+        "bloom_decontamination": contamination.bloom_decontamination,
+        "countmin_heavy_hitters": corpus_index.countmin_heavy_hitters,
+        "temperature_mixing_weights": training.temperature_mixing_weights,
+        "length_bucketing_efficiency": training.length_bucketing_efficiency,
+        "pii_audit": quality.pii_audit,
+        "decontamination_report": contamination.decontamination_report,
+        "user_longest_streak_window": timeseries.user_longest_streak_window,
+        "bpe_train_merges": textprep.bpe_train_merges,
+        "bpe_encode_corpus": textprep.bpe_encode_corpus,
+        "media_image_metadata": multimodal.media_image_metadata,
+        "media_gif_frame_checksums": multimodal.media_gif_frame_checksums,
+        "media_apng_frame_checksums": multimodal.media_apng_frame_checksums,
+        "sq8_codes": similarity.sq8_codes,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "doc_chunks": textprep.doc_chunks,
+        "tfidf_top_terms": textprep.tfidf_top_terms,
+        "stratified_sample_by_lang": textprep.stratified_sample_by_lang,
+        "weighted_sample_by_lang": textprep.weighted_sample_by_lang,
+        "fuzzy_name_pairs": textprep.fuzzy_name_pairs,
+        "language_id": quality.language_id,
+        "quality_scores": quality.quality_scores,
+        "bpe_token_counts": quality.bpe_token_counts,
+        "doc_fingerprints": quality.doc_fingerprints,
+        "repetition_scores": quality.repetition_scores,
+        "pii_redaction": quality.pii_redaction,
+        "ngram_decontamination": contamination.ngram_decontamination,
+        "entity_union_directory": timeseries.entity_union_directory,
+        "user_longest_streak": timeseries.user_longest_streak,
+        "user_retention_cohorts": timeseries.user_retention_cohorts,
+        "events_hourly_gapfilled": timeseries.events_hourly_gapfilled,
+        "session_funnel": timeseries.session_funnel,
+        "q12_late_lines_by_status": tpch.q12_late_lines_by_status,
+        "events_distinct_users": relational.events_distinct_users,
+        "pack_sequences": training.pack_sequences,
+        "train_val_test_split": training.train_val_test_split,
+        "source_mixing_weights": training.source_mixing_weights,
+        "kmeans_refine": similarity.kmeans_refine,
+        "dsir_importance_weights": selection.dsir_importance_weights,
+        "bm25_doc_scores": selection.bm25_doc_scores,
+        "inverted_index": corpus_index.inverted_index,
+        "pmi_top_pairs": corpus_index.pmi_top_pairs,
+        "zipf_token_stats": corpus_index.zipf_token_stats,
+        "shard_assignments": training.shard_assignments,
+        "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
+        "doc_length_quantiles": analyze.doc_length_quantiles,
+        # ——— tail (driver-green r03-r11; re-verified locally each
+        #     round via tools/check_oracle.py — see COVERAGE.md) ———
+        # — r11-green (displaced r12 window; freshest driver
+        #   evidence) —
         "event_trigram_lift": timeseries.event_trigram_lift,
         "dedup_canonical_by_quality": training.dedup_canonical_by_quality,
         "tokenizer_fertility_by_lang": textprep.tokenizer_fertility_by_lang,
@@ -204,12 +254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats_rollup": relational.segment_stats_rollup,
         "dedup_graph_pagerank": dedup.dedup_graph_pagerank,
         "lsh_quality_eval": dedup.lsh_quality_eval,
-        # — r08-green refresh —
         "url_canonical_dedup": crawl.url_canonical_dedup,
-        # ——— tail (driver-green r03-r10; re-verified locally each
-        #     round via tools/check_oracle.py — see COVERAGE.md) ———
-        # — r10-green, displaced from the r10 window (freshest driver
-        #   evidence; r12 queue TAIL) —
+        # — r10-green —
         "customer_entity_resolution": entities.customer_entity_resolution,
         "brand_price_rank_assoc": timeseries.brand_price_rank_assoc,
         "user_activity_powerlaw": timeseries.user_activity_powerlaw,
@@ -252,7 +298,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_summary": quality.source_quality_summary,
         "chunk_dedup": textprep.chunk_dedup,
         "nfc_normalized_hashes": textprep.nfc_normalized_hashes,
-        "ann_ivf_pq_refined": similarity.ann_ivf_pq_refined,
         "bpe_merge_candidates": textprep.bpe_merge_candidates,
         "embedding_outliers": similarity.embedding_outliers,
         "semdedup_keep": similarity.semdedup_keep,
@@ -370,53 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_similarity_histogram":
             similarity.embedding_similarity_histogram,
         "customer_revenue_pareto": relational.customer_revenue_pareto,
-        "semantic_decontamination": similarity.semantic_decontamination,
-        "hard_negative_mining": similarity.hard_negative_mining,
-        "bloom_decontamination": contamination.bloom_decontamination,
-        "countmin_heavy_hitters": corpus_index.countmin_heavy_hitters,
-        "temperature_mixing_weights": training.temperature_mixing_weights,
-        "length_bucketing_efficiency": training.length_bucketing_efficiency,
-        "pii_audit": quality.pii_audit,
-        "decontamination_report": contamination.decontamination_report,
-        "user_longest_streak_window": timeseries.user_longest_streak_window,
-        "bpe_train_merges": textprep.bpe_train_merges,
-        "bpe_encode_corpus": textprep.bpe_encode_corpus,
-        "media_image_metadata": multimodal.media_image_metadata,
-        "media_gif_frame_checksums": multimodal.media_gif_frame_checksums,
-        "media_apng_frame_checksums": multimodal.media_apng_frame_checksums,
-        "sq8_codes": similarity.sq8_codes,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "doc_chunks": textprep.doc_chunks,
-        "tfidf_top_terms": textprep.tfidf_top_terms,
-        "stratified_sample_by_lang": textprep.stratified_sample_by_lang,
-        "weighted_sample_by_lang": textprep.weighted_sample_by_lang,
-        "fuzzy_name_pairs": textprep.fuzzy_name_pairs,
-        "language_id": quality.language_id,
-        "quality_scores": quality.quality_scores,
-        "bpe_token_counts": quality.bpe_token_counts,
-        "doc_fingerprints": quality.doc_fingerprints,
-        "repetition_scores": quality.repetition_scores,
-        "pii_redaction": quality.pii_redaction,
-        "ngram_decontamination": contamination.ngram_decontamination,
-        "entity_union_directory": timeseries.entity_union_directory,
-        "user_longest_streak": timeseries.user_longest_streak,
-        "user_retention_cohorts": timeseries.user_retention_cohorts,
-        "events_hourly_gapfilled": timeseries.events_hourly_gapfilled,
-        "session_funnel": timeseries.session_funnel,
-        "q12_late_lines_by_status": tpch.q12_late_lines_by_status,
-        "events_distinct_users": relational.events_distinct_users,
-        "pack_sequences": training.pack_sequences,
-        "train_val_test_split": training.train_val_test_split,
-        "source_mixing_weights": training.source_mixing_weights,
-        "kmeans_refine": similarity.kmeans_refine,
-        "dsir_importance_weights": selection.dsir_importance_weights,
-        "bm25_doc_scores": selection.bm25_doc_scores,
-        "inverted_index": corpus_index.inverted_index,
-        "pmi_top_pairs": corpus_index.pmi_top_pairs,
-        "zipf_token_stats": corpus_index.zipf_token_stats,
-        "shard_assignments": training.shard_assignments,
-        "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
-        "doc_length_quantiles": analyze.doc_length_quantiles,
+        # — r06-green remainder (r13 queue head) —
         "events_approx_users": relational.events_approx_users,
         "pq_codes": similarity.pq_codes,
         "media_feature_checksums": multimodal.media_feature_checksums,

@@ -137,10 +137,10 @@ def test_driver_window_composition():
 
 def test_driver_window_matches_declared_tuple():
     """The docstring's window composition lives as DATA
-    (R11_WINDOW) so the audit trail cannot drift from the dict order:
+    (R12_WINDOW) so the audit trail cannot drift from the dict order:
     the declared tuple must be exactly the first 50 keys of
     queries(), in order, with no duplicates."""
-    declared = entrymod.R11_WINDOW
+    declared = entrymod.R12_WINDOW
     assert len(declared) == len(set(declared)) == 50
     assert tuple(list(entrymod.queries())[:50]) == declared
 
