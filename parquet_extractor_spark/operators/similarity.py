@@ -3302,6 +3302,14 @@ def ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codebook, query_id, k, n_hits, recall_micro), one row per
     (variant, query).
 
+    Attribution note (hand-measured on the sf0.001 fixture): ranking
+    candidates within the probed cells by EXACT distance recalls
+    0.96 — the NPROBE=2 cell restriction costs almost nothing here —
+    so the bootstrap 0.2 / refined 0.36 readings are essentially pure
+    PQ-quantization loss, the axis that shrinks as PQ_K grows toward
+    the production 256 (r11 graded the trained 8-codeword book at
+    0.28; r12's 16-codeword book reads 0.36).
+
     Plan shape: the exact tier is one broadcast-join scoring pass +
     per-query top-k (N_QUERIES bounded); each variant's hit count is
     an equi-join of two ≤ N_QUERIES·TOP_K-row frames. At 100 TB the
