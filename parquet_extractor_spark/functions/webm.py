@@ -160,9 +160,17 @@ def parse_webm_metadata(data: bytes | None) -> dict | None:
                             has_audio = True
     duration_ms = None
     if duration_ticks is not None and timecode_scale_ns:
-        duration_ms = int(
-            duration_ticks * timecode_scale_ns // 1_000_000
-        )
+        import math
+
+        # Malformed Duration floats must not kill the executor task
+        # (int(NaN) raises) or overflow the LongType column downstream
+        # (a garbage f64 can be 1e300): the spec's Duration is a
+        # non-negative finite float, so anything else parses as
+        # absent. Found by the r12 garbage-fuzz property test.
+        if math.isfinite(duration_ticks) and duration_ticks >= 0:
+            ms = int(duration_ticks * timecode_scale_ns // 1_000_000)
+            if ms <= 2 ** 63 - 1:
+                duration_ms = ms
     return {
         "container": "webm",
         "brand": doc_type,

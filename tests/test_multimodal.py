@@ -815,6 +815,39 @@ def test_webm_vint_multibyte_sizes():
     assert m["has_audio"]
 
 
+def test_webm_malformed_duration_parses_as_absent():
+    """NaN/Inf/negative/overflowing Duration floats must parse as
+    duration_ms=None, never raise (an executor-side int(NaN) crash)
+    or emit a value that overflows the LongType column downstream —
+    the spec's Duration is a non-negative finite float."""
+    import struct
+
+    from parquet_extractor_spark.functions.webm import (
+        DOCTYPE,
+        DURATION,
+        EBML_HEADER,
+        INFO,
+        SEGMENT,
+        TIMECODE_SCALE,
+        _el,
+        _el_uint,
+        parse_webm_metadata,
+    )
+
+    def probe(val: float):
+        hdr = _el(EBML_HEADER, _el(DOCTYPE, b"webm"))
+        info = _el(
+            INFO,
+            _el_uint(TIMECODE_SCALE, 1_000_000)
+            + _el(DURATION, struct.pack(">d", val)),
+        )
+        return parse_webm_metadata(hdr + _el(SEGMENT, info))
+
+    for bad in (float("nan"), float("inf"), float("-inf"), -5.0, 1e300):
+        assert probe(bad)["duration_ms"] is None
+    assert probe(4000.0)["duration_ms"] == 4000
+
+
 def test_video_metadata_dispatch_and_nulls():
     from parquet_extractor_spark.operators.multimodal import (
         video_metadata_for_bytes,

@@ -792,3 +792,77 @@ def test_artifact_codec_refuses_unexpressible():
     for bad in ({"k": 1}, {1, 2}, b"bytes", object()):
         with _pytest.raises(TypeError):
             _encode(bad)
+
+
+# ── container-metadata parsers never crash on garbage ───────────────
+#
+# parse_mp3_metadata / parse_webm_metadata run executor-side over
+# untrusted corpus bytes (the PDF-extractor precedent above): any
+# input must yield a well-formed dict or None — never an exception,
+# never a hang. Mixing strategies seeds structure-adjacent garbage
+# (valid sync words / EBML magic with corrupted bodies) so the fuzz
+# actually reaches the table walks, not just the magic checks.
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.one_of(
+        st.binary(max_size=400),
+        st.binary(max_size=200).map(lambda b: b"\xff\xfb" + b),
+        st.binary(max_size=200).map(lambda b: b"\xff\xe3" + b),
+        st.binary(max_size=200).map(
+            lambda b: b"ID3\x04\x00\x00" + b
+        ),
+        st.binary(max_size=200).map(
+            lambda b: b"\xff\xfb\x90\x00" + b"\x00" * 32 + b"Xing" + b
+        ),
+    )
+)
+def test_mp3_parser_never_crashes_on_garbage(data):
+    from parquet_extractor_spark.functions.mp3 import (
+        is_mp3,
+        parse_mp3_metadata,
+    )
+
+    is_mp3(data)
+    m = parse_mp3_metadata(data)
+    if m is not None:
+        assert m["n_frames"] >= 1
+        assert m["sample_rate"] > 0
+        assert m["duration_ms"] >= 0
+        assert m["channels"] in (1, 2)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.one_of(
+        st.binary(max_size=400),
+        st.binary(max_size=300).map(
+            lambda b: b"\x1a\x45\xdf\xa3" + b
+        ),
+        st.binary(max_size=300).map(
+            lambda b: b"\x1a\x45\xdf\xa3\x87\x42\x82\x84webm"
+            b"\x18\x53\x80\x67\xff" + b
+        ),
+        # reach the Info/Duration float parse with arbitrary payload
+        # bytes (this arm found the int(NaN) crash the parser now
+        # guards against)
+        st.binary(min_size=8, max_size=8).map(
+            lambda b: b"\x1a\x45\xdf\xa3\x87\x42\x82\x84webm"
+            b"\x18\x53\x80\x67\xff"
+            b"\x15\x49\xa9\x66\x8b\x44\x89\x88" + b
+        ),
+    )
+)
+def test_webm_parser_never_crashes_on_garbage(data):
+    from parquet_extractor_spark.functions.webm import (
+        is_webm,
+        parse_webm_metadata,
+    )
+
+    is_webm(data)
+    m = parse_webm_metadata(data)
+    if m is not None:
+        assert m["container"] == "webm"
+        assert m["n_tracks"] >= 0
+        assert m["duration_ms"] is None or m["duration_ms"] >= 0
