@@ -205,6 +205,13 @@ def ms_adpcm_decode(
 ) -> np.ndarray:
     """MS-ADPCM block stream -> int16 samples, truncated to the
     fact-chunk n_frames."""
+    # per-channel header is 7 bytes (predictor + delta + s1 + s2); a
+    # corrupt fmt chunk advertising less would index past the block
+    if channels < 1 or block_align < 7 * channels:
+        raise ValueError(
+            f"MS-ADPCM block_align {block_align} cannot hold "
+            f"{channels}-channel block headers"
+        )
     spb = ms_adpcm_samples_per_block(block_align, channels)
     frames: list[np.ndarray] = []
     for off in range(0, len(raw) - block_align + 1, block_align):
@@ -304,6 +311,14 @@ def ima_adpcm_decode(
     """IMA ADPCM block stream -> int16 samples ((n,) mono or (n, ch));
     truncated to n_frames (the fact-chunk length, since the last
     block is padded)."""
+    # a block must at least hold its per-channel 4-byte headers; a
+    # corrupt fmt chunk advertising less used to die with IndexError
+    # mid-block (outside the declared ValueError boundary — r12 fuzz)
+    if channels < 1 or block_align < 4 * channels:
+        raise ValueError(
+            f"IMA ADPCM block_align {block_align} cannot hold "
+            f"{channels}-channel block headers"
+        )
     spb = ima_adpcm_samples_per_block(block_align, channels)
     frames: list[np.ndarray] = []
     for off in range(0, len(raw) - block_align + 1, block_align):

@@ -866,3 +866,52 @@ def test_webm_parser_never_crashes_on_garbage(data):
         assert m["container"] == "webm"
         assert m["n_tracks"] >= 0
         assert m["duration_ms"] is None or m["duration_ms"] >= 0
+
+
+@st.composite
+def wav_like(draw):
+    """RIFF/WAVE containers with adversarial fmt fields: random
+    format tags biased toward the supported set, zero/tiny
+    block_align and channel counts, arbitrary fact frames."""
+    import struct
+
+    tag = draw(st.sampled_from(
+        [0x01, 0x03, 0x06, 0x07, 0x02, 0x11, 0x55, 0xFFFE]
+        + [draw(st.integers(0, 0xFFFF))]
+    ))
+    ch = draw(st.integers(0, 4))
+    rate = draw(st.sampled_from([0, 1, 8000, 44100]))
+    align = draw(st.integers(0, 40))
+    bits = draw(st.sampled_from([0, 4, 8, 16, 24, 32, 64]))
+    extra = draw(st.binary(max_size=8))
+    fmt = struct.pack("<HHIIHH", tag, ch, rate, rate * align, align,
+                      bits) + extra
+    payload = draw(st.binary(max_size=64))
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if draw(st.booleans()):
+        chunks += b"fact" + struct.pack(
+            "<II", 4, draw(st.integers(0, 1 << 31))
+        )
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.one_of(st.binary(max_size=200), wav_like()))
+def test_wav_decode_only_declared_failures(data):
+    """decode_wav on arbitrary containers: a supported decode, a
+    ValueError (corrupt container), or a NotImplementedError (exotic
+    codec) — never any other exception. The r12 fuzz found IMA ADPCM
+    dying with IndexError when a corrupt fmt advertised a block_align
+    smaller than its own per-channel headers."""
+    from parquet_extractor_spark.functions.wav import (
+        decode_wav,
+        parse_wav_header,
+    )
+
+    parse_wav_header(data)  # must never raise at all
+    try:
+        samples, rate = decode_wav(data)
+        assert rate >= 0
+    except (ValueError, NotImplementedError):
+        pass
