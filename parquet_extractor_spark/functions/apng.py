@@ -46,9 +46,9 @@ def _iter_chunks(data: bytes):
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if len(payload) != length:
+        if pos + 12 + length > len(data):
             raise ValueError("truncated PNG chunk")
+        payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
@@ -112,9 +112,19 @@ def _blend_over(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
 
 def decode_apng_frames(data: bytes) -> list[tuple[int, np.ndarray]]:
     """APNG bytes -> [(delay_ms, (H,W,4) RGBA canvas), ...] with full
-    fcTL semantics. Raises ValueError on malformed input."""
+    fcTL semantics. Raises ValueError on malformed input — never
+    struct.error/zlib.error/IndexError (the decode_png wrapper
+    contract; the r12 bit-flip fuzz caught a truncated-CRC slice
+    reaching struct.unpack here)."""
     if not data or not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG byte stream")
+    try:
+        return _decode_apng_frames_inner(data)
+    except (struct.error, zlib.error, IndexError) as exc:
+        raise ValueError(f"corrupt APNG stream: {exc}") from exc
+
+
+def _decode_apng_frames_inner(data: bytes) -> list[tuple[int, np.ndarray]]:
     ihdr = None
     frames: list[dict] = []
     cur: dict | None = None

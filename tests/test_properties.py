@@ -915,3 +915,64 @@ def test_wav_decode_only_declared_failures(data):
         assert rate >= 0
     except (ValueError, NotImplementedError):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    family=st.sampled_from(
+        ["png", "gif", "jpeg", "tiff", "vp8l", "apng"]
+    ),
+    flips=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 255)),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_image_decoders_fail_only_through_declared_exceptions(
+    family, flips
+):
+    """Bit-flip fuzz over valid streams: every image decoder must
+    either decode or raise ValueError/NotImplementedError — the set
+    the PERMISSIVE mapInPandas wrappers convert to null/error rows.
+    Any other exception kills an executor task on one corrupt file
+    (the r12 sweep caught APNG leaking struct.error on a
+    truncated-CRC chunk slice)."""
+    import numpy as _np
+
+    from parquet_extractor_spark.functions.apng import (
+        decode_apng_frames,
+    )
+    from parquet_extractor_spark.functions.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from parquet_extractor_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from parquet_extractor_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+    from parquet_extractor_spark.functions.tiff import decode_tiff
+    from parquet_extractor_spark.functions.vp8l import decode_vp8l
+    from parquet_extractor_spark.operators import (
+        media_known_answers_deep as D,
+    )
+
+    arr = _np.arange(48, dtype=_np.uint8).reshape(4, 4, 3)
+    fn, base = {
+        "png": (decode_png, encode_png(arr, 1)),
+        "gif": (decode_gif, encode_gif(arr)),
+        "jpeg": (decode_jpeg, encode_jpeg(arr, quality=60)),
+        "tiff": (decode_tiff, D.build_tiff16_predictor_probe()),
+        "vp8l": (decode_vp8l, D.build_vp8l_probe()),
+        "apng": (decode_apng_frames, D.build_apng_over_probe()),
+    }[family]
+    b = bytearray(base)
+    for off, val in flips:
+        b[off % len(b)] = val
+    try:
+        fn(bytes(b))
+    except (ValueError, NotImplementedError):
+        pass
