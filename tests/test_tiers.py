@@ -404,3 +404,49 @@ def test_vanished_tier_path_rebuilds(spark, sf_small):
     out = tiers.ensure_tier(spark, sf_small, "t_vanish", build)
     assert sorted(r.n for r in out.collect()) == [0, 1]
     assert len(calls) == 2
+
+
+def test_artifact_store_cross_process_race(tmp_path):
+    """The docstring's benign-race claim, exercised for real: many
+    processes racing the same artifact key must each observe the
+    deterministic value, the store must end with exactly one
+    uncorrupted file for the key, and no .tmp debris may survive.
+    (No Spark needed — memo_artifact's spark arg is unused by the
+    disk layers and the builder here is pure.)"""
+    import json
+    import subprocess
+    import sys as _sys
+
+    store = tmp_path / "race-store"
+    script = r"""
+import os, sys
+sys.path.insert(0, %(repo)r)
+os.environ["SPARK_GRAFT_ARTIFACT_DIR"] = %(store)r
+from parquet_extractor_spark.artifacts import memo_artifact
+v = memo_artifact(None, %(sf)r, ("race_probe", 7), lambda: [7, (1, 2.5), "x"])
+assert v == [7, (1, 2.5), "x"], v
+print("ok")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    body = script % {
+        "repo": repo,
+        "store": str(store),
+        "sf": str(tmp_path),
+    }
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", body],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(6)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        assert out.strip() == "ok"
+    files = os.listdir(store / "artifacts")
+    assert len(files) == 1 and ".tmp." not in files[0]
+    with open(store / "artifacts" / files[0]) as fh:
+        json.load(fh)  # parses: never torn
