@@ -27,6 +27,7 @@ from parquet_extractor_spark.operators import (
     extract,
     media_known_answers,
     media_known_answers_deep,
+    media_robustness,
     multimodal,
     multimodal_oracle,
     profiling,
@@ -50,17 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The declared round-12 driver window (exactly the first 50 keys of
 # queries(), asserted by tests/test_relational_oracle.py):
-# 3 semantics-changed re-checks (ivf_pq_recall_eval and
+# 1 r12 addition (media_malformed_probes — never driver-checked: the
+# malformed-media tolerance table distilled from this round's
+# adversarial decoder sweep) + 3 semantics-changed re-checks
+# (ivf_pq_recall_eval and
 # ann_ivf_pq_refined — the trained PQ codebook grew to
 # PQ_K_REFINED=16 codewords this round, so their r11 driver evidence
 # no longer certifies the current values; media_known_answer_probes_
 # deep — three new probe rows: MP3 VBR walk + Xing, MPEG-2.5
-# parameter-stop, WebM/EBML walk) + the 47-query head of the
+# parameter-stop, WebM/EBML walk) + the 46-query head of the
 # r06-green cohort, the stalest driver evidence in the registry
-# (the r11 verdict's item 1). The cohort's 3-entry remainder
-# (events_approx_users, pq_codes, media_feature_checksums) leads the
-# r13 queue.
+# (the r11 verdict's item 1). The cohort's 4-entry remainder
+# (doc_length_quantiles, events_approx_users, pq_codes,
+# media_feature_checksums) leads the r13 queue.
 R12_WINDOW: tuple[str, ...] = (
+    "media_malformed_probes",
     "ivf_pq_recall_eval",
     "media_known_answer_probes_deep",
     "ann_ivf_pq_refined",
@@ -110,7 +115,6 @@ R12_WINDOW: tuple[str, ...] = (
     "zipf_token_stats",
     "shard_assignments",
     "cross_source_dedup_candidates",
-    "doc_length_quantiles",
 )
 
 
@@ -125,25 +129,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     NEWEST green driver row is oldest. The round-12 window is the
     ``R12_WINDOW`` tuple below — kept as DATA, not prose, so the
     composition is machine-checked (test_driver_window_matches_
-    declared_tuple) instead of hand-counted: no new queries this
-    round; 3 r12-changed queries (ivf_pq_recall_eval and
+    declared_tuple) instead of hand-counted: 1 r12 addition
+    (media_malformed_probes — the malformed-media tolerance table,
+    never driver-checked) + 3 r12-changed queries (ivf_pq_recall_eval
+    and
     ann_ivf_pq_refined re-enter because the trained codebook grew to
     16 codewords — new values; media_known_answer_probes_deep because
-    of the three new MP3/WebM probe rows) + the 47-query head of the
+    of the three new MP3/WebM probe rows) + the 46-query head of the
     r06-green cohort, the registry's stalest driver evidence. The
     r12 simhash_fingerprints aggregation fold is value-identical
     (oracle hash unchanged at sf0.001/0.01), so per the
     value-identical-refactor rule it stays in the tail with this
-    note. r13 queue: the r06-green remainder (events_approx_users,
-    pq_codes, media_feature_checksums), then the r07-green cohort.
+    note. r13 queue: the r06-green remainder (doc_length_quantiles,
+    events_approx_users, pq_codes, media_feature_checksums), then
+    the r07-green cohort.
     Every tail entry is re-verified locally each round via
     tools/check_oracle.py at sf0.001/0.01/0.1 (one command:
     ``python -m pytest tests/test_oracle_gate.py``; see COVERAGE.md).
     """
     return {
-        # ——— driver window (first 50, exactly — R12_WINDOW): the 3
-        #     r12 semantics-changed queries + the 47-query head of
-        #     the r06-green cohort (stalest driver evidence) ———
+        # ——— driver window (first 50, exactly — R12_WINDOW): the r12
+        #     addition + the 3 r12 semantics-changed queries + the
+        #     46-query head of the r06-green cohort (stalest driver
+        #     evidence) ———
+        "media_malformed_probes":
+            media_robustness.media_malformed_probes,
         "ivf_pq_recall_eval": similarity.ivf_pq_recall_eval,
         "media_known_answer_probes_deep":
             media_known_answers_deep.media_known_answer_probes_deep,
@@ -195,7 +205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_token_stats": corpus_index.zipf_token_stats,
         "shard_assignments": training.shard_assignments,
         "cross_source_dedup_candidates": dedup.cross_source_dedup_candidates,
-        "doc_length_quantiles": analyze.doc_length_quantiles,
         # ——— tail (driver-green r03-r11; re-verified locally each
         #     round via tools/check_oracle.py — see COVERAGE.md) ———
         # — r11-green (displaced r12 window; freshest driver
@@ -416,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             similarity.embedding_similarity_histogram,
         "customer_revenue_pareto": relational.customer_revenue_pareto,
         # — r06-green remainder (r13 queue head) —
+        "doc_length_quantiles": analyze.doc_length_quantiles,
         "events_approx_users": relational.events_approx_users,
         "pq_codes": similarity.pq_codes,
         "media_feature_checksums": multimodal.media_feature_checksums,
@@ -435,6 +445,8 @@ def oracle_sql() -> dict[str, str]:
             media_known_answers.MEDIA_KNOWN_ANSWER_PROBES_SQL,
         "media_known_answer_probes_deep":
             media_known_answers_deep.MEDIA_KNOWN_ANSWER_PROBES_DEEP_SQL,
+        "media_malformed_probes":
+            media_robustness.MEDIA_MALFORMED_PROBES_SQL,
         "dedup_canonical_by_quality":
             training.DEDUP_CANONICAL_BY_QUALITY_SQL,
         "tokenizer_fertility_by_lang":

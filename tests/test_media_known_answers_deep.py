@@ -228,3 +228,24 @@ def test_oldjpeg_multistrip_dc_reset_equals_fresh_scan():
     assert multi.shape == (16, 8, 3) and fresh.shape == (8, 8, 3)
     assert (multi[8:] == fresh).all()
     assert (multi[:8] != fresh).any()
+
+
+def test_malformed_probe_expectations_match_direct_classification():
+    """media_malformed_probes' hand-written VALUES oracle must agree
+    with direct (non-Spark) classification of every planted stream,
+    and the probe ids/names must be unique and aligned."""
+    from parquet_extractor_spark.operators import media_robustness as R
+
+    probes = R._build_probes()
+    expected = {(p, n): (o, d) for p, n, o, d in R._EXPECTED}
+    assert len(probes) == len(expected)
+    assert len({p for p, _, _ in probes}) == len(probes)
+    for pid, name, data in probes:
+        outcome, detail = R._classify(name, data)
+        assert (outcome, detail) == expected[(pid, name)], name
+    # classification teeth: an undeclared exception must propagate,
+    # not be classified
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        R._classify("unknown_family", b"")
