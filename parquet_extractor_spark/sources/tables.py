@@ -31,19 +31,68 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    stats = _scan_stats(path)
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
         # rejects. Read nanos as long (runtime-settable legacy conf),
         # then rebuild a micros timestamp column — lossless at the
         # granularities any query here uses.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = _read_parquet(spark, path, stats)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
+    else:
+        df = _read_parquet(spark, path, stats)
+    if stats is not None:
+        # (bytes, file count) ride the Python object so ``spread`` can
+        # estimate the scan's split count from Spark's file-packing
+        # math instead of forcing a full physical plan (df.rdd costs
+        # ~175 ms of duplicated planning per call — r12 measured).
+        df._sg_scan_stats = stats[:2]
+    return df
+
+
+# Inferred parquet SCHEMAS keyed by (path, bytes, files, max mtime):
+# metadata only, never row data — any rewrite of the files changes the
+# fingerprint and re-infers. Skipping re-inference turns the ~124 ms
+# spark.read.parquet footer walk into a ~32 ms schema-supplied read
+# (r12 measured); a ~250-query bench sweep re-opens every table
+# hundreds of times, so inference was pure repeated driver work.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _scan_stats(path: str) -> tuple[int, int, int] | None:
+    """(total bytes, file count, max mtime_ns) of a local parquet file
+    or directory; None for paths the local os.stat cannot see
+    (object stores) — callers then fall back to uncached behavior."""
+    try:
+        if os.path.isdir(path):
+            sizes, mtimes = [], [0]
+            for e in os.scandir(path):
+                if e.is_file() and not e.name.startswith(("_", ".")):
+                    st = e.stat()
+                    sizes.append(st.st_size)
+                    mtimes.append(st.st_mtime_ns)
+            return (sum(sizes), max(1, len(sizes)), max(mtimes))
+        st = os.stat(path)
+        return (st.st_size, 1, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
+def _read_parquet(spark, path: str, stats) -> DataFrame:
+    if stats is None:
+        return spark.read.parquet(path)
+    key = (os.path.realpath(path), *stats)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spark.read.schema(schema).parquet(path)
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -63,9 +112,43 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
         # operator bodies (signature_frame etc.) compose onto streams.
         return df
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    stats = getattr(df, "_sg_scan_stats", None)
+    if stats is not None:
+        # Estimate the scan's split count the way Spark packs file
+        # splits (bytes charged maxPartitionBytes per split, each file
+        # charged openCostInBytes) instead of asking the planner: a
+        # df.rdd probe runs the full analyze/optimize/plan pipeline —
+        # ~175 ms of pure duplication per call (r12 measurement),
+        # repeated at every bench run of every consumer. The estimate
+        # only steers a performance decision; at cluster scale
+        # (estimate ≥ parallelism) the repartition is skipped exactly
+        # as before, so no shuffle of raw text is ever added.
+        nbytes, nfiles = stats
+        conf = df.sparkSession.conf
+        maxp = _conf_bytes(conf, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+        opencost = _conf_bytes(conf, "spark.sql.files.openCostInBytes", 4 * 1024**2)
+        est = max(1, -(-(nbytes + nfiles * opencost) // maxp))
+        if est >= n:
+            return df
+        return df.repartition(n)
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _conf_bytes(conf, key: str, default: int) -> int:
+    """Parse a Spark byte-valued conf ("128m", "134217728b", plain
+    digits) to bytes; fall back to ``default`` on any surprise."""
+    try:
+        raw = str(conf.get(key)).strip().lower()
+        if raw and raw[-1] in _BYTE_SUFFIX:
+            return int(float(raw[:-1]) * _BYTE_SUFFIX[raw[-1]])
+        return int(raw)
+    except Exception:
+        return default
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
