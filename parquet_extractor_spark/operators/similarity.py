@@ -3317,13 +3317,30 @@ def ivf_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force pass knn_bruteforce already runs (eval-tier only —
     production grades on a sampled query set exactly like this
     fixture's N_QUERIES=5)."""
-    exact = _exact_l2_topk(spark, sf_dir)
+    # Materialize the three tiny tier frames (≤ N_QUERIES × TOP_K rows
+    # each) with localCheckpoint, NOT persist, and not inline:
+    # unmaterialized, the combined report plan embeds the corpus-sized
+    # brute pass FOUR times (a hits join and a query-id spine per
+    # variant) plus both PQ search plans, whose PQ_M × PQ_K codeword /
+    # ADC literal arrays make every downstream DataFrame operation
+    # re-analyze a gigantic tree — r12 measured the composed plan at
+    # ~33 s isolated vs ~12 s for its three parts run separately
+    # (persist() was worse still: the CacheManager canonicalizes the
+    # giant plan on every subsequent lookup). localCheckpoint truncates
+    # the lineage to a LogicalRDD, so the report is three bounded
+    # equi-joins over ~25-row frames; blocks are released by the
+    # caller's session.release_cached between queries.
+    exact = _exact_l2_topk(spark, sf_dir).localCheckpoint()
     out: DataFrame | None = None
     for name, fn in (
         ("bootstrap", ann_ivf_pq),
         ("refined", ann_ivf_pq_refined),
     ):
-        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        approx = (
+            fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint()
+        )
         hits = (
             approx.join(exact, ["query_id", "neighbor_id"])
             .groupBy("query_id")
