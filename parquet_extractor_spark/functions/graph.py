@@ -42,7 +42,12 @@ def min_label_components(
             .groupBy(F.col("dst").alias(id_col))
             .agg(F.min(label_col).alias("neigh_min"))
         )
-        new_labels = (
+        # Carry the convergence flag INSIDE the checkpointed frame:
+        # the old-vs-new labels were previously re-joined on id just
+        # to count changes — a full extra join + exchange per round
+        # (r12). Here the flag is computed in the same projection and
+        # the count is a scan of the already-materialized blocks.
+        stepped = (
             labels.alias("l")
             .join(neigh.alias("n"), id_col, "left")
             .select(
@@ -53,16 +58,15 @@ def min_label_components(
                         F.col("n.neigh_min"), F.col(f"l.{label_col}")
                     ),
                 ).alias(label_col),
+                (
+                    F.coalesce(F.col("n.neigh_min"), F.col(f"l.{label_col}"))
+                    < F.col(f"l.{label_col}")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), id_col)
-            .filter(F.col(f"a.{label_col}") != F.col(f"b.{label_col}"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.select(id_col, label_col)
         if changed == 0:
             break
     both.unpersist()
