@@ -476,25 +476,30 @@ def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("_ck")
             .agg(F.count(F.lit(1)).cast("bigint").alias("_rows"))
         )
-        nn = keyed.filter(F.col("_ck").isNotNull())
-        orphans = nn.join(parent, nn._ck == parent._pk, "left_anti")
-        totals = keyed.agg(
-            F.sum("_rows").cast("bigint").alias("n_rows"),
-            F.sum(F.when(F.col("_ck").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_keys"),
-            F.sum(
-                F.when(F.col("_ck").isNull(), F.col("_rows")).otherwise(0)
-            ).cast("bigint").alias("n_null_rows"),
-        )
-        orphan_tot = orphans.agg(
-            F.coalesce(F.sum("_rows"), F.lit(0))
-            .cast("bigint")
-            .alias("n_orphan_rows"),
-            F.count(F.lit(1)).cast("bigint").alias("n_orphan_keys"),
-        )
+        # ONE left join + ONE aggregate per relationship (r12): the
+        # previous shape evaluated `keyed` twice (an anti-join for the
+        # orphan tally plus a separate totals aggregate, recombined by
+        # cross join) — 98 Exchanges across the 7-relationship plan. A
+        # left join against the distinct parent keys preserves keyed's
+        # cardinality, so every counter is one conditional sum over it.
+        orphan = F.col("_ck").isNotNull() & F.col("_pk").isNull()
+        joined = keyed.join(parent, keyed._ck == parent._pk, "left")
         frames.append(
-            totals.crossJoin(F.broadcast(orphan_tot)).select(
+            joined.agg(
+                F.sum("_rows").cast("bigint").alias("n_rows"),
+                F.sum(F.when(F.col("_ck").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_keys"),
+                F.sum(
+                    F.when(F.col("_ck").isNull(), F.col("_rows")).otherwise(0)
+                ).cast("bigint").alias("n_null_rows"),
+                F.sum(F.when(orphan, F.col("_rows")).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_rows"),
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphan_keys"),
+            ).select(
                 F.lit(name).alias("relationship"),
                 "n_rows",
                 "n_keys",
