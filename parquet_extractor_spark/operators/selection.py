@@ -1476,34 +1476,52 @@ def longest_dup_span_pow2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (regenerating k-grams map-side is cheaper on Spark than carrying
     rank state through log(n) shuffles).
     """
+    from pyspark.sql.window import Window
+
     toks = (
         spread(load_table(spark, sf_dir, "documents"))
         .select("doc_id", tokenize("text").alias("toks"))
         .persist()
     )
-    flagged = None
-    for k in DUP_SPAN_LEVELS:
-        grams = (
-            toks.where(F.size("toks") >= k)
-            .select(
-                "doc_id",
-                F.explode(word_ngrams(F.col("toks"), k)).alias("g"),
+    # ONE fused pass over all 6 ladder levels (r12): the per-level
+    # loop ran explode → hash → count-agg → semi-join per k, and the
+    # unpersisted gram frame was evaluated TWICE per level (once under
+    # the duplicate-count aggregate, once as the semi-join probe) —
+    # 12 md5 passes and 12+ exchanges for 6 levels. Here every
+    # (level, position) gram is emitted once, tagged with its k, so
+    # the whole ladder is one explode, one (k, gh, doc) aggregate,
+    # one (k, gh)-windowed total and one per-doc max — the hash runs
+    # once per gram and the shuffle count no longer scales with
+    # |levels|. Flag semantics are identical: a doc carries level k
+    # iff one of its k-grams occurs ≥ 2 times corpus-wide.
+    def _level_entries(k: int) -> F.Column:
+        tagged = F.transform(
+            word_ngrams(F.col("toks"), k),
+            lambda g: F.struct(
+                F.lit(k).alias("k"), portable_hash64(g).alias("gh")
+            ),
+        )
+        return F.when(F.size("toks") >= k, tagged).otherwise(
+            F.array().cast("array<struct<k:int,gh:bigint>>")
+        )
+
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(*[_level_entries(k) for k in DUP_SPAN_LEVELS])
             )
-            .select("doc_id", portable_hash64(F.col("g")).alias("gh"))
-        )
-        dup = (
-            grams.groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") >= 2)
-            .select("gh")
-        )
-        lv = (
-            grams.join(dup, "gh", "left_semi")
-            .select("doc_id")
-            .distinct()
-            .withColumn("k", F.lit(k).cast("bigint"))
-        )
-        flagged = lv if flagged is None else flagged.unionByName(lv)
+        ).alias("e"),
+    ).select("doc_id", F.col("e.k").alias("k"), F.col("e.gh").alias("gh"))
+    occ = grams.groupBy("k", "gh", "doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("k", "gh")
+    flagged = (
+        occ.withColumn("tot", F.sum("cnt").over(w))
+        .where(F.col("tot") >= 2)
+        .select("doc_id", F.col("k").cast("bigint").alias("k"))
+    )
     per_doc = flagged.groupBy("doc_id").agg(
         F.max("k").alias("longest_dup_pow2")
     )
