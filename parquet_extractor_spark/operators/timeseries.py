@@ -380,27 +380,47 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
 
-    def _streak(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # vectorized run-length: boundaries where the type changes;
-        # the longest gap between boundaries is the streak (numpy,
-        # not a Python row loop — the groups are small but there are
-        # MANY of them, so per-row Python cost dominates the stage)
-        t = pdf.sort_values(["ts", "event_id"])["event_type"].to_numpy()
-        if t.size == 0:
-            best = 0
-        else:
-            import numpy as np
+    # Group by a HASH BUCKET of users, not per user (r12): per-user
+    # groups paid one pandas DataFrame construction + one Arrow batch
+    # per user — with tens of thousands of tiny groups the fixed
+    # per-group cost dominated the stage (isolated 5.9 s at sf0.1).
+    # A bucket packs ~1/B of the users into one vectorized numpy pass
+    # (run-length over (user, type) change points), same single
+    # shuffle, same answers. B only balances Arrow batch sizes; any
+    # value gives identical output — production sizes it so a bucket's
+    # events fit one worker (the per-group procedural escape hatch
+    # this operator documents stays: _streaks is still applyInPandas).
+    n_buckets = max(64, spark.sparkContext.defaultParallelism)
 
-            bounds = np.flatnonzero(t[1:] != t[:-1])
-            edges = np.concatenate(([-1], bounds, [t.size - 1]))
-            best = int(np.diff(edges).max())
+    def _streaks(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        u = pdf["user_id"].to_numpy()
+        t = pdf["event_type"].to_numpy()
+        new_run = np.empty(len(u), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (u[1:] != u[:-1]) | (t[1:] != t[:-1])
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(u)))
+        run_user = u[starts]
+        first = np.empty(len(starts), dtype=bool)
+        first[0] = True
+        first[1:] = run_user[1:] != run_user[:-1]
+        user_start = np.flatnonzero(first)
         return pd.DataFrame(
-            {"user_id": [pdf["user_id"].iloc[0]], "longest_streak": [best]}
+            {
+                "user_id": run_user[user_start],
+                "longest_streak": np.maximum.reduceat(
+                    run_len, user_start
+                ),
+            }
         )
 
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(_streak, "user_id bigint, longest_streak bigint")
+        ev.withColumn("_b", F.pmod(F.col("user_id"), F.lit(n_buckets)))
+        .groupBy("_b")
+        .applyInPandas(_streaks, "user_id bigint, longest_streak bigint")
         .orderBy("user_id")
     )
 
