@@ -652,16 +652,25 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n - F.lit(WINNOW_WINDOW - 1), F.lit(1))),
         lambda i: F.array_min(F.slice("hs", i, WINNOW_WINDOW)),
     )
-    selected = F.array_distinct(wins)
+    # Stage the selected-minima array in its own projection (r12): it
+    # is referenced twice below (size + checksum), and inlined each
+    # reference re-ran the O(n·w) window-minimum slicing; as a
+    # multi-referenced non-cheap column CollapseProject keeps the
+    # boundary, so the slicing runs once per doc.
+    selected = staged.select(
+        "doc_id",
+        n.cast("bigint").alias("n_grams"),
+        F.array_distinct(wins).alias("sel"),
+    )
     checksum = F.aggregate(
-        selected,
+        F.col("sel"),
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + F.pmod(v, F.lit(1_000_000_007)),
     )
-    return staged.select(
+    return selected.select(
         "doc_id",
-        n.cast("bigint").alias("n_grams"),
-        F.size(selected).cast("bigint").alias("n_selected"),
+        "n_grams",
+        F.size("sel").cast("bigint").alias("n_selected"),
         checksum.alias("fingerprint_checksum"),
     ).orderBy("doc_id")
 

@@ -879,10 +879,16 @@ def part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # persist: the distinct basket frame feeds FOUR consumers below
+    # (total, item, both sides of the pair self-join); unpersisted,
+    # each re-ran the lineitem scan + broadcast join + distinct
+    # shuffle (r12). Bounded by orders × brands-per-order; released
+    # by the caller's release_cached between queries.
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
+        .persist()
     )
     total = baskets.select(
         F.count_distinct("l_orderkey").cast("bigint").alias("total_orders")

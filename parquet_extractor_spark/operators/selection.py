@@ -832,7 +832,20 @@ def surprisal_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select(F.explode(tokenize("text")).alias("tok")).select(
         F.pmod(portable_hash64(F.col("tok")), F.lit(LM_BUCKETS)).alias("pb")
     )
-    big_counts = bigrams.groupBy("bb").agg(F.count(F.lit(1)).alias("cb"))
+    # Pre-aggregate the exploded bigrams to (source, bb, pb) → count
+    # and persist: the tokenize + explode + md5 fan-out previously ran
+    # once under big_counts and AGAIN under the per-source scoring
+    # join (78 Exchanges in the composed plan — r12). The grouped
+    # frame is bounded by |sources| × LM_BUCKETS² and every downstream
+    # quantity is an exact integer fold over it: cb = Σ cnt by bb,
+    # n_bigrams = Σ cnt, s_micro = −Σ cnt·lp_micro (identical to the
+    # per-row sum — lp_micro is constant within a (bb, pb) group).
+    grp = (
+        bigrams.groupBy("source", "bb", "pb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    big_counts = grp.groupBy("bb").agg(F.sum("cnt").alias("cb"))
     uni_counts = uni.groupBy("pb").agg(F.count(F.lit(1)).alias("cp"))
     lp_micro = F.round(
         F.log(
@@ -840,18 +853,24 @@ def surprisal_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * F.lit(1_000_000.0)
     ).cast("bigint")
+    # localCheckpoint the |sources|-row result: the tot/wsum branches
+    # below reference it repeatedly, and each reference re-executed
+    # the whole scoring pipeline when it was only lineage.
     per_src = (
-        bigrams.join(F.broadcast(big_counts), "bb")
+        grp.join(F.broadcast(big_counts), "bb")
         .join(F.broadcast(uni_counts), "pb")
         .withColumn("lp_micro", lp_micro)
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            (-F.sum("lp_micro")).cast("bigint").alias("s_micro"),
+            F.sum("cnt").cast("bigint").alias("n_bigrams"),
+            (-F.sum(F.col("lp_micro") * F.col("cnt")))
+            .cast("bigint")
+            .alias("s_micro"),
         )
         .withColumn(
             "avg_surprisal_micro", F.expr("s_micro DIV n_bigrams")
         )
+        .localCheckpoint()
     )
     tot = per_src.agg(
         F.sum("s_micro").alias("ts_micro"),
@@ -1377,8 +1396,14 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final agg on (lang, bucket).
     Output: (lang, bucket, n_docs, n_bigrams, doc_share) sorted.
     """
-    scores = lm_bigram_surprisal(spark, sf_dir).select(
-        "lang", "n_bigrams", "avg_surprisal_micro"
+    # persist: the scored frame feeds both the per-language cutoff
+    # aggregate and the bucketing join below; unpersisted, the whole
+    # lm_bigram_surprisal scoring pipeline ran twice (r12). One row
+    # per doc; released by the caller's release_cached.
+    scores = (
+        lm_bigram_surprisal(spark, sf_dir)
+        .select("lang", "n_bigrams", "avg_surprisal_micro")
+        .persist()
     )
     cuts = scores.groupBy("lang").agg(
         F.percentile(
