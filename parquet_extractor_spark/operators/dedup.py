@@ -521,7 +521,12 @@ def cross_source_dedup_candidates(
     sig = signature_frame(
         load_table(spark, sf_dir, "documents"), carry=("source",)
     )
-    buckets = _band_buckets(sig, carry=("source",))
+    # persist: both sides of the band self-join consume this frame and
+    # the planner does not recognize the two scans as shareable (no
+    # ReusedExchange in the before-plan — r12), so the whole MinHash
+    # signature pass ran twice. docs × NUM_BANDS rows of (doc_id,
+    # band, bucket, source); released by the caller's release_cached.
+    buckets = _band_buckets(sig, carry=("source",)).persist()
     return (
         band_join(
             buckets,
