@@ -1317,7 +1317,11 @@ def ngram_novelty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(word_ngrams(tokenize("text"), NOVELTY_N))
         ).alias("gram"),
-    )
+        # persist: both the per-doc totals and the first-occurrence
+        # aggregate consume this fan-out; unpersisted, the tokenize +
+        # shingle explode ran twice (r12). Released by the caller's
+        # release_cached.
+    ).persist()
     per_doc_total = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_grams")
     )

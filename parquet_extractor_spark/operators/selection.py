@@ -578,6 +578,12 @@ def span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_hash64(F.col("span")).alias("span_hash"),
         )
         .withColumn("okey", F.col("doc_id") * F.lit(SPAN_KEY_BASE) + F.col("pos"))
+        # persist: the occurrence frame feeds both the duplicate-hash
+        # aggregate and the removal join below; unpersisted, the
+        # tokenize + span fan-out + md5-per-position pipeline ran
+        # twice (r12). Linear in corpus tokens, spills to disk;
+        # released by the caller's release_cached.
+        .persist()
     )
     dup = (
         occ.groupBy("span_hash")

@@ -2537,36 +2537,44 @@ def sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # one SQL string per projection, not EMB_DIM Column objects — the
-    # pq_codes py4j-round-trip lesson
-    code_terms, err_terms = [], []
-    for d in range(1, EMB_DIM + 1):
-        mn, mx = mins[d - 1], maxs[d - 1]
-        span = mx - mn
-        val = f"CAST(element_at(embedding, {d}) AS DOUBLE)"
-        if span == 0.0:
-            code = "CAST(0 AS BIGINT)"
-        else:
-            code = (
-                f"CAST(floor(round(({val} - {_dlit_sql(mn)}) * 255.0 / "
-                f"{_dlit_sql(span)}, 6) + 0.5) AS BIGINT)"
-            )
-        code_terms.append(code)
-        deq = (
-            f"({_dlit_sql(mn)} + CAST(element_at(codes, {d}) AS DOUBLE) * "
-            f"{_dlit_sql(span)} / 255.0)"
-        )
-        err_terms.append(
-            f"CAST(floor(round(pow({val} - {deq}, 2), 9) * 1000000.0 + 0.5)"
-            f" AS BIGINT)"
-        )
-    staged = emb.selectExpr(
-        "vec_id", "embedding", f"array({','.join(code_terms)}) AS codes"
+    # pq_codes py4j-round-trip lesson. The per-dimension math is a
+    # higher-order fold over LITERAL min/span arrays, not EMB_DIM
+    # unrolled terms (r12): the unrolled form generated a >64 KB
+    # whole-stage method that Janino REFUSED to compile — and because
+    # compile failures are not cached, every bench run re-attempted
+    # the doomed multi-second compile before falling back to
+    # interpreted execution. The fold bodies evaluate the identical
+    # expressions per dimension (same exact-repr literals via
+    # element_at, same round/floor/pow chain, same left-to-right
+    # BIGINT summation), so values are bit-identical.
+    mins_sql = "array(" + ",".join(_dlit_sql(m) for m in mins) + ")"
+    spans_sql = "array(" + ",".join(
+        _dlit_sql(mx - mn) for mn, mx in zip(mins, maxs)
+    ) + ")"
+    val = "CAST(element_at(embedding, d) AS DOUBLE)"
+    mn_d = f"element_at({mins_sql}, d)"
+    span_d = f"element_at({spans_sql}, d)"
+    code_expr = (
+        f"transform(sequence(1, {EMB_DIM}), d -> "
+        f"CASE WHEN {span_d} = CAST(0 AS DOUBLE) THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(floor(round(({val} - {mn_d}) * 255.0 / {span_d}, 6)"
+        f" + 0.5) AS BIGINT) END)"
     )
+    deq = (
+        f"({mn_d} + CAST(element_at(codes, d) AS DOUBLE) * "
+        f"{span_d} / 255.0)"
+    )
+    err_expr = (
+        f"aggregate(sequence(1, {EMB_DIM}), CAST(0 AS BIGINT), (acc, d) ->"
+        f" acc + CAST(floor(round(pow({val} - {deq}, 2), 9) * 1000000.0"
+        f" + 0.5) AS BIGINT))"
+    )
+    staged = emb.selectExpr("vec_id", "embedding", f"{code_expr} AS codes")
     return (
         staged.selectExpr(
             "vec_id",
             "array_join(codes, ',') AS sq8_code",
-            f"({' + '.join(err_terms)}) AS recon_err_micro",
+            f"{err_expr} AS recon_err_micro",
         )
         .orderBy("vec_id")
     )
