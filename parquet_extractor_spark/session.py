@@ -65,6 +65,17 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
         ),
+        # Generated-class cache (default 100 entries). A long-lived
+        # multi-query driver — this engine's bench, oracle gate, and
+        # job service all sweep hundreds of distinct plans per session
+        # — evicts its biggest codegen units and re-pays their
+        # multi-second Janino compiles on every later run (r12
+        # measured HOF-heavy queries at 2-5x their isolated cost late
+        # in a sweep). Trade metaspace for compile time; single-query
+        # batch jobs are unaffected. Env-overridable for small hosts.
+        "spark.sql.codegen.cache.maxEntries": os.environ.get(
+            "SPARK_GRAFT_CODEGEN_CACHE", "4096"
+        ),
         # Self-describing timestamps when writing parquet.
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.sql.session.timeZone": "UTC",
