@@ -578,6 +578,11 @@ def lineitem_price_mad_outliers(
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand"
     )
+    # persist both shared frames (r12): `priced` feeds the median
+    # window AND the deviation join; `dev` feeds the MAD window AND
+    # the final aggregate — unpersisted, the fact scan + broadcast
+    # join ran three times and the deviation join twice. Narrow
+    # (brand, cents) rows; released by the caller's release_cached.
     priced = li.join(
         F.broadcast(part), li.l_partkey == part.p_partkey
     ).select(
@@ -585,7 +590,7 @@ def lineitem_price_mad_outliers(
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("bigint")
         .alias("cents"),
-    )
+    ).persist()
     w = Window.partitionBy("p_brand").orderBy("cents")
     w_b = Window.partitionBy("p_brand")
     med = (
@@ -599,7 +604,7 @@ def lineitem_price_mad_outliers(
         "cents",
         "med_cents",
         F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
-    )
+    ).persist()
     w_d = Window.partitionBy("p_brand").orderBy("adev")
     mad = (
         dev.withColumn("rn", F.row_number().over(w_d))

@@ -492,8 +492,14 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cutoffs are exact interpolations of integers).
     Output: (doc_id, lang, avg_surprisal_micro, phase 1..4).
     """
-    scores = lm_bigram_surprisal(spark, sf_dir).select(
-        "doc_id", "lang", "avg_surprisal_micro"
+    # persist: the quartile-cutoff aggregate and the phase projection
+    # both consume the scored frame; unpersisted, the whole
+    # lm_bigram_surprisal scoring pipeline ran twice (r12 — the ccnet
+    # fix, same upstream). One row per doc.
+    scores = (
+        lm_bigram_surprisal(spark, sf_dir)
+        .select("doc_id", "lang", "avg_surprisal_micro")
+        .persist()
     )
     cuts = scores.agg(
         *[
