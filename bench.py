@@ -232,7 +232,20 @@ def _bench_set(qs) -> list[str]:
     return out
 
 
+def _cold_store() -> bool:
+    """SPARK_GRAFT_BENCH_COLD_STORE=1 (r12 verdict item 3): run the
+    whole bench with the persistent artifact/tier store DISABLED, so
+    every query pays its training/tier builds inside the timed region.
+    The payload is tagged "store": "cold" and lands in BENCH_COLD.json
+    — the sidecar number that shows what the warm store is worth;
+    the unlabeled trend line stays the warm-store protocol."""
+    return os.environ.get("SPARK_GRAFT_BENCH_COLD_STORE") == "1"
+
+
 def main() -> None:
+    if _cold_store():
+        os.environ["SPARK_GRAFT_NO_TIER_CACHE"] = "1"
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -517,11 +530,12 @@ def _local_json_path() -> str:
       builder's deliberate warm-store canonical runs, the trend line
       SCALE.md adjudicates against.
     """
-    name = (
-        "BENCH_LOCAL.json"
-        if os.environ.get("SPARK_GRAFT_BENCH_CANONICAL") == "1"
-        else "BENCH_DRIVER.json"
-    )
+    if _cold_store():
+        name = "BENCH_COLD.json"
+    elif os.environ.get("SPARK_GRAFT_BENCH_CANONICAL") == "1":
+        name = "BENCH_LOCAL.json"
+    else:
+        name = "BENCH_DRIVER.json"
     return os.path.join(
         os.path.dirname(os.path.abspath(__file__)), name
     )
@@ -578,6 +592,10 @@ def _emit_payload(
         "value": total,
         "unit": "sec",
         "mode": mode,
+        # "warm" = persistent artifact/tier store enabled (the trend
+        # line); "cold" = SPARK_GRAFT_BENCH_COLD_STORE=1 sidecar, every
+        # training/tier build paid in-region (r12 verdict item 3)
+        "store": "cold" if _cold_store() else "warm",
         "queries": timings,
         "sf": sf_val,
     }
@@ -628,6 +646,7 @@ def _compact(payload: dict) -> dict:
         "value": payload["value"],
         "unit": payload["unit"],
         "mode": payload.get("mode", "inprocess"),
+        "store": payload.get("store", "warm"),
         "sf": payload["sf"],
         "n": len(payload["queries"]),
         "omitted": 0,

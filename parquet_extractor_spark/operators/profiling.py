@@ -484,19 +484,37 @@ def warehouse_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cardinality, so every counter is one conditional sum over it.
         orphan = F.col("_ck").isNotNull() & F.col("_pk").isNull()
         joined = keyed.join(parent, keyed._ck == parent._pk, "left")
+        # coalesce(0): sum over an EMPTY child is NULL; the pre-r12
+        # shape reported a zero-valued row there, and a loader
+        # regression that empties a child is exactly what this audit
+        # exists to catch (r12 advice).
         frames.append(
             joined.agg(
-                F.sum("_rows").cast("bigint").alias("n_rows"),
-                F.sum(F.when(F.col("_ck").isNotNull(), 1).otherwise(0))
+                F.coalesce(F.sum("_rows"), F.lit(0))
+                .cast("bigint")
+                .alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_ck").isNotNull(), 1).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias("n_keys"),
-                F.sum(
-                    F.when(F.col("_ck").isNull(), F.col("_rows")).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("_ck").isNull(), F.col("_rows"))
+                        .otherwise(0)
+                    ),
+                    F.lit(0),
                 ).cast("bigint").alias("n_null_rows"),
-                F.sum(F.when(orphan, F.col("_rows")).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(orphan, F.col("_rows")).otherwise(0)),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias("n_orphan_rows"),
-                F.sum(F.when(orphan, 1).otherwise(0))
+                F.coalesce(
+                    F.sum(F.when(orphan, 1).otherwise(0)), F.lit(0)
+                )
                 .cast("bigint")
                 .alias("n_orphan_keys"),
             ).select(

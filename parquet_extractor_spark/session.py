@@ -105,6 +105,25 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # codegen.cache.maxEntries is a STATIC conf: it only applies when
+    # this builder actually created the JVM. getOrCreate over a
+    # pre-existing session silently keeps that session's value — make
+    # the silent reuse visible in logs (r12 advice) instead of letting
+    # a sweep believe it runs with the 4096-entry cache.
+    try:
+        requested = conf["spark.sql.codegen.cache.maxEntries"]
+        actual = spark.conf.get("spark.sql.codegen.cache.maxEntries", None)
+        if actual is not None and str(actual) != str(requested):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "reused SparkSession: spark.sql.codegen.cache.maxEntries"
+                "=%s (requested %s ignored; static conf)",
+                actual,
+                requested,
+            )
+    except Exception:
+        pass
     _quiet_bounded_window_warns(spark)
     return spark
 

@@ -67,20 +67,33 @@ _SCHEMA_CACHE: dict[tuple, object] = {}
 def _scan_stats(path: str) -> tuple[int, int, int] | None:
     """(total bytes, file count, max mtime_ns) of a local parquet file
     or directory; None for paths the local os.stat cannot see
-    (object stores) — callers then fall back to uncached behavior."""
+    (object stores) — callers then fall back to uncached behavior.
+    Recurses into subdirectories (partitioned layouts) so the
+    fingerprint covers every data file — a top-level-only scan would
+    return a constant (0, 1, 0) for partitioned tables and the schema
+    cache would serve stale schemas across rewrites (r12 advice)."""
     try:
         if os.path.isdir(path):
             sizes, mtimes = [], [0]
-            for e in os.scandir(path):
-                if e.is_file() and not e.name.startswith(("_", ".")):
-                    st = e.stat()
-                    sizes.append(st.st_size)
-                    mtimes.append(st.st_mtime_ns)
+            stack = [path]
+            while stack:
+                for e in os.scandir(stack.pop()):
+                    if e.name.startswith(("_", ".")):
+                        continue
+                    if e.is_dir(follow_symlinks=False):
+                        stack.append(e.path)
+                    elif e.is_file():
+                        st = e.stat()
+                        sizes.append(st.st_size)
+                        mtimes.append(st.st_mtime_ns)
             return (sum(sizes), max(1, len(sizes)), max(mtimes))
         st = os.stat(path)
         return (st.st_size, 1, st.st_mtime_ns)
     except OSError:
         return None
+
+
+_SCHEMA_CACHE_MAX = 256  # schemas only (small), but bound it anyway
 
 
 def _read_parquet(spark, path: str, stats) -> DataFrame:
@@ -90,6 +103,8 @@ def _read_parquet(spark, path: str, stats) -> DataFrame:
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
+        while len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:  # FIFO evict
+            _SCHEMA_CACHE.pop(next(iter(_SCHEMA_CACHE)))
         _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
@@ -124,10 +139,23 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
         # (estimate ≥ parallelism) the repartition is skipped exactly
         # as before, so no shuffle of raw text is ever added.
         nbytes, nfiles = stats
+        sc = df.sparkSession.sparkContext
         conf = df.sparkSession.conf
         maxp = _conf_bytes(conf, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
         opencost = _conf_bytes(conf, "spark.sql.files.openCostInBytes", 4 * 1024**2)
-        est = max(1, -(-(nbytes + nfiles * opencost) // maxp))
+        # Mirror FilePartition.maxSplitBytes exactly, INCLUDING the
+        # bytes-per-core term (r12 advice: without it the estimate is
+        # a strict lower bound — a mid-size scan, e.g. 1 GB at 32-way
+        # parallelism, really arrives as ~32 splits because Spark
+        # shrinks the split size to totalBytes/minPartitionNum, and
+        # the old ceil(total/128MB)=9 wrongly added a full repartition
+        # shuffle of raw rows that the planner probe never did).
+        minpn = _conf_int(
+            conf, "spark.sql.files.minPartitionNum", sc.defaultParallelism
+        )
+        total = nbytes + nfiles * opencost
+        max_split = min(maxp, max(opencost, total // max(1, minpn)))
+        est = max(1, -(-total // max(1, max_split)))
         if est >= n:
             return df
         return df.repartition(n)
@@ -140,13 +168,26 @@ _BYTE_SUFFIX = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
 
 
 def _conf_bytes(conf, key: str, default: int) -> int:
-    """Parse a Spark byte-valued conf ("128m", "134217728b", plain
-    digits) to bytes; fall back to ``default`` on any surprise."""
+    """Parse a Spark byte-valued conf ("128m", "128mb", "134217728b",
+    plain digits) to bytes; fall back to ``default`` on any surprise.
+    Spark's canonical two-letter forms ("256mb", "1gb") are accepted
+    by stripping the trailing 'b' (r12 advice: they used to fall back
+    silently to the hardcoded default)."""
     try:
         raw = str(conf.get(key)).strip().lower()
+        if len(raw) > 2 and raw[-1] == "b" and raw[-2] in "kmgt":
+            raw = raw[:-1]
         if raw and raw[-1] in _BYTE_SUFFIX:
             return int(float(raw[:-1]) * _BYTE_SUFFIX[raw[-1]])
         return int(raw)
+    except Exception:
+        return default
+
+
+def _conf_int(conf, key: str, default: int) -> int:
+    try:
+        v = conf.get(key)
+        return default if v is None else int(v)
     except Exception:
         return default
 

@@ -38,6 +38,17 @@ def test_spread_passes_through_large_scan(spark, sf_small):
     assert spread(docs) is docs
 
 
+def test_spread_skips_midband_scan(spark, sf_small):
+    # r13 (r12 advice): a 1 GB / 8-file scan at 32-way parallelism
+    # really arrives as ~defaultParallelism splits, because Spark
+    # shrinks the split size to totalBytes/minPartitionNum. The
+    # estimate must include that bytes-per-core term and NOT add a
+    # repartition shuffle of raw rows in the mid-band.
+    docs = load_table(spark, sf_small, "documents")
+    docs._sg_scan_stats = (1024**3, 8)
+    assert spread(docs) is docs
+
+
 def test_spread_falls_back_without_stats(spark, sf_small):
     # a frame with no stats attribute (derived frames, object stores)
     # still spreads via the exact planner probe
@@ -82,5 +93,22 @@ def test_conf_bytes_parses_spark_forms(spark):
     assert _conf_bytes(Fake("1g"), "k", 1) == 1024**3
     assert _conf_bytes(Fake("4194304"), "k", 1) == 4194304
     assert _conf_bytes(Fake(None), "k", 7) == 7
+    # Spark's canonical two-letter forms (r12 advice: these silently
+    # fell back to the default before)
+    assert _conf_bytes(Fake("256mb"), "k", 1) == 256 * 1024**2
+    assert _conf_bytes(Fake("1gb"), "k", 1) == 1024**3
+    assert _conf_bytes(Fake("4kb"), "k", 1) == 4096
     # the real session conf parses too
     assert _conf_bytes(conf, "spark.sql.files.maxPartitionBytes", 0) > 0
+
+
+def test_scan_stats_recurses_into_partitioned_layout(spark, sf_small, tmp_path):
+    # r12 advice: a partitioned parquet directory keeps its data files
+    # in subdirectories; the fingerprint must cover them (not return
+    # the constant (0, 1, 0)) so the schema cache invalidates on
+    # rewrite and the split estimate sees the real bytes.
+    src = spark.read.parquet(f"{sf_small}/region.parquet")
+    dst = str(tmp_path / "part.parquet")
+    src.write.partitionBy("r_regionkey").parquet(dst)
+    nbytes, nfiles, mtime = _scan_stats(dst)
+    assert nbytes > 0 and nfiles > 1 and mtime > 0
