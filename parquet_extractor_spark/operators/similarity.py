@@ -101,6 +101,24 @@ def _vec_lit_sql(vec: list[float]) -> str:
     return "array(" + ",".join(_dlit_sql(v) for v in vec) + ")"
 
 
+def _cross_const(df: DataFrame, name: str, value, sql_type: str) -> DataFrame:
+    """Attach a driver-computed constant as a COLUMN via a broadcast
+    1-row cross join instead of inlining it as plan-time literals.
+
+    A PQ_M × PQ_K × PQ_SUBDIM codebook inlined per distance expression
+    costs thousands of literal expression nodes that every
+    parse/analyze/optimize pass (and every one of the bench's 3 timed
+    constructions) re-walks — r12/r13 measured the PQ family
+    driver-bound (8-core runs ≈ 0.7× the 32-core time). Shipped as
+    DATA the plan carries one ~KB broadcast relation and the scoring
+    expressions reference a column; per-element arithmetic is the
+    same HOF fold, and Python floats cross createDataFrame bit-exact,
+    so values are unchanged."""
+    spark = df.sparkSession
+    const = spark.createDataFrame([(value,)], f"{name} {sql_type}")
+    return df.crossJoin(F.broadcast(const))
+
+
 def _dot_sql_expr(a: str, b: str) -> str:
     """Same fold as _dot: zip_with product, left-to-right sum."""
     return (
@@ -135,27 +153,41 @@ def _py_norm(vec: list[float]) -> float:
     return acc ** 0.5
 
 
-def _assigned_cells(spark: SparkSession, emb: DataFrame, cents):
-    """(emb + nrm + cluster columns, sims exprs): literal-centroid
-    argmax cell assignment, shared by ann_ivf / build_ivf_index /
-    _ivf_pq_search. Repartitions first (a small parquet read arrives
-    in 1-2 partitions and would serialize the fan-out — the r04
-    lesson) and computes the row norm ONCE, reused by every centroid
-    cosine: dot/(nrm * c_norm_lit) is bit-identical to the inline
-    literal cosine (same folds, same association, _py_norm == the SQL
-    twin's left-to-right sum)."""
+def _assigned_cells(spark: SparkSession, emb: DataFrame, cents) -> DataFrame:
+    """emb + nrm + _sims + cluster columns: centroid argmax cell
+    assignment, shared by ann_ivf / build_ivf_index / _ivf_pq_search.
+    Repartitions first (a small parquet read arrives in 1-2 partitions
+    and would serialize the fan-out — the r04 lesson) and computes the
+    row norm ONCE, reused by every centroid cosine.
+
+    r13: the centroids (with their driver-precomputed norms) arrive as
+    DATA via ``_cross_const`` rather than NUM_CENTROIDS × EMB_DIM
+    inlined literals, and the per-centroid cosines are staged as ONE
+    ``_sims`` array column, so the fold runs once per row (the inline
+    form embedded the sims array twice, in array_position and
+    array_max). The per-element tree is unchanged — dot/(nrm * cn)
+    with cn = _py_norm(c) — so every sim, and hence every cluster id,
+    is bit-identical to the literal-centroid form."""
     base = emb.repartition(spark.sparkContext.defaultParallelism).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-
-    def cell_sim(c: list[float]) -> Column:
-        dot = _dot_sql_expr("embedding", _vec_lit_sql(c))
-        return F.expr(f"round({dot} / (nrm * {_dlit_sql(_py_norm(c))}), 9)")
-
-    sims = [cell_sim(c) for c in cents]
-    sim_arr = F.array(*sims)
-    cluster = (F.array_position(sim_arr, F.array_max(sim_arr)) - 1).cast("int")
-    return base.withColumn("cluster", cluster), sims
+    base = _cross_const(
+        base,
+        "_cents",
+        [([float(x) for x in c], _py_norm(c)) for c in cents],
+        "array<struct<c:array<double>,cn:double>>",
+    )
+    sims = F.expr(
+        "transform(_cents, p -> round("
+        "aggregate(zip_with(embedding, p.c, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / (nrm * p.cn), 9))"
+    )
+    staged = base.withColumn("_sims", sims).drop("_cents")
+    cluster = (
+        F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))) - 1
+    ).cast("int")
+    return staged.withColumn("cluster", cluster)
 
 
 def _query_rows(emb: DataFrame) -> DataFrame:
@@ -508,15 +540,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # round(9) argmax compares identically to the oracle's rounded
     # window ordering; first max index = lowest centroid id on ties
-    assigned, sims = _assigned_cells(spark, emb, cents)
+    assigned = _assigned_cells(spark, emb, cents)
 
     # per-query probe cells: sort (−sim, cid) structs ascending → top
-    # NPROBE by sim, ties toward lower cid
-    probe_structs = F.array(
-        *[
-            F.struct((-s).alias("neg_sim"), F.lit(i).alias("cid"))
-            for i, s in enumerate(sims)
-        ]
+    # NPROBE by sim, ties toward lower cid (transform's index arg is
+    # the same 0-based cid the literal F.lit(i) used to carry)
+    probe_structs = F.expr(
+        "transform(_sims, (s, i) -> struct(-s AS neg_sim, i AS cid))"
     )
     probes = (
         _query_rows(assigned)
@@ -529,7 +559,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = (
-        assigned.join(
+        assigned.drop("_sims").join(
             F.broadcast(probes),
             (F.col("cluster") == F.col("probe_cluster"))
             & (F.col("vec_id") != F.col("query_id")),
@@ -988,10 +1018,10 @@ def build_ivf_index(
 
     cents = _centroid_vectors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _sims = _assigned_cells(spark, emb, cents)
+    assigned = _assigned_cells(spark, emb, cents)
     write_bucketed(
-        # nrm is an assignment-time intermediate, not index schema
-        assigned.drop("nrm"), table_name, ["cluster"],
+        # nrm/_sims are assignment-time intermediates, not index schema
+        assigned.drop("nrm", "_sims"), table_name, ["cluster"],
         n_buckets=NUM_CENTROIDS,
     )
     return cents
@@ -1669,30 +1699,32 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(PQ_M)
     ]
 
-    def sqdist_sql(sub: str, codeword: list[float]) -> str:
-        return (
-            f"round(aggregate(zip_with({sub}, {_vec_lit_sql(codeword)}, "
-            f"(x, y) -> (x - y) * (x - y)), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 9)"
-        )
-
     emb = load_table(spark, sf_dir, "embeddings")
     # Stage the per-subspace distance arrays as named columns so each
     # (PQ_K fold expressions) is evaluated ONCE per row — the min,
     # argmin, and error projections below reference the column instead
     # of re-deriving the folds (Catalyst doesn't CSE across them).
-    # Built as one SQL string per subspace: the PQ_M × PQ_K × PQ_SUBDIM
-    # codebook literals would otherwise cost ~1500 py4j round-trips.
+    # r13: the codebook arrives as DATA via _cross_const (one ~KB
+    # broadcast) instead of PQ_M × PQ_K inlined literal arrays; the
+    # fold inside the lambda is byte-identical, so distances (and
+    # hence codes and recon_err_micro) are unchanged.
+    emb = _cross_const(
+        emb, "_books", books, "array<array<array<double>>>"
+    )
     dist_cols = []
     for s in range(PQ_M):
         sub = (
             f"transform(slice(embedding, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM}), "
             f"x -> CAST(x AS DOUBLE))"
         )
-        dists = ",".join(
-            sqdist_sql(sub, books[s][k]) for k in range(len(seeds))
+        dist_cols.append(
+            F.expr(
+                f"transform(element_at(_books, {s + 1}), cw -> "
+                f"round(aggregate(zip_with({sub}, cw, "
+                f"(x, y) -> (x - y) * (x - y)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 9))"
+            ).alias(f"d{s}")
         )
-        dist_cols.append(F.expr(f"array({dists})").alias(f"d{s}"))
     staged = emb.select("vec_id", *dist_cols)
 
     seed_arr = F.array(*[F.lit(sid) for sid in seed_ids])
@@ -1805,6 +1837,20 @@ def _sqdist_micro_sql(sub: str, codeword: list[float]) -> str:
     )
 
 
+def _sqdist_micro_lambda_sql(sub: str) -> str:
+    """_sqdist_micro_sql with the codeword as the free lambda variable
+    ``cw`` (a column of codebook DATA) instead of an inlined literal
+    array — same zip_with/aggregate tree, same rounding, bit-identical
+    BIGINT sums (r13: the literal codebooks moved into _cross_const
+    broadcast columns)."""
+    return (
+        f"aggregate(zip_with({sub}, cw, "
+        f"(x, y) -> CAST(floor(round((x - y) * (x - y), 9) "
+        f"* {_dlit_sql(1e6)} + {_dlit_sql(0.5)}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
 def _pq_sub_sql(s: int) -> str:
     """Subspace s of an embedding as array<double> (SQL text)."""
     return (
@@ -1878,22 +1924,37 @@ def _refined_pq_books_uncached(
     # (the argmin is expensive and multi-referenced, so Catalyst keeps
     # the projection boundary), then fan out (s, code, dim, v) entries
     # from the columns and aggregate. The previous union-of-subspaces
-    # form scanned the table PQ_M times.
-    staged_cols = []
-    for s in range(PQ_M):
-        sub_sql = _pq_sub_sql(s)
-        dists = F.expr(
-            "array("
-            + ",".join(
-                _sqdist_micro_sql(sub_sql, books[s][k])
-                for k in range(len(books[s]))
-            )
+    # form scanned the table PQ_M times. r13: the seed codebook
+    # arrives as DATA via _cross_const (same fold per element — codes
+    # identical), and the distance arrays get their own projection so
+    # the K folds run once per row, not twice.
+    emb = _cross_const(emb, "_books", books, "array<array<array<double>>>")
+    dist_cols = [
+        F.expr(
+            f"transform(element_at(_books, {s + 1}), cw -> "
+            + _sqdist_micro_lambda_sql(_pq_sub_sql(s))
             + ")"
-        )
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        staged_cols.append(code.alias(f"code{s}"))
-        staged_cols.append(F.expr(sub_sql).alias(f"sub{s}"))
-    staged = emb.select(*staged_cols)
+        ).alias(f"pd{s}")
+        for s in range(PQ_M)
+    ]
+    sub_cols = [
+        F.expr(_pq_sub_sql(s)).alias(f"sub{s}") for s in range(PQ_M)
+    ]
+    pre = emb.select(*dist_cols, *sub_cols)
+    staged = pre.select(
+        *[
+            (
+                F.array_position(
+                    F.col(f"pd{s}"), F.array_min(F.col(f"pd{s}"))
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"code{s}")
+            for s in range(PQ_M)
+        ],
+        *[F.col(f"sub{s}") for s in range(PQ_M)],
+    )
 
     def _entries(s: int) -> Column:
         def one(i: Column) -> Column:
@@ -2002,45 +2063,49 @@ def _ivf_pq_search(
         ]
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base, _sims = _assigned_cells(spark, emb, cents)
+    base = _assigned_cells(spark, emb, cents).drop("_sims")
 
-    code_cols = []
-    for s in range(PQ_M):
-        sub_sql = _pq_sub_sql(s)
-        dists = F.expr(
-            "array("
-            + ",".join(
-                _sqdist_micro_sql(sub_sql, books[s][k])
-                for k in range(len(books[s]))
-            )
+    # Codebooks as DATA (one ~KB broadcast via _cross_const), not
+    # PQ_M × PQ_K inlined literal arrays (r13: the literal forest made
+    # the whole family driver-bound — parse/analyze/codegen of
+    # thousands of literal nodes per construction). The fold inside
+    # the transform lambda is the exact _sqdist_micro_sql tree, and
+    # staging each subspace's distance array as its OWN column makes
+    # the K folds run once per row (the inline form embedded them
+    # twice, in array_position and array_min).
+    base = _cross_const(base, "_books", books, "array<array<array<double>>>")
+    dist_cols = [
+        F.expr(
+            f"transform(element_at(_books, {s + 1}), cw -> "
+            + _sqdist_micro_lambda_sql(_pq_sub_sql(s))
             + ")"
-        )
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"c{s}")
-        )
-    assigned = base.select("vec_id", "cluster", *code_cols)
+        ).alias(f"d{s}")
+        for s in range(PQ_M)
+    ]
+    staged = base.select("vec_id", "cluster", *dist_cols)
+    code_cols = [
+        (F.array_position(F.col(f"d{s}"), F.array_min(F.col(f"d{s}"))) - 1)
+        .cast("int")
+        .alias(f"c{s}")
+        for s in range(PQ_M)
+    ]
+    assigned = staged.select("vec_id", "cluster", *code_cols)
 
+    # ADC tables as DATA on the broadcast probe rows (was: a CASE
+    # query_id when-chain over N_QUERIES × PQ_M × PQ_K BIGINT
+    # literals): each probe row carries its query's PQ_M × PQ_K
+    # integer table, and the distance is PQ_M two-level array lookups
+    # summed left-to-right — the same BIGINTs in the same order.
     probes = spark.createDataFrame(
-        probe_rows, "query_id long, probe_cluster int"
+        [(qid, cid, adc_tables[qid]) for qid, cid in probe_rows],
+        "query_id long, probe_cluster int, adc array<array<bigint>>",
     )
-
-    # ADC: per subspace, dispatch on query_id to that query's literal
-    # BIGINT table and look up the candidate's code (bounded
-    # when-chain over N_QUERIES literal arrays)
-    def adc_term(s: int) -> Column:
-        whens = " ".join(
-            f"WHEN query_id = {qid} THEN element_at(array("
-            + ",".join(f"CAST({v} AS BIGINT)" for v in table[s])
-            + f"), c{s} + 1)"
-            for qid, table in adc_tables.items()
+    adc = F.expr(
+        " + ".join(
+            f"element_at(element_at(adc, {s + 1}), c{s} + 1)"
+            for s in range(PQ_M)
         )
-        return F.expr(f"CASE {whens} END")
-
-    adc = adc_term(0)
-    for s in range(1, PQ_M):
-        adc = adc + adc_term(s)
+    )
 
     pairs = (
         assigned.join(

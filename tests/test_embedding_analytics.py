@@ -74,15 +74,21 @@ def test_pq_codes_shape_and_seed_reconstruction(spark, sf_small):
 
 
 def test_pq_codes_plan_is_scan_only(spark, sf_small):
-    """PQ assignment must be map-side: no shuffle except the output
-    sort — codewords are plan-time literals."""
+    """PQ assignment must be map-side: no shuffle of embedding rows
+    except the output sort. r13: the codebook arrives as a 1-row
+    BROADCAST relation (_cross_const) instead of inlined literals, so
+    the plan may carry one broadcast join of that constant — but never
+    a shuffle (hash exchange / sort-merge join) of the vectors."""
     from parquet_extractor_spark.operators.similarity import pq_codes
 
     plan = pq_codes(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
-    # one Exchange is allowed (the orderBy range partitioning); a join
-    # or aggregate exchange would mean the codebook wasn't inlined
-    assert "Join" not in plan
-    assert plan.count("Exchange") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    # the output orderBy's range partitioning is the only row shuffle
+    assert plan.count("Exchange rangepartitioning") <= 1
+    # the codebook broadcast is constant-size: one 1-row local relation
+    assert plan.count("BroadcastExchange") <= 1
 
 
 def test_label_text_profile_cross_table_join(spark, sf_small):
