@@ -429,9 +429,18 @@ def customer_entity_resolution(
         .cast("bigint")
         .alias("cents"),
     )
+    # Pin the pair stage's parallelism (r13, guide §2.5 input skew /
+    # §2.6): the block-keyed self-join shuffles only a few MB of
+    # names, so AQE's byte-based coalescing folds the post-shuffle
+    # stage to 1-2 partitions — and that stage carries the CPU-dense
+    # levenshtein over ~50 pairs per row (measured 4.9-7.2 s on 2
+    # tasks vs 0.8-1.6 s pinned at sf0.1). Hashing the blocking key
+    # into defaultParallelism partitions stays balanced at any scale
+    # (block cardinality ≈ |customers|/100 ≫ cores) and only affects
+    # this stage: the component loop's joins re-shuffle by key anyway.
     blocked = cust.withColumn(
         "block", F.expr("substring(c_name, 1, length(c_name) - 2)")
-    )
+    ).repartition(spark.sparkContext.defaultParallelism, "block")
     a, b = blocked.alias("a"), blocked.alias("b")
     edges = (
         a.join(
