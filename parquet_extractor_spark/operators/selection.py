@@ -991,14 +991,27 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = vocab.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    a = vocab.alias("a")
-    b = vocab.alias("b")
+    # r13 (guide §2.3): one sorted source-set per token + map-side
+    # pair fan-out replaces the vocab self-join on tok — same counts
+    # (vocab is DISTINCT (source, tok); sort_array's binary string
+    # order == the old a.source < b.source filter), half the vocab
+    # shuffles and no join explosion. Same restructure as
+    # source_vocab_kmv_jaccard's exact tier.
     common = (
-        a.join(b, "tok")
-        .filter(F.col("a.source") < F.col("b.source"))
+        vocab.groupBy("tok")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
+        )
         .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
@@ -1121,13 +1134,30 @@ def source_vocab_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = vocab.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    av, bv = vocab.alias("a"), vocab.alias("b")
+    # Exact grading tier, r13 (guide §2.3 aggregate-before-shuffle;
+    # r12 verdict item 6): pre-aggregate the vocabulary to one sorted
+    # source-set per bigram and fan the (src_a < src_b) pairs out
+    # map-side, instead of self-joining the |V|×|sources| frame on tok
+    # (two shuffles of the full vocab + the joined pair stream into
+    # the agg). Same count per pair: vocab is DISTINCT (source, tok),
+    # sort_array uses the same binary string ordering as the old
+    # a.source < b.source filter, and every unordered pair appears
+    # exactly once (b ranges over the suffix after a).
     common = (
-        av.join(bv, "tok")
-        .filter(F.col("a.source") < F.col("b.source"))
+        vocab.groupBy("tok")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "b -> struct(a AS src_a, b AS src_b))))"
+                )
+            ).alias("p")
+        )
         .groupBy(
-            F.col("a.source").alias("src_a"),
-            F.col("b.source").alias("src_b"),
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )

@@ -414,23 +414,40 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(tokenize("text")).cast("bigint").alias("n")
     )
 
+    # localCheckpoint each gate's doc_id frame (r13; the r12
+    # ivf_pq_recall_eval lesson, guide §3.3 "materialise an
+    # intermediate to truncate the plan"): composed inline, the report
+    # plan embeds five full gate pipelines (classifier scoring, bloom
+    # decontamination, quality heuristics…) and every downstream
+    # DataFrame op re-analyzes that tree — the r12 verdict found the
+    # query driver-bound (8-core ≈ 32-core). Materialized, the report
+    # is five doc_id-keyed joins onto LogicalRDDs. O(docs) rows of
+    # bare ids per gate — state the gates compute anyway; blocks are
+    # released by the caller's release_cached between queries.
     quality_keep = (
         quality_scores(spark, sf_dir)
         .filter(F.col("quality_score") >= MIN_QUALITY)
         .select("doc_id")
+        .localCheckpoint()
     )
     cls_keep = (
         quality_classifier_scores(spark, sf_dir)
         .filter(F.col("keep"))
         .select("doc_id")
+        .localCheckpoint()
     )
-    exact_keep = _exact_keep_tier(spark, sf_dir)
+    exact_keep = _exact_keep_tier(spark, sf_dir).localCheckpoint()
     canon_keep = (
         _components_tier(spark, sf_dir)
         .filter(F.col("doc_id") == F.col("component"))
         .select("doc_id")
+        .localCheckpoint()
     )
-    contaminated = ngram_decontamination(spark, sf_dir).select("doc_id")
+    contaminated = (
+        ngram_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .localCheckpoint()
+    )
 
     flags = (
         toks.join(
@@ -586,23 +603,33 @@ def release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(tokenize("text")).cast("bigint").alias("n"),
     )
+    # Same gate materialization as curation_funnel (r13): five
+    # localCheckpointed doc_id frames truncate the five inlined gate
+    # pipelines out of the report plan.
     quality_keep = (
         quality_scores(spark, sf_dir)
         .filter(F.col("quality_score") >= MIN_QUALITY)
         .select("doc_id")
+        .localCheckpoint()
     )
     cls_keep = (
         quality_classifier_scores(spark, sf_dir)
         .filter(F.col("keep"))
         .select("doc_id")
+        .localCheckpoint()
     )
-    exact_keep = _exact_keep_tier(spark, sf_dir)
+    exact_keep = _exact_keep_tier(spark, sf_dir).localCheckpoint()
     canon_keep = (
         _components_tier(spark, sf_dir)
         .filter(F.col("doc_id") == F.col("component"))
         .select("doc_id")
+        .localCheckpoint()
     )
-    contaminated = ngram_decontamination(spark, sf_dir).select("doc_id")
+    contaminated = (
+        ngram_decontamination(spark, sf_dir)
+        .select("doc_id")
+        .localCheckpoint()
+    )
     survivors = (
         docs.join(quality_keep, "doc_id", "left_semi")
         .join(cls_keep, "doc_id", "left_semi")
