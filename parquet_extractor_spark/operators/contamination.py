@@ -51,7 +51,12 @@ def ngram_decontamination(
     ``grams`` lets a caller (decontamination_report) supply an
     already-persisted gram frame instead of rebuilding it."""
     if grams is None:
-        grams = _all_doc_grams(spark, sf_dir)
+        # persist (r13; the r12 multi-reference pattern, guide §5):
+        # standalone, this frame is referenced THREE times (bench
+        # grams, per-doc totals, hit counts) and the tokenize + 4-gram
+        # fan-out ran once per reference. decontamination_report
+        # already threads its own persisted instance through here.
+        grams = _all_doc_grams(spark, sf_dir).persist()
     bench = (
         grams.filter((F.col("doc_id") % BENCH_MOD) == 0).select("g").distinct()
     )

@@ -66,10 +66,15 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is ≤ POSTING_K elements regardless of document frequency.
     Output: (term, n_docs, total_tf, top_postings).
     """
+    # persist: `tf` feeds the per-term stats AND the postings window
+    # (r13; the r12 multi-reference pattern, guide §5) — unpersisted,
+    # the corpus explode + (term, doc) agg executes twice. Postings-
+    # bounded rows; released by the caller's release_cached.
     tf = (
         _terms(spark, sf_dir)
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     stats = tf.groupBy("term").agg(
         F.count("*").alias("n_docs"), F.sum("tf").alias("total_tf")
@@ -151,7 +156,10 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
             PMI_CAP,
         ).alias("toks"),
-    )
+    ).persist()
+    # ^ persist (r13, guide §5): `capped` feeds the pair fan-out AND
+    # the marginal counts — unpersisted, the tokenize + sort + cap
+    # pipeline runs once per reference. PMI_CAP-bounded per doc.
     n = F.size("toks")
     pair_arr = F.when(
         n >= 2,
@@ -178,6 +186,7 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         capped.select(F.explode("toks").alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("n_t"))
+        .persist()  # joined twice (t1 and t2 sides); |vocab| rows
     )
     # marg is keyed by the (capped) vocabulary — O(|vocab|) rows. No
     # forced broadcast: at web scale the vocabulary outgrows broadcast

@@ -189,9 +189,15 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
 
+    # persist both shared frames (r13; the r12 multi-reference
+    # pattern, guide §5): `dl` feeds the corpus stats AND the scoring
+    # join, `tf` feeds the per-term df AND the scoring join —
+    # unpersisted, each reference re-runs the corpus scan + tokenize
+    # (4 tokenize passes for a 2-pass query). dl is (doc_id, len)
+    # rows, tf is query-term hits only; released by release_cached.
     dl = docs.select(
         "doc_id", F.size(tokenize("text")).cast("bigint").alias("dl")
-    ).filter(F.col("dl") > 0)
+    ).filter(F.col("dl") > 0).persist()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -204,6 +210,7 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 

@@ -864,11 +864,21 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-path constant, same lesson as semdedup_verdicts — this cut the
     sf0.1 bench 8.8s → ~3s). dot/(na*nb) keeps cosine()'s exact
     association, so the oracle still hash-matches at round(6)."""
+    # repartition BY BUCKET, pinned to defaultParallelism (r13, the
+    # customer_entity_resolution lesson, guide §2.5): the self-join
+    # shuffles ~1 MB of vectors at sf0.1, so AQE's byte-based
+    # coalescing folds the post-shuffle pair stage — which carries
+    # every interpreted cosine fold — onto 1-2 cores. The hash
+    # exchange doubles as the join's exchange (no extra shuffle); with
+    # 2^SIGN_BITS buckets the effective parallelism is
+    # min(cores, 16) here and full at production SIGN_BITS.
     emb = (
         load_table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("bucket", _sign_bucket(F.col("embedding")))
         .withColumn("nrm", _norm(F.col("embedding")))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "bucket"
+        )
     )
     a = emb.alias("a")
     b = emb.alias("b")
@@ -1328,6 +1338,11 @@ def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    # localCheckpoint: `cent` is referenced by BOTH run halves, so
+    # unmaterialized the posexplode + two-agg pipeline executes twice
+    # (r13; the r12 multi-reference persist pattern, guide §5). The
+    # frame is labels × 2 rows.
+    cent = cent.localCheckpoint()
     a, b = cent.where(F.col("run") == "a"), cent.where(F.col("run") == "b")
     pair = a.alias("a").join(b.alias("b"), "label")
     cos = dot(F.col("a.c"), F.col("b.c")).cast("double") / (
@@ -1352,6 +1367,8 @@ def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mn")
         )
     )
+    # same double-reference shape as `cent`: labels × 2 rows
+    norms = norms.localCheckpoint()
     na = norms.where(F.col("run") == "a").select(
         "label", F.col("mn").alias("mean_norm_a_micro")
     )

@@ -108,7 +108,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(tokenize("text"), lambda t: F.length(t) >= MIN_TERM_LEN)
         ).alias("term"),
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # persist: `tf` feeds BOTH the document-frequency aggregate and
+    # the scoring join (r13; the r12 multi-reference pattern, guide
+    # §5). Unpersisted, the corpus scan + explode + (doc,term) agg
+    # executes once per reference — AQE's runtime stage reuse does not
+    # cover the two branches because the spread() round-robin exchange
+    # canonicalizes differently per subtree instance. Bounded by the
+    # postings count; released by the caller's release_cached.
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df_, "term")
