@@ -455,9 +455,14 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounded_global_window,
     )
 
+    # persist (r13; the r12 multi-reference pattern, guide §5): the
+    # scored frame feeds the percentile cuts, the decile aggregate
+    # AND (via by_decile's lineage) the totals — unpersisted, the
+    # feature-extraction + logit pipeline executed three times.
+    # Narrow (logit, y) rows; released by release_cached.
     scores = trained_classifier_scores(spark, sf_dir).select(
         "logit_micro", F.col("y").cast("bigint").alias("y")
-    )
+    ).persist()
     qs = [i / LIFT_DECILES for i in range(1, LIFT_DECILES)]
     cuts = scores.agg(
         *[

@@ -2035,9 +2035,13 @@ def source_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "source", F.round(q["quality_score"], 2).alias("score")
     )
+    # persist (r13; the r12 multi-reference pattern, guide §5): the
+    # histogram feeds the score support, the source list AND the grid
+    # fill — unpersisted, the corpus scoring pipeline aggregated
+    # three times. |sources| × |buckets| rows.
     hist = scored.groupBy("source", "score").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).persist()
     support = hist.select("score").distinct()
     sources = hist.select("source").distinct()
     grid = support.crossJoin(F.broadcast(sources))

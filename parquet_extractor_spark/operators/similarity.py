@@ -1241,15 +1241,26 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantized form is what a 100 TB ANN index would persist (4×
     smaller than float32, SIMD-friendly)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Stage the cast vector and its max-abs as their own projections
+    # (r13, guide §1.2): inlined, the maxabs expression sat INSIDE the
+    # quantization lambda and was re-evaluated for every ELEMENT —
+    # O(dim²) interpreted fold work per row (the HOFs are
+    # CodegenFallback) — and the cast vector itself was re-derived by
+    # each of the three output expressions. Same arithmetic per
+    # element, so every output value is unchanged.
     vec = F.transform("embedding", lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(vec, F.abs))
-    quant = F.transform(
-        vec, lambda x: F.floor(x * F.lit(127.0) / maxabs + F.lit(0.5))
-    )
-    return emb.select(
+    staged = emb.select("vec_id", vec.alias("v")).select(
         "vec_id",
-        F.round(_norm(vec), 6).alias("l2_norm"),
-        F.round(maxabs, 6).alias("max_abs"),
+        "v",
+        F.array_max(F.transform("v", F.abs)).alias("ma"),
+    )
+    quant = F.transform(
+        "v", lambda x: F.floor(x * F.lit(127.0) / F.col("ma") + F.lit(0.5))
+    )
+    return staged.select(
+        "vec_id",
+        F.round(_norm(F.col("v")), 6).alias("l2_norm"),
+        F.round(F.col("ma"), 6).alias("max_abs"),
         F.aggregate(quant, F.lit(0).cast("bigint"), lambda a, v: a + v)
         .alias("quant_checksum"),
     ).orderBy("vec_id")
@@ -2730,8 +2741,19 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (dims, n_hits, recall_at_k) one row per prefix length.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Precompute each side's prefix norms ONCE per row (r13, guide
+    # §1.2): inlined, _norm(q-prefix) re-ran per PAIR (it is constant
+    # per query) and _norm(candidate-prefix) re-ran per (pair, d) —
+    # 12 interpreted folds per pair instead of the 4 dots that
+    # actually depend on the pair. Same fold trees, so every rounded
+    # sim (and hence every rank and hit count) is unchanged.
     queries = _query_rows(emb).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        *[
+            _norm(F.slice(F.col("embedding"), 1, d)).alias(f"qn{d}")
+            for d in MATRYOSHKA_DIMS
+        ],
     )
     sims = []
     for d in MATRYOSHKA_DIMS:
@@ -2739,12 +2761,20 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ed = F.slice(F.col("embedding"), 1, d)
         sims.append(
             F.round(
-                _dot(qd, ed) / (_norm(qd) * _norm(ed)), 6
+                _dot(qd, ed) / (F.col(f"qn{d}") * F.col(f"en{d}")), 6
             ).alias(f"s{d}")
         )
     pairs = (
         load_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "embedding",
+            *[
+                _norm(F.slice(F.col("embedding"), 1, d)).alias(f"en{d}")
+                for d in MATRYOSHKA_DIMS
+            ],
+        )
         .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), *sims
