@@ -2155,7 +2155,13 @@ def media_neardup_eval(spark, sf_dir: str) -> DataFrame:
     ]
     reports = []
     for name, fn in fams:
-        pairs = fn(spark, "unused").select("id_a", "id_b")
+        # localCheckpoint (r13; the r12 multi-reference pattern): the
+        # candidate-pair frame feeds the pair count AND the
+        # true-positive semi-join — unmaterialized, each family's
+        # banded dedup pipeline ran twice. Fixture-bounded rows.
+        pairs = (
+            fn(spark, "unused").select("id_a", "id_b").localCheckpoint()
+        )
         truth = spark.createDataFrame(
             _planted_pairs(name), "id_a long, id_b long"
         )

@@ -156,3 +156,32 @@ def test_child_payload_path_env_routing(monkeypatch):
     # an explicit payload path (chunk children) wins over both
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PAYLOAD", "/tmp/x.json")
     assert bench._child_payload_path() == "/tmp/x.json"
+
+
+def test_cold_store_mode_routes_and_tags(monkeypatch):
+    """SPARK_GRAFT_BENCH_COLD_STORE=1 (r13): payloads go to
+    BENCH_COLD.json, carry "store": "cold", and the compact line
+    preserves the tag; default runs stay "warm" in BENCH_DRIVER.json."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_CANONICAL", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_COLD_STORE", raising=False)
+    assert bench._local_json_path().endswith("BENCH_DRIVER.json")
+    assert not bench._cold_store()
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_COLD_STORE", "1")
+    assert bench._cold_store()
+    assert bench._local_json_path().endswith("BENCH_COLD.json")
+    # cold beats canonical when both are set
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_CANONICAL", "1")
+    assert bench._local_json_path().endswith("BENCH_COLD.json")
+
+    payload = {
+        "metric": "headline_queries_total",
+        "value": 1.0,
+        "unit": "sec",
+        "mode": "inprocess",
+        "store": "cold",
+        "queries": {"q": 1.0},
+        "sf": 0.1,
+    }
+    out = bench._compact(payload)
+    assert out["store"] == "cold"
